@@ -1,0 +1,38 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver test tables (`/root/testdata/sf*/` — TESTDATA.md).
+  *
+  * All loaders are plain parquet scans so Catalyst pushdown / pruning applies
+  * untouched. The one exception is `events`, whose `ts` column is physical
+  * INT64 TIMESTAMP(NANOS) — a parquet type Spark 4 refuses by default. We
+  * read it with `spark.sql.legacy.parquet.nanosAsLong` and convert the raw
+  * nanosecond count to a microsecond TIMESTAMP_NTZ (floor division, matching
+  * DuckDB's TIMESTAMP_NS -> TIMESTAMP cast), so downstream operators and the
+  * oracle see identical values.
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Events table with `ts` normalized to TIMESTAMP_NTZ (microseconds). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts",
+        timestamp_micros((col("ts") / 1000L).cast("long")).cast("timestamp_ntz"))
+  }
+}
