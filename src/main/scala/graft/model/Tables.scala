@@ -3,15 +3,17 @@ package graft.model
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Loaders for the driver test tables (`/root/testdata/sf*/` — TESTDATA.md).
+/** Loaders for the driver test tables under the `sf` directories (TESTDATA.md).
   *
   * All loaders are plain parquet scans so Catalyst pushdown / pruning applies
   * untouched. The one exception is `events`, whose `ts` column is physical
-  * INT64 TIMESTAMP(NANOS) — a parquet type Spark 4 refuses by default. We
+  * INT64 TIMESTAMP(NANOS) - a parquet type Spark 4 refuses by default. We
   * read it with `spark.sql.legacy.parquet.nanosAsLong` and convert the raw
-  * nanosecond count to a microsecond TIMESTAMP_NTZ (floor division, matching
-  * DuckDB's TIMESTAMP_NS -> TIMESTAMP cast), so downstream operators and the
-  * oracle see identical values.
+  * nanosecond count to a microsecond TIMESTAMP_NTZ using integer floor
+  * division (`div`, not `/`: long `/` long is double division in Spark and
+  * epoch-nanos exceed double's exact 2^53 range), matching DuckDB's exact
+  * TIMESTAMP_NS to TIMESTAMP cast so downstream operators and the oracle see
+  * identical values.
   */
 object Tables {
 
@@ -28,11 +30,17 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** Events table with `ts` normalized to TIMESTAMP_NTZ (microseconds). */
+  /** Events table with `ts` normalized to TIMESTAMP_NTZ (microseconds).
+    *
+    * The legacy conf must be in effect both when the scan is planned and when
+    * it executes; since the returned DataFrame is lazy we cannot save/restore
+    * around the read. The conf only affects INT64(NANOS) parquet fields -
+    * no other test table has one - so leaving it set is benign.
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")
       .withColumn("ts",
-        timestamp_micros((col("ts") / 1000L).cast("long")).cast("timestamp_ntz"))
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
   }
 }
