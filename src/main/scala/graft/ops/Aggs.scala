@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Aggregations (SURVEY.md §2.4 A1-A2).
+  *
+  * The reference computes no aggregates itself - yearly/per-ticker rollups
+  * happen in BigQuery/Tableau over the warehouse tables
+  * (`code/sql/DDLs:2-15`; `images/tableau_AMZN.png`). These functions are
+  * that query surface. All use built-in declarative aggregates, so Catalyst
+  * plans partial (map-side) + final aggregation automatically - at 100 TB
+  * the map-side combine is what keeps the shuffle proportional to group
+  * count, not row count.
+  */
+object Aggs {
+
+  /** A1 - per-key, per-year OHLCV rollup: the flagship summary the reference
+    * renders per ticker (open = first by date, close = last by date, high,
+    * low, total volume). `min_by`/`max_by` on a total ordering column make
+    * first/last deterministic - plain `first()`/`last()` in a groupBy are
+    * order-dependent and unreproducible.
+    */
+  def yearlyOhlcv(prices: DataFrame, key: String, date: String): DataFrame =
+    prices
+      .withColumn("year", year(col(date)))
+      .groupBy(col(key), col("year"))
+      .agg(
+        min_by(col("Open"), col(date)).as("year_open"),
+        max_by(col("Close"), col(date)).as("year_close"),
+        max(col("High")).as("year_high"),
+        min(col("Low")).as("year_low"),
+        sum(col("Volume")).as("total_volume"),
+        count(lit(1)).as("trading_days"))
+
+  /** A1 generalized - keyed yearly rollup over arbitrary measures. */
+  def yearlyRollup(df: DataFrame, key: String, date: String,
+                   measures: Seq[Column]): DataFrame =
+    df.withColumn("year", year(col(date)))
+      .groupBy(col(key), col("year"))
+      .agg(measures.head, measures.tail: _*)
+
+  /** A2 - exact + approximate distinct counts per group.
+    * `approx_count_distinct` is a mergeable HLL++ sketch: constant memory per
+    * group regardless of cardinality, the right default at 100 TB where an
+    * exact distinct forces a second shuffle on the counted column.
+    */
+  def distinctCounts(df: DataFrame, group: String, counted: String,
+                     rsd: Double = 0.05): DataFrame =
+    df.groupBy(col(group)).agg(
+      count_distinct(col(counted)).as("exact_distinct"),
+      approx_count_distinct(col(counted), rsd).as("approx_distinct"))
+
+  /** A2 - ROLLUP: hierarchical subtotals + grand total in one pass
+    * (Catalyst Expand + single hash aggregate, not N scans).
+    */
+  def rollupAgg(df: DataFrame, dims: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.rollup(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+
+  /** A2 - CUBE: all dimension combinations in one pass. */
+  def cubeAgg(df: DataFrame, dims: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.cube(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+}

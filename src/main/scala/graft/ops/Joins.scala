@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Joins (SURVEY.md §2.3).
+  *
+  * The reference has no dataflow joins - entity integration is deferred to
+  * BigQuery star joins over the shared `Ticker` key
+  * (`code/sql/DDLs:13,27,166,174`; `README.md:9-10`). This object supplies
+  * that query surface inside the engine, plus the as-of join the (Ticker,
+  * Date) series pair (prices vs dividends, `code/sql/DDLs:2-15,165-170`)
+  * calls for.
+  */
+object Joins {
+
+  /** J3 - star join: fact x N dimensions on a shared key, dims broadcast.
+    * The reference's dims are <=20 rows (`stock_list.csv:1-21`) and at 100 TB
+    * dimension tables stay small relative to facts, so an explicit
+    * `broadcast()` hint pins a BroadcastHashJoin - no fact-side shuffle at
+    * all; the fact table streams through map-side.
+    */
+  def starJoin(fact: DataFrame, dims: Seq[(DataFrame, Seq[String])]): DataFrame =
+    dims.foldLeft(fact) { case (acc, (dim, keys)) =>
+      acc.join(broadcast(dim), keys, "inner")
+    }
+
+  /** J2 - allowlist semi-join: keep fact rows whose key appears in `keys`
+    * (`transform_job_tabular_entitities.py:19` does this with an in-list).
+    * LEFT SEMI emits no dim columns and deduplicates the build side, and the
+    * broadcast keeps it shuffle-free.
+    */
+  def semiFilter(fact: DataFrame, keys: DataFrame, joinKeys: Seq[String]): DataFrame =
+    fact.join(broadcast(keys), joinKeys, "left_semi")
+
+  /** As-of join (stretch op, SURVEY §2.3): for every row of `left`, the most
+    * recent `right` row with the same key and `right.time <= left.time`
+    * (ties included - `<=` semantics, matching SQL ASOF JOIN).
+    *
+    * Spark has no ASOF JOIN operator, and an inequality join would be a
+    * O(n*m) broadcast-nested-loop. Instead: union-tag the two inputs, then a
+    * single `last(value, ignoreNulls) OVER (PARTITION BY key ORDER BY time,
+    * side)` carries each right value forward to the left rows it covers.
+    * One shuffle on `key`, one sort - the same cost as a sort-merge join,
+    * and skew-safe under AQE. Right rows sort before left rows at equal
+    * `time` (side 0 < 1) which yields the `<=` tie semantics.
+    *
+    * `right` must be unique per (key, time); pre-aggregate it otherwise.
+    * Returns `left`'s columns plus `valueCol` (null when nothing precedes).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+               valueCol: String): DataFrame = {
+    val l = left.withColumn("_side", lit(1)).withColumn(valueCol, lit(null).cast(
+      right.schema(valueCol).dataType))
+    val r = right.select(col(key), col(time), col(valueCol))
+      .withColumn("_side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned
+      .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .drop("_side")
+  }
+
+  /** Salted equi-join for a skewed key: spread each hot left key over
+    * `buckets` salt values and explode the right side to match. AQE's skew
+    * handling covers most cases; this is the explicit fallback when a single
+    * key exceeds what one task can sort (the 100 TB "one ticker is half the
+    * data" case).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, buckets: Int,
+                 joinType: String = "inner"): DataFrame = {
+    val saltedL = left.withColumn("_salt", pmod(hash(col(key), monotonically_increasing_id()), lit(buckets)))
+    val saltedR = right.withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
+    saltedL.join(saltedR, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+
+  /** Range join: pair rows whose `point` falls inside `[lo, hi]` intervals.
+    * Declared as a plain theta join so Catalyst can choose broadcast when the
+    * interval side is small; at scale, pre-bucket both sides on
+    * `floor(point / width)` to turn it into an equi-join plus residual
+    * filter (the standard interval-bucketing trick).
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, point: Column,
+                lo: Column, hi: Column): DataFrame =
+    points.join(intervals, point >= lo && point <= hi)
+}

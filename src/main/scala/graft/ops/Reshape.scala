@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Reshaping (SURVEY.md §2.7): the reference's most distinctive operator is
+  * the pandas transpose of a wide statement matrix
+  * (`transform_job_tabular_entitities.py:12-31`: allowlist row filter ->
+  * `df.T` -> first-row-as-header promotion -> `Ticker` tag). pandas `df.T`
+  * relies on physical row order, which Spark does not have, so the
+  * distributed equivalent goes through an explicit long form:
+  * unpivot (metric stays a VALUE) -> pivot(metric) with a FIXED column list.
+  *
+  * Pivoting against the fixed allowlist matters twice at scale: the output
+  * schema is deterministic (queryable without a pre-pass), and Spark skips
+  * the extra pivot-values discovery job it would otherwise run over 100 TB.
+  */
+object Reshape {
+
+  /** Generic unpivot: wide `(idCols..., valueCols...)` to long
+    * `(idCols..., nameCol, valueCol)` via the built-in `unpivot`
+    * (Catalyst `Expand` - one pass, no shuffle, no UDF).
+    */
+  def unpivot(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+              nameCol: String, valueCol: String): DataFrame =
+    df.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray, nameCol, valueCol)
+
+  /** Inverse of [[unpivot]] on unique `idCols`: pivot the long form back to
+    * one column per `names` entry. `first(valueCol)` is deterministic here
+    * because each `(idCols, name)` group holds exactly one value.
+    */
+  def pivot(df: DataFrame, idCols: Seq[String], nameCol: String, valueCol: String,
+            names: Seq[String]): DataFrame =
+    df.groupBy(idCols.map(col): _*)
+      .pivot(nameCol, names)
+      .agg(first(col(valueCol)))
+
+  /** R1+R2+P7 - distributed statement transpose
+    * (`transform_job_tabular_entitities.py:12-31`).
+    *
+    * Input: the S4 scan of a statement CSV - first column (`metricCol`)
+    * holds metric names, the remaining columns are period dates, all strings.
+    * Output: one row per period: `(Date, <metrics as double>, Ticker)` -
+    * the reference's post-transpose shape with the header promotion (R2)
+    * subsumed by the pivot (metric names become columns directly).
+    */
+  def transposeStatement(raw: DataFrame, metricCol: String, metrics: Seq[String],
+                         ticker: String): DataFrame = {
+    val periodCols = raw.columns.filterNot(_ == metricCol).toSeq
+    val allowed = Clean.allowlistFilter(raw, metricCol, metrics)
+    val long = unpivot(allowed, Seq(metricCol), periodCols, "Date", "value")
+      .withColumn("value", col("value").cast("double"))
+    pivot(long, Seq("Date"), metricCol, "value", metrics)
+      .withColumn("Ticker", lit(ticker))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Scans / sources / sinks (SURVEY.md §2.1, S1-S10 + S13).
+  *
+  * The reference's sources are GCS CSV/JSON objects read either by a PySpark
+  * job (reference `code/spark-jobs/raw_to_landing_sparkjob.py:32,78-82`) or by
+  * driver-side pandas / GCS client code (`code/scripts`). Here every read
+  * is a distributed Spark scan so Catalyst pushdown and pruning apply; the
+  * per-file driver loops of the reference (S13,
+  * `transform_json_INFO.py:52-95`) collapse into glob reads whose lineage
+  * column is recovered with `input_file_name()`.
+  */
+object Sources {
+
+  /** S1 - CSV scan with header and an explicit all-string schema.
+    * Mirrors the reference's deliberate "read-as-string, cast-later" pattern
+    * (`raw_to_landing_sparkjob.py:13-32`): raw financial CSVs carry
+    * comma-formatted numbers and junk rows, so typing happens downstream.
+    */
+  def csvWithHeader(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** S2 - headerless CSV scan (first N data rows may be junk; see
+    * [[Windows.skipRows]] for the reference's skip idiom,
+    * `raw_to_landing_sparkjob.py:78-89`).
+    */
+  def csvHeaderless(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "false").csv(path)
+
+  /** S3 - driver-side ticker-list scan: a <=20-row dimension file collected
+    * to the driver (`raw_to_landing_sparkjob.py:142-147`). Collecting is
+    * legitimate ONLY because the dimension is tiny and bounded; anything
+    * unbounded must stay distributed (see [[globWithKey]]).
+    */
+  def keyList(spark: SparkSession, path: String, column: String): Seq[String] =
+    spark.read.option("header", "true").csv(path)
+      .select(col(column)).collect().map(_.getString(0)).toSeq
+
+  /** S4 - statement-matrix CSV scan (wide matrix, metrics as rows;
+    * `transform_job_tabular_entitities.py:14`). Header row carries the
+    * period dates; the first column is unnamed (becomes `_c0`-like).
+    */
+  def statementCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "false").csv(path)
+
+  /** S5 - whole-file JSON document read (one object per file;
+    * `transform_and_copy_to_landing_info.py:12-23`). A glob here replaces the
+    * reference's one-Dataproc-job-per-file loop (S13,
+    * `transform_json_INFO.py:52-95`).
+    */
+  def jsonDocuments(spark: SparkSession, glob: String, schema: StructType): DataFrame =
+    spark.read.option("multiLine", "true").schema(schema).json(glob)
+
+  /** S6 - partitioned, overwriting Parquet sink
+    * (`raw_to_landing_sparkjob.py:187-189`). Partition column stays in the
+    * directory layout so downstream scans get static partition pruning.
+    */
+  def writeParquetPartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.partitionBy(partitionCol).mode(SaveMode.Overwrite).parquet(path)
+
+  /** S7 - single-object Parquet sink (`transform_job_tabular_entitities.py:87-90`).
+    * `coalesce(1)` narrows only the final stage; upstream parallelism is kept.
+    * Use for small dimension outputs only - a 100 TB fact table must use S6.
+    */
+  def writeParquetSingle(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S8 - NDJSON sink (`transform_and_copy_to_landing_info.py:26-40`; the
+    * warehouse load expects NEWLINE_DELIMITED_JSON, `transform_json_INFO.py:114`).
+    */
+  def writeNdjson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** S9 - warehouse load Parquet -> table (replaces the BigQuery load job,
+    * `transform_open_close_data.py:84-98`): register the scan as a
+    * session-scoped view; all analytical SQL then runs against it.
+    */
+  def loadWarehouseParquet(spark: SparkSession, path: String, table: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    df.createOrReplaceTempView(table)
+    df
+  }
+
+  /** S10 - warehouse load NDJSON -> table with truncate semantics
+    * (`transform_json_INFO.py:104-119`, WRITE_TRUNCATE): re-registering the
+    * view replaces the previous relation wholesale.
+    */
+  def loadWarehouseNdjson(spark: SparkSession, path: String, schema: StructType,
+                          table: String): DataFrame = {
+    val df = spark.read.schema(schema).json(path)
+    df.createOrReplaceTempView(table)
+    df
+  }
+
+  /** J1/S13 replacement - glob read with the partition key recovered from the
+    * file path. The reference loops over tickers on the driver and unions 20
+    * frames (`raw_to_landing_sparkjob.py:165-184`); at 100 TB that driver loop
+    * is the bottleneck, so instead: one multi-path scan, key via
+    * `input_file_name()` + regexp. One job, full scan parallelism.
+    *
+    * @param keyPattern regex with one capture group applied to the file name,
+    *                   e.g. `"([A-Z.-]+)\\.csv$"` to recover a ticker.
+    */
+  def globWithKey(df: DataFrame, keyCol: String, keyPattern: String): DataFrame =
+    df.withColumn(keyCol, regexp_extract(input_file_name(), keyPattern, 1))
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window operators (SURVEY.md §2.5 W1-W2).
+  *
+  * W1 reproduces the reference's skip-N-metadata-rows idiom
+  * (`raw_to_landing_sparkjob.py:85-89`); W2 supplies the per-key ordered
+  * analytics the reference delegates to BigQuery/Tableau
+  * (`images/tableau_AMZN.png`; unique `(Ticker, Date)` keys
+  * `code/sql/DDLs:14,28`).
+  */
+object Windows {
+
+  /** W1 - drop the first `n` physical rows via a global row_number
+    * (`row_number().over(Window.orderBy(lit(1)))`,
+    * `raw_to_landing_sparkjob.py:85-89`), kept verbatim for parity.
+    *
+    * Scale note: a global window collapses to ONE partition - acceptable only
+    * because the reference applies it to single small per-ticker files. For
+    * anything large use [[skipRowsPerFile]], which keeps scan parallelism.
+    */
+  def skipRows(df: DataFrame, n: Int): DataFrame = {
+    val w = Window.orderBy(lit(1))
+    df.withColumn("row_index", row_number().over(w))
+      .filter(col("row_index") > n)
+      .drop("row_index")
+  }
+
+  /** W1 at scale - skip the first `n` rows of EACH input file without a
+    * global shuffle: partition the window by `input_file_name()` so every
+    * file's header junk is dropped independently and in parallel. Row order
+    * within a file is preserved by the line-based CSV reader only when the
+    * file is read as one split; for the small per-ticker raw files that is
+    * always true, and larger files should carry explicit row keys instead.
+    */
+  def skipRowsPerFile(df: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(input_file_name()).orderBy(monotonically_increasing_id())
+    df.withColumn("row_index", row_number().over(w))
+      .filter(col("row_index") > n)
+      .drop("row_index")
+  }
+
+  /** W2 - per-key ordered time-series analytics: previous value (`lag`), a
+    * trailing `windowRows`-row moving sum/average, cumulative running sum and
+    * row rank. One `Window.partitionBy(key).orderBy(date, tiebreak)` spec is
+    * shared by all measures so Catalyst evaluates them in a single Window
+    * physical node (one shuffle on `key`, one sort per partition).
+    *
+    * The tiebreak column MUST make the ordering total - nondeterministic
+    * window output is not reproducible and will not match any oracle.
+    */
+  def keyedAnalytics(df: DataFrame, key: String, date: String, tiebreak: String,
+                     measure: String, windowRows: Int): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(date), col(tiebreak))
+    val moving = w.rowsBetween(-(windowRows - 1), 0)
+    val cumulative = w.rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("prev_value", lag(col(measure), 1).over(w))
+      .withColumn("moving_sum", sum(col(measure)).over(moving))
+      .withColumn("running_sum", sum(col(measure)).over(cumulative))
+      .withColumn("rn", row_number().over(w))
+  }
+}
