@@ -60,9 +60,9 @@ object Pipeline {
     * failed source names. Used where inputs are genuinely independent (one
     * raw file per ticker) so one corrupt input cannot sink the run.
     */
-  def isolateFailures(sources: Seq[(String, () => DataFrame)]): (Seq[DataFrame], Seq[String]) = {
+  def isolateFailures(sources: Seq[(String, () => DataFrame)]): (Seq[(String, DataFrame)], Seq[String]) = {
     val evaluated = sources.map { case (name, mk) => name -> Try(mk()) }
-    (evaluated.collect { case (_, Success(df)) => df },
+    (evaluated.collect { case (name, Success(df)) => name -> df },
      evaluated.collect { case (name, Failure(_)) => name })
   }
 }
