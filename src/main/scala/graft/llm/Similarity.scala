@@ -1,0 +1,111 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextOps.hash60
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Scale design: the brute-force path is the *correctness baseline* — a
+  * broadcast of the (small) query set against the full corpus, scored in a
+  * single codegen'd projection, reduced per-query with a top-k window (no
+  * global sort, no corpus self-join). The LSH path is the 100 TB plan:
+  * sign-random-projection buckets shrink each probe to one bucket's worth
+  * of candidates, and the bucket key is computed from deterministic
+  * hyperplanes (md5-derived), so plans and results are reproducible
+  * run-to-run and engine-to-engine.
+  */
+object Similarity {
+
+  /** Cosine similarity as an explicit sequential double fold:
+    * dot / (sqrt(na) * sqrt(nb)), each a left-to-right `aggregate` over the
+    * arrays. The fold order and operator shapes are pinned so any engine
+    * evaluating the same IEEE-double sequence (e.g. DuckDB `list_reduce`)
+    * reproduces the value bit-for-bit. Inputs must already be double arrays.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Brute-force cosine top-k: for every query vector, the k most similar
+    * corpus vectors (self-matches excluded). The query side is broadcast;
+    * scoring is one scan of the corpus; per-query top-k is a rank window
+    * partitioned by query id (k rows kept per partition — no global sort).
+    * Ties break on candidate id, making the result fully deterministic.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cos", "rank")
+  }
+
+  /** Dot product of a double-array vector with deterministic hyperplane
+    * `p` (planes are numbered globally: table t uses planes
+    * t*numPlanes .. t*numPlanes+numPlanes-1): the weight for dimension i
+    * is md5-derived, uniform in [-1000, 1000] — a pure function of (p, i).
+    * No RNG, no seed state; the same bucket function everywhere, forever.
+    */
+  def planeProjection(vecDouble: Column, p: Int): Column =
+    aggregate(
+      zip_with(vecDouble, sequence(lit(0L), size(vecDouble).cast("long") - 1),
+        (x, i) =>
+          x * (hash60(concat(lit(s"plane$p:"), i.cast("string"))) % 2001L - 1000L)
+            .cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Sign-random-projection LSH bucket id for hash table `table`: bit p is
+    * the sign of [[planeProjection]] (table*numPlanes + p). `numPlanes`
+    * bits → 2^numPlanes buckets per table.
+    */
+  def hyperplaneBucket(vecDouble: Column, numPlanes: Int, table: Int = 0): Column =
+    (0 until numPlanes).map { p =>
+      when(planeProjection(vecDouble, table * numPlanes + p) >= 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** Multi-table LSH approximate top-k: `numTables` independent
+    * sign-random-projection tables; a candidate is scored when it shares a
+    * bucket with the query in ANY table (recall ≈ 1-(1-p^planes)^tables),
+    * deduplicated before the (expensive) cosine so each surviving pair is
+    * scored once. At 100 TB the corpus side is bucketed once at write time
+    * ((table, bucket)-partitioned layout) and each probe touches
+    * ~tables/2^planes of the data instead of all of it.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int, numPlanes: Int,
+              numTables: Int = 4): DataFrame = {
+    def bucketed(df: DataFrame, id: String, v: String) =
+      df.select(col(id), col(v),
+        posexplode(array((0 until numTables).map(t =>
+          hyperplaneBucket(col(v), numPlanes, t)): _*)).as(Seq("tbl", "bucket")))
+    val c = bucketed(
+      corpus.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv")),
+      "cand_id", "cv")
+    val q = bucketed(
+      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")),
+      "query_id", "qv")
+    // Candidate pairs: bucket-mates in any table, deduped pre-scoring.
+    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select("query_id", "qv", "cand_id", "cv").distinct()
+    val scored = cand.withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cos", "rank")
+  }
+}

@@ -1,0 +1,123 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** Per-document text analysis for corpus curation: language ID, quality
+  * scoring, token counting, fingerprinting.
+  *
+  * Everything is a codegen'd column expression over one scan — the whole
+  * battery runs in a single narrow projection with no shuffle, so at
+  * 100 TB it is embarrassingly parallel and IO-bound, exactly as a
+  * pre-training cleaning pass should be.
+  */
+object TextAnalysis {
+
+  /** Marker stopword profiles per language for the n-gram/stopword
+    * language-ID heuristic. Deterministic and tiny — the "model" ships in
+    * the plan as literals, not a lookup join.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los", "una", "con"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une", "est", "dans"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "不"))
+
+  /** Score for one language = number of the document's tokens (with
+    * multiplicity) that are in the language's marker set.
+    */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers.map(lit): _*)))
+
+  /** Predicted language: argmax of [[langScore]] with alphabetical
+    * tiebreak (profiles are declared in alphabetical order and `greatest`
+    * of (score, reverse-alphabetical-rank) picks the first max).
+    */
+  def langId(text: Column): Column = {
+    // Encode (score, lang-rank) into one comparable value: score * 8 +
+    // (number of langs - declared index) so ties fall to the earlier
+    // (alphabetically first) language.
+    val n = langProfiles.size
+    val packed = langProfiles.zipWithIndex.map { case ((lang, markers), i) =>
+      struct(
+        (langScore(text, markers) * lit(n) + lit(n - 1 - i)).as("key"),
+        lit(lang).as("lang"))
+    }
+    greatest(packed: _*).getField("lang")
+  }
+
+  /** Quality signals + one combined score, mirroring the usual
+    * pre-training heuristics (length, word shape, punctuation density,
+    * stopword density). All ratios are exact double divisions of integer
+    * counts, so the values are engine-portable.
+    */
+  def qualitySignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks).cast("double")
+    val nChars = length(t).cast("double")
+    val stopwords = langProfiles.flatMap(_._2).distinct
+    df.select(
+      col(idCol),
+      nChars.cast("long").as("n_chars"),
+      nTok.cast("long").as("n_tokens"),
+      (nChars / nTok).as("chars_per_token"),
+      (size(filter(toks, x => length(x) > 3)).cast("double") / nTok)
+        .as("long_token_ratio"),
+      (regexp_count(t, lit("[.,;:!?]")).cast("double") / nChars)
+        .as("punct_ratio"),
+      (size(filter(toks, x => x.isin(stopwords.map(lit): _*))).cast("double") / nTok)
+        .as("stopword_ratio"))
+  }
+
+  /** Scalar quality score in [0, 1]: the mean of three bounded signals —
+    * token-length plausibility, punctuation sanity, stopword presence.
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val s = qualitySignals(df, idCol, textCol)
+    s.select(col(idCol),
+      ((least(col("chars_per_token") / lit(8.0), lit(1.0)) +
+        least(col("punct_ratio") * lit(20.0), lit(1.0)) +
+        least(col("stopword_ratio") * lit(5.0), lit(1.0))) / lit(3.0))
+        .as("quality"))
+  }
+
+  /** Token counts: whitespace tokens and BPE-ish subword pieces (letter
+    * runs, digit runs, single other chars — the pre-tokenizer split most
+    * BPE vocabularies assume).
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(tokens(col(textCol))).cast("long").as("ws_tokens"),
+      regexp_count(normalize(col(textCol)), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+        .cast("long").as("bpe_ish_tokens"))
+
+  /** Polynomial rolling-hash fingerprint of the token stream, mod a prime:
+    * f = fold(tokens, 0, (acc, t) → (acc * 31 + h(t) mod P) mod P).
+    * Order-sensitive (unlike a bag-of-words hash) and exact in int64, so
+    * identical in any engine with a sequential list fold.
+    */
+  def fingerprint(text: Column): Column = {
+    val P = 1000000007L
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => (acc * 31L + hash60(t) % P) % P)
+  }
+
+  /** Per-doc fingerprint frame: id, fingerprint, and the leading-tokens
+    * prefix fingerprint (cheap near-head-duplicate signal).
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+                   prefixTokens: Int): DataFrame = {
+    val P = 1000000007L
+    val prefix = slice(tokens(col(textCol)), 1, prefixTokens)
+    df.select(
+      col(idCol),
+      fingerprint(col(textCol)).as("fp"),
+      aggregate(prefix, lit(0L), (acc, t) => (acc * 31L + hash60(t) % P) % P)
+        .as("prefix_fp"))
+  }
+}

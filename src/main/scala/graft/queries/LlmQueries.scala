@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.TextOps
+import graft.model.Tables
+
+/** LLM-data-pipeline queries over the `documents` and `embeddings` tables:
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+  * cosine), similarity search (brute-force + LSH), text analysis, and
+  * multimodal feature extraction.
+  *
+  * Every oracle below replicates the Spark computation *exactly* in DuckDB
+  * SQL: the only hash is MD5 (identical hex in both engines), integer math
+  * is int64-exact, and double folds are written as the same left-to-right
+  * sequence on both sides, so even floating-point scores hash-match.
+  */
+object LlmQueries {
+
+  // ---- DuckDB SQL fragment generators (mirror graft.llm.TextOps) ----
+
+  /** normalize(text) */
+  private def normSql(c: String) =
+    s"regexp_replace(lower(trim($c)), '\\s+', ' ', 'g')"
+
+  /** whitespace tokens of normalized text */
+  private def toksSql(c: String) = s"string_split(${normSql(c)}, ' ')"
+
+  /** 60-bit md5 hash of a string expression */
+  private def h60(e: String) =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** distinct word 3-shingles of `ws` (a token-list expression) */
+  private def shinglesSql(ws: String) =
+    s"""list_distinct(CASE WHEN len($ws) - 2 >= 1
+       |  THEN list_transform(range(1, len($ws) - 1),
+       |         i -> array_to_string(($ws)[i:i+2], ' '))
+       |  ELSE [array_to_string($ws, ' ')] END)""".stripMargin
+
+  /** sequential double fold: sum of the list `l` left-to-right from 0.0 */
+  private def foldSum(l: String) =
+    s"list_reduce(list_prepend(0.0::DOUBLE, $l), (acc, x) -> acc + x)"
+
+  /** elementwise-product dot fold of double-list expressions a, b */
+  private def dotSql(a: String, b: String) =
+    foldSum(s"list_transform(range(1, len($a) + 1), i -> ($a)[i] * ($b)[i])")
+
+  /** cosine in the pinned shape: dot / (sqrt(na) * sqrt(nb)) */
+  private def cosSql(a: String, b: String) =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** deterministic hyperplane projection of double-list v onto plane p */
+  private def projSql(v: String, p: Int) =
+    foldSum(s"""list_transform(range(1, len($v) + 1),
+               |  i -> ($v)[i] * ((${h60(s"'plane$p:' || (i - 1)::VARCHAR")} % 2001 - 1000)::DOUBLE))""".stripMargin)
+
+  /** shared CTEs: shingle sets / minhash signature over documents */
+  private val shCte =
+    s"""WITH norm AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents),
+       |sh AS (SELECT doc_id, ${shinglesSql("ws")} AS sh FROM norm)""".stripMargin
+
+  /** double-cast embedding vectors */
+  private val vecCte =
+    """WITH v AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)""".stripMargin
+
+  val all: Map[String, Q] = Map(
+
+    // Exact dedup: the corpus unioned with a case/whitespace-perturbed
+    // copy of itself; normalization collapses each pair to one group.
+    "llm_dedup_exact" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val perturbed = docs.select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          upper(concat(lit("  "), regexp_replace(col("text"), " ", "  "), lit(" ")))
+            .as("text"))
+        Dedup.exactDedup(docs.select("doc_id", "text").unionByName(perturbed),
+          "doc_id", "text")
+      },
+      Some("""SELECT doc_id, CAST(2 AS BIGINT) AS n_copies FROM documents""")),
+
+    // MinHash-LSH near-dup pairs: 3-word shingles, 8 bands x 2 rows,
+    // exact-Jaccard verify >= 0.5.
+    "llm_dedup_minhash_lsh" -> Q(
+      (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir),
+        "doc_id", "text", shingleK = 3, bands = 8, rowsPerBand = 2,
+        threshold = 0.5),
+      Some(s"""$shCte,
+         |sig AS (SELECT doc_id, sh,
+         |  list_transform(range(0, 16), i -> list_min(list_transform(sh,
+         |    s -> ${h60("i::VARCHAR || ':' || s")}))) AS sig FROM sh),
+         |banded AS (SELECT doc_id, sh, b.band,
+         |  array_to_string(sig[b.band*2+1:b.band*2+2], '_') AS bkey
+         |  FROM sig, (SELECT unnest(range(0, 8)) AS band) b),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.sh AS sa, b.sh AS sb
+         |  FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  len(list_intersect(sa, sb))::DOUBLE /
+         |  (len(sa) + len(sb) - len(list_intersect(sa, sb)))::DOUBLE AS jaccard
+         |FROM cand
+         |WHERE len(list_intersect(sa, sb))::DOUBLE /
+         |  (len(sa) + len(sb) - len(list_intersect(sa, sb)))::DOUBLE >= 0.5""".stripMargin)),
+
+    // Exact n-gram Jaccard similarity join (inverted-index candidates).
+    "llm_dedup_ngram_jaccard" -> Q(
+      (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+        "doc_id", "text", shingleK = 3, threshold = 0.3),
+      Some(s"""$shCte,
+         |inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id)
+         |SELECT id_a, id_b,
+         |  len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE AS jaccard
+         |FROM cand JOIN sh a ON id_a = a.doc_id JOIN sh b ON id_b = b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.3""".stripMargin)),
+
+    // Per-doc 60-bit SimHash signature (full bit-math parity check).
+    "llm_simhash" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash")),
+      Some(s"""WITH th AS (SELECT doc_id, list_transform(${toksSql("text")},
+         |  t -> ${h60("t")}) AS th FROM documents)
+         |SELECT doc_id, list_reduce(list_transform(range(0, 60), j ->
+         |  CASE WHEN list_reduce(list_prepend(0::BIGINT, list_transform(th,
+         |    h -> CASE WHEN (h >> j) & 1 = 1 THEN 1::BIGINT ELSE (-1)::BIGINT END)),
+         |    (a, b) -> a + b) >= 0
+         |  THEN (1::BIGINT << j) ELSE 0::BIGINT END), (a, b) -> a | b) AS simhash
+         |FROM th""".stripMargin)),
+
+    // Embedding-cosine near-dup pairs, bucketed by the label column.
+    "llm_dedup_embedding" -> Q(
+      (s, dir) => Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir),
+        "vec_id", "embedding", "label", threshold = 0.35),
+      Some(s"""$vecCte
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosSql("a.v", "b.v")} AS cos
+         |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.v", "b.v")} >= 0.35""".stripMargin)),
+
+    // Brute-force cosine top-k: 10 query vectors vs the full corpus, k=5.
+    "llm_sim_topk_brute" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+      },
+      Some(s"""$vecCte,
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |  ${cosSql("q.v", "c.v")} AS cos
+         |  FROM v c JOIN v q ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10),
+         |ranked AS (SELECT *, CAST(row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin)),
+
+    // Multi-table LSH approximate top-k: 4 tables x 4 deterministic
+    // hyperplanes; candidates = bucket-mates in any table, deduped, then
+    // exact-cosine scored and ranked.
+    "llm_sim_topk_lsh" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, numPlanes = 4, numTables = 4)
+      },
+      Some {
+        val bucket = (v: String, t: Int) => (0 until 4).map(p =>
+          s"(CASE WHEN ${projSql(v, t * 4 + p)} >= 0 THEN ${1L << p} ELSE 0 END)")
+          .mkString("(", " + ", ")::BIGINT")
+        val bv = (0 until 4).map(t =>
+          s"SELECT vec_id, v, $t AS tbl, ${bucket("v", t)} AS bucket FROM v")
+          .mkString("\nUNION ALL\n")
+        s"""$vecCte,
+           |bv AS ($bv),
+           |cand AS (SELECT DISTINCT q.vec_id AS query_id, q.v AS qv,
+           |  c.vec_id AS cand_id, c.v AS cv
+           |  FROM bv c JOIN bv q
+           |  ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 10),
+           |ranked AS (SELECT query_id, cand_id, ${cosSql("qv", "cv")} AS cos,
+           |  CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY ${cosSql("qv", "cv")} DESC, cand_id) AS INT) AS rank
+           |  FROM cand)
+           |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin
+      }),
+
+    // Language ID over the documents corpus.
+    "llm_langid" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred")),
+      Some {
+        val n = TextAnalysis.langProfiles.size
+        val keys = TextAnalysis.langProfiles.zipWithIndex.map { case ((lang, ms), i) =>
+          val mlist = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+          lang -> s"(len(list_filter(ws, t -> list_contains($mlist, t))) * $n + ${n - 1 - i})"
+        }
+        val greatestK = keys.map(_._2).mkString("greatest(", ", ", ")")
+        val cases = keys.map { case (lang, k) => s"WHEN $greatestK = $k THEN '$lang'" }
+          .mkString(" ")
+        s"""WITH norm AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents)
+           |SELECT doc_id, CASE $cases END AS lang_pred FROM norm""".stripMargin
+      }),
+
+    // Quality signals + combined score.
+    "llm_quality" -> Q(
+      (s, dir) => {
+        val sig = TextAnalysis.qualitySignals(Tables.documents(s, dir), "doc_id", "text")
+        val score = TextAnalysis.qualityScore(Tables.documents(s, dir), "doc_id", "text")
+        sig.join(score, Seq("doc_id"))
+      },
+      Some {
+        val stop = TextAnalysis.langProfiles.flatMap(_._2).distinct
+          .map(m => s"'$m'").mkString("[", ", ", "]")
+        s"""WITH sig AS (
+           |SELECT doc_id,
+           |  CAST(length(text) AS BIGINT) AS n_chars,
+           |  CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens,
+           |  length(text)::DOUBLE / len(${toksSql("text")})::DOUBLE AS chars_per_token,
+           |  len(list_filter(${toksSql("text")}, x -> length(x) > 3))::DOUBLE /
+           |    len(${toksSql("text")})::DOUBLE AS long_token_ratio,
+           |  len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE /
+           |    length(text)::DOUBLE AS punct_ratio,
+           |  len(list_filter(${toksSql("text")}, x -> list_contains($stop, x)))::DOUBLE /
+           |    len(${toksSql("text")})::DOUBLE AS stopword_ratio
+           |FROM documents)
+           |SELECT doc_id, n_chars, n_tokens, chars_per_token, long_token_ratio,
+           |  punct_ratio, stopword_ratio,
+           |  (least(chars_per_token / 8.0, 1.0) + least(punct_ratio * 20.0, 1.0) +
+           |   least(stopword_ratio * 5.0, 1.0)) / 3.0 AS quality
+           |FROM sig""".stripMargin
+      }),
+
+    // Token counting: whitespace + BPE-ish pre-tokenizer pieces.
+    "llm_tokens" -> Q(
+      (s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text"),
+      Some(s"""SELECT doc_id,
+         |CAST(len(${toksSql("text")}) AS BIGINT) AS ws_tokens,
+         |CAST(len(regexp_extract_all(${normSql("text")},
+         |  '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens
+         |FROM documents""".stripMargin)),
+
+    // Rolling-hash document fingerprints (full + 16-token prefix).
+    "llm_fingerprint" -> Q(
+      (s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir),
+        "doc_id", "text", prefixTokens = 16),
+      Some {
+        def roll(l: String) =
+          s"""list_reduce(list_prepend(0::BIGINT, list_transform($l,
+             |  t -> ${h60("t")} % 1000000007)), (acc, h) -> (acc * 31 + h) % 1000000007)""".stripMargin
+        s"""WITH norm AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents)
+           |SELECT doc_id, ${roll("ws")} AS fp, ${roll("ws[1:16]")} AS prefix_fp
+           |FROM norm""".stripMargin
+      }),
+
+    // Multimodal: binary payload column + batched stub-decode features.
+    "llm_multimodal_features" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        val media = Multimodal.payloadFromText(
+          Tables.documents(s, dir), "doc_id", "text", "source")
+        Multimodal.extractFeatures(Multimodal.asMediaDataset(media))
+          .toDF().drop("byte_checksum")
+      },
+      Some("""SELECT doc_id AS media_id, source AS modality,
+         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
+         |CAST(64 + (octet_length(encode(text)) // 7) % 512 AS INT) AS height,
+         |CAST(3 AS INT) AS channels, CAST(1 AS INT) AS n_frames
+         |FROM documents""".stripMargin)))
+}

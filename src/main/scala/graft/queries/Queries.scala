@@ -291,7 +291,7 @@ object Queries {
              |FROM lineitem GROUP BY 1, 2""".stripMargin)))
 
   /** All queries, all families. */
-  def all: Map[String, Q] = relational ++ SourceQueries.all
+  def all: Map[String, Q] = relational ++ SourceQueries.all ++ LlmQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }
