@@ -18,6 +18,17 @@ import TextOps._
   */
 object Dedup {
 
+  /** Spread a narrow input across the cluster before CPU-heavy per-row
+    * stages (shingling, hashing). A single small parquet file scans as ONE
+    * partition and would serialize the whole tokenize/hash pass onto one
+    * core; the guard keeps this a no-op for inputs that already have
+    * enough splits (the normal 100 TB case), so no gratuitous shuffle.
+    */
+  private[llm] def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact dedup: one surviving row (minimum id) per normalized text.
     *
     * groupBy on md5(normalized) rather than the full text keeps the
@@ -30,42 +41,54 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .drop("__h")
 
-  /** Minhash signature column: `numHashes` salted-hash minima over the
-    * document's shingle set. Pure column expression — one pass, no UDF.
-    */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(i =>
-      array_min(transform(shingles, s => hash60Salted(s, i)))): _*)
-
   /** MinHash-LSH near-duplicate pairs.
     *
     * shingle → minhash(bands × rowsPerBand) → band-key bucket join →
     * exact-Jaccard verify ≥ `threshold`. Docs sharing no band never meet.
+    *
+    * Signature computation is the explode → hash-once → groupBy shape: the
+    * expensive md5 runs exactly once per (doc, shingle), and the
+    * `numHashes` signature minima are cheap universal hashes
+    * ((a_i*h + b_i) mod P, parameters baked in as plan-time literals)
+    * folded map-side into `min` partial aggregates. The naive
+    * all-in-one-projection form recomputes md5 `numHashes` times per
+    * shingle — 16× the hash work before the first shuffle.
     *
     * @return (idA, idB, jaccard) with idA < idB.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleK: Int, bands: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
-    val sig = df.select(
-      col(idCol).as("id"),
-      wordShingles(col(textCol), shingleK).as("shingles"))
-      .withColumn("sig", minhashSignature(col("shingles"), bands * rowsPerBand))
+    val numHashes = bands * rowsPerBand
+    // The shingle arrays feed three consumers (signature hashing + both
+    // verify sides); a lazy local checkpoint materializes them once
+    // instead of re-tokenizing the corpus per consumer.
+    val sets = ensureParallelism(df.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), wordShingles(col(textCol), shingleK).as("shingles"))
+      .localCheckpoint(false)
+    val hashed = sets.select(col("id"), explode(col("shingles")).as("s"))
+      .withColumn("h", hash60(col("s")) % MinhashP)
+    val sigs = hashed.groupBy(col("id")).agg(
+      min((lit(minhashParams(0)._1) * col("h") + lit(minhashParams(0)._2)) % MinhashP).as("m0"),
+      (1 until numHashes).map { i =>
+        val (a, b) = minhashParams(i)
+        min((lit(a) * col("h") + lit(b)) % MinhashP).as(s"m$i")
+      }: _*)
     // One row per (doc, band): band key = the band's signature slice.
-    val banded = sig.select(
-      col("id"), col("shingles"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+    val banded = sigs.select(col("id"),
+      posexplode(array((0 until bands).map(bd =>
+        concat_ws("_", (0 until rowsPerBand).map(r => col(s"m${bd * rowsPerBand + r}")): _*)): _*))
         .as(Seq("band", "key")))
-    val a = banded.select(col("band"), col("key"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band"), col("key"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
+    val a = banded.select(col("band"), col("key"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("key"), col("id").as("id_b"))
     // Bucket join on (band, key); a<b orients each unordered pair once.
     // The same pair can collide in several bands -> distinct before verify.
-    a.join(b, Seq("band", "key"))
+    val cand = a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") /
@@ -81,9 +104,10 @@ object Dedup {
   def simhash(text: Column): Column = {
     val tokenHashes = transform(tokens(text), t => hash60(t))
     // One ±1 vote fold per bit, built Scala-side (j is a plan-time
-    // constant, so each fold is a codegen'd sequential loop). For corpora
-    // of very long documents, the explode + 60-partial-sum groupBy variant
-    // trades expression width for a map-side-combined shuffle.
+    // constant, so each fold is a codegen'd sequential loop). NOTE: the 60
+    // folds each re-evaluate `tokenHashes` (Catalyst inlines the common
+    // subexpression), so this Column form is for small/interactive use;
+    // the corpus-scale path is [[simhashFrame]].
     (0 until 60).map { j =>
       when(
         aggregate(tokenHashes, lit(0L),
@@ -94,6 +118,25 @@ object Dedup {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Corpus-scale simhash: explode tokens → md5 ONCE per token → 60
+    * map-side-combined ±1 vote sums per doc → pack bits. Identical values
+    * to [[simhash]] with one hash evaluation per token instead of 60.
+    */
+  def simhashFrame(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val th = ensureParallelism(df.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), explode(tokens(col(textCol))).as("t"))
+      .withColumn("h", hash60(col("t")))
+    val votes = th.groupBy(col("id")).agg(
+      sum(when(col("h").bitwiseAND(1) === 1, 1L).otherwise(-1L)).as("b0"),
+      (1 until 60).map(j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+          .as(s"b$j")): _*)
+    votes.select(col("id").as(idCol),
+      (0 until 60).map(j =>
+        when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _).as("simhash"))
+  }
+
   /** SimHash near-duplicate pairs: docs whose 60-bit simhashes lie within
     * `maxHamming`. Candidates come from 4 × 15-bit band collisions (a doc
     * pair within hamming ≤ 3 of a 4-band split must agree exactly on at
@@ -101,7 +144,8 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val sigs = simhashFrame(df, idCol, textCol)
+      .select(col(idCol).as("id"), col("simhash").as("sh"))
     val banded = sigs.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sh"), b * 15).bitwiseAND(0x7FFF)): _*))
@@ -117,24 +161,39 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity join: pairs with Jaccard ≥ `threshold`
-    * over distinct word k-shingles.
+    * over distinct word k-shingles — the count-based set-similarity join.
     *
-    * Candidate generation is the inverted-index join (docs sharing ≥1
-    * shingle), with intersection counted by the join itself — the shuffle
-    * is on the shingle, so disjoint docs never pair. The shingle-frequency
-    * skew cap (`maxShingleDf`) drops shingles present in more than that
-    * many docs from *candidate generation only* (they'd pair everything
-    * with everything — the classic stop-shingle blowup); the exact Jaccard
-    * is then recomputed from the full arrays, so the cap affects recall of
-    * candidates, never the reported similarity.
+    * The inverted-index self-join on the shingle both generates candidates
+    * (disjoint docs never pair) AND counts each pair's intersection as the
+    * group count of shared shingles — no pair `distinct`, no arrays
+    * carried through shuffles, no per-pair array_intersect. Set sizes join
+    * in as two lean (id, n) sides and the Jaccard is
+    * inter / (|A| + |B| - inter).
+    *
+    * The shingle-frequency cap (`maxShingleDf`) removes stop-shingles
+    * (present in more docs than the cap) before the join — the classic
+    * guard against the df² pair blowup on boilerplate shingles. With a
+    * finite cap, similarity is computed over the kept-shingle sets
+    * (stop-shingle removal, the standard SSJoin practice); with the
+    * default infinite cap the result is the exact full-set Jaccard.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int, threshold: Double,
                         maxShingleDf: Long = Long.MaxValue): DataFrame = {
-    val sets = df.select(col(idCol).as("id"),
-      wordShingles(col(textCol), shingleK).as("sh"))
-    val inv = sets.select(col("id"), explode(col("sh")).as("s"))
-    val filtered =
+    // Join key is the 60-bit shingle hash, not the shingle string: the
+    // self-join shuffle moves 8-byte longs instead of ~25-byte strings and
+    // compares with long equality. (Collisions are ~n²/2^60 — none at any
+    // realistic shard size — and deterministic, so any engine evaluating
+    // the same hash agrees exactly.)
+    // The inverted index feeds four consumers (stop-list, both self-join
+    // sides, sizes); a lazy local checkpoint materializes it once instead
+    // of re-shingling the corpus per consumer — the SSJoin standard of
+    // explicitly materializing the index before joining on it.
+    val inv = ensureParallelism(df.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), explode(wordShingles(col(textCol), shingleK)).as("s0"))
+      .select(col("id"), (hash60(col("s0")) % MinhashP).as("s"))
+      .localCheckpoint(false)
+    val kept =
       if (maxShingleDf == Long.MaxValue) inv
       else {
         // The *frequent* shingle set is tiny (stop-shingles) -> broadcast
@@ -143,17 +202,17 @@ object Dedup {
           .filter(col("df") > maxShingleDf).select("s")
         inv.join(broadcast(stop), Seq("s"), "left_anti")
       }
-    val cand = filtered.as("x").join(filtered.as("y"), Seq("s"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
-    cand
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = kept.select(col("id").as("id_a"), col("s"))
+      .join(kept.select(col("id").as("id_b"), col("s")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
       .withColumn("jaccard",
         col("inter").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

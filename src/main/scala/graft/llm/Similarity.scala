@@ -52,18 +52,24 @@ object Similarity {
       .select("query_id", "cand_id", "cos", "rank")
   }
 
+  /** The weight of dimension i in deterministic hyperplane p: md5-derived,
+    * uniform in [-1000, 1000] — a pure function of (p, i). No RNG, no seed
+    * state; the same bucket function everywhere, forever.
+    */
+  def planeWeight(p: Int, i: Int): Double =
+    (TextOps.hash60Scala(s"plane$p:$i") % 2001L - 1000L).toDouble
+
   /** Dot product of a double-array vector with deterministic hyperplane
     * `p` (planes are numbered globally: table t uses planes
-    * t*numPlanes .. t*numPlanes+numPlanes-1): the weight for dimension i
-    * is md5-derived, uniform in [-1000, 1000] — a pure function of (p, i).
-    * No RNG, no seed state; the same bucket function everywhere, forever.
+    * t*numPlanes .. t*numPlanes+numPlanes-1). The weights are computed at
+    * PLAN TIME ([[planeWeight]]) and baked in as an array literal — zero
+    * per-row hashing; the projection is one codegen'd multiply-add fold.
     */
-  def planeProjection(vecDouble: Column, p: Int): Column =
+  def planeProjection(vecDouble: Column, p: Int, dims: Int = 64): Column =
     aggregate(
-      zip_with(vecDouble, sequence(lit(0L), size(vecDouble).cast("long") - 1),
-        (x, i) =>
-          x * (hash60(concat(lit(s"plane$p:"), i.cast("string"))) % 2001L - 1000L)
-            .cast("double")),
+      zip_with(vecDouble,
+        array((0 until dims).map(i => lit(planeWeight(p, i))): _*),
+        (x, w) => x * w),
       lit(0.0), (acc, v) => acc + v)
 
   /** Sign-random-projection LSH bucket id for hash table `table`: bit p is

@@ -29,11 +29,31 @@ object TextOps {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Salted 60-bit hash: one independent hash function per integer salt
-    * (the universal-hash family used by minhash signatures).
-    */
+  /** Salted 60-bit hash: one independent hash function per integer salt. */
   def hash60Salted(c: Column, salt: Int): Column =
     hash60(concat(lit(s"$salt:"), c))
+
+  /** Scala-side twin of [[hash60]] — used at PLAN TIME to derive
+    * deterministic constants (minhash universal-hash parameters, LSH
+    * hyperplane weights) that are baked into the plan as literals instead
+    * of being recomputed per row. Standard MD5, identical to the engine's.
+    */
+  def hash60Scala(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  /** Mersenne prime 2^31-1: the minhash universal-hash modulus. Keeping
+    * hashes under 2^31 bounds a*h+b under 2^62 — exact int64 everywhere.
+    */
+  val MinhashP: Long = 2147483647L
+
+  /** Deterministic universal-hash parameters (a_i, b_i) for minhash
+    * function i: h_i(x) = (a_i * (hash60(x) mod P) + b_i) mod P.
+    */
+  def minhashParams(i: Int): (Long, Long) =
+    (hash60Scala(s"a:$i") % (MinhashP - 1) + 1, hash60Scala(s"b:$i") % MinhashP)
 
   /** Distinct k-word shingles of the normalized text. Documents shorter
     * than k words contribute their whole text as a single shingle so no
@@ -42,10 +62,13 @@ object TextOps {
   def wordShingles(text: Column, k: Int): Column = {
     val ws = tokens(text)
     val nShingles = size(ws) - (k - 1)
+    // element_at is O(1) per word; the earlier slice() form allocated a
+    // k-element array per shingle inside an interpreted lambda and was the
+    // single hottest expression in the dedup pipelines.
     array_distinct(
       when(nShingles >= 1,
         transform(sequence(lit(1), nShingles),
-          i => concat_ws(" ", slice(ws, i, lit(k)))))
+          i => concat_ws(" ", (0 until k).map(o => element_at(ws, i + o)): _*)))
         .otherwise(array(concat_ws(" ", ws))))
   }
 }

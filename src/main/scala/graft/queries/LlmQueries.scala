@@ -50,10 +50,13 @@ object LlmQueries {
   private def cosSql(a: String, b: String) =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
-  /** deterministic hyperplane projection of double-list v onto plane p */
-  private def projSql(v: String, p: Int) =
-    foldSum(s"""list_transform(range(1, len($v) + 1),
-               |  i -> ($v)[i] * ((${h60(s"'plane$p:' || (i - 1)::VARCHAR")} % 2001 - 1000)::DOUBLE))""".stripMargin)
+  /** deterministic hyperplane projection of double-list v onto plane p:
+    * the same plan-time literal weights as Similarity.planeWeight
+    */
+  private def projSql(v: String, p: Int) = {
+    val w = (0 until 64).map(i => Similarity.planeWeight(p, i)).mkString(", ")
+    foldSum(s"list_transform(range(1, len($v) + 1), i -> ($v)[i] * ([$w]::DOUBLE[])[i])")
+  }
 
   /** shared CTEs: shingle sets / minhash signature over documents */
   private val shCte =
@@ -87,43 +90,57 @@ object LlmQueries {
       (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir),
         "doc_id", "text", shingleK = 3, bands = 8, rowsPerBand = 2,
         threshold = 0.5),
-      Some(s"""$shCte,
-         |sig AS (SELECT doc_id, sh,
-         |  list_transform(range(0, 16), i -> list_min(list_transform(sh,
-         |    s -> ${h60("i::VARCHAR || ':' || s")}))) AS sig FROM sh),
-         |banded AS (SELECT doc_id, sh, b.band,
-         |  array_to_string(sig[b.band*2+1:b.band*2+2], '_') AS bkey
-         |  FROM sig, (SELECT unnest(range(0, 8)) AS band) b),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  a.sh AS sa, b.sh AS sb
-         |  FROM banded a JOIN banded b
-         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b,
-         |  len(list_intersect(sa, sb))::DOUBLE /
-         |  (len(sa) + len(sb) - len(list_intersect(sa, sb)))::DOUBLE AS jaccard
-         |FROM cand
-         |WHERE len(list_intersect(sa, sb))::DOUBLE /
-         |  (len(sa) + len(sb) - len(list_intersect(sa, sb)))::DOUBLE >= 0.5""".stripMargin)),
+      Some {
+        val P = TextOps.MinhashP
+        val mins = (0 until 16).map { i =>
+          val (a, b) = TextOps.minhashParams(i)
+          s"list_min(list_transform(hs, h -> ($a * h + $b) % $P))"
+        }.mkString("[", ", ", "]")
+        s"""$shCte,
+           |hs AS (SELECT doc_id, sh,
+           |  list_transform(sh, s -> ${h60("s")} % $P) AS hs FROM sh),
+           |sig AS (SELECT doc_id, sh, $mins AS sig FROM hs),
+           |banded AS (SELECT doc_id, sh, b.band,
+           |  array_to_string(sig[b.band*2+1:b.band*2+2], '_') AS bkey
+           |  FROM sig, (SELECT unnest(range(0, 8)) AS band) b),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  a.sh AS sa, b.sh AS sb
+           |  FROM banded a JOIN banded b
+           |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b,
+           |  len(list_intersect(sa, sb))::DOUBLE /
+           |  (len(sa) + len(sb) - len(list_intersect(sa, sb)))::DOUBLE AS jaccard
+           |FROM cand
+           |WHERE len(list_intersect(sa, sb))::DOUBLE /
+           |  (len(sa) + len(sb) - len(list_intersect(sa, sb)))::DOUBLE >= 0.5""".stripMargin
+      }),
 
-    // Exact n-gram Jaccard similarity join (inverted-index candidates).
+    // Exact n-gram Jaccard similarity join (inverted-index candidates,
+    // stop-shingle cap bounding the candidate blowup).
     "llm_dedup_ngram_jaccard" -> Q(
       (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir),
-        "doc_id", "text", shingleK = 3, threshold = 0.3),
+        "doc_id", "text", shingleK = 3, threshold = 0.3, maxShingleDf = 100),
       Some(s"""$shCte,
-         |inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id)
+         |inv AS (SELECT doc_id,
+         |  unnest(list_transform(sh, x -> ${h60("x")} % ${TextOps.MinhashP})) AS s
+         |  FROM sh),
+         |kept AS (SELECT doc_id, s FROM
+         |  (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM inv)
+         |  WHERE df <= 100),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+         |pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+         |  count(*) AS inter
+         |  FROM kept x JOIN kept y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
          |SELECT id_a, id_b,
-         |  len(list_intersect(a.sh, b.sh))::DOUBLE /
-         |  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE AS jaccard
-         |FROM cand JOIN sh a ON id_a = a.doc_id JOIN sh b ON id_b = b.doc_id
-         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-         |  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.3""".stripMargin)),
+         |  inter::DOUBLE / (a.n + b.n - inter)::DOUBLE AS jaccard
+         |FROM pairs JOIN sizes a ON id_a = a.doc_id JOIN sizes b ON id_b = b.doc_id
+         |WHERE inter::DOUBLE / (a.n + b.n - inter)::DOUBLE >= 0.3""".stripMargin)),
 
-    // Per-doc 60-bit SimHash signature (full bit-math parity check).
+    // Per-doc 60-bit SimHash signature (full bit-math parity check),
+    // via the corpus-scale explode + vote-sum path.
     "llm_simhash" -> Q(
-      (s, dir) => Tables.documents(s, dir)
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash")),
+      (s, dir) => Dedup.simhashFrame(Tables.documents(s, dir), "doc_id", "text"),
       Some(s"""WITH th AS (SELECT doc_id, list_transform(${toksSql("text")},
          |  t -> ${h60("t")}) AS th FROM documents)
          |SELECT doc_id, list_reduce(list_transform(range(0, 60), j ->
