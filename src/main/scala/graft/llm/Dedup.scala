@@ -231,7 +231,7 @@ object Dedup {
     val b = v.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+      .withColumn("cos", graft.functions.VectorFunctions.cosineFast(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

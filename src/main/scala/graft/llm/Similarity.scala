@@ -44,7 +44,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", graft.functions.VectorFunctions.cosineFast(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("int"))
@@ -107,7 +107,8 @@ object Similarity {
     val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("cand_id") =!= col("query_id"))
       .select("query_id", "qv", "cand_id", "cv").distinct()
-    val scored = cand.withColumn("cos", cosine(col("qv"), col("cv")))
+    val scored = cand.withColumn("cos",
+      graft.functions.VectorFunctions.cosineFast(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("int"))

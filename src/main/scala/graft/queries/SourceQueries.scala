@@ -305,6 +305,76 @@ object SourceQueries {
              |           THEN 1 ELSE 0 END AS flag
              |    FROM events) f) g GROUP BY 1""".stripMargin)),
 
+    // M2 FLAGSHIP - the reference's core Spark job end-to-end
+    // (raw_to_landing_sparkjob.py:9-189): Kaggle header CSV (comma-grouped
+    // volume) + API headerless CSV (4 junk rows) -> standardize both ->
+    // unionByName + Ticker/year tag -> year-partitioned parquet -> scan
+    // back. Kaggle covers years < 1995, API the rest (the reference's
+    // pre/post-2017 split).
+    "m2_standardize_combine" -> Q(
+      (s, dir) => {
+        val fix = fixDir(dir, "m2")
+        val daily = Tables.orders(s, dir)
+          .groupBy(col("o_orderdate").as("Date"))
+          .agg(min(col("o_totalprice")).as("Open"),
+            max(col("o_totalprice")).as("High"),
+            min(col("o_totalprice")).as("Low"),
+            max(col("o_totalprice")).as("Close"),
+            (count(lit(1)) * 100).cast("double").as("Volume"))
+        // Kaggle side: header CSV, comma-grouped Volume, extra OpenInt col.
+        daily.filter(year(col("Date")) < 1995).select(
+            date_format(col("Date"), "yyyy-MM-dd").as("Date"),
+            col("Open").cast("string"), col("High").cast("string"),
+            col("Low").cast("string"), col("Close").cast("string"),
+            format_number(col("Volume"), 0).as("Volume"),
+            lit("0").as("OpenInt"))
+          .coalesce(1).write.mode("overwrite").option("header", "true")
+          .csv(s"$fix/kaggle")
+        // API side: headerless, 4 junk metadata rows, AdjClose column.
+        val junk = s.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row("!0", "Price", "", "", "", "", "", ""),
+            org.apache.spark.sql.Row("!1", "Ticker", "ACME", "", "", "", "", ""),
+            org.apache.spark.sql.Row("!2", "Date", "", "", "", "", "", ""),
+            org.apache.spark.sql.Row("!3", "", "", "", "", "", "", "")),
+          StructType(
+            Seq("sort", "Date", "Open", "High", "Low", "Close", "AdjClose", "Volume")
+              .map(StructField(_, StringType, nullable = true))))
+        val apiRows = daily.filter(year(col("Date")) >= 1995).select(
+          date_format(col("Date"), "yyyy-MM-dd").as("sort"),
+          date_format(col("Date"), "yyyy-MM-dd").as("Date"),
+          col("Open").cast("string"), col("High").cast("string"),
+          col("Low").cast("string"), col("Close").cast("string"),
+          col("Close").cast("string").as("AdjClose"),
+          col("Volume").cast("string"))
+        junk.unionByName(apiRows)
+          .repartition(1).sortWithinPartitions("sort").drop("sort")
+          .write.mode("overwrite").option("header", "false").csv(s"$fix/api")
+        // ---- the actual flagship dataflow ----
+        val kSchema = StructType(
+          Seq("Date", "Open", "High", "Low", "Close", "Volume", "OpenInt")
+            .map(StructField(_, StringType, nullable = true)))
+        val aSchema = StructType(
+          Seq("Date", "Open", "High", "Low", "Close", "AdjClose", "Volume")
+            .map(StructField(_, StringType, nullable = true)))
+        val kaggle = Clean.standardizeKaggle(
+          Sources.csvWithHeader(s, s"$fix/kaggle", kSchema).drop("OpenInt"))
+        val api = Clean.standardizeApi(
+          Sources.csvHeaderless(s, s"$fix/api", aSchema).drop("AdjClose"))
+        val combined = Clean.combine(kaggle, api, "ACME")
+        Sources.writeParquetPartitioned(combined, s"$fix/landing", "year")
+        s.read.parquet(s"$fix/landing")
+          .select("Date", "Open", "High", "Low", "Close", "Volume",
+            "Source", "Ticker", "year")
+      },
+      Some("""SELECT CAST(o_orderdate AS DATE) AS Date,
+             |min(o_totalprice) AS Open, max(o_totalprice) AS High,
+             |min(o_totalprice) AS Low, max(o_totalprice) AS Close,
+             |CAST(count(*) * 100 AS DOUBLE) AS Volume,
+             |CASE WHEN year(o_orderdate) < 1995 THEN 'Kaggle' ELSE 'API' END AS Source,
+             |'ACME' AS Ticker, CAST(year(o_orderdate) AS INT) AS year
+             |FROM orders GROUP BY o_orderdate""".stripMargin)),
+
     // S3 - key-list CSV scan: the reference reads a ticker-list CSV on the
     // driver to enumerate work (raw_to_landing_sparkjob.py:142-147); here
     // the list drives a semi-filter instead of a driver loop.
