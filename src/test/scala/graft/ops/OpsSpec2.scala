@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.Schemas
+
+class JoinsSpec2 extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin equals the plain join on a skewed key") {
+    val left = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
+      .toDF("k", "v")
+    val right = Seq((1L, "hot"), (2L, "cold"), (55L, "warm")).toDF("k", "tag")
+    val plain = left.join(right, Seq("k")).select("k", "v", "tag")
+    val salted = Joins.saltedJoin(left, right, "k", buckets = 8)
+      .select("k", "v", "tag")
+    assert(salted.count() === plain.count())
+    assert(salted.except(plain).count() === 0 && plain.except(salted).count() === 0)
+  }
+
+  test("rangeJoin pairs points with covering intervals only") {
+    val points = Seq(1, 5, 10, 15).toDF("p")
+    val intervals = Seq((0, 4, "a"), (5, 9, "b"), (5, 20, "c")).toDF("lo", "hi", "tag")
+    val out = Joins.rangeJoin(points, intervals, $"p", $"lo", $"hi")
+      .select($"p", $"tag").as[(Int, String)].collect().toSet
+    assert(out === Set((1, "a"), (5, "b"), (5, "c"), (10, "c"), (15, "c")))
+  }
+
+  test("starJoin broadcasts each dim and preserves all fact rows") {
+    val fact = spark.read.parquet(sf("customer"))
+    val dim = spark.read.parquet(sf("nation"))
+      .withColumnRenamed("n_nationkey", "c_nationkey")
+    val out = Joins.starJoin(fact, Seq((dim, Seq("c_nationkey"))))
+    assert(out.count() === fact.count()) // FK always resolves
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+}
+
+class AggsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("yearlyOhlcv picks open/close by date order, not row order") {
+    val df = Seq(
+      ("T", "2024-03-01", 20.0, 25.0, 19.0, 24.0, 100.0),
+      ("T", "2024-01-01", 10.0, 15.0, 9.0, 14.0, 200.0),
+      ("T", "2024-12-31", 30.0, 35.0, 29.0, 34.0, 300.0))
+      .toDF("Ticker", "Date", "Open", "High", "Low", "Close", "Volume")
+      .withColumn("Date", to_date($"Date"))
+    val r = Aggs.yearlyOhlcv(df, "Ticker", "Date").head()
+    assert(r.getAs[Double]("year_open") === 10.0)   // earliest date's Open
+    assert(r.getAs[Double]("year_close") === 34.0)  // latest date's Close
+    assert(r.getAs[Double]("year_high") === 35.0)
+    assert(r.getAs[Double]("year_low") === 9.0)
+    assert(r.getAs[Long]("trading_days") === 3)
+  }
+}
+
+class WindowsSpec2 extends SparkSpec {
+
+  test("skipRowsPerFile skips N rows in each input file independently") {
+    val dir = java.nio.file.Files.createTempDirectory("skipperfile").toString
+    for (f <- Seq("a", "b")) {
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$f.csv"),
+        (0 until 6).map(i => s"$f$i").mkString("\n").getBytes)
+    }
+    val df = spark.read.schema("c STRING").csv(dir)
+    val out = Windows.skipRowsPerFile(df, 4).collect().map(_.getString(0)).sorted
+    assert(out === Array("a4", "a5", "b4", "b5"))
+  }
+}
+
+class ReshapeSpec2 extends SparkSpec {
+  import spark.implicits._
+
+  test("transposeStatement with the real balance-sheet allowlist") {
+    val metrics = graft.model.StatementMetrics.bySheet("balance_sheet")
+    // Wide fixture: metric rows (39 allowed + 1 junk) x 3 period columns.
+    val rows = (metrics :+ "NotARealMetric").zipWithIndex.map { case (m, i) =>
+      (m, s"${i + 1}.5", s"${i + 100}.5", s"${i + 200}.5")
+    }
+    val raw = rows.toDF("name", "2022-12-31", "2023-12-31", "2024-12-31")
+    val out = Reshape.transposeStatement(raw, "name", metrics, "ACME")
+    assert(out.count() === 3)                                // one row per period
+    assert(out.columns.length === metrics.size + 2)          // Date + metrics + Ticker
+    val r2022 = out.filter($"Date" === "2022-12-31").head()
+    assert(r2022.getAs[Double](metrics.head) === 1.5)        // first metric, first period
+    assert(!out.columns.contains("NotARealMetric"))          // junk row dropped
+  }
+}
