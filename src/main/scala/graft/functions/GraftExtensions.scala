@@ -23,7 +23,11 @@ object GraftExtensions {
   private val injections: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_dot",
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    ("graft_top_k",
+      new ExpressionInfo(classOf[TopKByScore].getName, "graft_top_k"),
+      (children: Seq[Expression]) => TopKByScore(children(0), children(1),
+        children(2).eval(null).asInstanceOf[Number].intValue())))
 
   /** Imperative registration for sessions built without the extensions
     * conf (tests, notebooks).

@@ -208,6 +208,26 @@ object Queries {
              |(SELECT n_nationkey AS nationkey FROM nation
              | EXCEPT SELECT s_nationkey FROM supplier)""".stripMargin)),
 
+    // O5/A2 - grouped top-k via the custom bounded-heap aggregate
+    // (graft.functions.TopKByScore): map-side-combined, O(k) state per
+    // group, no per-partition sort - vs the window row_number approach.
+    "o5_grouped_topk" -> Q(
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.AggFunctions.topK(
+          col("o_totalprice"), col("o_orderkey").cast("string"), 3).as("top"))
+        .select(col("o_orderpriority"),
+          posexplode(col("top")).as(Seq("i", "entry")))
+        .select(col("o_orderpriority"), (col("i") + 1).cast("int").as("rank"),
+          col("entry.score").as("o_totalprice"),
+          col("entry.value").cast("long").as("o_orderkey")),
+      Some("""SELECT o_orderpriority, CAST(rn AS INT) AS rank,
+             |o_totalprice, o_orderkey FROM (
+             |  SELECT o_orderpriority, o_totalprice, o_orderkey,
+             |    row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC, CAST(o_orderkey AS VARCHAR)) AS rn
+             |  FROM orders) t WHERE rn <= 3""".stripMargin)),
+
     // A2 - exact distinct counts per group.
     "a2_distinct_exact" -> Q(
       (s, dir) => Tables.lineitem(s, dir).groupBy(col("l_returnflag"))

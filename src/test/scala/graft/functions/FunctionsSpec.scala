@@ -26,6 +26,28 @@ class FunctionsSpec extends SparkSpec {
     assert(r === 32.0)
   }
 
+  test("TopKByScore keeps the k best with merge across partitions") {
+    val df = (1 to 1000).map(i => ("g" + (i % 2), i.toDouble, s"v$i"))
+      .toDF("g", "score", "v").repartition(7) // force partial-agg merges
+    val out = df.groupBy($"g")
+      .agg(AggFunctions.topK($"score", $"v", 3).as("top"))
+      .select($"g", $"top")
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e => e.getDouble(0)))
+      .toMap
+    assert(out("g0") === Seq(1000.0, 998.0, 996.0))
+    assert(out("g1") === Seq(999.0, 997.0, 995.0))
+  }
+
+  test("graft_top_k works from SQL and breaks score ties by value asc") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_top_k(score, v, 2) AS top FROM VALUES
+        |(1.0d, 'b'), (1.0d, 'a'), (1.0d, 'c'), (0.5d, 'z') AS t(score, v)
+      """.stripMargin).head().getSeq[org.apache.spark.sql.Row](0)
+    assert(r.map(_.getString(1)) === Seq("a", "b"))
+  }
+
   test("DotProduct handles nulls and length mismatches") {
     val df = Seq(
       (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0, 9.0))), // extra dim ignored
