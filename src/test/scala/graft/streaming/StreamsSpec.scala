@@ -86,6 +86,25 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming over a growing directory equals batch") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_src").toString
+    rows.take(3).toDF().write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(rows.toDF().schema).parquet(dir)
+    val q = Streams.tumblingAgg(stream, "15 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("file_stream_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      rows.drop(3).toDF().write.mode("append").parquet(dir) // late-arriving files
+      q.processAllAvailable()
+      val streamed = spark.table("file_stream_test")
+        .orderBy("window_start", "event_type").collect()
+      val batch = Streams.tumblingAgg(spark.read.parquet(dir), "15 minutes", "0 seconds")
+        .orderBy("window_start", "event_type").collect()
+      assert(streamed.map(_.toString) === batch.map(_.toString))
+    } finally q.stop()
+  }
+
   test("slidingCounts emits overlapping windows") {
     val out = Streams.slidingCounts(rows.toDF(), "30 minutes", "15 minutes",
       "0 seconds")
