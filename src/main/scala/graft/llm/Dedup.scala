@@ -225,13 +225,19 @@ object Dedup {
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             bucketCol: String, threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    // Norm once per vector (n rows), not per candidate pair — identical
+    // doubles, 3x less fold work inside the bucket join.
     val v = df.select(col(idCol).as("id"), col(bucketCol).as("bucket"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
-    val a = v.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = v.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val a = v.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"),
+      col("norm").as("n_a"))
+    val b = v.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"),
+      col("norm").as("n_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", graft.functions.VectorFunctions.cosineFast(col("v_a"), col("v_b")))
+      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

@@ -41,10 +41,15 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    // Norms are computed ONCE per vector (n rows), not per scored pair
+    // (n·q rows) — same doubles, 3x less fold work in the join.
     val c = corpus.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
     val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
-      .withColumn("cos", graft.functions.VectorFunctions.cosineFast(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("int"))
@@ -93,22 +98,23 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, numPlanes: Int,
               numTables: Int = 4): DataFrame = {
-    def bucketed(df: DataFrame, id: String, v: String) =
-      df.select(col(id), col(v),
+    import graft.functions.VectorFunctions.dot
+    def bucketed(df: DataFrame, id: String, v: String, norm: String) =
+      df.select(col(id), col(v), sqrt(dot(col(v), col(v))).as(norm),
         posexplode(array((0 until numTables).map(t =>
           hyperplaneBucket(col(v), numPlanes, t)): _*)).as(Seq("tbl", "bucket")))
     val c = bucketed(
       corpus.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv")),
-      "cand_id", "cv")
+      "cand_id", "cv", "cnorm")
     val q = bucketed(
       queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")),
-      "query_id", "qv")
+      "query_id", "qv", "qnorm")
     // Candidate pairs: bucket-mates in any table, deduped pre-scoring.
     val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("cand_id") =!= col("query_id"))
-      .select("query_id", "qv", "cand_id", "cv").distinct()
+      .select("query_id", "qv", "qnorm", "cand_id", "cv", "cnorm").distinct()
     val scored = cand.withColumn("cos",
-      graft.functions.VectorFunctions.cosineFast(col("qv"), col("cv")))
+      dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("int"))
