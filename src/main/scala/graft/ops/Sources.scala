@@ -107,4 +107,15 @@ object Sources {
     */
   def globWithKey(df: DataFrame, keyCol: String, keyPattern: String): DataFrame =
     df.withColumn(keyCol, regexp_extract(input_file_name(), keyPattern, 1))
+
+  /** Bucketed warehouse table: hash-bucketed AND sorted by the join key at
+    * write time. Two tables bucketed on the same key with the same bucket
+    * count join with NO Exchange on either side — the shuffle is paid once
+    * at write, then every subsequent join of the 100 TB fact against it is
+    * shuffle-free. This is the co-located-join layout the partitioned sink
+    * (S6) cannot give (partitionBy prunes, bucketBy co-locates).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.bucketBy(buckets, key).sortBy(key)
+      .mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
 }
