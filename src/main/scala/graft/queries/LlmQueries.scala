@@ -207,6 +207,17 @@ object LlmQueries {
            |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin
       }),
 
+    // IVF approximate top-k: k-means coarse cells (seeded - deterministic
+    // per environment, but not SQL-replicable) -> rows-only driver check;
+    // recall asserted against brute force in SimilaritySpec.
+    "llm_sim_topk_ivf" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nCells = 10, nProbe = 3)
+      },
+      None),
+
     // Language ID over the documents corpus.
     "llm_langid" -> Q(
       (s, dir) => Tables.documents(s, dir)

@@ -87,6 +87,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getInt(3)) === Array(1, 2, 3))
   }
 
+  test("IVF top-k probes a subset of cells and still finds near neighbors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 10, 3)
+    val rows = ivf.select("query_id", "cand_id").as[(Long, Long)].collect()
+    assert(rows.length === 50) // 5 per query
+    val recall = rows.toSet.intersect(brute).size
+    assert(recall >= 5, s"IVF recall $recall/50 below floor")
+  }
+
   test("multi-table LSH recall dominates single-table on real embeddings") {
     val emb = spark.read.parquet(sf("embeddings"))
     val q = emb.filter($"vec_id" < 5)
