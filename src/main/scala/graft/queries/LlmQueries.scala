@@ -264,6 +264,22 @@ object LlmQueries {
            |FROM sig""".stripMargin
       }),
 
+    // Corpus length distribution per language: exact interpolated
+    // percentiles (the curation dashboard numbers).
+    "llm_quality_quantiles" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          expr("percentile(n_chars, 0.5)").as("p50"),
+          expr("percentile(n_chars, 0.9)").as("p90"),
+          expr("percentile(n_chars, 0.99)").as("p99"),
+          count(lit(1)).as("n")),
+      Some("""SELECT lang, quantile_cont(n_chars, 0.5) AS p50,
+             |quantile_cont(n_chars, 0.9) AS p90,
+             |quantile_cont(n_chars, 0.99) AS p99,
+             |CAST(count(*) AS BIGINT) AS n
+             |FROM documents GROUP BY 1""".stripMargin)),
+
     // Token counting: whitespace + BPE-ish pre-tokenizer pieces.
     "llm_tokens" -> Q(
       (s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text"),
