@@ -217,6 +217,46 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over a near-duplicate pair graph: every node
+    * gets the MINIMUM id reachable from it as its cluster id — the step
+    * that turns pairwise similarity into dedup decisions (keep the cluster
+    * representative = the row whose id equals its cluster id).
+    *
+    * Iterative min-label propagation: each round, every node adopts the
+    * smallest label among itself and its neighbors; converges in
+    * O(component diameter) rounds. Each round is one shuffle join; labels
+    * are checkpointed per round so lineage stays flat — the standard
+    * large-graph CC shape (what GraphX/Pregel does, expressed in
+    * DataFrames so Catalyst handles the joins).
+    */
+  def dedupClusters(pairs: DataFrame, idA: String = "id_a",
+                    idB: String = "id_b", maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .localCheckpoint(false)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(false)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("label")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(false)
+      val changed = updated
+        .join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+        .filter(col("label") =!= col("prev")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a bucket column (e.g. a
     * cluster/label id, or an LSH bucket from [[Similarity.hyperplaneBucket]]).
     * The join key is the bucket — all-pairs never forms. Cosine is the

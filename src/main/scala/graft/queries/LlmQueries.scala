@@ -115,6 +115,43 @@ object LlmQueries {
            |  (len(sa) + len(sb) - len(list_intersect(sa, sb)))::DOUBLE >= 0.5""".stripMargin
       }),
 
+    // Near-dup CLUSTERS: MinHash-LSH pairs -> connected components -> one
+    // cluster id (min member) per involved doc. The oracle replicates the
+    // transitive closure with a recursive CTE.
+    "llm_dedup_clusters" -> Q(
+      (s, dir) => Dedup.dedupClusters(
+        Dedup.minhashLshPairs(Tables.documents(s, dir),
+          "doc_id", "text", shingleK = 3, bands = 8, rowsPerBand = 2,
+          threshold = 0.5)),
+      Some {
+        val P = TextOps.MinhashP
+        val mins = (0 until 16).map { i =>
+          val (a, b) = TextOps.minhashParams(i)
+          s"list_min(list_transform(hs, h -> ($a * h + $b) % $P))"
+        }.mkString("[", ", ", "]")
+        s"""WITH RECURSIVE norm AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents),
+           |sh AS (SELECT doc_id, ${shinglesSql("ws")} AS sh FROM norm),
+           |hs AS (SELECT doc_id, sh,
+           |  list_transform(sh, s -> ${h60("s")} % $P) AS hs FROM sh),
+           |sig AS (SELECT doc_id, sh, $mins AS sig FROM hs),
+           |banded AS (SELECT doc_id, sh, b.band,
+           |  array_to_string(sig[b.band*2+1:b.band*2+2], '_') AS bkey
+           |  FROM sig, (SELECT unnest(range(0, 8)) AS band) b),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  a.sh AS sa, b.sh AS sb
+           |  FROM banded a JOIN banded b
+           |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+           |pairs AS (SELECT id_a, id_b FROM cand
+           |  WHERE len(list_intersect(sa, sb))::DOUBLE /
+           |    (len(sa) + len(sb) - len(list_intersect(sa, sb)))::DOUBLE >= 0.5),
+           |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+           |  UNION ALL SELECT id_b, id_a FROM pairs),
+           |reach AS (SELECT s, d FROM edges
+           |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+           |SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+           |FROM reach GROUP BY s""".stripMargin
+      }),
+
     // Exact n-gram Jaccard similarity join (inverted-index candidates,
     // stop-shingle cap bounding the candidate blowup).
     "llm_dedup_ngram_jaccard" -> Q(

@@ -61,6 +61,19 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() === 6) // all pairs share "x y z"
   }
 
+  test("dedupClusters: chain, triangle and pair resolve to min-id components") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), // 6-node chain
+      (10L, 11L), (11L, 12L), (10L, 12L),               // triangle
+      (20L, 21L))                                       // isolated pair
+      .toDF("id_a", "id_b")
+    val out = Dedup.dedupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 6L).forall(out(_) === 1L)) // chain needs several rounds
+    assert(Seq(10L, 11L, 12L).forall(out(_) === 10L))
+    assert(out(20L) === 20L && out(21L) === 20L)
+  }
+
   test("embeddingNearDupPairs only pairs within a bucket") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.01f), 0),
