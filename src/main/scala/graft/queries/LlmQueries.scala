@@ -339,6 +339,50 @@ object LlmQueries {
            |FROM norm""".stripMargin
       }),
 
+    // The composed curation pipeline: quality gate -> exact dedup (vs a
+    // perturbed duplicate of the corpus) -> token accounting per language.
+    // One declarative plan end-to-end; Catalyst fuses the projections and
+    // the only shuffles are the dedup groupBy and the final rollup.
+    "llm_curation_pipeline" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val perturbed = docs.withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("text", upper(concat(col("text"), lit("  "))))
+        val corpus = docs.unionByName(perturbed)
+        val scored = TextAnalysis.qualityScore(corpus, "doc_id", "text")
+        val kept = corpus.join(scored, Seq("doc_id")).filter(col("quality") >= 0.3)
+        val deduped = Dedup.exactDedup(kept, "doc_id", "text")
+          .join(docs.select("doc_id", "text", "lang"), Seq("doc_id"))
+        val counted = TextAnalysis.tokenCounts(deduped, "doc_id", "text")
+          .join(deduped.select("doc_id", "lang"), Seq("doc_id"))
+        counted.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).as("total_tokens"),
+          sum(col("bpe_ish_tokens")).as("total_bpe"))
+      },
+      Some {
+        val stop = TextAnalysis.langProfiles.flatMap(_._2).distinct
+          .map(m => s"'$m'").mkString("[", ", ", "]")
+        // The perturbed copies normalize to the same text, so exact dedup
+        // keeps exactly the original docs; the quality gate applies to the
+        // original (min doc_id) variant's text measures.
+        s"""WITH q AS (SELECT doc_id, lang, text,
+           |  length(text)::DOUBLE / len(${toksSql("text")})::DOUBLE AS cpt,
+           |  len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE /
+           |    length(text)::DOUBLE AS pr,
+           |  len(list_filter(${toksSql("text")}, x -> list_contains($stop, x)))::DOUBLE /
+           |    len(${toksSql("text")})::DOUBLE AS sr
+           |  FROM documents),
+           |kept AS (SELECT doc_id, lang, text FROM q
+           |  WHERE (least(cpt / 8.0, 1.0) + least(pr * 20.0, 1.0)
+           |         + least(sr * 5.0, 1.0)) / 3.0 >= 0.3)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(len(${toksSql("text")})) AS BIGINT) AS total_tokens,
+           |  CAST(sum(len(regexp_extract_all(${normSql("text")},
+           |    '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_bpe
+           |FROM kept GROUP BY 1""".stripMargin
+      }),
+
     // Multimodal: binary payload column + batched stub-decode features.
     "llm_multimodal_features" -> Q(
       (s, dir) => {

@@ -271,6 +271,36 @@ object SourceQueries {
              |max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
              |CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1""".stripMargin)),
 
+    // F9 upgrade - schema'd single-pass JSON parse (from_json beats
+    // repeated get_json_object: one parse per row, typed output).
+    "events_from_json" -> Q(
+      (s, dir) => {
+        val schema = StructType(Seq(StructField("k",
+          org.apache.spark.sql.types.IntegerType)))
+        Tables.events(s, dir)
+          .withColumn("p", from_json(col("props"), schema))
+          .groupBy(col("event_type"), (col("p.k") % 10).as("k_bucket"))
+          .agg(count(lit(1)).as("n"), max(col("p.k")).as("max_k"))
+      },
+      Some("""SELECT event_type,
+             |CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+             |CAST(count(*) AS BIGINT) AS n,
+             |max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // st3 - sliding-window batch parity: 30-min windows sliding every
+    // 15 min; each event lands in exactly two windows (epoch-aligned).
+    "st3_sliding_window" -> Q(
+      (s, dir) => graft.streaming.Streams.slidingCounts(
+        Tables.events(s, dir), "30 minutes", "15 minutes", "1 hour"),
+      Some("""SELECT make_timestamp(((epoch_us(CAST(ts AS TIMESTAMP)) // 900000000)
+             |  - k.off) * 900000000) AS window_start,
+             |make_timestamp(((epoch_us(CAST(ts AS TIMESTAMP)) // 900000000)
+             |  - k.off + 2) * 900000000) AS window_end,
+             |event_type, CAST(count(*) AS BIGINT) AS n
+             |FROM events, (SELECT unnest([0, 1]) AS off) k
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
     // Sessionization (batch twin of the streaming session-window op):
     // 30-minute inactivity gap, per-user session counts via lag + running sum.
     "events_sessionize" -> Q(
