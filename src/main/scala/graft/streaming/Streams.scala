@@ -92,4 +92,21 @@ object Streams {
     * exactly-once sink (parquet/Delta) wants.
     */
   val windowSinkMode: OutputMode = OutputMode.Append()
+
+  /** Exactly-once-ish parquet sink via foreachBatch: each micro-batch
+    * writes to a batchId-named subdirectory with overwrite, so a replayed
+    * batch (restart after failure between write and commit) lands in the
+    * same place instead of duplicating — idempotent writes + the
+    * checkpoint's offset tracking give end-to-end exactly-once for this
+    * layout. Readers scan `path` with a recursive glob.
+    */
+  def startParquetSink(df: DataFrame, path: String, checkpoint: String,
+                       mode: OutputMode = OutputMode.Append()) =
+    df.writeStream
+      .outputMode(mode)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+      }
+      .start()
 }

@@ -105,6 +105,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch parquet sink writes idempotent batch directories") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("sink_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sink_ckpt").toString
+    val mem = MemoryStream[Ev]
+    val q = Streams.startParquetSink(
+      mem.toDF().select($"event_type", $"user_id", $"value"), out, ckpt)
+    try {
+      mem.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      val written = spark.read.parquet(out)
+      assert(written.count() === rows.size)
+      assert(written.select("batch_id").distinct().count() >= 2)
+      // re-writing the same batch dir (replay) must not duplicate
+      val before = spark.read.parquet(out).count()
+      rows.take(3).toDF().select($"event_type", $"user_id", $"value")
+        .write.mode("overwrite").parquet(s"$out/batch_id=0")
+      assert(spark.read.parquet(out).count() === before)
+    } finally q.stop()
+  }
+
   test("slidingCounts emits overlapping windows") {
     val out = Streams.slidingCounts(rows.toDF(), "30 minutes", "15 minutes",
       "0 seconds")
