@@ -500,6 +500,40 @@ object SourceQueries {
              |  sum(CAST(value AS DECIMAL(18,2))) AS session_value
              |FROM g GROUP BY user_id, sid""".stripMargin)),
 
+    // Anomaly flagging: per-type z-score outliers. The mean/variance come
+    // from EXACT decimal sums (order-independent), so the derived doubles
+    // and the z filter are engine-identical - no stddev_samp (whose
+    // parallel accumulation order differs per engine).
+    "events_anomaly_zscore" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val d = col("value").cast("decimal(18,2)")
+        val stats = ev.groupBy(col("event_type").as("et")).agg(
+          count(lit(1)).as("n"), sum(d).as("sv"), sum(d * d).as("sv2"))
+        val withZ = ev.join(broadcast(stats), col("event_type") === col("et"))
+          .withColumn("mean", col("sv").cast("double") / col("n"))
+          .withColumn("variance",
+            (col("sv2").cast("double")
+              - col("sv").cast("double") * col("sv").cast("double") / col("n"))
+              / (col("n") - 1))
+          .withColumn("z", (col("value") - col("mean")) / sqrt(col("variance")))
+        withZ.filter(abs(col("z")) >= 2.5)
+          .select("event_id", "event_type", "value", "z")
+      },
+      Some("""WITH stats AS (
+             |  SELECT event_type AS et, CAST(count(*) AS BIGINT) AS n,
+             |    sum(CAST(value AS DECIMAL(18,2))) AS sv,
+             |    sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sv2
+             |  FROM events GROUP BY 1)
+             |SELECT event_id, event_type, value,
+             |  (value - CAST(sv AS DOUBLE) / n) /
+             |  sqrt((CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n)
+             |       / (n - 1)) AS z
+             |FROM events JOIN stats ON event_type = et
+             |WHERE abs((value - CAST(sv AS DOUBLE) / n) /
+             |  sqrt((CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n)
+             |       / (n - 1))) >= 2.5""".stripMargin)),
+
     // D1 + D3 - per-source fault isolation inside a staged run: the bad
     // source is skipped, the good ones flow on
     // (raw_to_landing_sparkjob.py:114-128).
