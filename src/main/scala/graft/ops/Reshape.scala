@@ -64,7 +64,8 @@ object Reshape {
   def firstRowAsHeader(df: DataFrame): DataFrame = {
     val cols = df.columns
     val header = df.limit(1).collect()(0)
-    val named = cols.zipWithIndex.map { case (c, i) => col(c).as(header.getString(i)) }
+    val named = cols.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => col(c).as(header.getString(i)) }
     val tagged = Windows.skipRows(df, 1)
     tagged.select(named: _*)
   }
