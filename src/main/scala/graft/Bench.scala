@@ -26,18 +26,27 @@ object Bench {
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    val failed = Seq.newBuilder[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // A failed query must be visible IN the JSON (stderr is routinely
+    // discarded): its time is replaced with the -1 sentinel and its name
+    // listed, so a green-looking total can't hide a regression.
+    val failedSet = failed.result().toSet
+    val qs = results.map { case (k, v) =>
+      val shown = if (failedSet.contains(k)) -1.0 else v
+      "\"" + k + f"""":$shown%.3f"""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (k, v) if !failedSet.contains(k) => v }.sum
+    val failedJson = failedSet.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

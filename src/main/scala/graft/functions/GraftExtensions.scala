@@ -26,8 +26,19 @@ object GraftExtensions {
       (children: Seq[Expression]) => DotProduct(children(0), children(1))),
     ("graft_top_k",
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_top_k"),
-      (children: Seq[Expression]) => TopKByScore(children(0), children(1),
-        children(2).eval(null).asInstanceOf[Number].intValue())))
+      (children: Seq[Expression]) => {
+        if (children.length != 3) throw new IllegalArgumentException(
+          s"graft_top_k(score, value, k) takes 3 arguments, got ${children.length}")
+        val kExpr = children(2)
+        if (!kExpr.foldable) throw new IllegalArgumentException(
+          "graft_top_k: k must be a literal integer")
+        kExpr.eval(null) match {
+          case n: Number if n.intValue() > 0 =>
+            TopKByScore(children(0), children(1), n.intValue())
+          case other => throw new IllegalArgumentException(
+            s"graft_top_k: k must be a positive integer literal, got $other")
+        }
+      }))
 
   /** Imperative registration for sessions built without the extensions
     * conf (tests, notebooks).

@@ -138,17 +138,24 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs: docs whose 60-bit simhashes lie within
-    * `maxHamming`. Candidates come from 4 × 15-bit band collisions (a doc
-    * pair within hamming ≤ 3 of a 4-band split must agree exactly on at
-    * least one band — pigeonhole), then the true hamming distance filters.
+    * `maxHamming`. Candidate recall is guaranteed by pigeonhole: the 60
+    * bits split into `maxHamming + 1` bands, so any pair within
+    * `maxHamming` differing bits agrees exactly on at least one band; the
+    * true hamming distance then filters the candidates.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 60,
+      s"maxHamming must be in [0, 60), got $maxHamming")
+    val nBands = maxHamming + 1
+    val width = (60 + nBands - 1) / nBands // last band may be narrower
     val sigs = simhashFrame(df, idCol, textCol)
       .select(col(idCol).as("id"), col("simhash").as("sh"))
     val banded = sigs.select(col("id"), col("sh"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("sh"), b * 15).bitwiseAND(0x7FFF)): _*))
+      posexplode(array((0 until nBands).map { b =>
+        val w = math.min(width, 60 - b * width)
+        shiftright(col("sh"), b * width).bitwiseAND((1L << math.max(w, 1)) - 1)
+      }: _*))
         .as(Seq("band", "key")))
     val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
@@ -191,7 +198,11 @@ object Dedup {
     // explicitly materializing the index before joining on it.
     val inv = ensureParallelism(df.select(col(idCol).as("id"), col(textCol)))
       .select(col("id"), explode(wordShingles(col(textCol), shingleK)).as("s0"))
-      .select(col("id"), (hash60(col("s0")) % MinhashP).as("s"))
+      // Raw 60-bit hash: long join keys (smaller shuffle than strings),
+      // collisions ~n²/2^60 — none at realistic shard sizes. Do NOT mod by
+      // MinhashP: a 31-bit space has birthday collisions from ~100k
+      // distinct shingles, silently corrupting the "exact" Jaccard.
+      .select(col("id"), hash60(col("s0")).as("s"))
       .localCheckpoint(false)
     val kept =
       if (maxShingleDf == Long.MaxValue) inv
@@ -254,6 +265,11 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    // A silent partial convergence would report one real cluster as
+    // several with no error — refuse instead.
+    if (!converged) throw new IllegalStateException(
+      s"dedupClusters did not converge in $maxIters rounds - a component's " +
+        "diameter exceeds maxIters; raise maxIters")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

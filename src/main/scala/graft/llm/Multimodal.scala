@@ -52,16 +52,25 @@ object Multimodal {
       byte_checksum = sum % 1000000007L)
   }
 
-  /** Batched feature extraction: one decoder context per partition, record
-    * batches streamed through it (the `mapInPandas` execution shape). The
-    * decoder context here is just a counter; a real codec would hold its
-    * native handles there and amortize setup across the partition.
+  /** ======== DETERMINISTIC STUB (batch form) ========
+    * The batch-decode kernel: receives a whole record batch, returns its
+    * features. A real codec decodes the batch in one native call (that is
+    * the point of the batch shape); the stub maps the pure per-record
+    * function.
+    */
+  def decodeBatchStub(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+    batch.map(decodeStub)
+
+  /** Batched feature extraction — the `mapInPandas` execution shape in
+    * Scala: iterator-of-batches in, iterator-of-batches out. Each
+    * partition streams `batchSize`-record batches through ONE call of the
+    * batch-decode kernel, so a real codec amortizes its native setup per
+    * batch, not per record.
     */
   def extractFeatures(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      // per-partition decoder setup happens once, here
-      it.grouped(batchSize).flatMap { batch => batch.map(decodeStub) }
+      it.grouped(batchSize).flatMap(batch => decodeBatchStub(batch))
     }
   }
 

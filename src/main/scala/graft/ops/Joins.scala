@@ -73,6 +73,11 @@ object Joins {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, buckets: Int,
                  joinType: String = "inner"): DataFrame = {
+    // Right/full-outer would duplicate unmatched right rows `buckets`
+    // times (the right side is exploded across every salt).
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left join types only, got $joinType")
     val saltedL = left.withColumn("_salt", pmod(hash(col(key), monotonically_increasing_id()), lit(buckets)))
     val saltedR = right.withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
     saltedL.join(saltedR, Seq(key, "_salt"), joinType).drop("_salt")

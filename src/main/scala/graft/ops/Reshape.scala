@@ -62,10 +62,17 @@ object Reshape {
     * the body filter streams.
     */
   def firstRowAsHeader(df: DataFrame): DataFrame = {
+    require(df.rdd.getNumPartitions == 1,
+      "firstRowAsHeader requires a single-partition frame: \"first row\" is " +
+        "physical order, which multi-partition limit(1)/skipRows do not share")
     val cols = df.columns
     val header = df.limit(1).collect()(0)
-    val named = cols.toIndexedSeq.zipWithIndex
-      .map { case (c, i) => col(c).as(header.getString(i)) }
+    val named = cols.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      // A null header cell (e.g. CSV empty-string -> null) falls back to
+      // the positional name instead of NPE-ing.
+      val name = if (header.isNullAt(i)) c else header.getString(i)
+      col(c).as(name)
+    }
     val tagged = Windows.skipRows(df, 1)
     tagged.select(named: _*)
   }

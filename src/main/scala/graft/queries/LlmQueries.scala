@@ -159,7 +159,7 @@ object LlmQueries {
         "doc_id", "text", shingleK = 3, threshold = 0.3, maxShingleDf = 100),
       Some(s"""$shCte,
          |inv AS (SELECT doc_id,
-         |  unnest(list_transform(sh, x -> ${h60("x")} % ${TextOps.MinhashP})) AS s
+         |  unnest(list_transform(sh, x -> ${h60("x")})) AS s
          |  FROM sh),
          |kept AS (SELECT doc_id, s FROM
          |  (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM inv)
@@ -272,12 +272,15 @@ object LlmQueries {
            |SELECT doc_id, CASE $cases END AS lang_pred FROM norm""".stripMargin
       }),
 
-    // Quality signals + combined score.
+    // Quality signals + combined score — one scan, one projection (the
+    // score is pure arithmetic over three signal columns).
     "llm_quality" -> Q(
       (s, dir) => {
         val sig = TextAnalysis.qualitySignals(Tables.documents(s, dir), "doc_id", "text")
-        val score = TextAnalysis.qualityScore(Tables.documents(s, dir), "doc_id", "text")
-        sig.join(score, Seq("doc_id"))
+        sig.withColumn("quality",
+          (least(col("chars_per_token") / lit(8.0), lit(1.0)) +
+            least(col("punct_ratio") * lit(20.0), lit(1.0)) +
+            least(col("stopword_ratio") * lit(5.0), lit(1.0))) / lit(3.0))
       },
       Some {
         val stop = TextAnalysis.langProfiles.flatMap(_._2).distinct

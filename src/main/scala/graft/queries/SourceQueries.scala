@@ -474,7 +474,9 @@ object SourceQueries {
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
     // session_window batch parity: gap-based sessions per user with the
-    // native session_window operator (stateful in streaming).
+    // native session_window operator (stateful in streaming). The island
+    // flag uses >= gap: session_window's window is [start, last + gap), so
+    // an event at EXACTLY last + gap starts a new session.
     "st2_session_window" -> Q(
       (s, dir) => graft.streaming.Streams.sessionAgg(
         Tables.events(s, dir), "30 minutes", "1 hour"),
@@ -485,7 +487,7 @@ object SourceQueries {
              |         OR epoch_us(CAST(ts AS TIMESTAMP))
              |            - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
              |              (PARTITION BY user_id ORDER BY ts, event_id)
-             |            > 1800000000
+             |            >= 1800000000
              |         THEN 1 ELSE 0 END AS flag
              |  FROM events),
              |g AS (
