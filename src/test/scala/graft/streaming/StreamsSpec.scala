@@ -128,6 +128,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parquet sink resumes from checkpoint after restart without duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("restart_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("restart_ckpt").toString
+    val mem = MemoryStream[Ev]
+    val sel = (df: org.apache.spark.sql.DataFrame) =>
+      df.select($"event_type", $"user_id", $"value")
+    val q1 = Streams.startParquetSink(sel(mem.toDF()), out, ckpt)
+    try {
+      mem.addData(rows.take(3): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart with the SAME checkpoint: offsets resume, batch ids continue
+    val q2 = Streams.startParquetSink(sel(mem.toDF()), out, ckpt)
+    try {
+      mem.addData(rows.drop(3): _*)
+      q2.processAllAvailable()
+      val written = spark.read.parquet(out)
+      assert(written.count() === rows.size) // each row exactly once
+      assert(written.groupBy("event_type", "user_id", "value").count()
+        .filter($"count" > 1).count() === 0)
+    } finally q2.stop()
+  }
+
   test("slidingCounts emits overlapping windows") {
     val out = Streams.slidingCounts(rows.toDF(), "30 minutes", "15 minutes",
       "0 seconds")
