@@ -311,7 +311,7 @@ object SourceQueries {
           .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(w).cast("timestamp")))
           .withColumn("flag",
             when(col("prev_us").isNull ||
-              unix_micros(col("ts").cast("timestamp")) - col("prev_us") > gapUs, 1L)
+              unix_micros(col("ts").cast("timestamp")) - col("prev_us") >= gapUs, 1L)
               .otherwise(0L))
         withFlag
           .withColumn("sid", sum(col("flag")).over(
@@ -331,7 +331,7 @@ object SourceQueries {
              |           OR epoch_us(CAST(ts AS TIMESTAMP))
              |              - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
              |                (PARTITION BY user_id ORDER BY ts, event_id)
-             |              > 1800000000
+             |              >= 1800000000
              |           THEN 1 ELSE 0 END AS flag
              |    FROM events) f) g GROUP BY 1""".stripMargin)),
 
