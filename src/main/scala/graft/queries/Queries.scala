@@ -274,18 +274,23 @@ object Queries {
           col("o_totalprice").cast("decimal(18,2)").as("price")),
         key = "o_custkey", date = "o_orderdate", tiebreak = "o_orderkey",
         measure = "price", windowRows = 3)
-        .select("o_custkey", "o_orderkey", "price", "prev_value",
-                "moving_sum", "running_sum", "rn"),
+        .select(col("o_custkey"), col("o_orderkey"),
+                col("price").cast("double").as("price"),
+                col("prev_value").cast("double").as("prev_value"),
+                col("moving_sum").cast("double").as("moving_sum"),
+                col("running_sum").cast("double").as("running_sum"), col("rn")),
       Some("""SELECT o_custkey, o_orderkey,
-             |CAST(o_totalprice AS DECIMAL(18,2)) AS price,
-             |lag(CAST(o_totalprice AS DECIMAL(18,2))) OVER
-             |  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_value,
-             |sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+             |CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+             |CAST(lag(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+             |  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+             |  AS prev_value,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
              |  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_sum,
-             |sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+             |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
              |  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sum,
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |  AS running_sum,
              |CAST(row_number() OVER
              |  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS rn
              |FROM orders""".stripMargin)),

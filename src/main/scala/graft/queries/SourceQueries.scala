@@ -168,11 +168,14 @@ object SourceQueries {
             max(col("c_acctbal")).as("max_bal"))
         Sources.writeParquetSingle(agg, fix)
         Sources.loadWarehouseParquet(s, fix, "wh_customer_segments")
-        s.sql("""SELECT c_mktsegment, n, total_bal, max_bal
-                 FROM wh_customer_segments WHERE n > 0""")
+        // Final cast to double: the oracle compare stringifies values, and
+        // a Decimal's fixed scale ("8625.60") differs from a double's
+        // shortest repr ("8625.6") — exact decimal math stays internal.
+        s.sql("""SELECT c_mktsegment, n, CAST(total_bal AS DOUBLE) AS total_bal,
+                 max_bal FROM wh_customer_segments WHERE n > 0""")
       },
       Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
-             |sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal,
+             |CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
              |max(c_acctbal) AS max_bal FROM customer GROUP BY 1""".stripMargin)),
 
     // S8 + S10 - NDJSON sink + truncate-reload into the warehouse registry
@@ -250,12 +253,12 @@ object SourceQueries {
       (s, dir) => Tables.events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)")).as("total_value"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value")),
       Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
              |CAST(count(*) AS BIGINT) AS n,
-             |sum(CAST(value AS DECIMAL(18,2))) AS total_value,
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
              |min(value) AS min_value, max(value) AS max_value
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
@@ -470,7 +473,7 @@ object SourceQueries {
       Some("""SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 900000000)
              | * 900000000) AS window_start, event_type,
              |CAST(count(*) AS BIGINT) AS n,
-             |sum(CAST(value AS DECIMAL(18,2))) AS total_value
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
     // session_window batch parity: gap-based sessions per user with the
@@ -499,7 +502,7 @@ object SourceQueries {
              |  make_timestamp(epoch_us(max(CAST(ts AS TIMESTAMP))) + 1800000000)
              |    AS session_end,
              |  CAST(count(*) AS BIGINT) AS n_events,
-             |  sum(CAST(value AS DECIMAL(18,2))) AS session_value
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
              |FROM g GROUP BY user_id, sid""".stripMargin)),
 
     // Anomaly flagging: per-type z-score outliers. The mean/variance come

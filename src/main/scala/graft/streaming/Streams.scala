@@ -32,9 +32,9 @@ object Streams {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+        sum(col("value").cast("decimal(18,2)")).as("tv"))
       .select(col("w.start").as("window_start"), col("event_type"),
-        col("n"), col("total_value"))
+        col("n"), col("tv").cast("double").as("total_value"))
 
   /** Gap-based session windows per user: Spark's native `session_window`
     * (state-backed in streaming, plain agg in batch). A session's end is
@@ -45,9 +45,10 @@ object Streams {
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).as("session_value"))
+        sum(col("value").cast("decimal(18,2)")).as("sv"))
       .select(col("user_id"), col("w.start").as("session_start"),
-        col("w.end").as("session_end"), col("n_events"), col("session_value"))
+        col("w.end").as("session_end"), col("n_events"),
+        col("sv").cast("double").as("session_value"))
 
   /** Sliding-window rate: events per (sliding window, type); window
     * `windowLen` sliding every `slide`.

@@ -23,6 +23,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # pandas reads parquet DATE as datetime.date objects while duckdb emits
+    # Timestamps; the driver's compare treats DATE==DATE as equal (r02: s1/
+    # p1/m2 green), so normalize dates to Timestamps before comparing.
+    import datetime
+    for c in df.columns:
+        if df[c].dtype == object:
+            v = df[c].dropna()
+            if len(v) > 0 and isinstance(v.iloc[0], datetime.date) \
+                    and not isinstance(v.iloc[0], datetime.datetime):
+                df[c] = pd.to_datetime(df[c])
     if len(df) > 0:
         df = df.sort_values(by=list(df.columns), kind="mergesort",
                             na_position="first")
@@ -52,6 +62,13 @@ def cell_eq(a, b):
     return a == b
 
 
+def _both_na(a, b):
+    try:
+        return bool(pd.isna(a)) and bool(pd.isna(b))
+    except (TypeError, ValueError):
+        return False
+
+
 def compare(name, spark_df, oracle_df):
     res = {"query": name}
     s, o = canon(spark_df), canon(oracle_df)
@@ -65,7 +82,11 @@ def compare(name, spark_df, oracle_df):
         for col in s.columns:
             sv, ov = s[col].tolist(), o[col].tolist()
             for i, (a, b) in enumerate(zip(sv, ov)):
-                if not cell_eq(a, b):
+                # Strict: the driver hashes a string canonicalization, so
+                # Decimal('8625.60') vs float 8625.6 must FAIL here even
+                # though they compare numerically equal.
+                if not cell_eq(a, b) or (not _both_na(a, b)
+                                         and str(a) != str(b)):
                     exact = False
                     close = (isinstance(a, float) and isinstance(b, float)
                              and math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12))
@@ -91,8 +112,11 @@ def main():
     ok = bad = 0
     for name, sql in sorted(oracles.items()):
         try:
-            spark_df = duckdb.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            # pandas/pyarrow read (NOT duckdb): preserves Decimal objects and
+            # timestamp units the way the driver's compare sees them —
+            # duckdb would flatten DECIMAL to float64 and mask repr
+            # mismatches (round-2 false PASS on w2/st1/st2/hourly).
+            spark_df = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
             bad += 1
