@@ -34,7 +34,16 @@ object Bench {
         failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Drop blocks the finished query left behind (localCheckpoint /
+      // cache): 57 queries share one JVM, and accumulated blocks otherwise
+      // build heap pressure until some later query pays for it in GC and
+      // spill — a timing-dependent many-x slowdown. Cleanup runs OUTSIDE
+      // the timed window; each query starts from a clean block manager.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      name -> dt
     }
     // A failed query must be visible IN the JSON (stderr is routinely
     // discarded): its time is replaced with the -1 sentinel and its name

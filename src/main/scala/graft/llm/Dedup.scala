@@ -242,8 +242,14 @@ object Dedup {
     */
   def dedupClusters(pairs: DataFrame, idA: String = "id_a",
                     idB: String = "id_b", maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // Both edge directions from ONE pass over `pairs` (explode, not
+    // union-of-two-selects): the pair generator upstream is typically an
+    // expensive LSH join, and a union would execute that subplan twice.
+    val edges = pairs
+      .select(explode(array(
+        struct(col(idA).as("src"), col(idB).as("dst")),
+        struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(false)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -254,14 +260,16 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("label")).as("nmin"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // One joined frame serves BOTH the convergence probe and the next
+      // labels (a node changed iff nmin < label) — the naive shape joins
+      // updated-vs-previous labels a second time, doubling the per-round
+      // shuffles.
+      val joined = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label"), col("nmin"))
         .localCheckpoint(false)
-      val changed = updated
-        .join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .filter(col("label") =!= col("prev")).limit(1).count()
-      labels = updated
+      val changed = joined.filter(col("nmin") < col("label")).limit(1).count()
+      labels = joined.select(col("id"),
+        least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
       converged = changed == 0
       i += 1
     }
