@@ -1,0 +1,145 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** Corpus-curation operators a training-data pipeline needs beyond dedup:
+  * deterministic splits/samples, token-budget sharding, benchmark
+  * decontamination, and vocabulary extraction.
+  *
+  * Determinism contract: anything "random" here is a pure function of the
+  * row's id via the 60-bit MD5 hash ([[TextOps.hash60]]) — reruns,
+  * retries, and other engines (the DuckDB oracle) reproduce the same
+  * sample/split/shard exactly. A seeded `rand()` cannot promise that
+  * across engines or even across Spark task retries at scale.
+  *
+  * Scale contract: no operator materializes a global single-partition
+  * window over the data. The one global ordering we need (token packing)
+  * is two-phase: per-prefix-range windows plus a tiny broadcast offset
+  * table — the classic distributed prefix-sum.
+  */
+object Curation {
+
+  /** Deterministic percentage split (train/val/test...): each row lands in
+    * the split whose cumulative percentage range contains
+    * `hash60(id) mod 100`. Stable under reruns, insert-order, and
+    * partitioning; fractions are exact at the corpus level in expectation
+    * and per-row reproducible.
+    *
+    * @param splits (name, percent) in declared order; percents sum to 100.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.map(_._2).sum == 100,
+      s"split percents must sum to 100, got ${splits.map(_._2).sum}")
+    val bucket = pmod(hash60(col(idCol).cast("string")), lit(100L))
+    val bounds = splits.scanLeft(0)(_ + _._2).sliding(2).toSeq
+      .zip(splits.map(_._1))
+    val labelExpr = bounds.foldLeft(lit(null).cast("string")) {
+      case (acc, (Seq(lo, hi), name)) =>
+        when(bucket >= lo && bucket < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", labelExpr)
+  }
+
+  /** Per-key quota sample: keep at most `quota` rows per key, chosen by
+    * the deterministic hash order (NOT first-seen order, which depends on
+    * partitioning). One shuffle on the key; the per-key sort is bounded by
+    * the group size, and a skewed key degrades to a top-k, not a global
+    * sort.
+    */
+  def quotaSample(df: DataFrame, keyCol: String, idCol: String,
+                  quota: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(hash60(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= quota)
+      .drop("_rn")
+  }
+
+  /** Token-budget packing: assign each document a shard id so every shard
+    * holds ~`budget` tokens, in the deterministic hash60(id) global order.
+    * shard = floor(exclusive-prefix-sum(tokens) / budget).
+    *
+    * The global prefix sum is TWO-PHASE, never a single-partition window:
+    * rows get a coarse `prefix` from the hash's top bits (2^prefixBits
+    * ordered ranges); a windowed sum runs WITHIN each prefix range in
+    * parallel, and the per-prefix totals — a 2^prefixBits-row frame —
+    * produce each range's starting offset, broadcast back. At 100 TB,
+    * prefixBits=12 gives 4096-way parallel ranges and a 4096-row offset
+    * table; the offset table's own window is driver-trivial.
+    */
+  def packByTokenBudget(df: DataFrame, idCol: String, tokensCol: String,
+                        budget: Long, prefixBits: Int = 8): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(prefixBits >= 1 && prefixBits <= 20,
+      s"prefixBits must be in [1, 20], got $prefixBits")
+    val withH = df
+      .withColumn("_h", hash60(col(idCol).cast("string")))
+      .withColumn("_pfx", shiftright(col("_h"), 60 - prefixBits))
+    val inRange = Window.partitionBy(col("_pfx"))
+      .orderBy(col("_h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = withH.withColumn("_cum",
+      sum(col(tokensCol).cast("long")).over(inRange))
+    // Tiny frame: one row per prefix range. Its global window is over
+    // <=2^prefixBits rows — explicitly NOT data-scale.
+    val offsets = withH.groupBy(col("_pfx"))
+      .agg(sum(col(tokensCol).cast("long")).as("_total"))
+      .withColumn("_offset",
+        coalesce(sum(col("_total")).over(
+          Window.orderBy(col("_pfx"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pfx"), col("_offset"))
+    cum.join(broadcast(offsets), Seq("_pfx"))
+      .withColumn("shard",
+        floor((col("_offset") + col("_cum") - col(tokensCol).cast("long"))
+          / budget).cast("long"))
+      .drop("_h", "_pfx", "_cum", "_offset")
+  }
+
+  /** Benchmark decontamination: drop every corpus document sharing at
+    * least one word k-shingle with the benchmark set — the standard
+    * guard against test-set leakage into training data.
+    *
+    * Candidate detection is a semi-join on the 60-bit shingle hash (the
+    * contaminated-id set), then an anti-join back on the id — shuffles
+    * proportional to shingles + contaminated ids, never pairwise. The
+    * benchmark side is usually small; Catalyst/AQE picks broadcast for it
+    * on its own.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, shingleK: Int): DataFrame = {
+    // Shingling is the CPU-heavy stage: spread a narrow input first or a
+    // single-file corpus serializes the whole pass onto one core
+    // (no-op when the input already has enough splits).
+    val corpusSh = Dedup.ensureParallelism(
+        corpus.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(wordShingles(col(textCol), shingleK)).as("_s0"))
+      .select(col(idCol), hash60(col("_s0")).as("_s"))
+    val benchSh = Dedup.ensureParallelism(benchmark.select(col(textCol)))
+      .select(explode(wordShingles(col(textCol), shingleK)).as("_s0"))
+      .select(hash60(col("_s0")).as("_s")).distinct()
+    val contaminated = corpusSh.join(benchSh, Seq("_s"), "left_semi")
+      .select(col(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Corpus vocabulary: the `k` most frequent normalized tokens, ordered
+    * by (count desc, token) so ties are deterministic. Token counting is a
+    * map-side-combined groupBy; the top-k is orderBy+limit, which Spark
+    * plans as TakeOrderedAndProject (per-partition bounded heaps, no
+    * global sort).
+    */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+  }
+}

@@ -92,4 +92,30 @@ object Joins {
   def rangeJoin(points: DataFrame, intervals: DataFrame, point: Column,
                 lo: Column, hi: Column): DataFrame =
     points.join(intervals, point >= lo && point <= hi)
+
+  /** Bucketed range join — the 100 TB path [[rangeJoin]]'s Scaladoc
+    * promises: both sides bucket on `floor(x / width)`, intervals explode
+    * to every bucket they overlap, and the pairing becomes an EQUI-join on
+    * the bucket (shuffle-hash/sort-merge, AQE-skew-splittable) plus the
+    * residual `[lo, hi]` filter. A plain theta join degrades to
+    * broadcast-nested-loop — O(points x intervals) work — the moment the
+    * interval side outgrows broadcast.
+    *
+    * `width` should be on the order of the typical interval length: the
+    * explode factor is ~(interval length / width) + 1 per interval, while
+    * too-small widths multiply interval copies and too-large widths put
+    * many points in each bucket with non-matching intervals.
+    */
+  def rangeJoinBucketed(points: DataFrame, intervals: DataFrame,
+                        point: String, lo: String, hi: String,
+                        width: Long): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    val p = points.withColumn("_bkt", floor(col(point) / width).cast("long"))
+    val iv = intervals.withColumn("_bkt",
+      explode(sequence(floor(col(lo) / width).cast("long"),
+        floor(col(hi) / width).cast("long"))))
+    p.join(iv, Seq("_bkt"))
+      .filter(col(point) >= col(lo) && col(point) <= col(hi))
+      .drop("_bkt")
+  }
 }

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Curation
+import graft.model.Tables
+import graft.ops.Joins
+
+/** Corpus-curation + scale-join queries: deterministic splits/samples,
+  * token-budget sharding, benchmark decontamination, vocabulary top-k
+  * (graft.llm.Curation), and the explicit skew/range join paths
+  * (graft.ops.Joins.saltedJoin / rangeJoinBucketed).
+  *
+  * Oracle parity notes: every "random" choice is hash60 (MD5) of the id,
+  * so the DuckDB twin reproduces it exactly; decimal sums cast to DOUBLE
+  * at the output edge (fixed-scale Decimal vs shortest-repr double never
+  * stringify alike).
+  */
+object CurationQueries {
+
+  /** 60-bit md5 hash of a string SQL expression (DuckDB twin of
+    * TextOps.hash60). */
+  private def h60(e: String) =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  private def normSql(c: String) =
+    s"regexp_replace(lower(trim($c)), '\\s+', ' ', 'g')"
+
+  private def toksSql(c: String) = s"string_split(${normSql(c)}, ' ')"
+
+  /** distinct word 3-shingles of token-list expression `ws` (DuckDB twin
+    * of TextOps.wordShingles(k=3)). */
+  private def shinglesSql(ws: String) =
+    s"""list_distinct(CASE WHEN len($ws) - 2 >= 1
+       |  THEN list_transform(range(1, len($ws) - 1),
+       |         i -> array_to_string(($ws)[i:i+2], ' '))
+       |  ELSE [array_to_string($ws, ' ')] END)""".stripMargin
+
+  val all: Map[String, Q] = Map(
+
+    // Salted equi-join: the explicit skew fallback. The salt mechanics
+    // (explode right side across buckets, hash-salt left) must be
+    // result-invisible: the oracle is the PLAIN join.
+    "j4_salted_join" -> Q(
+      (s, dir) => Joins.saltedJoin(
+        Tables.lineitem(s, dir).withColumnRenamed("l_orderkey", "okey"),
+        Tables.orders(s, dir).select(col("o_orderkey").as("okey"),
+          col("o_orderstatus")),
+        key = "okey", buckets = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty")),
+      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1""".stripMargin)),
+
+    // Bucketed range join: orders priced into 40k-wide region bands via
+    // the bucket-equi-join (no broadcast-nested-loop); residual BETWEEN
+    // filter applies exact bounds. The oracle is the plain interval join.
+    "j5_range_join_bucketed" -> Q(
+      (s, dir) => {
+        val bands = Tables.region(s, dir).select(col("r_name"),
+          (col("r_regionkey").cast("long") * 40000L).as("lo"),
+          (col("r_regionkey").cast("long") * 40000L + 39999L).as("hi"))
+        val pts = Tables.orders(s, dir)
+          .select(col("o_orderkey"), floor(col("o_totalprice")).as("p"))
+        Joins.rangeJoinBucketed(pts, bands, "p", "lo", "hi", width = 10000L)
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n"), min(col("p")).as("min_p"),
+            max(col("p")).as("max_p"))
+      },
+      Some("""SELECT r_name, CAST(count(*) AS BIGINT) AS n,
+             |min(p) AS min_p, max(p) AS max_p
+             |FROM (SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS p
+             |      FROM orders) pts
+             |JOIN (SELECT r_name, r_regionkey * 40000 AS lo,
+             |             r_regionkey * 40000 + 39999 AS hi FROM region) bands
+             |ON p >= lo AND p <= hi GROUP BY 1""".stripMargin)),
+
+    // Deterministic 80/10/10 split: split membership is a pure function
+    // of hash60(doc_id) — rerun/engine/partitioning invariant.
+    "llm_split_hash" -> Q(
+      (s, dir) => Curation.hashSplit(Tables.documents(s, dir), "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select(col("doc_id"), col("split")),
+      Some(s"""SELECT doc_id,
+              |CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+              |     ELSE 'test' END AS split
+              |FROM (SELECT doc_id,
+              |  ${h60("CAST(doc_id AS VARCHAR)")} % 100 AS b
+              |  FROM documents)""".stripMargin)),
+
+    // Per-language quota sample: at most 400 docs per lang, picked by
+    // deterministic hash order (not first-seen, which is partitioning-
+    // dependent).
+    "llm_quota_sample" -> Q(
+      (s, dir) => Curation.quotaSample(Tables.documents(s, dir),
+        "lang", "doc_id", quota = 400)
+        .select(col("doc_id"), col("lang")),
+      Some(s"""SELECT doc_id, lang FROM (
+              |  SELECT doc_id, lang, row_number() OVER
+              |    (PARTITION BY lang
+              |     ORDER BY ${h60("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+              |  FROM documents) WHERE rn <= 400""".stripMargin)),
+
+    // Token-budget sharding: ~20k tokens per training shard in the
+    // deterministic hash order. The Spark side is the two-phase prefix
+    // sum; the oracle is the straightforward global window (fine for an
+    // oracle, wrong for 100 TB) — they must agree exactly.
+    "llm_pack_shards" -> Q(
+      (s, dir) => Curation.packByTokenBudget(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(graft.llm.TextOps.tokens(col("text"))).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 20000L)
+        .select(col("doc_id"), col("n_tokens"), col("shard")),
+      Some(s"""SELECT doc_id, n_tokens,
+              |CAST(floor(COALESCE(sum(n_tokens) OVER
+              |  (ORDER BY h, doc_id
+              |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |  / 20000) AS BIGINT) AS shard
+              |FROM (SELECT doc_id,
+              |        CAST(len(${toksSql("text")}) AS INT) AS n_tokens,
+              |        ${h60("CAST(doc_id AS VARCHAR)")} AS h
+              |      FROM documents)""".stripMargin)),
+
+    // Benchmark decontamination: documents sharing any word 3-shingle
+    // with the benchmark slice (doc_id % 97 = 0) are dropped; survivors
+    // listed. Semi-join on shingle hash + anti-join on id — never
+    // pairwise.
+    "llm_decontaminate" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val bench = docs.filter(col("doc_id") % 97 === 0)
+        val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        Curation.decontaminate(corpus, bench, "doc_id", "text", shingleK = 3)
+          .select(col("doc_id"), col("lang"))
+      },
+      Some(s"""WITH sh AS (SELECT doc_id,
+              |  unnest(${shinglesSql(toksSql("text"))}) AS s0 FROM documents),
+              |hs AS (SELECT doc_id, ${h60("s0")} AS s FROM sh),
+              |bench AS (SELECT DISTINCT s FROM hs WHERE doc_id % 97 = 0),
+              |bad AS (SELECT DISTINCT doc_id FROM hs
+              |        WHERE doc_id % 97 <> 0
+              |          AND s IN (SELECT s FROM bench))
+              |SELECT doc_id, lang FROM documents
+              |WHERE doc_id % 97 <> 0
+              |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin)),
+
+    // Corpus vocabulary: top 100 tokens by frequency, (n desc, token)
+    // deterministic ties. Plan: TakeOrderedAndProject over a map-side-
+    // combined count — no global sort.
+    "llm_vocab_topk" -> Q(
+      (s, dir) => Curation.vocabTopK(Tables.documents(s, dir), "text", 100),
+      Some(s"""SELECT token, CAST(count(*) AS BIGINT) AS n
+              |FROM (SELECT unnest(${toksSql("text")}) AS token FROM documents)
+              |WHERE token <> ''
+              |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin)))
+}

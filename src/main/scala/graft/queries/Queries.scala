@@ -316,7 +316,8 @@ object Queries {
              |FROM lineitem GROUP BY 1, 2""".stripMargin)))
 
   /** All queries, all families. */
-  def all: Map[String, Q] = relational ++ SourceQueries.all ++ LlmQueries.all
+  def all: Map[String, Q] =
+    relational ++ SourceQueries.all ++ LlmQueries.all ++ CurationQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }

@@ -1,0 +1,101 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.Joins
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(sf("documents"))
+
+  test("hashSplit labels every row, rejects bad percents, and is " +
+    "partitioning-invariant") {
+    val split = Curation.hashSplit(docs, "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    assert(split.filter(col("split").isNull).count() === 0)
+    val byName = split.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    assert(byName.keySet === Set("train", "val", "test"))
+    assert(byName("train") > byName("val")) // 80% dwarfs 10% at n=100
+    // Same rows land in the same split regardless of physical layout.
+    val reparted = Curation.hashSplit(docs.repartition(13), "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    assert(split.select("doc_id", "split")
+      .except(reparted.select("doc_id", "split")).count() === 0)
+    intercept[IllegalArgumentException] {
+      Curation.hashSplit(docs, "doc_id", Seq("a" -> 50, "b" -> 40))
+    }
+  }
+
+  test("quotaSample keeps at most quota per key, deterministically") {
+    val q = Curation.quotaSample(docs, "lang", "doc_id", quota = 7)
+    val counts = q.groupBy("lang").count().as[(String, Long)].collect()
+    assert(counts.forall(_._2 <= 7))
+    val again = Curation.quotaSample(docs.repartition(11), "lang", "doc_id", 7)
+    assert(q.select("doc_id").except(again.select("doc_id")).count() === 0)
+  }
+
+  test("packByTokenBudget matches the naive global-window prefix sum") {
+    val withTokens = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).as("n_tokens"))
+    val packed = Curation.packByTokenBudget(withTokens, "doc_id", "n_tokens",
+      budget = 500L, prefixBits = 4)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    // Naive reference: one global ordered pass on the driver.
+    val ordered = withTokens
+      .withColumn("h", TextOps.hash60(col("doc_id").cast("string")))
+      .select("doc_id", "n_tokens", "h").as[(Long, Int, Long)]
+      .collect().sortBy(r => (r._3, r._1))
+    var cum = 0L
+    ordered.foreach { case (id, n, _) =>
+      assert(packed(id) === cum / 500L, s"doc $id")
+      cum += n
+    }
+    // Every shard except the last is filled to at least the budget minus
+    // one doc (no premature shard break).
+    val shardTotals = ordered.map { case (id, n, _) => (packed(id), n.toLong) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val lastShard = shardTotals.keys.max
+    val maxDoc = ordered.map(_._2).max
+    shardTotals.filter(_._1 != lastShard).values
+      .foreach(t => assert(t + maxDoc >= 500L))
+  }
+
+  test("decontaminate drops exactly the docs sharing a shingle with the " +
+    "benchmark") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "totally unrelated words here"),
+      (3L, "beta gamma delta epsilon")).toDF("id", "text")
+    val bench = Seq((100L, "alpha beta gamma zeta")).toDF("id", "text")
+    // doc 1 shares shingle "alpha beta gamma"; doc 3 shares none of the
+    // 3-shingles with bench; doc 2 shares nothing.
+    val out = Curation.decontaminate(corpus, bench, "id", "text", 3)
+      .select("id").as[Long].collect().toSet
+    assert(out === Set(2L, 3L))
+  }
+
+  test("vocabTopK returns highest-count tokens with deterministic ties") {
+    val df = Seq("a a a b b c", "b c d", "  A  ").toDF("text")
+    val top = Curation.vocabTopK(df, "text", 3).as[(String, Long)].collect()
+    assert(top.toSeq === Seq(("a", 4L), ("b", 3L), ("c", 2L)))
+    val plan = Curation.vocabTopK(docs, "text", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("rangeJoinBucketed equals the plain theta range join") {
+    val points = (0L to 300L by 7L).toDF("p")
+    val intervals = Seq((0L, 49L, "a"), (25L, 60L, "b"), (200L, 300L, "c"))
+      .toDF("lo", "hi", "tag")
+    val theta = Joins.rangeJoin(points, intervals, $"p", $"lo", $"hi")
+      .select("p", "tag")
+    val bucketed = Joins.rangeJoinBucketed(points, intervals, "p", "lo", "hi",
+      width = 16L).select("p", "tag")
+    assert(bucketed.except(theta).count() === 0)
+    assert(theta.except(bucketed).count() === 0)
+    assert(bucketed.count() === theta.count())
+  }
+}
