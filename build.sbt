@@ -33,5 +33,20 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Dozens of queries in one JVM generate enough codegen classes to fill
+  // the default 240m code cache; when it fills, the JIT disables itself
+  // until the sweeper catches up and whole stages run interpreted
+  // (10-50x). Oversize the cache and always compile large generated
+  // methods.
+  "-XX:ReservedCodeCacheSize=2g",
+  "-XX:-DontCompileHugeMethods",
+  // Shuffle files / spill / localCheckpoint blocks on tmpfs: the VM's
+  // block device shows bursty multi-second IO stalls that randomly
+  // inflate shuffle-heavy queries 10-20x; shuffle volumes here are tiny
+  // (MBs) so RAM-backed local dirs are safe.
+  "-Dspark.local.dir=/dev/shm/spark-local",
+  // 32 concurrent local tasks need headroom: an 8g heap showed
+  // timing-dependent many-x GC swings on the CPU-heavy text queries
+  // (the host has 128 GiB; the forked JVM is the only Spark process).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

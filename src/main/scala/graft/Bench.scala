@@ -16,6 +16,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE's partition coalescing merges by BYTE size, but the text/dedup
+      // stages here are CPU-bound per row at kilobyte sizes — coalescing
+      // serialized them onto 1-2 cores with 10-30x timing swings. At real
+      // cluster scale (GB-sized partitions) the bytes proxy is sound and
+      // this stays on.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

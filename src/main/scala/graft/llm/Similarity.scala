@@ -137,10 +137,18 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import graft.functions.VectorFunctions.{dot => dotc}
-    val feat = corpus.select(col(idCol).as("cand_id"),
-      asDouble(col(vecCol)).as("cv"),
-      array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
+    // Spread a single-file corpus before the iterative training pass
+    // (KMeans aggregates once per iteration — one input partition would
+    // serialize every iteration onto one core).
+    val feat = Dedup.ensureParallelism(
+        corpus.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"),
+          array_to_vector(col(vecCol)).as("features")))
+      .localCheckpoint(false) // training iterates; don't re-scan per pass
+    // Random init (seeded → still deterministic) instead of k-means||: the
+    // parallel init alone costs ~5 Spark jobs, more than the training it
+    // saves at coarse-quantizer cell counts.
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(8)
+      .setInitMode("random")
       .setFeaturesCol("features").fit(feat)
     val cells = model.transform(feat)
       .select(col("cand_id"), col("cv"), col("prediction").as("cell"))

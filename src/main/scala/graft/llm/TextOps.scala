@@ -60,15 +60,22 @@ object TextOps {
     * row silently drops out of a dedup pass.
     */
   def wordShingles(text: Column, k: Int): Column = {
-    val ws = tokens(text)
-    val nShingles = size(ws) - (k - 1)
+    // The token array is LET-BOUND once per row through a one-element
+    // `transform` lambda. Referencing `tokens(text)` directly from every
+    // element_at would duplicate the split+regexp subtree at each use
+    // site, and expression evaluation re-runs it per element — ~3k
+    // re-tokenizations of the document per row. Bound as a lambda
+    // variable, tokenization runs exactly once per row.
     // element_at is O(1) per word; the earlier slice() form allocated a
     // k-element array per shingle inside an interpreted lambda and was the
     // single hottest expression in the dedup pipelines.
-    array_distinct(
+    val shingled = transform(array(tokens(text)), ws => {
+      val nShingles = size(ws) - (k - 1)
       when(nShingles >= 1,
         transform(sequence(lit(1), nShingles),
           i => concat_ws(" ", (0 until k).map(o => element_at(ws, i + o)): _*)))
-        .otherwise(array(concat_ws(" ", ws))))
+        .otherwise(array(concat_ws(" ", ws)))
+    })
+    array_distinct(element_at(shingled, 1))
   }
 }
