@@ -505,6 +505,26 @@ object SourceQueries {
              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
              |FROM g GROUP BY user_id, sid""".stripMargin)),
 
+    // st4 - stream-stream interval join, batch parity: view -> purchase
+    // attribution within 30 minutes per user. In streaming both sides
+    // buffer bounded state (watermark + time-range join condition).
+    "st4_interval_join" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        graft.streaming.Streams.intervalJoin(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"),
+          key = "user_id", horizon = "30 minutes", watermark = "1 hour")
+          .select(col("l_id"), col("r_id"))
+      },
+      Some("""SELECT v.event_id AS l_id, p.event_id AS r_id
+             |FROM events v JOIN events p ON v.user_id = p.user_id
+             |AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+             |AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP)
+             |    + INTERVAL 30 MINUTE
+             |WHERE v.event_type = 'view'
+             |AND p.event_type = 'purchase'""".stripMargin)),
+
     // Anomaly flagging: per-type z-score outliers. The mean/variance come
     // from EXACT decimal sums (order-independent), so the derived doubles
     // and the z filter are engine-identical - no stddev_samp (whose

@@ -88,6 +88,41 @@ object Streams {
       }
   }
 
+  /** Streaming ingestion dedup: drop events whose id was already seen,
+    * keeping state only within the watermark horizon. This is THE
+    * streaming guard for at-least-once upstreams (replayed Kafka batches,
+    * retried uploads): unbounded `dropDuplicates` state would grow
+    * forever at 100 TB/day; `dropDuplicatesWithinWatermark` evicts ids
+    * once the watermark passes, bounding state to (event rate x
+    * watermark). In batch the same call degrades to plain dropDuplicates.
+    */
+  def dedupWithinWatermark(events: DataFrame, idCols: Seq[String],
+                           watermark: String): DataFrame = {
+    val withWm = events.withWatermark("ts", watermark)
+    if (events.isStreaming) withWm.dropDuplicatesWithinWatermark(idCols)
+    else withWm.dropDuplicates(idCols)
+  }
+
+  /** Stream-stream interval join: pair each left event with right events
+    * of the same key within `[left.ts, left.ts + horizon]`. Both sides
+    * carry watermarks and the join condition bounds the time range, so
+    * Spark can evict buffered state for both inputs — the standard
+    * attribution shape (e.g. view -> click within an hour). Works
+    * identically in batch (plain range-condition join).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   horizon: String, watermark: String): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(key).as("l_key"), col("ts").as("l_ts"),
+        col("event_id").as("l_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(key).as("r_key"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"))
+    l.join(r, col("l_key") === col("r_key") &&
+      col("r_ts") >= col("l_ts") &&
+      col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
+  }
+
   /** Streaming output mode for the window aggregations: Append emits each
     * window once, when the watermark passes it — the mode a downstream
     * exactly-once sink (parquet/Delta) wants.

@@ -11,6 +11,9 @@ import graft.SparkSpec
 case class Ev(ts: java.sql.Timestamp, event_type: String,
               user_id: Long, value: Double)
 
+case class IdEv(event_id: Long, ts: java.sql.Timestamp, event_type: String,
+                user_id: Long)
+
 /** Streaming semantics: replay the same rows through MemoryStream and
   * assert the incremental result equals the batch result of the SAME
   * transform — the unified-model contract the driver's batch-parity
@@ -150,6 +153,60 @@ class StreamsSpec extends SparkSpec {
       assert(written.groupBy("event_type", "user_id", "value").count()
         .filter($"count" > 1).count() === 0)
     } finally q2.stop()
+  }
+
+  test("dedupWithinWatermark drops replayed ids across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[IdEv]
+    val q = Streams.dedupWithinWatermark(mem.toDF(), Seq("event_id"),
+      "1 hour")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(IdEv(1, ts(0), "click", 1), IdEv(2, ts(1), "view", 1),
+        IdEv(1, ts(0), "click", 1)) // duplicate inside one batch
+      q.processAllAvailable()
+      // at-least-once upstream replays id 1 and 2 in a later micro-batch
+      mem.addData(IdEv(2, ts(1), "view", 1), IdEv(3, ts(5), "click", 2))
+      q.processAllAvailable()
+      val out = spark.table("dedup_test")
+      assert(out.count() === 3) // ids 1, 2, 3 exactly once
+      assert(out.groupBy("event_id").count().filter($"count" > 1).count() === 0)
+      // batch mode: same transform, plain dropDuplicates
+      val batchIn = Seq(IdEv(1, ts(0), "click", 1), IdEv(1, ts(0), "click", 1),
+        IdEv(2, ts(1), "view", 1)).toDF()
+      assert(Streams.dedupWithinWatermark(batchIn, Seq("event_id"), "1 hour")
+        .count() === 2)
+    } finally q.stop()
+  }
+
+  test("stream-stream intervalJoin attributes within horizon, both states bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[IdEv]
+    val purchases = MemoryStream[IdEv]
+    val joined = Streams.intervalJoin(views.toDF(), purchases.toDF(),
+      key = "user_id", horizon = "30 minutes", watermark = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ij_test")
+      .outputMode("append").start()
+    try {
+      views.addData(IdEv(10, ts(0), "view", 1), IdEv(11, ts(5), "view", 2))
+      purchases.addData(
+        IdEv(20, ts(10), "purchase", 1),  // 10 min after view 10 -> match
+        IdEv(21, ts(50), "purchase", 2),  // 45 min after view 11 -> no match
+        IdEv(22, ts(4), "purchase", 1))   // after view 10 (4 min) -> match
+      q.processAllAvailable()
+      val got = spark.table("ij_test").select("l_id", "r_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got === Set((10L, 20L), (10L, 22L)))
+      // batch parity: identical pairs from the same transform on static DFs
+      val batch = Streams.intervalJoin(
+        Seq(IdEv(10, ts(0), "view", 1), IdEv(11, ts(5), "view", 2)).toDF(),
+        Seq(IdEv(20, ts(10), "purchase", 1), IdEv(21, ts(50), "purchase", 2),
+          IdEv(22, ts(4), "purchase", 1)).toDF(),
+        "user_id", "30 minutes", "1 hour")
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+      assert(batch === got)
+    } finally q.stop()
   }
 
   test("slidingCounts emits overlapping windows") {
