@@ -24,6 +24,9 @@ object GraftExtensions {
     ("graft_dot",
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    ("graft_hash60",
+      new ExpressionInfo(classOf[Hash60Expr].getName, "graft_hash60"),
+      (children: Seq[Expression]) => Hash60Expr(children.head)),
     ("graft_top_k",
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_top_k"),
       (children: Seq[Expression]) => {

@@ -23,11 +23,14 @@ object TextOps {
   /** A 60-bit non-negative hash of a string column: the first 15 hex chars
     * of MD5, parsed base-16. 60 bits keeps the value strictly inside a
     * signed 64-bit long in every engine (no overflow-to-null edge), and
-    * `conv` + `cast` mirrors DuckDB's `CAST('0x' || substr(md5(x),1,15) AS
-    * BIGINT)` exactly.
+    * the value mirrors DuckDB's `CAST('0x' || substr(md5(x),1,15) AS
+    * BIGINT)` exactly. Evaluated by the native codegen'd
+    * [[graft.functions.Hash60Expr]] (the composed
+    * `conv(substring(md5(x),1,15),16,10)` form allocates two strings and
+    * a radix parse per call — this is the hottest primitive in the
+    * engine).
     */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def hash60(c: Column): Column = graft.functions.HashFunctions.hash60(c)
 
   /** Salted 60-bit hash: one independent hash function per integer salt. */
   def hash60Salted(c: Column, salt: Int): Column =

@@ -26,6 +26,29 @@ class FunctionsSpec extends SparkSpec {
     assert(r === 32.0)
   }
 
+  test("Hash60Expr is identical to the composed conv(substring(md5)) form") {
+    val docs = spark.read.parquet(sf("documents"))
+      .select($"doc_id".cast("string").as("s"))
+      .union(Seq("", " ", "a", "é中文", "0", "-1").toDF("s"))
+    val cmp = docs.select(
+      HashFunctions.hash60($"s").as("native"),
+      conv(substring(md5($"s"), 1, 15), 16, 10).cast("long").as("composed"))
+    assert(cmp.filter($"native" =!= $"composed").count() === 0)
+    assert(cmp.filter($"native" < 0 || $"native" >= (1L << 60)).count() === 0)
+    // null in, null out
+    assert(Seq[Option[String]](None).toDF("s")
+      .select(HashFunctions.hash60($"s")).head().isNullAt(0))
+  }
+
+  test("graft_hash60 registers into the session and works from SQL") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT graft_hash60('abc') AS h").head().getLong(0)
+    val composed = spark.sql(
+      "SELECT CAST(conv(substring(md5('abc'), 1, 15), 16, 10) AS LONG) AS h")
+      .head().getLong(0)
+    assert(viaSql === composed)
+  }
+
   test("TopKByScore keeps the k best with merge across partitions") {
     val df = (1 to 1000).map(i => ("g" + (i % 2), i.toDouble, s"v$i"))
       .toDF("g", "score", "v").repartition(7) // force partial-agg merges
