@@ -27,6 +27,20 @@ object GraftExtensions {
     ("graft_hash60",
       new ExpressionInfo(classOf[Hash60Expr].getName, "graft_hash60"),
       (children: Seq[Expression]) => Hash60Expr(children.head)),
+    ("graft_hll",
+      new ExpressionInfo(classOf[HllSketch].getName, "graft_hll"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"graft_hll(hashed, p) takes 2 arguments, got ${children.length}")
+        val pExpr = children(1)
+        if (!pExpr.foldable) throw new IllegalArgumentException(
+          "graft_hll: p must be a literal integer")
+        pExpr.eval(null) match {
+          case n: Number => HllSketch(children.head, n.intValue())
+          case other => throw new IllegalArgumentException(
+            s"graft_hll: p must be an integer literal, got $other")
+        }
+      }),
     ("graft_top_k",
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_top_k"),
       (children: Seq[Expression]) => {

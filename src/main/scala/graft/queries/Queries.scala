@@ -243,6 +243,48 @@ object Queries {
       (s, dir) => Aggs.distinctCounts(Tables.lineitem(s, dir), "l_returnflag", "l_suppkey"),
       None),
 
+    // A2 upgrade - custom HLL sketch aggregate (TypedImperativeAggregate,
+    // O(2^p) mergeable register state, map-side partial merge). Unlike
+    // approx_count_distinct, every arithmetic step is engine-portable, so
+    // the ESTIMATE itself is oracle-checked exactly (integer bit-math
+    // rank, exact integer harmonic sum, pinned double formula).
+    "a2_hll_sketch" -> Q(
+      (s, dir) => Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_partkey"),
+          graft.llm.TextOps.hash60(col("l_partkey").cast("string")).as("h"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          graft.functions.SketchFunctions.hllEstimate(col("h"), 8).as("hll_est"),
+          countDistinct(col("l_partkey")).as("n_exact")),
+      Some {
+        val alpha = graft.functions.HllSketch.alpha(256)
+        s"""WITH h AS (SELECT l_returnflag, l_partkey,
+           |  CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+           |  FROM lineitem),
+           |b AS (SELECT l_returnflag, CAST(h >> 52 AS INT) AS bucket,
+           |  h & ((CAST(1 AS BIGINT) << 52) - 1) AS w FROM h),
+           |mx AS (SELECT l_returnflag, bucket,
+           |  MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS mj
+           |  FROM b GROUP BY 1, 2),
+           |regs AS (SELECT g.l_returnflag, r.range AS bucket,
+           |  COALESCE(mx.mj, 0) AS mj
+           |  FROM (SELECT DISTINCT l_returnflag FROM lineitem) g
+           |  CROSS JOIN range(256) r
+           |  LEFT JOIN mx ON mx.l_returnflag = g.l_returnflag
+           |    AND mx.bucket = r.range),
+           |sm AS (SELECT l_returnflag,
+           |  SUM(CAST(1 AS BIGINT) << (54 - mj)) AS sv FROM regs GROUP BY 1),
+           |ex AS (SELECT l_returnflag,
+           |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
+           |  FROM lineitem GROUP BY 1)
+           |SELECT sm.l_returnflag,
+           |  (CAST($alpha AS DOUBLE) * CAST(65536 AS DOUBLE)
+           |   * CAST(18014398509481984 AS DOUBLE)) / CAST(sv AS DOUBLE)
+           |    AS hll_est,
+           |  ex.n_exact
+           |FROM sm JOIN ex ON sm.l_returnflag = ex.l_returnflag""".stripMargin
+      }),
+
     // A2 - ROLLUP subtotal hierarchy.
     "a2_rollup" -> Q(
       (s, dir) => Tables.lineitem(s, dir)

@@ -49,6 +49,35 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql === composed)
   }
 
+  test("HllSketch estimates within 10% and is partitioning-invariant") {
+    import graft.llm.TextOps
+    val n = 20000
+    val df = (1 to n).map(_.toString).toDF("s")
+      .select(TextOps.hash60($"s").as("h"))
+    val est = df.agg(SketchFunctions.hllEstimate($"h", 8)).head().getDouble(0)
+    assert(math.abs(est - n) / n < 0.10, s"estimate $est for $n distinct")
+    // same values, different physical layout -> identical registers ->
+    // identical estimate (the merge is an elementwise max)
+    val est13 = df.repartition(13)
+      .agg(SketchFunctions.hllEstimate($"h", 8)).head().getDouble(0)
+    assert(est === est13)
+    // duplicates do not move the estimate
+    val withDups = df.union(df).union(df)
+      .agg(SketchFunctions.hllEstimate($"h", 8)).head().getDouble(0)
+    assert(withDups === est)
+  }
+
+  test("graft_hll registers into the session and rejects bad precision") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_hll(graft_hash60(CAST(x AS STRING)), 8) AS e " +
+        "FROM range(1000) t(x)").head().getDouble(0)
+    assert(math.abs(viaSql - 1000) / 1000 < 0.15)
+    intercept[Exception] {
+      spark.sql("SELECT graft_hll(CAST(1 AS BIGINT), 99)").collect()
+    }
+  }
+
   test("TopKByScore keeps the k best with merge across partitions") {
     val df = (1 to 1000).map(i => ("g" + (i % 2), i.toDouble, s"v$i"))
       .toDF("g", "score", "v").repartition(7) // force partial-agg merges
