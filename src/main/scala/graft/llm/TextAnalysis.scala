@@ -120,4 +120,37 @@ object TextAnalysis {
       aggregate(prefix, lit(0L), (acc, t) => (acc * 31L + hash60(t) % P) % P)
         .as("prefix_fp"))
   }
+
+  /** TF-IDF-style term relevance: per (doc, token) term frequency,
+    * corpus document frequency, and relevance = tf · N / df — the
+    * UNLOGGED tf-idf variant. Deliberately log-free: multiplication and
+    * division are exactly-rounded IEEE ops, so the score is bit-identical
+    * in any engine, while `ln` implementations may differ in the last ulp
+    * (Math.log is not a correctly-rounded operation).
+    *
+    * Shape at scale: one explode + two count aggregates; df joins back on
+    * the token (AQE broadcasts it when the vocabulary is small), and the
+    * corpus size joins as a broadcast scalar — no window over the corpus,
+    * no driver-side loop.
+    */
+  def termRelevance(df: DataFrame, idCol: String, textCol: String,
+                    minDf: Long = 1L): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val nDocs = df.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    tf.join(docFreq, Seq("token"))
+      .join(broadcast(nDocs), lit(true))
+      .withColumn("relevance",
+        (col("tf").cast("double") * col("n_docs").cast("double"))
+          / col("df").cast("double"))
+      .select(col(idCol), col("token"), col("tf"), col("df"),
+        col("n_docs"), col("relevance"))
+  }
 }

@@ -149,6 +149,25 @@ object CurationQueries {
               |WHERE doc_id % 97 <> 0
               |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin)),
 
+    // TF-IDF-style term relevance (log-free: tf * N / df, every op
+    // exactly-rounded IEEE, so even the double score hash-matches).
+    "llm_tfidf" -> Q(
+      (s, dir) => graft.llm.TextAnalysis.termRelevance(
+        Tables.documents(s, dir), "doc_id", "text"),
+      Some(s"""WITH toks AS (SELECT doc_id, t AS token
+              |  FROM (SELECT doc_id, unnest(${toksSql("text")}) AS t
+              |        FROM documents) WHERE t <> ''),
+              |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              |  FROM toks GROUP BY 1, 2),
+              |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+              |  FROM tf GROUP BY 1),
+              |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+              |  FROM documents)
+              |SELECT tf.doc_id, tf.token, tf.tf, dfq.df, n.n_docs,
+              |  (CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE))
+              |    / CAST(dfq.df AS DOUBLE) AS relevance
+              |FROM tf JOIN dfq USING (token) CROSS JOIN n""".stripMargin)),
+
     // Corpus vocabulary: top 100 tokens by frequency, (n desc, token)
     // deterministic ties. Plan: TakeOrderedAndProject over a map-side-
     // combined count — no global sort.

@@ -86,6 +86,22 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("termRelevance computes tf, df, and the unlogged tf-idf ratio") {
+    val df = Seq((1L, "cat cat dog"), (2L, "dog fish"), (3L, "cat")).toDF("id", "text")
+    val out = TextAnalysis.termRelevance(df, "id", "text")
+      .as[(Long, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._6)).toMap
+    assert(out((1L, "cat")) === ((2L, 2L, 3.0)))  // tf=2, df=2, 2*3/2
+    assert(out((2L, "fish")) === ((1L, 1L, 3.0))) // tf=1, df=1, 1*3/1
+    assert(out((3L, "cat")) === ((1L, 2L, 1.5)))
+    // 5 distinct (doc, token) pairs: (1,cat),(1,dog),(2,dog),(2,fish),(3,cat)
+    assert(out.size === 5)
+    // minDf prunes rare terms
+    val pruned = TextAnalysis.termRelevance(df, "id", "text", minDf = 2L)
+    assert(pruned.select("token").distinct().as[String].collect().toSet
+      === Set("cat", "dog"))
+  }
+
   test("rangeJoinBucketed equals the plain theta range join") {
     val points = (0L to 300L by 7L).toDF("p")
     val intervals = Seq((0L, 49L, "a"), (25L, 60L, "b"), (200L, 300L, "c"))
