@@ -57,6 +57,21 @@ object Similarity {
       .select("query_id", "cand_id", "cos", "rank")
   }
 
+  /** Unit-normalize an embedding column: v / ||v||, with the norm from the
+    * codegen'd dot fold. Normalized corpora make cosine a plain dot
+    * product — the standard pre-processing step before ANN indexing (one
+    * narrow projection, no shuffle; each element's division is an
+    * exactly-rounded IEEE op so the result is engine-portable).
+    */
+  def normalize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val v = asDouble(col(vecCol))
+    df.select(col(idCol), v.as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .select(col(idCol), col("norm"),
+        transform(col("v"), x => x / col("norm")).as("unit"))
+  }
+
   /** The weight of dimension i in deterministic hyperplane p: md5-derived,
     * uniform in [-1000, 1000] — a pure function of (p, i). No RNG, no seed
     * state; the same bucket function everywhere, forever.

@@ -197,6 +197,17 @@ object LlmQueries {
          |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.v", "b.v")} >= 0.35""".stripMargin)),
 
+    // Unit-normalization of the embedding corpus: the pre-ANN step that
+    // turns cosine into a plain dot product. Per-element division is an
+    // exactly-rounded IEEE op -> the full double array hash-matches.
+    "llm_normalize" -> Q(
+      (s, dir) => Similarity.normalize(
+        Tables.embeddings(s, dir), "vec_id", "embedding"),
+      Some(s"""$vecCte
+              |SELECT vec_id, sqrt(${dotSql("v", "v")}) AS norm,
+              |list_transform(v, x -> x / sqrt(${dotSql("v", "v")})) AS unit
+              |FROM v""".stripMargin)),
+
     // Brute-force cosine top-k: 10 query vectors vs the full corpus, k=5.
     "llm_sim_topk_brute" -> Q(
       (s, dir) => {

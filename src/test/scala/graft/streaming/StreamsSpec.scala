@@ -209,6 +209,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("HLL sketch aggregates incrementally in a streaming window") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.SketchFunctions
+    import graft.llm.TextOps
+    def distinctUsers(df: org.apache.spark.sql.DataFrame) = df
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(SketchFunctions.hllEstimate(
+        TextOps.hash60($"user_id".cast("string")), 8).as("est"))
+      .select($"w.start".as("ws"), $"est")
+    val mem = MemoryStream[Ev]
+    val q = distinctUsers(mem.toDF())
+      .writeStream.format("memory").queryName("hll_stream_test")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(3): _*) // sketch state must MERGE, not reset
+      q.processAllAvailable()
+      val streamed = spark.table("hll_stream_test").orderBy("ws").collect()
+      val batch = distinctUsers(rows.toDF()).orderBy("ws").collect()
+      assert(streamed.map(_.toString) === batch.map(_.toString))
+    } finally q.stop()
+  }
+
   test("slidingCounts emits overlapping windows") {
     val out = Streams.slidingCounts(rows.toDF(), "30 minutes", "15 minutes",
       "0 seconds")

@@ -27,12 +27,25 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     # Timestamps; the driver's compare treats DATE==DATE as equal (r02: s1/
     # p1/m2 green), so normalize dates to Timestamps before comparing.
     import datetime
+    import numpy as np
+
+    def to_tuple(x):
+        if isinstance(x, (list, tuple, np.ndarray)):
+            return tuple(to_tuple(e) for e in x)
+        if isinstance(x, dict):
+            return tuple(sorted((k, to_tuple(v)) for k, v in x.items()))
+        return x
+
     for c in df.columns:
         if df[c].dtype == object:
             v = df[c].dropna()
             if len(v) > 0 and isinstance(v.iloc[0], datetime.date) \
                     and not isinstance(v.iloc[0], datetime.datetime):
                 df[c] = pd.to_datetime(df[c])
+            elif len(v) > 0 and isinstance(
+                    v.iloc[0], (list, np.ndarray, dict)):
+                # arrays/structs: tuple-ize so multi-column row sort works
+                df[c] = df[c].map(to_tuple)
     if len(df) > 0:
         df = df.sort_values(by=list(df.columns), kind="mergesort",
                             na_position="first")
