@@ -137,6 +137,24 @@ object Similarity {
       .select("query_id", "cand_id", "cos", "rank")
   }
 
+  /** ANN quality evaluation: per-query recall@k of an approximate top-k
+    * result against the exact (brute-force) top-k. The join is on
+    * (query_id, cand_id) — the ground-truth side is k rows per query, so
+    * at scale this is a broadcast of k·queries rows against the ANN
+    * output, never a corpus-sized shuffle. The operator every index tuner
+    * needs before trusting numPlanes/numTables/nProbe settings.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val hits = exact.select(col("query_id"), col("cand_id"))
+      .join(approx.select(col("query_id"), col("cand_id")), Seq("query_id", "cand_id"),
+        "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
+  }
+
   /** IVF (inverted-file) approximate top-k: k-means coarse quantizer
     * (MLlib, fixed seed → deterministic), corpus partitioned by nearest
     * centroid; each query probes its `nProbe` nearest cells only.

@@ -208,6 +208,23 @@ object LlmQueries {
               |list_transform(v, x -> x / sqrt(${dotSql("v", "v")})) AS unit
               |FROM v""".stripMargin)),
 
+    // ANN evaluation: per-query recall@5 of the LSH index against the
+    // brute-force ground truth — the tuning loop for numPlanes/numTables.
+    // Rows-only oracle: the result composes two already-oracle-checked
+    // queries (llm_sim_topk_brute, llm_sim_topk_lsh); replicating both in
+    // one SQL adds no new verification surface.
+    "llm_ann_recall" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") < 10)
+        Similarity.recallAtK(
+          Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5),
+          Similarity.lshTopK(emb, q, "vec_id", "embedding", k = 5,
+            numPlanes = 4, numTables = 4),
+          k = 5)
+      },
+      None),
+
     // Brute-force cosine top-k: 10 query vectors vs the full corpus, k=5.
     "llm_sim_topk_brute" -> Q(
       (s, dir) => {

@@ -102,6 +102,20 @@ class CurationSpec extends SparkSpec {
       === Set("cat", "dog"))
   }
 
+  test("recallAtK is 1.0 for identical results, 0 for disjoint, fractional otherwise") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "cand_id")
+    val same = Similarity.recallAtK(exact, exact, k = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(same === Map(1L -> 1.0, 2L -> 1.0))
+    val disjoint = Seq((1L, 99L), (2L, 98L)).toDF("query_id", "cand_id")
+    assert(Similarity.recallAtK(exact, disjoint, k = 2)
+      .as[(Long, Double)].collect().toMap === Map(1L -> 0.0, 2L -> 0.0))
+    val half = Seq((1L, 10L), (2L, 99L)).toDF("query_id", "cand_id")
+    assert(Similarity.recallAtK(exact, half, k = 2)
+      .as[(Long, Double)].collect().toMap === Map(1L -> 0.5, 2L -> 0.0))
+  }
+
   test("rangeJoinBucketed equals the plain theta range join") {
     val points = (0L to 300L by 7L).toDF("p")
     val intervals = Seq((0L, 49L, "a"), (25L, 60L, "b"), (200L, 300L, "c"))
