@@ -25,27 +25,38 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the bench artifact is one parseable JSON line, and
+    // task-retry WARN traces interleaving with it have corrupted the
+    // artifact before (r2) — all failure detail goes in the JSON instead.
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm the JVM/codegen/IO paths once so the first timed query is not
     // charged for session startup.
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val failed = Seq.newBuilder[String]
+    val failed = Seq.newBuilder[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        // Failure detail belongs IN the JSON, nowhere else: stderr traces
+        // interleaving with stdout have made the artifact unparseable
+        // before. One sanitized line per failure, stack kept out.
+        failed += name -> jsonStr(
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).takeWhile(_ != '\n')}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // Drop blocks the finished query left behind (localCheckpoint /
-      // cache): 57 queries share one JVM, and accumulated blocks otherwise
+      // cache): ~70 queries share one JVM, and accumulated blocks otherwise
       // build heap pressure until some later query pays for it in GC and
       // spill — a timing-dependent many-x slowdown. Cleanup runs OUTSIDE
       // the timed window; each query starts from a clean block manager.
+      // INVARIANT this sweep relies on: no cached/localCheckpointed frame
+      // may outlive its query — unpersisting a checkpointed RDD whose
+      // lineage was truncated makes its blocks unrecoverable, so any
+      // cross-query cached state in Tables would turn into runtime
+      // failures, not recomputation.
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
@@ -53,15 +64,33 @@ object Bench {
     }
     // A failed query must be visible IN the JSON (stderr is routinely
     // discarded): its time is replaced with the -1 sentinel and its name
-    // listed, so a green-looking total can't hide a regression.
-    val failedSet = failed.result().toSet
+    // listed with the error line, so a green-looking total can't hide a
+    // regression.
+    val failures = failed.result().toMap
     val qs = results.map { case (k, v) =>
-      val shown = if (failedSet.contains(k)) -1.0 else v
+      val shown = if (failures.contains(k)) -1.0 else v
       "\"" + k + f"""":$shown%.3f"""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (k, v) if !failedSet.contains(k) => v }.sum
-    val failedJson = failedSet.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val total = results.collect { case (k, v) if !failures.contains(k) => v }.sum
+    val failedJson = failures.keys.toSeq.sorted
+      .map(n => s"""{"name":"$n","error":"${failures(n)}"}""")
+      .mkString("[", ",", "]")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     spark.stop()
+    // Printed AFTER stop so executor/shutdown logging cannot trail the
+    // JSON: the artifact's last line is always the parseable result.
+    println(line)
   }
+
+  /** Escape a string for embedding in a JSON literal (one line, no
+    * quotes/backslashes/control chars survive).
+    */
+  private def jsonStr(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    }
 }

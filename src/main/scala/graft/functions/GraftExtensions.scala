@@ -23,10 +23,18 @@ object GraftExtensions {
   private val injections: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_dot",
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+      (children: Seq[Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"graft_dot(a, b) takes 2 arguments, got ${children.length}")
+        DotProduct(children(0), children(1))
+      }),
     ("graft_hash60",
       new ExpressionInfo(classOf[Hash60Expr].getName, "graft_hash60"),
-      (children: Seq[Expression]) => Hash60Expr(children.head)),
+      (children: Seq[Expression]) => {
+        if (children.length != 1) throw new IllegalArgumentException(
+          s"graft_hash60(s) takes 1 argument, got ${children.length}")
+        Hash60Expr(children.head)
+      }),
     ("graft_hll",
       new ExpressionInfo(classOf[HllSketch].getName, "graft_hll"),
       (children: Seq[Expression]) => {

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -61,5 +61,45 @@ object Windows {
       .withColumn("moving_sum", sum(col(measure)).over(moving))
       .withColumn("running_sum", sum(col(measure)).over(cumulative))
       .withColumn("rn", row_number().over(w))
+  }
+
+  /** The warehouse `SERIAL` surrogate key (`code/sql/DDLs:3,19`) as a dense
+    * 1-based id over an EXPLICIT total ordering — reproducible, unlike
+    * insert-order serials or `monotonically_increasing_id` (which is
+    * partition-dependent and non-dense).
+    *
+    * Scale shape: a naive `row_number().over(Window.orderBy(...))` collapses
+    * the whole table into one partition. Instead: range-repartition on the
+    * order keys, number rows locally per partition, and add each partition's
+    * prefix-sum offset (a window over #partitions rows — driver-small). Two
+    * shuffles of the data at most, full parallelism throughout; the same
+    * two-phase prefix-sum shape as `Curation.packShards`.
+    *
+    * `order` MUST be a total order (unique key set) — with duplicate keys,
+    * rows that straddle a range-partition boundary would be numbered
+    * arbitrarily and the output would not be reproducible.
+    */
+  def surrogateKey(df: DataFrame, idName: String, order: Column*): DataFrame = {
+    // The __pid-tagged frame feeds two consumers (the offset aggregate and
+    // the final join). A lazy local checkpoint materializes it ONCE: both
+    // consumers then see the SAME range boundaries — re-evaluating the
+    // range exchange per consumer can sample different boundaries, which
+    // desynchronizes offsets from local row numbers. With consistent
+    // boundaries the result is boundary-independent: offset + local ==
+    // global rank under the total order, wherever the cuts fall.
+    val local = df.repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__local",
+        row_number().over(Window.partitionBy(col("__pid")).orderBy(order: _*)))
+      .localCheckpoint(false)
+    val offsets = local.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__offset", coalesce(
+        sum(col("__n")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__offset")
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(idName, (col("__offset") + col("__local")).cast("long"))
+      .drop("__pid", "__local", "__offset")
   }
 }

@@ -199,20 +199,26 @@ object LlmQueries {
 
     // Unit-normalization of the embedding corpus: the pre-ANN step that
     // turns cosine into a plain dot product. Per-element division is an
-    // exactly-rounded IEEE op -> the full double array hash-matches.
+    // exactly-rounded IEEE op, so every component hash-matches. The query
+    // edge posexplodes the unit vector into scalar (vec_id, norm, pos,
+    // value) rows — the driver's oracle comparator sorts cell values, and
+    // an array-typed cell is unsortable there; scalar rows also verify
+    // MORE (per-element equality, not whole-array stringification).
     "llm_normalize" -> Q(
       (s, dir) => Similarity.normalize(
-        Tables.embeddings(s, dir), "vec_id", "embedding"),
+          Tables.embeddings(s, dir), "vec_id", "embedding")
+        .select(col("vec_id"), col("norm"),
+          posexplode(col("unit")).as(Seq("pos", "value"))),
       Some(s"""$vecCte
               |SELECT vec_id, sqrt(${dotSql("v", "v")}) AS norm,
-              |list_transform(v, x -> x / sqrt(${dotSql("v", "v")})) AS unit
+              |CAST(unnest(range(0, len(v))) AS INT) AS pos,
+              |unnest(list_transform(v, x -> x / sqrt(${dotSql("v", "v")}))) AS value
               |FROM v""".stripMargin)),
 
     // ANN evaluation: per-query recall@5 of the LSH index against the
     // brute-force ground truth — the tuning loop for numPlanes/numTables.
-    // Rows-only oracle: the result composes two already-oracle-checked
-    // queries (llm_sim_topk_brute, llm_sim_topk_lsh); replicating both in
-    // one SQL adds no new verification surface.
+    // The oracle composes the brute + LSH twins (both independently
+    // hash-verified below) with the semi-join recall computation.
     "llm_ann_recall" -> Q(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
@@ -223,7 +229,41 @@ object LlmQueries {
             numPlanes = 4, numTables = 4),
           k = 5)
       },
-      None),
+      Some {
+        val bucket = (v: String, t: Int) => (0 until 4).map(p =>
+          s"(CASE WHEN ${projSql(v, t * 4 + p)} >= 0 THEN ${1L << p} ELSE 0 END)")
+          .mkString("(", " + ", ")::BIGINT")
+        val bv = (0 until 4).map(t =>
+          s"SELECT vec_id, v, $t AS tbl, ${bucket("v", t)} AS bucket FROM v")
+          .mkString("\nUNION ALL\n")
+        s"""$vecCte,
+           |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           |  ${cosSql("q.v", "c.v")} AS cos
+           |  FROM v c JOIN v q ON c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 10),
+           |exact AS (SELECT query_id, cand_id FROM
+           |  (SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+           |     ORDER BY cos DESC, cand_id) AS rank FROM scored)
+           |  WHERE rank <= 5),
+           |bv AS ($bv),
+           |cand AS (SELECT DISTINCT q.vec_id AS query_id, q.v AS qv,
+           |  c.vec_id AS cand_id, c.v AS cv
+           |  FROM bv c JOIN bv q
+           |  ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 10),
+           |approx AS (SELECT query_id, cand_id FROM
+           |  (SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+           |     ORDER BY ${cosSql("qv", "cv")} DESC, cand_id) AS rank FROM cand)
+           |  WHERE rank <= 5),
+           |hits AS (SELECT e.query_id, count(*) AS n_hits
+           |  FROM exact e JOIN approx a
+           |  ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+           |  GROUP BY 1)
+           |SELECT q.query_id,
+           |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5 AS recall
+           |FROM (SELECT DISTINCT query_id FROM exact) q
+           |LEFT JOIN hits h ON q.query_id = h.query_id""".stripMargin
+      }),
 
     // Brute-force cosine top-k: 10 query vectors vs the full corpus, k=5.
     "llm_sim_topk_brute" -> Q(

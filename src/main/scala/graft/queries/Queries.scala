@@ -309,6 +309,17 @@ object Queries {
 
     // W2 - per-key ordered analytics: lag, 3-row moving sum, running sum,
     // row_number. Decimal measure keeps cross-engine sums exact.
+    // The DDL SERIAL surrogate key (`code/sql/DDLs:3,19`) over an explicit
+    // total order — the distributed two-phase prefix-sum shape, never a
+    // single-partition global window (see Windows.surrogateKey scaladoc).
+    "serial_surrogate_key" -> Q(
+      (s, dir) => Windows.surrogateKey(
+        Tables.customer(s, dir).select("c_custkey", "c_name"),
+        "id", col("c_custkey")),
+      Some("""SELECT c_custkey, c_name,
+             |CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS id
+             |FROM customer""".stripMargin)),
+
     "w2_keyed_window" -> Q(
       (s, dir) => Windows.keyedAnalytics(
         Tables.orders(s, dir).select(

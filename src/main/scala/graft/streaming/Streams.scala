@@ -97,8 +97,8 @@ object Streams {
     * watermark). In batch the same call degrades to plain dropDuplicates.
     */
   def dedupWithinWatermark(events: DataFrame, idCols: Seq[String],
-                           watermark: String): DataFrame = {
-    val withWm = events.withWatermark("ts", watermark)
+                           watermark: String, tsCol: String = "ts"): DataFrame = {
+    val withWm = events.withWatermark(tsCol, watermark)
     if (events.isStreaming) withWm.dropDuplicatesWithinWatermark(idCols)
     else withWm.dropDuplicates(idCols)
   }
@@ -111,13 +111,14 @@ object Streams {
     * identically in batch (plain range-condition join).
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
-                   horizon: String, watermark: String): DataFrame = {
-    val l = left.withWatermark("ts", watermark)
-      .select(col(key).as("l_key"), col("ts").as("l_ts"),
-        col("event_id").as("l_id"))
-    val r = right.withWatermark("ts", watermark)
-      .select(col(key).as("r_key"), col("ts").as("r_ts"),
-        col("event_id").as("r_id"))
+                   horizon: String, watermark: String,
+                   tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+      .select(col(key).as("l_key"), col(tsCol).as("l_ts"),
+        col(idCol).as("l_id"))
+    val r = right.withWatermark(tsCol, watermark)
+      .select(col(key).as("r_key"), col(tsCol).as("r_ts"),
+        col(idCol).as("r_id"))
     l.join(r, col("l_key") === col("r_key") &&
       col("r_ts") >= col("l_ts") &&
       col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
