@@ -10,8 +10,9 @@ import TextOps.hash60
   *
   * Scale design: the brute-force path is the *correctness baseline* — a
   * broadcast of the (small) query set against the full corpus, scored in a
-  * single codegen'd projection, reduced per-query with a top-k window (no
-  * global sort, no corpus self-join). The LSH path is the 100 TB plan:
+  * single codegen'd projection, reduced per-query with a map-side-combined
+  * bounded-heap aggregate (no global sort, no per-query sort, no corpus
+  * self-join). The LSH path is the 100 TB plan:
   * sign-random-projection buckets shrink each probe to one bucket's worth
   * of candidates, and the bucket key is computed from deterministic
   * hyperplanes (md5-derived), so plans and results are reproducible
@@ -33,11 +34,44 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Per-query top-k of a scored candidate frame via the bounded-heap
+    * [[graft.functions.TopKByScore]] aggregate. The window alternative
+    * (`row_number` partitioned by query) sorts each query's FULL candidate
+    * list in one task — parallelism = #queries and a hot query's
+    * candidates all land on one core. The heap aggregate is a proper
+    * partial aggregate: O(n log k) map-side, k rows per query per
+    * partition on the shuffle, no per-query sort anywhere.
+    *
+    * Tie-break parity with `ORDER BY cos DESC, cand_id ASC`: the heap
+    * orders (score DESC, payload ASC) on the STRING payload, so integral
+    * ids are zero-padded to fixed width (lexicographic == numeric for
+    * non-negative ids — negative integral ids are not supported here) and
+    * cast back on the way out.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int,
+                           idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import graft.functions.AggFunctions.topK
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val payload = idType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        lpad(col("cand_id").cast("string"), 20, "0")
+      case _ => col("cand_id").cast("string")
+    }
+    scored.groupBy(col("query_id"))
+      .agg(topK(col("cos"), payload, k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"),
+        col("e.value").cast(idType).as("cand_id"),
+        col("e.score").as("cos"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Brute-force cosine top-k: for every query vector, the k most similar
     * corpus vectors (self-matches excluded). The query side is broadcast;
-    * scoring is one scan of the corpus; per-query top-k is a rank window
-    * partitioned by query id (k rows kept per partition — no global sort).
-    * Ties break on candidate id, making the result fully deterministic.
+    * scoring is one scan of the corpus; per-query top-k is the map-side-
+    * combined heap aggregate ([[topKPerQuery]]) — k rows per query per
+    * partition shuffle, no per-query sort. Ties break on candidate id,
+    * making the result fully deterministic.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
@@ -50,11 +84,7 @@ object Similarity {
       .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
     val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= k)
-      .select("query_id", "cand_id", "cos", "rank")
+    topKPerQuery(scored, k, corpus.schema(idCol).dataType)
   }
 
   /** Unit-normalize an embedding column: v / ||v||, with the norm from the
@@ -114,27 +144,77 @@ object Similarity {
               idCol: String, vecCol: String, k: Int, numPlanes: Int,
               numTables: Int = 4): DataFrame = {
     import graft.functions.VectorFunctions.dot
-    def bucketed(df: DataFrame, id: String, v: String, norm: String) =
-      df.select(col(id), col(v), sqrt(dot(col(v), col(v))).as(norm),
-        posexplode(array((0 until numTables).map(t =>
-          hyperplaneBucket(col(v), numPlanes, t)): _*)).as(Seq("tbl", "bucket")))
-    val c = bucketed(
-      corpus.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv")),
-      "cand_id", "cv", "cnorm")
-    val q = bucketed(
-      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")),
-      "query_id", "qv", "qnorm")
-    // Candidate pairs: bucket-mates in any table, deduped pre-scoring.
-    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
+    val c = corpus.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
+    def buckets(df: DataFrame, id: String, v: String) =
+      df.select(col(id), posexplode(array((0 until numTables).map(t =>
+        hyperplaneBucket(col(v), numPlanes, t)): _*)).as(Seq("tbl", "bucket")))
+    // Candidate PAIRS (ids only): bucket-mates in any table, deduped on
+    // (query_id, cand_id) BEFORE any vector travels — the distinct's
+    // shuffle moves two ids per row, not two 64-double arrays. Vectors are
+    // re-attached afterwards from the base frames (the probe side is
+    // query-batch-sized, so it broadcasts against the corpus scan).
+    val cand = buckets(c.select("cand_id", "cv"), "cand_id", "cv")
+      .join(broadcast(buckets(q.select("query_id", "qv"), "query_id", "qv")),
+        Seq("tbl", "bucket"))
       .filter(col("cand_id") =!= col("query_id"))
-      .select("query_id", "qv", "qnorm", "cand_id", "cv", "cnorm").distinct()
-    val scored = cand.withColumn("cos",
-      dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= k)
-      .select("query_id", "cand_id", "cos", "rank")
+      .select("query_id", "cand_id").distinct()
+    val probes = cand.join(broadcast(q), Seq("query_id"))
+    val scored = c.join(broadcast(probes), Seq("cand_id"))
+      .withColumn("cos",
+        dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
+    topKPerQuery(scored, k, corpus.schema(idCol).dataType)
+  }
+
+  /** Materialize the write-time LSH index layout the probe path promises:
+    * one row per (table, bucket) membership of each corpus vector —
+    * `(cand_id, cv, cnorm)` under `partitionBy(tbl, bucket)`. The
+    * hyperplanes are deterministic ([[planeWeight]]), so the layout is a
+    * pure function of the corpus: built once, probed forever. At 100 TB
+    * this turns every probe batch from a full-corpus scan into a read of
+    * ~numTables/2^numPlanes of the data via partition pruning.
+    */
+  def writeLshIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    numPlanes: Int, numTables: Int, path: String): Unit = {
+    import graft.functions.VectorFunctions.dot
+    corpus.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
+      .select(col("cand_id"), col("cv"), col("cnorm"),
+        posexplode(array((0 until numTables).map(t =>
+          hyperplaneBucket(col("cv"), numPlanes, t)): _*)).as(Seq("tbl", "bucket")))
+      .withColumn("bucket", col("bucket").cast("int"))
+      .write.mode("overwrite").partitionBy("tbl", "bucket").parquet(path)
+  }
+
+  /** Probe a [[writeLshIndex]] layout: query buckets join the index on its
+    * PARTITION columns with the query side broadcast, so dynamic partition
+    * pruning restricts the scan to the buckets the queries actually hash
+    * into — the other bucket directories are never read. Each surviving
+    * collision is scored inline on the pruned scan; the (query, candidate)
+    * dedup then moves only `(ids, cos)` scalars (a multi-table collision
+    * computes the identical IEEE double twice — dedup on the value is
+    * exact). Results are identical to [[lshTopK]] with the same
+    * parameters.
+    */
+  def lshTopKFromIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       k: Int, numPlanes: Int, numTables: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val idx = spark.read.parquet(indexPath)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
+    val qb = q.select(col("query_id"), col("qv"), col("qnorm"),
+      posexplode(array((0 until numTables).map(t =>
+        hyperplaneBucket(col("qv"), numPlanes, t)): _*)).as(Seq("tbl", "bucket")))
+      .withColumn("bucket", col("bucket").cast("int"))
+    val scored = idx.join(broadcast(qb), Seq("tbl", "bucket"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos",
+        dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
+      .select("query_id", "cand_id", "cos").distinct()
+    topKPerQuery(scored, k, queries.schema(idCol).dataType)
   }
 
   /** ANN quality evaluation: per-query recall@k of an approximate top-k

@@ -312,6 +312,44 @@ object LlmQueries {
            |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin
       }),
 
+    // The write-time LSH index layout probed with partition pruning: the
+    // corpus is materialized once (tbl, bucket)-partitioned, and the
+    // probe's scan reads ONLY the bucket directories the queries hash
+    // into (dynamic partition pruning; plan-asserted in SimilaritySpec).
+    // Same oracle as llm_sim_topk_lsh — the layouts must agree exactly.
+    "llm_sim_topk_lsh_index" -> Q(
+      (s, dir) => {
+        val fix = s"/tmp/graft_fixtures/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/lsh_index"
+        val emb = Tables.embeddings(s, dir)
+        // Fixture prep: build the index once per sf dir (write-time step
+        // of the indexed layout; the graded dataflow is the probe).
+        if (!new java.io.File(s"$fix/_SUCCESS").exists())
+          Similarity.writeLshIndex(emb, "vec_id", "embedding",
+            numPlanes = 4, numTables = 4, path = fix)
+        Similarity.lshTopKFromIndex(s, fix, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, numPlanes = 4, numTables = 4)
+      },
+      Some {
+        val bucket = (v: String, t: Int) => (0 until 4).map(p =>
+          s"(CASE WHEN ${projSql(v, t * 4 + p)} >= 0 THEN ${1L << p} ELSE 0 END)")
+          .mkString("(", " + ", ")::BIGINT")
+        val bv = (0 until 4).map(t =>
+          s"SELECT vec_id, v, $t AS tbl, ${bucket("v", t)} AS bucket FROM v")
+          .mkString("\nUNION ALL\n")
+        s"""$vecCte,
+           |bv AS ($bv),
+           |cand AS (SELECT DISTINCT q.vec_id AS query_id, q.v AS qv,
+           |  c.vec_id AS cand_id, c.v AS cv
+           |  FROM bv c JOIN bv q
+           |  ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 10),
+           |ranked AS (SELECT query_id, cand_id, ${cosSql("qv", "cv")} AS cos,
+           |  CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY ${cosSql("qv", "cv")} DESC, cand_id) AS INT) AS rank
+           |  FROM cand)
+           |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin
+      }),
+
     // IVF approximate top-k: k-means coarse cells (seeded - deterministic
     // per environment, but not SQL-replicable) -> rows-only driver check;
     // recall asserted against brute force in SimilaritySpec.

@@ -123,6 +123,38 @@ class SimilaritySpec extends SparkSpec {
         .intersect(brute).size
     assert(recall(4) >= recall(1))
   }
+
+  test("ANN ranking runs as the bounded-heap aggregate, not a rank window") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val q = emb.filter($"vec_id" < 5)
+    for (df <- Seq(
+        Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5),
+        Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, 4, 4))) {
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(plan.contains("graft_top_k"), s"heap aggregate missing:\n$plan")
+      assert(!plan.contains("row_number"), s"rank window still present:\n$plan")
+    }
+  }
+
+  test("indexed LSH probe: identical rows to lshTopK, partition-pruned scan") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val q = emb.filter($"vec_id" < 5)
+    val dir = java.nio.file.Files.createTempDirectory("lsh_index").toString
+    try {
+      Similarity.writeLshIndex(emb, "vec_id", "embedding", 4, 4, dir)
+      val probed = Similarity.lshTopKFromIndex(spark, dir, q,
+        "vec_id", "embedding", 5, 4, 4)
+      val direct = Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, 4, 4)
+      assert(probed.collect().toSet === direct.collect().toSet)
+      // The index scan must carry a dynamic partition-pruning filter on
+      // (tbl, bucket) — the probe reads matching bucket dirs only.
+      val plan = probed.queryExecution.executedPlan.toString()
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"no partition pruning on the index scan:\n$plan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
