@@ -26,8 +26,16 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   *     Σ 2^(62 - M_j) (BigInt; the oracle uses HUGEINT) — no
   *     floating-point accumulation order to disagree on;
   *   - the estimate is the raw HLL formula α·m²·2^62 / S evaluated in a
-  *     pinned left-to-right double sequence; no log-based small-range
-  *     correction branch (Math.log is not bit-portable across engines).
+  *     pinned left-to-right double sequence;
+  *   - the small-range regime (raw ≤ 2.5·m, where the raw estimator
+  *     floors at ~α·m) applies the standard linear-counting correction
+  *     m·ln(m/V) from the exact zero-register count V. The branch
+  *     condition and V are exact integer/pinned-double ops; the log is
+  *     `StrictMath.log` (fdlibm — bit-pinned across JVMs). CAVEAT: a
+  *     C-libm engine's `ln` may differ from fdlibm in the last ulp, so
+  *     exact cross-engine reproducibility is guaranteed only OUTSIDE the
+  *     correction regime (n ≳ 2.5·m); inside it the estimate is correct
+  *     (no more ~α·m floor on tiny groups) but last-ulp-portable only.
   */
 case class HllSketch(
     child: Expression,
@@ -85,14 +93,22 @@ case class HllSketch(
     // disagree on (the oracle sums the same integers).
     val scaleBits = 62 - p
     var s = 0L
+    var zeros = 0
     var i = 0
     while (i < m) {
       s += 1L << (scaleBits - buf(i))
+      if (buf(i) == 0) zeros += 1
       i += 1
     }
     // Pinned double sequence: ((alpha * m²) * 2^(62-p)) / S.
-    ((HllSketch.alpha(m) * (m.toDouble * m.toDouble)) *
+    val raw = ((HllSketch.alpha(m) * (m.toDouble * m.toDouble)) *
       (1L << scaleBits).toDouble) / s.toDouble
+    // Linear-counting correction (see class doc for the portability
+    // boundary): without it a group with 5 distinct values reports ~α·m
+    // (~184 at p=8).
+    if (raw <= 2.5 * m && zeros > 0)
+      m.toDouble * StrictMath.log(m.toDouble / zeros.toDouble)
+    else raw
   }
 
   override def serialize(buf: Array[Byte]): Array[Byte] = buf

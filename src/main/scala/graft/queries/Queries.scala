@@ -273,16 +273,22 @@ object Queries {
            |  LEFT JOIN mx ON mx.l_returnflag = g.l_returnflag
            |    AND mx.bucket = r.range),
            |sm AS (SELECT l_returnflag,
-           |  SUM(CAST(1 AS BIGINT) << (54 - mj)) AS sv FROM regs GROUP BY 1),
+           |  SUM(CAST(1 AS BIGINT) << (54 - mj)) AS sv,
+           |  SUM(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS zv FROM regs GROUP BY 1),
+           |raw AS (SELECT l_returnflag, zv,
+           |  (CAST($alpha AS DOUBLE) * CAST(65536 AS DOUBLE)
+           |   * CAST(18014398509481984 AS DOUBLE)) / CAST(sv AS DOUBLE)
+           |    AS raw_est
+           |  FROM sm),
            |ex AS (SELECT l_returnflag,
            |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
            |  FROM lineitem GROUP BY 1)
-           |SELECT sm.l_returnflag,
-           |  (CAST($alpha AS DOUBLE) * CAST(65536 AS DOUBLE)
-           |   * CAST(18014398509481984 AS DOUBLE)) / CAST(sv AS DOUBLE)
-           |    AS hll_est,
+           |SELECT raw.l_returnflag,
+           |  CASE WHEN raw_est <= 640.0 AND zv > 0
+           |    THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / CAST(zv AS DOUBLE))
+           |    ELSE raw_est END AS hll_est,
            |  ex.n_exact
-           |FROM sm JOIN ex ON sm.l_returnflag = ex.l_returnflag""".stripMargin
+           |FROM raw JOIN ex ON raw.l_returnflag = ex.l_returnflag""".stripMargin
       }),
 
     // A2 - ROLLUP subtotal hierarchy.

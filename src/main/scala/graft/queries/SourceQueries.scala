@@ -463,6 +463,48 @@ object SourceQueries {
              |'ACME' AS Ticker
              |FROM orders GROUP BY year(o_orderdate)""".stripMargin)),
 
+    // S4 + R1 + R2 + P7 at REFERENCE WIDTH: the full 60-metric balance
+    // sheet allowlist (transform_job_tabular_entitities.py:117-179,
+    // transcribed in model.Schemas.StatementMetrics.balanceSheet) pivoted
+    // through the same transposeStatement path as s4, plus the width-only
+    // edge cases: an all-empty period column (every metric null at that
+    // Date) and junk metric rows the allowlist must drop. Values are
+    // deterministic literals, so the oracle is a VALUES table — exactly
+    // the reference's post-transpose sheet shape.
+    "s4_full_width_transpose" -> Q(
+      (s, dir) => {
+        val fix = fixDir(dir, "s4w")
+        val metrics = graft.model.StatementMetrics.balanceSheet
+        val periods = (2020 to 2024).map(y => s"$y-12-31") :+ "2025-12-31"
+        def v(i: Int, j: Int): Double = (i + 1) * 1000.0 + j + 0.25
+        val header = "name," + periods.mkString(",")
+        val rows = metrics.zipWithIndex.map { case (m, i) =>
+          // Last period cell left empty -> null for every metric.
+          m + "," + (0 until 5).map(j => v(i, j).toString).mkString(",") + ","
+        } ++ Seq("Junk Metric,0,0,0,0,0,0", "Another Junk Row,1,1,1,1,1,1")
+        Files.createDirectories(Paths.get(fix))
+        Files.write(Paths.get(s"$fix/balance_sheet.csv"),
+          (header +: rows).mkString("\n").getBytes(StandardCharsets.UTF_8))
+        val raw = Sources.statementCsv(s, s"$fix/balance_sheet.csv")
+        Reshape.transposeStatement(raw, "name", metrics, ticker = "ACME")
+      },
+      Some {
+        val metrics = graft.model.StatementMetrics.balanceSheet
+        def v(i: Int, j: Int): Double = (i + 1) * 1000.0 + j + 0.25
+        val cols = (Seq("Date") ++ metrics ++ Seq("Ticker"))
+          .map(c => "\"" + c + "\"").mkString(", ")
+        val valueRows = (0 until 5).map { j =>
+          s"('${2020 + j}-12-31', " +
+            metrics.indices.map(i => v(i, j).toString).mkString(", ") +
+            ", 'ACME')"
+        } :+ ("('2025-12-31', " +
+          metrics.indices.map(_ => "CAST(NULL AS DOUBLE)").mkString(", ") +
+          ", 'ACME')")
+        s"""SELECT * FROM (VALUES
+           |${valueRows.mkString(",\n")}
+           |) AS t($cols)""".stripMargin
+      }),
+
     // Streaming batch-parity: the EXACT plan graft.streaming.Streams runs
     // incrementally (window + watermark), executed in batch mode. The
     // StreamsSpec replays the same data through MemoryStream and asserts

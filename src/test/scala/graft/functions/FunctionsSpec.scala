@@ -67,6 +67,19 @@ class FunctionsSpec extends SparkSpec {
     assert(withDups === est)
   }
 
+  test("HllSketch small-range correction: tiny groups estimate ~n, not ~alpha*m") {
+    import graft.llm.TextOps
+    // Without linear counting the raw estimator floors at ~alpha*m (~184
+    // at p=8) for ANY small group (ADVICE r3): 5 distinct must report ~5.
+    for (n <- Seq(1, 5, 50)) {
+      val est = (1 to n).map(_.toString).toDF("s")
+        .select(TextOps.hash60($"s").as("h"))
+        .agg(SketchFunctions.hllEstimate($"h", 8)).head().getDouble(0)
+      assert(math.abs(est - n) <= math.max(1.0, 0.15 * n),
+        s"estimate $est for $n distinct")
+    }
+  }
+
   test("graft_hll registers into the session and rejects bad precision") {
     GraftExtensions.register(spark)
     val viaSql = spark.sql(
