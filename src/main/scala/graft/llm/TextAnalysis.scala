@@ -153,4 +153,57 @@ object TextAnalysis {
       .select(col(idCol), col("token"), col("tf"), col("df"),
         col("n_docs"), col("relevance"))
   }
+
+  /** PII redaction patterns, applied in declaration order. RE2-safe
+    * subset (no backreferences, no lookaround) so the same patterns run
+    * identically under Java regex and RE2-family engines.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\+?[0-9][0-9() -]{6,}[0-9]", "<PHONE>"))
+
+  /** PII scrubbing — the redaction pass every public-corpus pipeline runs
+    * before training: emails, IPv4 addresses, and phone-shaped digit runs
+    * replaced with typed placeholder tokens, plus a per-type match count
+    * for redaction accounting. One narrow projection, no shuffle; order
+    * of application is fixed ([[piiPatterns]]) so the output is
+    * deterministic (counts are measured per pattern on the text as that
+    * pattern sees it, i.e. after the previous redactions).
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withCounts = piiPatterns.foldLeft(
+      df.select(col(idCol), col(textCol).as("__t"))) {
+      case (acc, (name, pattern, replacement)) =>
+        acc.withColumn(s"n_$name", regexp_count(col("__t"), lit(pattern)).cast("long"))
+          .withColumn("__t", regexp_replace(col("__t"), pattern, replacement))
+    }
+    withCounts.select(col(idCol) +: col("__t").as("redacted") +:
+      piiPatterns.map { case (name, _, _) => col(s"n_$name") }: _*)
+  }
+
+  /** Repetition signals (the Gopher-style repetitiousness gate): the
+    * most-frequent token n-gram's share of all the document's n-grams.
+    * Boilerplate, scraped navigation, and degenerate generations score
+    * high; clean prose scores near 1/n_grams.
+    *
+    * Shape at scale: explode n-grams (hashed to a 60-bit key so the
+    * shuffle never carries gram text) → map-side-combined counts per
+    * (doc, gram) → max/sum per doc. Two aggregations over one narrow
+    * exploded frame — the same explode→combine skeleton as minhash.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 2): DataFrame = {
+    val grams = df
+      .select(col(idCol), explode(TextOps.wordShinglesAll(col(textCol), n)).as("g"))
+      .select(col(idCol), hash60(col("g")).as("gh"))
+    grams.groupBy(col(idCol), col("gh"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("c")).as("n_grams"),
+        max(col("c")).as("max_gram_freq"))
+      .withColumn("max_gram_ratio",
+        col("max_gram_freq").cast("double") / col("n_grams").cast("double"))
+  }
 }

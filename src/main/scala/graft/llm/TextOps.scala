@@ -81,4 +81,20 @@ object TextOps {
     })
     array_distinct(element_at(shingled, 1))
   }
+
+  /** All k-word shingles WITH multiplicity (no distinct): the variant
+    * frequency analyses need ([[TextAnalysis.repetitionSignals]] counts
+    * how often the hottest gram repeats — dedup would erase the signal).
+    * Same let-bound single-tokenization shape as [[wordShingles]].
+    */
+  def wordShinglesAll(text: Column, k: Int): Column = {
+    val shingled = transform(array(tokens(text)), ws => {
+      val nShingles = size(ws) - (k - 1)
+      when(nShingles >= 1,
+        transform(sequence(lit(1), nShingles),
+          i => concat_ws(" ", (0 until k).map(o => element_at(ws, i + o)): _*)))
+        .otherwise(array(concat_ws(" ", ws)))
+    })
+    element_at(shingled, 1)
+  }
 }

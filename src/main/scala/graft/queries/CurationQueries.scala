@@ -40,13 +40,16 @@ object CurationQueries {
 
     // Salted equi-join: the explicit skew fallback. The salt mechanics
     // (explode right side across buckets, hash-salt left) must be
-    // result-invisible: the oracle is the PLAIN join.
+    // result-invisible: the oracle is the PLAIN join. 4 salt buckets —
+    // enough to demonstrate the spread; the explode factor (x buckets on
+    // the right side) is the op's inherent cost, sized to the skew being
+    // split in production, not a fixed constant.
     "j4_salted_join" -> Q(
       (s, dir) => Joins.saltedJoin(
         Tables.lineitem(s, dir).withColumnRenamed("l_orderkey", "okey"),
         Tables.orders(s, dir).select(col("o_orderkey").as("okey"),
           col("o_orderstatus")),
-        key = "okey", buckets = 8)
+        key = "okey", buckets = 4)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double")

@@ -435,6 +435,58 @@ object LlmQueries {
          |  '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens
          |FROM documents""".stripMargin)),
 
+    // PII redaction with per-type accounting: deterministic email / IPv4 /
+    // phone strings are injected per doc, then scrubbed. The patterns are
+    // an RE2-safe subset, so Java regex (Spark) and RE2 (DuckDB) match
+    // identically; counts are measured in the same fixed pattern order on
+    // both sides.
+    "llm_pii_redact" -> Q(
+      (s, dir) => {
+        val withPii = Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com from 10.0."),
+            (col("doc_id") % 256).cast("string"),
+            lit(".7 call +1 (555) 010-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+        TextAnalysis.redactPii(withPii, "doc_id", "text")
+      },
+      Some {
+        val steps = TextAnalysis.piiPatterns.zipWithIndex.map {
+          case ((name, pattern, replacement), i) =>
+            s"""s${i + 1} AS (SELECT doc_id, ${
+              (0 until i).map(j => s"n_${TextAnalysis.piiPatterns(j)._1}, ").mkString
+            }CAST(len(regexp_extract_all(t, '$pattern')) AS BIGINT) AS n_$name,
+               |  regexp_replace(t, '$pattern', '$replacement', 'g') AS t FROM s$i)""".stripMargin
+        }
+        val names = TextAnalysis.piiPatterns.map { case (n, _, _) => s"n_$n" }
+        s"""WITH s0 AS (SELECT doc_id,
+           |  text || ' contact user' || doc_id || '@example.com from 10.0.' ||
+           |  (doc_id % 256) || '.7 call +1 (555) 010-' ||
+           |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+           |  FROM documents),
+           |${steps.mkString(",\n")}
+           |SELECT doc_id, t AS redacted, ${names.mkString(", ")}
+           |FROM s${TextAnalysis.piiPatterns.size}""".stripMargin
+      }),
+
+    // Repetitiousness (the Gopher boilerplate gate): the hottest 2-gram's
+    // share of all the doc's 2-grams. Counts are exact integers; the
+    // ratio is one exact double division.
+    "llm_repetition" -> Q(
+      (s, dir) => TextAnalysis.repetitionSignals(
+        Tables.documents(s, dir), "doc_id", "text", n = 2),
+      Some(s"""WITH norm AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents),
+         |g AS (SELECT doc_id, unnest(CASE WHEN len(ws) - 1 >= 1
+         |  THEN list_transform(range(1, len(ws)),
+         |         i -> array_to_string(ws[i:i+1], ' '))
+         |  ELSE [array_to_string(ws, ' ')] END) AS g FROM norm),
+         |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         |  CAST(max(c) AS BIGINT) AS max_gram_freq,
+         |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS max_gram_ratio
+         |FROM c GROUP BY 1""".stripMargin)),
+
     // Rolling-hash document fingerprints (full + 16-token prefix).
     "llm_fingerprint" -> Q(
       (s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir),

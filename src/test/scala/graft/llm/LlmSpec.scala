@@ -194,6 +194,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r === Array((1L, "de"), (2L, "en"), (3L, "es")))
   }
 
+  test("redactPii scrubs email/ip/phone with typed tokens and counts") {
+    val df = Seq(
+      (1L, "reach me at bob@x.io or 192.168.0.1 or +1 (555) 123-4567 ok"),
+      (2L, "no pii here at all"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getString(1) === "reach me at <EMAIL> or <IP> or <PHONE> ok")
+    assert((r1.getLong(2), r1.getLong(3), r1.getLong(4)) === ((1L, 1L, 1L)))
+    val r2 = out(1)
+    assert(r2.getString(1) === "no pii here at all")
+    assert((r2.getLong(2), r2.getLong(3), r2.getLong(4)) === ((0L, 0L, 0L)))
+  }
+
+  test("repetitionSignals: degenerate repetition scores 1.0, prose near 1/n") {
+    val df = Seq((1L, "spam spam spam spam"), (2L, "a b c d"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df, "doc_id", "text", 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 3L)            // 3 bigrams, all "spam spam"
+    assert(out(0).getLong(2) === 3L)
+    assert(out(0).getDouble(3) === 1.0)
+    assert(out(1).getLong(1) === 3L)            // all distinct bigrams
+    assert(out(1).getLong(2) === 1L)
+    assert(out(1).getDouble(3) === 1.0 / 3.0)
+  }
+
   test("quality score is bounded in [0, 1]") {
     val docs = spark.read.parquet(sf("documents"))
     val bounds = TextAnalysis.qualityScore(docs, "doc_id", "text")
