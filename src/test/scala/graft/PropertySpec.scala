@@ -38,6 +38,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("surrogateKey is dense 1..n in key order, invariant to input partitioning") {
+    for (seed <- 1 to 3) {
+      val n = sample(Gen.chooseNum(5, 400), seed)
+      // Shuffled unique keys with gaps: id must follow key order, not
+      // insertion or partition order.
+      val keys = new scala.util.Random(seed).shuffle((1 to n).map(_ * 7L).toList)
+      val expected = (1 to n).map(i => (i * 7L, i.toLong))
+      for (parts <- Seq(1, 3, 8)) {
+        val df = keys.toDF("k").repartition(parts)
+        val out = ops.Windows.surrogateKey(df, "id", col("k"))
+          .select("k", "id").as[(Long, Long)].collect().sortBy(_._1).toSeq
+        assert(out === expected, s"n=$n parts=$parts")
+      }
+    }
+  }
+
   test("exactDedup output ids are a subset of input ids and cover all texts") {
     for (seed <- 1 to 3) {
       val docs = sample(Gen.listOfN(30, doc), seed)
