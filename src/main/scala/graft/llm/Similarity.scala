@@ -247,6 +247,16 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int, nProbe: Int): DataFrame = {
+    val (cells, centroids) = ivfAssign(corpus, idCol, vecCol, nCells)
+    ivfProbe(cells, centroids, queries, idCol, vecCol, k, nProbe)
+  }
+
+  /** Train the seeded coarse quantizer and assign every corpus vector to
+    * its cell. Returns (cells = (cand_id, cv, cnorm, cell), centroids =
+    * (cell, centroid)) — the two frames every IVF path starts from.
+    */
+  private def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                        nCells: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import graft.functions.VectorFunctions.{dot => dotc}
@@ -270,6 +280,16 @@ object Similarity {
     val centroids = corpus.sparkSession.createDataFrame(
       model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
         .toIndexedSeq).toDF("cell", "centroid")
+    (cells, centroids)
+  }
+
+  /** Score queries against an assigned corpus: rank cells per query from
+    * the broadcast centroid table, keep `nProbe`, score only bucket-mates.
+    */
+  private def ivfProbe(cells: DataFrame, centroids: DataFrame,
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nProbe: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{dot => dotc}
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qnorm", sqrt(dotc(col("qv"), col("qv"))))
     val probes = q.join(broadcast(centroids), lit(true))
@@ -289,4 +309,31 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "cell", "cand_id", "cos", "rank")
   }
+
+  /** Materialize the IVF write-time layout [[ivfTopK]]'s Scaladoc
+    * promises: the assigned corpus written cell-partitioned plus the
+    * centroid table beside it. Training runs once at write time; probes
+    * never pay it again.
+    */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int, path: String): Unit = {
+    val (cells, centroids) = ivfAssign(corpus, idCol, vecCol, nCells)
+    cells.write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe a [[writeIvfIndex]] layout: cell ranking reads the tiny
+    * centroid table; the corpus join is on the PARTITION column with the
+    * probe side broadcast, so dynamic partition pruning reads only the
+    * nProbe cell directories each query batch needs — nProbe/nCells of
+    * the data, not a full scan. Same seed/params as [[ivfTopK]] give
+    * identical results.
+    */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nProbe: Int): DataFrame =
+    ivfProbe(
+      spark.read.parquet(s"$indexPath/corpus"),
+      spark.read.parquet(s"$indexPath/centroids"),
+      queries, idCol, vecCol, k, nProbe)
 }

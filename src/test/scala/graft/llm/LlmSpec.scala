@@ -136,6 +136,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("indexed IVF probe: identical rows to ivfTopK, partition-pruned scan") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val q = emb.filter($"vec_id" < 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    try {
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", 10, dir)
+      val probed = Similarity.ivfTopKFromIndex(spark, dir, q,
+        "vec_id", "embedding", 5, 3)
+      val direct = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 10, 3)
+      assert(probed.collect().toSet === direct.collect().toSet)
+      val plan = probed.queryExecution.executedPlan.toString()
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"no partition pruning on the IVF corpus scan:\n$plan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("indexed LSH probe: identical rows to lshTopK, partition-pruned scan") {
     val emb = spark.read.parquet(sf("embeddings"))
     val q = emb.filter($"vec_id" < 5)
