@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import TextOps.hash60
@@ -48,15 +47,27 @@ object Similarity {
     * non-negative ids — negative integral ids are not supported here) and
     * cast back on the way out.
     */
+  /** String payload whose lexicographic order equals `ORDER BY cand_id ASC`
+    * for the supported id types. Anything else (floating point, decimal —
+    * where "1.5" < "10.0" fails lexically) is rejected up front rather than
+    * silently ranked in a different order.
+    */
+  private def idPayload(idType: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    idType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        lpad(col("cand_id").cast("string"), 20, "0")
+      case StringType => col("cand_id")
+      case other => throw new IllegalArgumentException(
+        s"top-k tie-break supports non-negative integral or string ids; got ${other.sql} " +
+          "(lexicographic payload order would diverge from ORDER BY cand_id ASC)")
+    }
+  }
+
   private def topKPerQuery(scored: DataFrame, k: Int,
                            idType: org.apache.spark.sql.types.DataType): DataFrame = {
     import graft.functions.AggFunctions.topK
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val payload = idType match {
-      case ByteType | ShortType | IntegerType | LongType =>
-        lpad(col("cand_id").cast("string"), 20, "0")
-      case _ => col("cand_id").cast("string")
-    }
+    val payload = idPayload(idType)
     scored.groupBy(col("query_id"))
       .agg(topK(col("cos"), payload, k).as("tk"))
       .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
@@ -161,8 +172,12 @@ object Similarity {
         Seq("tbl", "bucket"))
       .filter(col("cand_id") =!= col("query_id"))
       .select("query_id", "cand_id").distinct()
-    val probes = cand.join(broadcast(q), Seq("query_id"))
-    val scored = c.join(broadcast(probes), Seq("cand_id"))
+    // Two bounded broadcasts instead of one unbounded: `cand` is
+    // pair-count-sized but carries two ids per row (a hot bucket costs
+    // pairs x 16 bytes, not pairs x a 64-double vector), and the query
+    // vectors ride the separate query-batch-sized broadcast of `q`.
+    val scored = c.join(broadcast(cand), Seq("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
       .withColumn("cos",
         dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
     topKPerQuery(scored, k, corpus.schema(idCol).dataType)
@@ -285,29 +300,48 @@ object Similarity {
 
   /** Score queries against an assigned corpus: rank cells per query from
     * the broadcast centroid table, keep `nProbe`, score only bucket-mates.
+    *
+    * BOTH rankings run on the bounded-heap [[graft.functions.TopKByScore]]
+    * aggregate — no `row_number` window anywhere in the IVF plan. Cell
+    * ranking scores `-dist2` (IEEE negation is exact, so score DESC ==
+    * dist2 ASC) with the zero-padded cell id as tie-break; the final
+    * candidate ranking is the same map-side-combined heap the brute/LSH
+    * paths use, so a hot query never serializes its full candidate list
+    * through one window task.
     */
   private def ivfProbe(cells: DataFrame, centroids: DataFrame,
                        queries: DataFrame, idCol: String, vecCol: String,
                        k: Int, nProbe: Int): DataFrame = {
+    import graft.functions.AggFunctions.topK
     import graft.functions.VectorFunctions.{dot => dotc}
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qnorm", sqrt(dotc(col("qv"), col("qv"))))
-    val probes = q.join(broadcast(centroids), lit(true))
+    val probeCells = q.join(broadcast(centroids), lit(true))
       .withColumn("dist2",
         dotc(col("qv"), col("qv")) - lit(2.0) * dotc(col("qv"), col("centroid"))
           + dotc(col("centroid"), col("centroid")))
-      .withColumn("cell_rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("dist2").asc, col("cell").asc)))
-      .filter(col("cell_rank") <= nProbe)
-      .select("query_id", "qv", "qnorm", "cell")
+      .groupBy(col("query_id"))
+      .agg(topK(-col("dist2"), lpad(col("cell").cast("string"), 10, "0"), nProbe)
+        .as("tk"))
+      .select(col("query_id"), explode(col("tk.value")).as("cellStr"))
+      .select(col("query_id"), col("cellStr").cast("int").as("cell"))
+    val probes = probeCells.join(q, Seq("query_id"))
     val scored = cells.join(broadcast(probes), Seq("cell"))
       .filter(col("cand_id") =!= col("query_id"))
       .withColumn("cos", dotc(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= k)
-      .select("query_id", "cell", "cand_id", "cos", "rank")
+    // The assigned cell rides the string payload behind the padded id: a
+    // candidate lives in exactly one cell, so the fixed-width id prefix
+    // alone decides ties and the suffix never affects ordering.
+    val idType = cells.schema("cand_id").dataType
+    scored.groupBy(col("query_id"))
+      .agg(topK(col("cos"),
+        concat_ws(":", idPayload(idType), col("cell").cast("string")), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"),
+        split(col("e.value"), ":").getItem(1).cast("int").as("cell"),
+        split(col("e.value"), ":").getItem(0).cast(idType).as("cand_id"),
+        col("e.score").as("cos"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Materialize the IVF write-time layout [[ivfTopK]]'s Scaladoc

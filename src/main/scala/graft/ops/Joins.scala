@@ -78,7 +78,13 @@ object Joins {
     require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
       "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left join types only, got $joinType")
-    val saltedL = left.withColumn("_salt", pmod(hash(col(key), monotonically_increasing_id()), lit(buckets)))
+    // Salt from the full row CONTENT, not monotonically_increasing_id():
+    // a retried map task re-derives the identical salt for every row, so
+    // the join stays deterministic under task retry. (Identical duplicate
+    // rows share a salt — acceptable skew for real data, where hot-key
+    // rows still differ in their payload columns.)
+    val saltedL = left.withColumn("_salt",
+      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(buckets)))
     val saltedR = right.withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
     saltedL.join(saltedR, Seq(key, "_salt"), joinType).drop("_salt")
   }

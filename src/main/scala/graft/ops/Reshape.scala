@@ -54,6 +54,23 @@ object Reshape {
       .withColumn("Ticker", lit(ticker))
   }
 
+  /** [[transposeStatement]] generalized to a MULTI-ENTITY frame: the input
+    * carries a key column (e.g. `Ticker` recovered from the file path by
+    * [[Sources.globWithKey]]) and the pivot groups by `(keyCol, Date)`, so
+    * one glob scan transposes every entity's statement in a single job.
+    * This is the scale shape of the reference's driver-side ticker loop
+    * (`transform_job_tabular_entitities.py:68-80`, one pandas transpose per
+    * ticker): N tickers cost one scan + one shuffle, not N jobs.
+    */
+  def transposeStatementKeyed(raw: DataFrame, metricCol: String,
+                              metrics: Seq[String], keyCol: String): DataFrame = {
+    val periodCols = raw.columns.filterNot(c => c == metricCol || c == keyCol).toSeq
+    val allowed = Clean.allowlistFilter(raw, metricCol, metrics)
+    val long = unpivot(allowed, Seq(keyCol, metricCol), periodCols, "Date", "value")
+      .withColumn("value", col("value").cast("double"))
+    pivot(long, Seq(keyCol, "Date"), metricCol, "value", metrics)
+  }
+
   /** R2 standalone - promote the first physical row to column names (the
     * pandas `df.columns = df.iloc[0]; df = df[1:]` idiom). "First" is
     * defined by current physical order, so this belongs immediately after

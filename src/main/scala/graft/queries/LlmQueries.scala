@@ -18,6 +18,27 @@ import graft.model.Tables
   */
 object LlmQueries {
 
+  /** MD5 content fingerprint of a parquet file or directory: every file's
+    * (name, size, mtime), sorted. Driver-side metadata walk only — no data
+    * read. Used to key write-time index fixtures so a regenerated dataset
+    * invalidates its cached index.
+    */
+  private def fingerprint(path: String): String = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(path)
+    val files =
+      if (Files.isDirectory(p))
+        Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+      else if (Files.exists(p)) Seq(p)
+      else Seq.empty
+    val manifest = files
+      .map(f => s"$f:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
+      .sorted.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(manifest.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   // ---- DuckDB SQL fragment generators (mirror graft.llm.TextOps) ----
 
   /** normalize(text) */
@@ -319,10 +340,14 @@ object LlmQueries {
     // Same oracle as llm_sim_topk_lsh — the layouts must agree exactly.
     "llm_sim_topk_lsh_index" -> Q(
       (s, dir) => {
-        val fix = s"/tmp/graft_fixtures/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/lsh_index"
+        // Cache key = CONTENT fingerprint of the source parquet (names,
+        // sizes, mtimes), not just the sanitized dir string: a regenerated
+        // dataset gets a fresh index instead of a silently stale one, and
+        // distinct dirs that sanitize alike cannot collide.
+        val fix = s"/tmp/graft_fixtures/lsh_index_${fingerprint(s"$dir/embeddings.parquet")}"
         val emb = Tables.embeddings(s, dir)
-        // Fixture prep: build the index once per sf dir (write-time step
-        // of the indexed layout; the graded dataflow is the probe).
+        // Fixture prep: build the index once per source content (write-time
+        // step of the indexed layout; the graded dataflow is the probe).
         if (!new java.io.File(s"$fix/_SUCCESS").exists())
           Similarity.writeLshIndex(emb, "vec_id", "embedding",
             numPlanes = 4, numTables = 4, path = fix)

@@ -26,6 +26,56 @@ object SourceQueries {
   private def fixDir(dir: String, name: String): String =
     s"/tmp/graft_fixtures/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
 
+  /** Multi-sheet pipeline dimensions (s4_multi_sheet_pipeline): the four
+    * reference sheets in a FIXED order (`transform_job_tabular_entitities
+    * .py:50-56`), a 5-ticker roster, three annual periods.
+    */
+  private val msSheets: Seq[(String, Seq[String])] = Seq(
+    "balance_sheet" -> graft.model.StatementMetrics.balanceSheet,
+    "cash_flow" -> graft.model.StatementMetrics.cashFlow,
+    "income_statement" -> graft.model.StatementMetrics.incomeStatement,
+    "quarterly" -> graft.model.StatementMetrics.quarterly)
+  private val msTickers = Seq("ALPHA", "BRAVO", "CHARL", "DELTA", "ECHO")
+  private val msPeriods = Seq("2021-12-31", "2022-12-31", "2023-12-31")
+
+  /** Full-width single-ticker statement transpose over `metrics`
+    * (s4_full_width_transpose / s4_cash_flow_width): deterministic literal
+    * cells, an all-empty final period column (every metric null at that
+    * Date), junk metric rows the allowlist must drop; VALUES-table oracle.
+    */
+  private def widthTransposeQ(fixName: String, metrics: Seq[String]): Q = {
+    def v(i: Int, j: Int): Double = (i + 1) * 1000.0 + j + 0.25
+    Q(
+      (s, dir) => {
+        val fix = fixDir(dir, fixName)
+        val periods = (2020 to 2024).map(y => s"$y-12-31") :+ "2025-12-31"
+        val header = "name," + periods.mkString(",")
+        val rows = metrics.zipWithIndex.map { case (m, i) =>
+          // Last period cell left empty -> null for every metric.
+          m + "," + (0 until 5).map(j => v(i, j).toString).mkString(",") + ","
+        } ++ Seq("Junk Metric,0,0,0,0,0,0", "Another Junk Row,1,1,1,1,1,1")
+        Files.createDirectories(Paths.get(fix))
+        Files.write(Paths.get(s"$fix/sheet.csv"),
+          (header +: rows).mkString("\n").getBytes(StandardCharsets.UTF_8))
+        val raw = Sources.statementCsv(s, s"$fix/sheet.csv")
+        Reshape.transposeStatement(raw, "name", metrics, ticker = "ACME")
+      },
+      Some {
+        val cols = (Seq("Date") ++ metrics ++ Seq("Ticker"))
+          .map(c => "\"" + c + "\"").mkString(", ")
+        val valueRows = (0 until 5).map { j =>
+          s"('${2020 + j}-12-31', " +
+            metrics.indices.map(i => v(i, j).toString).mkString(", ") +
+            ", 'ACME')"
+        } :+ ("('2025-12-31', " +
+          metrics.indices.map(_ => "CAST(NULL AS DOUBLE)").mkString(", ") +
+          ", 'ACME')")
+        s"""SELECT * FROM (VALUES
+           |${valueRows.mkString(",\n")}
+           |) AS t($cols)""".stripMargin
+      })
+  }
+
   val all: Map[String, Q] = Map(
 
     // S1 + F1 + F2 + F3 + P4 - Kaggle-style CSV: header, all-string schema,
@@ -471,38 +521,78 @@ object SourceQueries {
     // Date) and junk metric rows the allowlist must drop. Values are
     // deterministic literals, so the oracle is a VALUES table — exactly
     // the reference's post-transpose sheet shape.
-    "s4_full_width_transpose" -> Q(
+    "s4_full_width_transpose" -> widthTransposeQ(
+      "s4w", graft.model.StatementMetrics.balanceSheet),
+
+    // The same width exercise over the 53-metric cash_flow allowlist
+    // (transform_job_tabular_entitities.py:180-236, transcribed in
+    // model.Schemas.StatementMetrics.cashFlow). income_statement and
+    // quarterly share one 39-metric list, exercised at width by
+    // s4_multi_sheet_pipeline below.
+    "s4_cash_flow_width" -> widthTransposeQ(
+      "s4cf", graft.model.StatementMetrics.cashFlow),
+
+    // The reference-cardinality statement pipeline
+    // (transform_job_tabular_entitities.py:50-93): 4 sheets x N tickers in
+    // one run. The reference nests a driver-side ticker loop (:68-80, one
+    // pandas transpose per ticker) inside a sheet loop (:57); here each
+    // sheet is ONE glob scan with Ticker recovered from the file path and
+    // a keyed transpose pivoting by (Ticker, Date) — N tickers cost one
+    // scan + one shuffle per sheet, not N jobs. The wide per-sheet result
+    // (the reference's parquet shape) is unpivoted to long form so all
+    // four sheets union into one oracle-checkable frame; values are a
+    // deterministic function of (sheet, ticker, metric, period) the oracle
+    // recomputes from compact index tables.
+    "s4_multi_sheet_pipeline" -> Q(
       (s, dir) => {
-        val fix = fixDir(dir, "s4w")
-        val metrics = graft.model.StatementMetrics.balanceSheet
-        val periods = (2020 to 2024).map(y => s"$y-12-31") :+ "2025-12-31"
-        def v(i: Int, j: Int): Double = (i + 1) * 1000.0 + j + 0.25
-        val header = "name," + periods.mkString(",")
-        val rows = metrics.zipWithIndex.map { case (m, i) =>
-          // Last period cell left empty -> null for every metric.
-          m + "," + (0 until 5).map(j => v(i, j).toString).mkString(",") + ","
-        } ++ Seq("Junk Metric,0,0,0,0,0,0", "Another Junk Row,1,1,1,1,1,1")
-        Files.createDirectories(Paths.get(fix))
-        Files.write(Paths.get(s"$fix/balance_sheet.csv"),
-          (header +: rows).mkString("\n").getBytes(StandardCharsets.UTF_8))
-        val raw = Sources.statementCsv(s, s"$fix/balance_sheet.csv")
-        Reshape.transposeStatement(raw, "name", metrics, ticker = "ACME")
+        val fix = fixDir(dir, "s4ms")
+        val bySheet = graft.model.StatementMetrics.bySheet
+        def v(si: Int, ti: Int, mi: Int, pi: Int): Double =
+          ((si + 1) * 100000 + ti * 1000 + mi * 10 + pi).toDouble + 0.25
+        // Fixture: one statement CSV per (sheet, ticker), junk rows included.
+        for (((sheet, metrics), si) <- msSheets.zipWithIndex;
+             (ticker, ti) <- msTickers.zipWithIndex) {
+          val header = "name," + msPeriods.mkString(",")
+          val rows = metrics.zipWithIndex.map { case (m, mi) =>
+            m + "," + msPeriods.indices.map(pi => v(si, ti, mi, pi).toString).mkString(",")
+          } :+ ("Junk Metric," + msPeriods.indices.map(_ => "0").mkString(","))
+          Files.createDirectories(Paths.get(s"$fix/$sheet"))
+          Files.write(Paths.get(s"$fix/$sheet/$ticker.csv"),
+            (header +: rows).mkString("\n").getBytes(StandardCharsets.UTF_8))
+          val _ = bySheet // keep the Schemas link explicit
+        }
+        // ---- the graded dataflow: per sheet (fixed 4-way loop), one glob
+        // scan -> key recovery -> keyed transpose -> long form; union all.
+        val sheetFrames = msSheets.map { case (sheet, metrics) =>
+          val raw = Sources.statementCsv(s, s"$fix/$sheet/*.csv")
+          val keyed = Sources.globWithKey(raw, "Ticker", "([A-Z]+)\\.csv$")
+          val wide = Reshape.transposeStatementKeyed(keyed, "name", metrics, "Ticker")
+          Reshape.unpivot(wide, Seq("Ticker", "Date"), metrics, "metric", "value")
+            .withColumn("sheet", lit(sheet))
+        }
+        SetOps.unionAll(sheetFrames).select("sheet", "Ticker", "Date", "metric", "value")
       },
       Some {
-        val metrics = graft.model.StatementMetrics.balanceSheet
-        def v(i: Int, j: Int): Double = (i + 1) * 1000.0 + j + 0.25
-        val cols = (Seq("Date") ++ metrics ++ Seq("Ticker"))
-          .map(c => "\"" + c + "\"").mkString(", ")
-        val valueRows = (0 until 5).map { j =>
-          s"('${2020 + j}-12-31', " +
-            metrics.indices.map(i => v(i, j).toString).mkString(", ") +
-            ", 'ACME')"
-        } :+ ("('2025-12-31', " +
-          metrics.indices.map(_ => "CAST(NULL AS DOUBLE)").mkString(", ") +
-          ", 'ACME')")
-        s"""SELECT * FROM (VALUES
-           |${valueRows.mkString(",\n")}
-           |) AS t($cols)""".stripMargin
+        val sheetsSql = msSheets.zipWithIndex.map { case ((sheet, metrics), si) =>
+          s"($si, '$sheet', [" + metrics.map(m => s"'$m'").mkString(", ") + "])"
+        }.mkString(",\n")
+        val tickersSql = msTickers.zipWithIndex
+          .map { case (t, ti) => s"($ti, '$t')" }.mkString(", ")
+        val periodsSql = msPeriods.zipWithIndex
+          .map { case (p, pi) => s"($pi, '$p')" }.mkString(", ")
+        // The two unnest() calls in one SELECT zip in lockstep, pairing
+        // each metric with its list index.
+        s"""WITH sheets AS (SELECT * FROM (VALUES
+           |$sheetsSql) AS s(si, sheet, ms)),
+           |metrics AS (SELECT si, sheet,
+           |  CAST(unnest(range(0, len(ms))) AS INT) AS mi, unnest(ms) AS metric
+           |  FROM sheets),
+           |tickers AS (SELECT * FROM (VALUES $tickersSql) AS t(ti, Ticker)),
+           |periods AS (SELECT * FROM (VALUES $periodsSql) AS p(pi, "Date"))
+           |SELECT sheet, Ticker, "Date", metric,
+           |  CAST((si + 1) * 100000 + ti * 1000 + mi * 10 + pi AS DOUBLE) + 0.25
+           |    AS value
+           |FROM metrics, tickers, periods""".stripMargin
       }),
 
     // Streaming batch-parity: the EXACT plan graft.streaming.Streams runs
@@ -600,6 +690,43 @@ object SourceQueries {
              |WHERE abs((value - CAST(sv AS DOUBLE) / n) /
              |  sqrt((CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n)
              |       / (n - 1))) >= 2.5""".stripMargin)),
+
+    // Bucketed co-located join (the writeBucketed scale layout, SURVEY §2.1
+    // scale): fact + dim bucketed/sorted on the join key at write time,
+    // then joined with NO Exchange on either side — the shuffle is paid
+    // once at write. The no-shuffle property is asserted inline (and in
+    // BucketedJoinSpec); the oracle checks the join's VALUES.
+    "j6_bucketed_join" -> Q(
+      (s, dir) => {
+        for (t <- Seq("j6_orders", "j6_customer")) {
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = Paths.get(
+            s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+          if (Files.exists(loc)) {
+            import scala.jdk.CollectionConverters._
+            Files.walk(loc).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          }
+        }
+        Sources.writeBucketed(
+          Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+          "j6_orders", "o_custkey", 8)
+        Sources.writeBucketed(
+          Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
+          "j6_customer", "c_custkey", 8)
+        val joined = s.table("j6_orders")
+          .join(s.table("j6_customer"), col("o_custkey") === col("c_custkey"))
+        require(!joined.queryExecution.executedPlan.toString
+            .contains("Exchange hashpartitioning"),
+          "bucketed join must be shuffle-free")
+        joined.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("total_price"))
+      },
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1""".stripMargin)),
 
     // D1 + D3 - per-source fault isolation inside a staged run: the bad
     // source is skipped, the good ones flow on

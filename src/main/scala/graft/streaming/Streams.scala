@@ -88,6 +88,77 @@ object Streams {
       }
   }
 
+  final case class SessionIn(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionBuf(startMs: Long, lastMs: Long, n: Long, total: Double)
+  final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+                               session_end: java.sql.Timestamp, n_events: Long,
+                               session_value: Double)
+
+  /** Production sessionizer: per-user gap sessions via
+    * `flatMapGroupsWithState` with EVENT-TIME state eviction. Unlike
+    * [[runningUserTotals]] (NoTimeout — state lives forever), a session
+    * here is flushed and its state REMOVED when the watermark passes
+    * `last event + gap`, so state is bounded by (active users x one open
+    * session) regardless of how long the stream runs — the property a
+    * 100 TB/day clickstream needs. A late event arriving after its
+    * session was evicted starts a new session (the only behavior an
+    * evicting sessionizer can offer; bound lateness with the watermark).
+    *
+    * Sessions with in-batch gaps are closed inline; the open tail stays
+    * in state with its timeout re-armed. Session end is `last + gap`,
+    * matching `session_window` semantics ([[sessionAgg]]).
+    *
+    * STREAMING-ONLY: in batch mode flatMapGroupsWithState never times
+    * out, so open sessions would be dropped — batch callers use
+    * [[sessionAgg]] (same semantics, verified equal in StreamsSpec).
+    */
+  def sessionizeWithTimeout(events: Dataset[SessionIn], gapMs: Long,
+                            watermark: String): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    def flush(userId: Long, s: SessionBuf): UserSession =
+      UserSession(userId, new java.sql.Timestamp(s.startMs),
+        new java.sql.Timestamp(s.lastMs + gapMs), s.n, s.total)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBuf, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[SessionIn], state: GroupState[SessionBuf]) =>
+          if (state.hasTimedOut) {
+            val out = flush(userId, state.get)
+            state.remove()
+            Iterator.single(out)
+          } else {
+            // Micro-batches are not time-ordered; a per-(key, batch) sort
+            // is bounded by one user's events in one batch.
+            val evs = batch.toIndexedSeq.sortBy(_.ts.getTime)
+            var closed = Vector.empty[UserSession]
+            var cur = state.getOption
+            for (e <- evs) {
+              val t = e.ts.getTime
+              cur = cur match {
+                case Some(s) if t - s.lastMs < gapMs =>
+                  Some(SessionBuf(s.startMs, math.max(s.lastMs, t),
+                    s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed :+= flush(userId, s)
+                  Some(SessionBuf(t, t, 1L, e.value))
+                case None => Some(SessionBuf(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // Evict when the watermark passes last + gap (clamped above
+              // the current watermark — required by the API when a
+              // just-under-the-watermark event would arm it in the past).
+              state.setTimeoutTimestamp(
+                math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Streaming ingestion dedup: drop events whose id was already seen,
     * keeping state only within the watermark horizon. This is THE
     * streaming guard for at-least-once upstreams (replayed Kafka batches,

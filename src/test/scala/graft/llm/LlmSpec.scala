@@ -129,7 +129,8 @@ class SimilaritySpec extends SparkSpec {
     val q = emb.filter($"vec_id" < 5)
     for (df <- Seq(
         Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5),
-        Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, 4, 4))) {
+        Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, 4, 4),
+        Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 10, 3))) {
       val plan = df.queryExecution.executedPlan.toString()
       assert(plan.contains("graft_top_k"), s"heap aggregate missing:\n$plan")
       assert(!plan.contains("row_number"), s"rank window still present:\n$plan")

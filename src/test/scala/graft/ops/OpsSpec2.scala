@@ -87,4 +87,22 @@ class ReshapeSpec2 extends SparkSpec {
     assert(r2022.getAs[Double](metrics.head) === 1.5)        // first metric, first period
     assert(!out.columns.contains("NotARealMetric"))          // junk row dropped
   }
+
+  test("transposeStatementKeyed: one frame, many tickers, one pivot") {
+    val metrics = Seq("Total Revenue", "Net Income")
+    // Two tickers' matrices stacked in one frame, as a glob scan + key
+    // recovery would produce them.
+    val rows = for (t <- Seq("AAA", "BBB"); (m, i) <- metrics.zipWithIndex)
+      yield (t, m, s"${i + 1}.5", s"${i + 10}.5")
+    val raw = rows.toDF("Ticker", "name", "2023-12-31", "2024-12-31")
+    val out = Reshape.transposeStatementKeyed(raw, "name", metrics, "Ticker")
+    assert(out.count() === 4)                                // 2 tickers x 2 periods
+    assert(out.columns.toSeq === Seq("Ticker", "Date") ++ metrics)
+    val b23 = out.filter($"Ticker" === "BBB" && $"Date" === "2023-12-31").head()
+    assert(b23.getAs[Double]("Total Revenue") === 1.5)
+    assert(b23.getAs[Double]("Net Income") === 2.5)
+    // Tickers never cross-contaminate a (Date, metric) cell.
+    val a24 = out.filter($"Ticker" === "AAA" && $"Date" === "2024-12-31").head()
+    assert(a24.getAs[Double]("Net Income") === 11.5)
+  }
 }

@@ -209,6 +209,54 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeWithTimeout evicts sessions when the watermark passes last+gap") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val mem = MemoryStream[Streams.SessionIn]
+    // 30-min gap, 10-min allowed lateness.
+    val q = Streams.sessionizeWithTimeout(mem.toDS(), 30L * 60 * 1000, "10 minutes")
+      .writeStream.format("memory").queryName("sess_timeout_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(Streams.SessionIn(1, t(10, 0), 1.0),
+        Streams.SessionIn(1, t(10, 5), 2.0))
+      q.processAllAvailable()
+      // nothing emitted yet: session open, watermark at 9:55
+      assert(spark.table("sess_timeout_test").count() === 0)
+      // another user's event pushes the watermark to 11:50 > 10:05 + 30min
+      mem.addData(Streams.SessionIn(2, t(12, 0), 5.0))
+      q.processAllAvailable()
+      val evicted = spark.table("sess_timeout_test").collect()
+      assert(evicted.length === 1)
+      assert(evicted.head.getLong(0) === 1L)
+      assert(evicted.head.getTimestamp(1) === t(10, 0))
+      assert(evicted.head.getTimestamp(2) === t(10, 35)) // last + gap
+      assert(evicted.head.getLong(3) === 2L)
+      assert(evicted.head.getDouble(4) === 3.0)
+      // a late event for user 1 lands AFTER eviction: new session, not a
+      // resurrection of the closed one
+      mem.addData(Streams.SessionIn(1, t(11, 55), 7.0))
+      q.processAllAvailable()
+      mem.addData(Streams.SessionIn(3, t(14, 0), 0.0)) // push watermark far
+      q.processAllAvailable()
+      val all = spark.table("sess_timeout_test")
+        .orderBy("user_id", "session_start").collect()
+      // user 1 twice (original + post-eviction), user 2 once; user 3 open
+      assert(all.map(r => (r.getLong(0), r.getLong(3))).toSeq
+        === Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+      // batch parity for CLOSED sessions: session_window agg on the same
+      // rows (sentinel user 3 excluded) produces identical sessions
+      val batch = Streams.sessionAgg(
+        Seq(Ev(t(10, 0), "x", 1, 1.0), Ev(t(10, 5), "x", 1, 2.0),
+          Ev(t(12, 0), "x", 2, 5.0), Ev(t(11, 55), "x", 1, 7.0)).toDF(),
+        "30 minutes", "0 seconds")
+        .select("user_id", "session_start", "session_end", "n_events",
+          "session_value")
+        .orderBy("user_id", "session_start").collect()
+      assert(all.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+    } finally q.stop()
+  }
+
   test("HLL sketch aggregates incrementally in a streaming window") {
     implicit val sqlCtx = spark.sqlContext
     import graft.functions.SketchFunctions
