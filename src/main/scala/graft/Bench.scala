@@ -35,33 +35,50 @@ object Bench {
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // Min-of-N reps per query (default 2): per-query times here are
+    // dominated by FIRST-execution JIT/codegen cost on a drifting VM (r3/r4
+    // diagnosis: the worst-query set differs per run; f8 cold 4.3 s vs warm
+    // 0.2 s), so a single sample measures the JIT lottery, not the plan.
+    // The min of two fresh executions is attributable to the plan; the
+    // total wall-clock (all reps + fixture prep) is reported separately.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
+    val wall0 = System.nanoTime()
     val failed = Seq.newBuilder[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        // Failure detail belongs IN the JSON, nowhere else: stderr traces
-        // interleaving with stdout have made the artifact unparseable
-        // before. One sanitized line per failure, stack kept out.
-        failed += name -> jsonStr(
-          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).takeWhile(_ != '\n')}")
+      var best = Double.MaxValue
+      var ok = true
+      var r = 0
+      while (r < reps && ok) {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          // Failure detail belongs IN the JSON, nowhere else: stderr traces
+          // interleaving with stdout have made the artifact unparseable
+          // before. One sanitized line per failure, stack kept out.
+          failed += name -> jsonStr(
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).takeWhile(_ != '\n')}")
+          ok = false
+        }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        // Drop blocks the finished rep left behind (localCheckpoint /
+        // cache): ~70 queries share one JVM, and accumulated blocks
+        // otherwise build heap pressure until some later query pays for it
+        // in GC and spill — a timing-dependent many-x slowdown. Cleanup
+        // runs OUTSIDE the timed window; each rep starts from a clean
+        // block manager.
+        // INVARIANT this sweep relies on: no cached/localCheckpointed frame
+        // may outlive its query — unpersisting a checkpointed RDD whose
+        // lineage was truncated makes its blocks unrecoverable, so any
+        // cross-query cached state in Tables would turn into runtime
+        // failures, not recomputation.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        r += 1
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Drop blocks the finished query left behind (localCheckpoint /
-      // cache): ~70 queries share one JVM, and accumulated blocks otherwise
-      // build heap pressure until some later query pays for it in GC and
-      // spill — a timing-dependent many-x slowdown. Cleanup runs OUTSIDE
-      // the timed window; each query starts from a clean block manager.
-      // INVARIANT this sweep relies on: no cached/localCheckpointed frame
-      // may outlive its query — unpersisting a checkpointed RDD whose
-      // lineage was truncated makes its blocks unrecoverable, so any
-      // cross-query cached state in Tables would turn into runtime
-      // failures, not recomputation.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      name -> dt
+      name -> best
     }
+    val wall = (System.nanoTime() - wall0) / 1e9
     // A failed query must be visible IN the JSON (stderr is routinely
     // discarded): its time is replaced with the -1 sentinel and its name
     // listed with the error line, so a green-looking total can't hide a
@@ -76,7 +93,7 @@ object Bench {
       .map(n => s"""{"name":"$n","error":"${failures(n)}"}""")
       .mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"wall_sec":$wall%.3f,"sf":"$sfDir"}"""
     spark.stop()
     // Printed AFTER stop so executor/shutdown logging cannot trail the
     // JSON: the artifact's last line is always the parseable result.

@@ -58,14 +58,16 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleK: Int, bands: Int, rowsPerBand: Int,
-                      threshold: Double): DataFrame = {
+                      threshold: Double,
+                      mat: graft.ops.Materialize = graft.ops.Materialize.Local): DataFrame = {
     val numHashes = bands * rowsPerBand
     // The shingle arrays feed three consumers (signature hashing + both
-    // verify sides); a lazy local checkpoint materializes them once
-    // instead of re-tokenizing the corpus per consumer.
-    val sets = ensureParallelism(df.select(col(idCol).as("id"), col(textCol)))
-      .select(col("id"), wordShingles(col(textCol), shingleK).as("shingles"))
-      .localCheckpoint(false)
+    // verify sides); materializing them once avoids re-tokenizing the
+    // corpus per consumer. Default Materialize.Local = executor-loss
+    // fails the job (see the Materialize contract); long cluster jobs
+    // pass Reliable/Path.
+    val sets = mat(ensureParallelism(df.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), wordShingles(col(textCol), shingleK).as("shingles")))
     val hashed = sets.select(col("id"), explode(col("shingles")).as("s"))
       .withColumn("h", hash60(col("s")) % MinhashP)
     val sigs = hashed.groupBy(col("id")).agg(
@@ -186,24 +188,25 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int, threshold: Double,
-                        maxShingleDf: Long = Long.MaxValue): DataFrame = {
+                        maxShingleDf: Long = Long.MaxValue,
+                        mat: graft.ops.Materialize = graft.ops.Materialize.Local): DataFrame = {
     // Join key is the 60-bit shingle hash, not the shingle string: the
     // self-join shuffle moves 8-byte longs instead of ~25-byte strings and
     // compares with long equality. (Collisions are ~n²/2^60 — none at any
     // realistic shard size — and deterministic, so any engine evaluating
     // the same hash agrees exactly.)
     // The inverted index feeds four consumers (stop-list, both self-join
-    // sides, sizes); a lazy local checkpoint materializes it once instead
-    // of re-shingling the corpus per consumer — the SSJoin standard of
-    // explicitly materializing the index before joining on it.
-    val inv = ensureParallelism(df.select(col(idCol).as("id"), col(textCol)))
+    // sides, sizes); materializing it once avoids re-shingling the corpus
+    // per consumer — the SSJoin standard of explicitly materializing the
+    // index before joining on it. Default Materialize.Local = executor-
+    // loss fails the job; long cluster jobs pass Reliable/Path.
+    val inv = mat(ensureParallelism(df.select(col(idCol).as("id"), col(textCol)))
       .select(col("id"), explode(wordShingles(col(textCol), shingleK)).as("s0"))
       // Raw 60-bit hash: long join keys (smaller shuffle than strings),
       // collisions ~n²/2^60 — none at realistic shard sizes. Do NOT mod by
       // MinhashP: a 31-bit space has birthday collisions from ~100k
       // distinct shingles, silently corrupting the "exact" Jaccard.
-      .select(col("id"), hash60(col("s0")).as("s"))
-      .localCheckpoint(false)
+      .select(col("id"), hash60(col("s0")).as("s")))
     val kept =
       if (maxShingleDf == Long.MaxValue) inv
       else {
@@ -241,19 +244,27 @@ object Dedup {
     * DataFrames so Catalyst handles the joins).
     */
   def dedupClusters(pairs: DataFrame, idA: String = "id_a",
-                    idB: String = "id_b", maxIters: Int = 25): DataFrame = {
+                    idB: String = "id_b", maxIters: Int = 25,
+                    mat: graft.ops.Materialize = graft.ops.Materialize.Local): DataFrame = {
+    import graft.ops.Materialize
+    // Per-step materialization (edges, initial labels, each round's
+    // labels keep lineage flat). Path gets a distinct subdirectory per
+    // step so rounds don't clobber each other; with the default Local an
+    // executor loss fails the job (see the Materialize contract).
+    def matStep(step: String): DataFrame => DataFrame = mat match {
+      case Materialize.Path(dir) => Materialize.Path(s"$dir/$step").apply
+      case other                 => other.apply
+    }
     // Both edge directions from ONE pass over `pairs` (explode, not
     // union-of-two-selects): the pair generator upstream is typically an
     // expensive LSH join, and a union would execute that subplan twice.
-    val edges = pairs
+    val edges = matStep("edges")(pairs
       .select(explode(array(
         struct(col(idA).as("src"), col(idB).as("dst")),
         struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint(false)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(false)
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    var labels = matStep("labels_init")(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -264,9 +275,8 @@ object Dedup {
       // labels (a node changed iff nmin < label) — the naive shape joins
       // updated-vs-previous labels a second time, doubling the per-round
       // shuffles.
-      val joined = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("label"), col("nmin"))
-        .localCheckpoint(false)
+      val joined = matStep(s"round_$i")(labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label"), col("nmin")))
       val changed = joined.filter(col("nmin") < col("label")).limit(1).count()
       labels = joined.select(col("id"),
         least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))

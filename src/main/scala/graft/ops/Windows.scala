@@ -79,19 +79,29 @@ object Windows {
     * rows that straddle a range-partition boundary would be numbered
     * arbitrarily and the output would not be reproducible.
     */
-  def surrogateKey(df: DataFrame, idName: String, order: Column*): DataFrame = {
+  def surrogateKey(df: DataFrame, idName: String, order: Column*): DataFrame =
+    surrogateKeyMaterialized(df, idName, Materialize.Local, order: _*)
+
+  /** [[surrogateKey]] with an explicit [[Materialize]] strategy for the
+    * pinned range-partitioned frame. The pin is CORRECTNESS-bearing here
+    * (see below), so long-running cluster jobs should prefer
+    * `Materialize.Reliable` / `Materialize.Path` — with the default local
+    * checkpoint an executor loss fails the job (no lineage fallback; see
+    * the [[Materialize]] contract).
+    */
+  def surrogateKeyMaterialized(df: DataFrame, idName: String, mat: Materialize,
+                               order: Column*): DataFrame = {
     // The __pid-tagged frame feeds two consumers (the offset aggregate and
-    // the final join). A lazy local checkpoint materializes it ONCE: both
-    // consumers then see the SAME range boundaries — re-evaluating the
-    // range exchange per consumer can sample different boundaries, which
-    // desynchronizes offsets from local row numbers. With consistent
-    // boundaries the result is boundary-independent: offset + local ==
-    // global rank under the total order, wherever the cuts fall.
-    val local = df.repartitionByRange(order: _*)
+    // the final join). Materializing it ONCE means both consumers see the
+    // SAME range boundaries — re-evaluating the range exchange per
+    // consumer can sample different boundaries, which desynchronizes
+    // offsets from local row numbers. With consistent boundaries the
+    // result is boundary-independent: offset + local == global rank under
+    // the total order, wherever the cuts fall.
+    val local = mat(df.repartitionByRange(order: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__local",
-        row_number().over(Window.partitionBy(col("__pid")).orderBy(order: _*)))
-      .localCheckpoint(false)
+        row_number().over(Window.partitionBy(col("__pid")).orderBy(order: _*))))
     val offsets = local.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__offset", coalesce(

@@ -74,6 +74,23 @@ class DedupSpec extends SparkSpec {
     assert(out(20L) === 20L && out(21L) === 20L)
   }
 
+  test("Reliable/Path materialization strategies agree with the Local default") {
+    import graft.ops.Materialize
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val local = Dedup.dedupClusters(pairs).as[(Long, Long)].collect().toSet
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("rel_ckpt").toString)
+    val reliable = Dedup.dedupClusters(pairs, mat = Materialize.Reliable)
+      .as[(Long, Long)].collect().toSet
+    assert(reliable === local)
+    val dir = java.nio.file.Files.createTempDirectory("path_mat").toString
+    val pathed = Dedup.dedupClusters(pairs, mat = Materialize.Path(dir))
+      .as[(Long, Long)].collect().toSet
+    assert(pathed === local)
+    // the explicit-path intermediates are durable and inspectable
+    assert(spark.read.parquet(s"$dir/edges").count() === 8)
+  }
+
   test("embeddingNearDupPairs only pairs within a bucket") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.01f), 0),

@@ -68,6 +68,19 @@ class WindowsSpec2 extends SparkSpec {
     val out = Windows.skipRowsPerFile(df, 4).collect().map(_.getString(0)).sorted
     assert(out === Array("a4", "a5", "b4", "b5"))
   }
+
+  test("surrogateKeyMaterialized with a reliable checkpoint matches the default") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(sf("customer")).select("c_custkey", "c_name")
+    val local = Windows.surrogateKey(df, "id", col("c_custkey"))
+      .select("c_custkey", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("sk_ckpt").toString)
+    val reliable = Windows.surrogateKeyMaterialized(df, "id",
+        Materialize.Reliable, col("c_custkey"))
+      .select("c_custkey", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(reliable === local)
+  }
 }
 
 class ReshapeSpec2 extends SparkSpec {
