@@ -60,4 +60,15 @@ object Aggs {
   /** A2 - CUBE: all dimension combinations in one pass. */
   def cubeAgg(df: DataFrame, dims: Seq[String], aggs: Seq[Column]): DataFrame =
     df.cube(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+
+  /** A2 - arbitrary GROUPING SETS (the general form rollup/cube are sugar
+    * for): each set is one grouping combination; Catalyst plans ONE scan +
+    * Expand + a single hash aggregate, vs N scans for the union-of-groupbys
+    * a user would otherwise write. `groupingSets` entries must be subsets
+    * of `dims`; `grouping_id()` disambiguates which set produced each row.
+    */
+  def groupingSetsAgg(df: DataFrame, dims: Seq[String],
+                      groupingSets: Seq[Seq[String]], aggs: Seq[Column]): DataFrame =
+    df.groupingSets(groupingSets.map(_.map(col)), dims.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
 }

@@ -302,6 +302,21 @@ object Queries {
              |CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
 
+    // A2 - arbitrary GROUPING SETS (the general form; BigQuery-side
+    // surface a reference user could reach beyond rollup/cube): per-flag,
+    // per-status, and grand-total groupings in one Expand pass.
+    "a2_grouping_sets" -> Q(
+      (s, dir) => Aggs.groupingSetsAgg(Tables.lineitem(s, dir),
+        dims = Seq("l_returnflag", "l_linestatus"),
+        groupingSets = Seq(Seq("l_returnflag"), Seq("l_linestatus"), Seq.empty),
+        aggs = Seq(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"), grouping_id().cast("int").as("gid"))),
+      Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+             |CAST(count(*) AS BIGINT) AS n,
+             |CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)),
+
     // A2 - CUBE over both dims.
     "a2_cube" -> Q(
       (s, dir) => Tables.lineitem(s, dir)

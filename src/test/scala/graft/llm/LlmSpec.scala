@@ -283,6 +283,20 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(0).byte_checksum === "hello".getBytes("UTF-8").map(_ & 0xFF).sum)
   }
 
+  test("resize downsamples payloads to the byte budget, deterministically") {
+    implicit val s = spark
+    val df = Seq((1L, "image", "0123456789"), (2L, "image", "abc"))
+      .toDF("doc_id", "modality", "text")
+    val media = Multimodal.payloadFromText(df, "doc_id", "text", "modality")
+    val out = Multimodal.resize(Multimodal.asMediaDataset(media), targetBytes = 5)
+      .collect().sortBy(_.media_id)
+    // 10 bytes at budget 5 -> stride 2 -> every 2nd byte
+    assert(new String(out(0).payload) === "02468")
+    assert(out(0).orig_bytes === 10 && out(0).target_bytes === 5)
+    // already under budget -> unchanged
+    assert(new String(out(1).payload) === "abc")
+  }
+
   test("frameSample slices fixed-stride byte ranges without decoding") {
     val df = Seq((1L, "0123456789ABCDEF")).toDF("id", "s")
       .select($"id", encode($"s", "UTF-8").as("payload"))

@@ -40,6 +40,21 @@ class JoinsSpec2 extends SparkSpec {
 class AggsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("groupingSetsAgg plans one Expand pass, not a union of scans") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(("A", "x", 1.0), ("A", "y", 2.0), ("B", "x", 3.0))
+      .toDF("f", "s", "q")
+    val out = Aggs.groupingSetsAgg(df, Seq("f", "s"),
+      Seq(Seq("f"), Seq("s"), Seq.empty), Seq(sum($"q").as("sq")))
+    // sets: f in {A,B} (2) + s in {x,y} (2) + grand total (1)
+    assert(out.count() === 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"))
+    assert("LocalTableScan|Scan".r.findAllIn(plan).size <= 2) // one input scan
+    val total = out.filter($"f".isNull && $"s".isNull).head()
+    assert(total.getAs[Double]("sq") === 6.0)
+  }
+
   test("yearlyOhlcv picks open/close by date order, not row order") {
     val df = Seq(
       ("T", "2024-03-01", 20.0, 25.0, 19.0, 24.0, 100.0),
