@@ -331,8 +331,11 @@ object Similarity {
       .withColumn("cos", dotc(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
     // The assigned cell rides the string payload behind the padded id: a
     // candidate lives in exactly one cell, so the fixed-width id prefix
-    // alone decides ties and the suffix never affects ordering.
+    // alone decides ties and the suffix never affects ordering. Integral
+    // ids only — a ':' inside a string id would corrupt the payload split.
     val idType = cells.schema("cand_id").dataType
+    require(idType != org.apache.spark.sql.types.StringType,
+      "IVF top-k requires integral ids (the cell rides a ':'-delimited payload)")
     scored.groupBy(col("query_id"))
       .agg(topK(col("cos"),
         concat_ws(":", idPayload(idType), col("cell").cast("string")), k).as("tk"))
