@@ -39,14 +39,20 @@ object TextAnalysis {
   def langId(text: Column): Column = {
     // Encode (score, lang-rank) into one comparable value: score * 8 +
     // (number of langs - declared index) so ties fall to the earlier
-    // (alphabetically first) language.
+    // (alphabetically first) language. The token array is LET-BOUND once
+    // per row and the whole argmax runs inside the lambda — referencing
+    // tokens(text) from each profile's score would re-run the
+    // trim+lower+regexp+split subtree once per language (see
+    // TextOps.wordShingles for the pattern).
     val n = langProfiles.size
-    val packed = langProfiles.zipWithIndex.map { case ((lang, markers), i) =>
-      struct(
-        (langScore(text, markers) * lit(n) + lit(n - 1 - i)).as("key"),
-        lit(lang).as("lang"))
-    }
-    greatest(packed: _*).getField("lang")
+    val best = transform(array(tokens(text)), ws =>
+      greatest(langProfiles.zipWithIndex.map { case ((lang, markers), i) =>
+        struct(
+          (size(filter(ws, t => t.isin(markers.map(lit): _*))) * lit(n)
+            + lit(n - 1 - i)).as("key"),
+          lit(lang).as("lang"))
+      }: _*))
+    element_at(best, 1).getField("lang")
   }
 
   /** Quality signals + one combined score, mirroring the usual
@@ -56,21 +62,35 @@ object TextAnalysis {
     */
   def qualitySignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
-    val nTok = size(toks).cast("double")
-    val nChars = length(t).cast("double")
     val stopwords = langProfiles.flatMap(_._2).distinct
-    df.select(
-      col(idCol),
-      nChars.cast("long").as("n_chars"),
-      nTok.cast("long").as("n_tokens"),
-      (nChars / nTok).as("chars_per_token"),
-      (size(filter(toks, x => length(x) > 3)).cast("double") / nTok)
-        .as("long_token_ratio"),
-      (regexp_count(t, lit("[.,;:!?]")).cast("double") / nChars)
-        .as("punct_ratio"),
-      (size(filter(toks, x => x.isin(stopwords.map(lit): _*))).cast("double") / nTok)
-        .as("stopword_ratio"))
+    // LET-BIND the token array once per row and emit every token-derived
+    // signal from ONE lambda (TextOps.wordShingles pattern): the naive
+    // form re-tokenizes the document for each of the three token
+    // consumers (Catalyst inlines the referenced subtree per use site).
+    // The struct lands as a plain attribute in the intermediate
+    // projection, so the field extractions below are cheap references —
+    // CollapseProject keeps multi-referenced non-cheap aliases
+    // unduplicated.
+    val tokSig = element_at(transform(array(tokens(t)), ws => {
+      val nTok = size(ws).cast("double")
+      struct(
+        nTok.as("n_tok"),
+        (size(filter(ws, x => length(x) > 3)).cast("double") / nTok)
+          .as("long_token_ratio"),
+        (size(filter(ws, x => x.isin(stopwords.map(lit): _*))).cast("double") / nTok)
+          .as("stopword_ratio"))
+    }), 1)
+    val nChars = length(col("__t")).cast("double")
+    df.select(col(idCol), t.as("__t"), tokSig.as("__s"))
+      .select(
+        col(idCol),
+        nChars.cast("long").as("n_chars"),
+        col("__s.n_tok").cast("long").as("n_tokens"),
+        (nChars / col("__s.n_tok")).as("chars_per_token"),
+        col("__s.long_token_ratio"),
+        (regexp_count(col("__t"), lit("[.,;:!?]")).cast("double") / nChars)
+          .as("punct_ratio"),
+        col("__s.stopword_ratio"))
   }
 
   /** Scalar quality score in [0, 1]: the mean of three bounded signals —
