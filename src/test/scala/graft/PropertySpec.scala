@@ -54,6 +54,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("keyed transpose equals the union of per-key transposes (random matrices)") {
+    for (seed <- 1 to 3) {
+      val nMetrics = sample(Gen.chooseNum(2, 6), seed)
+      val nPeriods = sample(Gen.chooseNum(1, 4), seed + 100)
+      val metrics = (1 to nMetrics).map(i => s"Metric $i")
+      val periods = (1 to nPeriods).map(i => s"202$i-12-31")
+      val tickers = Seq("AAA", "BBB", "CCC")
+      def cell(t: String, m: Int, p: Int) =
+        (tickers.indexOf(t) * 1000 + m * 10 + p).toDouble + 0.5
+      // One stacked frame, as globWithKey would produce it.
+      val rows = for (t <- tickers; (m, mi) <- metrics.zipWithIndex)
+        yield (t +: m +: periods.indices.map(pi => cell(t, mi, pi).toString))
+      val stacked = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(org.apache.spark.sql.Row(_: _*))),
+        org.apache.spark.sql.types.StructType(
+          ("Ticker" +: "name" +: periods).map(c =>
+            org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType))))
+      val keyed = Reshape.transposeStatementKeyed(stacked, "name", metrics, "Ticker")
+        .collect().map(_.toString).sorted
+      val perKey = tickers.flatMap { t =>
+        Reshape.transposeStatement(
+            stacked.filter(col("Ticker") === t).drop("Ticker"), "name", metrics, t)
+          .select(("Ticker" +: "Date" +: metrics).map(col): _*)
+          .collect().map(_.toString)
+      }.sorted
+      assert(keyed.toSeq === perKey.toSeq, s"seed=$seed")
+    }
+  }
+
   test("exactDedup output ids are a subset of input ids and cover all texts") {
     for (seed <- 1 to 3) {
       val docs = sample(Gen.listOfN(30, doc), seed)
