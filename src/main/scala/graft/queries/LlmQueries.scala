@@ -386,6 +386,23 @@ object LlmQueries {
       },
       None),
 
+    // The IVF write-time layout probed end-to-end: k-means runs once per
+    // source content (fingerprint-cached, like the LSH index); the probe
+    // reads only the nProbe cell directories via dynamic partition
+    // pruning (plan-asserted in SimilaritySpec). Rows-identical to
+    // llm_sim_topk_ivf (same seed/params; asserted in LlmSpec);
+    // KMeans internals are not SQL-replicable -> rows-only driver check.
+    "llm_sim_topk_ivf_index" -> Q(
+      (s, dir) => {
+        val fix = s"/tmp/graft_fixtures/ivf_index_${fingerprint(s"$dir/embeddings.parquet")}"
+        val emb = Tables.embeddings(s, dir)
+        if (!new java.io.File(s"$fix/centroids/_SUCCESS").exists())
+          Similarity.writeIvfIndex(emb, "vec_id", "embedding", nCells = 10, path = fix)
+        Similarity.ivfTopKFromIndex(s, fix, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 3)
+      },
+      None),
+
     // Language ID over the documents corpus.
     "llm_langid" -> Q(
       (s, dir) => Tables.documents(s, dir)
