@@ -28,14 +28,18 @@ object SourceQueries {
 
   /** Multi-sheet pipeline dimensions (s4_multi_sheet_pipeline): the four
     * reference sheets in a FIXED order (`transform_job_tabular_entitities
-    * .py:50-56`), a 5-ticker roster, three annual periods.
+    * .py:50-56`), a 20-ticker roster matching the reference's stock-list
+    * cardinality (`stock_list.csv:1-21`), three annual periods.
     */
   private val msSheets: Seq[(String, Seq[String])] = Seq(
     "balance_sheet" -> graft.model.StatementMetrics.balanceSheet,
     "cash_flow" -> graft.model.StatementMetrics.cashFlow,
     "income_statement" -> graft.model.StatementMetrics.incomeStatement,
     "quarterly" -> graft.model.StatementMetrics.quarterly)
-  private val msTickers = Seq("ALPHA", "BRAVO", "CHARL", "DELTA", "ECHO")
+  private val msTickers = Seq(
+    "ALPHA", "BRAVO", "CHARL", "DELTA", "ECHO", "FOXTR", "GOLF", "HOTEL",
+    "INDIA", "JULIE", "KILO", "LIMA", "MIKE", "NOVEM", "OSCAR", "PAPA",
+    "QUEBE", "ROMEO", "SIERR", "TANGO")
   private val msPeriods = Seq("2021-12-31", "2022-12-31", "2023-12-31")
 
   /** Full-width single-ticker statement transpose over `metrics`
