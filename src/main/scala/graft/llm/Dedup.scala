@@ -236,16 +236,26 @@ object Dedup {
     * that turns pairwise similarity into dedup decisions (keep the cluster
     * representative = the row whose id equals its cluster id).
     *
-    * Iterative min-label propagation: each round, every node adopts the
-    * smallest label among itself and its neighbors; converges in
-    * O(component diameter) rounds. Each round is one shuffle join; labels
-    * are checkpointed per round so lineage stays flat — the standard
-    * large-graph CC shape (what GraphX/Pregel does, expressed in
-    * DataFrames so Catalyst handles the joins).
+    * Iterative min-label propagation with ADAPTIVE pointer jumping: each
+    * round, every node adopts the smallest label among itself and its
+    * neighbors (one join + one aggregate — the cheap round). Propagation
+    * alone needs O(component diameter) rounds, which is fine for real
+    * near-dup graphs (diameter is almost always < 8) — so the first
+    * `jumpAfter` rounds pay nothing extra. If convergence has NOT arrived
+    * by then, the graph has a deep component and every later round adds a
+    * pointer jump: follow the candidate label one hop through the label
+    * table (`label(label)` — every label value is a node id in the same
+    * component, and labels only decrease, so the jump is sound), which
+    * collapses chains exponentially (O(log diameter) jump rounds; a
+    * 2000-node path converges where propagate-only would need 2000
+    * rounds). Labels are materialized per round so lineage stays flat —
+    * the standard large-graph CC shape (what GraphX/Pregel does,
+    * expressed in DataFrames so Catalyst handles the joins).
     */
   def dedupClusters(pairs: DataFrame, idA: String = "id_a",
                     idB: String = "id_b", maxIters: Int = 25,
-                    mat: graft.ops.Materialize = graft.ops.Materialize.Local): DataFrame = {
+                    mat: graft.ops.Materialize = graft.ops.Materialize.Local,
+                    jumpAfter: Int = 8): DataFrame = {
     import graft.ops.Materialize
     // Per-step materialization (edges, initial labels, each round's
     // labels keep lineage flat). Path gets a distinct subdirectory per
@@ -271,15 +281,26 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("label")).as("nmin"))
-      // One joined frame serves BOTH the convergence probe and the next
-      // labels (a node changed iff nmin < label) — the naive shape joins
-      // updated-vs-previous labels a second time, doubling the per-round
-      // shuffles.
-      val joined = matStep(s"round_$i")(labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("label"), col("nmin")))
-      val changed = joined.filter(col("nmin") < col("label")).limit(1).count()
-      labels = joined.select(col("id"),
-        least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("cand"))
+      // Deep-graph escape hatch: adopt the candidate's OWN current label.
+      // Left join + coalesce only as belt-and-braces — every label value
+      // is a node id, and labels covers every node.
+      val stepped =
+        if (i < jumpAfter)
+          propagated.withColumnRenamed("cand", "next")
+        else propagated
+          .join(labels.select(col("label").as("__jlbl"), col("id").as("cand")),
+            Seq("cand"), "left")
+          .select(col("id"), col("label"),
+            least(col("cand"), coalesce(col("__jlbl"), col("cand"))).as("next"))
+      // One materialized frame serves BOTH the convergence probe and the
+      // next labels (a node changed iff next < label) — re-deriving either
+      // would double the per-round shuffles.
+      val pinned = matStep(s"round_$i")(stepped)
+      val changed = pinned.filter(col("next") < col("label")).limit(1).count()
+      labels = pinned.select(col("id"), col("next").as("label"))
       converged = changed == 0
       i += 1
     }

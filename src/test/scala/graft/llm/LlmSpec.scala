@@ -74,6 +74,15 @@ class DedupSpec extends SparkSpec {
     assert(out(20L) === 20L && out(21L) === 20L)
   }
 
+  test("dedupClusters converges on a 512-node chain via adaptive pointer jumping") {
+    // Diameter 512 >> maxIters 25: propagate-only would refuse; the
+    // adaptive jump (after round 8) collapses the chain exponentially.
+    val chain = (0L until 511L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.dedupClusters(chain).as[(Long, Long)].collect()
+    assert(out.length === 512)
+    assert(out.forall(_._2 === 0L))
+  }
+
   test("Reliable/Path materialization strategies agree with the Local default") {
     import graft.ops.Materialize
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
