@@ -661,6 +661,41 @@ object SourceQueries {
              |WHERE v.event_type = 'view'
              |AND p.event_type = 'purchase'""".stripMargin)),
 
+    // Sequence/funnel analytics: per-user 3-stage funnel — first view,
+    // first click at-or-after it, first purchase at-or-after that. Each
+    // stage is a pushdown-filtered scan + min-aggregate + equi-join on
+    // user_id; stage frames are user-cardinality (tiny vs the event
+    // stream) so at scale the stage joins broadcast and no window ever
+    // runs over the raw events.
+    "events_funnel" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, Seq("user_id"))
+          .filter(col("ts") >= col("t_view"))
+          .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id"))
+          .filter(col("ts") >= col("t_click"))
+          .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      },
+      Some("""WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+             |  FROM events WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_click
+             |  FROM events e JOIN v ON e.user_id = v.user_id
+             |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= v.t_view
+             |  GROUP BY 1),
+             |p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+             |  FROM events e JOIN c ON e.user_id = c.user_id
+             |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= c.t_click
+             |  GROUP BY 1)
+             |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+             |FROM v LEFT JOIN c ON v.user_id = c.user_id
+             |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin)),
+
     // Anomaly flagging: per-type z-score outliers. The mean/variance come
     // from EXACT decimal sums (order-independent), so the derived doubles
     // and the z filter are engine-identical - no stddev_samp (whose
