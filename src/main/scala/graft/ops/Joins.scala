@@ -72,19 +72,23 @@ object Joins {
     * data" case).
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, buckets: Int,
-                 joinType: String = "inner"): DataFrame = {
+                 joinType: String = "inner",
+                 saltCols: Seq[String] = Nil): DataFrame = {
     // Right/full-outer would duplicate unmatched right rows `buckets`
     // times (the right side is exploded across every salt).
     require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
       "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left join types only, got $joinType")
-    // Salt from the full row CONTENT, not monotonically_increasing_id():
-    // a retried map task re-derives the identical salt for every row, so
-    // the join stays deterministic under task retry. (Identical duplicate
-    // rows share a salt — acceptable skew for real data, where hot-key
-    // rows still differ in their payload columns.)
+    // Salt from row CONTENT, not monotonically_increasing_id(): a retried
+    // map task re-derives the identical salt for every row, so the join
+    // stays deterministic under task retry. Default basis = all columns
+    // (safe); pass `saltCols` (key + a couple of high-entropy payload
+    // columns) on wide tables to avoid hashing every column per row.
+    // (Identical duplicate rows share a salt — acceptable skew for real
+    // data, where hot-key rows still differ in their payload columns.)
+    val basis = if (saltCols.nonEmpty) saltCols else left.columns.toSeq
     val saltedL = left.withColumn("_salt",
-      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(buckets)))
+      pmod(hash(basis.map(col).toIndexedSeq: _*), lit(buckets)))
     val saltedR = right.withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
     saltedL.join(saltedR, Seq(key, "_salt"), joinType).drop("_salt")
   }

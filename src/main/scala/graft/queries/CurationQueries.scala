@@ -49,7 +49,8 @@ object CurationQueries {
         Tables.lineitem(s, dir).withColumnRenamed("l_orderkey", "okey"),
         Tables.orders(s, dir).select(col("o_orderkey").as("okey"),
           col("o_orderstatus")),
-        key = "okey", buckets = 4)
+        key = "okey", buckets = 4,
+        saltCols = Seq("okey", "l_linenumber", "l_partkey"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double")

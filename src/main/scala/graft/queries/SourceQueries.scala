@@ -696,6 +696,34 @@ object SourceQueries {
              |FROM v LEFT JOIN c ON v.user_id = c.user_id
              |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin)),
 
+    // Cohort retention: users grouped by first-activity week, counted
+    // distinct in each subsequent week. Two aggregates over a
+    // week-truncated projection plus one user-keyed join — the classic
+    // retention matrix with no window and no per-cohort scan; at scale
+    // the cohort frame is user-cardinality and broadcasts.
+    "events_retention" -> Q(
+      (s, dir) => {
+        val wk = Tables.events(s, dir)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        val cohort = wk.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+        val active = wk.distinct()
+        active.join(cohort, Seq("user_id"))
+          .withColumn("week_offset",
+            (datediff(col("wk"), col("cohort_wk")) / 7).cast("int"))
+          .groupBy(col("cohort_wk"), col("week_offset"))
+          .agg(count_distinct(col("user_id")).as("n_users"))
+      },
+      Some("""WITH wk AS (SELECT user_id,
+             |  date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events),
+             |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM wk GROUP BY 1),
+             |active AS (SELECT DISTINCT user_id, wk FROM wk)
+             |SELECT cohort_wk,
+             |  CAST(date_diff('day', CAST(cohort_wk AS DATE), CAST(wk AS DATE)) / 7
+             |    AS INT) AS week_offset,
+             |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+             |FROM active a JOIN cohort c ON a.user_id = c.user_id
+             |GROUP BY 1, 2""".stripMargin)),
+
     // Anomaly flagging: per-type z-score outliers. The mean/variance come
     // from EXACT decimal sums (order-independent), so the derived doubles
     // and the z filter are engine-identical - no stddev_samp (whose
