@@ -134,6 +134,38 @@ object Curation {
     * plans as TakeOrderedAndProject (per-partition bounded heaps, no
     * global sort).
     */
+  /** Fixed-size token-window chunking with overlap — the context-window
+    * prep step: each document becomes ceil((n - chunk) / stride) + 1
+    * chunks of `chunkTokens` whitespace tokens, consecutive chunks
+    * sharing `overlap` tokens (stride = chunk - overlap); the final chunk
+    * may be shorter. Pure narrow computation: the token array is
+    * let-bound once per row ([[TextOps.wordShingles]] pattern), chunk
+    * ranges come from a plan-time `sequence`, and the explode is the only
+    * row-count change — no shuffle, embarrassingly parallel at 100 TB.
+    *
+    * Output: (id, chunk_id, n_tokens, chunk_text), deterministic.
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got chunk=$chunkTokens overlap=$overlap")
+    val stride = chunkTokens - overlap
+    val chunks = transform(array(tokens(col(textCol))), ws => {
+      val n = size(ws)
+      val nChunks = when(n <= chunkTokens, lit(1)).otherwise(
+        floor((n - chunkTokens + (stride - 1)).cast("double") / stride)
+          .cast("int") + 1)
+      transform(sequence(lit(0), nChunks - 1), k =>
+        struct(
+          k.cast("int").as("chunk_id"),
+          least(lit(chunkTokens), n - k * stride).cast("int").as("n_tokens"),
+          array_join(slice(ws, k * stride + 1, lit(chunkTokens)), " ")
+            .as("chunk_text")))
+    })
+    df.select(col(idCol), explode(element_at(chunks, 1)).as("c"))
+      .select(col(idCol), col("c.chunk_id"), col("c.n_tokens"), col("c.chunk_text"))
+  }
+
   def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     df.select(explode(tokens(col(textCol))).as("token"))

@@ -83,6 +83,25 @@ object CurationQueries {
              |             r_regionkey * 40000 + 39999 AS hi FROM region) bands
              |ON p >= lo AND p <= hi GROUP BY 1""".stripMargin)),
 
+    // Context-window chunking: 40-token chunks, 8-token overlap
+    // (stride 32). Chunk count, boundaries, and text are pure functions
+    // of the normalized token array, replicated exactly in DuckDB via
+    // list slicing — chunk_text hashes must match verbatim.
+    "llm_chunk" -> Q(
+      (s, dir) => Curation.chunkByTokens(Tables.documents(s, dir),
+        "doc_id", "text", chunkTokens = 40, overlap = 8),
+      Some("""WITH t AS (SELECT doc_id, %TOKS% AS ws FROM documents),
+             |c AS (SELECT doc_id, ws, len(ws) AS n,
+             |  CASE WHEN len(ws) <= 40 THEN 1
+             |       ELSE CAST(floor((len(ws) - 40 + 31) / 32.0) AS INT) + 1 END AS nc
+             |  FROM t),
+             |k AS (SELECT doc_id, ws, n, unnest(range(0, nc)) AS k FROM c)
+             |SELECT doc_id, CAST(k AS INT) AS chunk_id,
+             |  CAST(least(40, n - k * 32) AS INT) AS n_tokens,
+             |  array_to_string(ws[(k * 32 + 1):(k * 32 + 40)], ' ') AS chunk_text
+             |FROM k""".stripMargin
+        .replace("%TOKS%", toksSql("text")))),
+
     // Deterministic 80/10/10 split: split membership is a pure function
     // of hash60(doc_id) — rerun/engine/partitioning invariant.
     "llm_split_hash" -> Q(

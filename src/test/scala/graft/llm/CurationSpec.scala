@@ -116,6 +116,28 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap === Map(1L -> 0.5, 2L -> 0.0))
   }
 
+  test("chunkByTokens covers every token with the declared overlap") {
+    // 10 tokens, chunk 4, overlap 1 (stride 3): starts at 1, 4, 7 ->
+    // [a b c d] [d e f g] [g h i j] — the last chunk reaches token 10,
+    // so no redundant overlap-only tail chunk is emitted.
+    val df = Seq((1L, "a b c d e f g h i j"), (2L, "x y")).toDF("doc_id", "text")
+    val out = Curation.chunkByTokens(df, "doc_id", "text", 4, 1)
+      .orderBy("doc_id", "chunk_id").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getString(3)).toSeq ===
+      Seq("a b c d", "d e f g", "g h i j"))
+    assert(d1.map(_.getInt(2)).toSeq === Seq(4, 4, 4))
+    // shorter than one chunk -> exactly one chunk, untruncated
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length === 1 && d2.head.getString(3) === "x y"
+      && d2.head.getInt(2) === 2)
+    // exact multiple: 6 tokens, chunk 3, overlap 0 -> two full chunks
+    val exact = Curation.chunkByTokens(
+      Seq((1L, "a b c d e f")).toDF("doc_id", "text"), "doc_id", "text", 3, 0)
+      .orderBy("chunk_id").collect()
+    assert(exact.map(_.getString(3)).toSeq === Seq("a b c", "d e f"))
+  }
+
   test("rangeJoinBucketed equals the plain theta range join") {
     val points = (0L to 300L by 7L).toDF("p")
     val intervals = Seq((0L, 49L, "a"), (25L, 60L, "b"), (200L, 300L, "c"))
