@@ -724,6 +724,50 @@ object SourceQueries {
              |FROM active a JOIN cohort c ON a.user_id = c.user_id
              |GROUP BY 1, 2""".stripMargin)),
 
+    // Exact distributed correlation/covariance: Pearson r and sample
+    // covariance of (value, props.k) per event type, derived from EXACT
+    // decimal sums (n, Σx, Σy, Σxy, Σx², Σy²) — order-independent, one
+    // map-side-combined aggregate, so the derived doubles are
+    // engine-identical. The built-in corr()/covar_samp() accumulate in
+    // partition order and cannot hash-match across engines.
+    "events_corr" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        val x = col("value").cast("decimal(18,2)")
+        val y = col("k").cast("decimal(18,2)")
+        val agg = ev.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * y).as("sxy"), sum(x * x).as("sx2"), sum(y * y).as("sy2"))
+        def d(c: String) = col(c).cast("double")
+        agg.select(col("event_type"), col("n"),
+          ((col("n") * d("sxy") - d("sx") * d("sy")) /
+            (sqrt(col("n") * d("sx2") - d("sx") * d("sx")) *
+             sqrt(col("n") * d("sy2") - d("sy") * d("sy")))).as("pearson_r"),
+          ((d("sxy") - d("sx") * d("sy") / col("n")) / (col("n") - 1))
+            .as("covar_samp"))
+      },
+      Some("""WITH a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  sum(CAST(value AS DECIMAL(18,2))) AS sx,
+             |  sum(CAST(CAST(json_extract_string(props, '$.k') AS INT)
+             |      AS DECIMAL(18,2))) AS sy,
+             |  sum(CAST(value AS DECIMAL(18,2))
+             |    * CAST(CAST(json_extract_string(props, '$.k') AS INT)
+             |        AS DECIMAL(18,2))) AS sxy,
+             |  sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sx2,
+             |  sum(CAST(CAST(json_extract_string(props, '$.k') AS INT) AS DECIMAL(18,2))
+             |    * CAST(CAST(json_extract_string(props, '$.k') AS INT)
+             |        AS DECIMAL(18,2))) AS sy2
+             |  FROM events GROUP BY 1)
+             |SELECT event_type, n,
+             |  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |  (sqrt(n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |   * sqrt(n * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             |    AS pearson_r,
+             |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+             |    / (n - 1) AS covar_samp
+             |FROM a""".stripMargin)),
+
     // Anomaly flagging: per-type z-score outliers. The mean/variance come
     // from EXACT decimal sums (order-independent), so the derived doubles
     // and the z filter are engine-identical - no stddev_samp (whose
