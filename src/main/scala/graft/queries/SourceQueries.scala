@@ -664,8 +664,11 @@ object SourceQueries {
     // Sequence/funnel analytics: per-user 3-stage funnel — first view,
     // first click at-or-after it, first purchase at-or-after that. Each
     // stage is a pushdown-filtered scan + min-aggregate + equi-join on
-    // user_id; stage frames are user-cardinality (tiny vs the event
-    // stream) so at scale the stage joins broadcast and no window ever
+    // user_id. Stage frames are USER-cardinality — smaller than the event
+    // stream but still billions of rows at 100 TB, so they do NOT
+    // broadcast; the intended plan is shuffle hash/sort-merge joins on
+    // user_id, where all three stage joins share one user_id partitioning
+    // (one exchange reused). What the shape buys is that no window ever
     // runs over the raw events.
     "events_funnel" -> Q(
       (s, dir) => {
@@ -699,8 +702,11 @@ object SourceQueries {
     // Cohort retention: users grouped by first-activity week, counted
     // distinct in each subsequent week. Two aggregates over a
     // week-truncated projection plus one user-keyed join — the classic
-    // retention matrix with no window and no per-cohort scan; at scale
-    // the cohort frame is user-cardinality and broadcasts.
+    // retention matrix with no window and no per-cohort scan. The cohort
+    // frame is USER-cardinality — at 100 TB that is billions of rows, not
+    // broadcast-sized — so the active⋈cohort join is a shuffle join on
+    // user_id, co-partitioned with the aggregates that produce both sides
+    // (the equi-join degrades gracefully; nothing here needs a broadcast).
     "events_retention" -> Q(
       (s, dir) => {
         val wk = Tables.events(s, dir)
