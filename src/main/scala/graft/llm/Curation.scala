@@ -174,4 +174,33 @@ object Curation {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
   }
+
+  /** One BPE-style merge iteration: the `k` most frequent ADJACENT token
+    * pairs (count desc, pair asc — deterministic ties), each with its
+    * merged form — the candidate-selection step between plain token
+    * counting ([[vocabTopK]]) and a real tokenizer-training pipeline (the
+    * top row IS the next merge rule).
+    *
+    * Scale shape: the pair list is a narrow per-row `zip_with` of two
+    * slices of the let-bound token array (tokenization runs once per row),
+    * counting is one map-side-combined groupBy, and the top-k plans as
+    * TakeOrderedAndProject (per-partition bounded heaps) — no window, no
+    * global sort. Iterating BPE further just re-runs this over re-merged
+    * tokens; every iteration keeps the same one-shuffle shape.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // Adjacent pairs = zip(ws[1..n-1], ws[2..n]); a 0/1-token doc yields
+    // zero pairs (slice length clamps to 0).
+    val pairs = transform(array(tokens(col(textCol))), ws => {
+      val len = greatest(size(ws) - 1, lit(0))
+      zip_with(slice(ws, lit(1), len), slice(ws, lit(2), len),
+        (a, b) => concat(a, lit(" "), b))
+    })
+    df.select(explode(element_at(pairs, 1)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+      .withColumn("merged", regexp_replace(col("pair"), " ", ""))
+  }
 }

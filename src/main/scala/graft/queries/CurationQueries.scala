@@ -199,5 +199,19 @@ object CurationQueries {
       Some(s"""SELECT token, CAST(count(*) AS BIGINT) AS n
               |FROM (SELECT unnest(${toksSql("text")}) AS token FROM documents)
               |WHERE token <> ''
-              |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin)))
+              |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin)),
+
+    // One BPE merge iteration: top-50 adjacent-token pair frequencies
+    // with the merged form — the step between token counting and a real
+    // tokenizer pipeline; the top row is the next merge rule. Map-side-
+    // combined counts + TakeOrderedAndProject, no window; ties are total
+    // on (n desc, pair), so the LIMIT boundary is engine-deterministic.
+    "llm_bpe_pairs" -> Q(
+      (s, dir) => Curation.bpePairCounts(Tables.documents(s, dir), "text", 50),
+      Some(s"""SELECT pair, CAST(count(*) AS BIGINT) AS n,
+              |replace(pair, ' ', '') AS merged
+              |FROM (SELECT unnest(list_transform(range(1, len(ws)),
+              |        i -> ws[i] || ' ' || ws[i+1])) AS pair
+              |      FROM (SELECT ${toksSql("text")} AS ws FROM documents))
+              |GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin)))
 }

@@ -441,6 +441,33 @@ object LlmQueries {
       },
       None),
 
+    // IVF quality, oracle-checked: per-query recall@5 of the IVF index
+    // probe (nProbe=5 of 10 cells) against the brute-force ground truth,
+    // gated on a recall FLOOR. KMeans internals aren't SQL-replicable, so
+    // the oracle can't recompute the recall VALUE — but it can check the
+    // quality CONTRACT: every query's recall clears 0.2. Measured margin:
+    // across {4,32} cores x {sf0.001,0.01,0.1} the per-query minimum at
+    // nProbe=5 is 0.4 (means 0.76-0.85), so the floor sits a full notch
+    // (recall is k/5-quantized) below anything observed while a broken
+    // probe (empty cells, wrong DPP, degenerate clustering) lands at 0.0
+    // and goes red. Composes brute + ivfTopKFromIndex + recallAtK exactly
+    // like llm_ann_recall does for LSH.
+    "llm_ivf_recall" -> Q(
+      (s, dir) => {
+        val fix = ensureIvfIndex(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") < 10)
+        Similarity.recallAtK(
+          Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5),
+          Similarity.ivfTopKFromIndex(s, fix, q, "vec_id", "embedding",
+            k = 5, nProbe = 5),
+          k = 5)
+          .select(col("query_id"),
+            (col("recall") >= 0.2).cast("int").as("meets_floor"))
+      },
+      Some("""SELECT DISTINCT vec_id AS query_id, CAST(1 AS INT) AS meets_floor
+             |FROM embeddings WHERE vec_id < 10""".stripMargin)),
+
     // Language ID over the documents corpus.
     "llm_langid" -> Q(
       (s, dir) => Tables.documents(s, dir)

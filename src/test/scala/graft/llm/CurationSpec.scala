@@ -86,6 +86,21 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("bpePairCounts ranks adjacent pairs with deterministic ties and no window") {
+    // "a b" x3 (two in doc1, one in doc2), "b a" x2, "b c" x1, "c a" x1;
+    // the 1-token doc contributes no pairs.
+    val df = Seq("a b a b c a", "b a b", "solo").toDF("text")
+    val top = Curation.bpePairCounts(df, "text", 3)
+      .as[(String, Long, String)].collect().toSeq
+    assert(top === Seq(("a b", 3L, "ab"), ("b a", 2L, "ba"), ("b c", 1L, "bc")))
+    // k beyond distinct pairs returns them all; merged strips the space.
+    assert(Curation.bpePairCounts(df, "text", 100).count() === 4)
+    // Scale shape: bounded top-k, not a global sort or window.
+    val plan = Curation.bpePairCounts(docs, "text", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject") && !plan.contains("Window"))
+  }
+
   test("termRelevance computes tf, df, and the unlogged tf-idf ratio") {
     val df = Seq((1L, "cat cat dog"), (2L, "dog fish"), (3L, "cat")).toDF("id", "text")
     val out = TextAnalysis.termRelevance(df, "id", "text")
