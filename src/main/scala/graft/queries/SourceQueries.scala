@@ -599,6 +599,116 @@ object SourceQueries {
            |FROM metrics, tickers, periods""".stripMargin
       }),
 
+    // The analyst-estimates ingest entity (SURVEY §1.4 dead data): the
+    // reference lands earnings_estimates/{ticker}.csv — one yfinance
+    // earnings-estimate frame per ticker, 4 period rows (0q/+1q/0y/+1y)
+    // — and never transforms it (ingest_data_API.py:101-103). Covered
+    // end-to-end here: per-ticker CSVs -> ONE glob scan with ticker key
+    // recovery (no driver loop) -> typed cast -> derived consensus
+    // spread. Values are pure functions of (ticker, period) indexes, so
+    // the oracle recomputes them from compact index tables.
+    "api_earnings_estimates" -> Q(
+      (s, dir) => {
+        val fix = fixDir(dir, "apiee")
+        val periods = Seq("0q", "+1q", "0y", "+1y")
+        Files.createDirectories(Paths.get(fix))
+        for ((t, ti) <- msTickers.zipWithIndex) {
+          val header = "period,avg,low,high,yearAgoEps,numberOfAnalysts,growth"
+          val rows = periods.zipWithIndex.map { case (p, pi) =>
+            val b = (ti * 100 + pi * 10).toDouble
+            s"$p,${b + 1.25},${b + 0.25},${b + 3.25},${b - 2.5},${ti + pi + 3},${(pi - 1) * 0.25}"
+          }
+          Files.write(Paths.get(s"$fix/$t.csv"),
+            (header +: rows).mkString("\n").getBytes(StandardCharsets.UTF_8))
+        }
+        val schema = StructType(
+          Seq("period", "avg", "low", "high", "yearAgoEps", "numberOfAnalysts",
+            "growth").map(StructField(_, StringType, nullable = true)))
+        val raw = Sources.csvWithHeader(s, s"$fix/*.csv", schema)
+        Sources.globWithKey(raw, "Ticker", "([A-Z]+)\\.csv$")
+          .select(col("Ticker"), col("period"),
+            col("avg").cast("double").as("avg_eps"),
+            col("low").cast("double").as("low_eps"),
+            col("high").cast("double").as("high_eps"),
+            col("numberOfAnalysts").cast("int").as("n_analysts"),
+            col("growth").cast("double").as("growth"),
+            (col("high").cast("double") - col("low").cast("double"))
+              .as("eps_spread"))
+      },
+      Some {
+        val tickersSql = msTickers.zipWithIndex
+          .map { case (t, ti) => s"($ti, '$t')" }.mkString(", ")
+        s"""WITH tickers AS (SELECT * FROM (VALUES $tickersSql) t(ti, Ticker)),
+           |periods AS (SELECT * FROM (VALUES
+           |  (0, '0q'), (1, '+1q'), (2, '0y'), (3, '+1y')) p(pi, period))
+           |SELECT Ticker, period,
+           |  CAST(ti * 100 + pi * 10 + 1.25 AS DOUBLE) AS avg_eps,
+           |  CAST(ti * 100 + pi * 10 + 0.25 AS DOUBLE) AS low_eps,
+           |  CAST(ti * 100 + pi * 10 + 3.25 AS DOUBLE) AS high_eps,
+           |  CAST(ti + pi + 3 AS INT) AS n_analysts,
+           |  CAST((pi - 1) * 0.25 AS DOUBLE) AS growth,
+           |  CAST(3.0 AS DOUBLE) AS eps_spread
+           |FROM tickers, periods""".stripMargin
+      }),
+
+    // The options-chain ingest entity (SURVEY §1.4 dead data): the
+    // reference lands options/calls_{t}.csv + puts_{t}.csv per ticker and
+    // never transforms them (ingest_data_API.py:121-127). Here BOTH sides
+    // land in one glob scan — side AND ticker recovered from the file
+    // name — then the classic chain analytic: per-ticker open-interest
+    // put/call ratio via conditional aggregation (one shuffle, no
+    // self-join of the sides). Deterministic per-(ticker, side, strike)
+    // values; the oracle recomputes the closed-form aggregates.
+    "api_options_chain" -> Q(
+      (s, dir) => {
+        val fix = fixDir(dir, "apiopt")
+        Files.createDirectories(Paths.get(fix))
+        for ((t, ti) <- msTickers.zipWithIndex; side <- Seq("calls", "puts")) {
+          val si = if (side == "puts") 1 else 0
+          val cp = if (si == 0) "C" else "P"
+          val header =
+            "contractSymbol,strike,lastPrice,volume,openInterest,impliedVolatility,inTheMoney"
+          val rows = (0 until 8).map { j =>
+            s"${t}260116$cp$j,${50.0 + j * 5 + 0.5},${j + si + 0.25}," +
+              s"${(ti + 1) * 10 + j + si},${(ti + 1) * 100 + j * 3 + si * 7}," +
+              s"${(j + 1) * 0.125},${j < 4}"
+          }
+          Files.write(Paths.get(s"$fix/${side}_$t.csv"),
+            (header +: rows).mkString("\n").getBytes(StandardCharsets.UTF_8))
+        }
+        val schema = StructType(
+          Seq("contractSymbol", "strike", "lastPrice", "volume", "openInterest",
+            "impliedVolatility", "inTheMoney")
+            .map(StructField(_, StringType, nullable = true)))
+        val raw = Sources.csvWithHeader(s, s"$fix/*.csv", schema)
+        val keyed = Sources.globWithKey(
+          Sources.globWithKey(raw, "Ticker", "_([A-Z]+)\\.csv$"),
+          "side", "(calls|puts)_[A-Z]+\\.csv$")
+        keyed.groupBy(col("Ticker"))
+          .agg(
+            sum(when(col("side") === "calls",
+              col("openInterest").cast("long")).otherwise(0L)).as("call_oi"),
+            sum(when(col("side") === "puts",
+              col("openInterest").cast("long")).otherwise(0L)).as("put_oi"),
+            count(lit(1)).as("n_contracts"))
+          .withColumn("pc_ratio",
+            col("put_oi").cast("double") / col("call_oi").cast("double"))
+      },
+      Some {
+        val tickersSql = msTickers.zipWithIndex
+          .map { case (t, ti) => s"($ti, '$t')" }.mkString(", ")
+        // call_oi = Σ_j (ti+1)*100 + 3j over j<8 = 800(ti+1) + 84;
+        // puts add 7 per contract -> +56.
+        s"""WITH tickers AS (SELECT * FROM (VALUES $tickersSql) t(ti, Ticker))
+           |SELECT Ticker,
+           |  CAST(800 * (ti + 1) + 84 AS BIGINT) AS call_oi,
+           |  CAST(800 * (ti + 1) + 140 AS BIGINT) AS put_oi,
+           |  CAST(16 AS BIGINT) AS n_contracts,
+           |  CAST(800 * (ti + 1) + 140 AS DOUBLE)
+           |    / CAST(800 * (ti + 1) + 84 AS DOUBLE) AS pc_ratio
+           |FROM tickers""".stripMargin
+      }),
+
     // Streaming batch-parity: the EXACT plan graft.streaming.Streams runs
     // incrementally (window + watermark), executed in batch mode. The
     // StreamsSpec replays the same data through MemoryStream and asserts
