@@ -396,8 +396,9 @@ object SourceQueries {
     // (raw_to_landing_sparkjob.py:9-189): Kaggle header CSV (comma-grouped
     // volume) + API headerless CSV (4 junk rows) -> standardize both ->
     // unionByName + Ticker/year tag -> year-partitioned parquet -> scan
-    // back. Kaggle covers years < 1995, API the rest (the reference's
-    // pre/post-2017 split).
+    // back. Kaggle covers years < 1998, API the rest (the reference's
+    // pre/post-2017 split; testdata dates span 1995-2001, so BOTH
+    // branches carry rows).
     "m2_standardize_combine" -> Q(
       (s, dir) => {
         val fix = fixDir(dir, "m2")
@@ -409,7 +410,7 @@ object SourceQueries {
             max(col("o_totalprice")).as("Close"),
             (count(lit(1)) * 100).cast("double").as("Volume"))
         // Kaggle side: header CSV, comma-grouped Volume, extra OpenInt col.
-        daily.filter(year(col("Date")) < 1995).select(
+        daily.filter(year(col("Date")) < 1998).select(
             date_format(col("Date"), "yyyy-MM-dd").as("Date"),
             col("Open").cast("string"), col("High").cast("string"),
             col("Low").cast("string"), col("Close").cast("string"),
@@ -427,7 +428,7 @@ object SourceQueries {
           StructType(
             Seq("sort", "Date", "Open", "High", "Low", "Close", "AdjClose", "Volume")
               .map(StructField(_, StringType, nullable = true))))
-        val apiRows = daily.filter(year(col("Date")) >= 1995).select(
+        val apiRows = daily.filter(year(col("Date")) >= 1998).select(
           date_format(col("Date"), "yyyy-MM-dd").as("sort"),
           date_format(col("Date"), "yyyy-MM-dd").as("Date"),
           col("Open").cast("string"), col("High").cast("string"),
@@ -458,7 +459,7 @@ object SourceQueries {
              |min(o_totalprice) AS Open, max(o_totalprice) AS High,
              |min(o_totalprice) AS Low, max(o_totalprice) AS Close,
              |CAST(count(*) * 100 AS DOUBLE) AS Volume,
-             |CASE WHEN year(o_orderdate) < 1995 THEN 'Kaggle' ELSE 'API' END AS Source,
+             |CASE WHEN year(o_orderdate) < 1998 THEN 'Kaggle' ELSE 'API' END AS Source,
              |'ACME' AS Ticker, CAST(year(o_orderdate) AS INT) AS year
              |FROM orders GROUP BY o_orderdate""".stripMargin)),
 
@@ -708,6 +709,221 @@ object SourceQueries {
            |    / CAST(800 * (ti + 1) + 84 AS DOUBLE) AS pc_ratio
            |FROM tickers""".stripMargin
       }),
+
+    // D3 GOLDEN PIPELINE — the reference's whole DAG chain as ONE
+    // Pipeline.runStages run (transform_open_close_data.py:102 `upload >>
+    // transform >> load`, transform_tabular_entities.py:88-110), every
+    // stage a real operator from §2, the hand-offs through the real sinks:
+    //   ingest    raw per-ticker price CSVs (Kaggle header side < 1998,
+    //             API headerless side with 4 junk rows per file >= 1998),
+    //             tickers = region names
+    //   combine   S1/S2 scans (ONE glob each, Ticker from the path,
+    //             per-FILE junk skip) -> standardize -> O1 union -> S6
+    //             year-partitioned parquet
+    //   statements per-ticker statement sheets -> S4 glob scan -> R1 keyed
+    //             transpose -> S7 parquet
+    //   info      S5 whole-file JSON docs -> P9 flatten -> S8 NDJSON
+    //   warehouse S9/S10 loads registering the three relations
+    //   analytics the star rollup joining all three (returned frame)
+    // A stage failure aborts the chain (D3 semantics); the driver hashes
+    // the final analytical output, which the oracle recomputes end-to-end
+    // from the base tables.
+    "d3_full_pipeline" -> Q(
+      (s, dir) => {
+        val fix = fixDir(dir, "d3full")
+        // Tickers are region names with spaces folded to '_' ("MIDDLE
+        // EAST" would otherwise URI-escape inside the partition path).
+        val tk = regexp_replace(col("r_name"), " ", "_")
+        val base = Tables.orders(s, dir)
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)),
+            col("n_regionkey") === col("r_regionkey"))
+        val daily = base.groupBy(tk.as("Ticker"), col("o_orderdate").as("Date"))
+          .agg(min(col("o_totalprice")).as("Open"),
+            max(col("o_totalprice")).as("High"),
+            min(col("o_totalprice")).as("Low"),
+            max(col("o_totalprice")).as("Close"),
+            (count(lit(1)) * 100).cast("double").as("Volume"))
+        val kSchema = StructType(
+          Seq("Date", "Open", "High", "Low", "Close", "Volume", "OpenInt")
+            .map(StructField(_, StringType, nullable = true)))
+        val aSchema = StructType(
+          Seq("Date", "Open", "High", "Low", "Close", "AdjClose", "Volume")
+            .map(StructField(_, StringType, nullable = true)))
+        var combined: org.apache.spark.sql.DataFrame = null
+        var statements: org.apache.spark.sql.DataFrame = null
+        var info: org.apache.spark.sql.DataFrame = null
+        val stages = Seq(
+          Pipeline.Stage("ingest_prices") { _ =>
+            // Kaggle side: header CSV, comma-grouped Volume, OpenInt.
+            daily.filter(year(col("Date")) < 1998).select(
+                date_format(col("Date"), "yyyy-MM-dd").as("Date"),
+                col("Open").cast("string"), col("High").cast("string"),
+                col("Low").cast("string"), col("Close").cast("string"),
+                format_number(col("Volume"), 0).as("Volume"),
+                lit("0").as("OpenInt"), col("Ticker"))
+              .repartition(col("Ticker"))
+              .write.mode("overwrite").partitionBy("Ticker")
+              .option("header", "true").csv(s"$fix/kaggle")
+            // API side: headerless, 4 junk metadata rows AT THE TOP OF
+            // EACH per-ticker file (the "!" sort prefix precedes any
+            // date), AdjClose column.
+            val tickers = Tables.region(s, dir)
+              .select(regexp_replace(col("r_name"), " ", "_")).collect()
+              .map(_.getString(0)).toSeq // 5-row dim: fixture prep only
+            val junkRows = tickers.flatMap { t =>
+              Seq(("!0", "Price", "", "", "", "", "", "", t),
+                ("!1", "Ticker", t, "", "", "", "", "", t),
+                ("!2", "Date", "", "", "", "", "", "", t),
+                ("!3", "", "", "", "", "", "", "", t))
+            }
+            import s.implicits._
+            val junk = junkRows.toDF("sort", "Date", "Open", "High", "Low",
+              "Close", "AdjClose", "Volume", "Ticker")
+            val apiRows = daily.filter(year(col("Date")) >= 1998).select(
+              date_format(col("Date"), "yyyy-MM-dd").as("sort"),
+              date_format(col("Date"), "yyyy-MM-dd").as("Date"),
+              col("Open").cast("string"), col("High").cast("string"),
+              col("Low").cast("string"), col("Close").cast("string"),
+              col("Close").cast("string").as("AdjClose"),
+              col("Volume").cast("string"), col("Ticker"))
+            junk.unionByName(apiRows)
+              .repartition(col("Ticker")).sortWithinPartitions("sort")
+              .drop("sort")
+              .write.mode("overwrite").partitionBy("Ticker")
+              .option("header", "false").csv(s"$fix/api")
+          },
+          Pipeline.Stage("standardize_combine") { _ =>
+            // Kaggle: S1 scan -> M2 standardize (narrow, so the file name
+            // is still addressable afterwards for key recovery).
+            val kag = Sources.globWithKey(
+              Clean.standardizeKaggle(
+                Sources.csvWithHeader(s, s"$fix/kaggle/Ticker=*/", kSchema)
+                  .drop("OpenInt")),
+              "Ticker", "Ticker=([A-Z_]+)/")
+            // API: S2 scan; Ticker BEFORE the skip window (the shuffle
+            // severs file context), then the per-FILE junk skip — the
+            // scale-correct W1 variant (every file drops its own 4 rows
+            // in parallel).
+            val api = Clean.parseDateStrict(
+              Windows.skipRowsPerFile(
+                Sources.globWithKey(
+                  Sources.csvHeaderless(s, s"$fix/api/Ticker=*/", aSchema),
+                  "Ticker", "Ticker=([A-Z_]+)/"), 4), "Date")
+              .select(col("Date"),
+                col("Open").cast("double").as("Open"),
+                col("High").cast("double").as("High"),
+                col("Low").cast("double").as("Low"),
+                col("Close").cast("double").as("Close"),
+                Clean.numericFromGrouped(col("Volume")).as("Volume"),
+                col("Ticker"))
+              .withColumn("Source", lit("API"))
+            combined = kag.unionByName(api.select(kag.columns.map(col): _*))
+              .withColumn("year", year(col("Date")))
+            Sources.writeParquetPartitioned(combined, s"$fix/landing", "year")
+          },
+          Pipeline.Stage("statements") { _ =>
+            // Per-ticker statement sheets derived from the same yearly
+            // revenue the oracle recomputes; driver-side fixture prep is
+            // a ~35-row collect (5 tickers x 7 years).
+            val metrics = Seq("TotalRevenue", "NetIncome", "GrossProfit")
+            val byYear = base.groupBy(tk.as("Ticker"),
+                year(col("o_orderdate")).as("y"))
+              .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+              .collect().map(r => (r.getString(0), r.getInt(1), r.getDecimal(2)))
+            val years = byYear.map(_._2).distinct.sorted
+            byYear.groupBy(_._1).foreach { case (t, rows) =>
+              val byY = rows.map(r => r._2 -> r._3).toMap
+              def cell(y: Int)(f: java.math.BigDecimal => String): String =
+                byY.get(y).map(f).getOrElse("")
+              val lines = Seq(
+                "TotalRevenue," + years.map(y => cell(y)(_.toPlainString)).mkString(","),
+                "NetIncome," + years.map(y => cell(y)(d => (d.doubleValue() / 10).toString)).mkString(","),
+                "GrossProfit," + years.map(y => cell(y)(d => (d.doubleValue() / 2).toString)).mkString(","),
+                "JunkMetric," + years.map(_ => "0").mkString(","))
+              Files.createDirectories(Paths.get(s"$fix/statements"))
+              Files.write(Paths.get(s"$fix/statements/$t.csv"),
+                (s"name,${years.mkString(",")}" +: lines).mkString("\n")
+                  .getBytes(StandardCharsets.UTF_8))
+            }
+            // S4 glob scan -> R1 keyed transpose: all tickers, one job.
+            val raw = Sources.statementCsv(s, s"$fix/statements/*.csv")
+            val keyed = Sources.globWithKey(raw, "Ticker", "([A-Z_]+)\\.csv$")
+            statements = Reshape.transposeStatementKeyed(keyed, "name", metrics, "Ticker")
+            Sources.writeParquetSingle(statements, s"$fix/stmt_parquet")
+          },
+          Pipeline.Stage("info_json") { _ =>
+            val regions = Tables.region(s, dir)
+              .select("r_regionkey", "r_name").collect() // 5-row dim
+            Files.createDirectories(Paths.get(s"$fix/info"))
+            regions.foreach { r =>
+              val (k, n) = (r.getInt(0), r.getString(1).replace(' ', '_'))
+              val doc =
+                s"""{"symbol": "$n", "shortName": "Region $n",
+                   | "fullTimeEmployees": ${(k + 1) * 1000},
+                   | "address1": "HQ $k"}""".stripMargin
+              Files.write(Paths.get(s"$fix/info/r_$k.json"),
+                doc.getBytes(StandardCharsets.UTF_8))
+            }
+            info = Clean.flattenInfo(
+              Sources.jsonDocuments(s, s"$fix/info/*.json", Schemas.infoJson))
+            Sources.writeNdjson(info, s"$fix/info_ndjson")
+          },
+          Pipeline.Stage("warehouse") { _ =>
+            Sources.loadWarehouseParquet(s, s"$fix/landing", "d3_prices")
+            Sources.loadWarehouseParquet(s, s"$fix/stmt_parquet", "d3_statements")
+            Sources.loadWarehouseNdjson(s, s"$fix/info_ndjson",
+              StructType(Seq("symbol", "shortName", "industry", "sector",
+                "fullTimeEmployees", "totalRevenue", "address", "city",
+                "state", "zip", "website")
+                .map(StructField(_, StringType, nullable = true))),
+              "d3_info")
+          })
+        val results = Pipeline.runStages(s, stages)
+        require(results.size == stages.size && results.forall(_.error.isEmpty),
+          s"pipeline stage failed: $results")
+        // The star analytic over the warehouse relations — the frame the
+        // driver hashes.
+        s.sql("""SELECT i.symbol, p.year, p.n_days, p.total_volume,
+                |  p.max_close, st.TotalRevenue AS total_revenue,
+                |  st.NetIncome AS net_income,
+                |  CAST(i.fullTimeEmployees AS INT) AS employees
+                |FROM (SELECT Ticker, year, count(*) AS n_days,
+                |        sum(Volume) AS total_volume, max(Close) AS max_close
+                |      FROM d3_prices GROUP BY Ticker, year) p
+                |JOIN d3_statements st
+                |  ON st.Ticker = p.Ticker AND st.Date = CAST(p.year AS STRING)
+                |JOIN d3_info i ON i.symbol = p.Ticker""".stripMargin)
+      },
+      Some("""WITH base AS (
+             |  SELECT replace(r_name, ' ', '_') AS tk, o_orderdate AS d,
+             |         o_totalprice AS pr
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey),
+             |daily AS (SELECT tk, d, max(pr) AS close, count(*) * 100 AS vol
+             |          FROM base GROUP BY 1, 2),
+             |prices AS (SELECT tk, year(d) AS yr,
+             |             CAST(count(*) AS BIGINT) AS n_days,
+             |             CAST(sum(vol) AS DOUBLE) AS total_volume,
+             |             max(close) AS max_close
+             |           FROM daily GROUP BY 1, 2),
+             |st AS (SELECT tk, year(d) AS yr,
+             |         CAST(sum(CAST(pr AS DECIMAL(18,2))) AS DOUBLE)
+             |           AS total_revenue,
+             |         CAST(sum(CAST(pr AS DECIMAL(18,2))) AS DOUBLE) / 10
+             |           AS net_income
+             |       FROM base GROUP BY 1, 2),
+             |info AS (SELECT replace(r_name, ' ', '_') AS symbol,
+             |           CAST((r_regionkey + 1) * 1000 AS INT) AS employees
+             |         FROM region)
+             |SELECT i.symbol, CAST(p.yr AS INT) AS year, p.n_days,
+             |  p.total_volume, p.max_close, s.total_revenue, s.net_income,
+             |  i.employees
+             |FROM prices p JOIN st s ON p.tk = s.tk AND p.yr = s.yr
+             |JOIN info i ON i.symbol = p.tk""".stripMargin)),
 
     // Streaming batch-parity: the EXACT plan graft.streaming.Streams runs
     // incrementally (window + watermark), executed in batch mode. The
