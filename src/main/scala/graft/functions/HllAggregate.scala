@@ -33,13 +33,21 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   *     condition and V are exact integer/pinned-double ops; the log is
   *     `StrictMath.log` (fdlibm — bit-pinned across JVMs). CAVEAT: a
   *     C-libm engine's `ln` may differ from fdlibm in the last ulp, so
-  *     exact cross-engine reproducibility is guaranteed only OUTSIDE the
-  *     correction regime (n ≳ 2.5·m); inside it the estimate is correct
-  *     (no more ~α·m floor on tiny groups) but last-ulp-portable only.
+  *     the RAW ln value is guaranteed portable only OUTSIDE the
+  *     correction regime (n ≳ 2.5·m). GUARD: the correction branch
+  *     therefore rounds to 1e-6 by default (`portableRound`) in the
+  *     pinned sequence `floor(x·1e6 + 0.5) / 1e6` — an oracle replicating
+  *     that exact sequence (DuckDB `floor(x * 1e6 + 0.5) / 1e6`)
+  *     hash-matches unless the two lns straddle a floor boundary within
+  *     one ulp (~1e-16 relative: negligible, and the only residual
+  *     caveat). `portableRound = false` recovers the unrounded estimate
+  *     for callers that want full precision and accept rows-only checks.
+  *     The raw regime is bit-exact either way and never rounded.
   */
 case class HllSketch(
     child: Expression,
     p: Int,
+    portableRound: Boolean = true,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Byte]] {
@@ -105,10 +113,13 @@ case class HllSketch(
       (1L << scaleBits).toDouble) / s.toDouble
     // Linear-counting correction (see class doc for the portability
     // boundary): without it a group with 5 distinct values reports ~α·m
-    // (~184 at p=8).
-    if (raw <= 2.5 * m && zeros > 0)
-      m.toDouble * StrictMath.log(m.toDouble / zeros.toDouble)
-    else raw
+    // (~184 at p=8). The default 1e-6 rounding keeps the corrected value
+    // inside the exact-hash regime (fdlibm-vs-libm last-ulp noise cannot
+    // survive it away from a floor boundary).
+    if (raw <= 2.5 * m && zeros > 0) {
+      val lc = m.toDouble * StrictMath.log(m.toDouble / zeros.toDouble)
+      if (portableRound) StrictMath.floor(lc * 1e6 + 0.5) / 1e6 else lc
+    } else raw
   }
 
   override def serialize(buf: Array[Byte]): Array[Byte] = buf
@@ -133,8 +144,13 @@ object HllSketch {
 
 object SketchFunctions {
 
-  /** HLL distinct-count estimate over a pre-hashed 60-bit long column. */
-  def hllEstimate(hashed: Column, p: Int): Column =
-    Bridge.column(HllSketch(Bridge.expression(hashed), p)
+  /** HLL distinct-count estimate over a pre-hashed 60-bit long column.
+    * `portableRound` (default true) rounds the linear-counting branch to
+    * 1e-6 so small-cardinality groups stay safe in exact-hash oracles;
+    * the oracle twin for that branch is
+    * `floor(m * ln(m / V) * 1e6 + 0.5) / 1e6`.
+    */
+  def hllEstimate(hashed: Column, p: Int, portableRound: Boolean = true): Column =
+    Bridge.column(HllSketch(Bridge.expression(hashed), p, portableRound)
       .toAggregateExpression())
 }

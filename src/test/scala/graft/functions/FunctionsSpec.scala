@@ -80,6 +80,32 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("HllSketch correction regime applies the pinned 1e-6 portable rounding") {
+    import graft.llm.TextOps
+    val n = 40
+    val df = (1 to n).map(_.toString).toDF("s")
+      .select(TextOps.hash60($"s").as("h"))
+    // Expected from first principles: V = zero registers at p=8, then the
+    // exact pinned sequence floor(m * ln(m/V) * 1e6 + 0.5) / 1e6.
+    val m = 256
+    val buckets = (1 to n).map(i => (TextOps.hash60Scala(i.toString) >>> 52).toInt & 255)
+    val v = m - buckets.distinct.size
+    val unrounded = m.toDouble * StrictMath.log(m.toDouble / v.toDouble)
+    val expected = StrictMath.floor(unrounded * 1e6 + 0.5) / 1e6
+    val est = df.agg(SketchFunctions.hllEstimate($"h", 8)).head().getDouble(0)
+    assert(est === expected)
+    // Opting out recovers the full-precision (rows-only-check) value; the
+    // raw regime (20k distinct) is never rounded.
+    val noRound = df.agg(SketchFunctions.hllEstimate($"h", 8, portableRound = false))
+      .head().getDouble(0)
+    assert(noRound === unrounded)
+    val big = (1 to 20000).map(_.toString).toDF("s")
+      .select(TextOps.hash60($"s").as("h"))
+    assert(big.agg(SketchFunctions.hllEstimate($"h", 8)).head().getDouble(0)
+      === big.agg(SketchFunctions.hllEstimate($"h", 8, portableRound = false))
+        .head().getDouble(0))
+  }
+
   test("graft_hll registers into the session and rejects bad precision") {
     GraftExtensions.register(spark)
     val viaSql = spark.sql(
