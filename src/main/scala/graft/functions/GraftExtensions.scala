@@ -49,6 +49,29 @@ object GraftExtensions {
             s"graft_hll: p must be an integer literal, got $other")
         }
       }),
+    ("graft_bloom",
+      new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom"),
+      (children: Seq[Expression]) => {
+        if (children.length != 3) throw new IllegalArgumentException(
+          s"graft_bloom(hashed, numBits, numHashes) takes 3 arguments, got ${children.length}")
+        val args = children.tail.map { e =>
+          if (!e.foldable) throw new IllegalArgumentException(
+            "graft_bloom: numBits and numHashes must be literal integers")
+          e.eval(null) match {
+            case n: Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_bloom: expected an integer literal, got $other")
+          }
+        }
+        BloomAgg(children.head, args(0), args(1))
+      }),
+    ("graft_bloom_contains",
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"graft_bloom_contains(filter, hashed) takes 2 arguments, got ${children.length}")
+        BloomMightContain(children(0), children(1))
+      }),
     ("graft_top_k",
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_top_k"),
       (children: Seq[Expression]) => {

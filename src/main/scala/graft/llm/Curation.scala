@@ -128,6 +128,46 @@ object Curation {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** [[decontaminate]] with an explicit bloom-filter prefilter on the
+    * corpus side — the 100 TB shape of the same operator.
+    *
+    * The plain semi-join shuffles EVERY corpus shingle to its hash
+    * partition; at 100 TB that is the dominant cost even though almost no
+    * shingle is contaminated. Here the benchmark shingle-hash set is
+    * folded into one bloom filter (a single [[graft.functions.BloomAgg]]
+    * row, broadcast — O(bits), not O(benchmark)), and
+    * `graft_bloom_contains` drops clean shingles INSIDE the corpus scan
+    * stage, before the Exchange. The exact semi-join then removes bloom
+    * false positives, so the result is row-identical to [[decontaminate]]
+    * and stays exact-oracle-checkable.
+    *
+    * Size `bloomBits` to benchmark shingle cardinality (~10 bits/element
+    * ≈ 1 % FP at 7 hashes); an undersized filter only weakens the
+    * prefilter, never correctness.
+    */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                         textCol: String, shingleK: Int,
+                         bloomBits: Int = 1 << 20,
+                         bloomHashes: Int = 7): DataFrame = {
+    import graft.functions.BloomFunctions
+    val corpusSh = Dedup.ensureParallelism(
+        corpus.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(wordShingles(col(textCol), shingleK)).as("_s0"))
+      .select(col(idCol), hash60(col("_s0")).as("_s"))
+    val benchSh = Dedup.ensureParallelism(benchmark.select(col(textCol)))
+      .select(explode(wordShingles(col(textCol), shingleK)).as("_s0"))
+      .select(hash60(col("_s0")).as("_s")).distinct()
+    // One-row filter frame; broadcast keeps the probe side shuffle-free.
+    val bloom = benchSh.agg(
+      BloomFunctions.bloomAgg(col("_s"), bloomBits, bloomHashes).as("_bf"))
+    val prefiltered = corpusSh.join(broadcast(bloom))
+      .filter(BloomFunctions.bloomContains(col("_bf"), col("_s")))
+      .select(col(idCol), col("_s"))
+    val contaminated = prefiltered.join(benchSh, Seq("_s"), "left_semi")
+      .select(col(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Corpus vocabulary: the `k` most frequent normalized tokens, ordered
     * by (count desc, token) so ties are deterministic. Token counting is a
     * map-side-combined groupBy; the top-k is orderBy+limit, which Spark

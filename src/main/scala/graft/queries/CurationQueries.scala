@@ -172,6 +172,33 @@ object CurationQueries {
               |WHERE doc_id % 97 <> 0
               |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin)),
 
+    // Bloom-prefiltered decontamination: same semantics as
+    // llm_decontaminate (different benchmark slice, doc_id % 89), but the
+    // corpus shingles pass a broadcast graft_bloom prefilter BEFORE the
+    // semi-join Exchange — the 100 TB runtime-filter shape. Bloom false
+    // positives are removed by the exact semi-join, so the oracle is the
+    // PLAIN decontamination SQL: an exact hash check that the prefilter
+    // is result-invisible.
+    "llm_decontaminate_bloom" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val bench = docs.filter(col("doc_id") % 89 === 0)
+        val corpus = docs.filter(col("doc_id") % 89 =!= 0)
+        Curation.decontaminateBloom(corpus, bench, "doc_id", "text",
+            shingleK = 3, bloomBits = 1 << 17, bloomHashes = 7)
+          .select(col("doc_id"), col("lang"))
+      },
+      Some(s"""WITH sh AS (SELECT doc_id,
+              |  unnest(${shinglesSql(toksSql("text"))}) AS s0 FROM documents),
+              |hs AS (SELECT doc_id, ${h60("s0")} AS s FROM sh),
+              |bench AS (SELECT DISTINCT s FROM hs WHERE doc_id % 89 = 0),
+              |bad AS (SELECT DISTINCT doc_id FROM hs
+              |        WHERE doc_id % 89 <> 0
+              |          AND s IN (SELECT s FROM bench))
+              |SELECT doc_id, lang FROM documents
+              |WHERE doc_id % 89 <> 0
+              |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin)),
+
     // TF-IDF-style term relevance (log-free: tf * N / df, every op
     // exactly-rounded IEEE, so even the double score hash-matches).
     "llm_tfidf" -> Q(
