@@ -128,6 +128,68 @@ object Curation {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Deterministic weighted domain-mix downsampling — the data-mixing
+    * step of a training-pipeline: keep each row of domain `d` with
+    * probability `weights(d)` (ppm precision; `defaultWeight` for
+    * unlisted domains). The keep decision is
+    * `hash60("mix:" || id) mod 1e6 < rate_ppm` — salted so it is
+    * independent of [[hashSplit]]'s buckets, pure per-row (no shuffle at
+    * all: a scan-stage filter at any scale), and reproducible across
+    * engines, reruns, and partitionings.
+    */
+  def domainMixSample(df: DataFrame, idCol: String, domainCol: String,
+                      weights: Map[String, Double],
+                      defaultWeight: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 1),
+      "domain weights must be in [0, 1]")
+    val ppm = weights.foldLeft(lit(math.round(defaultWeight * 1e6))) {
+      case (acc, (d, w)) => when(col(domainCol) === d, lit(math.round(w * 1e6)))
+        .otherwise(acc)
+    }
+    val bucket = pmod(
+      hash60(concat(lit("mix:"), col(idCol).cast("string"))), lit(1000000L))
+    df.filter(bucket < ppm)
+  }
+
+  /** Resample a corpus to exact target domain proportions, keeping the
+    * LARGEST corpus that achieves them: the binding domain (smallest
+    * `n_d / target_d`) is kept whole and every other domain downsampled
+    * to match, i.e. `rate_d = target_d * S / n_d` with
+    * `S = min_d(n_d / target_d)`. Domains without a target are dropped.
+    *
+    * Per-row decisions are the same salted-hash rule as
+    * [[domainMixSample]]; rates derive from the per-domain counts — a
+    * domain-cardinality (tiny) aggregate broadcast back — so the whole
+    * plan is one map-side-combined count plus a broadcast join: no
+    * data-scale shuffle. Rates are floored to ppm in a pinned
+    * left-to-right double sequence (`t*S/n*1e6`, each op IEEE
+    * exactly-rounded) so an oracle recomputing them from the same counts
+    * gets bit-identical thresholds.
+    */
+  def mixToProportions(df: DataFrame, idCol: String, domainCol: String,
+                       targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be positive")
+    require(math.abs(targets.values.sum - 1.0) < 1e-9,
+      s"target shares must sum to 1, got ${targets.values.sum}")
+    val targetExpr = targets.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, t)) => when(col(domainCol) === d, lit(t)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).cast("double").as("_n"))
+      .withColumn("_t", targetExpr).filter(col("_t").isNotNull)
+    val scale = counts.agg(min(col("_n") / col("_t")).as("_S"))
+    val rates = counts.crossJoin(broadcast(scale))
+      .withColumn("_ppm",
+        floor(col("_t") * col("_S") / col("_n") * lit(1e6)).cast("long"))
+      .select(col(domainCol), col("_ppm"))
+    val bucket = pmod(
+      hash60(concat(lit("mix:"), col(idCol).cast("string"))), lit(1000000L))
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(bucket < col("_ppm"))
+      .drop("_ppm")
+  }
+
   /** [[decontaminate]] with an explicit bloom-filter prefilter on the
     * corpus side — the 100 TB shape of the same operator.
     *

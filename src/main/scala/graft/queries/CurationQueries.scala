@@ -115,6 +115,43 @@ object CurationQueries {
               |  ${h60("CAST(doc_id AS VARCHAR)")} % 100 AS b
               |  FROM documents)""".stripMargin)),
 
+    // Fixed-rate domain mix: per-language keep rates (en full, zh 40%,
+    // es 25%, everything else 10%), decided by the salted hash — a pure
+    // scan-stage filter, zero shuffle. The salt ("mix:") decorrelates it
+    // from llm_split_hash's buckets.
+    "llm_domain_mix" -> Q(
+      (s, dir) => Curation.domainMixSample(Tables.documents(s, dir),
+        "doc_id", "lang",
+        Map("en" -> 1.0, "zh" -> 0.4, "es" -> 0.25), defaultWeight = 0.1)
+        .select(col("doc_id"), col("lang"), col("source")),
+      Some(s"""SELECT doc_id, lang, source FROM documents
+              |WHERE ${h60("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000 <
+              |  CASE lang WHEN 'en' THEN 1000000 WHEN 'zh' THEN 400000
+              |       WHEN 'es' THEN 250000 ELSE 100000 END""".stripMargin)),
+
+    // Target-share resample: largest corpus at exactly 50/30/20
+    // en/zh/es (de/fr dropped). Rates derive from per-domain counts via
+    // the pinned t*S/n*1e6 double sequence, so the oracle recomputes
+    // bit-identical ppm thresholds from its own counts.
+    "llm_mix_proportions" -> Q(
+      (s, dir) => Curation.mixToProportions(Tables.documents(s, dir),
+        "doc_id", "lang", Map("en" -> 0.5, "zh" -> 0.3, "es" -> 0.2))
+        .select(col("doc_id"), col("lang"), col("source")),
+      Some(s"""WITH counts AS (
+              |  SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+              |    CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+              |         WHEN 'zh' THEN CAST(0.3 AS DOUBLE)
+              |         WHEN 'es' THEN CAST(0.2 AS DOUBLE) END AS t
+              |  FROM documents GROUP BY lang),
+              |s AS (SELECT min(n / t) AS S FROM counts WHERE t IS NOT NULL),
+              |rates AS (SELECT lang,
+              |    CAST(floor(t * S / n * 1e6) AS BIGINT) AS ppm
+              |  FROM counts CROSS JOIN s WHERE t IS NOT NULL)
+              |SELECT doc_id, lang, source
+              |FROM documents JOIN rates USING (lang)
+              |WHERE ${h60("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000
+              |  < ppm""".stripMargin)),
+
     // Per-language quota sample: at most 400 docs per lang, picked by
     // deterministic hash order (not first-seen, which is partitioning-
     // dependent).

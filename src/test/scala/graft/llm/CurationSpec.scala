@@ -153,6 +153,48 @@ class CurationSpec extends SparkSpec {
     assert(exact.map(_.getString(3)).toSeq === Seq("a b c", "d e f"))
   }
 
+  test("domainMixSample keeps rate-proportional counts, deterministically") {
+    val docs = spark.read.parquet(sf("documents"))
+    val mixed = Curation.domainMixSample(docs, "doc_id", "lang",
+      Map("en" -> 1.0, "zh" -> 0.0), defaultWeight = 0.5)
+    val byLang = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") === full("en"))          // weight 1.0: kept whole
+    assert(!byLang.contains("zh"))               // weight 0.0: dropped
+    // default 0.5 on the rest: loose binomial band
+    val restKept = byLang.filterNot(_._1 == "en").values.sum.toDouble
+    val restFull = full.filterNot(k => k._1 == "en" || k._1 == "zh").values.sum
+    assert(restKept / restFull > 0.3 && restKept / restFull < 0.7)
+    // Partitioning-invariant: same rows regardless of layout.
+    val re = Curation.domainMixSample(docs.repartition(7), "doc_id", "lang",
+      Map("en" -> 1.0, "zh" -> 0.0), defaultWeight = 0.5)
+    assert(re.select("doc_id").exceptAll(mixed.select("doc_id")).count() === 0)
+    assert(mixed.select("doc_id").exceptAll(re.select("doc_id")).count() === 0)
+  }
+
+  test("mixToProportions keeps the binding domain whole and hits targets") {
+    val docs = spark.read.parquet(sf("documents"))
+    val targets = Map("en" -> 0.5, "zh" -> 0.3, "es" -> 0.2)
+    val mixed = Curation.mixToProportions(docs, "doc_id", "lang", targets)
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Untargeted domains are dropped entirely.
+    assert(!kept.contains("de") && !kept.contains("fr"))
+    // The binding domain (min n/t) survives whole; ppm floors to 1e6.
+    val binding = targets.keys.minBy(d => full(d) / targets(d))
+    assert(kept(binding) === full(binding))
+    // Each kept count is within a loose binomial band of its target.
+    val total = kept.values.sum.toDouble
+    targets.foreach { case (d, t) =>
+      assert(math.abs(kept(d) / total - t) < 0.15,
+        s"$d share ${kept(d) / total} far from target $t")
+    }
+  }
+
   test("rangeJoinBucketed equals the plain theta range join") {
     val points = (0L to 300L by 7L).toDF("p")
     val intervals = Seq((0L, 49L, "a"), (25L, 60L, "b"), (200L, 300L, "c"))
