@@ -232,6 +232,68 @@ object SourceQueries {
              |CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
              |max(c_acctbal) AS max_bal FROM customer GROUP BY 1""".stripMargin)),
 
+    // Warehouse upsert (SCD1 merge): a deterministic update slice
+    // (custkey % 10 = 0 resegmented, plus appended keys shifted by 10M)
+    // merged into customer — updates override on key, new keys append.
+    // Anti-join + union; the dim-sized update side broadcasts.
+    "warehouse_upsert" -> Q(
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+            col("c_acctbal"))
+        val changed = cust.filter(col("c_custkey") % 10 === 0)
+          .withColumn("c_mktsegment", lit("RESEGMENTED"))
+        val appended = cust.filter(col("c_custkey") % 1000 === 7)
+          .withColumn("c_custkey", col("c_custkey") + 10000000L)
+        graft.ops.Scd.upsert(cust, changed.unionByName(appended),
+          Seq("c_custkey"))
+      },
+      Some("""WITH cust AS (SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+             |  FROM customer),
+             |updates AS (
+             |  SELECT c_custkey, c_name, 'RESEGMENTED' AS c_mktsegment,
+             |    c_acctbal FROM cust WHERE c_custkey % 10 = 0
+             |  UNION ALL
+             |  SELECT c_custkey + 10000000, c_name, c_mktsegment, c_acctbal
+             |  FROM cust WHERE c_custkey % 1000 = 7)
+             |SELECT * FROM cust
+             |WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+             |UNION ALL SELECT * FROM updates""".stripMargin)),
+
+    // SCD2 history from the events change log: per-user runs of the same
+    // event_type collapse into validity intervals (valid_from, valid_to,
+    // version, is_current) — gaps-and-islands, every window per-key.
+    "scd2_intervals" -> Q(
+      (s, dir) => graft.ops.Scd.scd2FromChangeLog(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type")),
+        "user_id", "event_type", "ts", "event_id")
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("valid_from"), col("valid_to"), col("is_current")),
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CASE WHEN lag(event_type) OVER w IS NULL
+             |         OR lag(event_type) OVER w <> event_type
+             |         THEN 1 ELSE 0 END AS chg
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |runs AS (
+             |  SELECT user_id, event_type, ts,
+             |    CAST(sum(chg) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+             |      AS version
+             |  FROM flagged),
+             |grouped AS (
+             |  SELECT user_id, version, min(event_type) AS event_type,
+             |    min(ts) AS valid_from
+             |  FROM runs GROUP BY 1, 2)
+             |SELECT user_id, version, event_type, valid_from,
+             |  lead(valid_from) OVER w2 AS valid_to,
+             |  (lead(valid_from) OVER w2 IS NULL) AS is_current
+             |FROM grouped
+             |WINDOW w2 AS (PARTITION BY user_id ORDER BY version)""".stripMargin)),
+
     // S8 + S10 - NDJSON sink + truncate-reload into the warehouse registry
     // (transform_json_INFO.py:104-119, WRITE_TRUNCATE).
     "s8_s10_ndjson_roundtrip" -> Q(
