@@ -219,11 +219,18 @@ object Curation {
     val benchSh = Dedup.ensureParallelism(benchmark.select(col(textCol)))
       .select(explode(wordShingles(col(textCol), shingleK)).as("_s0"))
       .select(hash60(col("_s0")).as("_s")).distinct()
-    // One-row filter frame; broadcast keeps the probe side shuffle-free.
+    // The built filter reaches the probe side as a SCALAR SUBQUERY (the
+    // InjectRuntimeFilter shape), NOT as crossJoin(broadcast(onerow)):
+    // a join there lets PushLeftSemiLeftAntiThroughJoin reorder the
+    // downstream semi-join BELOW the bloom probe, shuffling the corpus
+    // unfiltered — the exact cost the prefilter exists to avoid. A
+    // Filter over a subquery is not a join, so the probe stays pinned
+    // under the semi-join's Exchange.
     val bloom = benchSh.agg(
       BloomFunctions.bloomAgg(col("_s"), bloomBits, bloomHashes).as("_bf"))
-    val prefiltered = corpusSh.join(broadcast(bloom))
-      .filter(BloomFunctions.bloomContains(col("_bf"), col("_s")))
+    val prefiltered = corpusSh
+      .filter(BloomFunctions.bloomContains(
+        org.apache.spark.sql.graft.Bridge.scalarSubquery(bloom), col("_s")))
       .select(col(idCol), col("_s"))
     val contaminated = prefiltered.join(benchSh, Seq("_s"), "left_semi")
       .select(col(idCol)).distinct()

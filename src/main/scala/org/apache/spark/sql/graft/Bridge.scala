@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.{Column, Dataset}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ScalarSubquery}
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Minimal accessor for the `private[sql]` Column <-> Expression
@@ -11,4 +11,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a 1-row/1-column Dataset as a scalar-subquery Column — the
+    * shape Spark's own `InjectRuntimeFilter` uses to feed a built filter
+    * into a probe-side predicate. Unlike `crossJoin(broadcast(onerow))`,
+    * a Filter over a scalar subquery is NOT a join, so
+    * `PushLeftSemiLeftAntiThroughJoin` cannot reorder a downstream
+    * semi-join beneath it (verified: the cross-join form executed the
+    * semi-join FIRST, defeating a prefilter entirely).
+    */
+  def scalarSubquery(df: Dataset[_]): Column =
+    ExpressionUtils.column(ScalarSubquery(df.queryExecution.analyzed))
 }

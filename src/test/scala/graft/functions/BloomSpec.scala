@@ -61,9 +61,14 @@ class BloomSpec extends SparkSpec {
       .select($"doc_id")
     assert(exact.exceptAll(bloomed).count() === 0)
     assert(bloomed.exceptAll(exact).count() === 0)
-    // The prefilter must actually sit in the plan (probe-side Filter).
+    // The prefilter must sit in the plan as a scalar-subquery Filter on
+    // the probe side — NOT a cross join, which would let Catalyst
+    // reorder the semi-join beneath the probe (the regression shape was
+    // a BroadcastNestedLoopJoin executing AFTER the semi-join).
     val plan = bloomed.queryExecution.executedPlan.toString
-    assert(plan.contains("graft_bloom_contains"),
-      "bloom prefilter missing from the physical plan")
+    assert(plan.contains("graft_bloom_contains(Subquery"),
+      "bloom prefilter missing or not in scalar-subquery form")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "bloom prefilter regressed to the reorderable cross-join shape")
   }
 }
