@@ -1,0 +1,79 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Materialize
+
+/** Link-graph centrality — the corpus-quality prior large web-corpus
+  * curation pipelines attach to documents (page rank / harmonic
+  * centrality over the link graph decides crawl depth and quality
+  * weighting; the same shape serves transaction and citation graphs).
+  *
+  * Arithmetic contract: ranks are INTEGER FIXED-POINT (units of 1e-12,
+  * `UnitScale`), every step a truncating integer division or an exact
+  * long sum. A floating-point PageRank can never be exact-oracle-checked
+  * — double summation order varies with partitioning — but integer sums
+  * are associative-commutative-exact, so the whole iteration is
+  * bit-reproducible across engines, reruns, and partitionings, and the
+  * query hash-matches a DuckDB twin that unrolls the same iterations
+  * (`//` and `div` both truncate toward zero for non-negative operands).
+  */
+object Centrality {
+
+  /** 1.0 of rank mass in fixed-point units. With damping 0.85 a node's
+    * rank is bounded by ~N·UnitScale; longs overflow only past ~10^6
+    * nodes × UnitScale — callers at larger N should shrink the scale.
+    */
+  val UnitScale: Long = 1000000000000L
+
+  /** `iters` rounds of damped (0.85) PageRank over a directed edge list.
+    * Fixed iteration count, no convergence probe — the oracle unrolls
+    * exactly the same rounds. Dangling-node mass is dropped (standard
+    * simplification; the base term keeps every node > 0). Returns
+    * `(node, rank)` with rank in [[UnitScale]] units.
+    *
+    * Scale shape (the Pregel loop as dataflow): edges are de-duplicated,
+    * hash-partitioned on `src` ONCE and pinned via `mat` — each round
+    * then shuffles only the (node, rank) frame to that layout, takes one
+    * map-side-combined sum per destination, and left-joins back onto the
+    * pinned node list. Per round: 2 data-scale shuffles (ranks→src,
+    * contribs→dst), lineage kept flat by per-round materialization.
+    */
+  def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+                         iters: Int,
+                         mat: Materialize = Materialize.Local): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    def matStep(step: String): DataFrame => DataFrame = mat match {
+      case Materialize.Path(dir) => Materialize.Path(s"$dir/$step").apply
+      case other                 => other.apply
+    }
+    val e = matStep("edges")(edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .repartition(col("src")))
+    val deg = matStep("deg")(e.groupBy("src").agg(count(lit(1)).as("deg")))
+    val nodes = matStep("nodes")(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+    // One driver-side scalar (the node count) parameterizes the constant
+    // terms — the same number the oracle derives from its own count().
+    val n = nodes.count()
+    require(n > 0, "pageRankFixedPoint: empty edge list")
+    val base = (15L * (UnitScale / n)) / 100L
+    var ranks = matStep("r0")(nodes.withColumn("rank", lit(UnitScale / n)))
+    for (i <- 1 to iters) {
+      val contribs = e
+        .join(deg, Seq("src"))
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .selectExpr("dst", "rank div deg AS contrib")
+        .groupBy("dst").agg(sum(col("contrib")).as("contrib"))
+      ranks = matStep(s"r$i")(
+        nodes.join(contribs, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(base) +
+              expr("85 * coalesce(contrib, cast(0 as bigint)) div 100"))
+              .as("rank")))
+    }
+    ranks
+  }
+}

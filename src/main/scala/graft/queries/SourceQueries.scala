@@ -294,6 +294,59 @@ object SourceQueries {
              |FROM grouped
              |WINDOW w2 AS (PARTITION BY user_id ORDER BY version)""".stripMargin)),
 
+    // Link-graph centrality (corpus-quality prior): 3 rounds of damped
+    // fixed-point PageRank over the customer↔supplier transaction graph.
+    // Integer fixed-point throughout — long sums are order-exact, so the
+    // iteration is bit-reproducible and the oracle unrolls the identical
+    // rounds (DuckDB `//` == Spark `div` on non-negative operands).
+    "graph_pagerank" -> Q(
+      (s, dir) => {
+        val cs = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c:"), col("o_custkey")).as("a"),
+            concat(lit("s:"), col("l_suppkey")).as("b"))
+          .distinct()
+        val edges = cs.select(explode(array(
+            struct(col("a").as("src"), col("b").as("dst")),
+            struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        graft.llm.Centrality.pageRankFixedPoint(edges, "src", "dst", iters = 3)
+          .select(col("node"), col("rank").as("rank_units"))
+      },
+      Some("""WITH cs AS (SELECT DISTINCT
+             |    'c:' || CAST(o_custkey AS VARCHAR) AS a,
+             |    's:' || CAST(l_suppkey AS VARCHAR) AS b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |e AS (SELECT a AS src, b AS dst FROM cs
+             |      UNION ALL SELECT b, a FROM cs),
+             |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+             |        FROM e GROUP BY 1),
+             |nodes AS (SELECT DISTINCT src AS node FROM e),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+             |r0 AS (SELECT node, 1000000000000 // n AS rank
+             |       FROM nodes CROSS JOIN nn),
+             |c1 AS (SELECT e.dst, sum(r.rank // d.deg) AS contrib FROM e
+             |       JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+             |       GROUP BY 1),
+             |r1 AS (SELECT node, (15 * (1000000000000 // n)) // 100
+             |         + (85 * COALESCE(c.contrib, 0)) // 100 AS rank
+             |       FROM nodes CROSS JOIN nn LEFT JOIN c1 c ON node = c.dst),
+             |c2 AS (SELECT e.dst, sum(r.rank // d.deg) AS contrib FROM e
+             |       JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+             |       GROUP BY 1),
+             |r2 AS (SELECT node, (15 * (1000000000000 // n)) // 100
+             |         + (85 * COALESCE(c.contrib, 0)) // 100 AS rank
+             |       FROM nodes CROSS JOIN nn LEFT JOIN c2 c ON node = c.dst),
+             |c3 AS (SELECT e.dst, sum(r.rank // d.deg) AS contrib FROM e
+             |       JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+             |       GROUP BY 1),
+             |r3 AS (SELECT node, (15 * (1000000000000 // n)) // 100
+             |         + (85 * COALESCE(c.contrib, 0)) // 100 AS rank
+             |       FROM nodes CROSS JOIN nn LEFT JOIN c3 c ON node = c.dst)
+             |SELECT node, CAST(rank AS BIGINT) AS rank_units
+             |FROM r3""".stripMargin)),
+
     // S8 + S10 - NDJSON sink + truncate-reload into the warehouse registry
     // (transform_json_INFO.py:104-119, WRITE_TRUNCATE).
     "s8_s10_ndjson_roundtrip" -> Q(
