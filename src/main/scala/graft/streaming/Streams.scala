@@ -217,4 +217,86 @@ object Streams {
         batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
       }
       .start()
+
+  /** Streaming MERGE sink: each micro-batch upserts
+    * ([[graft.ops.Scd.upsert]] semantics — replace on key, append new
+    * keys) into a versioned parquet warehouse table.
+    *
+    * Exactly-once without a table format: version `targetDir/v=<batchId>`
+    * is `upsert(previous version, batch)`, written with overwrite. A
+    * batch replayed after a crash recomputes from the SAME previous
+    * version (later versions cannot exist — the replayed batch is the
+    * frontier) and overwrites its own directory: idempotent, so the
+    * checkpoint's offset tracking gives end-to-end exactly-once. Readers
+    * use [[readUpserted]] (the max committed version); crashed partial
+    * writes are ignored because only directories with _SUCCESS count.
+    *
+    * `seqCol`, if set, deterministically keeps the max-seq row per key
+    * within a batch (ties broken by preferring the larger tuple is NOT
+    * supported — (key, seq) must be unique); without it the batch must
+    * already be unique per key.
+    *
+    * Scale: the merge is the anti-join + union plan — the previous
+    * version never shuffles when the batch side broadcasts. Version
+    * history grows per batch; compact by retaining only the max version
+    * (each version is a full snapshot, not a delta).
+    */
+  def startUpsertSink(df: DataFrame, targetDir: String, checkpoint: String,
+                      keyCols: Seq[String],
+                      seqCol: Option[String] = None) =
+    df.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val updates = seqCol match {
+          case Some(sc) =>
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(keyCols.map(col): _*).orderBy(col(sc).desc)
+            batch.withColumn("_rn", row_number().over(w))
+              .filter(col("_rn") === 1).drop("_rn")
+          case None => batch.toDF()
+        }
+        val merged = latestVersion(spark, targetDir, below = Some(batchId)) match {
+          case Some(prev) =>
+            graft.ops.Scd.upsert(
+              spark.read.parquet(s"$targetDir/v=$prev"), updates, keyCols)
+          case None => updates
+        }
+        merged.write.mode("overwrite").parquet(s"$targetDir/v=$batchId")
+      }
+      .start()
+
+  /** The current state of a [[startUpsertSink]] table: its max committed
+    * version.
+    */
+  def readUpserted(spark: org.apache.spark.sql.SparkSession,
+                   targetDir: String): DataFrame =
+    latestVersion(spark, targetDir, below = None) match {
+      case Some(v) => spark.read.parquet(s"$targetDir/v=$v")
+      case None => throw new IllegalStateException(
+        s"no committed upsert version under $targetDir")
+    }
+
+  /** Max committed (`_SUCCESS`-marked) version id under `dir`, optionally
+    * strictly below a bound (the replay case).
+    */
+  private def latestVersion(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, below: Option[Long]): Option[Long] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else fs.listStatus(path).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .flatMap { p =>
+        val name = p.getName
+        if (name.startsWith("v=") &&
+            fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+          scala.util.Try(name.stripPrefix("v=").toLong).toOption
+        else None
+      }
+      .filter(v => below.forall(v < _))
+      .sorted.lastOption
+  }
 }

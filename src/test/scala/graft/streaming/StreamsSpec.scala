@@ -14,6 +14,8 @@ case class Ev(ts: java.sql.Timestamp, event_type: String,
 case class IdEv(event_id: Long, ts: java.sql.Timestamp, event_type: String,
                 user_id: Long)
 
+case class KV(k: Long, name: String, v: Double, seq: Long)
+
 /** Streaming semantics: replay the same rows through MemoryStream and
   * assert the incremental result equals the batch result of the SAME
   * transform — the unified-model contract the driver's batch-parity
@@ -153,6 +155,39 @@ class StreamsSpec extends SparkSpec {
       assert(written.groupBy("event_type", "user_id", "value").count()
         .filter($"count" > 1).count() === 0)
     } finally q2.stop()
+  }
+
+  test("upsert sink merges micro-batches; state survives restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val tgt = java.nio.file.Files.createTempDirectory("upsert_tgt").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("upsert_ckpt").toString
+    val mem = MemoryStream[KV]
+    val q1 = Streams.startUpsertSink(mem.toDF(), tgt, ckpt,
+      keyCols = Seq("k"), seqCol = Some("seq"))
+    try {
+      // batch 0: initial keys; within-batch dup on k=2 resolved by max seq
+      mem.addData(KV(1, "a", 10.0, 1), KV(2, "b", 20.0, 1), KV(2, "b2", 21.0, 2))
+      q1.processAllAvailable()
+      // batch 1: update k=1, insert k=3
+      mem.addData(KV(1, "a2", 11.0, 3), KV(3, "c", 30.0, 1))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val mid = Streams.readUpserted(spark, tgt)
+      .select("k", "name", "v").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(mid === Seq((1L, "a2", 11.0), (2L, "b2", 21.0), (3L, "c", 30.0)))
+    // restart on the SAME checkpoint: merge continues from committed state
+    val q2 = Streams.startUpsertSink(mem.toDF(), tgt, ckpt,
+      keyCols = Seq("k"), seqCol = Some("seq"))
+    try {
+      mem.addData(KV(2, "b3", 22.0, 4), KV(4, "d", 40.0, 1))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val fin = Streams.readUpserted(spark, tgt)
+      .select("k", "name", "v").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(fin === Seq((1L, "a2", 11.0), (2L, "b3", 22.0),
+      (3L, "c", 30.0), (4L, "d", 40.0)))
   }
 
   test("dedupWithinWatermark drops replayed ids across micro-batches") {
