@@ -113,6 +113,34 @@ object Similarity {
         transform(col("v"), x => x / col("norm")).as("unit"))
   }
 
+  /** Per-dimension min-max feature scaling: each dimension rescaled to
+    * [0, 1] by its corpus-wide (min, max); constant dimensions map to 0.
+    * The feature-normalization prep step before distance-based indexing
+    * when dimensions have wildly different ranges.
+    *
+    * Exactness: min/max are ORDER-INDEPENDENT for doubles (unlike sums,
+    * which is why this is the oracle-checkable scaling and z-score is
+    * not), and `(x - min) / (max - min)` is two exactly-rounded IEEE ops
+    * — bit-reproducible across engines and partitionings.
+    *
+    * Scale shape: one narrow posexplode, one map-side-combined aggregate
+    * whose result is DIMENSION-cardinality (e.g. 64 rows at any corpus
+    * size), broadcast back onto the exploded stream. Output is scalar
+    * rows (id, pos, scaled) — array outputs don't survive the driver's
+    * comparator.
+    */
+  def minMaxScaleDims(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val dims = df.select(col(idCol),
+      posexplode(asDouble(col(vecCol))).as(Seq("pos", "x")))
+    val stats = dims.groupBy(col("pos"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    dims.join(broadcast(stats), Seq("pos"))
+      .select(col(idCol), col("pos"),
+        when(col("hi") > col("lo"),
+          (col("x") - col("lo")) / (col("hi") - col("lo")))
+          .otherwise(lit(0.0)).as("scaled"))
+  }
+
   /** The weight of dimension i in deterministic hyperplane p: md5-derived,
     * uniform in [-1000, 1000] — a pure function of (p, i). No RNG, no seed
     * state; the same bucket function everywhere, forever.

@@ -280,6 +280,24 @@ object LlmQueries {
               |unnest(list_transform(v, x -> x / sqrt(${dotSql("v", "v")}))) AS value
               |FROM v""".stripMargin)),
 
+    // Per-dimension min-max feature scaling: order-independent (min/max,
+    // not sums) so the full double output hash-matches. The stats frame
+    // is dimension-cardinality (64 rows) and broadcasts at any corpus
+    // size.
+    "llm_minmax_scale" -> Q(
+      (s, dir) => Similarity.minMaxScaleDims(
+        Tables.embeddings(s, dir), "vec_id", "embedding"),
+      Some(s"""$vecCte,
+              |dims AS (SELECT vec_id,
+              |  CAST(unnest(range(0, len(v))) AS INT) AS pos,
+              |  unnest(v) AS x FROM v),
+              |stats AS (SELECT pos, min(x) AS lo, max(x) AS hi
+              |  FROM dims GROUP BY 1)
+              |SELECT vec_id, pos,
+              |  CASE WHEN hi > lo THEN (x - lo) / (hi - lo)
+              |       ELSE 0.0 END AS scaled
+              |FROM dims JOIN stats USING (pos)""".stripMargin)),
+
     // ANN evaluation: per-query recall@5 of the LSH index against the
     // brute-force ground truth — the tuning loop for numPlanes/numTables.
     // The oracle composes the brute + LSH twins (both independently

@@ -1215,6 +1215,44 @@ object SourceQueries {
              |    / (n - 1) AS covar_samp
              |FROM a""".stripMargin)),
 
+    // Deterministic A/B analysis: users split 50/50 by a salted hash
+    // (rerun/engine invariant, independent of other hash buckets via the
+    // "ab:" salt), then per-type arm means and relative lift from EXACT
+    // decimal sums — the same order-independent recipe as events_corr,
+    // so the derived doubles hash-match. One map-side-combined aggregate
+    // + a tiny self-join on event_type.
+    "events_ab_lift" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("arm",
+            when(pmod(graft.functions.HashFunctions.hash60(
+              concat(lit("ab:"), col("user_id"))), lit(2L)) === 0, "A")
+              .otherwise("B"))
+        val agg = ev.groupBy(col("event_type"), col("arm"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).as("s"))
+          .withColumn("mean", col("s").cast("double") / col("n"))
+        val a = agg.filter(col("arm") === "A")
+          .select(col("event_type"), col("n").as("n_a"), col("mean").as("mean_a"))
+        val b = agg.filter(col("arm") === "B")
+          .select(col("event_type"), col("n").as("n_b"), col("mean").as("mean_b"))
+        a.join(b, Seq("event_type"))
+          .withColumn("lift", col("mean_b") / col("mean_a") - 1.0)
+      },
+      Some("""WITH armed AS (SELECT event_type, value,
+             |  CASE WHEN CAST('0x' || substr(md5('ab:' ||
+             |    CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
+             |    THEN 'A' ELSE 'B' END AS arm FROM events),
+             |agg AS (SELECT event_type, arm, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+             |    AS mean
+             |  FROM armed GROUP BY 1, 2)
+             |SELECT a.event_type, a.n AS n_a, a.mean AS mean_a,
+             |  b.n AS n_b, b.mean AS mean_b, b.mean / a.mean - 1.0 AS lift
+             |FROM agg a JOIN agg b
+             |  ON a.event_type = b.event_type AND a.arm = 'A' AND b.arm = 'B'
+             |""".stripMargin)),
+
     // Anomaly flagging: per-type z-score outliers. The mean/variance come
     // from EXACT decimal sums (order-independent), so the derived doubles
     // and the z filter are engine-identical - no stddev_samp (whose

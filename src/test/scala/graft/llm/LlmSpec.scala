@@ -200,6 +200,23 @@ class SimilaritySpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("minMaxScaleDims maps each dim to [0,1]; constant dims to 0; " +
+      "partitioning-invariant") {
+    val df = Seq(
+      (1L, Seq(0.0f, 5.0f, 7.0f)),
+      (2L, Seq(10.0f, 5.0f, 3.0f)),
+      (3L, Seq(4.0f, 5.0f, 11.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.minMaxScaleDims(df, "vec_id", "embedding")
+    val m = out.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(m((1L, 0)) === 0.0 && m((2L, 0)) === 1.0 && m((3L, 0)) === 0.4)
+    assert(Seq(1L, 2L, 3L).forall(id => m((id, 1)) === 0.0)) // constant dim
+    assert(m((2L, 2)) === 0.0 && m((3L, 2)) === 1.0 && m((1L, 2)) === 0.5)
+    assert(m.values.forall(v => v >= 0.0 && v <= 1.0))
+    val re = Similarity.minMaxScaleDims(df.repartition(5), "vec_id", "embedding")
+    assert(re.exceptAll(out).count() === 0 && out.exceptAll(re).count() === 0)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
