@@ -105,6 +105,25 @@ object TextAnalysis {
         .as("quality"))
   }
 
+  /** Corpus-relative quality gate: keep documents whose [[qualityScore]]
+    * reaches the corpus `quantile` (default: the median) — the
+    * data-derived filter a curation pipeline wants when absolute
+    * thresholds drift per corpus. The threshold is exact interpolated
+    * `percentile` (engine-portable, unlike approx sketches), fed to the
+    * filter as a SCALAR SUBQUERY — one extra scan to score, then a plain
+    * scan-stage comparison; no join, no driver round-trip in the plan.
+    */
+  def qualityGate(df: DataFrame, idCol: String, textCol: String,
+                  quantile: Double = 0.5): DataFrame = {
+    require(quantile > 0 && quantile < 1,
+      s"quantile must be in (0, 1), got $quantile")
+    val scored = qualityScore(df, idCol, textCol)
+    val threshold = scored.agg(
+      expr(s"percentile(quality, $quantile)").as("t"))
+    scored.filter(col("quality") >=
+      org.apache.spark.sql.graft.Bridge.scalarSubquery(threshold))
+  }
+
   /** Token counts: whitespace tokens and BPE-ish subword pieces (letter
     * runs, digit runs, single other chars — the pre-tokenizer split most
     * BPE vocabularies assume).

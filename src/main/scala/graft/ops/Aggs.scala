@@ -71,4 +71,23 @@ object Aggs {
                       groupingSets: Seq[Seq[String]], aggs: Seq[Column]): DataFrame =
     df.groupingSets(groupingSets.map(_.map(col)), dims.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
+
+  /** Key-skew diagnostic: the `k` heaviest keys with their share of all
+    * rows — the measurement behind every salting/AQE-skew decision
+    * ([[Joins.saltedJoin]] consumes what this reports). One
+    * map-side-combined count, a TakeOrderedAndProject top-k (bounded
+    * per-partition heaps, no global sort), and the total as a scalar
+    * subquery — nothing here materializes more than k + one rows beyond
+    * the count aggregate. Ties break on (n desc, key asc).
+    */
+  def keySkewTopK(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.orderBy(col("n").desc, col(keyCol)).limit(k)
+      .withColumn("share",
+        col("n").cast("double") /
+          org.apache.spark.sql.graft.Bridge.scalarSubquery(total)
+            .cast("double"))
+  }
 }

@@ -551,6 +551,32 @@ object LlmQueries {
              |CAST(count(*) AS BIGINT) AS n
              |FROM documents GROUP BY 1""".stripMargin)),
 
+    // Corpus-relative quality gate: keep docs at/above the median
+    // quality score. The threshold is the exact interpolated percentile
+    // (bit-portable) delivered by scalar subquery — a data-derived
+    // runtime filter, no join. Oracle recomputes the same quantile_cont.
+    "llm_quality_gate" -> Q(
+      (s, dir) => TextAnalysis.qualityGate(
+        Tables.documents(s, dir), "doc_id", "text", quantile = 0.5),
+      Some {
+        val stop = TextAnalysis.langProfiles.flatMap(_._2).distinct
+          .map(m => s"'$m'").mkString("[", ", ", "]")
+        s"""WITH q AS (
+           |SELECT doc_id,
+           |  (least((length(text)::DOUBLE / len(${toksSql("text")})::DOUBLE)
+           |     / 8.0, 1.0)
+           |   + least((len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE /
+           |       length(text)::DOUBLE) * 20.0, 1.0)
+           |   + least((len(list_filter(${toksSql("text")},
+           |       x -> list_contains($stop, x)))::DOUBLE /
+           |       len(${toksSql("text")})::DOUBLE) * 5.0, 1.0)) / 3.0
+           |    AS quality
+           |FROM documents),
+           |m AS (SELECT quantile_cont(quality, 0.5) AS t FROM q)
+           |SELECT doc_id, quality FROM q CROSS JOIN m
+           |WHERE quality >= t""".stripMargin
+      }),
+
     // Token counting: whitespace + BPE-ish pre-tokenizer pieces.
     "llm_tokens" -> Q(
       (s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text"),

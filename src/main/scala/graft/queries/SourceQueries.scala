@@ -1215,6 +1215,20 @@ object SourceQueries {
              |    / (n - 1) AS covar_samp
              |FROM a""".stripMargin)),
 
+    // Key-skew diagnostic: the 20 heaviest users and their row share —
+    // what decides salting buckets / AQE skew thresholds. Map-side
+    // count, bounded-heap top-k, total via scalar subquery.
+    "skew_topk" -> Q(
+      (s, dir) => graft.ops.Aggs.keySkewTopK(
+        Tables.events(s, dir), "user_id", k = 20),
+      Some("""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+             |SELECT user_id, n, CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+             |  AS share
+             |FROM c CROSS JOIN t
+             |ORDER BY n DESC, user_id LIMIT 20""".stripMargin)),
+
     // Deterministic A/B analysis: users split 50/50 by a salted hash
     // (rerun/engine invariant, independent of other hash buckets via the
     // "ab:" salt), then per-type arm means and relative lift from EXACT

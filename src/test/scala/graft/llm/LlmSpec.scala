@@ -284,6 +284,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1).getDouble(3) === 1.0 / 3.0)
   }
 
+  test("qualityGate keeps exactly the at-or-above-quantile half") {
+    val docs = spark.read.parquet(sf("documents"))
+    val kept = TextAnalysis.qualityGate(docs, "doc_id", "text", 0.5)
+    val total = docs.count()
+    val k = kept.count()
+    // Median gate: at least half survive (>= threshold), not far more
+    // (score ties can push it slightly past half).
+    assert(k >= total / 2 && k <= total * 6 / 10, s"kept $k of $total")
+    // Every kept doc scores >= every dropped doc's max... i.e. the kept
+    // minimum is the threshold: verify against a driver-side recompute.
+    val scores = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .collect().map(_.getDouble(1)).sorted
+    val keptMin = kept.agg(org.apache.spark.sql.functions.min("quality"))
+      .head().getDouble(0)
+    assert(scores.count(_ >= keptMin) === k)
+  }
+
   test("quality score is bounded in [0, 1]") {
     val docs = spark.read.parquet(sf("documents"))
     val bounds = TextAnalysis.qualityScore(docs, "doc_id", "text")

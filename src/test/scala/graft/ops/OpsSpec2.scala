@@ -55,6 +55,18 @@ class AggsSpec extends SparkSpec {
     assert(total.getAs[Double]("sq") === 6.0)
   }
 
+  test("keySkewTopK ranks heavy keys with exact shares, bounded-heap plan") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++
+      Seq("c1", "c2", "c3")
+    val out = Aggs.keySkewTopK(rows.toDF("k"), "k", 3)
+    val got = out.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === Seq(("hot", 6L, 0.5), ("warm", 3L, 0.25), ("c1", 1L, 1.0 / 12)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "top-k should be heap-bounded")
+  }
+
   test("yearlyOhlcv picks open/close by date order, not row order") {
     val df = Seq(
       ("T", "2024-03-01", 20.0, 25.0, 19.0, 24.0, 100.0),
