@@ -132,14 +132,21 @@ object Curation {
     * step of a training-pipeline: keep each row of domain `d` with
     * probability `weights(d)` (ppm precision; `defaultWeight` for
     * unlisted domains). The keep decision is
-    * `hash60("mix:" || id) mod 1e6 < rate_ppm` — salted so it is
+    * `hash60(salt || id) mod 1e6 < rate_ppm` — salted so it is
     * independent of [[hashSplit]]'s buckets, pure per-row (no shuffle at
     * all: a scan-stage filter at any scale), and reproducible across
     * engines, reruns, and partitionings.
+    *
+    * Each sampling operator gets its OWN salt default ([[mixToProportions]]
+    * uses "mixprop:"): with a shared salt, chaining two samplers keeps
+    * `min(r1, r2)` of the same hash buckets instead of thinning
+    * independently by `r2`. Pass distinct salts if you compose several
+    * [[domainMixSample]] stages on one id column.
     */
   def domainMixSample(df: DataFrame, idCol: String, domainCol: String,
                       weights: Map[String, Double],
-                      defaultWeight: Double = 1.0): DataFrame = {
+                      defaultWeight: Double = 1.0,
+                      salt: String = "mix:"): DataFrame = {
     require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 1),
       "domain weights must be in [0, 1]")
     val ppm = weights.foldLeft(lit(math.round(defaultWeight * 1e6))) {
@@ -147,7 +154,7 @@ object Curation {
         .otherwise(acc)
     }
     val bucket = pmod(
-      hash60(concat(lit("mix:"), col(idCol).cast("string"))), lit(1000000L))
+      hash60(concat(lit(salt), col(idCol).cast("string"))), lit(1000000L))
     df.filter(bucket < ppm)
   }
 
@@ -158,16 +165,23 @@ object Curation {
     * `S = min_d(n_d / target_d)`. Domains without a target are dropped.
     *
     * Per-row decisions are the same salted-hash rule as
-    * [[domainMixSample]]; rates derive from the per-domain counts — a
-    * domain-cardinality (tiny) aggregate broadcast back — so the whole
-    * plan is one map-side-combined count plus a broadcast join: no
-    * data-scale shuffle. Rates are floored to ppm in a pinned
-    * left-to-right double sequence (`t*S/n*1e6`, each op IEEE
+    * [[domainMixSample]] but under a DISTINCT salt ("mixprop:"), so
+    * composing the two operators on one id column thins independently
+    * instead of re-keeping the same hash buckets; rates derive from the
+    * per-domain counts — a domain-cardinality (tiny) aggregate broadcast
+    * back — so the whole plan is one map-side-combined count plus a
+    * broadcast join: no data-scale shuffle. Rates are floored to ppm in a
+    * pinned left-to-right double sequence (`t*S/n*1e6`, each op IEEE
     * exactly-rounded) so an oracle recomputing them from the same counts
-    * gets bit-identical thresholds.
+    * gets bit-identical thresholds — except the binding domain itself,
+    * which is pinned to exactly 1e6 ppm: `t*S/n` for the domain defining
+    * `S = n/t` can round to just below 1.0 in doubles (ppm 999 999),
+    * which would silently drop ~1-in-1e6 rows of the domain documented
+    * as "kept whole". The oracle must mirror the same special case.
     */
   def mixToProportions(df: DataFrame, idCol: String, domainCol: String,
-                       targets: Map[String, Double]): DataFrame = {
+                       targets: Map[String, Double],
+                       salt: String = "mixprop:"): DataFrame = {
     require(targets.nonEmpty && targets.values.forall(_ > 0),
       "targets must be positive")
     require(math.abs(targets.values.sum - 1.0) < 1e-9,
@@ -181,10 +195,12 @@ object Curation {
     val scale = counts.agg(min(col("_n") / col("_t")).as("_S"))
     val rates = counts.crossJoin(broadcast(scale))
       .withColumn("_ppm",
-        floor(col("_t") * col("_S") / col("_n") * lit(1e6)).cast("long"))
+        when(col("_n") / col("_t") === col("_S"), lit(1000000L))
+          .otherwise(
+            floor(col("_t") * col("_S") / col("_n") * lit(1e6)).cast("long")))
       .select(col(domainCol), col("_ppm"))
     val bucket = pmod(
-      hash60(concat(lit("mix:"), col(idCol).cast("string"))), lit(1000000L))
+      hash60(concat(lit(salt), col(idCol).cast("string"))), lit(1000000L))
     df.join(broadcast(rates), Seq(domainCol))
       .filter(bucket < col("_ppm"))
       .drop("_ppm")

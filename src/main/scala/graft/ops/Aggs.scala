@@ -74,20 +74,40 @@ object Aggs {
 
   /** Key-skew diagnostic: the `k` heaviest keys with their share of all
     * rows — the measurement behind every salting/AQE-skew decision
-    * ([[Joins.saltedJoin]] consumes what this reports). One
-    * map-side-combined count, a TakeOrderedAndProject top-k (bounded
-    * per-partition heaps, no global sort), and the total as a scalar
-    * subquery — nothing here materializes more than k + one rows beyond
-    * the count aggregate. Ties break on (n desc, key asc).
+    * ([[Joins.saltedJoin]] consumes what this reports). SINGLE scan of
+    * `df`: a map-side-combined count to key cardinality, then ONE
+    * partial-aggregatable pass over the counts computing `sum(n)` and a
+    * [[graft.functions.AggFunctions.topK]] bounded heap together, so the
+    * final shuffle is one (total, k-heap) row per partition — the
+    * earlier scalar-subquery formulation re-aggregated the counts from
+    * `df` and scanned the input twice, doubling the dominant cost at the
+    * 100 TB scale this diagnoses. Ties break on (n desc, key asc);
+    * integral keys ride the heap's string payload zero-padded to 20
+    * digits so lexical ASC == numeric ASC (keys must be non-negative;
+    * exactness holds to 2^53 rows per key).
     */
   def keySkewTopK(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.types._
+    val keyType = df.schema(keyCol).dataType
+    val payload = keyType match {
+      case StringType => col(keyCol)
+      case ByteType | ShortType | IntegerType | LongType =>
+        lpad(col(keyCol).cast("string"), 20, "0")
+      case other => throw new IllegalArgumentException(
+        s"keySkewTopK supports string/integral keys, got ${other.sql}")
+    }
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
-    val total = counts.agg(sum(col("n")).as("total"))
-    counts.orderBy(col("n").desc, col(keyCol)).limit(k)
-      .withColumn("share",
-        col("n").cast("double") /
-          org.apache.spark.sql.graft.Bridge.scalarSubquery(total)
-            .cast("double"))
+    val one = counts.agg(
+      sum(col("n")).as("total"),
+      graft.functions.AggFunctions.topK(
+        col("n").cast("double"), payload, k).as("tk"))
+    val key = if (keyType == StringType) col("e.value")
+      else col("e.value").cast(LongType).cast(keyType)
+    one.select(col("total"), explode(col("tk")).as("e"))
+      .select(
+        key.as(keyCol),
+        col("e.score").cast("long").as("n"),
+        (col("e.score") / col("total").cast("double")).as("share"))
   }
 }

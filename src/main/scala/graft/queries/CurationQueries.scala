@@ -132,7 +132,10 @@ object CurationQueries {
     // Target-share resample: largest corpus at exactly 50/30/20
     // en/zh/es (de/fr dropped). Rates derive from per-domain counts via
     // the pinned t*S/n*1e6 double sequence, so the oracle recomputes
-    // bit-identical ppm thresholds from its own counts.
+    // bit-identical ppm thresholds from its own counts. Distinct salt
+    // ("mixprop:") so composing with llm_domain_mix thins independently;
+    // the binding domain (n/t = S) pins to exactly 1e6 ppm on BOTH sides
+    // (floor(t*S/n*1e6) can land on 999999 and shave kept-whole rows).
     "llm_mix_proportions" -> Q(
       (s, dir) => Curation.mixToProportions(Tables.documents(s, dir),
         "doc_id", "lang", Map("en" -> 0.5, "zh" -> 0.3, "es" -> 0.2))
@@ -145,11 +148,13 @@ object CurationQueries {
               |  FROM documents GROUP BY lang),
               |s AS (SELECT min(n / t) AS S FROM counts WHERE t IS NOT NULL),
               |rates AS (SELECT lang,
-              |    CAST(floor(t * S / n * 1e6) AS BIGINT) AS ppm
+              |    CASE WHEN n / t = S THEN CAST(1000000 AS BIGINT)
+              |         ELSE CAST(floor(t * S / n * 1e6) AS BIGINT)
+              |    END AS ppm
               |  FROM counts CROSS JOIN s WHERE t IS NOT NULL)
               |SELECT doc_id, lang, source
               |FROM documents JOIN rates USING (lang)
-              |WHERE ${h60("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000
+              |WHERE ${h60("'mixprop:' || CAST(doc_id AS VARCHAR)")} % 1000000
               |  < ppm""".stripMargin)),
 
     // Per-language quota sample: at most 400 docs per lang, picked by

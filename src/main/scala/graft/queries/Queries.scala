@@ -285,7 +285,9 @@ object Queries {
            |  FROM lineitem GROUP BY 1)
            |SELECT raw.l_returnflag,
            |  CASE WHEN raw_est <= 640.0 AND zv > 0
-           |    THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / CAST(zv AS DOUBLE))
+           |    THEN floor(CAST(256 AS DOUBLE)
+           |      * ln(CAST(256 AS DOUBLE) / CAST(zv AS DOUBLE))
+           |      * 1e6 + 0.5) / 1e6
            |    ELSE raw_est END AS hll_est,
            |  ex.n_exact
            |FROM raw JOIN ex ON raw.l_returnflag = ex.l_returnflag""".stripMargin

@@ -230,6 +230,9 @@ object Streams {
     * checkpoint's offset tracking gives end-to-end exactly-once. Readers
     * use [[readUpserted]] (the max committed version); crashed partial
     * writes are ignored because only directories with _SUCCESS count.
+    * A committed version beyond the current batchId (checkpoint deleted
+    * while targetDir kept state — batchIds restart at 0) fails fast
+    * rather than writing versions [[readUpserted]] would never serve.
     *
     * `seqCol`, if set, deterministically keeps the max-seq row per key
     * within a batch (ties broken by preferring the larger tuple is NOT
@@ -257,6 +260,19 @@ object Streams {
               .filter(col("_rn") === 1).drop("_rn")
           case None => batch.toDF()
         }
+        // Replay can legitimately rewrite v=batchId, but a committed
+        // version BEYOND the frontier can only mean the checkpoint was
+        // deleted/recreated while targetDir kept old state — writing a
+        // low-numbered version then would leave readUpserted silently
+        // serving the stale old max. Fail fast instead.
+        latestVersion(spark, targetDir, below = None)
+          .filter(_ > batchId).foreach { v =>
+            throw new IllegalStateException(
+              s"upsert sink $targetDir has committed version v=$v beyond " +
+                s"current batchId=$batchId: the checkpoint was reset while " +
+                "target state was retained; refusing to write state that " +
+                "readUpserted would ignore")
+          }
         val merged = latestVersion(spark, targetDir, below = Some(batchId)) match {
           case Some(prev) =>
             graft.ops.Scd.upsert(

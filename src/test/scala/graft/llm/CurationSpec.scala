@@ -174,6 +174,22 @@ class CurationSpec extends SparkSpec {
     assert(mixed.select("doc_id").exceptAll(re.select("doc_id")).count() === 0)
   }
 
+  test("sampler salts decorrelate: same salt re-keeps, distinct salt thins") {
+    val docs = spark.read.parquet(sf("documents"))
+    val once = Curation.domainMixSample(docs, "doc_id", "lang",
+      Map.empty, defaultWeight = 0.5)
+    // Same salt: the second filter re-tests the SAME buckets — keeps
+    // min(r, r) = everything already kept (fully correlated, no thinning).
+    val sameSalt = Curation.domainMixSample(once, "doc_id", "lang",
+      Map.empty, defaultWeight = 0.5)
+    assert(sameSalt.count() === once.count())
+    // Distinct salt: independent decision — thins by ~r2.
+    val rethinned = Curation.domainMixSample(once, "doc_id", "lang",
+      Map.empty, defaultWeight = 0.5, salt = "mix2:")
+    val frac = rethinned.count().toDouble / once.count()
+    assert(frac > 0.35 && frac < 0.65, s"chained keep rate $frac not ~0.5")
+  }
+
   test("mixToProportions keeps the binding domain whole and hits targets") {
     val docs = spark.read.parquet(sf("documents"))
     val targets = Map("en" -> 0.5, "zh" -> 0.3, "es" -> 0.2)

@@ -60,11 +60,27 @@ class AggsSpec extends SparkSpec {
     val rows = Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++
       Seq("c1", "c2", "c3")
     val out = Aggs.keySkewTopK(rows.toDF("k"), "k", 3)
+    // Capture pre-execution: after collect(), AQE's toString appends the
+    // initial plan too and every node would count twice.
+    val plan = out.queryExecution.executedPlan.toString
     val got = out.collect().map(r =>
       (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got === Seq(("hot", 6L, 0.5), ("warm", 3L, 0.25), ("c1", 1L, 1.0 / 12)))
-    val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("TakeOrderedAndProject"), "top-k should be heap-bounded")
+    assert(plan.contains("graft_top_k"), "top-k should be the heap aggregate")
+    // Single scan: total + top-k come from ONE pass over the counts, not
+    // a scalar subquery that re-aggregates the input.
+    assert(!plan.contains("Subquery"), "total must not re-scan the input")
+    assert("LocalTableScan|Scan parquet".r.findAllIn(plan).size <= 1,
+      "input must be scanned exactly once")
+  }
+
+  test("keySkewTopK zero-pads integral keys so ties break numerically") {
+    // Keys 2 and 10 tie at 2 rows each: lexical "10" < "2" would rank 10
+    // first; the zero-padded payload must rank 2 first (numeric ASC).
+    val rows = Seq(2L, 2L, 10L, 10L, 99L)
+    val out = Aggs.keySkewTopK(rows.toDF("k"), "k", 2)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((2L, 2L), (10L, 2L)))
   }
 
   test("yearlyOhlcv picks open/close by date order, not row order") {

@@ -190,6 +190,38 @@ class StreamsSpec extends SparkSpec {
       (3L, "c", 30.0), (4L, "d", 40.0)))
   }
 
+  test("upsert sink fails fast on a reset checkpoint over retained state") {
+    implicit val sqlCtx = spark.sqlContext
+    val tgt = java.nio.file.Files.createTempDirectory("upsert_reset").toString
+    val ckpt1 = java.nio.file.Files.createTempDirectory("upsert_ck1").toString
+    val mem1 = MemoryStream[KV]
+    val q1 = Streams.startUpsertSink(mem1.toDF(), tgt, ckpt1,
+      keyCols = Seq("k"), seqCol = Some("seq"))
+    try {
+      mem1.addData(KV(1, "a", 10.0, 1)); q1.processAllAvailable()
+      mem1.addData(KV(2, "b", 20.0, 1)); q1.processAllAvailable()
+    } finally q1.stop()
+    // "Operator error": checkpoint wiped, target retained. batchIds
+    // restart at 0 below the committed v=1 → the sink must refuse, not
+    // write a v=0 that readUpserted would silently ignore.
+    val ckpt2 = java.nio.file.Files.createTempDirectory("upsert_ck2").toString
+    val mem2 = MemoryStream[KV]
+    val q2 = Streams.startUpsertSink(mem2.toDF(), tgt, ckpt2,
+      keyCols = Seq("k"), seqCol = Some("seq"))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        mem2.addData(KV(9, "x", 90.0, 1))
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    assert(ex.getMessage.contains("checkpoint was reset") ||
+      Option(ex.getCause).exists(_.getMessage.contains("checkpoint was reset")))
+    // State is untouched: still the old max version.
+    val kept = Streams.readUpserted(spark, tgt).select("k").orderBy("k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(1L, 2L))
+  }
+
   test("dedupWithinWatermark drops replayed ids across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[IdEv]
