@@ -128,6 +128,33 @@ object Curation {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Deterministic score-proportional sampling: keep each row with
+    * probability `clamp(score, 0, 1)` — the curation step that thins a
+    * corpus TOWARD its high-quality tail without a hard cutoff (a hard
+    * gate at quality q discards everything below q; this keeps a
+    * score-0.3 document 30 % of the time, preserving distributional
+    * coverage the way quality-weighted training-data pipelines do).
+    *
+    * Same engine-portable rule as [[domainMixSample]]: the keep decision
+    * is `hash60(salt || id) mod 1e6 < floor(clamp(score)·1e6)` — a pure
+    * scan-stage filter (zero shuffle at any scale), reproducible across
+    * engines/reruns/partitionings, and under its own salt ("qw:") so it
+    * composes independently with the other samplers. The ppm threshold
+    * is a single pinned IEEE sequence (`clamp`, one multiply, `floor`),
+    * so an oracle computing the same score recomputes the identical
+    * threshold; score exactly 1.0 floors to exactly 1e6 (keep-all — no
+    * binding-domain-style boundary case).
+    */
+  def scoreWeightedSample(df: DataFrame, idCol: String, scoreCol: String,
+                          salt: String = "qw:"): DataFrame = {
+    val ppm = floor(
+      least(greatest(col(scoreCol), lit(0.0)), lit(1.0)) * lit(1e6))
+      .cast("long")
+    val bucket = pmod(
+      hash60(concat(lit(salt), col(idCol).cast("string"))), lit(1000000L))
+    df.filter(bucket < ppm)
+  }
+
   /** Deterministic weighted domain-mix downsampling — the data-mixing
     * step of a training-pipeline: keep each row of domain `d` with
     * probability `weights(d)` (ppm precision; `defaultWeight` for

@@ -336,4 +336,84 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Positional k-gram frequency index: every k-token gram of every
+    * document WITH its 0-based start position, tagged with the gram's
+    * corpus-wide occurrence count. The shared first stage of
+    * substring-level exact dedup (the "duplicated span" measurement of
+    * training-data dedup, finer than the whole-document passes above:
+    * boilerplate headers/footers/licenses repeat across otherwise-unique
+    * documents and only a gram-level pass sees them).
+    *
+    * Shape at 100 TB: grams are hashed to 8-byte longs INSIDE the scan
+    * stage (one let-bound tokenization per row), the count is a plain
+    * map-side-combined groupBy on the hash, and the tag-back is an
+    * equi-join on the same hash key — both sides of the join arrive
+    * hash-partitioned by `h` from the SAME materialized index, so the
+    * second consumer reuses the materialization instead of re-shingling
+    * the corpus. Nothing is quadratic and no window touches the raw
+    * corpus.
+    */
+  private def gramIndex(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, mat: graft.ops.Materialize): DataFrame = {
+    val grams = mat(ensureParallelism(
+        df.select(col(idCol).as("__id"), col(textCol)))
+      .select(col("__id"),
+        posexplode(wordShinglesAll(col(textCol), k)).as(Seq("pos", "g0")))
+      .select(col("__id"), col("pos").cast("int").as("pos"),
+        hash60(col("g0")).as("h")))
+    val counts = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    grams.join(counts, Seq("h"))
+  }
+
+  /** Per-document substring-duplication stats: of the document's k-token
+    * grams (with multiplicity, in order), how many occur more than once
+    * in the whole corpus — including a second time in the same document —
+    * and what fraction of the document that is. The corpus-health
+    * diagnostic behind gram-level dedup policies: a high `dup_frac` on a
+    * doc-unique text means shared boilerplate, not a copied document.
+    *
+    * Documents shorter than k tokens contribute their whole text as one
+    * gram (same rule as [[TextOps.wordShingles]]) so nothing drops out of
+    * the measurement.
+    */
+  def substringDupStats(df: DataFrame, idCol: String, textCol: String,
+                        k: Int,
+                        mat: graft.ops.Materialize = graft.ops.Materialize.Local): DataFrame =
+    gramIndex(df, idCol, textCol, k, mat)
+      .groupBy(col("__id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        col("n_dup").cast("double") / col("n_grams").cast("double"))
+
+  /** Maximal duplicated spans per document: consecutive runs of k-gram
+    * start positions whose grams are corpus-duplicated, merged by the
+    * gap-and-islands rule (`pos - row_number()` constant within a run).
+    * `span_start`/`span_end` are 0-based token indices; a run of grams
+    * starting at [s..e] covers tokens [s, e + k - 1] (for a
+    * shorter-than-k document the single whole-text gram reports its
+    * nominal k-gram extent). This is the removal artifact of
+    * substring-level dedup — the spans a cleaning pass would cut.
+    *
+    * The only window here runs per document over its DUPLICATED gram
+    * positions (bounded by document length, hash-partitioned by id) —
+    * never over the corpus-wide gram stream.
+    */
+  def substringDupSpans(df: DataFrame, idCol: String, textCol: String,
+                        k: Int,
+                        mat: graft.ops.Materialize = graft.ops.Materialize.Local): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dup = gramIndex(df, idCol, textCol, k, mat)
+      .filter(col("cnt") > 1).select(col("__id"), col("pos"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
+    dup.withColumn("__island", col("pos") - row_number().over(w))
+      .groupBy(col("__id").as(idCol), col("__island"))
+      .agg(
+        min(col("pos")).cast("int").as("span_start"),
+        (max(col("pos")) + lit(k - 1)).cast("int").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("__island")
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.llm.TextOps
 import graft.model.Tables
 
@@ -122,6 +122,51 @@ object LlmQueries {
     val w = (0 until 64).map(i => Similarity.planeWeight(p, i)).mkString(", ")
     foldSum(s"list_transform(range(1, len($v) + 1), i -> ($v)[i] * ([$w]::DOUBLE[])[i])")
   }
+
+  /** Spark side of the quality score: signals + the combined [0,1]
+    * score, shared by llm_quality and llm_quality_sample so both rows
+    * are guaranteed the same projection.
+    */
+  private def qualityScored(s: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame = {
+    val sig = TextAnalysis.qualitySignals(
+      Tables.documents(s, dir), "doc_id", "text")
+    sig.withColumn("quality",
+      (least(col("chars_per_token") / lit(8.0), lit(1.0)) +
+        least(col("punct_ratio") * lit(20.0), lit(1.0)) +
+        least(col("stopword_ratio") * lit(5.0), lit(1.0))) / lit(3.0))
+  }
+
+  /** DuckDB twin of [[TextAnalysis.qualitySignals]] (the `sig` CTE body). */
+  private lazy val qualitySigSql: String = {
+    val stop = TextAnalysis.langProfiles.flatMap(_._2).distinct
+      .map(m => s"'$m'").mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens,
+       |  length(text)::DOUBLE / len(${toksSql("text")})::DOUBLE AS chars_per_token,
+       |  len(list_filter(${toksSql("text")}, x -> length(x) > 3))::DOUBLE /
+       |    len(${toksSql("text")})::DOUBLE AS long_token_ratio,
+       |  len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE /
+       |    length(text)::DOUBLE AS punct_ratio,
+       |  len(list_filter(${toksSql("text")}, x -> list_contains($stop, x)))::DOUBLE /
+       |    len(${toksSql("text")})::DOUBLE AS stopword_ratio
+       |FROM documents""".stripMargin
+  }
+
+  /** DuckDB twin of the combined quality score over `sig` columns. */
+  private val qualityExprSql: String =
+    """(least(chars_per_token / 8.0, 1.0) + least(punct_ratio * 20.0, 1.0) +
+      | least(stopword_ratio * 5.0, 1.0)) / 3.0""".stripMargin
+
+  /** All k=3 grams WITH multiplicity (DuckDB twin of
+    * TextOps.wordShinglesAll(k=3) — no list_distinct).
+    */
+  private def gramsAllSql(ws: String) =
+    s"""CASE WHEN len($ws) - 2 >= 1
+       |  THEN list_transform(range(1, len($ws) - 1),
+       |         i -> array_to_string(($ws)[i:i+2], ' '))
+       |  ELSE [array_to_string($ws, ' ')] END""".stripMargin
 
   /** shared CTEs: shingle sets / minhash signature over documents */
   private val shCte =
@@ -261,6 +306,46 @@ object LlmQueries {
          |  ${cosSql("a.v", "b.v")} AS cos
          |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.v", "b.v")} >= 0.35""".stripMargin)),
+
+    // Substring-level exact dedup, stats edge: per-doc count/fraction of
+    // k-gram occurrences (with multiplicity) that repeat ANYWHERE in the
+    // corpus — the gram-granularity dedup measurement that catches shared
+    // boilerplate inside otherwise-unique documents. One gram index
+    // (hash-once in the scan stage), one map-side-combined count on the
+    // gram hash, one equi-join back on the same key, one per-doc rollup.
+    "llm_substring_dup" -> Q(
+      (s, dir) => Dedup.substringDupStats(Tables.documents(s, dir),
+        "doc_id", "text", k = 3),
+      Some(s"""WITH norm AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents),
+         |g AS (SELECT doc_id, ${gramsAllSql("ws")} AS gs FROM norm),
+         |e AS (SELECT doc_id, unnest(list_transform(gs, s -> ${h60("s")})) AS h
+         |      FROM g),
+         |c AS (SELECT h, count(*) AS cnt FROM e GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS dup_frac
+         |FROM e JOIN c USING (h) GROUP BY doc_id""".stripMargin)),
+
+    // Substring-level exact dedup, removal edge: maximal duplicated-gram
+    // runs per doc as [span_start, span_end] token intervals
+    // (gap-and-islands over duplicated gram start positions; the only
+    // window is per-doc over dup positions, never the corpus stream).
+    "llm_substring_spans" -> Q(
+      (s, dir) => Dedup.substringDupSpans(Tables.documents(s, dir),
+        "doc_id", "text", k = 3),
+      Some(s"""WITH norm AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents),
+         |g AS (SELECT doc_id, ${gramsAllSql("ws")} AS gs FROM norm),
+         |e AS (SELECT doc_id, CAST(unnest(range(0, len(gs))) AS INT) AS pos,
+         |      unnest(list_transform(gs, s -> ${h60("s")})) AS h FROM g),
+         |c AS (SELECT h, count(*) AS cnt FROM e GROUP BY 1),
+         |d AS (SELECT doc_id, pos FROM e JOIN c USING (h) WHERE cnt > 1),
+         |r AS (SELECT doc_id, pos, CAST(row_number() OVER
+         |        (PARTITION BY doc_id ORDER BY pos) AS INT) AS rn FROM d)
+         |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+         |  CAST(max(pos) + 2 AS INT) AS span_end,
+         |  CAST(count(*) AS BIGINT) AS n_grams
+         |FROM r GROUP BY doc_id, pos - rn""".stripMargin)),
 
     // Unit-normalization of the embedding corpus: the pre-ANN step that
     // turns cosine into a plain dot product. Per-element division is an
@@ -506,34 +591,28 @@ object LlmQueries {
     // Quality signals + combined score — one scan, one projection (the
     // score is pure arithmetic over three signal columns).
     "llm_quality" -> Q(
-      (s, dir) => {
-        val sig = TextAnalysis.qualitySignals(Tables.documents(s, dir), "doc_id", "text")
-        sig.withColumn("quality",
-          (least(col("chars_per_token") / lit(8.0), lit(1.0)) +
-            least(col("punct_ratio") * lit(20.0), lit(1.0)) +
-            least(col("stopword_ratio") * lit(5.0), lit(1.0))) / lit(3.0))
-      },
-      Some {
-        val stop = TextAnalysis.langProfiles.flatMap(_._2).distinct
-          .map(m => s"'$m'").mkString("[", ", ", "]")
-        s"""WITH sig AS (
-           |SELECT doc_id,
-           |  CAST(length(text) AS BIGINT) AS n_chars,
-           |  CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens,
-           |  length(text)::DOUBLE / len(${toksSql("text")})::DOUBLE AS chars_per_token,
-           |  len(list_filter(${toksSql("text")}, x -> length(x) > 3))::DOUBLE /
-           |    len(${toksSql("text")})::DOUBLE AS long_token_ratio,
-           |  len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE /
-           |    length(text)::DOUBLE AS punct_ratio,
-           |  len(list_filter(${toksSql("text")}, x -> list_contains($stop, x)))::DOUBLE /
-           |    len(${toksSql("text")})::DOUBLE AS stopword_ratio
-           |FROM documents)
-           |SELECT doc_id, n_chars, n_tokens, chars_per_token, long_token_ratio,
-           |  punct_ratio, stopword_ratio,
-           |  (least(chars_per_token / 8.0, 1.0) + least(punct_ratio * 20.0, 1.0) +
-           |   least(stopword_ratio * 5.0, 1.0)) / 3.0 AS quality
-           |FROM sig""".stripMargin
-      }),
+      (s, dir) => qualityScored(s, dir),
+      Some(s"""WITH sig AS ($qualitySigSql)
+              |SELECT doc_id, n_chars, n_tokens, chars_per_token,
+              |  long_token_ratio, punct_ratio, stopword_ratio,
+              |  $qualityExprSql AS quality
+              |FROM sig""".stripMargin)),
+
+    // Score-proportional sampling over the SAME quality score: keep each
+    // doc with probability = its quality (hash-thresholded in ppm — a
+    // pure scan-stage filter under its own "qw:" salt). The oracle
+    // recomputes the identical score (llm_quality proves it bit-matches)
+    // and the identical floor(q*1e6) threshold.
+    "llm_quality_sample" -> Q(
+      (s, dir) => Curation.scoreWeightedSample(
+        qualityScored(s, dir).select(col("doc_id"), col("quality")),
+        "doc_id", "quality"),
+      Some(s"""WITH sig AS ($qualitySigSql),
+              |q AS (SELECT doc_id, $qualityExprSql AS quality FROM sig)
+              |SELECT doc_id, quality FROM q
+              |WHERE ${h60("'qw:' || CAST(doc_id AS VARCHAR)")} % 1000000
+              |  < CAST(floor(least(greatest(quality, 0.0), 1.0) * 1e6)
+              |         AS BIGINT)""".stripMargin)),
 
     // Corpus length distribution per language: exact interpolated
     // percentiles (the curation dashboard numbers).

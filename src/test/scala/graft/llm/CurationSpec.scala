@@ -190,6 +190,29 @@ class CurationSpec extends SparkSpec {
     assert(frac > 0.35 && frac < 0.65, s"chained keep rate $frac not ~0.5")
   }
 
+  test("scoreWeightedSample keeps proportionally to the clamped score") {
+    val rows = (0L until 4000L).map { i =>
+      val score = (i % 4) match {
+        case 0 => 1.5   // clamps to 1.0: always kept
+        case 1 => 1.0   // floors to exactly 1e6: always kept
+        case 2 => 0.5
+        case _ => -0.2  // clamps to 0: never kept
+      }
+      (i, score)
+    }.toDF("id", "score")
+    val kept = Curation.scoreWeightedSample(rows, "id", "score")
+    val byScore = kept.groupBy("score").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(byScore(1.5) === 1000L)
+    assert(byScore(1.0) === 1000L)
+    assert(!byScore.contains(-0.2))
+    assert(byScore(0.5) > 350 && byScore(0.5) < 650)
+    // Partitioning-invariant.
+    val re = Curation.scoreWeightedSample(rows.repartition(7), "id", "score")
+    assert(re.select("id").exceptAll(kept.select("id")).count() === 0)
+    assert(kept.select("id").exceptAll(re.select("id")).count() === 0)
+  }
+
   test("mixToProportions keeps the binding domain whole and hits targets") {
     val docs = spark.read.parquet(sf("documents"))
     val targets = Map("en" -> 0.5, "zh" -> 0.3, "es" -> 0.2)

@@ -109,6 +109,51 @@ class DedupSpec extends SparkSpec {
     // (1,3) are identical but in different buckets -> never compared.
     assert(out.map(r => (r.getLong(0), r.getLong(1))) === Array((1L, 2L)))
   }
+
+  test("substringDupStats counts corpus-duplicated grams with multiplicity") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),   // grams at 0,1 shared with doc 2
+      (2L, "a the quick brown fox"),       // grams at 1,2 shared with doc 1
+      (3L, "completely different words here"),
+      (4L, "x y z x y z x y z"))           // internal repeats: all 7 dup
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDupStats(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out === Array(
+      (1L, 3L, 2L, 2.0 / 3), (2L, 3L, 2L, 2.0 / 3),
+      (3L, 2L, 0L, 0.0), (4L, 7L, 7L, 1.0)))
+  }
+
+  test("substringDupSpans merges adjacent dup positions into intervals") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "a the quick brown fox"),
+      (3L, "completely different words here"),
+      (4L, "x y z x y z x y z"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDupSpans(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // doc 1: dup grams start at 0,1 -> tokens [0, 3]; doc 2: 1,2 -> [1, 4];
+    // doc 3: none; doc 4: 0..6 -> [0, 8].
+    assert(out === Array((1L, 0, 3, 2L), (2L, 1, 4, 2L), (4L, 0, 8, 7L)))
+  }
+
+  test("substringDupSpans splits runs separated by a unique gram") {
+    // "p q r" (dup) + unique bridge + "p q r" (dup) in one doc against a
+    // second doc that repeats only "p q r".
+    val docs = Seq(
+      (1L, "p q r unique bridge tokens p q r"),
+      (2L, "p q r"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDupSpans(docs, "doc_id", "text", k = 3)
+      .filter($"doc_id" === 1L).orderBy("span_start").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getLong(3)))
+    // doc 1 grams: pos 0 "p q r" (x3 in corpus), pos 1..5 unique, pos 6
+    // "p q r" -> two single-gram spans [0,2] and [6,8].
+    assert(out === Array((0, 2, 1L), (6, 8, 1L)))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
