@@ -245,4 +245,88 @@ object TextAnalysis {
       .withColumn("max_gram_ratio",
         col("max_gram_freq").cast("double") / col("n_grams").cast("double"))
   }
+
+  /** Winnowing document fingerprints (the Schleimer/Wilkerson/Aiken
+    * local-fingerprinting algorithm, the standard behind near-copy
+    * detection at corpus scale): slide a `window`-gram window over the
+    * document's k-gram hash stream and select each window's MINIMUM
+    * hash; the distinct selected hashes are the document's fingerprint
+    * set. Guarantee: two documents sharing any run of at least
+    * `window + k - 1` consecutive tokens share at least one fingerprint
+    * — so fingerprint-equality buckets are a complete candidate filter
+    * for long verbatim overlaps at a fraction of the full gram index
+    * (expected density 2/(window+1)).
+    *
+    * Trailing windows shorter than `window` still select their min (same
+    * rule both engines), so short documents fingerprint too. The only
+    * window function runs per document over its own gram stream —
+    * bounded by document length, hash-partitioned by id, never
+    * corpus-wide. Output: (id, fp) distinct.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    import org.apache.spark.sql.expressions.Window
+    val grams = Dedup.ensureParallelism(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        posexplode(wordShinglesAll(col(textCol), k)).as(Seq("pos", "g")))
+      .select(col(idCol), col("pos").cast("int").as("pos"),
+        hash60(col("g")).as("h"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, window - 1)
+    grams.select(col(idCol), min(col("h")).over(w).as("fp")).distinct()
+  }
+
+  /** Exact bag-of-words cosine similarity join: all document pairs whose
+    * term-frequency vectors have cosine ≥ `threshold`, computed over the
+    * inverted index (join on shared token hash, never all-pairs).
+    *
+    * Determinism is the design driver: every cross-row accumulation is
+    * an INTEGER sum — `Σ tf²` for norms, `Σ tf_a·tf_b` for dots — so the
+    * result is independent of partitioning and merge order (a double
+    * fold would drift in the last ulp and break exact oracle parity; tf
+    * weighting keeps the sums in int64 up to million-token documents).
+    * The cosine derives per pair from the exact integers via IEEE sqrt
+    * and one division — both correctly-rounded, engine-identical ops.
+    *
+    * `maxTokenDf` drops tokens present in more documents than the cap —
+    * the stop-token guard against the df² pair blowup on "the"-class
+    * tokens (same rule as [[Dedup.ngramJaccardPairs]]); similarity is
+    * then over the kept-token vectors. The tf index materializes once
+    * and feeds the stop-list, both self-join sides, and the norms.
+    */
+  def tfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+                    threshold: Double,
+                    maxTokenDf: Long = Long.MaxValue,
+                    mat: graft.ops.Materialize = graft.ops.Materialize.Local): DataFrame = {
+    val tf = mat(Dedup.ensureParallelism(
+        df.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), explode(tokens(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+      .select(col("id"), hash60(col("t")).as("h"))
+      .groupBy(col("id"), col("h")).agg(count(lit(1)).as("tf")))
+    val kept =
+      if (maxTokenDf == Long.MaxValue) tf
+      else {
+        val stop = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxTokenDf).select(col("h"))
+        tf.join(broadcast(stop), Seq("h"), "left_anti")
+      }
+    val norms = kept.groupBy(col("id"))
+      .agg(sum(col("tf") * col("tf")).as("nsq"))
+    val dots = kept.select(col("id").as("id_a"), col("h"), col("tf").as("tf_a"))
+      .join(kept.select(col("id").as("id_b"), col("h"), col("tf").as("tf_b")),
+        Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("nsq").as("nsq_a")), Seq("id_a"))
+      .join(norms.select(col("id").as("id_b"), col("nsq").as("nsq_b")), Seq("id_b"))
+      .withColumn("cos",
+        col("dot").cast("double") /
+          (sqrt(col("nsq_a").cast("double")) * sqrt(col("nsq_b").cast("double"))))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
 }

@@ -347,6 +347,49 @@ object LlmQueries {
          |  CAST(count(*) AS BIGINT) AS n_grams
          |FROM r GROUP BY doc_id, pos - rn""".stripMargin)),
 
+    // Winnowing fingerprints (Schleimer et al.): min-hash of each
+    // 4-gram window over the k=3 gram-hash stream, distinct per doc —
+    // the complete candidate filter for verbatim overlaps of >= 6
+    // tokens at ~2/5 the gram-index density.
+    "llm_winnow" -> Q(
+      (s, dir) => TextAnalysis.winnowFingerprints(Tables.documents(s, dir),
+        "doc_id", "text", k = 3, window = 4),
+      Some(s"""WITH norm AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents),
+         |g AS (SELECT doc_id, ${gramsAllSql("ws")} AS gs FROM norm),
+         |e AS (SELECT doc_id, CAST(unnest(range(0, len(gs))) AS INT) AS pos,
+         |      unnest(list_transform(gs, s -> ${h60("s")})) AS h FROM g),
+         |w AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM e)
+         |SELECT DISTINCT doc_id, fp FROM w""".stripMargin)),
+
+    // Exact bag-of-words cosine pairs over the inverted token index:
+    // every cross-row sum is an INTEGER (tf dot products / squared
+    // norms), so the full double cosine hash-matches; stop-tokens
+    // (df > 100) dropped before the self-join (the pair-blowup guard).
+    "llm_tf_cosine" -> Q(
+      (s, dir) => TextAnalysis.tfCosinePairs(Tables.documents(s, dir),
+        "doc_id", "text", threshold = 0.3, maxTokenDf = 100),
+      Some(s"""WITH norm AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents),
+         |tok AS (SELECT doc_id, ${h60("t")} AS h,
+         |        CAST(count(*) AS BIGINT) AS tf
+         |        FROM (SELECT doc_id, unnest(ws) AS t FROM norm)
+         |        WHERE t <> '' GROUP BY 1, 2),
+         |stop AS (SELECT h FROM (SELECT h, count(*) AS df FROM tok GROUP BY 1)
+         |         WHERE df > 100),
+         |kept AS (SELECT * FROM tok WHERE h NOT IN (SELECT h FROM stop)),
+         |norms AS (SELECT doc_id, sum(tf * tf) AS nsq FROM kept GROUP BY 1),
+         |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         sum(a.tf * b.tf) AS dot
+         |         FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(dot AS DOUBLE) /
+         |  (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cos
+         |FROM dots JOIN norms na ON id_a = na.doc_id
+         |JOIN norms nb ON id_b = nb.doc_id
+         |WHERE CAST(dot AS DOUBLE) /
+         |  (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) >= 0.3
+         |""".stripMargin)),
+
     // Unit-normalization of the embedding corpus: the pre-ANN step that
     // turns cosine into a plain dot product. Per-element division is an
     // exactly-rounded IEEE op, so every component hash-matches. The query

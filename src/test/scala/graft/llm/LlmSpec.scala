@@ -352,6 +352,45 @@ class TextAnalysisSpec extends SparkSpec {
       .agg(min("quality"), max("quality")).head()
     assert(bounds.getDouble(0) >= 0.0 && bounds.getDouble(1) <= 1.0)
   }
+
+  test("winnowFingerprints: shared >= w+k-1 token run shares a fingerprint") {
+    // Docs 1 and 2 share a 6-token run (= window 4 + k 3 - 1): the
+    // winnowing guarantee says at least one selected fingerprint matches.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta unique1 unique2"),
+      (2L, "other words alpha beta gamma delta epsilon zeta"),
+      (3L, "totally disjoint vocabulary in this document here"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", 3, 4)
+    val byDoc = fp.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared run must share a fp")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    // Density: selection keeps well under the full gram index.
+    val nGrams = 6 + 6 + 5
+    assert(fp.count() < nGrams)
+    // window = 1 degenerates to the full distinct gram-hash index.
+    val full = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", 3, 1)
+    assert(full.count() === nGrams)
+  }
+
+  test("tfCosinePairs computes exact integer-backed cosine with df cap") {
+    val docs = Seq(
+      (1L, "a b a common"), (2L, "a b common"), (3L, "z z z common"))
+      .toDF("doc_id", "text")
+    // cap 2: "common" (df 3) is dropped; tf vectors d1 {a:2,b:1} nsq 5,
+    // d2 {a:1,b:1} nsq 2, dot 3 -> cos 3/sqrt(10); d3 disjoint.
+    val out = TextAnalysis.tfCosinePairs(docs, "doc_id", "text",
+      threshold = 0.5, maxTokenDf = 2).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) === (1L, 2L))
+    assert(r.getDouble(2) === 3.0 / math.sqrt(10.0))
+    // Without the cap, "common" links doc 3 to both (below threshold).
+    val all = TextAnalysis.tfCosinePairs(docs, "doc_id", "text",
+      threshold = 0.0).collect()
+    assert(all.length === 3)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
