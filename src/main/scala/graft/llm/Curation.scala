@@ -355,4 +355,76 @@ object Curation {
       .limit(k)
       .withColumn("merged", regexp_replace(col("pair"), " ", ""))
   }
+
+  /** Apply ONE BPE merge rule `(a, b) → ab` to every document's token
+    * stream with the exact greedy left-to-right semantics of BPE
+    * tokenizer training (non-overlapping, leftmost-first: `[a,a,a]`
+    * under rule `(a,a)` becomes `[aa, a]`, and `[a,a,a,a]` becomes
+    * `[aa, aa]`). Returns the merged streams as (id, pos, token) rows —
+    * `pos` keeps the pre-merge position of each surviving token, so
+    * ordering survives and downstream passes re-window on it.
+    *
+    * Greedy selection is RELATIONAL, not a per-row fold: a string
+    * `replace` on the joined text is wrong for self-overlapping rules
+    * (the consumed separator skips the next legal merge), and an
+    * `aggregate` lambda rebuilding an array per token is O(doc²)
+    * interpreted work. Instead: flag candidate starts
+    * (`t[i]=a ∧ t[i+1]=b`), split consecutive candidates into runs with
+    * a running non-candidate count, and keep the EVEN offsets of each
+    * run — exactly the positions leftmost-greedy merges. Every window
+    * here shares one (id, pos) sort, partitions per document (bounded by
+    * document length, never corpus-wide), and the whole operator is one
+    * shuffle by id.
+    */
+  def bpeApplyMerge(df: DataFrame, idCol: String, textCol: String,
+                    a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val toks = Dedup.ensureParallelism(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+      .filter(col("t") =!= "")
+      .select(col(idCol), col("pos").cast("int").as("pos"), col("t"))
+    val flagged = toks
+      .withColumn("cand",
+        coalesce(col("t") === a && lead(col("t"), 1).over(w) === b,
+          lit(false)))
+      // Runs of consecutive candidates share a `g` (the count of
+      // non-candidate rows up to and including here).
+      .withColumn("g",
+        sum(when(col("cand"), 0).otherwise(1))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sel = flagged
+      .withColumn("firstc",
+        min(when(col("cand"), col("pos")))
+          .over(Window.partitionBy(col(idCol), col("g"))))
+      .withColumn("sel",
+        col("cand") && (col("pos") - col("firstc")) % 2 === 0)
+    sel
+      .withColumn("prev_sel", coalesce(lag(col("sel"), 1).over(w), lit(false)))
+      .filter(!col("prev_sel")) // absorbed into the merge starting at pos-1
+      .select(col(idCol), col("pos"),
+        when(col("sel"), lit(a + b)).otherwise(col("t")).as("token"))
+  }
+
+  /** Adjacent-pair counts AFTER applying one merge rule — BPE training
+    * iteration 2 (the top row of [[bpePairCounts]] is the rule; this
+    * recounts over the re-merged streams, where pairs involving the new
+    * symbol now compete). Same top-k shape: map-side-combined count +
+    * bounded-heap TakeOrderedAndProject.
+    */
+  def bpePairCountsAfterMerge(df: DataFrame, idCol: String, textCol: String,
+                              a: String, b: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    bpeApplyMerge(df, idCol, textCol, a, b)
+      .withColumn("nt", lead(col("token"), 1).over(w))
+      .filter(col("nt").isNotNull)
+      .select(concat(col("token"), lit(" "), col("nt")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+      .withColumn("merged", regexp_replace(col("pair"), " ", ""))
+  }
 }

@@ -282,5 +282,54 @@ object CurationQueries {
               |FROM (SELECT unnest(list_transform(range(1, len(ws)),
               |        i -> ws[i] || ' ' || ws[i+1])) AS pair
               |      FROM (SELECT ${toksSql("text")} AS ws FROM documents))
+              |GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin)),
+
+    // BPE iteration 2: APPLY the top merge rule (greedy left-to-right,
+    // the relational gap-and-islands selection — not a string replace,
+    // which mis-merges self-overlapping rules) and recount pairs over
+    // the re-merged streams. Both engines derive the rule themselves
+    // from the deterministic (n desc, pair) top-1, so the 1-row
+    // driver-side head() is fixture prep, not a data-path collect.
+    "llm_bpe_merge2" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val rule = Curation.bpePairCounts(docs, "text", 1)
+          .select(col("pair")).head().getString(0)
+        val Array(pa, pb) = rule.split(" ", 2)
+        Curation.bpePairCountsAfterMerge(docs, "doc_id", "text", pa, pb, 50)
+      },
+      Some(s"""WITH norm AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents),
+              |p1 AS (SELECT pair FROM
+              |  (SELECT unnest(list_transform(range(1, len(ws)),
+              |      i -> ws[i] || ' ' || ws[i+1])) AS pair FROM norm)
+              |  GROUP BY 1 ORDER BY count(*) DESC, pair LIMIT 1),
+              |rule AS (SELECT string_split(pair, ' ')[1] AS pa,
+              |  string_split(pair, ' ')[2] AS pb,
+              |  replace(pair, ' ', '') AS m FROM p1),
+              |e AS (SELECT doc_id, pos, t FROM
+              |  (SELECT doc_id, CAST(unnest(range(0, len(ws))) AS INT) AS pos,
+              |     unnest(ws) AS t FROM norm) WHERE t <> ''),
+              |c AS (SELECT doc_id, pos, t,
+              |  coalesce(t = pa AND lead(t) OVER
+              |    (PARTITION BY doc_id ORDER BY pos) = pb, false) AS cand
+              |  FROM e CROSS JOIN rule),
+              |g AS (SELECT doc_id, pos, t, cand,
+              |  sum(CASE WHEN cand THEN 0 ELSE 1 END) OVER
+              |    (PARTITION BY doc_id ORDER BY pos
+              |     ROWS UNBOUNDED PRECEDING) AS grp FROM c),
+              |s AS (SELECT doc_id, pos, t, cand AND (pos -
+              |    min(CASE WHEN cand THEN pos END) OVER
+              |      (PARTITION BY doc_id, grp)) % 2 = 0 AS sel FROM g),
+              |k AS (SELECT doc_id, pos,
+              |  CASE WHEN sel THEN (SELECT m FROM rule) ELSE t END AS token,
+              |  coalesce(lag(sel) OVER
+              |    (PARTITION BY doc_id ORDER BY pos), false) AS prev_sel
+              |  FROM s),
+              |p2 AS (SELECT token || ' ' || lead(token) OVER
+              |    (PARTITION BY doc_id ORDER BY pos) AS pair
+              |  FROM k WHERE NOT prev_sel)
+              |SELECT pair, CAST(count(*) AS BIGINT) AS n,
+              |  replace(pair, ' ', '') AS merged
+              |FROM p2 WHERE pair IS NOT NULL
               |GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin)))
 }

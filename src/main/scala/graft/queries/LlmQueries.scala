@@ -362,6 +362,34 @@ object LlmQueries {
          |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM e)
          |SELECT DISTINCT doc_id, fp FROM w""".stripMargin)),
 
+    // Winnow candidate pairs (the MOSS composition): docs sharing >= 2
+    // selected fingerprints, with the shared count — the near-copy
+    // candidate set at fingerprint density instead of gram density. The
+    // self-join key is the fingerprint (real-overlap selective), never
+    // the doc pair space.
+    "llm_winnow_pairs" -> Q(
+      (s, dir) => {
+        val fp = TextAnalysis.winnowFingerprints(Tables.documents(s, dir),
+          "doc_id", "text", k = 3, window = 4)
+        fp.select(col("doc_id").as("id_a"), col("fp"))
+          .join(fp.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("shared_fp"))
+          .filter(col("shared_fp") >= 2)
+      },
+      Some(s"""WITH norm AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents),
+         |g AS (SELECT doc_id, ${gramsAllSql("ws")} AS gs FROM norm),
+         |e AS (SELECT doc_id, CAST(unnest(range(0, len(gs))) AS INT) AS pos,
+         |      unnest(list_transform(gs, s -> ${h60("s")})) AS h FROM g),
+         |w AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM e),
+         |f AS (SELECT DISTINCT doc_id, fp FROM w)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(count(*) AS BIGINT) AS shared_fp
+         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)),
+
     // Exact bag-of-words cosine pairs over the inverted token index:
     // every cross-row sum is an INTEGER (tf dot products / squared
     // norms), so the full double cosine hash-matches; stop-tokens

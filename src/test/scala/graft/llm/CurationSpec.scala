@@ -213,6 +213,31 @@ class CurationSpec extends SparkSpec {
     assert(kept.select("id").exceptAll(re.select("id")).count() === 0)
   }
 
+  test("bpeApplyMerge is greedy left-to-right, exact on self-overlap") {
+    def merged(text: String, a: String, b: String): Seq[String] =
+      Curation.bpeApplyMerge(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", a, b)
+        .orderBy("pos").collect().map(_.getString(2)).toSeq
+    // Self-overlapping rule: odd run keeps the tail, even run pairs up —
+    // a string replace would produce [aa, a, aa] on the 6-run.
+    assert(merged("a a a", "a", "a") === Seq("aa", "a"))
+    assert(merged("a a a a", "a", "a") === Seq("aa", "aa"))
+    assert(merged("a a a a a a", "a", "a") === Seq("aa", "aa", "aa"))
+    // Plain rule in context; merged symbol does not re-merge this pass.
+    assert(merged("x a b a b y", "a", "b") === Seq("x", "ab", "ab", "y"))
+    assert(merged("a b b", "a", "b") === Seq("ab", "b"))
+    // No occurrence: stream unchanged.
+    assert(merged("p q r", "a", "b") === Seq("p", "q", "r"))
+  }
+
+  test("bpePairCountsAfterMerge counts pairs of the re-merged stream") {
+    val docs = Seq((1L, "a b a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    // Rule (a,b): streams become [ab, ab, c] and [ab, c].
+    val out = Curation.bpePairCountsAfterMerge(docs, "doc_id", "text",
+      "a", "b", 10).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out === Seq(("ab c", 2L), ("ab ab", 1L)))
+  }
+
   test("mixToProportions keeps the binding domain whole and hits targets") {
     val docs = spark.read.parquet(sf("documents"))
     val targets = Map("en" -> 0.5, "zh" -> 0.3, "es" -> 0.2)
