@@ -385,19 +385,19 @@ object Curation {
         posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
       .filter(col("t") =!= "")
       .select(col(idCol), col("pos").cast("int").as("pos"), col("t"))
-    val flagged = toks
+    val sel = toks
       .withColumn("cand",
         coalesce(col("t") === a && lead(col("t"), 1).over(w) === b,
           lit(false)))
-      // Runs of consecutive candidates share a `g` (the count of
-      // non-candidate rows up to and including here).
-      .withColumn("g",
-        sum(when(col("cand"), 0).otherwise(1))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val sel = flagged
+      // First candidate of this run = (last non-candidate position before
+      // here) + 1 — a RUNNING max over the same (id, pos) ordering as
+      // every other window, so the whole operator plans one Exchange and
+      // ONE sort (a partition-by-(id, run) min would re-sort twice).
       .withColumn("firstc",
-        min(when(col("cand"), col("pos")))
-          .over(Window.partitionBy(col(idCol), col("g"))))
+        coalesce(
+          max(when(!col("cand"), col("pos")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+          lit(-1)) + 1)
       .withColumn("sel",
         col("cand") && (col("pos") - col("firstc")) % 2 === 0)
     sel

@@ -313,13 +313,11 @@ object CurationQueries {
               |  coalesce(t = pa AND lead(t) OVER
               |    (PARTITION BY doc_id ORDER BY pos) = pb, false) AS cand
               |  FROM e CROSS JOIN rule),
-              |g AS (SELECT doc_id, pos, t, cand,
-              |  sum(CASE WHEN cand THEN 0 ELSE 1 END) OVER
-              |    (PARTITION BY doc_id ORDER BY pos
-              |     ROWS UNBOUNDED PRECEDING) AS grp FROM c),
               |s AS (SELECT doc_id, pos, t, cand AND (pos -
-              |    min(CASE WHEN cand THEN pos END) OVER
-              |      (PARTITION BY doc_id, grp)) % 2 = 0 AS sel FROM g),
+              |    (coalesce(max(CASE WHEN NOT cand THEN pos END) OVER
+              |      (PARTITION BY doc_id ORDER BY pos
+              |       ROWS UNBOUNDED PRECEDING), -1) + 1)) % 2 = 0 AS sel
+              |  FROM c),
               |k AS (SELECT doc_id, pos,
               |  CASE WHEN sel THEN (SELECT m FROM rule) ELSE t END AS token,
               |  coalesce(lag(sel) OVER
