@@ -416,4 +416,43 @@ object Dedup {
         count(lit(1)).as("n_grams"))
       .drop("__island")
   }
+
+  /** Apply substring-level dedup: cut every [[substringDupSpans]] token
+    * interval out of its document and rebuild the cleaned text (tokens
+    * outside any duplicated span, original order, space-joined) — the
+    * artifact a training pipeline actually feeds downstream after the
+    * measurement passes. A document whose every token is span-covered
+    * (e.g. pure boilerplate) drops out of the result entirely, mirroring
+    * a cleaning pass that deletes it.
+    *
+    * Shape: token stream anti-joined against the span frame on the doc
+    * key with the BETWEEN residual (spans per doc are few — the join is
+    * doc-key equi + bounded range check, never positional cross
+    * product), then one per-doc rebuild via sorted collect. The rebuild
+    * collects one document's surviving tokens into a single row — the
+    * same per-doc boundedness as every window here (a document is
+    * MB-sized; the corpus is what's 100 TB).
+    */
+  def substringClean(df: DataFrame, idCol: String, textCol: String,
+                     k: Int,
+                     mat: graft.ops.Materialize = graft.ops.Materialize.Local): DataFrame = {
+    val spans = substringDupSpans(df, idCol, textCol, k, mat)
+      .select(col(idCol).as("__sid"), col("span_start"), col("span_end"))
+    val toks = ensureParallelism(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+      .filter(col("t") =!= "")
+      .select(col(idCol), col("pos").cast("int").as("pos"), col("t"))
+    toks
+      .join(spans,
+        col(idCol) === col("__sid") &&
+          col("pos") >= col("span_start") && col("pos") <= col("span_end"),
+        "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+            s => s.getField("t"))).as("clean_text"))
+  }
 }

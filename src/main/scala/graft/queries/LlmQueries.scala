@@ -347,6 +347,31 @@ object LlmQueries {
          |  CAST(count(*) AS BIGINT) AS n_grams
          |FROM r GROUP BY doc_id, pos - rn""".stripMargin)),
 
+    // Substring-level exact dedup, applied: cut the duplicated spans and
+    // rebuild the cleaned text (string_agg ORDER BY pos == Spark's
+    // sorted-collect concat). Fully-covered docs drop out on both sides.
+    "llm_substring_clean" -> Q(
+      (s, dir) => Dedup.substringClean(Tables.documents(s, dir),
+        "doc_id", "text", k = 3),
+      Some(s"""WITH norm AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents),
+         |g AS (SELECT doc_id, ${gramsAllSql("ws")} AS gs FROM norm),
+         |e AS (SELECT doc_id, CAST(unnest(range(0, len(gs))) AS INT) AS pos,
+         |      unnest(list_transform(gs, s -> ${h60("s")})) AS h FROM g),
+         |c AS (SELECT h, count(*) AS cnt FROM e GROUP BY 1),
+         |d AS (SELECT doc_id, pos FROM e JOIN c USING (h) WHERE cnt > 1),
+         |r AS (SELECT doc_id, pos, CAST(row_number() OVER
+         |        (PARTITION BY doc_id ORDER BY pos) AS INT) AS rn FROM d),
+         |spans AS (SELECT doc_id, min(pos) AS s0, max(pos) + 2 AS s1
+         |          FROM r GROUP BY doc_id, pos - rn),
+         |tk AS (SELECT doc_id, CAST(unnest(range(0, len(ws))) AS INT) AS pos,
+         |       unnest(ws) AS t FROM norm),
+         |kept AS (SELECT * FROM tk WHERE t <> '' AND NOT EXISTS
+         |  (SELECT 1 FROM spans s WHERE s.doc_id = tk.doc_id
+         |     AND tk.pos BETWEEN s.s0 AND s.s1))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |  string_agg(t, ' ' ORDER BY pos) AS clean_text
+         |FROM kept GROUP BY doc_id""".stripMargin)),
+
     // Winnowing fingerprints (Schleimer et al.): min-hash of each
     // 4-gram window over the k=3 gram-hash stream, distinct per doc —
     // the complete candidate filter for verbatim overlaps of >= 6

@@ -140,6 +140,23 @@ class DedupSpec extends SparkSpec {
     assert(out === Array((1L, 0, 3, 2L), (2L, 1, 4, 2L), (4L, 0, 8, 7L)))
   }
 
+  test("substringClean cuts spans, keeps order, drops covered docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "a the quick brown fox"),
+      (3L, "completely different words here"),
+      (4L, "x y z x y z x y z"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringClean(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // doc 1: span [0,3] -> "jumps"; doc 2: span [1,4] -> "a";
+    // doc 3 untouched; doc 4 fully covered -> dropped.
+    assert(out === Array(
+      (1L, 1L, "jumps"), (2L, 1L, "a"),
+      (3L, 4L, "completely different words here")))
+  }
+
   test("substringDupSpans splits runs separated by a unique gram") {
     // "p q r" (dup) + unique bridge + "p q r" (dup) in one doc against a
     // second doc that repeats only "p q r".
