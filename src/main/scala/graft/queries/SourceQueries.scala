@@ -855,12 +855,15 @@ object SourceQueries {
             col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(Tables.region(s, dir)),
             col("n_regionkey") === col("r_regionkey"))
-        val daily = base.groupBy(tk.as("Ticker"), col("o_orderdate").as("Date"))
-          .agg(min(col("o_totalprice")).as("Open"),
-            max(col("o_totalprice")).as("High"),
-            min(col("o_totalprice")).as("Low"),
-            max(col("o_totalprice")).as("Close"),
-            (count(lit(1)) * 100).cast("double").as("Volume"))
+        // The daily frame feeds BOTH ingest branches (Kaggle < 1998, API
+        // >= 1998): pin it so the 4-way join + agg runs once, not twice.
+        val daily = graft.ops.Materialize.Local(
+          base.groupBy(tk.as("Ticker"), col("o_orderdate").as("Date"))
+            .agg(min(col("o_totalprice")).as("Open"),
+              max(col("o_totalprice")).as("High"),
+              min(col("o_totalprice")).as("Low"),
+              max(col("o_totalprice")).as("Close"),
+              (count(lit(1)) * 100).cast("double").as("Volume")))
         val kSchema = StructType(
           Seq("Date", "Open", "High", "Low", "Close", "Volume", "OpenInt")
             .map(StructField(_, StringType, nullable = true)))
