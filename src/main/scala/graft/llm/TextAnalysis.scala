@@ -246,6 +246,61 @@ object TextAnalysis {
         col("max_gram_freq").cast("double") / col("n_grams").cast("double"))
   }
 
+  /** Corpus-unigram-LM surprisal per document — the CCNet/C4-style
+    * "language-model quality" signal at its simplest: score each token
+    * by `ln(total_tokens / count(token))` (its corpus surprisal in
+    * nats) and average per document. Low = templated/repetitive text,
+    * high = rare-token soup; the middle is where training data lives.
+    *
+    * Cross-engine exactness: `ln` is the one op engines may disagree on
+    * in the last ulp, so each token's surprisal is pinned to integer
+    * MICRO-NATS (`floor(x·1e6 + 0.5)`, the same guard as the HLL
+    * linear-counting branch) BEFORE any cross-row accumulation — the
+    * per-doc sums are then exact long arithmetic in any engine and the
+    * average derives per row. Shape: one token explode, one map-side-
+    * combined vocab count (broadcast back — vocabularies are tiny next
+    * to corpora), one scalar total, one per-doc rollup.
+    */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Dedup.ensureParallelism(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+    val counts = toks.groupBy(col("t"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("tot"))
+    toks.join(counts, Seq("t"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        floor(log(col("tot") / col("cnt")) * lit(1e6) + lit(0.5))
+          .cast("long").as("u"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("u")).as("sum_unats"))
+      .withColumn("avg_surprisal",
+        col("sum_unats").cast("double") / col("n_tokens").cast("double")
+          / lit(1e6))
+  }
+
+  /** Out-of-vocabulary rate per document against the corpus top-`vocabK`
+    * token vocabulary (ties broken (n desc, token asc) — the same
+    * deterministic boundary as [[Curation.vocabTopK]]). The coverage
+    * check run before committing to a tokenizer vocabulary; the vocab
+    * frame is k rows and broadcasts at any corpus size.
+    */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              vocabK: Int): DataFrame = {
+    val toks = Dedup.ensureParallelism(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+    val vocab = Curation.vocabTopK(df, textCol, vocabK)
+      .select(col("token").as("t")).withColumn("in_v", lit(1))
+    toks.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Winnowing document fingerprints (the Schleimer/Wilkerson/Aiken
     * local-fingerprinting algorithm, the standard behind near-copy
     * detection at corpus scale): slide a `window`-gram window over the

@@ -347,6 +347,45 @@ object LlmQueries {
          |  CAST(count(*) AS BIGINT) AS n_grams
          |FROM r GROUP BY doc_id, pos - rn""".stripMargin)),
 
+    // Corpus-unigram surprisal: per-token ln(total/count) pinned to
+    // integer micro-nats BEFORE the per-doc sum (exact long arithmetic
+    // cross-engine; the 1e-6 floor is the same ulp guard as the HLL
+    // linear-counting branch), average derived per row.
+    "llm_unigram_surprisal" -> Q(
+      (s, dir) => TextAnalysis.unigramSurprisal(
+        Tables.documents(s, dir), "doc_id", "text"),
+      Some(s"""WITH norm AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents),
+         |tk AS (SELECT doc_id, t FROM
+         |  (SELECT doc_id, unnest(ws) AS t FROM norm) WHERE t <> ''),
+         |c AS (SELECT t, CAST(count(*) AS DOUBLE) AS cnt FROM tk GROUP BY 1),
+         |tot AS (SELECT sum(cnt) AS tot FROM c),
+         |u AS (SELECT doc_id,
+         |      CAST(floor(ln(tot / cnt) * 1e6 + 0.5) AS BIGINT) AS u
+         |      FROM tk JOIN c USING (t) CROSS JOIN tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(u) AS BIGINT) AS sum_unats,
+         |  CAST(sum(u) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
+         |    AS avg_surprisal
+         |FROM u GROUP BY doc_id""".stripMargin)),
+
+    // OOV rate against the deterministic top-100 corpus vocabulary —
+    // the tokenizer-coverage check; the vocab side broadcasts.
+    "llm_oov_rate" -> Q(
+      (s, dir) => TextAnalysis.oovRate(
+        Tables.documents(s, dir), "doc_id", "text", vocabK = 100),
+      Some(s"""WITH norm AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents),
+         |tk AS (SELECT doc_id, t FROM
+         |  (SELECT doc_id, unnest(ws) AS t FROM norm) WHERE t <> ''),
+         |v AS (SELECT t AS token FROM tk GROUP BY 1
+         |      ORDER BY count(*) DESC, token LIMIT 100)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN t NOT IN (SELECT token FROM v)
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  CAST(sum(CASE WHEN t NOT IN (SELECT token FROM v)
+         |           THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS oov_rate
+         |FROM tk GROUP BY doc_id""".stripMargin)),
+
     // Substring-level exact dedup, applied: cut the duplicated spans and
     // rebuild the cleaned text (string_agg ORDER BY pos == Spark's
     // sorted-collect concat). Fully-covered docs drop out on both sides.

@@ -370,6 +370,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bounds.getDouble(0) >= 0.0 && bounds.getDouble(1) <= 1.0)
   }
 
+  test("unigramSurprisal scores rare tokens high, in exact micro-nats") {
+    // Corpus: "a" x3, "b" x1 -> total 4. surprisal(a) = ln(4/3),
+    // surprisal(b) = ln(4). Doc 1 = [a, a], doc 2 = [a, b].
+    val docs = Seq((1L, "a a"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def unats(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val ua = unats(math.log(4.0 / 3.0)); val ub = unats(math.log(4.0))
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 2L, 2 * ua), (2L, 2L, ua + ub)))
+    assert(out(0).getDouble(3) < out(1).getDouble(3)) // rare token scores up
+  }
+
+  test("oovRate counts tokens outside the deterministic top-k vocab") {
+    val docs = Seq(
+      (1L, "a a b"), (2L, "a rare1 rare2")).toDF("doc_id", "text")
+    // Counts: a:3, b:1, rare1:1, rare2:1 -> top-2 by (n desc, token asc)
+    // = [a, b]; doc 2's rare1/rare2 are OOV.
+    val out = TextAnalysis.oovRate(docs, "doc_id", "text", vocabK = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out === Array((1L, 3L, 0L, 0.0), (2L, 3L, 2L, 2.0 / 3)))
+  }
+
   test("winnowFingerprints: shared >= w+k-1 token run shares a fingerprint") {
     // Docs 1 and 2 share a 6-token run (= window 4 + k 3 - 1): the
     // winnowing guarantee says at least one selected fingerprint matches.
