@@ -141,6 +141,123 @@ object Similarity {
           .otherwise(lit(0.0)).as("scaled"))
   }
 
+  /** Corpus-wide max |component| of the double-array column `vq_v` —
+    * the global calibration constant for symmetric scalar quantization.
+    * Max is order-independent, the result is ONE row, and it broadcasts;
+    * identical gmax subtrees in one plan collapse to a single execution
+    * via exchange reuse.
+    */
+  private def corpusGmax(vecs: DataFrame): DataFrame =
+    vecs.agg(max(aggregate(col("vq_v"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x)))).as("gmax"))
+
+  /** Codes for one frame under a shared scale: round(x * 127 / gmax),
+    * symmetric around zero so sign structure survives. Two exactly-rounded
+    * IEEE ops + a half-away-from-zero round — engine-portable, and the
+    * OUTPUT is pure int, so everything downstream is exact arithmetic.
+    */
+  private def codesInt8(vecs: DataFrame, gmax: DataFrame,
+                        idCol: String): DataFrame =
+    vecs.crossJoin(broadcast(gmax))
+      .select(col(idCol),
+        transform(col("vq_v"),
+          x => round(x * lit(127.0) / col("gmax")).cast("int")).as("codes"))
+
+  /** Global symmetric int8 scalar quantization (the classic "SQ8" ANN
+    * memory layout — 8x smaller than float64 vectors, 4x smaller than the
+    * float32 source column): code_i = round(x_i * 127 / gmax) with one
+    * corpus-wide gmax = max |x_i|.
+    *
+    * Scale shape: one narrow projection per vector plus a
+    * single-row map-side-combined max aggregate broadcast back — the same
+    * two-scan stats-then-apply trade as minMaxScaleDims/zscore. At 100 TB
+    * the codes column is what an ANN index stores and shuffles; the
+    * integer dot product over codes ([[sq8TopK]]) replaces the float
+    * cosine in the candidate-scoring hot loop.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val vecs = df.select(col(idCol), asDouble(col(vecCol)).as("vq_v"))
+    codesInt8(vecs, corpusGmax(vecs), idCol)
+  }
+
+  /** SQ8 approximate top-k: unit-normalize, quantize to int8 under ONE
+    * corpus-wide scale, then rank candidates per query by the EXACT
+    * integer dot product of code vectors (codegen'd
+    * [[graft.functions.DotProductInt]] — a primitive long loop, no float
+    * rounding anywhere, so scores and therefore ranks are unconditionally
+    * reproducible). With a uniform scale the integer dot is monotone in
+    * the dequantized dot, so ranking quality degrades only with
+    * quantization noise — measured against the float brute-force ground
+    * truth by the recall query.
+    *
+    * Plan shape mirrors [[bruteForceTopK]]: broadcast query codes, one
+    * corpus scan for scoring, map-side-combined bounded-heap top-k. The
+    * query side reuses the corpus gmax broadcast (queries must be scored
+    * in the same code space — quantizing the two sides under different
+    * scales would make dots incomparable).
+    */
+  def sq8TopK(corpus: DataFrame, idCol: String, vecCol: String,
+              isQuery: Column, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dotInt
+    val unit = normalize(corpus, idCol, vecCol)
+      .select(col(idCol), col("unit").as("vq_v"))
+    val g = corpusGmax(unit)
+    val c = codesInt8(unit, g, idCol)
+      .select(col(idCol).as("cand_id"), col("codes").as("cc"))
+    val q = codesInt8(unit.filter(isQuery), g, idCol)
+      .select(col(idCol).as("query_id"), col("codes").as("qc"))
+    val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .withColumn("cos", dotInt(col("qc"), col("cc")).cast("double"))
+    topKPerQuery(scored, k, corpus.schema(idCol).dataType)
+  }
+
+  /** Nearest-centroid classification: assign every vector to the label
+    * whose class centroid it is most cosine-similar to — the deterministic
+    * sibling of k-means assignment (fixed class centroids instead of
+    * trained ones), and the standard embedding-space label-quality audit.
+    *
+    * Exactness: components are pinned to integer micro-units BEFORE any
+    * cross-row sum, so per-(label, dim) centroid sums are exact longs in
+    * any engine/partitioning. cos(v, sum_L/n_L) = dot(v, sum_L) /
+    * (||v||·||sum_L||/n_L)... with ||v|| constant per vector and n_L
+    * cancelling, argmax_L cos(v, centroid_L) = argmax_L
+    * dot(v_micro, sum_L)/||sum_L|| — evaluated as pinned sequential double
+    * folds over the exact integer inputs, bit-identical across engines.
+    *
+    * Scale shape: one posexplode + map-side-combined sum whose result is
+    * (labels x dims) rows — broadcast-sized at ANY corpus size; scoring is
+    * one corpus scan against the broadcast centroids; argmax is the
+    * bounded-heap top-k aggregate (k=1), not a window.
+    */
+  def centroidClassify(df: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val mv = df.select(col(idCol), col(labelCol).as("true_label"),
+      transform(asDouble(col(vecCol)),
+        x => round(x * lit(1000000.0)).cast("long")).as("mv"))
+    val cent = mv
+      .select(col("true_label").as("c_label"),
+        posexplode(col("mv")).as(Seq("pos", "m")))
+      .groupBy(col("c_label"), col("pos")).agg(sum(col("m")).as("sm"))
+      .groupBy(col("c_label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("sm")))).as("ps"))
+      .select(col("c_label"),
+        transform(col("ps"), p => p.getField("sm").cast("double")).as("cs"))
+    val scored = mv
+      .select(col(idCol).as("query_id"),
+        transform(col("mv"), m => m.cast("double")).as("qv"))
+      .crossJoin(broadcast(cent))
+      .select(col("query_id"), col("c_label").as("cand_id"),
+        (dot(col("qv"), col("cs")) / sqrt(dot(col("cs"), col("cs")))).as("cos"))
+    val pred = topKPerQuery(scored, 1,
+      df.schema(labelCol).dataType)
+      .select(col("query_id").as(idCol), col("cand_id").as("pred_label"))
+    mv.select(col(idCol), col("true_label"))
+      .join(pred, Seq(idCol))
+      .select(col(idCol), col("true_label").as(labelCol), col("pred_label"),
+        (col("true_label") === col("pred_label")).cast("int").as("correct"))
+  }
+
   /** The weight of dimension i in deterministic hyperplane p: md5-derived,
     * uniform in [-1000, 1000] — a pure function of (p, i). No RNG, no seed
     * state; the same bucket function everywhere, forever.

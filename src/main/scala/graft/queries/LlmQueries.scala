@@ -178,6 +178,25 @@ object LlmQueries {
     """WITH v AS (SELECT vec_id, label,
       |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)""".stripMargin
 
+  /** integer-exact dot of two INT-list expressions, accumulated in BIGINT
+    * (DuckDB twin of the codegen'd graft_dot_int — exact, order-free)
+    */
+  private def intDotSql(a: String, b: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range(1, len($a) + 1),
+       |    i -> CAST(($a)[i] AS BIGINT) * ($b)[i])),
+       |  (acc, x) -> acc + x)""".stripMargin
+
+  /** unit-normalized vectors + the corpus-wide symmetric-SQ8 scale:
+    * u = v/||v|| in the pinned normalize shape, gmax = max |component|
+    */
+  private val sq8Cte =
+    s"""$vecCte,
+       |u AS (SELECT vec_id,
+       |  list_transform(v, x -> x / sqrt(${dotSql("v", "v")})) AS u FROM v),
+       |g AS (SELECT max(abs(x)) AS gmax
+       |  FROM (SELECT unnest(u) AS x FROM u))""".stripMargin
+
   val all: Map[String, Q] = Map(
 
     // Exact dedup: the corpus unioned with a case/whitespace-perturbed
@@ -517,6 +536,111 @@ object LlmQueries {
               |  CASE WHEN hi > lo THEN (x - lo) / (hi - lo)
               |       ELSE 0.0 END AS scaled
               |FROM dims JOIN stats USING (pos)""".stripMargin)),
+
+    // Global symmetric int8 scalar quantization (SQ8) of the unit-
+    // normalized corpus: the ANN memory layout (8x smaller than the
+    // double vectors the scorer would otherwise shuffle). Codes are pure
+    // ints, so the hash check is unconditional.
+    "llm_quantize_int8" -> Q(
+      (s, dir) => {
+        val unit = Similarity.normalize(
+          Tables.embeddings(s, dir), "vec_id", "embedding")
+        Similarity.quantizeInt8(unit, "vec_id", "unit")
+          .select(col("vec_id"), posexplode(col("codes")).as(Seq("pos", "code")))
+      },
+      Some(s"""$sq8Cte
+              |SELECT vec_id, CAST(unnest(range(0, len(u))) AS INT) AS pos,
+              |  unnest(list_transform(u,
+              |    x -> CAST(round(x * 127.0 / gmax) AS INT))) AS code
+              |FROM u, g""".stripMargin)),
+
+    // SQ8 approximate top-k: candidates ranked by the EXACT integer dot
+    // product of int8 code vectors (codegen'd graft_dot_int) — the
+    // quantized scoring hot loop that replaces float cosine at scale.
+    "llm_sim_topk_sq8" -> Q(
+      (s, dir) => Similarity.sq8TopK(Tables.embeddings(s, dir),
+        "vec_id", "embedding", col("vec_id") < 10, k = 5),
+      Some(s"""$sq8Cte,
+         |codes AS (SELECT vec_id, list_transform(u,
+         |    x -> CAST(round(x * 127.0 / gmax) AS INT)) AS cd
+         |  FROM u, g),
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |  CAST(${intDotSql("q.cd", "c.cd")} AS DOUBLE) AS cos
+         |  FROM codes c JOIN codes q ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10),
+         |ranked AS (SELECT *, CAST(row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin)),
+
+    // SQ8 quality: per-query recall@5 of the quantized ranking against
+    // the float brute-force ground truth — how much cosine fidelity the
+    // 8x memory saving costs on this corpus.
+    "llm_sq8_recall" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.recallAtK(
+          Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5),
+          Similarity.sq8TopK(emb, "vec_id", "embedding",
+            col("vec_id") < 10, k = 5),
+          k = 5)
+      },
+      Some(s"""$sq8Cte,
+         |fscored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |  ${cosSql("q.v", "c.v")} AS cos
+         |  FROM v c JOIN v q ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10),
+         |exact AS (SELECT query_id, cand_id FROM
+         |  (SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY cos DESC, cand_id) AS rank FROM fscored)
+         |  WHERE rank <= 5),
+         |codes AS (SELECT vec_id, list_transform(u,
+         |    x -> CAST(round(x * 127.0 / gmax) AS INT)) AS cd
+         |  FROM u, g),
+         |qscored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |  ${intDotSql("q.cd", "c.cd")} AS score
+         |  FROM codes c JOIN codes q ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10),
+         |approx AS (SELECT query_id, cand_id FROM
+         |  (SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY score DESC, cand_id) AS rank FROM qscored)
+         |  WHERE rank <= 5),
+         |hits AS (SELECT e.query_id, count(*) AS n_hits
+         |  FROM exact e JOIN approx a
+         |  ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+         |  GROUP BY 1)
+         |SELECT q.query_id,
+         |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5 AS recall
+         |FROM (SELECT DISTINCT query_id FROM exact) q
+         |LEFT JOIN hits h ON q.query_id = h.query_id""".stripMargin)),
+
+    // Nearest-centroid classification: micro-unit-pinned exact centroid
+    // sums (labels x dims rows — broadcast at any corpus size), one scan
+    // to score, heap-agg argmax. The embedding-space label-quality audit.
+    "llm_centroid_classify" -> Q(
+      (s, dir) => Similarity.centroidClassify(
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label"),
+      Some(s"""WITH m AS (SELECT vec_id, label,
+         |  list_transform(embedding,
+         |    x -> CAST(round(x::DOUBLE * 1000000.0) AS BIGINT)) AS mv
+         |  FROM embeddings),
+         |dims AS (SELECT label AS c_label,
+         |  CAST(unnest(range(0, len(mv))) AS INT) AS pos, unnest(mv) AS mm
+         |  FROM m),
+         |sums AS (SELECT c_label, pos, sum(mm) AS sm FROM dims GROUP BY 1, 2),
+         |cent AS (SELECT c_label, list(CAST(sm AS DOUBLE) ORDER BY pos) AS cs
+         |  FROM sums GROUP BY 1),
+         |mvd AS (SELECT vec_id, label,
+         |  list_transform(mv, x -> CAST(x AS DOUBLE)) AS qv FROM m),
+         |scored AS (SELECT vec_id, label, c_label,
+         |  ${dotSql("qv", "cs")} / sqrt(${dotSql("cs", "cs")}) AS score
+         |  FROM mvd, cent),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |  ORDER BY score DESC, c_label) AS rk FROM scored)
+         |SELECT vec_id, label, c_label AS pred_label,
+         |  CAST(label = c_label AS INT) AS correct
+         |FROM ranked WHERE rk = 1""".stripMargin)),
 
     // ANN evaluation: per-query recall@5 of the LSH index against the
     // brute-force ground truth — the tuning loop for numPlanes/numTables.

@@ -263,6 +263,45 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantizeInt8: symmetric codes, extremes hit ±127, half-away rounding") {
+    val vecs = Seq(
+      (0L, Array(1.0f, -0.5f)), (1L, Array(0.25f, 0.125f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    // gmax = 1.0: round(-63.5) must round AWAY from zero (engine parity)
+    assert(rows(0).getSeq[Int](1) === Seq(127, -64))
+    assert(rows(1).getSeq[Int](1) === Seq(32, 16)) // 31.75 -> 32, 15.875 -> 16
+  }
+
+  test("sq8TopK: near-brute recall, integer-dot codegen, heap-agg ranking") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val brute = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val sq8 = Similarity.sq8TopK(emb, "vec_id", "embedding", $"vec_id" < 5, 5)
+    val rows = sq8.select("query_id", "cand_id").as[(Long, Long)].collect()
+    assert(rows.length === 25)
+    val recall = rows.toSet.intersect(brute).size
+    assert(recall >= 18, s"SQ8 recall $recall/25 below floor")
+    val plan = sq8.queryExecution.executedPlan.toString()
+    assert(plan.contains("graft_dot_int"), s"integer dot not planned:\n$plan")
+    assert(plan.contains("graft_top_k") && !plan.contains("row_number"),
+      s"ranking is not the heap aggregate:\n$plan")
+  }
+
+  test("centroidClassify: nearest class centroid wins; mislabel flagged") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.0f, 1.0f), 1), (3L, Array(0.1f, 0.9f), 1),
+      (4L, Array(1.0f, 0.0f), 1)) // mislabeled: sits on label 0's axis
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidClassify(vecs, "vec_id", "embedding", "label")
+      .orderBy("vec_id").collect()
+    assert(out.map(_.getInt(2)) === Array(0, 0, 1, 1, 0))
+    assert(out.map(_.getInt(3)) === Array(1, 1, 1, 1, 0))
+  }
+
   test("minMaxScaleDims maps each dim to [0,1]; constant dims to 0; " +
       "partitioning-invariant") {
     val df = Seq(
