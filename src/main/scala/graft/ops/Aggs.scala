@@ -86,6 +86,41 @@ object Aggs {
     * digits so lexical ASC == numeric ASC (keys must be non-negative;
     * exactness holds to 2^53 rows per key).
     */
+  /** Column profiler: per-column row count, null count, exact distinct
+    * count, and min/max (as strings) in ONE scan — the standard
+    * data-quality / schema-drift audit a pipeline runs before trusting a
+    * new drop of data.
+    *
+    * Scale shape: a single wide aggregate; Catalyst plans the multi-column
+    * `count(DISTINCT ...)` via one Expand (one input scan multiplied by
+    * #columns, each duplicate pruned to its own column) + partial/final
+    * aggregation — shuffle volume is per-column distinct cardinality, and
+    * the input is still read once (vs. the naive per-column loop: N scans).
+    * The final unpivot explodes ONE one-row frame — free.
+    *
+    * min/max are emitted as strings so heterogeneous column types fit one
+    * output schema; callers needing typed stats use the per-column
+    * aggregates directly. Timestamp/date columns should be cast by the
+    * caller to a portable string form first.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    } :+ count(lit(1)).as("n_rows")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("col_name"), col("n_rows"),
+          (col("n_rows") - col(s"nn_$c")).as("n_null"),
+          col(s"nd_$c").as("n_distinct"),
+          col(s"mn_$c").as("min_value"),
+          col(s"mx_$c").as("max_value"))
+      }: _*)).as("p"))
+      .select(col("p.*"))
+  }
+
   def keySkewTopK(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     import org.apache.spark.sql.types._

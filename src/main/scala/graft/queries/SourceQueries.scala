@@ -1232,6 +1232,30 @@ object SourceQueries {
              |FROM c CROSS JOIN t
              |ORDER BY n DESC, user_id LIMIT 20""".stripMargin)),
 
+    // Column profiler: per-column count/null/distinct/min/max in ONE
+    // Expand-based scan — the data-quality audit run before trusting a
+    // new data drop. Timestamps pre-cast to date strings for portability.
+    "profile_columns" -> Q(
+      (s, dir) => graft.ops.Aggs.profileColumns(
+        Tables.lineitem(s, dir).withColumn("l_shipdate",
+          to_date(col("l_shipdate")).cast("string")),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate",
+          "l_quantity")),
+      Some {
+        val branches = Seq("l_orderkey", "l_linenumber", "l_returnflag",
+          "l_shipdate", "l_quantity").map { c =>
+          s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(min($c) AS VARCHAR) AS min_value,
+             |  CAST(max($c) AS VARCHAR) AS max_value FROM li""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH li AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+           |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS l_shipdate,
+           |  l_quantity FROM lineitem)
+           |$branches""".stripMargin
+      }),
+
     // Deterministic A/B analysis: users split 50/50 by a salted hash
     // (rerun/engine invariant, independent of other hash buckets via the
     // "ab:" salt), then per-type arm means and relative lift from EXACT

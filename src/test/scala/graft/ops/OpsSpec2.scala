@@ -83,6 +83,24 @@ class AggsSpec extends SparkSpec {
     assert(got === Seq((2L, 2L), (10L, 2L)))
   }
 
+  test("profileColumns: null/distinct/min/max per column from one scan") {
+    val df = Seq(
+      (Some(1), Some("a")), (Some(2), None), (None, Some("b")),
+      (Some(2), Some("a"))).toDF("x", "s")
+    val out = Aggs.profileColumns(df, Seq("x", "s"))
+    val plan = out.queryExecution.executedPlan.toString
+    val byName = out.collect().map(r => r.getString(0) -> r).toMap
+    assert(byName.size === 2)
+    assert(byName("x").getLong(1) === 4 && byName("x").getLong(2) === 1)
+    assert(byName("x").getLong(3) === 2) // distinct {1, 2}
+    assert(byName("x").getString(4) === "1" && byName("x").getString(5) === "2")
+    assert(byName("s").getLong(2) === 1 && byName("s").getLong(3) === 2)
+    assert(byName("s").getString(4) === "a" && byName("s").getString(5) === "b")
+    // one input scan: the multi-distinct plans through a single Expand
+    assert("LocalTableScan".r.findAllIn(plan).size <= 1,
+      s"input must be scanned exactly once:\n$plan")
+  }
+
   test("yearlyOhlcv picks open/close by date order, not row order") {
     val df = Seq(
       ("T", "2024-03-01", 20.0, 25.0, 19.0, 24.0, 100.0),
