@@ -455,4 +455,45 @@ object Dedup {
           transform(array_sort(collect_list(struct(col("pos"), col("t")))),
             s => s.getField("t"))).as("clean_text"))
   }
+
+  /** Cross-source n-gram overlap matrix: for every unordered pair of
+    * sources, the count of shared distinct k-shingles and the Jaccard of
+    * the two shingle sets — the corpus-composition audit that catches
+    * mirror/scrape duplication BETWEEN datasets before per-document dedup
+    * runs within them.
+    *
+    * Scale shape: the corpus reduces FIRST to distinct (source, hash60)
+    * rows — a map-side-combinable distinct whose output is bounded by
+    * unique-shingle cardinality, not corpus size — materialized once for
+    * its three consumers. The intersection self-join is an equi-join on
+    * the 8-byte hash (co-partitioned shuffle at scale; never a doc-pair
+    * or source-pair explosion), and the all-pairs frame is
+    * source-cardinality squared — trivially broadcast at any corpus size.
+    * Zero-overlap pairs are kept (n_common = 0) so the matrix shape is
+    * data-independent.
+    */
+  def sourceOverlap(df: DataFrame, groupCol: String, textCol: String,
+                    shingleK: Int = 3,
+                    mat: graft.ops.Materialize = graft.ops.Materialize.Local)
+      : DataFrame = {
+    val sh = mat(ensureParallelism(df.select(col(groupCol).as("src"), col(textCol)))
+      .select(col("src"), explode(wordShingles(col(textCol), shingleK)).as("s0"))
+      .select(col("src"), hash60(col("s0")).as("h"))
+      .distinct())
+    val sizes = sh.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val pairs = sizes.as("a")
+      .join(sizes.as("b"), col("a.src") < col("b.src"))
+      .select(col("a.src").as("source_a"), col("b.src").as("source_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+    pairs.join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (coalesce(col("n_common"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("n_common"), lit(0L))))
+          .as("jaccard"))
+  }
 }

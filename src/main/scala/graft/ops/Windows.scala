@@ -112,4 +112,32 @@ object Windows {
       .withColumn(idName, (col("__offset") + col("__local")).cast("long"))
       .drop("__pid", "__local", "__offset")
   }
+
+  /** Fixed-horizon exponentially-weighted moving average: per key, over
+    * the last `terms` rows in (order, tiebreak) order, ewma = Σ w_i·x_{t-i}
+    * / Σ w_i with w_i = α(1-α)^i, renormalized over the lags that exist
+    * (so the first rows of a key average over what's available instead of
+    * decaying toward 0). The standard smoothing step before thresholding
+    * noisy per-entity metrics.
+    *
+    * A TRUE infinite-horizon EWMA is a sequential recurrence — inherently
+    * order-dependent float accumulation that no engine pair reproduces
+    * bit-for-bit. Truncating at `terms` makes the value a FIXED arithmetic
+    * expression over `terms` lags: all lags share one window spec (one
+    * shuffle + one sort per key), evaluation order is pinned left-to-right,
+    * and the weights are plan-time literals — engine-portable exactly.
+    */
+  def ewmaFixed(df: DataFrame, key: String, order: String, tiebreak: String,
+                value: String, alpha: Double, terms: Int): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(order), col(tiebreak))
+    val contribs = (0 until terms).map { i =>
+      val wt = alpha * math.pow(1 - alpha, i)
+      val l = lag(col(value), i).over(w)
+      (when(l.isNotNull, l * lit(wt)).otherwise(lit(0.0)),
+        when(l.isNotNull, lit(wt)).otherwise(lit(0.0)))
+    }
+    df.select(col(key), col(order), col(tiebreak), col(value))
+      .withColumn("ewma",
+        contribs.map(_._1).reduce(_ + _) / contribs.map(_._2).reduce(_ + _))
+  }
 }

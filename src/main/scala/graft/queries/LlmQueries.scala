@@ -537,6 +537,32 @@ object LlmQueries {
               |       ELSE 0.0 END AS scaled
               |FROM dims JOIN stats USING (pos)""".stripMargin)),
 
+    // Cross-source shingle-overlap matrix: shared distinct 3-grams and
+    // Jaccard per source pair — the between-dataset duplication audit.
+    // Reduces to distinct (source, hash) FIRST; self-join on the 8-byte
+    // hash; all 190 pairs kept (zero-overlap rows included).
+    "llm_source_overlap" -> Q(
+      (s, dir) => Dedup.sourceOverlap(
+        Tables.documents(s, dir), "source", "text", shingleK = 3),
+      Some(s"""WITH sh AS (SELECT DISTINCT src, h FROM (
+         |  SELECT source AS src, ${h60("s0")} AS h FROM (
+         |    SELECT source, unnest(${shinglesSql("ws")}) AS s0 FROM (
+         |      SELECT source, ${toksSql("text")} AS ws FROM documents)))),
+         |sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS n
+         |  FROM sh GROUP BY 1),
+         |inter AS (SELECT a.src AS source_a, b.src AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_common
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.src < b.src
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT a.src AS source_a, b.src AS source_b,
+         |  a.n AS n_a, b.n AS n_b
+         |  FROM sizes a JOIN sizes b ON a.src < b.src)
+         |SELECT p.source_a, p.source_b,
+         |  CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+         |  CAST(coalesce(i.n_common, 0) AS DOUBLE) /
+         |    (p.n_a + p.n_b - coalesce(i.n_common, 0)) AS jaccard
+         |FROM pairs p LEFT JOIN inter i USING (source_a, source_b)""".stripMargin)),
+
     // Global symmetric int8 scalar quantization (SQ8) of the unit-
     // normalized corpus: the ANN memory layout (8x smaller than the
     // double vectors the scorer would otherwise shuffle). Codes are pure

@@ -1232,6 +1232,26 @@ object SourceQueries {
              |FROM c CROSS JOIN t
              |ORDER BY n DESC, user_id LIMIT 20""".stripMargin)),
 
+    // Fixed-horizon EWMA smoothing per user: 4 lag terms under ONE window
+    // spec (single shuffle + sort), plan-literal weights, pinned
+    // left-to-right evaluation — the portable form of the classic
+    // sequential-recurrence smoother.
+    "events_ewma" -> Q(
+      (s, dir) => graft.ops.Windows.ewmaFixed(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "value", alpha = 0.5, terms = 4),
+      Some {
+        val contribs = (0 until 4).map { i =>
+          val wt = 0.5 * math.pow(0.5, i)
+          (s"CASE WHEN lag(value, $i) OVER w IS NOT NULL THEN lag(value, $i) OVER w * $wt ELSE 0.0 END",
+            s"CASE WHEN lag(value, $i) OVER w IS NOT NULL THEN $wt ELSE 0.0 END")
+        }
+        s"""SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+           |  (${contribs.map(_._1).mkString(" + ")})
+           |  / (${contribs.map(_._2).mkString(" + ")}) AS ewma
+           |FROM events
+           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+      }),
+
     // Column profiler: per-column count/null/distinct/min/max in ONE
     // Expand-based scan — the data-quality audit run before trusting a
     // new data drop. Timestamps pre-cast to date strings for portability.

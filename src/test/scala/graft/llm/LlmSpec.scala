@@ -30,6 +30,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getDouble(2) > 0.5 && pairs.head.getDouble(2) < 1.0)
   }
 
+  test("sourceOverlap: shared shingles counted once, zero pairs kept") {
+    val shared = "alpha beta gamma delta epsilon"
+    val df = Seq(
+      (1L, "A", shared), (2L, "A", shared),      // dup within A: distinct once
+      (3L, "B", shared + " zeta"),               // shares A's 3 shingles
+      (4L, "C", "one two three four"))           // disjoint
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlap(df, "source", "text", 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // A has 3 distinct shingles, B has 4 (3 shared), C has 2
+    assert(out(("A", "B")) === ((3L, 3.0 / 4)))
+    assert(out(("A", "C")) === ((0L, 0.0)))
+    assert(out(("B", "C")) === ((0L, 0.0)))
+    assert(out.size === 3)
+  }
+
   test("simhash is identical for identical text, near for near-dups") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"

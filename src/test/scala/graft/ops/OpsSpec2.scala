@@ -130,6 +130,23 @@ class WindowsSpec2 extends SparkSpec {
     assert(out === Array("a4", "a5", "b4", "b5"))
   }
 
+  test("ewmaFixed: renormalized head, 4-term tail, one window exchange") {
+    import spark.implicits._
+    val df = Seq(
+      ("u", 1, 1, 8.0), ("u", 2, 2, 4.0), ("u", 3, 3, 2.0),
+      ("u", 4, 4, 1.0), ("u", 5, 5, 1.0))
+      .toDF("k", "t", "id", "x")
+    val out = Windows.ewmaFixed(df, "k", "t", "id", "x", 0.5, 4)
+      .orderBy("t").collect().map(_.getDouble(4))
+    assert(out(0) === 8.0)                       // single term renormalizes
+    assert(out(1) === (0.5 * 4 + 0.25 * 8) / 0.75)
+    assert(out(4) === (0.5 * 1 + 0.25 * 1 + 0.125 * 2 + 0.0625 * 4) / 0.9375)
+    val plan = Windows.ewmaFixed(df, "k", "t", "id", "x", 0.5, 4)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size <= 1,
+      s"all lags must share one window spec:\n$plan")
+  }
+
   test("surrogateKeyMaterialized with a reliable checkpoint matches the default") {
     import org.apache.spark.sql.functions.col
     val df = spark.read.parquet(sf("customer")).select("c_custkey", "c_name")
