@@ -211,6 +211,37 @@ object Similarity {
     topKPerQuery(scored, k, corpus.schema(idCol).dataType)
   }
 
+  /** Two-stage ANN: the SQ8 integer-dot first pass oversamples
+    * `oversample·k` candidates per query from the 8x-smaller code column,
+    * then the EXACT float cosine re-ranks only that shortlist — the
+    * standard production layout (quantized scan, exact re-rank) that keeps
+    * the full-precision vectors out of the corpus-wide scoring loop
+    * entirely: they are fetched by an equi-join on candidate id,
+    * shortlist-cardinality rows (queries·k·oversample), never corpus-wide.
+    *
+    * The re-rank cosine is the same pinned dot/(sqrt·sqrt) shape as
+    * [[bruteForceTopK]], so where the shortlist contains the true top-k
+    * the output rows are IDENTICAL to brute force — recall failures can
+    * only come from first-pass misses, which the oversample factor
+    * controls.
+    */
+  def sq8RerankTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                    isQuery: Column, k: Int, oversample: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val shortlist = sq8TopK(corpus, idCol, vecCol, isQuery, k * oversample)
+      .select(col("query_id"), col("cand_id"))
+    val vecs = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val scored = shortlist
+      .join(vecs.select(col(idCol).as("cand_id"), col("v").as("cv"),
+        col("norm").as("cnorm")), Seq("cand_id"))
+      .join(broadcast(vecs.filter(isQuery)
+        .select(col(idCol).as("query_id"), col("v").as("qv"),
+          col("norm").as("qnorm"))), Seq("query_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
+    topKPerQuery(scored, k, corpus.schema(idCol).dataType)
+  }
+
   /** Nearest-centroid classification: assign every vector to the label
     * whose class centroid it is most cosine-similar to — the deterministic
     * sibling of k-means assignment (fixed class centroids instead of

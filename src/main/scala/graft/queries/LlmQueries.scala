@@ -599,6 +599,32 @@ object LlmQueries {
          |  FROM scored)
          |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin)),
 
+    // Two-stage ANN: SQ8 integer-dot shortlist (4x oversampled), exact
+    // float cosine re-rank of the shortlist only — the production
+    // quantized-scan/exact-rerank layout. Full-precision vectors are
+    // joined in at shortlist cardinality, never scanned corpus-wide.
+    "llm_sim_topk_sq8_rerank" -> Q(
+      (s, dir) => Similarity.sq8RerankTopK(Tables.embeddings(s, dir),
+        "vec_id", "embedding", col("vec_id") < 10, k = 5, oversample = 4),
+      Some(s"""$sq8Cte,
+         |codes AS (SELECT vec_id, list_transform(u,
+         |    x -> CAST(round(x * 127.0 / gmax) AS INT)) AS cd
+         |  FROM u, g),
+         |qscored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |  ${intDotSql("q.cd", "c.cd")} AS score
+         |  FROM codes c JOIN codes q ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10),
+         |short AS (SELECT query_id, cand_id FROM
+         |  (SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY score DESC, cand_id) AS rank FROM qscored)
+         |  WHERE rank <= 20),
+         |rer AS (SELECT s.query_id, s.cand_id, ${cosSql("q.v", "c.v")} AS cos
+         |  FROM short s JOIN v c ON c.vec_id = s.cand_id
+         |  JOIN v q ON q.vec_id = s.query_id),
+         |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cos DESC, cand_id) AS INT) AS rank FROM rer)
+         |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin)),
+
     // SQ8 quality: per-query recall@5 of the quantized ranking against
     // the float brute-force ground truth — how much cosine fidelity the
     // 8x memory saving costs on this corpus.

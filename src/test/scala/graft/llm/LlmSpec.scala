@@ -307,6 +307,22 @@ class SimilaritySpec extends SparkSpec {
       s"ranking is not the heap aggregate:\n$plan")
   }
 
+  test("sq8RerankTopK: re-rank recovers brute rows the raw SQ8 pass missed") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val brute = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id").as[(Long, Long)].collect()
+        .toSet.intersect(brute).size
+    val raw = recall(
+      Similarity.sq8TopK(emb, "vec_id", "embedding", $"vec_id" < 5, 5))
+    val rer = recall(Similarity.sq8RerankTopK(
+      emb, "vec_id", "embedding", $"vec_id" < 5, 5, oversample = 4))
+    assert(rer >= raw, s"re-rank recall $rer below raw SQ8 $raw")
+    assert(rer >= 23, s"re-rank recall $rer/25 below floor")
+  }
+
   test("centroidClassify: nearest class centroid wins; mislabel flagged") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f), 0),
