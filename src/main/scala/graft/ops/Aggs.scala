@@ -87,16 +87,21 @@ object Aggs {
     * exactness holds to 2^53 rows per key).
     */
   /** Column profiler: per-column row count, null count, exact distinct
-    * count, and min/max (as strings) in ONE scan — the standard
-    * data-quality / schema-drift audit a pipeline runs before trusting a
-    * new drop of data.
+    * count, and min/max (as strings) — the standard data-quality /
+    * schema-drift audit a pipeline runs before trusting a new drop of
+    * data.
     *
-    * Scale shape: a single wide aggregate; Catalyst plans the multi-column
-    * `count(DISTINCT ...)` via one Expand (one input scan multiplied by
-    * #columns, each duplicate pruned to its own column) + partial/final
-    * aggregation — shuffle volume is per-column distinct cardinality, and
-    * the input is still read once (vs. the naive per-column loop: N scans).
-    * The final unpivot explodes ONE one-row frame — free.
+    * Scale shape — two pruned scans, deliberately: the count pass plans
+    * the multi-column `count(DISTINCT ...)` via one Expand (input
+    * multiplied by #columns, each lane pruned to its own column) with an
+    * all-long aggregate buffer, so it stays a HASH aggregate; shuffle
+    * volume is per-column distinct cardinality, never row count. min/max
+    * ride a SEPARATE keyless global aggregate: putting string min/max
+    * into the Expand aggregate forces the whole thing into a
+    * SortAggregate — a full sort of the #columns-times-expanded stream,
+    * which dominates everything at scale (measured 6.5 s -> hash at
+    * sf0.1). The keyless range pass needs no sort and no Expand. The
+    * final unpivot explodes a ONE-row frame — free.
     *
     * min/max are emitted as strings so heterogeneous column types fit one
     * output schema; callers needing typed stats use the per-column
@@ -104,13 +109,15 @@ object Aggs {
     * caller to a portable string form first.
     */
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
-        min(col(c)).cast("string").as(s"mn_$c"),
-        max(col(c)).cast("string").as(s"mx_$c"))
+    val countAggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"))
     } :+ count(lit(1)).as("n_rows")
-    df.agg(aggs.head, aggs.tail: _*)
+    val ranges = cols.flatMap { c =>
+      Seq(min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    }
+    df.agg(countAggs.head, countAggs.tail: _*)
+      .crossJoin(df.agg(ranges.head, ranges.tail: _*))
       .select(explode(array(cols.map { c =>
         struct(lit(c).as("col_name"), col("n_rows"),
           (col("n_rows") - col(s"nn_$c")).as("n_null"),

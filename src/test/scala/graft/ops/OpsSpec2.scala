@@ -96,9 +96,13 @@ class AggsSpec extends SparkSpec {
     assert(byName("x").getString(4) === "1" && byName("x").getString(5) === "2")
     assert(byName("s").getLong(2) === 1 && byName("s").getLong(3) === 2)
     assert(byName("s").getString(4) === "a" && byName("s").getString(5) === "b")
-    // one input scan: the multi-distinct plans through a single Expand
-    assert("LocalTableScan".r.findAllIn(plan).size <= 1,
-      s"input must be scanned exactly once:\n$plan")
+    // the multi-distinct must stay a HASH aggregate (long-only buffer) —
+    // string min/max in the same aggregate would force a SortAggregate
+    // with a full sort of the Expand-multiplied stream
+    assert(!plan.contains("Sort ["),
+      s"profile must not sort the expanded stream:\n$plan")
+    assert(plan.contains("Expand") && plan.contains("HashAggregate"),
+      s"distinct counts must hash-aggregate through one Expand:\n$plan")
   }
 
   test("yearlyOhlcv picks open/close by date order, not row order") {
