@@ -1232,6 +1232,26 @@ object SourceQueries {
              |FROM c CROSS JOIN t
              |ORDER BY n DESC, user_id LIMIT 20""".stripMargin)),
 
+    // Z-order curve values for the (partkey, suppkey) box-filter layout:
+    // one codegen'd bit-interleave projection, zero shuffle. The write
+    // path (writeZOrdered) range-partitions by this value so parquet
+    // footers prune both filter columns.
+    "zorder_curve" -> Q(
+      (s, dir) => Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          graft.ops.Sources.zorderValue(
+            col("l_partkey"), col("l_suppkey"), 16).as("z")),
+      Some {
+        val mask = (1L << 16) - 1
+        val terms = (0 until 16).map { i =>
+          s"(((l_partkey & $mask) & ${1L << i}) << $i) | " +
+            s"(((l_suppkey & $mask) & ${1L << i}) << ${i + 1})"
+        }.mkString("(", ") | (", ")")
+        s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           |  CAST($terms AS BIGINT) AS z FROM lineitem""".stripMargin
+      }),
+
     // Fixed-horizon EWMA smoothing per user: 4 lag terms under ONE window
     // spec (single shuffle + sort), plan-literal weights, pinned
     // left-to-right evaluation — the portable form of the classic

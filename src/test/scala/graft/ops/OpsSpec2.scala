@@ -134,6 +134,37 @@ class WindowsSpec2 extends SparkSpec {
     assert(out === Array("a4", "a5", "b4", "b5"))
   }
 
+  test("zorderValue interleaves bits; z-ordered files have disjoint ranges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a=0b11,b=0 -> bits at 0,2 = 5; b=0b11,a=0 -> bits at 1,3 = 10
+    val z = Seq((3L, 0L), (0L, 3L), (3L, 3L), (2L, 1L)).toDF("a", "b")
+      .select(Sources.zorderValue(col("a"), col("b"), 2).as("z"))
+      .collect().map(_.getLong(0))
+    assert(z === Array(5L, 10L, 15L, 6L)) // 2,1 -> a bit1@2, b bit0@1 = 6
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    try {
+      val li = spark.read.parquet(sf("lineitem"))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      Sources.writeZOrdered(li, s"$dir/z", "l_partkey", "l_suppkey", 16, 4)
+      val back = spark.read.parquet(s"$dir/z")
+      assert(back.count() === li.count())
+      // range-partitioned by z: per-file z-ranges must not overlap
+      val ranges = back
+        .withColumn("f", input_file_name())
+        .withColumn("z",
+          Sources.zorderValue(col("l_partkey"), col("l_suppkey"), 16))
+        .groupBy("f").agg(min("z").as("lo"), max("z").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(ranges.length > 1)
+      ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file z-ranges overlap: $hi1 > $lo2")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("ewmaFixed: renormalized head, 4-term tail, one window exchange") {
     import spark.implicits._
     val df = Seq(
