@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality checks — the assertion layer a pipeline runs
+  * after [[Aggs.profileColumns]] before promoting a new drop of data.
+  * The reference trusts its sources blindly (BigQuery load errors are the
+  * only validation, `transform_open_close_data.py:34` retries aside);
+  * production pipelines gate on explicit rules instead.
+  */
+object Checks {
+
+  /** Count violations of scalar row rules in ONE scan: each rule is a
+    * boolean predicate over a single row ("violation when true"), counted
+    * with a conditional sum — all longs, so the pass is one
+    * map-side-combined HashAggregate over one pruned scan regardless of
+    * how many rules ride it. The final unpivot explodes a one-row frame.
+    *
+    * Uniqueness/referential rules need grouping or joins and live in
+    * [[duplicateKeys]] / [[orphanKeys]] — mixing them in here would drag
+    * a shuffle into what is otherwise a pure scan.
+    */
+  def ruleViolations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val aggs = rules.map { case (name, pred) =>
+      sum(when(pred, 1L).otherwise(0L)).as(s"v_$name")
+    } :+ count(lit(1)).as("n_rows")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rules.map { case (name, _) =>
+        struct(lit(name).as("rule"), col("n_rows"),
+          col(s"v_$name").as("n_violations"))
+      }: _*)).as("p"))
+      .select(col("p.*"))
+  }
+
+  /** Duplicate-key audit: how many key groups occur more than once, and
+    * how many surplus rows a dedup would drop. Map-side-combined count by
+    * key (shuffle = distinct-key cardinality), then a second tiny
+    * aggregate over the group counts — never a self-join.
+    */
+  def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+        sum(when(col("n") > 1, col("n") - 1).otherwise(0L)).as("n_surplus_rows"))
+
+  /** Referential-integrity audit: rows of `child` whose `childKey` has no
+    * match in `parent.parentKey`. A left-anti join on the key — at scale
+    * the parent side is distinct'd first so the anti-join shuffles
+    * key-cardinality rows, and a dimension-sized parent broadcasts.
+    */
+  def orphanKeys(child: DataFrame, childKey: String,
+                 parent: DataFrame, parentKey: String,
+                 relation: String): DataFrame = {
+    val orphans = child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+    child.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+      .select(lit(relation).as("relation"), col("n_rows"), col("n_orphans"))
+  }
+}

@@ -1232,6 +1232,68 @@ object SourceQueries {
              |FROM c CROSS JOIN t
              |ORDER BY n DESC, user_id LIMIT 20""".stripMargin)),
 
+    // Scalar data-quality rules: violation counts for 5 row predicates in
+    // ONE map-side-combined pass over one pruned scan (all-long buffer).
+    "dq_rule_violations" -> Q(
+      (s, dir) => graft.ops.Checks.ruleViolations(Tables.lineitem(s, dir), Seq(
+        "quantity_out_of_range" -> !col("l_quantity").between(1, 50),
+        "quantity_gt_40" -> (col("l_quantity") > 40),
+        "returnflag_out_of_domain" -> !col("l_returnflag").isin("A", "N", "R"),
+        "discount_out_of_range" -> !col("l_discount").between(0, 0.1),
+        "shipdate_null" -> col("l_shipdate").isNull)),
+      Some {
+        val rules = Seq(
+          "quantity_out_of_range" -> "NOT (l_quantity BETWEEN 1 AND 50)",
+          "quantity_gt_40" -> "l_quantity > 40",
+          "returnflag_out_of_domain" -> "l_returnflag NOT IN ('A', 'N', 'R')",
+          "discount_out_of_range" -> "NOT (l_discount BETWEEN 0 AND 0.1)",
+          "shipdate_null" -> "l_shipdate IS NULL")
+        val aggs = rules.zipWithIndex.map { case ((_, p), i) =>
+          s"CAST(sum(CASE WHEN $p THEN 1 ELSE 0 END) AS BIGINT) AS v$i"
+        }.mkString(", ")
+        val branches = rules.zipWithIndex.map { case ((n, _), i) =>
+          s"SELECT '$n' AS rule, n_rows, v$i AS n_violations FROM a"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, $aggs
+           |  FROM lineitem)
+           |$branches""".stripMargin
+      }),
+
+    // Duplicate-key audit: group counts (shuffle = key cardinality) then
+    // a tiny rollup — never a self-join. o_custkey has real duplicates.
+    "dq_duplicate_keys" -> Q(
+      (s, dir) => graft.ops.Checks.duplicateKeys(
+        Tables.orders(s, dir), Seq("o_custkey")),
+      Some("""WITH c AS (SELECT o_custkey, count(*) AS n
+             |  FROM orders GROUP BY 1)
+             |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_dup_keys,
+             |  CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+             |    AS n_surplus_rows
+             |FROM c""".stripMargin)),
+
+    // Referential-integrity audit: anti-join orphan counts along the two
+    // fact->dim edges; parent sides distinct'd before the anti-join.
+    "dq_referential" -> Q(
+      (s, dir) => graft.ops.Checks.orphanKeys(
+        Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey", "lineitem->orders")
+        .unionByName(graft.ops.Checks.orphanKeys(
+          Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey", "orders->customer")),
+      Some("""SELECT 'lineitem->orders' AS relation,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+             |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+             |    AS n_orphans
+             |UNION ALL
+             |SELECT 'orders->customer' AS relation,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+             |     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+             |    AS n_orphans""".stripMargin)),
+
     // Z-order curve values for the (partkey, suppkey) box-filter layout:
     // one codegen'd bit-interleave projection, zero shuffle. The write
     // path (writeZOrdered) range-partitions by this value so parquet

@@ -134,6 +134,29 @@ class WindowsSpec2 extends SparkSpec {
     assert(out === Array("a4", "a5", "b4", "b5"))
   }
 
+  test("Checks: rule violations, duplicate keys, and orphans are counted") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1, 5.0), (2, 60.0), (2, -1.0), (3, 10.0))
+      .toDF("k", "v")
+    val viol = Checks.ruleViolations(df, Seq(
+      "v_out_of_range" -> !$"v".between(0, 50),
+      "k_null" -> $"k".isNull))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viol("v_out_of_range") === ((4L, 2L)))   // 60.0 and -1.0
+    assert(viol("k_null") === ((4L, 0L)))
+    val plan = Checks.ruleViolations(df, Seq("r" -> $"v".isNull))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") && !plan.contains("Sort ["),
+      s"rule pass must be one hash aggregate:\n$plan")
+    val dup = Checks.duplicateKeys(df, Seq("k")).head()
+    assert((dup.getLong(0), dup.getLong(1), dup.getLong(2)) === ((3L, 1L, 1L)))
+    val orph = Checks.orphanKeys(df, "k",
+      Seq(1, 3).toDF("pk"), "pk", "df->pk").head()
+    assert(orph.getString(0) === "df->pk")
+    assert((orph.getLong(1), orph.getLong(2)) === ((4L, 2L))) // the two k=2 rows
+  }
+
   test("zorderValue interleaves bits; z-ordered files have disjoint ranges") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
