@@ -119,6 +119,42 @@ object Sources {
     df.write.bucketBy(buckets, key).sortBy(key)
       .mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
 
+  /** Compact a fragmented parquet directory: size the output file count
+    * from the ACTUAL input bytes (ceil(bytes / targetBytes)), rewrite
+    * through one round-robin repartition, and return the compacted frame.
+    * The small-files problem is a first-order 100 TB failure mode — a
+    * million 100 KB files costs more in listing/opens/footers than the
+    * scan itself — and streaming sinks + fine-grained partitioning
+    * produce exactly that. Compaction is one narrow shuffle whose output
+    * is the target layout; no driver-side row handling (the listing
+    * touches file METADATA only, never data).
+    */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+                     targetBytes: Long): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath match {
+        case p if p.contains("://") => p
+        case p => s"file://$p"
+      }), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    spark.read.parquet(outPath)
+  }
+
+  /** Read a parquet lineage whose schema evolved across writes
+    * (columns added over time): `mergeSchema` unions the footers'
+    * schemas, older files surface the missing columns as nulls. The
+    * schema-evolution contract every long-lived warehouse table needs —
+    * without it a reader pins the FIRST footer it happens to open.
+    */
+  def readMergedSchema(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** Z-order (Morton) curve value: interleave the low `bits` of two
     * non-negative integer keys — bit i of `a` lands at position 2i, bit i
     * of `b` at 2i+1. Rows sorted by this value cluster 2-D-adjacent keys

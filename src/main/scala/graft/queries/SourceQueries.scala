@@ -1232,6 +1232,51 @@ object SourceQueries {
              |FROM c CROSS JOIN t
              |ORDER BY n DESC, user_id LIMIT 20""".stripMargin)),
 
+    // Small-file compaction roundtrip: fragment the part table into 40
+    // files, compact to ~4 by actual byte size, aggregate the compacted
+    // copy. Data survives bit-exact (oracle over the original table);
+    // the file-count collapse is spec-asserted.
+    "s15_compaction" -> Q(
+      (s, dir) => {
+        val frag = fixDir(dir, "s15_frag")
+        val compacted = fixDir(dir, "s15_compact")
+        Tables.part(s, dir).repartition(40)
+          .write.mode("overwrite").parquet(frag)
+        Sources.compactParquet(s, frag, compacted, targetBytes = 256 * 1024)
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("p_retailprice").cast("decimal(18,2)")).cast("double")
+              .as("total_price"))
+      },
+      Some("""SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total_price
+             |FROM part GROUP BY 1""".stripMargin)),
+
+    // Schema-evolution read: two parquet generations (v2 adds a column),
+    // mergeSchema unions the footers; v1 rows surface the new column as
+    // NULL. Aggregates count coverage per generation.
+    "s16_schema_evolution" -> Q(
+      (s, dir) => {
+        val v1 = fixDir(dir, "s16_v1")
+        val v2 = fixDir(dir, "s16_v2")
+        val part = Tables.part(s, dir)
+        part.filter(col("p_partkey") % 2 === 0)
+          .select(col("p_partkey"), col("p_brand"))
+          .write.mode("overwrite").parquet(v1)
+        part.filter(col("p_partkey") % 2 === 1)
+          .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+          .write.mode("overwrite").parquet(v2)
+        Sources.readMergedSchema(s, v1, v2)
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"),
+            count(col("p_retailprice")).as("n_with_price"))
+      },
+      Some("""SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN p_partkey % 2 = 1 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_with_price
+             |FROM part GROUP BY 1""".stripMargin)),
+
     // Scalar data-quality rules: violation counts for 5 row predicates in
     // ONE map-side-combined pass over one pruned scan (all-long buffer).
     "dq_rule_violations" -> Q(

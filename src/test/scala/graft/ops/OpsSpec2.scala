@@ -134,6 +134,46 @@ class WindowsSpec2 extends SparkSpec {
     assert(out === Array("a4", "a5", "b4", "b5"))
   }
 
+  test("compactParquet sizes output files from input bytes; rows survive") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    try {
+      val li = spark.read.parquet(sf("lineitem"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      li.repartition(40).write.parquet(s"$dir/frag")
+      def files(p: String) = new java.io.File(p).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files(s"$dir/frag") === 40)
+      val bytes = new java.io.File(s"$dir/frag").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      val target = bytes / 4 + 1 // aim for ~4 output files
+      val back = Sources.compactParquet(spark, s"$dir/frag", s"$dir/out", target)
+      val n = files(s"$dir/out")
+      assert(n >= 2 && n <= 6, s"expected ~4 compacted files, got $n")
+      assert(back.count() === li.count())
+      assert(back.agg(sum("l_quantity")).head.getDouble(0) ===
+        li.agg(sum("l_quantity")).head.getDouble(0))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("readMergedSchema surfaces columns missing from older files as null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    try {
+      Seq((1L, "a")).toDF("id", "s").write.parquet(s"$dir/v1")
+      Seq((2L, "b", 9.5)).toDF("id", "s", "x").write.parquet(s"$dir/v2")
+      val out = Sources.readMergedSchema(spark, s"$dir/v1", s"$dir/v2")
+        .orderBy("id").collect()
+      assert(out.map(_.getLong(0)) === Array(1L, 2L))
+      assert(out(0).isNullAt(2) && out(1).getDouble(2) === 9.5)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("Checks: rule violations, duplicate keys, and orphans are counted") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
