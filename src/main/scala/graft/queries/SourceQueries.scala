@@ -1232,6 +1232,33 @@ object SourceQueries {
              |FROM c CROSS JOIN t
              |ORDER BY n DESC, user_id LIMIT 20""".stripMargin)),
 
+    // Stream-static enrichment parity: events joined to a broadcast user
+    // dimension (deterministic hash segment), rolled up per (segment,
+    // type). In streaming the same call re-reads the dim per micro-batch
+    // with NO stream-side state; MemoryStream parity in StreamsSpec.
+    "st5_stream_static_join" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val dim = ev.select(col("user_id")).distinct()
+          .withColumn("segment",
+            pmod(graft.functions.HashFunctions.hash60(
+              concat(lit("seg:"), col("user_id"))), lit(3L)).cast("int"))
+        graft.streaming.Streams.enrichWithStatic(ev, dim, "user_id")
+          .groupBy(col("segment"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("total_value"))
+      },
+      Some("""WITH dim AS (SELECT DISTINCT user_id,
+             |  CAST(CAST('0x' || substr(md5('seg:' ||
+             |    CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 3 AS INT)
+             |    AS segment FROM events)
+             |SELECT d.segment, e.event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total_value
+             |FROM events e JOIN dim d ON e.user_id = d.user_id
+             |GROUP BY 1, 2""".stripMargin)),
+
     // Small-file compaction roundtrip: fragment the part table into 40
     // files, compact to ~4 by actual byte size, aggregate the compacted
     // copy. Data survives bit-exact (oracle over the original table);

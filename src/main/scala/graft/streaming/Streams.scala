@@ -36,6 +36,20 @@ object Streams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("tv").cast("double").as("total_value"))
 
+  /** Stream-static enrichment: join a (possibly unbounded) event stream
+    * against a bounded dimension frame and aggregate per enriched
+    * attribute. The static side is re-read per micro-batch (so slowly-
+    * changing dims pick up updates) and — dimension-sized — broadcasts:
+    * NO stream-side state, no watermark needed, unlike a stream-stream
+    * join. The unified API means the identical call is the batch parity
+    * query. The canonical lookup shape: events x user/account/device dim.
+    */
+  def enrichWithStatic(events: DataFrame, dim: DataFrame,
+                       key: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    events.join(broadcast(dim), Seq(key))
+  }
+
   /** Gap-based session windows per user: Spark's native `session_window`
     * (state-backed in streaming, plain agg in batch). A session's end is
     * the last event + gap, per session_window semantics.

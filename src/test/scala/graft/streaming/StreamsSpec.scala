@@ -50,6 +50,27 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches each micro-batch; equals batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[Ev]
+    val q = Streams.enrichWithStatic(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(3): _*)   // second micro-batch re-joins the dim
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_test")
+        .orderBy("ts", "user_id").collect()
+      val batch = Streams.enrichWithStatic(rows.toDF(), dim, "user_id")
+        .orderBy("ts", "user_id").collect()
+      assert(streamed.map(_.toString) === batch.map(_.toString))
+      assert(streamed.count(_.getAs[String]("tier") == "gold") === 3)
+    } finally q.stop()
+  }
+
   test("streaming sessionAgg over MemoryStream equals the batch result") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
