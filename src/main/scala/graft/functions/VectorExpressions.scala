@@ -73,8 +73,13 @@ case class DotProduct(left: Expression, right: Expression)
   * vectors), accumulated in a primitive long — the scoring kernel of the
   * scalar-quantized ANN path. Unlike [[DotProduct]] there is no float
   * rounding anywhere: the result is EXACT for any code range whose
-  * products sum below 2^63, so quantized similarity scores hash-compare
-  * across engines and partitionings unconditionally.
+  * products sum below 2^63, so on EQUAL-LENGTH inputs quantized
+  * similarity scores hash-compare across engines and partitionings.
+  * Ragged inputs truncate to the shorter length (matching
+  * [[DotProduct]]'s convention) — but note a SQL twin that indexes past
+  * the shorter list returns NULL instead, so callers must guarantee
+  * equal dimensions (true for any single-corpus quantization, where
+  * every code vector comes from the same embedding column).
   */
 case class DotProductInt(left: Expression, right: Expression)
   extends BinaryExpression {

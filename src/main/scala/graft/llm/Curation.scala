@@ -147,8 +147,15 @@ object Curation {
     */
   def scoreWeightedSample(df: DataFrame, idCol: String, scoreCol: String,
                           salt: String = "qw:"): DataFrame = {
+    // NaN pins to 0 (drop): Spark orders NaN ABOVE every double, so a bare
+    // least/greatest clamp would pass NaN through as 1.0 and keep every
+    // row whose quality signal failed — the exact rows a weighted sampler
+    // exists to suppress. NULL scores already drop (NULL < ppm is never
+    // true); NaN now behaves the same.
     val ppm = floor(
-      least(greatest(col(scoreCol), lit(0.0)), lit(1.0)) * lit(1e6))
+      when(isnan(col(scoreCol)), lit(0.0))
+        .otherwise(least(greatest(col(scoreCol), lit(0.0)), lit(1.0)))
+        * lit(1e6))
       .cast("long")
     val bucket = pmod(
       hash60(concat(lit(salt), col(idCol).cast("string"))), lit(1000000L))

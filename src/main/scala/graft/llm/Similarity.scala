@@ -67,12 +67,23 @@ object Similarity {
   private def topKPerQuery(scored: DataFrame, k: Int,
                            idType: org.apache.spark.sql.types.DataType): DataFrame = {
     import graft.functions.AggFunctions.topK
+    import org.apache.spark.sql.types.StringType
     val payload = idPayload(idType)
+    // Zero-padded payloads only order numerically for NON-NEGATIVE ids
+    // (idPayload's documented contract); a negative id fails the cast
+    // back — fail loud rather than emit a NULL candidate.
+    val decoded =
+      if (idType == StringType) col("e.value")
+      else when(col("e.value").try_cast("long").isNull,
+        raise_error(concat(
+          lit("top-k: negative or unparseable integral id in payload: "),
+          col("e.value"))))
+        .otherwise(col("e.value").try_cast("long")).cast(idType)
     scored.groupBy(col("query_id"))
       .agg(topK(col("cos"), payload, k).as("tk"))
       .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
       .select(col("query_id"),
-        col("e.value").cast(idType).as("cand_id"),
+        decoded.as("cand_id"),
         col("e.score").as("cos"),
         (col("pos") + 1).cast("int").as("rank"))
   }

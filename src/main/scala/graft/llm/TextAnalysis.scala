@@ -291,8 +291,14 @@ object TextAnalysis {
     val toks = Dedup.ensureParallelism(df.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(tokens(col(textCol))).as("t"))
       .filter(col("t") =!= "")
-    val vocab = Curation.vocabTopK(df, textCol, vocabK)
-      .select(col("token").as("t")).withColumn("in_v", lit(1))
+    // Vocab derives from the SAME token stream instead of calling
+    // vocabTopK(df, ...) — which would re-normalize, re-split, and
+    // re-explode the corpus a second time. Identical (count desc, token)
+    // selection, half the tokenization cost.
+    val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t"))
+      .limit(vocabK)
+      .select(col("t")).withColumn("in_v", lit(1))
     toks.join(broadcast(vocab), Seq("t"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),

@@ -72,20 +72,6 @@ object Aggs {
     df.groupingSets(groupingSets.map(_.map(col)), dims.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
 
-  /** Key-skew diagnostic: the `k` heaviest keys with their share of all
-    * rows — the measurement behind every salting/AQE-skew decision
-    * ([[Joins.saltedJoin]] consumes what this reports). SINGLE scan of
-    * `df`: a map-side-combined count to key cardinality, then ONE
-    * partial-aggregatable pass over the counts computing `sum(n)` and a
-    * [[graft.functions.AggFunctions.topK]] bounded heap together, so the
-    * final shuffle is one (total, k-heap) row per partition — the
-    * earlier scalar-subquery formulation re-aggregated the counts from
-    * `df` and scanned the input twice, doubling the dominant cost at the
-    * 100 TB scale this diagnoses. Ties break on (n desc, key asc);
-    * integral keys ride the heap's string payload zero-padded to 20
-    * digits so lexical ASC == numeric ASC (keys must be non-negative;
-    * exactness holds to 2^53 rows per key).
-    */
   /** Column profiler: per-column row count, null count, exact distinct
     * count, and min/max (as strings) — the standard data-quality /
     * schema-drift audit a pipeline runs before trusting a new drop of
@@ -128,6 +114,22 @@ object Aggs {
       .select(col("p.*"))
   }
 
+  /** Key-skew diagnostic: the `k` heaviest keys with their share of all
+    * rows — the measurement behind every salting/AQE-skew decision
+    * ([[Joins.saltedJoin]] consumes what this reports). SINGLE scan of
+    * `df`: a map-side-combined count to key cardinality, then ONE
+    * partial-aggregatable pass over the counts computing `sum(n)` and a
+    * [[graft.functions.AggFunctions.topK]] bounded heap together, so the
+    * final shuffle is one (total, k-heap) row per partition — the
+    * earlier scalar-subquery formulation re-aggregated the counts from
+    * `df` and scanned the input twice, doubling the dominant cost at the
+    * 100 TB scale this diagnoses. Ties break on (n desc, key asc);
+    * integral keys ride the heap's string payload zero-padded to 20
+    * digits so lexical ASC == numeric ASC (keys must be NON-NEGATIVE — a
+    * negative key would break that equivalence, so the decode fails loud
+    * via raise_error instead of silently emitting a NULL key; exactness
+    * holds to 2^53 rows per key).
+    */
   def keySkewTopK(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     import org.apache.spark.sql.types._
@@ -144,8 +146,13 @@ object Aggs {
       sum(col("n")).as("total"),
       graft.functions.AggFunctions.topK(
         col("n").cast("double"), payload, k).as("tk"))
+    // Lexical payload order only equals numeric order for non-negative
+    // keys; "-5" zero-padded fails the cast back. Fail LOUD, not NULL.
     val key = if (keyType == StringType) col("e.value")
-      else col("e.value").cast(LongType).cast(keyType)
+      else when(col("e.value").try_cast(LongType).isNull,
+        raise_error(concat(lit("keySkewTopK: negative or unparseable " +
+          s"integral key in top-k payload for '$keyCol': "), col("e.value"))))
+        .otherwise(col("e.value").try_cast(LongType)).cast(keyType)
     one.select(col("total"), explode(col("tk")).as("e"))
       .select(
         key.as(keyCol),

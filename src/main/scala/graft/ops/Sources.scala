@@ -131,14 +131,22 @@ object Sources {
     */
   def compactParquet(spark: SparkSession, inPath: String, outPath: String,
                      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(inPath match {
         case p if p.contains("://") => p
         case p => s"file://$p"
       }), spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    // RECURSIVE listing: partitioned layouts (date=*/part-*.parquet) keep
+    // their data files in subdirectories — a top-level listStatus would
+    // see only directories, size the input at 0 bytes, and funnel the
+    // whole dataset through one task.
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(inPath), true)
+    var totalBytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) totalBytes += f.getLen
+    }
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(inPath)
       .repartition(nFiles)

@@ -129,6 +129,11 @@ object Windows {
     */
   def ewmaFixed(df: DataFrame, key: String, order: String, tiebreak: String,
                 value: String, alpha: Double, terms: Int): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(terms >= 1, s"terms must be >= 1, got $terms")
+    // If every in-horizon value is null the denominator is 0.0 and the
+    // ewma is NULL (Spark division) — a missing smoothed metric, which is
+    // the honest answer when there is nothing to smooth.
     val w = Window.partitionBy(col(key)).orderBy(col(order), col(tiebreak))
     val contribs = (0 until terms).map { i =>
       val wt = alpha * math.pow(1 - alpha, i)

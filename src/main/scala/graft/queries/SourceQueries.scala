@@ -1220,7 +1220,8 @@ object SourceQueries {
 
     // Key-skew diagnostic: the 20 heaviest users and their row share —
     // what decides salting buckets / AQE skew thresholds. Map-side
-    // count, bounded-heap top-k, total via scalar subquery.
+    // count, then ONE pass computing total + bounded-heap top-k together
+    // (single scan — no scalar subquery re-aggregation).
     "skew_topk" -> Q(
       (s, dir) => graft.ops.Aggs.keySkewTopK(
         Tables.events(s, dir), "user_id", k = 20),

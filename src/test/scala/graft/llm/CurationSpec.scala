@@ -213,6 +213,17 @@ class CurationSpec extends SparkSpec {
     assert(kept.select("id").exceptAll(re.select("id")).count() === 0)
   }
 
+  test("scoreWeightedSample drops NaN scores instead of clamping to 1") {
+    // A bare least/greatest clamp would pass NaN through as 1.0 (Spark
+    // orders NaN above every double) — keeping exactly the rows whose
+    // quality signal failed.
+    val rows = Seq((1L, Double.NaN), (2L, 1.0), (3L, Double.NaN))
+      .toDF("id", "score")
+    val kept = Curation.scoreWeightedSample(rows, "id", "score")
+      .select("id").collect().map(_.getLong(0))
+    assert(kept === Array(2L))
+  }
+
   test("bpeApplyMerge is greedy left-to-right, exact on self-overlap") {
     def merged(text: String, a: String, b: String): Seq[String] =
       Curation.bpeApplyMerge(Seq((1L, text)).toDF("doc_id", "text"),

@@ -158,6 +158,45 @@ class WindowsSpec2 extends SparkSpec {
     }
   }
 
+  test("compactParquet lists partitioned layouts recursively; rejects bad target") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact_part").toString
+    try {
+      // hive-partitioned input: data files live in subdirectories — a
+      // top-level listing would size the input at 0 bytes
+      (0 until 4000).map(i => (i.toLong, i % 4, s"payload_$i"))
+        .toDF("id", "p", "s")
+        .write.partitionBy("p").parquet(s"$dir/frag")
+      val bytes = {
+        def walk(f: java.io.File): Long =
+          if (f.isFile) { if (f.getName.endsWith(".parquet")) f.length else 0L }
+          else f.listFiles().map(walk).sum
+        walk(new java.io.File(s"$dir/frag"))
+      }
+      val back = Sources.compactParquet(
+        spark, s"$dir/frag", s"$dir/out", bytes / 3 + 1)
+      val n = new java.io.File(s"$dir/out").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(n >= 2 && n <= 5, s"recursive sizing should give ~3 files, got $n")
+      assert(back.count() === 4000)
+      intercept[IllegalArgumentException] {
+        Sources.compactParquet(spark, s"$dir/frag", s"$dir/out2", 0L)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("keySkewTopK fails loud on negative integral keys, not NULL") {
+    import spark.implicits._
+    val df = Seq(-5L, -5L, -5L, 2L, 2L, 7L).toDF("k")
+    val e = intercept[Exception] {
+      Aggs.keySkewTopK(df, "k", 2).collect()
+    }
+    assert(e.getMessage.contains("negative or unparseable"),
+      s"expected the loud payload guard, got: ${e.getMessage}")
+  }
+
   test("readMergedSchema surfaces columns missing from older files as null") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
