@@ -280,6 +280,45 @@ object TextAnalysis {
           / lit(1e6))
   }
 
+  /** Bigram conditional surprisal per document: the mean of
+    * -ln p(w2 | w1) over adjacent token pairs, with p(w2 | w1) =
+    * c(w1 w2) / c_start(w1) (c_start counts bigrams STARTING with w1, so
+    * the conditional normalizes exactly). The next step up from
+    * [[unigramSurprisal]] in LM-based quality scoring: low conditional
+    * surprisal flags text that is locally predictable (template/boiler
+    * text), independent of how rare its vocabulary is.
+    *
+    * Same exactness recipe as unigram: each pair's surprisal pins to
+    * integer micro-nats (floor(x*1e6 + 0.5)) BEFORE the cross-row sum,
+    * so per-doc sums are exact long arithmetic in any engine. Pairs come
+    * from a narrow zip of the token array against its own tail (the
+    * [[Curation.bpePairCounts]] shape) — no per-doc window, no shuffle
+    * to FORM pairs; the only shuffles are the two vocab-cardinality
+    * count aggregates and the final per-doc rollup. Docs with < 2 tokens
+    * have no bigrams and drop from the output.
+    */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairsCol = transform(array(tokens(col(textCol))), ws => {
+      val len = greatest(size(ws) - 1, lit(0))
+      zip_with(slice(ws, lit(1), len), slice(ws, lit(2), len),
+        (a, b) => concat(a, lit(" "), b))
+    })
+    val bg = Dedup.ensureParallelism(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(element_at(pairsCol, 1)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val c12 = bg.groupBy(col("bg")).agg(count(lit(1)).cast("double").as("c12"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).cast("double").as("c1"))
+    bg.join(c12, Seq("bg")).join(c1, Seq("w1"))
+      .select(col(idCol),
+        floor(log(col("c1") / col("c12")) * lit(1e6) + lit(0.5))
+          .cast("long").as("u"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("u")).as("sum_unats"))
+      .withColumn("avg_bigram_surprisal",
+        col("sum_unats").cast("double") / col("n_bigrams").cast("double")
+          / lit(1e6))
+  }
+
   /** Out-of-vocabulary rate per document against the corpus top-`vocabK`
     * token vocabulary (ties broken (n desc, token asc) — the same
     * deterministic boundary as [[Curation.vocabTopK]]). The coverage

@@ -387,6 +387,31 @@ object LlmQueries {
          |    AS avg_surprisal
          |FROM u GROUP BY doc_id""".stripMargin)),
 
+    // Bigram conditional surprisal: -ln p(w2|w1) averaged per doc, pinned
+    // to integer micro-nats pre-sum. Pairs form in a narrow zip (no
+    // window); the two count frames are vocab-cardinality.
+    "llm_bigram_surprisal" -> Q(
+      (s, dir) => TextAnalysis.bigramSurprisal(
+        Tables.documents(s, dir), "doc_id", "text"),
+      Some(s"""WITH norm AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents),
+         |bg AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(ws)),
+         |      i -> ws[i] || ' ' || ws[i+1])) AS bg
+         |  FROM norm),
+         |bgw AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM bg),
+         |c12 AS (SELECT bg, CAST(count(*) AS DOUBLE) AS c12
+         |  FROM bgw GROUP BY 1),
+         |c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1
+         |  FROM bgw GROUP BY 1),
+         |u AS (SELECT doc_id,
+         |    CAST(floor(ln(c1 / c12) * 1e6 + 0.5) AS BIGINT) AS u
+         |  FROM bgw JOIN c12 USING (bg) JOIN c1 USING (w1))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(u) AS BIGINT) AS sum_unats,
+         |  CAST(sum(u) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
+         |    AS avg_bigram_surprisal
+         |FROM u GROUP BY doc_id""".stripMargin)),
+
     // OOV rate against the deterministic top-100 corpus vocabulary —
     // the tokenizer-coverage check; the vocab side broadcasts.
     "llm_oov_rate" -> Q(

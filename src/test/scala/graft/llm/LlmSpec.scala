@@ -455,6 +455,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getDouble(3) < out(1).getDouble(3)) // rare token scores up
   }
 
+  test("bigramSurprisal: conditional micro-nats, short docs drop") {
+    // Corpus bigrams: doc1 "a b a c" -> [a b, b a, a c]; doc2 "a b" ->
+    // [a b]; doc3 "x" -> none. c_start(a)=3, c_start(b)=1;
+    // c12(a b)=2, c12(b a)=1, c12(a c)=1. So surprisal(a b)=ln(3/2),
+    // (b a)=ln(1/1)=0, (a c)=ln(3/1).
+    val df = Seq((1L, "a b a c"), (2L, "a b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprisal(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)) === Array(1L, 2L)) // doc 3: no bigrams
+    val s_ab = math.floor(math.log(3.0 / 2.0) * 1e6 + 0.5).toLong
+    val s_ba = 0L
+    val s_ac = math.floor(math.log(3.0) * 1e6 + 0.5).toLong
+    assert(out(0).getLong(1) === 3L)
+    assert(out(0).getLong(2) === s_ab + s_ba + s_ac)
+    assert(out(1).getLong(1) === 1L && out(1).getLong(2) === s_ab)
+  }
+
   test("oovRate counts tokens outside the deterministic top-k vocab") {
     val docs = Seq(
       (1L, "a a b"), (2L, "a rare1 rare2")).toDF("doc_id", "text")
