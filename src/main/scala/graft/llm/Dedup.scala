@@ -456,6 +456,34 @@ object Dedup {
             s => s.getField("t"))).as("clean_text"))
   }
 
+  /** Canonical-representative selection: for each near-dup cluster keep
+    * the member with the best score (quality, length, recency — caller's
+    * choice), tie-broken on smallest id — the KEEP decision that turns a
+    * clustering into an actual dedup. The argmax is the bounded-heap
+    * top-k aggregate (k=1): map-side-combined, one row per cluster per
+    * partition on the shuffle, no per-cluster sort — a hot mega-cluster
+    * (the usual near-dup pathology) costs O(members) not
+    * O(members log members) on one core.
+    *
+    * `clusters` is [[dedupClusters]] output (doc_id, cluster_id);
+    * `scored` maps `idCol` to `scoreCol`. Ids must be non-negative
+    * integral (the heap-payload contract).
+    */
+  def clusterCanonical(clusters: DataFrame, scored: DataFrame,
+                       idCol: String, scoreCol: String): DataFrame = {
+    import graft.functions.AggFunctions.topK
+    clusters.join(scored.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        topK(col(scoreCol), lpad(col(idCol).cast("string"), 20, "0"), 1)
+          .as("tk"))
+      .select(col("cluster_id"),
+        element_at(col("tk"), 1).getField("value").try_cast("long")
+          .as("canonical_doc"),
+        col("n_members"),
+        element_at(col("tk"), 1).getField("score").as("best_score"))
+  }
+
   /** Cross-source n-gram overlap matrix: for every unordered pair of
     * sources, the count of shared distinct k-shingles and the Jaccard of
     * the two shingle sets — the corpus-composition audit that catches

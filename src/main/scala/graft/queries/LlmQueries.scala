@@ -159,6 +159,40 @@ object LlmQueries {
     """(least(chars_per_token / 8.0, 1.0) + least(punct_ratio * 20.0, 1.0) +
       | least(stopword_ratio * 5.0, 1.0)) / 3.0""".stripMargin
 
+  /** MinHash-LSH near-dup clusters as a reusable CTE chain ending in
+    * `cl(doc_id, cluster_id)` — the connected-components twin of
+    * [[graft.llm.Dedup.dedupClusters]] over minhashLshPairs (recursive
+    * closure; same signature params as llm_dedup_minhash_lsh).
+    */
+  private lazy val clustersCteSql: String = {
+    val P = TextOps.MinhashP
+    val mins = (0 until 16).map { i =>
+      val (a, b) = TextOps.minhashParams(i)
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % $P))"
+    }.mkString("[", ", ", "]")
+    s"""WITH RECURSIVE norm AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents),
+       |sh AS (SELECT doc_id, ${shinglesSql("ws")} AS sh FROM norm),
+       |hs AS (SELECT doc_id, sh,
+       |  list_transform(sh, s -> ${h60("s")} % $P) AS hs FROM sh),
+       |sig AS (SELECT doc_id, sh, $mins AS sig FROM hs),
+       |banded AS (SELECT doc_id, sh, b.band,
+       |  array_to_string(sig[b.band*2+1:b.band*2+2], '_') AS bkey
+       |  FROM sig, (SELECT unnest(range(0, 8)) AS band) b),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  a.sh AS sa, b.sh AS sb
+       |  FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT id_a, id_b FROM cand
+       |  WHERE len(list_intersect(sa, sb))::DOUBLE /
+       |    (len(sa) + len(sb) - len(list_intersect(sa, sb)))::DOUBLE >= 0.5),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (SELECT s, d FROM edges
+       |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |cl AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+       |  FROM reach GROUP BY s)""".stripMargin
+  }
+
   /** All k=3 grams WITH multiplicity (DuckDB twin of
     * TextOps.wordShinglesAll(k=3) — no list_distinct).
     */
@@ -252,34 +286,31 @@ object LlmQueries {
         Dedup.minhashLshPairs(Tables.documents(s, dir),
           "doc_id", "text", shingleK = 3, bands = 8, rowsPerBand = 2,
           threshold = 0.5)),
-      Some {
-        val P = TextOps.MinhashP
-        val mins = (0 until 16).map { i =>
-          val (a, b) = TextOps.minhashParams(i)
-          s"list_min(list_transform(hs, h -> ($a * h + $b) % $P))"
-        }.mkString("[", ", ", "]")
-        s"""WITH RECURSIVE norm AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents),
-           |sh AS (SELECT doc_id, ${shinglesSql("ws")} AS sh FROM norm),
-           |hs AS (SELECT doc_id, sh,
-           |  list_transform(sh, s -> ${h60("s")} % $P) AS hs FROM sh),
-           |sig AS (SELECT doc_id, sh, $mins AS sig FROM hs),
-           |banded AS (SELECT doc_id, sh, b.band,
-           |  array_to_string(sig[b.band*2+1:b.band*2+2], '_') AS bkey
-           |  FROM sig, (SELECT unnest(range(0, 8)) AS band) b),
-           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           |  a.sh AS sa, b.sh AS sb
-           |  FROM banded a JOIN banded b
-           |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-           |pairs AS (SELECT id_a, id_b FROM cand
-           |  WHERE len(list_intersect(sa, sb))::DOUBLE /
-           |    (len(sa) + len(sb) - len(list_intersect(sa, sb)))::DOUBLE >= 0.5),
-           |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
-           |  UNION ALL SELECT id_b, id_a FROM pairs),
-           |reach AS (SELECT s, d FROM edges
-           |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
-           |SELECT s AS doc_id, least(s, min(d)) AS cluster_id
-           |FROM reach GROUP BY s""".stripMargin
-      }),
+      Some(s"""$clustersCteSql
+           |SELECT doc_id, cluster_id FROM cl""".stripMargin)),
+
+    // Cluster-canonical selection: the KEEP decision of near-dup dedup —
+    // per cluster, the best-quality member (ties -> smallest doc_id) via
+    // the bounded-heap k=1 aggregate (no per-cluster sort; a mega-cluster
+    // costs O(members) on the map side, one row per partition after).
+    "llm_cluster_canonical" -> Q(
+      (s, dir) => Dedup.clusterCanonical(
+        Dedup.dedupClusters(
+          Dedup.minhashLshPairs(Tables.documents(s, dir),
+            "doc_id", "text", shingleK = 3, bands = 8, rowsPerBand = 2,
+            threshold = 0.5)),
+        qualityScored(s, dir), "doc_id", "quality"),
+      Some(s"""$clustersCteSql,
+           |qs AS ($qualitySigSql),
+           |qscored AS (SELECT cl.cluster_id, cl.doc_id,
+           |  $qualityExprSql AS quality
+           |  FROM cl JOIN qs ON cl.doc_id = qs.doc_id),
+           |ranked AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+           |    ORDER BY quality DESC, doc_id) AS rk,
+           |  count(*) OVER (PARTITION BY cluster_id) AS nm FROM qscored)
+           |SELECT cluster_id, doc_id AS canonical_doc,
+           |  CAST(nm AS BIGINT) AS n_members, quality AS best_score
+           |FROM ranked WHERE rk = 1""".stripMargin)),
 
     // Exact n-gram Jaccard similarity join (inverted-index candidates,
     // stop-shingle cap bounding the candidate blowup).

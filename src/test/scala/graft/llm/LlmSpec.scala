@@ -30,6 +30,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getDouble(2) > 0.5 && pairs.head.getDouble(2) < 1.0)
   }
 
+  test("clusterCanonical keeps the best-scored member, smallest id on ties") {
+    val clusters = Seq((10L, 1L), (11L, 1L), (12L, 1L), (20L, 2L), (21L, 2L))
+      .toDF("doc_id", "cluster_id")
+    val scored = Seq((10L, 0.5), (11L, 0.9), (12L, 0.9), (20L, 0.3), (21L, 0.3))
+      .toDF("doc_id", "quality")
+    val out = Dedup.clusterCanonical(clusters, scored, "doc_id", "quality")
+    val plan = out.queryExecution.executedPlan.toString
+    val rows = out.orderBy("cluster_id").collect()
+    // cluster 1: 0.9 tie between 11 and 12 -> smallest id 11
+    assert(rows(0).getLong(1) === 11L && rows(0).getLong(2) === 3L)
+    assert(rows(0).getDouble(3) === 0.9)
+    // cluster 2: 0.3 tie -> 20
+    assert(rows(1).getLong(1) === 20L && rows(1).getLong(2) === 2L)
+    assert(plan.contains("graft_top_k") && !plan.contains("row_number"),
+      s"argmax must be the heap aggregate:\n$plan")
+  }
+
   test("sourceOverlap: shared shingles counted once, zero pairs kept") {
     val shared = "alpha beta gamma delta epsilon"
     val df = Seq(
