@@ -349,14 +349,7 @@ object Curation {
     */
   def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    // Adjacent pairs = zip(ws[1..n-1], ws[2..n]); a 0/1-token doc yields
-    // zero pairs (slice length clamps to 0).
-    val pairs = transform(array(tokens(col(textCol))), ws => {
-      val len = greatest(size(ws) - 1, lit(0))
-      zip_with(slice(ws, lit(1), len), slice(ws, lit(2), len),
-        (a, b) => concat(a, lit(" "), b))
-    })
-    df.select(explode(element_at(pairs, 1)).as("pair"))
+    df.select(explode(TextOps.adjacentPairs(col(textCol))).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(k)

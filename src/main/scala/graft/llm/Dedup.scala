@@ -472,14 +472,30 @@ object Dedup {
   def clusterCanonical(clusters: DataFrame, scored: DataFrame,
                        idCol: String, scoreCol: String): DataFrame = {
     import graft.functions.AggFunctions.topK
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    // Same payload contract and fail-loud decode as keySkewTopK /
+    // topKPerQuery: zero-padded lexical order == numeric order only for
+    // non-negative integral ids; anything else must error, not NULL the
+    // keep decision.
+    clusters.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"clusterCanonical requires a non-negative integral id column, " +
+          s"got ${other.sql}")
+    }
+    val raw = element_at(col("tk"), 1).getField("value")
+    val decoded = when(raw.try_cast("long").isNull,
+      raise_error(concat(
+        lit("clusterCanonical: negative or unparseable id in payload: "),
+        raw)))
+      .otherwise(raw.try_cast("long"))
     clusters.join(scored.select(col(idCol), col(scoreCol)), Seq(idCol))
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_members"),
         topK(col(scoreCol), lpad(col(idCol).cast("string"), 20, "0"), 1)
           .as("tk"))
       .select(col("cluster_id"),
-        element_at(col("tk"), 1).getField("value").try_cast("long")
-          .as("canonical_doc"),
+        decoded.as("canonical_doc"),
         col("n_members"),
         element_at(col("tk"), 1).getField("score").as("best_score"))
   }

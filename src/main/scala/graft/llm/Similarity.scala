@@ -529,7 +529,15 @@ object Similarity {
       .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
       .select(col("query_id"),
         split(col("e.value"), ":").getItem(1).cast("int").as("cell"),
-        split(col("e.value"), ":").getItem(0).cast(idType).as("cand_id"),
+        // Same fail-loud decode as topKPerQuery: negative ids break the
+        // zero-padded lexical order, so NULL-ing silently would corrupt
+        // ranking — error instead.
+        when(split(col("e.value"), ":").getItem(0).try_cast("long").isNull,
+          raise_error(concat(
+            lit("IVF top-k: negative or unparseable id in payload: "),
+            col("e.value"))))
+          .otherwise(split(col("e.value"), ":").getItem(0).try_cast("long"))
+          .cast(idType).as("cand_id"),
         col("e.score").as("cos"),
         (col("pos") + 1).cast("int").as("rank"))
   }

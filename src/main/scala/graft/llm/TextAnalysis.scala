@@ -297,15 +297,16 @@ object TextAnalysis {
     * count aggregates and the final per-doc rollup. Docs with < 2 tokens
     * have no bigrams and drop from the output.
     */
-  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val pairsCol = transform(array(tokens(col(textCol))), ws => {
-      val len = greatest(size(ws) - 1, lit(0))
-      zip_with(slice(ws, lit(1), len), slice(ws, lit(2), len),
-        (a, b) => concat(a, lit(" "), b))
-    })
-    val bg = Dedup.ensureParallelism(df.select(col(idCol), col(textCol)))
-      .select(col(idCol), explode(element_at(pairsCol, 1)).as("bg"))
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+                      mat: graft.ops.Materialize = graft.ops.Materialize.Local)
+      : DataFrame = {
+    // The pair stream feeds THREE consumers (c12, c1, the probe join) —
+    // materialize once instead of re-tokenizing the corpus per consumer
+    // (the oovRate lesson applied; same Materialize contract as the
+    // dedup inverted indexes).
+    val bg = mat(Dedup.ensureParallelism(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(TextOps.adjacentPairs(col(textCol))).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1)))
     val c12 = bg.groupBy(col("bg")).agg(count(lit(1)).cast("double").as("c12"))
     val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).cast("double").as("c1"))
     bg.join(c12, Seq("bg")).join(c1, Seq("w1"))

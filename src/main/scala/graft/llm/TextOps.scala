@@ -20,6 +20,19 @@ object TextOps {
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(normalize(text), " ")
 
+  /** Adjacent token pairs of a text column, each as "w1 w2": a NARROW
+    * zip of the token array against its own tail — no window, no shuffle
+    * to form pairs. A 0/1-token doc yields zero pairs (slice length
+    * clamps to 0). Shared by BPE pair counting and bigram surprisal so
+    * the pair-forming shape (and its DuckDB twin) lives in one place.
+    */
+  def adjacentPairs(text: Column): Column =
+    element_at(transform(array(tokens(text)), ws => {
+      val len = greatest(size(ws) - 1, lit(0))
+      zip_with(slice(ws, lit(1), len), slice(ws, lit(2), len),
+        (a, b) => concat(a, lit(" "), b))
+    }), 1)
+
   /** A 60-bit non-negative hash of a string column: the first 15 hex chars
     * of MD5, parsed base-16. 60 bits keeps the value strictly inside a
     * signed 64-bit long in every engine (no overflow-to-null edge), and

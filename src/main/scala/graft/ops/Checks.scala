@@ -28,7 +28,9 @@ object Checks {
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(rules.map { case (name, _) =>
         struct(lit(name).as("rule"), col("n_rows"),
-          col(s"v_$name").as("n_violations"))
+          // backticks: a rule name containing '.' must resolve as one
+          // column name, not a struct-field path
+          col(s"`v_$name`").as("n_violations"))
       }: _*)).as("p"))
       .select(col("p.*"))
   }
@@ -46,18 +48,20 @@ object Checks {
         sum(when(col("n") > 1, col("n") - 1).otherwise(0L)).as("n_surplus_rows"))
 
   /** Referential-integrity audit: rows of `child` whose `childKey` has no
-    * match in `parent.parentKey`. A left-anti join on the key — at scale
-    * the parent side is distinct'd first so the anti-join shuffles
-    * key-cardinality rows, and a dimension-sized parent broadcasts.
+    * match in `parent.parentKey`. ONE scan of the (large) child side: a
+    * left join against the distinct'd parent keys computes total rows and
+    * orphan rows in the same pass — a separate count + anti-join would
+    * read the fact table twice. At scale the parent side is distinct'd
+    * first so the join shuffles key-cardinality rows, and a
+    * dimension-sized parent broadcasts.
     */
   def orphanKeys(child: DataFrame, childKey: String,
                  parent: DataFrame, parentKey: String,
-                 relation: String): DataFrame = {
-    val orphans = child.select(col(childKey))
-      .join(parent.select(col(parentKey).as(childKey)).distinct(),
-        Seq(childKey), "left_anti")
-    child.agg(count(lit(1)).as("n_rows"))
-      .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+                 relation: String): DataFrame =
+    child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)).distinct()
+        .withColumn("__hit", lit(1)), Seq(childKey), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
       .select(lit(relation).as("relation"), col("n_rows"), col("n_orphans"))
-  }
 }

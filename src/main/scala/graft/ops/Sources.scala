@@ -129,8 +129,16 @@ object Sources {
     * is the target layout; no driver-side row handling (the listing
     * touches file METADATA only, never data).
     */
+  /** `partitionCols`: pass the input's partition columns to PRESERVE the
+    * hive layout in the compacted output (files compact within each
+    * partition directory); the default compacts to a flat unpartitioned
+    * layout — correct for round-robin shard dirs, but it would silently
+    * drop partition pruning for readers of a "date=.../part-..." input,
+    * so partitioned inputs should always pass their columns.
+    */
   def compactParquet(spark: SparkSession, inPath: String, outPath: String,
-                     targetBytes: Long): DataFrame = {
+                     targetBytes: Long,
+                     partitionCols: Seq[String] = Nil): DataFrame = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(inPath match {
@@ -148,9 +156,12 @@ object Sources {
       if (f.getPath.getName.endsWith(".parquet")) totalBytes += f.getLen
     }
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    spark.read.parquet(inPath)
-      .repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    val in = spark.read.parquet(inPath)
+    val w =
+      if (partitionCols.isEmpty) in.repartition(nFiles).write
+      else in.repartition(nFiles, partitionCols.map(col): _*)
+        .write.partitionBy(partitionCols: _*)
+    w.mode(SaveMode.Overwrite).parquet(outPath)
     spark.read.parquet(outPath)
   }
 

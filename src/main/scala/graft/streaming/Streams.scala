@@ -44,10 +44,15 @@ object Streams {
     * join. The unified API means the identical call is the batch parity
     * query. The canonical lookup shape: events x user/account/device dim.
     */
-  def enrichWithStatic(events: DataFrame, dim: DataFrame,
-                       key: String): DataFrame = {
+  def enrichWithStatic(events: DataFrame, dim: DataFrame, key: String,
+                       joinType: String = "left"): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    events.join(broadcast(dim), Seq(key))
+    // Default LEFT: an enrichment lookup must not silently DROP events
+    // whose key the (slowly-changing) dim hasn't picked up yet — in
+    // streaming a dropped event is gone from the sink permanently, and a
+    // later dim update cannot resurrect an already-processed batch.
+    // Unmatched keys surface null attributes; pass "inner" to filter.
+    events.join(broadcast(dim), Seq(key), joinType)
   }
 
   /** Gap-based session windows per user: Spark's native `session_window`

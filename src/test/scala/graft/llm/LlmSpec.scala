@@ -45,6 +45,13 @@ class DedupSpec extends SparkSpec {
     assert(rows(1).getLong(1) === 20L && rows(1).getLong(2) === 2L)
     assert(plan.contains("graft_top_k") && !plan.contains("row_number"),
       s"argmax must be the heap aggregate:\n$plan")
+    // non-integral ids are rejected up front (payload-order contract)
+    intercept[IllegalArgumentException] {
+      Dedup.clusterCanonical(
+        clusters.withColumn("doc_id", $"doc_id".cast("string")),
+        scored.withColumn("doc_id", $"doc_id".cast("string")),
+        "doc_id", "quality")
+    }
   }
 
   test("sourceOverlap: shared shingles counted once, zero pairs kept") {

@@ -134,6 +134,42 @@ class WindowsSpec2 extends SparkSpec {
     assert(out === Array("a4", "a5", "b4", "b5"))
   }
 
+  test("ewmaFixed: renormalized head, 4-term tail, one window exchange") {
+    import spark.implicits._
+    val df = Seq(
+      ("u", 1, 1, 8.0), ("u", 2, 2, 4.0), ("u", 3, 3, 2.0),
+      ("u", 4, 4, 1.0), ("u", 5, 5, 1.0))
+      .toDF("k", "t", "id", "x")
+    val out = Windows.ewmaFixed(df, "k", "t", "id", "x", 0.5, 4)
+      .orderBy("t").collect().map(_.getDouble(4))
+    assert(out(0) === 8.0)                       // single term renormalizes
+    assert(out(1) === (0.5 * 4 + 0.25 * 8) / 0.75)
+    assert(out(4) === (0.5 * 1 + 0.25 * 1 + 0.125 * 2 + 0.0625 * 4) / 0.9375)
+    val plan = Windows.ewmaFixed(df, "k", "t", "id", "x", 0.5, 4)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size <= 1,
+      s"all lags must share one window spec:\n$plan")
+  }
+
+  test("surrogateKeyMaterialized with a reliable checkpoint matches the default") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(sf("customer")).select("c_custkey", "c_name")
+    val local = Windows.surrogateKey(df, "id", col("c_custkey"))
+      .select("c_custkey", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("sk_ckpt").toString)
+    val reliable = Windows.surrogateKeyMaterialized(df, "id",
+        Materialize.Reliable, col("c_custkey"))
+      .select("c_custkey", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(reliable === local)
+  }
+}
+
+/** Sources layout ops (compaction, schema evolution, Z-order) + the
+  * data-quality Checks family + the top-k payload guard.
+  */
+class SourcesChecksSpec extends SparkSpec {
+
   test("compactParquet sizes output files from input bytes; rows survive") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("compact").toString
@@ -182,6 +218,14 @@ class WindowsSpec2 extends SparkSpec {
       intercept[IllegalArgumentException] {
         Sources.compactParquet(spark, s"$dir/frag", s"$dir/out2", 0L)
       }
+      // partitionCols preserves the hive layout (and its pruning)
+      val backP = Sources.compactParquet(
+        spark, s"$dir/frag", s"$dir/outp", bytes / 3 + 1, Seq("p"))
+      assert(backP.count() === 4000)
+      val pdirs = new java.io.File(s"$dir/outp").listFiles()
+        .filter(_.isDirectory).map(_.getName).filter(_.startsWith("p=")).sorted
+      assert(pdirs === Array("p=0", "p=1", "p=2", "p=3"),
+        s"partition layout must survive compaction, got ${pdirs.mkString(",")}")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
@@ -265,36 +309,6 @@ class WindowsSpec2 extends SparkSpec {
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
-  }
-
-  test("ewmaFixed: renormalized head, 4-term tail, one window exchange") {
-    import spark.implicits._
-    val df = Seq(
-      ("u", 1, 1, 8.0), ("u", 2, 2, 4.0), ("u", 3, 3, 2.0),
-      ("u", 4, 4, 1.0), ("u", 5, 5, 1.0))
-      .toDF("k", "t", "id", "x")
-    val out = Windows.ewmaFixed(df, "k", "t", "id", "x", 0.5, 4)
-      .orderBy("t").collect().map(_.getDouble(4))
-    assert(out(0) === 8.0)                       // single term renormalizes
-    assert(out(1) === (0.5 * 4 + 0.25 * 8) / 0.75)
-    assert(out(4) === (0.5 * 1 + 0.25 * 1 + 0.125 * 2 + 0.0625 * 4) / 0.9375)
-    val plan = Windows.ewmaFixed(df, "k", "t", "id", "x", 0.5, 4)
-      .queryExecution.executedPlan.toString
-    assert("Exchange".r.findAllIn(plan).size <= 1,
-      s"all lags must share one window spec:\n$plan")
-  }
-
-  test("surrogateKeyMaterialized with a reliable checkpoint matches the default") {
-    import org.apache.spark.sql.functions.col
-    val df = spark.read.parquet(sf("customer")).select("c_custkey", "c_name")
-    val local = Windows.surrogateKey(df, "id", col("c_custkey"))
-      .select("c_custkey", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    spark.sparkContext.setCheckpointDir(
-      java.nio.file.Files.createTempDirectory("sk_ckpt").toString)
-    val reliable = Windows.surrogateKeyMaterialized(df, "id",
-        Materialize.Reliable, col("c_custkey"))
-      .select("c_custkey", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(reliable === local)
   }
 }
 

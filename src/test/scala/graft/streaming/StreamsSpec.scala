@@ -71,6 +71,19 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichWithStatic keeps events with no dim match (null attributes)") {
+    // A new user's events must NOT vanish from the sink just because the
+    // slowly-changing dim hasn't picked the user up yet.
+    val dim = Seq((1L, "gold")).toDF("user_id", "tier")
+    val out = Streams.enrichWithStatic(rows.toDF(), dim, "user_id")
+    assert(out.count() === rows.length)
+    assert(out.filter($"tier".isNull).select("user_id").distinct()
+      .collect().map(_.getLong(0)) === Array(2L))
+    // opt-in inner join filters them
+    assert(Streams.enrichWithStatic(rows.toDF(), dim, "user_id", "inner")
+      .count() === 3)
+  }
+
   test("streaming sessionAgg over MemoryStream equals the batch result") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
