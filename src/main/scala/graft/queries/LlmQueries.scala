@@ -245,7 +245,13 @@ object LlmQueries {
         Dedup.exactDedup(docs.select("doc_id", "text").unionByName(perturbed),
           "doc_id", "text")
       },
-      Some("""SELECT doc_id, CAST(2 AS BIGINT) AS n_copies FROM documents""")),
+      // Group by NORMALIZED TEXT, not per-doc: the generated corpus can
+      // contain genuinely duplicate texts (8 pairs at sf0.1), which
+      // collapse with their perturbed twins into one group of 2k members
+      // under min-id representation — exactly what exactDedup computes.
+      Some(s"""SELECT min(doc_id) AS doc_id,
+              |  CAST(2 * count(*) AS BIGINT) AS n_copies
+              |FROM documents GROUP BY ${normSql("text")}""".stripMargin)),
 
     // MinHash-LSH near-dup pairs: 3-word shingles, 8 bands x 2 rows,
     // exact-Jaccard verify >= 0.5.
@@ -1122,8 +1128,10 @@ object LlmQueries {
         val stop = TextAnalysis.langProfiles.flatMap(_._2).distinct
           .map(m => s"'$m'").mkString("[", ", ", "]")
         // The perturbed copies normalize to the same text, so exact dedup
-        // keeps exactly the original docs; the quality gate applies to the
-        // original (min doc_id) variant's text measures.
+        // keeps min-id representatives of each NORMALIZED-TEXT group of
+        // kept originals (cross-doc duplicate texts collapse too — 8
+        // pairs at sf0.1); a group whose only kept member is perturbed
+        // drops at the join-back. The quality gate applies per original.
         s"""WITH q AS (SELECT doc_id, lang, text,
            |  length(text)::DOUBLE / len(${toksSql("text")})::DOUBLE AS cpt,
            |  len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE /
@@ -1133,12 +1141,15 @@ object LlmQueries {
            |  FROM documents),
            |kept AS (SELECT doc_id, lang, text FROM q
            |  WHERE (least(cpt / 8.0, 1.0) + least(pr * 20.0, 1.0)
-           |         + least(sr * 5.0, 1.0)) / 3.0 >= 0.3)
+           |         + least(sr * 5.0, 1.0)) / 3.0 >= 0.3),
+           |rep AS (SELECT min(doc_id) AS doc_id FROM kept
+           |  GROUP BY ${normSql("text")}),
+           |fin AS (SELECT k.lang, k.text FROM kept k JOIN rep USING (doc_id))
            |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
            |  CAST(sum(len(${toksSql("text")})) AS BIGINT) AS total_tokens,
            |  CAST(sum(len(regexp_extract_all(${normSql("text")},
            |    '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_bpe
-           |FROM kept GROUP BY 1""".stripMargin
+           |FROM fin GROUP BY 1""".stripMargin
       }),
 
     // Multimodal: binary payload column + batched stub-decode features.
