@@ -462,12 +462,23 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import graft.functions.VectorFunctions.{dot => dotc}
-    // Spread a single-file corpus before the iterative training pass
-    // (KMeans aggregates once per iteration — one input partition would
-    // serialize every iteration onto one core).
-    val feat = Dedup.ensureParallelism(
-        corpus.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"),
-          array_to_vector(col(vecCol)).as("features")))
+    // Training input is pinned to a FIXED hash partitioning with a total
+    // per-partition order: MLlib's seeded k-means is only deterministic
+    // given the partition structure (init sampling and the per-iteration
+    // float sums both follow it), so training on whatever parallelism the
+    // session happens to have makes centroids an artifact of core count —
+    // an index built under local[32] would silently disagree with an
+    // inline run under local[4] (caught by the r8 contract row). Pinning
+    // (hash(cand_id) into 8 partitions, sorted within) makes the
+    // clustering a pure function of the corpus: same cells on any
+    // cluster, so a write-time index and an inline run always agree.
+    // 8 partitions bounds training parallelism, not probe parallelism —
+    // training is the write-time step; the per-iteration aggregate at 8
+    // partitions is cheap at any corpus size Spark's KMeans can hold.
+    val feat = corpus.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"),
+        array_to_vector(col(vecCol)).as("features"))
+      .repartition(8, col("cand_id"))
+      .sortWithinPartitions("cand_id")
       .localCheckpoint(false) // training iterates; don't re-scan per pass
     // Random init (seeded → still deterministic) instead of k-means||: the
     // parallel init alone costs ~5 Spark jobs, more than the training it
@@ -540,6 +551,86 @@ object Similarity {
           .cast(idType).as("cand_id"),
         col("e.score").as("cos"),
         (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Oracle-checkable contract of an approximate top-k result: collapse
+    * the (engine-specific) candidate rows into per-query flags whose
+    * expected values are knowable without re-running the ANN internals —
+    * the shape that lets a KMeans-backed path (not SQL-replicable) carry
+    * a full hash-checked oracle row.
+    *
+    * Per `query_id`:
+    *  - `k_returned`      — result rows for the query (must be k);
+    *  - `cos_monotone_ok` — cos non-increasing along rank (heap order
+    *    reached the output intact);
+    *  - `cos_exact_ok`    — every reported cos BIT-EQUALS the cosine
+    *    recomputed from the corpus vectors in the pinned fold shape
+    *    (`dot / (sqrt(dot aa) * sqrt(dot bb))`) — the score column is
+    *    real, not an artifact of the index;
+    *  - `recall_floor_ok` — recall@k against the exact (brute-force)
+    *    top-k clears `recallFloor`. Recall is k-quantized, so any floor
+    *    in (0, 1/k] separates a working probe from a broken one (empty
+    *    cells, wrong pruning, degenerate clustering → 0.0).
+    *
+    * Scale shape: `approx`/`exact` are k·queries-sized, so every join
+    * here broadcasts against at most one corpus scan (the cos recompute);
+    * nothing is corpus×corpus. A query missing entirely from `approx`
+    * drops its row — visibly red against the oracle, never silently green.
+    */
+  def annContract(approx: DataFrame, exact: DataFrame, corpus: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  recallFloor: Double): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    // The approx plan may be expensive (IVF assignment joins); it feeds
+    // three consumers below, so pin its rows once.
+    val a = approx.select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+      .localCheckpoint(false)
+    // Rank-adjacent pairs: (r, r+1) per query; a single-row query has no
+    // pair and is vacuously monotone.
+    val monotone = a.as("x").join(a.as("y"),
+        col("x.query_id") === col("y.query_id") &&
+          (col("x.rank") + 1) === col("y.rank"))
+      .groupBy(col("x.query_id").as("query_id"))
+      .agg(min((col("x.cos") >= col("y.cos")).cast("int")).as("cos_monotone_ok"))
+    val vecs = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    val recomputed = vecs.select(col(idCol).as("query_id"), col("v").as("qv"))
+      .join(broadcast(a), Seq("query_id"))
+      .join(broadcast(vecs.select(col(idCol).as("cand_id"), col("v").as("cv"))
+        .join(broadcast(a.select("cand_id").distinct()), Seq("cand_id"))),
+        Seq("cand_id"))
+      .withColumn("cos2",
+        dot(col("qv"), col("cv")) / (sqrt(dot(col("qv"), col("qv"))) *
+          sqrt(dot(col("cv"), col("cv")))))
+    val perQuery = recomputed.groupBy(col("query_id")).agg(
+      count(lit(1)).cast("int").as("k_returned"),
+      min((col("cos") === col("cos2")).cast("int")).as("cos_exact_ok"))
+    val recall = recallAtK(exact, a, k)
+      .select(col("query_id"),
+        (col("recall") >= recallFloor).cast("int").as("recall_floor_ok"))
+    perQuery
+      .join(monotone, Seq("query_id"), "left")
+      .join(recall, Seq("query_id"))
+      .select(col("query_id"), col("k_returned"),
+        coalesce(col("cos_monotone_ok"), lit(1)).as("cos_monotone_ok"),
+        col("cos_exact_ok"), col("recall_floor_ok"))
+  }
+
+  /** Per-query equality of two top-k frames (`query_id, cand_id, cos,
+    * rank` and any extra columns ignored): 1 iff every rank position
+    * agrees on both candidate and score. Both sides are k·queries-sized,
+    * so the full-outer join is trivially small at any corpus scale. Used
+    * to certify an index-probe path against its inline twin inside an
+    * oracle-checked row.
+    */
+  def resultsMatchPerQuery(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.select(col("query_id"), col("rank"),
+      col("cand_id").as("cand_a"), col("cos").as("cos_a"))
+    val r = b.select(col("query_id"), col("rank"),
+      col("cand_id").as("cand_b"), col("cos").as("cos_b"))
+    l.join(r, Seq("query_id", "rank"), "full_outer")
+      .groupBy(col("query_id"))
+      .agg(min(coalesce((col("cand_a") === col("cand_b") &&
+        col("cos_a") === col("cos_b")).cast("int"), lit(0))).as("rows_match"))
   }
 
   /** Materialize the IVF write-time layout [[ivfTopK]]'s Scaladoc

@@ -66,7 +66,10 @@ object LlmQueries {
     * its path (same contract as [[ensureLshIndex]]).
     */
   def ensureIvfIndex(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val fix = s"/tmp/graft_fixtures/ivf_index_${fingerprintCached(s"$dir/embeddings.parquet")}"
+    // v2: keyed past the r8 pinned-partitioning KMeans change — an index
+    // trained by the old (core-count-dependent) clustering must not be
+    // probed against the new inline path.
+    val fix = s"/tmp/graft_fixtures/ivf_index_v2_${fingerprintCached(s"$dir/embeddings.parquet")}"
     if (!new java.io.File(s"$fix/centroids/_SUCCESS").exists())
       Similarity.writeIvfIndex(Tables.embeddings(s, dir), "vec_id", "embedding",
         nCells = 10, path = fix)
@@ -892,30 +895,62 @@ object LlmQueries {
       }),
 
     // IVF approximate top-k: k-means coarse cells (seeded - deterministic
-    // per environment, but not SQL-replicable) -> rows-only driver check;
-    // recall asserted against brute force in SimilaritySpec.
+    // per environment, but not SQL-replicable), so the registered row is
+    // the CONTRACT of the result rather than the rows themselves
+    // (Similarity.annContract): per query, k rows returned, cos monotone
+    // along rank, every cos bit-equal to the recomputed cosine, recall
+    // vs brute force over the floor, and the inline result identical to
+    // the write-time index probe. Each flag's expected value is knowable
+    // without replicating KMeans, so the row hash-checks end to end.
+    // Floor 0.2: recall@5 is 0.2-quantized; measured per-query minimum at
+    // nProbe=3 is 0.2 (sf0.001/0.01) and 0.4 (sf0.1) on the seeded
+    // clustering, while a broken probe lands at 0.0. The raw top-k rows
+    // stay reachable via Similarity.ivfTopK; recall + row identity are
+    // also asserted in LlmSpec.
     "llm_sim_topk_ivf" -> Q(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        val q = emb.filter(col("vec_id") < 10)
+        val inline = Similarity.ivfTopK(emb, q,
           "vec_id", "embedding", k = 5, nCells = 10, nProbe = 3)
+        val contract = Similarity.annContract(inline,
+          Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5),
+          emb, "vec_id", "embedding", k = 5, recallFloor = 0.2)
+        val idxMatch = Similarity.resultsMatchPerQuery(inline,
+          Similarity.ivfTopKFromIndex(s, ensureIvfIndex(s, dir), q,
+            "vec_id", "embedding", k = 5, nProbe = 3))
+        contract.join(idxMatch, Seq("query_id"))
+          .select(col("query_id"), col("k_returned"), col("cos_monotone_ok"),
+            col("cos_exact_ok"), col("recall_floor_ok"),
+            col("rows_match").as("index_matches_inline"))
       },
-      None),
+      Some("""SELECT DISTINCT vec_id AS query_id, CAST(5 AS INT) AS k_returned,
+             |CAST(1 AS INT) AS cos_monotone_ok, CAST(1 AS INT) AS cos_exact_ok,
+             |CAST(1 AS INT) AS recall_floor_ok,
+             |CAST(1 AS INT) AS index_matches_inline
+             |FROM embeddings WHERE vec_id < 10""".stripMargin)),
 
     // The IVF write-time layout probed end-to-end: k-means runs once per
     // source content (fingerprint-cached, like the LSH index); the probe
     // reads only the nProbe cell directories via dynamic partition
-    // pruning (plan-asserted in SimilaritySpec). Rows-identical to
-    // llm_sim_topk_ivf (same seed/params; asserted in LlmSpec);
-    // KMeans internals are not SQL-replicable -> rows-only driver check.
+    // pruning (plan-asserted in SimilaritySpec). Same contract shape as
+    // llm_sim_topk_ivf, computed over the INDEX-probe rows, so the DPP
+    // path carries its own hash-checked oracle row.
     "llm_sim_topk_ivf_index" -> Q(
       (s, dir) => {
         val fix = ensureIvfIndex(s, dir)
         val emb = Tables.embeddings(s, dir)
-        Similarity.ivfTopKFromIndex(s, fix, emb.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5, nProbe = 3)
+        val q = emb.filter(col("vec_id") < 10)
+        Similarity.annContract(
+          Similarity.ivfTopKFromIndex(s, fix, q,
+            "vec_id", "embedding", k = 5, nProbe = 3),
+          Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5),
+          emb, "vec_id", "embedding", k = 5, recallFloor = 0.2)
       },
-      None),
+      Some("""SELECT DISTINCT vec_id AS query_id, CAST(5 AS INT) AS k_returned,
+             |CAST(1 AS INT) AS cos_monotone_ok, CAST(1 AS INT) AS cos_exact_ok,
+             |CAST(1 AS INT) AS recall_floor_ok
+             |FROM embeddings WHERE vec_id < 10""".stripMargin)),
 
     // IVF quality, oracle-checked: per-query recall@5 of the IVF index
     // probe (nProbe=5 of 10 cells) against the brute-force ground truth,

