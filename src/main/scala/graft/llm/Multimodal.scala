@@ -10,16 +10,24 @@ import org.apache.spark.sql.functions._
   * (parquet binary + stats, partitioned by modality/shard, so pruning and
   * predicate pushdown work on metadata without touching payload bytes).
   *
-  * The actual codecs (JPEG decode, audio resample, video frame extract)
-  * are NOT available in this environment, so the decode kernel is a
-  * clearly-marked DETERMINISTIC STUB: a pure arithmetic function of the
-  * payload bytes. Everything around it — the schema, the batched
-  * `mapPartitions` execution shape (the Scala analog of `mapInPandas`:
-  * iterator-of-batches in, iterator-of-batches out, no per-row codec
-  * setup), the partitioning — is real and is what a production codec
-  * would drop into.
+  * IMAGE decode is REAL: `javax.imageio` ships with every stock JVM and
+  * reads PNG/JPEG/GIF/BMP, so [[decodeImage]] reports true decoded
+  * width/height/channels and fails loud on an undecodable payload.
+  * Audio resample and video frame extraction have no JVM-builtin codec
+  * and none is installable in this environment, so those kernels remain
+  * clearly-marked DETERMINISTIC STUBS (pure arithmetic over the payload
+  * bytes). The execution shape around both — the schema, the batched
+  * `mapPartitions` kernel (the Scala analog of `mapInPandas`:
+  * iterator-of-batches in, iterator-of-batches out, no per-record codec
+  * setup), the partitioning — is identical, so swapping a stub for a
+  * native codec touches one function.
   */
 object Multimodal {
+
+  // ImageIO defaults to a disk-backed stream cache (a temp file per
+  // decode) — pure overhead for in-memory byte-array payloads on
+  // executors. Static, process-wide, set once.
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** One media record: payload + typed metadata. */
   final case class MediaRecord(media_id: Long, modality: String,
@@ -31,10 +39,12 @@ object Multimodal {
                                  channels: Int, n_frames: Int,
                                  byte_checksum: Long)
 
-  /** ======== DETERMINISTIC STUB ========
-    * Stand-in for the real image/audio/video decode (libs absent here).
-    * Pure function of payload length + bytes so results are reproducible
-    * and oracle-checkable. A real deployment swaps only this function.
+  /** ======== DETERMINISTIC STUB (audio/video only) ========
+    * Stand-in for the audio/video decode (no JVM-builtin codec; none
+    * installable in this environment — images take the REAL
+    * [[decodeImage]] path instead). Pure function of payload length +
+    * bytes so results are reproducible and oracle-checkable. A real
+    * deployment swaps only this function.
     */
   def decodeStub(r: MediaRecord): MediaFeatures = {
     val n = r.payload.length.toLong
@@ -52,14 +62,37 @@ object Multimodal {
       byte_checksum = sum % 1000000007L)
   }
 
-  /** ======== DETERMINISTIC STUB (batch form) ========
-    * The batch-decode kernel: receives a whole record batch, returns its
-    * features. A real codec decodes the batch in one native call (that is
-    * the point of the batch shape); the stub maps the pure per-record
-    * function.
+  /** REAL image decode via `javax.imageio` (PNG/JPEG/GIF/BMP on any
+    * stock JVM): true decoded width/height and color-component count.
+    * An undecodable payload raises — a corrupt blob in a 100 TB corpus
+    * must surface in the job, not ride along as fabricated dimensions.
+    * `byte_checksum` keeps the same pure byte-sum every kernel reports.
     */
-  def decodeBatchStub(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
-    batch.map(decodeStub)
+  def decodeImage(r: MediaRecord): MediaFeatures = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+    require(img != null, s"undecodable image payload for media_id=${r.media_id}")
+    var sum = 0L
+    var i = 0
+    while (i < r.payload.length) { sum += (r.payload(i) & 0xFF).toLong; i += 1 }
+    MediaFeatures(
+      media_id = r.media_id,
+      modality = r.modality,
+      n_bytes = r.payload.length.toLong,
+      width = img.getWidth,
+      height = img.getHeight,
+      channels = img.getColorModel.getNumComponents,
+      n_frames = 1,
+      byte_checksum = sum % 1000000007L)
+  }
+
+  /** The batch-decode kernel: receives a whole record batch, returns its
+    * features. Images go through the REAL [[decodeImage]]; audio/video
+    * fall to the documented [[decodeStub]] (no JVM-builtin codec exists
+    * for them). A real codec decodes the batch in one native call — that
+    * is the point of the batch shape.
+    */
+  def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+    batch.map(r => if (r.modality == "image") decodeImage(r) else decodeStub(r))
 
   /** Batched feature extraction — the `mapInPandas` execution shape in
     * Scala: iterator-of-batches in, iterator-of-batches out. Each
@@ -70,8 +103,53 @@ object Multimodal {
   def extractFeatures(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      it.grouped(batchSize).flatMap(batch => decodeBatchStub(batch))
+      it.grouped(batchSize).flatMap(batch => decodeBatch(batch))
     }
+  }
+
+  /** Deterministic real PNG fixture: `width`x`height` RGB with pixel
+    * (x, y) a pure function of (id, x, y), encoded by the JVM's PNG
+    * writer. The BYTES are encoder-version-dependent (never asserted);
+    * the decoded DIMENSIONS are exact — which is what makes a
+    * round-trip through [[decodeImage]] certify an actual decoder.
+    */
+  def syntheticPng(id: Long, width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, ((id * 31 + x * 7 + y * 13) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Media fixture generator over a plain id/text frame, exercising BOTH
+    * kernel paths with oracle-predictable outputs: even ids become real
+    * PNGs whose dimensions are arithmetic in the id (8 + id % 32 wide,
+    * 8 + (id / 3) % 32 tall — so a real decode, and only a real decode,
+    * reproduces them), odd ids become UTF-8 "video" payloads for the
+    * documented stub path. Runs in the same batched `mapPartitions`
+    * shape as the decode kernels (PNG encoding is the expensive step —
+    * per-partition, streaming, no driver involvement).
+    */
+  def syntheticMedia(df: DataFrame, idCol: String, textCol: String)
+                    (implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        if (id % 2 == 0)
+          MediaRecord(id, "image",
+            syntheticPng(id, (8 + id % 32).toInt, (8 + (id / 3) % 32).toInt))
+        else MediaRecord(id, "video", text.getBytes("UTF-8"))
+      })
   }
 
   /** Attach a binary payload column derived from a string column (UTF-8

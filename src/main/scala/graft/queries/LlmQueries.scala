@@ -1187,19 +1187,31 @@ object LlmQueries {
            |FROM fin GROUP BY 1""".stripMargin
       }),
 
-    // Multimodal: binary payload column + batched stub-decode features.
+    // Multimodal: binary payload columns + the batched decode kernel,
+    // BOTH paths oracle-checked. Even doc_ids carry real PNGs whose
+    // dimensions are arithmetic in the id, so the REAL javax.imageio
+    // decode (and only a real decode — PNG byte length has no simple
+    // relation to the embedded dims) reproduces them; odd doc_ids carry
+    // UTF-8 "video" payloads through the documented deterministic stub,
+    // whose outputs are arithmetic in the text byte length. n_bytes is
+    // dropped for image rows only because encoded-PNG size is
+    // encoder-version-dependent — the dims are the decode proof.
     "llm_multimodal_features" -> Q(
       (s, dir) => {
         implicit val sp = s
-        val media = Multimodal.payloadFromText(
-          Tables.documents(s, dir), "doc_id", "text", "source")
-        Multimodal.extractFeatures(Multimodal.asMediaDataset(media))
-          .toDF().drop("byte_checksum")
+        val media = Multimodal.syntheticMedia(
+          Tables.documents(s, dir), "doc_id", "text")
+        Multimodal.extractFeatures(media)
+          .toDF().drop("byte_checksum").drop("n_bytes")
       },
-      Some("""SELECT doc_id AS media_id, source AS modality,
-         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         |CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
-         |CAST(64 + (octet_length(encode(text)) // 7) % 512 AS INT) AS height,
-         |CAST(3 AS INT) AS channels, CAST(1 AS INT) AS n_frames
+      Some("""SELECT doc_id AS media_id,
+         |CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS modality,
+         |CAST(CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 32
+         |  ELSE 64 + octet_length(encode(text)) % 512 END AS INT) AS width,
+         |CAST(CASE WHEN doc_id % 2 = 0 THEN 8 + (doc_id // 3) % 32
+         |  ELSE 64 + (octet_length(encode(text)) // 7) % 512 END AS INT) AS height,
+         |CAST(3 AS INT) AS channels,
+         |CAST(CASE WHEN doc_id % 2 = 0 THEN 1
+         |  ELSE 1 + octet_length(encode(text)) % 30 END AS INT) AS n_frames
          |FROM documents""".stripMargin)))
 }

@@ -551,18 +551,52 @@ class TextAnalysisSpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("extractFeatures: deterministic stub decode over binary payloads") {
+  test("extractFeatures: REAL image decode + deterministic stub for video") {
     implicit val s = spark
-    val df = Seq((1L, "image", "hello"), (2L, "video", "a longer payload body"))
-      .toDF("doc_id", "modality", "text")
+    val df = Seq((2L, "video", "a longer payload body")).toDF("doc_id", "modality", "text")
     val media = Multimodal.payloadFromText(df, "doc_id", "text", "modality")
     assert(media.schema("payload").dataType.typeName === "binary")
-    val feats = Multimodal.extractFeatures(Multimodal.asMediaDataset(media))
-      .collect().sortBy(_.media_id)
-    assert(feats(0).n_bytes === 5 && feats(0).width === 64 + 5 && feats(0).n_frames === 1)
-    assert(feats(1).modality === "video" && feats(1).n_frames === (1 + 21 % 30))
-    // checksum = sum of UTF-8 bytes
-    assert(feats(0).byte_checksum === "hello".getBytes("UTF-8").map(_ & 0xFF).sum)
+    val video = Multimodal.extractFeatures(Multimodal.asMediaDataset(media))
+      .collect()(0)
+    assert(video.modality === "video" && video.n_frames === (1 + 21 % 30))
+    assert(video.byte_checksum ===
+      "a longer payload body".getBytes("UTF-8").map(_ & 0xFF).sum)
+    // Real decode: a 12x7 PNG fixture comes back with its TRUE decoded
+    // dimensions (PNG byte length has no simple relation to them).
+    val png = Multimodal.syntheticPng(5L, 12, 7)
+    val img = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRecord(5L, "image", png)).toDS()).collect()(0)
+    assert(img.width === 12 && img.height === 7 && img.channels === 3)
+    assert(img.n_bytes === png.length.toLong)
+  }
+
+  test("decodeImage reads a JVM-encoded JPEG's true dimensions") {
+    val buf = new java.awt.image.BufferedImage(
+      9, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(buf, "jpg", bos)
+    val f = Multimodal.decodeImage(
+      Multimodal.MediaRecord(1L, "image", bos.toByteArray))
+    assert(f.width === 9 && f.height === 4 && f.channels === 3)
+  }
+
+  test("an undecodable image payload fails loud, not as fake dimensions") {
+    implicit val s = spark
+    val junk = Seq(Multimodal.MediaRecord(7L, "image", "not an image".getBytes("UTF-8"))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(junk).collect()
+    }
+    assert(e.getCause.getMessage.contains("undecodable image payload"))
+  }
+
+  test("syntheticMedia: even ids are decodable PNGs with id-derived dims") {
+    implicit val s = spark
+    val df = Seq((4L, "some text"), (9L, "other text")).toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(
+      Multimodal.syntheticMedia(df, "doc_id", "text")).collect().sortBy(_.media_id)
+    assert(feats(0).modality === "image")
+    assert(feats(0).width === (8 + 4 % 32) && feats(0).height === (8 + (4 / 3) % 32))
+    assert(feats(1).modality === "video" && feats(1).n_bytes === 10L)
   }
 
   test("resize downsamples payloads to the byte budget, deterministically") {
