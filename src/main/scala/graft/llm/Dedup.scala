@@ -23,10 +23,22 @@ object Dedup {
     * partition and would serialize the whole tokenize/hash pass onto one
     * core; the guard keeps this a no-op for inputs that already have
     * enough splits (the normal 100 TB case), so no gratuitous shuffle.
+    *
+    * The split estimate is the leaf FILE count (`inputFiles` — a driver
+    * metadata walk of the analyzed plan), not `rdd.getNumPartitions`:
+    * the latter forces full physical planning on every call — repeated
+    * cost on hot entry points, and a plan AQE then can't re-shape. A
+    * many-file table (the 100 TB case) short-circuits to a no-op; the
+    * rare single-LARGE-file scan (which splits fine on its own) pays one
+    * extra narrow-projection shuffle — acceptable for a shape that real
+    * tables don't have. Non-file-backed frames (inputFiles empty) pass
+    * through: their partitioning already came from a shuffle or the
+    * local relation's parallelize.
     */
   private[llm] def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val files = df.inputFiles.length
+    if (files > 0 && files < target) df.repartition(target) else df
   }
 
   /** Exact dedup: one surviving row (minimum id) per normalized text.

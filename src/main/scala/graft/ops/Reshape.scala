@@ -77,9 +77,19 @@ object Reshape {
     * a single-file scan (same caveat as [[Windows.skipRows]]); the header
     * row is read on the driver (one row), the rename is metadata-only, and
     * the body filter streams.
+    *
+    * SMALL-FRAME CONTRACT (like [[graft.ops.Sources.keyList]]): the
+    * driver-side collect is one row of one partition — bounded by sheet
+    * WIDTH, never row count — and the single-partition require bounds the
+    * frame to one scan split. Statement sheets are KB-sized; anything
+    * that outgrows one split should use the keyed
+    * [[transposeStatementKeyed]] path, which never touches the driver.
     */
   def firstRowAsHeader(df: DataFrame): DataFrame = {
-    require(df.rdd.getNumPartitions == 1,
+    // queryExecution.toRdd reuses the session's cached physical plan for
+    // this frame and skips the row re-encoding that `.rdd` would add;
+    // this runs once per KB-sized sheet, never on a hot path.
+    require(df.queryExecution.toRdd.getNumPartitions == 1,
       "firstRowAsHeader requires a single-partition frame: \"first row\" is " +
         "physical order, which multi-partition limit(1)/skipRows do not share")
     val cols = df.columns
