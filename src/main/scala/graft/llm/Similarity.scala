@@ -338,9 +338,23 @@ object Similarity {
     * ((table, bucket)-partitioned layout) and each probe touches
     * ~tables/2^planes of the data instead of all of it.
     */
+  /** @param maxBucketWidth cap on corpus members per (table, bucket):
+    *   wider buckets are EXCLUDED from candidate generation, the same
+    *   stop-shingle df cap [[Dedup.ngramJaccardPairs]] applies (its
+    *   `maxShingleDf`). The candidate-pair frame below is broadcast, so
+    *   its size — bounded by `sum(min(width, cap)) x queryBatch` ids —
+    *   must stay broadcast-sized; a degenerate corpus (mass-duplicated
+    *   vectors hashing to one bucket) otherwise blows it. A bucket that
+    *   wide carries ~no discriminative signal (it approximates a random
+    *   corpus sample), so skipping it trades negligible recall for a
+    *   bounded plan. Default keeps every bucket (and skips the extra
+    *   width-count pass entirely) — set it whenever corpus skew is not
+    *   known to be benign.
+    */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, numPlanes: Int,
-              numTables: Int = 4): DataFrame = {
+              numTables: Int = 4,
+              maxBucketWidth: Long = Long.MaxValue): DataFrame = {
     import graft.functions.VectorFunctions.dot
     val c = corpus.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
@@ -349,12 +363,24 @@ object Similarity {
     def buckets(df: DataFrame, id: String, v: String) =
       df.select(col(id), posexplode(array((0 until numTables).map(t =>
         hyperplaneBucket(col(v), numPlanes, t)): _*)).as(Seq("tbl", "bucket")))
+    val cb = buckets(c.select("cand_id", "cv"), "cand_id", "cv")
+    // Hot-bucket guard: the over-cap bucket list is numTables x 2^planes
+    // rows at most (tiny — broadcast anti-join); the width count moves
+    // only (tbl, bucket) pairs.
+    val cbCapped =
+      if (maxBucketWidth == Long.MaxValue) cb
+      else cb.join(
+        broadcast(cb.groupBy(col("tbl"), col("bucket"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") > maxBucketWidth)
+          .select(col("tbl"), col("bucket"))),
+        Seq("tbl", "bucket"), "left_anti")
     // Candidate PAIRS (ids only): bucket-mates in any table, deduped on
     // (query_id, cand_id) BEFORE any vector travels — the distinct's
     // shuffle moves two ids per row, not two 64-double arrays. Vectors are
     // re-attached afterwards from the base frames (the probe side is
     // query-batch-sized, so it broadcasts against the corpus scan).
-    val cand = buckets(c.select("cand_id", "cv"), "cand_id", "cv")
+    val cand = cbCapped
       .join(broadcast(buckets(q.select("query_id", "qv"), "query_id", "qv")),
         Seq("tbl", "bucket"))
       .filter(col("cand_id") =!= col("query_id"))

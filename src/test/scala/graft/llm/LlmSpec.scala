@@ -253,6 +253,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall(4) >= recall(1))
   }
 
+  test("lshTopK bucket-width cap: hot buckets excluded, benign corpora unchanged") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val q = emb.filter($"vec_id" < 5)
+    // A cap above every real bucket width must not change a single row.
+    val uncapped = Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, 4, 4)
+    val capped = Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, 4, 4,
+      maxBucketWidth = 1000000L)
+    assert(capped.collect().toSet === uncapped.collect().toSet)
+    // Adversarial hot bucket: mass-duplicate one vector so ALL its copies
+    // hash to the same (tbl, bucket) in every table. With the cap, those
+    // buckets are skipped — the plan completes with a bounded pair frame
+    // and the duplicated ids never reach candidate scoring; the remaining
+    // corpus still answers.
+    val base = emb.filter($"vec_id" >= 5 && $"vec_id" < 30)
+    val hotVec = emb.filter($"vec_id" === 5).select($"embedding").head()
+      .getAs[scala.collection.Seq[Float]]("embedding")
+    val clones = spark.range(1000, 3000)
+      .select($"id".as("vec_id"), typedLit(hotVec.toSeq).as("embedding"))
+    val degenerate = base.select($"vec_id", $"embedding").unionByName(clones)
+    val out = Similarity.lshTopK(degenerate, q, "vec_id", "embedding",
+      5, 4, 4, maxBucketWidth = 500L)
+    val cands = out.select("cand_id").as[Long].collect().toSet
+    assert(out.count() > 0)
+    assert(cands.forall(_ < 1000), s"clone ids leaked past the cap: $cands")
+  }
+
   test("ANN ranking runs as the bounded-heap aggregate, not a rank window") {
     val emb = spark.read.parquet(sf("embeddings"))
     val q = emb.filter($"vec_id" < 5)
