@@ -123,6 +123,59 @@ object Schemas {
     StructField("Revenue (USD)", StringType)))
 }
 
+/** Warehouse DDL typing (reference `code/sql/DDLs:32-250`): the declared
+  * column types of the statement warehouse tables — share counts `BIGINT`
+  * (DDLs:35-37), rate/per-share metrics `DECIMAL(10,4)` (DDLs:191,208-209
+  * and the INCOMESTATEMENT5Y twins), every other metric `DECIMAL(20,2)`.
+  * Metric display names normalize to the DDL's underscore column
+  * spellings, including its two irregular word splits.
+  *
+  * Spark mapping: `DECIMAL(p,s)` is `DecimalType(p, s)` exactly — fixed
+  * point, no binary-float rounding — so warehouse arithmetic (sums,
+  * differences) is exact at any scale, unlike the upstream
+  * all-double landing shape.
+  */
+object WarehouseDdl {
+
+  val money: DecimalType = DecimalType(20, 2)
+  val ratio: DecimalType = DecimalType(10, 4)
+
+  /** BIGINT share-count metrics (`DDLs:35-37`). */
+  val bigintMetrics: Set[String] = Set(
+    "Treasury Shares Number", "Ordinary Shares Number", "Share Issued")
+
+  /** DECIMAL(10,4) rate / per-share metrics (`DDLs:191,208-209`). */
+  val ratioMetrics: Set[String] = Set(
+    "Tax Rate For Calcs", "Diluted EPS", "Basic EPS")
+
+  /** The declared warehouse type of a statement metric. */
+  def metricType(metric: String): DataType =
+    if (bigintMetrics.contains(metric)) LongType
+    else if (ratioMetrics.contains(metric)) ratio
+    else money
+
+  /** DDL column spellings that are not a plain space-to-underscore swap
+    * (`DDLs:48,82`). */
+  private val ddlSpelling: Map[String, String] = Map(
+    "Tradeand Other Payables Non Current" -> "Trade_and_Other_Payables_Non_Current",
+    "Investmentin Financial Assets" -> "Investment_in_Financial_Assets")
+
+  /** The DDL column name of a statement metric. */
+  def columnName(metric: String): String =
+    ddlSpelling.getOrElse(metric, metric.replace(' ', '_'))
+
+  /** The DDL-typed StructType of a transposed statement sheet as the
+    * warehouse declares it: Ticker, Date, then one typed column per
+    * allowlisted metric in sheet order. (QUARTERLY's extra `Quarter`
+    * key column is out of scope — the engine keys periods by Date.)
+    */
+  def statementSchema(sheet: String): StructType = StructType(
+    StructField("Ticker", StringType, nullable = false) +:
+    StructField("Date", DateType, nullable = false) +:
+    StatementMetrics.bySheet(sheet).map(m =>
+      StructField(columnName(m), metricType(m))))
+}
+
 /** Financial-statement metric allowlists: rows of the wide statement matrix
   * kept during the transpose (SURVEY.md §2.7 R1 / P7). These are the
   * reference's semantic data model, not code — cited from

@@ -96,6 +96,49 @@ object Sources {
     df
   }
 
+  /** S10 variant - warehouse load NDJSON with SCHEMA INFERENCE, mirroring
+    * the reference's `"autodetect": True` load config
+    * (`transform_json_INFO.py:116`; every BQ load in the DAGs uses it).
+    *
+    * Determinism caveat (why [[loadWarehouseNdjson]] remains the default):
+    * the inferred schema is a function of the DATA — Spark samples every
+    * record, widens conflicting types to the least common type, and
+    * orders fields alphabetically — so a new file with a stray string in
+    * a numeric field silently retypes the whole column downstream, the
+    * exact failure autodetect warehouses hit. Inference also costs an
+    * extra full read of the JSON before the real scan. Use for
+    * exploration; pin the schema for production loads.
+    */
+  def loadWarehouseNdjsonAutodetect(spark: SparkSession, path: String,
+                                    table: String): DataFrame = {
+    val df = spark.read.json(path)
+    df.createOrReplaceTempView(table)
+    df
+  }
+
+  /** S9 + the warehouse DDL type layer: register a transposed statement
+    * sheet (`Reshape.transposeStatement*` output: Date string, metric
+    * doubles, Ticker) as its DDL-typed warehouse view — every metric cast
+    * to the DECLARED type (`DECIMAL(20,2)` money / `DECIMAL(10,4)` rates
+    * / `BIGINT` share counts) under the DDL's underscore column spelling,
+    * Date parsed to DATE. Reference `code/sql/DDLs:32-250`; types and
+    * names come from [[graft.model.WarehouseDdl]], so the registered view
+    * matches [[graft.model.WarehouseDdl.statementSchema]] exactly.
+    * Fixed-point decimals make downstream warehouse arithmetic exact —
+    * the property the all-double landing shape cannot give.
+    */
+  def registerDdlStatementView(df: DataFrame, sheet: String,
+                               view: String): DataFrame = {
+    import graft.model.{StatementMetrics, WarehouseDdl}
+    val typed = df.select(
+      col("Ticker") +: to_date(col("Date")).as("Date") +:
+      StatementMetrics.bySheet(sheet).map(m =>
+        col(m).cast(WarehouseDdl.metricType(m))
+          .as(WarehouseDdl.columnName(m))): _*)
+    typed.createOrReplaceTempView(view)
+    typed
+  }
+
   /** J1/S13 replacement - glob read with the partition key recovered from the
     * file path. The reference loops over tickers on the driver and unions 20
     * frames (`raw_to_landing_sparkjob.py:165-184`); at 100 TB that driver loop

@@ -371,6 +371,89 @@ object SourceQueries {
              |min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal
              |FROM supplier GROUP BY 1""".stripMargin)),
 
+    // S10 parity variant - NDJSON warehouse load with SCHEMA INFERENCE,
+    // mirroring the reference's "autodetect": True on every BQ load
+    // (transform_json_INFO.py:116). Inference widens the int-valued key
+    // to BIGINT (the documented determinism caveat — the downstream SQL
+    // pins the type back, as autodetect consumers must).
+    "s10_autodetect_load" -> Q(
+      (s, dir) => {
+        val fix = fixDir(dir, "s10a")
+        Sources.writeNdjson(
+          Tables.supplier(s, dir)
+            .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"), fix)
+        Sources.loadWarehouseNdjsonAutodetect(s, fix, "wh_supplier_auto")
+        s.sql("""SELECT CAST(s_nationkey AS INT) AS s_nationkey,
+                 count(*) AS n, min(s_acctbal) AS min_bal,
+                 max(s_acctbal) AS max_bal
+                 FROM wh_supplier_auto GROUP BY s_nationkey""")
+      },
+      Some("""SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+             |min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal
+             |FROM supplier GROUP BY 1""".stripMargin)),
+
+    // S9 + the warehouse DDL TYPE layer (code/sql/DDLs:32-250): two full
+    // statement sheets transposed, cast to their DECLARED column types
+    // (DECIMAL(20,2) money, DECIMAL(10,4) rates/EPS, BIGINT share counts
+    // — model.WarehouseDdl), registered under their DDL view names, and
+    // queried through Spark SQL with exact fixed-point arithmetic. The
+    // BIGINT cast truncates the synthetic .25 fraction (visible in the
+    // oracle: Share_Issued is the only whole-number column) and the
+    // decimal sum is exact at scale 2 — the property the all-double
+    // landing shape cannot give.
+    "warehouse_ddl_typed" -> Q(
+      (s, dir) => {
+        def v(i: Int, j: Int): Double = (i + 1) * 1000.0 + j + 0.25
+        val fix = fixDir(dir, "s4ddl")
+        val periods = (2021 to 2023).map(y => s"$y-12-31")
+        for ((sheet, metrics) <- Seq(
+            "balance_sheet" -> graft.model.StatementMetrics.balanceSheet,
+            "quarterly" -> graft.model.StatementMetrics.quarterly)) {
+          val header = "name," + periods.mkString(",")
+          val rows = metrics.zipWithIndex.map { case (m, i) =>
+            m + "," + periods.indices.map(j => v(i, j).toString).mkString(",")
+          } :+ ("Junk Metric," + periods.indices.map(_ => "0").mkString(","))
+          Files.createDirectories(Paths.get(s"$fix/$sheet"))
+          Files.write(Paths.get(s"$fix/$sheet/ACME.csv"),
+            (header +: rows).mkString("\n").getBytes(StandardCharsets.UTF_8))
+          val raw = Sources.statementCsv(s, s"$fix/$sheet/ACME.csv")
+          val wide = Reshape.transposeStatement(raw, "name", metrics, ticker = "ACME")
+          Sources.registerDdlStatementView(wide, sheet,
+            if (sheet == "balance_sheet") "BALANCESHEET5Y" else "QUARTERLY")
+        }
+        // Decimal arithmetic (the + below) runs on the views' declared
+        // fixed-point types; the OUTPUT pins every decimal to DOUBLE
+        // because the oracle comparator stringifies values and a fixed
+        // scale ("9000.50") differs from a double's shortest repr
+        // ("9000.5") — the s7 note. Exact decimal math stays internal.
+        s.sql("""SELECT b.Ticker, b.Date, b.Share_Issued,
+                 CAST(b.Net_Debt AS DOUBLE) AS Net_Debt,
+                 CAST(b.Net_Debt + b.Total_Debt AS DOUBLE) AS debt_sum,
+                 CAST(q.Basic_EPS AS DOUBLE) AS Basic_EPS,
+                 CAST(q.Tax_Rate_For_Calcs AS DOUBLE) AS Tax_Rate_For_Calcs
+                 FROM BALANCESHEET5Y b
+                 JOIN QUARTERLY q ON b.Ticker = q.Ticker AND b.Date = q.Date""")
+      },
+      Some {
+        def v(i: Int, j: Int): Double = (i + 1) * 1000.0 + j + 0.25
+        val bs = graft.model.StatementMetrics.balanceSheet
+        val qs = graft.model.StatementMetrics.quarterly
+        val rows = (0 until 3).map { j =>
+          val netDebt = v(bs.indexOf("Net Debt"), j)
+          val totalDebt = v(bs.indexOf("Total Debt"), j)
+          s"('ACME', DATE '${2021 + j}-12-31', " +
+            s"CAST(${v(bs.indexOf("Share Issued"), j).toLong} AS BIGINT), " +
+            s"CAST($netDebt AS DOUBLE), " +
+            s"CAST(${netDebt + totalDebt} AS DOUBLE), " +
+            s"CAST(${v(qs.indexOf("Basic EPS"), j)} AS DOUBLE), " +
+            s"CAST(${v(qs.indexOf("Tax Rate For Calcs"), j)} AS DOUBLE))"
+        }
+        s"""SELECT * FROM (VALUES
+           |${rows.mkString(",\n")}
+           |) AS t(Ticker, "Date", Share_Issued, Net_Debt, debt_sum,
+           |       Basic_EPS, Tax_Rate_For_Calcs)""".stripMargin
+      }),
+
     // J1/S13 + F8 - glob scan with key recovery from the file path, replacing
     // the reference's per-ticker driver loop (raw_to_landing_sparkjob.py:165-184).
     "j1_glob_key_recovery" -> Q(

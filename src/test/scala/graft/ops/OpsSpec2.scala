@@ -348,3 +348,43 @@ class ReshapeSpec2 extends SparkSpec {
     assert(a24.getAs[Double]("Net Income") === 11.5)
   }
 }
+
+class WarehouseDdlSpec extends SparkSpec {
+  import graft.model.{StatementMetrics, WarehouseDdl}
+  import org.apache.spark.sql.types._
+
+  test("statementSchema mirrors the reference DDL types and spellings") {
+    val bs = WarehouseDdl.statementSchema("balance_sheet")
+    assert(bs.fieldNames.take(2) === Array("Ticker", "Date"))
+    assert(bs("Share_Issued").dataType === LongType)
+    assert(bs("Net_Debt").dataType === DecimalType(20, 2))
+    // The DDL's two irregular word splits are honored.
+    assert(bs.fieldNames.contains("Trade_and_Other_Payables_Non_Current"))
+    assert(bs.fieldNames.contains("Investment_in_Financial_Assets"))
+    val q = WarehouseDdl.statementSchema("quarterly")
+    assert(q("Basic_EPS").dataType === DecimalType(10, 4))
+    assert(q("Tax_Rate_For_Calcs").dataType === DecimalType(10, 4))
+    assert(q("Total_Revenue").dataType === DecimalType(20, 2))
+    // width = 2 keys + every allowlisted metric
+    assert(bs.size === 2 + StatementMetrics.balanceSheet.size)
+  }
+
+  test("registerDdlStatementView casts a transposed sheet to the DDL schema") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val metrics = StatementMetrics.quarterly
+    // A minimal transposed-shape frame: Date string + all-double metrics.
+    val wide = Seq(("2023-12-31", "ACME")).toDF("Date", "Ticker")
+      .select(col("Date") +: metrics.map(m =>
+        lit(1234.5678).as(m)) :+ col("Ticker"): _*)
+    val typed = Sources.registerDdlStatementView(wide, "quarterly", "Q_TEST")
+    assert(typed.schema === WarehouseDdl.statementSchema("quarterly")
+      .copy(fields = WarehouseDdl.statementSchema("quarterly").fields
+        .map(f => f.copy(nullable = typed.schema(f.name).nullable))))
+    val r = spark.sql(
+      "SELECT Basic_EPS, Total_Revenue, Date FROM Q_TEST").head()
+    assert(r.getDecimal(0) === new java.math.BigDecimal("1234.5678"))
+    assert(r.getDecimal(1) === new java.math.BigDecimal("1234.57"))
+    assert(r.getDate(2).toString === "2023-12-31")
+  }
+}
