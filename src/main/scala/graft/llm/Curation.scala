@@ -377,34 +377,100 @@ object Curation {
     * shuffle by id.
     */
   def bpeApplyMerge(df: DataFrame, idCol: String, textCol: String,
-                    a: String, b: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val toks = Dedup.ensureParallelism(df.select(col(idCol), col(textCol)))
+                    a: String, b: String): DataFrame =
+    applyMergeToTokens(tokenStream(df, idCol, textCol), idCol, a, b)
+
+  /** Tokenize to the (id, pos, token) stream every BPE pass operates on. */
+  private def tokenStream(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.ensureParallelism(df.select(col(idCol), col(textCol)))
       .select(col(idCol),
         posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
       .filter(col("t") =!= "")
-      .select(col(idCol), col("pos").cast("int").as("pos"), col("t"))
+      .select(col(idCol), col("pos").cast("int").as("pos"), col("t").as("token"))
+
+  /** The greedy-merge body of [[bpeApplyMerge]], over an (id, pos, token)
+    * stream — the shape [[bpeTrain]] iterates on (re-tokenizing per round
+    * would discard the previous rounds' merges). Output keeps each
+    * surviving token's pre-merge position, so rounds re-window on `pos`.
+    */
+  private def applyMergeToTokens(toks: DataFrame, idCol: String,
+                                 a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    // Run parity works on the dense per-document RANK, not on `pos`:
+    // after a prior merge the positions are SPARSE (survivors keep their
+    // pre-merge pos), and position arithmetic would mis-place the run
+    // start — caught by the bpeTrain chaining spec, where round 2's
+    // candidate at a gapped position must still be offset 0 of its run.
+    // All columns below ride the SAME (id, pos) window: one Exchange,
+    // one sort.
     val sel = toks
+      .withColumn("rn", row_number().over(w))
       .withColumn("cand",
-        coalesce(col("t") === a && lead(col("t"), 1).over(w) === b,
+        coalesce(col("token") === a && lead(col("token"), 1).over(w) === b,
           lit(false)))
-      // First candidate of this run = (last non-candidate position before
-      // here) + 1 — a RUNNING max over the same (id, pos) ordering as
-      // every other window, so the whole operator plans one Exchange and
-      // ONE sort (a partition-by-(id, run) min would re-sort twice).
-      .withColumn("firstc",
+      // First candidate rank of this run = (last non-candidate rank
+      // before here) + 1 — a RUNNING max, not a per-run min (which would
+      // re-sort).
+      .withColumn("firstr",
         coalesce(
-          max(when(!col("cand"), col("pos")))
+          max(when(!col("cand"), col("rn")))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-          lit(-1)) + 1)
+          lit(0L)) + 1)
       .withColumn("sel",
-        col("cand") && (col("pos") - col("firstc")) % 2 === 0)
+        col("cand") && (col("rn") - col("firstr")) % 2 === 0)
     sel
       .withColumn("prev_sel", coalesce(lag(col("sel"), 1).over(w), lit(false)))
-      .filter(!col("prev_sel")) // absorbed into the merge starting at pos-1
+      .filter(!col("prev_sel")) // absorbed into the merge starting before it
       .select(col(idCol), col("pos"),
-        when(col("sel"), lit(a + b)).otherwise(col("t")).as("token"))
+        when(col("sel"), lit(a + b)).otherwise(col("token")).as("token"))
+  }
+
+  /** BPE TRAINING LOOP: learn `nMerges` successive merge rules from the
+    * corpus — round r counts adjacent pairs over the (r-1)-times-merged
+    * token streams, takes the (count desc, pair asc) argmax as rule r,
+    * and applies it greedily before the next round. Returns the learned
+    * rule table `(round, pair, merged, n)` — the artifact a tokenizer
+    * trainer persists.
+    *
+    * Iteration shape = [[Dedup.dedupClusters]]'s driver loop: each round
+    * the merged stream is pinned with `localCheckpoint` (the next count
+    * must not replay r prior merge cascades), and exactly ONE row — the
+    * argmax rule — crosses to the driver per round, because the rule must
+    * be a plan literal for the next round's merge predicate. O(nMerges)
+    * driver rows total, never a data-path collect; per round the work is
+    * one pair-count shuffle + one keyed-window shuffle at any corpus
+    * size. Stops early if the corpus runs out of adjacent pairs.
+    */
+  def bpeTrain(df: DataFrame, idCol: String, textCol: String,
+               nMerges: Int): DataFrame = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    var toks = tokenStream(df, idCol, textCol).localCheckpoint(false)
+    val rules = Seq.newBuilder[(Int, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to nMerges if !exhausted) {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      val top = toks
+        .withColumn("nt", lead(col("token"), 1).over(w))
+        .filter(col("nt").isNotNull)
+        .select(concat(col("token"), lit(" "), col("nt")).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1)
+        .collect() // exactly one row: the round's merge rule
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val Array(a, b) = pair.split(" ", 2)
+        rules += ((r, pair, a + b, top(0).getLong(1)))
+        toks = applyMergeToTokens(toks, idCol, a, b).localCheckpoint(false)
+      }
+    }
+    import spark.implicits._
+    rules.result().toDF("round", "pair", "merged", "n")
+      .select(col("round").cast("int").as("round"), col("pair"),
+        col("merged"), col("n"))
   }
 
   /** Adjacent-pair counts AFTER applying one merge rule — BPE training

@@ -329,5 +329,56 @@ object CurationQueries {
               |SELECT pair, CAST(count(*) AS BIGINT) AS n,
               |  replace(pair, ' ', '') AS merged
               |FROM p2 WHERE pair IS NOT NULL
-              |GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin)))
+              |GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin)),
+
+    // The full BPE TRAINING LOOP: 3 successive merge rules, each derived
+    // from streams carrying every prior round's greedy merges (the
+    // driver-loop-with-materialization pattern — one argmax rule row per
+    // round crosses to the driver, as a tokenizer trainer requires). The
+    // oracle replays all 3 rounds with the same relational greedy
+    // selection, so rule CHAINING is what's hash-checked: a wrong round-1
+    // application changes round-2's counts and goes red.
+    "llm_bpe_train" -> Q(
+      (s, dir) => Curation.bpeTrain(Tables.documents(s, dir), "doc_id", "text", 3),
+      Some {
+        val rounds = 3
+        val sb = new StringBuilder
+        sb ++= s"""WITH norm AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents),
+                  |e0 AS (SELECT doc_id, pos, t FROM
+                  |  (SELECT doc_id, CAST(unnest(range(0, len(ws))) AS INT) AS pos,
+                  |     unnest(ws) AS t FROM norm) WHERE t <> '')""".stripMargin
+        for (r <- 1 to rounds) {
+          val prev = s"e${r - 1}"
+          sb ++= s""",
+                    |p$r AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM
+                    |  (SELECT t || ' ' || lead(t) OVER
+                    |     (PARTITION BY doc_id ORDER BY pos) AS pair FROM $prev)
+                    |  WHERE pair IS NOT NULL
+                    |  GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+                    |rule$r AS (SELECT string_split(pair, ' ')[1] AS pa,
+                    |  string_split(pair, ' ')[2] AS pb,
+                    |  replace(pair, ' ', '') AS m FROM p$r),
+                    |c$r AS (SELECT doc_id, pos, t,
+                    |  row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+                    |  coalesce(t = pa AND lead(t) OVER
+                    |    (PARTITION BY doc_id ORDER BY pos) = pb, false) AS cand
+                    |  FROM $prev CROSS JOIN rule$r),
+                    |s$r AS (SELECT doc_id, pos, t, cand AND (rn -
+                    |    (coalesce(max(CASE WHEN NOT cand THEN rn END) OVER
+                    |      (PARTITION BY doc_id ORDER BY pos
+                    |       ROWS UNBOUNDED PRECEDING), 0) + 1)) % 2 = 0 AS sel
+                    |  FROM c$r),
+                    |k$r AS (SELECT doc_id, pos,
+                    |  CASE WHEN sel THEN (SELECT m FROM rule$r) ELSE t END AS t,
+                    |  coalesce(lag(sel) OVER
+                    |    (PARTITION BY doc_id ORDER BY pos), false) AS prev_sel
+                    |  FROM s$r),
+                    |e$r AS (SELECT doc_id, pos, t FROM k$r WHERE NOT prev_sel)""".stripMargin
+        }
+        sb ++= (1 to rounds).map(r =>
+          s"SELECT CAST($r AS INT) AS round, pair, " +
+            s"replace(pair, ' ', '') AS merged, n FROM p$r")
+          .mkString("\n", "\nUNION ALL\n", "")
+        sb.toString
+      }))
 }

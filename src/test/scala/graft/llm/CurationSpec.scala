@@ -101,6 +101,28 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject") && !plan.contains("Window"))
   }
 
+  test("bpeTrain chains rules: each round counts over prior merges") {
+    // Round 1 over "a a a b / a a b b": pairs a·a x3 ("a a a" greedy
+    // yields ONE merge in doc1), a·b x2, b·b x1 → rule1 = (a,a)→aa (n=3).
+    // After greedy round 1: doc1 = [aa, a, b], doc2 = [aa, b, b] — so
+    // round 2 counts aa·a 1, aa·b 1, a·b 1, b·b 1 → rule2 = "a b" (tie
+    // on n=1 broken lexically) — only derivable from the MERGED streams.
+    val df = Seq((1L, "a a a b"), (2L, "a a b b")).toDF("doc_id", "text")
+    val rules = Curation.bpeTrain(df, "doc_id", "text", 3)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    assert(rules(0) === ((1, "a a", "aa", 3L)))
+    assert(rules(1) === ((2, "a b", "ab", 1L)))
+    // Round 3 operates on doc1 = [aa, ab], doc2 = [aa, b, b]:
+    // pairs aa·ab 1, aa·b 1, b·b 1 → lexical tie-break → "aa ab".
+    assert(rules(2) === ((3, "aa ab", "aaab", 1L)))
+    // A corpus with fewer derivable rules than requested stops early.
+    val tiny = Seq((1L, "x y")).toDF("doc_id", "text")
+    val r2 = Curation.bpeTrain(tiny, "doc_id", "text", 5)
+      .as[(Int, String, String, Long)].collect()
+    assert(r2.length >= 1 && r2.head === ((1, "x y", "xy", 1L)))
+    assert(r2.length < 5)
+  }
+
   test("termRelevance computes tf, df, and the unlogged tf-idf ratio") {
     val df = Seq((1L, "cat cat dog"), (2L, "dog fish"), (3L, "cat")).toDF("id", "text")
     val out = TextAnalysis.termRelevance(df, "id", "text")
