@@ -445,18 +445,12 @@ object Curation {
   def bpeTrain(df: DataFrame, idCol: String, textCol: String,
                nMerges: Int): DataFrame = {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
-    import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     var toks = tokenStream(df, idCol, textCol).localCheckpoint(false)
     val rules = Seq.newBuilder[(Int, String, String, Long)]
     var exhausted = false
     for (r <- 1 to nMerges if !exhausted) {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-      val top = toks
-        .withColumn("nt", lead(col("token"), 1).over(w))
-        .filter(col("nt").isNotNull)
-        .select(concat(col("token"), lit(" "), col("nt")).as("pair"))
-        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      val top = pairCountsOverTokens(toks, idCol)
         .orderBy(col("n").desc, col("pair")).limit(1)
         .collect() // exactly one row: the round's merge rule
       if (top.isEmpty) exhausted = true
@@ -482,15 +476,23 @@ object Curation {
   def bpePairCountsAfterMerge(df: DataFrame, idCol: String, textCol: String,
                               a: String, b: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    pairCountsOverTokens(bpeApplyMerge(df, idCol, textCol, a, b), idCol)
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+      .withColumn("merged", regexp_replace(col("pair"), " ", ""))
+  }
+
+  /** Adjacent-pair counts over an (id, pos, token) stream — the one pair
+    * former every BPE pass shares (a tweak to separator or null handling
+    * must not let the one-shot counter and the training loop diverge).
+    */
+  private def pairCountsOverTokens(toks: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    bpeApplyMerge(df, idCol, textCol, a, b)
+    toks
       .withColumn("nt", lead(col("token"), 1).over(w))
       .filter(col("nt").isNotNull)
       .select(concat(col("token"), lit(" "), col("nt")).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("pair"))
-      .limit(k)
-      .withColumn("merged", regexp_replace(col("pair"), " ", ""))
   }
 }

@@ -32,8 +32,10 @@ object Dedup {
     * rare single-LARGE-file scan (which splits fine on its own) pays one
     * extra narrow-projection shuffle — acceptable for a shape that real
     * tables don't have. Non-file-backed frames (inputFiles empty) pass
-    * through: their partitioning already came from a shuffle or the
-    * local relation's parallelize.
+    * through — CALLER CONTRACT: pass a file-backed scan or an
+    * already-spread frame; a deliberately narrow in-memory frame (a
+    * `coalesce(1)` output, a 1-partition JDBC read) is not re-spread
+    * here, unlike the old physical-plan check.
     */
   private[llm] def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism

@@ -26,8 +26,11 @@ object Multimodal {
 
   // ImageIO defaults to a disk-backed stream cache (a temp file per
   // decode) — pure overhead for in-memory byte-array payloads on
-  // executors. Static, process-wide, set once.
-  javax.imageio.ImageIO.setUseCache(false)
+  // executors. Process-wide JVM state, so it is NOT flipped at class
+  // load: the lazy val runs once, on the first actual codec call, and
+  // only in JVMs that decode/encode media.
+  private lazy val imageIoNoCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
 
   /** One media record: payload + typed metadata. */
   final case class MediaRecord(media_id: Long, modality: String,
@@ -69,6 +72,7 @@ object Multimodal {
     * `byte_checksum` keeps the same pure byte-sum every kernel reports.
     */
   def decodeImage(r: MediaRecord): MediaFeatures = {
+    imageIoNoCache
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
     require(img != null, s"undecodable image payload for media_id=${r.media_id}")
     var sum = 0L
@@ -114,6 +118,7 @@ object Multimodal {
     * round-trip through [[decodeImage]] certify an actual decoder.
     */
   def syntheticPng(id: Long, width: Int, height: Int): Array[Byte] = {
+    imageIoNoCache
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0

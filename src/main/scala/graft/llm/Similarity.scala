@@ -366,15 +366,20 @@ object Similarity {
     val cb = buckets(c.select("cand_id", "cv"), "cand_id", "cv")
     // Hot-bucket guard: the over-cap bucket list is numTables x 2^planes
     // rows at most (tiny — broadcast anti-join); the width count moves
-    // only (tbl, bucket) pairs.
+    // only (tbl, bucket) pairs. The bucket projection (numTables x 64-dim
+    // hyperplane folds per corpus row) is pinned once so the width count
+    // and the candidate join don't each recompute it.
     val cbCapped =
       if (maxBucketWidth == Long.MaxValue) cb
-      else cb.join(
-        broadcast(cb.groupBy(col("tbl"), col("bucket"))
-          .agg(count(lit(1)).as("w"))
-          .filter(col("w") > maxBucketWidth)
-          .select(col("tbl"), col("bucket"))),
-        Seq("tbl", "bucket"), "left_anti")
+      else {
+        val pinned = cb.localCheckpoint(false)
+        pinned.join(
+          broadcast(pinned.groupBy(col("tbl"), col("bucket"))
+            .agg(count(lit(1)).as("w"))
+            .filter(col("w") > maxBucketWidth)
+            .select(col("tbl"), col("bucket"))),
+          Seq("tbl", "bucket"), "left_anti")
+      }
     // Candidate PAIRS (ids only): bucket-mates in any table, deduped on
     // (query_id, cand_id) BEFORE any vector travels — the distinct's
     // shuffle moves two ids per row, not two 64-double arrays. Vectors are
@@ -488,7 +493,7 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import graft.functions.VectorFunctions.{dot => dotc}
-    // Training input is pinned to a FIXED hash partitioning with a total
+    // TRAINING input is pinned to a FIXED hash partitioning with a total
     // per-partition order: MLlib's seeded k-means is only deterministic
     // given the partition structure (init sampling and the per-iteration
     // float sums both follow it), so training on whatever parallelism the
@@ -498,11 +503,15 @@ object Similarity {
     // (hash(cand_id) into 8 partitions, sorted within) makes the
     // clustering a pure function of the corpus: same cells on any
     // cluster, so a write-time index and an inline run always agree.
-    // 8 partitions bounds training parallelism, not probe parallelism —
-    // training is the write-time step; the per-iteration aggregate at 8
-    // partitions is cheap at any corpus size Spark's KMeans can hold.
+    // The pin bounds TRAINING parallelism only — assignment below runs on
+    // the unpinned scan (per-row deterministic given the centroids), so
+    // probe/scoring parallelism is never capped at 8. At corpus sizes
+    // where an 8-way shuffle of the full frame is itself prohibitive,
+    // train the coarse quantizer on a deterministic sample (hash-mod of
+    // the id) instead — the assignment path is unchanged.
     val feat = corpus.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"),
-        array_to_vector(col(vecCol)).as("features"))
+      array_to_vector(col(vecCol)).as("features"))
+    val featTrain = feat
       .repartition(8, col("cand_id"))
       .sortWithinPartitions("cand_id")
       .localCheckpoint(false) // training iterates; don't re-scan per pass
@@ -511,8 +520,8 @@ object Similarity {
     // saves at coarse-quantizer cell counts.
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(8)
       .setInitMode("random")
-      .setFeaturesCol("features").fit(feat)
-    val cells = model.transform(feat)
+      .setFeaturesCol("features").fit(featTrain)
+    val cells = model.transform(Dedup.ensureParallelism(feat))
       .select(col("cand_id"), col("cv"), col("prediction").as("cell"))
       .withColumn("cnorm", sqrt(dotc(col("cv"), col("cv"))))
     // Tiny centroid frame: one row per cell, joined broadcast to queries.

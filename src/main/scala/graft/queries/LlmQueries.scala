@@ -911,8 +911,12 @@ object LlmQueries {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val q = emb.filter(col("vec_id") < 10)
+        // Pinned once: the probe rows feed BOTH the contract and the
+        // index cross-check — without the pin the cells-join + scoring
+        // plan re-executes per consumer.
         val inline = Similarity.ivfTopK(emb, q,
           "vec_id", "embedding", k = 5, nCells = 10, nProbe = 3)
+          .localCheckpoint(false)
         val contract = Similarity.annContract(inline,
           Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5),
           emb, "vec_id", "embedding", k = 5, recallFloor = 0.2)
