@@ -334,6 +334,25 @@ object Curation {
       .limit(k)
   }
 
+  /** Deterministic uniform k-sample: the k rows with the smallest salted
+    * hash of the id (ties broken by id) — a hash-ordered reservoir. Same
+    * seed, same rows, on any engine and any partitioning; distinct salts
+    * give independent samples (the [[hashSplit]] decorrelation rule).
+    *
+    * Scale shape: plans as TakeOrderedAndProject — per-partition bounded
+    * heaps of k rows, k rows per partition on the final gather, never a
+    * global sort. The sampling-rate filters ([[domainMixSample]],
+    * [[scoreWeightedSample]]) are cheaper when a RATE is acceptable; this
+    * is the exact-COUNT variant an eval-set builder needs.
+    */
+  def uniformSample(df: DataFrame, idCol: String, k: Int, salt: Int = 0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.withColumn("__h", TextOps.hash60Salted(col(idCol).cast("string"), salt))
+      .orderBy(col("__h"), col(idCol))
+      .limit(k)
+      .drop("__h")
+  }
+
   /** One BPE-style merge iteration: the `k` most frequent ADJACENT token
     * pairs (count desc, pair asc — deterministic ties), each with its
     * merged form — the candidate-selection step between plain token

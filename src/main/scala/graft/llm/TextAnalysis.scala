@@ -172,6 +172,36 @@ object TextAnalysis {
     * corpus size joins as a broadcast scalar — no window over the corpus,
     * no driver-side loop.
     */
+  /** Per-document n-gram NOVELTY: the share of a document's distinct
+    * k-shingles that no other document contains (corpus document
+    * frequency 1). High novelty separates genuinely new material from
+    * boilerplate/template text during corpus curation — the complement
+    * of what the dedup family measures.
+    *
+    * Scale shape: shingles travel as 60-bit hashes (8-byte shuffle keys,
+    * never the strings); the membership frame is pinned once and feeds
+    * both the df count and the per-doc join, both shuffles keyed on the
+    * hash; the per-doc aggregate is map-side combined. No broadcast of
+    * anything corpus-sized.
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3): DataFrame = {
+    val sh = Dedup.ensureParallelism(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        explode(TextOps.wordShingles(col(textCol), k)).as("s"))
+      .select(col(idCol), TextOps.hash60(col("s")).as("h"))
+      .localCheckpoint(false) // feeds the df count AND the tag-back join
+    // wordShingles is distinct-per-doc, so count(*) per hash IS document
+    // frequency.
+    val dfc = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    sh.join(dfc, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles"))
+  }
+
   def termRelevance(df: DataFrame, idCol: String, textCol: String,
                     minDf: Long = 1L): DataFrame = {
     val toks = df

@@ -94,6 +94,43 @@ object Aggs {
     * aggregates directly. Timestamp/date columns should be cast by the
     * caller to a portable string form first.
     */
+  /** Accuracy CONTRACT of `approx_percentile` — the same oracle shape as
+    * the HLL contract row: the sketch VALUE is engine-specific, but its
+    * guarantee (rank error ≤ n/accuracy) is checkable anywhere. Per
+    * requested percentile p: the returned value's rank INTERVAL
+    * [count(< v)+1, count(≤ v)] (ties make rank an interval, not a
+    * point) must intersect [p·n − n/accuracy − 1, p·n + n/accuracy + 1].
+    * Output `(p, n_rows, rank_err_ok)`.
+    *
+    * Scale shape: one aggregate for the sketch + count, then the tiny
+    * per-p frame broadcasts against ONE more scan for the rank counts —
+    * no sort anywhere (that is the point of the sketch).
+    */
+  def approxPercentileContract(df: DataFrame, valueCol: String,
+                               ps: Seq[Double], accuracy: Int): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p < 1),
+      s"percentiles must be in (0,1), got $ps")
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
+    val v = col(valueCol).cast("double")
+    val pArr = array(ps.map(lit): _*)
+    val perP = df
+      .agg(percentile_approx(v, pArr, lit(accuracy)).as("avs"),
+        count(v).as("n"))
+      .select(col("n"), posexplode(col("avs")).as(Seq("i", "av")))
+      .select(col("n"), element_at(pArr, col("i") + 1).as("p"), col("av"))
+    df.select(v.as("x")).join(broadcast(perP), lit(true))
+      .groupBy(col("p"), col("n"))
+      .agg(
+        sum(when(col("x") < col("av"), 1L).otherwise(0L)).as("rlo"),
+        sum(when(col("x") <= col("av"), 1L).otherwise(0L)).as("rhi"))
+      .select(col("p"), col("n").as("n_rows"),
+        ((col("rhi").cast("double") >=
+            col("p") * col("n") - col("n").cast("double") / accuracy - 1) &&
+          ((col("rlo") + 1).cast("double") <=
+            col("p") * col("n") + col("n").cast("double") / accuracy + 1))
+          .cast("int").as("rank_err_ok"))
+  }
+
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     val countAggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"))

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.Curation
+import graft.llm.{Curation, TextAnalysis}
 import graft.model.Tables
 import graft.ops.Joins
 
@@ -330,6 +330,35 @@ object CurationQueries {
               |  replace(pair, ' ', '') AS merged
               |FROM p2 WHERE pair IS NOT NULL
               |GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin)),
+
+    // Deterministic uniform k-sample: smallest salted id-hash wins —
+    // exact COUNT (vs the rate samplers), engine-reproducible, plans as
+    // TakeOrderedAndProject (bounded per-partition heaps, no global
+    // sort). The eval-set builder's sampler.
+    "llm_uniform_sample" -> Q(
+      (s, dir) => Curation.uniformSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source")),
+        "doc_id", k = 100, salt = 7),
+      Some(s"""SELECT doc_id, lang, source FROM documents
+              |ORDER BY ${h60("'7:' || CAST(doc_id AS VARCHAR)")}, doc_id
+              |LIMIT 100""".stripMargin)),
+
+    // Per-document n-gram novelty: the share of a doc's distinct
+    // 3-shingles with corpus document-frequency 1 — boilerplate and
+    // template text score low, genuinely new material high. Shingles
+    // travel as 60-bit hashes; both shuffles key on the 8-byte hash.
+    "llm_ngram_novelty" -> Q(
+      (s, dir) => TextAnalysis.ngramNovelty(
+        Tables.documents(s, dir), "doc_id", "text"),
+      Some(s"""WITH sh AS (SELECT doc_id, ${h60("s")} AS h FROM
+              |  (SELECT doc_id, unnest(${shinglesSql(toksSql("text"))}) AS s
+              |   FROM documents)),
+              |dfc AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+              |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+              |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+              |    AS novelty
+              |FROM sh JOIN dfc USING (h) GROUP BY 1""".stripMargin)),
 
     // The full BPE TRAINING LOOP: 3 successive merge rules, each derived
     // from streams carrying every prior round's greedy merges (the

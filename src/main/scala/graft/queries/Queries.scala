@@ -252,6 +252,18 @@ object Queries {
       Some("""SELECT l_returnflag, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_exact,
              |CAST(1 AS INT) AS within_rsd_bound FROM lineitem GROUP BY 1""".stripMargin)),
 
+    // A2 - approx_percentile accuracy contract, same oracle shape as
+    // a2_approx_distinct: the sketch value is engine-specific but its
+    // rank-error guarantee (≤ n/accuracy, tie-safe interval form) is
+    // checkable anywhere.
+    "a2_approx_percentile" -> Q(
+      (s, dir) => Aggs.approxPercentileContract(
+        Tables.lineitem(s, dir), "l_extendedprice",
+        Seq(0.25, 0.5, 0.75), accuracy = 1000),
+      Some("""SELECT p, (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+             |CAST(1 AS INT) AS rank_err_ok
+             |FROM (SELECT unnest([0.25, 0.5, 0.75]) AS p)""".stripMargin)),
+
     // A2 upgrade - custom HLL sketch aggregate (TypedImperativeAggregate,
     // O(2^p) mergeable register state, map-side partial merge). Unlike
     // approx_count_distinct, every arithmetic step is engine-portable, so

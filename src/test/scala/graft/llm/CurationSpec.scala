@@ -101,6 +101,23 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject") && !plan.contains("Window"))
   }
 
+  test("uniformSample: exact k, deterministic, salt-decorrelated, heap plan") {
+    val df = spark.range(1000).toDF("id")
+    val s1 = Curation.uniformSample(df, "id", 50, salt = 1)
+    val rows1 = s1.as[Long].collect().toSet
+    assert(rows1.size === 50)
+    // Deterministic: same salt, same rows — on a different partitioning too.
+    assert(Curation.uniformSample(df.repartition(7), "id", 50, salt = 1)
+      .as[Long].collect().toSet === rows1)
+    // Distinct salts give (near-)independent samples.
+    val rows2 = Curation.uniformSample(df, "id", 50, salt = 2)
+      .as[Long].collect().toSet
+    assert(rows1 !== rows2)
+    // Bounded heaps, no global sort.
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("bpeTrain chains rules: each round counts over prior merges") {
     // Round 1 over "a a a b / a a b b": pairs a·a x3 ("a a a" greedy
     // yields ONE merge in doc1), a·b x2, b·b x1 → rule1 = (a,a)→aa (n=3).

@@ -406,6 +406,24 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("ngramNovelty: share of shingles no other document contains") {
+    // 3-shingles: d1 {a b c, b c d}, d2 {a b c, b c e}, d3 {x y z, y z w}
+    // -> "a b c" has df 2; every other shingle df 1.
+    val df = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 2L, 1L, 0.5)))
+    assert(out(1) === ((2L, 2L, 1L, 0.5)))
+    assert(out(2) === ((3L, 2L, 2L, 1.0)))
+    // A doc shorter than the shingle width contributes its whole text as
+    // one gram (the wordShingles fallback) and still gets a row.
+    val short = Seq((1L, "ab"), (2L, "ab")).toDF("doc_id", "text")
+    val so = TextAnalysis.ngramNovelty(short, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(so.forall(r => r._2 === 1L && r._4 === 0.0)) // shared -> df 2
+  }
+
   test("tokenCounts: whitespace vs BPE-ish pre-tokenizer pieces") {
     val df = Seq((1L, "Hello world, it's 2024!")).toDF("doc_id", "text")
     val r = TextAnalysis.tokenCounts(df, "doc_id", "text").head()

@@ -40,6 +40,27 @@ class JoinsSpec2 extends SparkSpec {
 class AggsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("approxPercentileContract: flags hold on clean data, tie-safe, no sort") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(10000).toDF("v")
+    val out = Aggs.approxPercentileContract(df, "v", Seq(0.25, 0.5, 0.75), 1000)
+      .as[(Double, Long, Int)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(0.25, 0.5, 0.75))
+    assert(out.forall(r => r._2 === 10000L && r._3 === 1))
+    // Massive ties: rank is an interval, the contract must still hold.
+    val ties = spark.range(9999).select((col("id") * 0).as("v"))
+      .unionByName(Seq(5L).toDF("v"))
+    assert(Aggs.approxPercentileContract(ties, "v", Seq(0.5), 100)
+      .as[(Double, Long, Int)].head()._3 === 1)
+    // The whole plan is aggregates — no global sort of the data.
+    val plan = Aggs.approxPercentileContract(df, "v", Seq(0.5), 1000)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort "), plan)
+    intercept[IllegalArgumentException] {
+      Aggs.approxPercentileContract(df, "v", Seq(1.5), 1000)
+    }
+  }
+
   test("groupingSetsAgg plans one Expand pass, not a union of scans") {
     import org.apache.spark.sql.functions._
     val df = Seq(("A", "x", 1.0), ("A", "y", 2.0), ("B", "x", 3.0))
