@@ -353,6 +353,34 @@ object Curation {
       .drop("__h")
   }
 
+  /** Sequence-length bucketing for training batchers: exact interpolated
+    * quantile boundaries of the whitespace token count split the corpus
+    * into `nBuckets` length classes (bucket = how many boundaries the
+    * doc's length meets — ties land in the upper bucket). Batching by
+    * length class is what keeps padding waste bounded when packing
+    * fixed-size training batches.
+    *
+    * Scale shape: one count projection, one exact-percentile aggregate
+    * producing a single (nBuckets-1)-element row that BROADCASTS, and a
+    * codegen'd fold assigns buckets on the second scan — no sort of the
+    * data, no shuffle beyond the one aggregate.
+    */
+  def lengthBuckets(df: DataFrame, idCol: String, textCol: String,
+                    nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val tc = df.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    val ps = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val bounds = tc.agg(
+      expr(s"percentile(n_tokens, array(${ps.mkString(", ")}))").as("bs"))
+    tc.join(broadcast(bounds), lit(true))
+      .select(col(idCol), col("n_tokens"),
+        aggregate(col("bs"), lit(0),
+          (acc, b) => acc + when(col("n_tokens").cast("double") >= b, 1)
+            .otherwise(0))
+          .cast("int").as("bucket"))
+  }
+
   /** One BPE-style merge iteration: the `k` most frequent ADJACENT token
     * pairs (count desc, pair asc — deterministic ties), each with its
     * merged form — the candidate-selection step between plain token

@@ -152,6 +152,37 @@ object Similarity {
           .otherwise(lit(0.0)).as("scaled"))
   }
 
+  /** Z-score scaling per dimension — the standardization twin of
+    * [[minMaxScaleDims]] — with PORTABLY EXACT moments: every value is
+    * pinned to integer micro-units and summed in decimal, so the sums
+    * are order-independent and exact at any partitioning (a plain
+    * double sum drifts with partition order and would never hash-match
+    * across engines). One pinned double expression then derives
+    * mean/variance from the exact sums; constant dimensions scale to 0.
+    * The per-dim stats frame broadcasts — nothing corpus-sized moves.
+    */
+  def zscoreScaleDims(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val dims = df.select(col(idCol),
+        posexplode(asDouble(col(vecCol))).as(Seq("pos", "x")))
+      // Half-away-from-zero round, exact in both engines (the
+      // quantizeInt8 parity); decimal(18,0) holds any sane micro-unit.
+      .withColumn("xi", round(col("x") * lit(1e6)).cast("decimal(18,0)"))
+    val stats = dims.groupBy(col("pos")).agg(
+        count(lit(1)).as("nl"),
+        sum(col("xi")).as("s1"),
+        sum(col("xi") * col("xi")).as("s2"))
+      .select(col("pos"), col("nl").cast("double").as("n"),
+        col("s1").cast("double").as("m1"),
+        col("s2").cast("double").as("m2"))
+      .withColumn("mean", col("m1") / col("n") / lit(1e6))
+      .withColumn("varr",
+        (col("m2") - col("m1") * col("m1") / col("n")) / col("n") / lit(1e12))
+    dims.join(broadcast(stats), Seq("pos"))
+      .select(col(idCol), col("pos"),
+        when(col("varr") > 0, (col("x") - col("mean")) / sqrt(col("varr")))
+          .otherwise(lit(0.0)).as("z"))
+  }
+
   /** Corpus-wide max |component| of the double-array column `vq_v` —
     * the global calibration constant for symmetric scalar quantization.
     * Max is order-independent, the result is ONE row, and it broadcasts;

@@ -331,6 +331,23 @@ object CurationQueries {
               |FROM p2 WHERE pair IS NOT NULL
               |GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin)),
 
+    // Sequence-length bucketing: exact quartile boundaries of the token
+    // count, each doc assigned its length class (ties to the upper
+    // bucket) — the padding-waste bound for fixed-size batch packing.
+    "llm_length_buckets" -> Q(
+      (s, dir) => Curation.lengthBuckets(
+        Tables.documents(s, dir), "doc_id", "text", nBuckets = 4),
+      Some(s"""WITH tc AS (SELECT doc_id,
+              |  CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens
+              |  FROM documents),
+              |b AS (SELECT [quantile_cont(n_tokens, 0.25),
+              |  quantile_cont(n_tokens, 0.5),
+              |  quantile_cont(n_tokens, 0.75)] AS bs FROM tc)
+              |SELECT doc_id, n_tokens,
+              |  CAST(len(list_filter(bs, x -> CAST(n_tokens AS DOUBLE) >= x))
+              |    AS INT) AS bucket
+              |FROM tc CROSS JOIN b""".stripMargin)),
+
     // Deterministic uniform k-sample: smallest salted id-hash wins —
     // exact COUNT (vs the rate samplers), engine-reproducible, plans as
     // TakeOrderedAndProject (bounded per-partition heaps, no global

@@ -602,6 +602,29 @@ object LlmQueries {
               |       ELSE 0.0 END AS scaled
               |FROM dims JOIN stats USING (pos)""".stripMargin)),
 
+    // Z-score standardization per dimension — the portably-exact-moment
+    // variant: micro-unit-pinned decimal sums are order-independent, so
+    // the derived mean/std (and therefore every z value) hash-match the
+    // oracle at full double precision.
+    "llm_zscore_scale" -> Q(
+      (s, dir) => Similarity.zscoreScaleDims(
+        Tables.embeddings(s, dir), "vec_id", "embedding"),
+      Some(s"""$vecCte,
+              |dims AS (SELECT vec_id,
+              |  CAST(unnest(range(0, len(v))) AS INT) AS pos,
+              |  unnest(v) AS x FROM v),
+              |di AS (SELECT vec_id, pos, x,
+              |  CAST(round(x * 1e6) AS DECIMAL(18,0)) AS xi FROM dims),
+              |stats AS (SELECT pos, CAST(count(*) AS DOUBLE) AS n,
+              |  CAST(sum(xi) AS DOUBLE) AS m1,
+              |  CAST(sum(xi * xi) AS DOUBLE) AS m2 FROM di GROUP BY 1),
+              |st AS (SELECT pos, m1 / n / 1e6 AS mean,
+              |  (m2 - m1 * m1 / n) / n / 1e12 AS varr FROM stats)
+              |SELECT vec_id, pos,
+              |  CASE WHEN varr > 0 THEN (x - mean) / sqrt(varr)
+              |       ELSE 0.0 END AS z
+              |FROM di JOIN st USING (pos)""".stripMargin)),
+
     // Cross-source shingle-overlap matrix: shared distinct 3-grams and
     // Jaccard per source pair — the between-dataset duplication audit.
     // Reduces to distinct (source, hash) FIRST; self-join on the 8-byte

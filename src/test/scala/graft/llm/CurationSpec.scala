@@ -101,6 +101,27 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject") && !plan.contains("Window"))
   }
 
+  test("lengthBuckets assigns quantile length classes, ties to the upper bucket") {
+    // Lengths 1..8, 4 buckets: boundaries p25/p50/p75 of {1..8} =
+    // 2.75 / 4.5 / 6.25 -> two docs per class.
+    val df = (1 to 8).map(n => (n.toLong, Seq.fill(n)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curation.lengthBuckets(df, "doc_id", "text", 4)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(out.map(_._3).toSeq === Seq(0, 0, 1, 1, 2, 2, 3, 3))
+    assert(out.map(_._2).toSeq === (1L to 8L))
+    // A length exactly ON a boundary lands in the upper bucket.
+    val tie = Seq((1L, "a"), (2L, "a b"), (3L, "a b c")).toDF("doc_id", "text")
+    // boundaries of {1,2,3} at p25/p50/p75 = 1.5 / 2.0 / 2.5: len 2 meets
+    // the 2.0 boundary -> bucket 2.
+    assert(Curation.lengthBuckets(tie, "doc_id", "text", 4)
+      .as[(Long, Long, Int)].collect().sortBy(_._1).map(_._3).toSeq
+      === Seq(0, 2, 3))
+    intercept[IllegalArgumentException] {
+      Curation.lengthBuckets(df, "doc_id", "text", 1)
+    }
+  }
+
   test("uniformSample: exact k, deterministic, salt-decorrelated, heap plan") {
     val df = spark.range(1000).toDF("id")
     val s1 = Curation.uniformSample(df, "id", 50, salt = 1)

@@ -406,6 +406,21 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("zscoreScaleDims: exact moments, constant dims to 0, partition-invariant") {
+    // dim0 constant -> z=0; dim1 {2,4}: mean 3, var 1 -> z = -1, +1.
+    val df = Seq((1L, Seq(0f, 2f)), (2L, Seq(0f, 4f))).toDF("vec_id", "embedding")
+    val out = Similarity.zscoreScaleDims(df, "vec_id", "embedding")
+      .as[(Long, Int, Double)].collect().toSet
+    assert(out === Set((1L, 0, 0.0), (2L, 0, 0.0), (1L, 1, -1.0), (2L, 1, 1.0)))
+    // The decimal-pinned sums make the values partitioning-invariant
+    // BIT-for-bit (a plain double sum would drift with partition order).
+    val emb = spark.read.parquet(sf("embeddings"))
+    val a = Similarity.zscoreScaleDims(emb, "vec_id", "embedding").collect().toSet
+    val b = Similarity.zscoreScaleDims(emb.repartition(13), "vec_id", "embedding")
+      .collect().toSet
+    assert(a === b)
+  }
+
   test("ngramNovelty: share of shingles no other document contains") {
     // 3-shingles: d1 {a b c, b c d}, d2 {a b c, b c e}, d3 {x y z, y z w}
     // -> "a b c" has df 2; every other shingle df 1.
