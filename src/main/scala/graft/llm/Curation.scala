@@ -353,6 +353,45 @@ object Curation {
       .drop("__h")
   }
 
+  /** Deterministic NEGATIVE SAMPLING for contrastive training: for each
+    * query id, up to `k` pseudo-random corpus ids that are neither the
+    * query itself nor a known positive. Slot i of query q hashes to a
+    * bucket (`h60(salt:q:i) % nBuckets`); the slot's negative is the
+    * bucket member minimizing an exact 60-bit per-slot hash — so the
+    * choice is a pure function of (corpus, salt), reproducible on any
+    * engine and partitioning, unlike `rand()`-based samplers.
+    *
+    * Scale shape: the corpus is bucketed ONCE by an 8-byte hash key; the
+    * (query x slot) frame is query-batch-sized and broadcasts; argmin is
+    * `min_by` over exact longs (map-side-combined hash aggregate — no
+    * sort, no window; doubles would corrupt 60-bit comparisons). A slot
+    * whose whole bucket is positives yields no row (up to-k semantics);
+    * distinct slots can rarely land the same negative — train-side
+    * dedup is the caller's choice, slots are kept in the output.
+    */
+  def negativeSample(corpus: DataFrame, queries: DataFrame,
+                     positives: DataFrame, idCol: String, k: Int,
+                     nBuckets: Int, salt: Int = 0): DataFrame = {
+    require(k > 0 && nBuckets > 0, s"k and nBuckets must be positive: $k, $nBuckets")
+    val cb = corpus.select(col(idCol).as("cand_id"))
+      .withColumn("bucket",
+        TextOps.hash60(concat_ws(":", lit(salt), col("cand_id"))) % nBuckets)
+    val qs = queries.select(col(idCol).as("query_id"))
+      .select(col("query_id"), explode(sequence(lit(1), lit(k))).as("slot"))
+      .withColumn("bucket",
+        TextOps.hash60(concat_ws(":", lit(salt), col("query_id"), col("slot")))
+          % nBuckets)
+    cb.join(broadcast(qs), Seq("bucket"))
+      .filter(col("cand_id") =!= col("query_id"))
+      // positives contract: two columns, (query id, positive id) in order.
+      .join(positives.toDF("query_id", "cand_id"),
+        Seq("query_id", "cand_id"), "left_anti")
+      .withColumn("h", TextOps.hash60(concat_ws(":",
+        lit(salt), col("query_id"), col("slot"), col("cand_id"))))
+      .groupBy(col("query_id"), col("slot"))
+      .agg(min_by(col("cand_id"), col("h")).as("neg_id"))
+  }
+
   /** Sequence-length bucketing for training batchers: exact interpolated
     * quantile boundaries of the whitespace token count split the corpus
     * into `nBuckets` length classes (bucket = how many boundaries the

@@ -331,6 +331,38 @@ object CurationQueries {
               |FROM p2 WHERE pair IS NOT NULL
               |GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin)),
 
+    // Deterministic negative sampling (contrastive-training pairs):
+    // bucket-hashed candidate selection with positive-pair exclusion and
+    // an exact-int64 per-slot argmin — a pure function of (corpus, salt)
+    // that any engine reproduces, unlike rand() samplers. Positives here
+    // are the (id, id+1) adjacency, exercising the exclusion path.
+    "llm_negative_sample" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"))
+        Curation.negativeSample(
+          emb, emb.filter(col("vec_id") < 10),
+          emb.select(col("vec_id"), (col("vec_id") + 1).as("pos_id")),
+          "vec_id", k = 4, nBuckets = 50, salt = 3)
+      },
+      Some {
+        val b = (e: String) => s"${h60(e)} % 50"
+        s"""WITH ids AS (SELECT vec_id FROM embeddings),
+           |cb AS (SELECT vec_id AS cand_id,
+           |  ${b("'3:' || CAST(vec_id AS VARCHAR)")} AS bucket FROM ids),
+           |qs AS (SELECT vec_id AS query_id, CAST(slot AS INT) AS slot,
+           |  ${b("'3:' || CAST(vec_id AS VARCHAR) || ':' || CAST(slot AS VARCHAR)")}
+           |    AS bucket
+           |  FROM ids CROSS JOIN (SELECT unnest(range(1, 5)) AS slot)
+           |  WHERE vec_id < 10),
+           |cand AS (SELECT query_id, slot, cand_id,
+           |  ${h60("'3:' || CAST(query_id AS VARCHAR) || ':' || CAST(slot AS VARCHAR) || ':' || CAST(cand_id AS VARCHAR)")} AS h
+           |  FROM cb JOIN qs USING (bucket)
+           |  WHERE cand_id <> query_id
+           |    AND cand_id <> query_id + 1)
+           |SELECT query_id, slot, min_by(cand_id, h) AS neg_id
+           |FROM cand GROUP BY 1, 2""".stripMargin
+      }),
+
     // Sequence-length bucketing: exact quartile boundaries of the token
     // count, each doc assigned its length class (ties to the upper
     // bucket) — the padding-waste bound for fixed-size batch packing.

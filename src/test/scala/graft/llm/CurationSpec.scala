@@ -101,6 +101,34 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject") && !plan.contains("Window"))
   }
 
+  test("negativeSample: never self or a positive, deterministic, up-to-k") {
+    import org.apache.spark.sql.functions._
+    val corpus = spark.range(200).toDF("id")
+    val queries = corpus.filter($"id" < 5)
+    val positives = corpus.select($"id", ($"id" + 1).as("pos"))
+    val out = Curation.negativeSample(corpus, queries, positives,
+      "id", k = 4, nBuckets = 10, salt = 1)
+      .as[(Long, Int, Long)].collect()
+    assert(out.nonEmpty && out.length <= 20) // <= 5 queries x 4 slots
+    assert(out.forall { case (q, _, n) => n != q && n != q + 1 })
+    // Pure function of (corpus, salt): partitioning cannot move it.
+    val out2 = Curation.negativeSample(corpus.repartition(7), queries,
+      positives, "id", k = 4, nBuckets = 10, salt = 1)
+      .as[(Long, Int, Long)].collect()
+    assert(out.toSet === out2.toSet)
+    // A different salt draws a different sample.
+    val out3 = Curation.negativeSample(corpus, queries, positives,
+      "id", k = 4, nBuckets = 10, salt = 2)
+      .as[(Long, Int, Long)].collect()
+    assert(out.toSet !== out3.toSet)
+    // A slot whose whole bucket is excluded yields no row: corpus {0,1},
+    // query 0, positive (0,1) -> every candidate is self or positive.
+    val tiny = Seq(0L, 1L).toDF("id")
+    assert(Curation.negativeSample(tiny, tiny.filter($"id" === 0),
+      Seq((0L, 1L)).toDF("id", "pos"), "id", k = 3, nBuckets = 2)
+      .count() === 0)
+  }
+
   test("lengthBuckets assigns quantile length classes, ties to the upper bucket") {
     // Lengths 1..8, 4 buckets: boundaries p25/p50/p75 of {1..8} =
     // 2.75 / 4.5 / 6.25 -> two docs per class.
