@@ -172,6 +172,50 @@ object TextAnalysis {
     * corpus size joins as a broadcast scalar — no window over the corpus,
     * no driver-side loop.
     */
+  /** C4-style LINE-LEVEL BOILERPLATE removal: a line that appears in more
+    * than `maxShare` of a group's documents (same source/domain) is
+    * template chrome — nav bars, cookie banners, copyright footers — and
+    * is stripped from every document of that group. Returns
+    * `(id, n_kept_lines, clean_text)`, empty text when everything was
+    * boilerplate.
+    *
+    * Scale shape: lines travel as 60-bit hashes for the frequency pass
+    * (8-byte shuffle keys); the line-membership frame is pinned once and
+    * feeds both the df count and the rebuild; the boilerplate set is
+    * share-thresholded so it is group-count-sized and broadcasts; the
+    * rebuild is one groupBy(id) with an in-group sort of each doc's own
+    * lines (bounded by document size, never corpus-wide).
+    */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, maxShare: Double): DataFrame = {
+    require(maxShare > 0 && maxShare < 1, s"maxShare must be in (0,1), got $maxShare")
+    val lines = Dedup.ensureParallelism(
+        df.select(col(idCol), col(groupCol), col(textCol)))
+      .select(col(idCol), col(groupCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("h", TextOps.hash60(col("line")))
+      .localCheckpoint(false) // feeds the df count AND the rebuild
+    val nDocs = df.groupBy(col(groupCol))
+      .agg(count_distinct(col(idCol)).as("n_docs"))
+    // A line repeated inside ONE doc counts once toward its share.
+    val boiler = lines.select(col(idCol), col(groupCol), col("h")).distinct()
+      .groupBy(col(groupCol), col("h")).agg(count(lit(1)).as("df"))
+      .join(broadcast(nDocs), Seq(groupCol))
+      .filter(col("df").cast("double") / col("n_docs") > maxShare)
+      .select(col(groupCol), col("h"))
+    val kept = lines.join(broadcast(boiler), Seq(groupCol, "h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept_lines"),
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line"))).as("clean_text"))
+    // A doc whose every line was boilerplate still gets a row (empty text).
+    df.select(col(idCol)).join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_kept_lines"), lit(0L)).as("n_kept_lines"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Per-document n-gram NOVELTY: the share of a document's distinct
     * k-shingles that no other document contains (corpus document
     * frequency 1). High novelty separates genuinely new material from

@@ -331,6 +331,42 @@ object CurationQueries {
               |FROM p2 WHERE pair IS NOT NULL
               |GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin)),
 
+    // C4-style line-level boilerplate removal. The synthetic corpus is
+    // single-line, so the query builds the multi-line shape the operator
+    // targets: a per-source header line (share 1.0 -> stripped), the
+    // unique body (kept), and a promo line on every third doc (share
+    // ~1/3 < 0.5 -> kept). The oracle replays the same frequency pass.
+    "llm_strip_boilerplate" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          concat(lit("header "), col("source"), lit("\n"), col("text"),
+            when(col("doc_id") % 3 === 0, lit("\npromo line"))
+              .otherwise(lit(""))).as("text"))
+        TextAnalysis.stripBoilerplate(d, "doc_id", "text", "source",
+          maxShare = 0.5)
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source,
+              |  'header ' || source || chr(10) || text ||
+              |  CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'promo line'
+              |       ELSE '' END AS t2 FROM documents),
+              |lines AS (SELECT doc_id, source,
+              |  CAST(unnest(range(0, len(ls))) AS INT) AS pos,
+              |  unnest(ls) AS line
+              |  FROM (SELECT doc_id, source, string_split(t2, chr(10)) AS ls
+              |        FROM d)),
+              |lh AS (SELECT doc_id, source, pos, line, ${h60("line")} AS h
+              |  FROM lines),
+              |nd AS (SELECT source, count(DISTINCT doc_id) AS n_docs
+              |  FROM d GROUP BY 1),
+              |ldf AS (SELECT source, h, count(*) AS df FROM
+              |  (SELECT DISTINCT doc_id, source, h FROM lh) GROUP BY 1, 2),
+              |boiler AS (SELECT source, h FROM ldf JOIN nd USING (source)
+              |  WHERE CAST(df AS DOUBLE) / n_docs > 0.5),
+              |kept AS (SELECT lh.* FROM lh ANTI JOIN boiler USING (source, h))
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_lines,
+              |  string_agg(line, chr(10) ORDER BY pos) AS clean_text
+              |FROM kept GROUP BY 1""".stripMargin)),
+
     // Deterministic negative sampling (contrastive-training pairs):
     // bucket-hashed candidate selection with positive-pair exclusion and
     // an exact-int64 per-slot argmin — a pure function of (corpus, salt)

@@ -406,6 +406,31 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("stripBoilerplate removes over-share lines per group, keeps order") {
+    // Group g: "nav" in 3/3 docs (share 1.0 -> stripped), "rare" in 1/3
+    // (kept), bodies unique (kept). Doc 3 is ALL boilerplate -> empty.
+    // Doc 1 repeats "nav" twice; within-doc repetition counts once
+    // toward the share but BOTH copies are stripped.
+    val df = Seq(
+      (1L, "g", "nav\nbody one\nnav"),
+      (2L, "g", "nav\nbody two\nrare"),
+      (3L, "g", "nav"),
+      (4L, "h", "nav")) // different group: its own 1/1 share -> stripped
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.stripBoilerplate(df, "doc_id", "text", "source", 0.5)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 1L, "body one")))
+    assert(out(1) === ((2L, 2L, "body two\nrare")))
+    assert(out(2) === ((3L, 0L, "")))
+    assert(out(3) === ((4L, 0L, "")))
+    // Share exactly AT the threshold is kept (> not >=): 1 of 2 docs.
+    val half = Seq((1L, "g", "x\na"), (2L, "g", "x\nb"), (3L, "g", "c"),
+      (4L, "g", "d")).toDF("doc_id", "source", "text")
+    val kept = TextAnalysis.stripBoilerplate(half, "doc_id", "text", "source", 0.5)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(kept(0)._3 === "x\na") // x share 2/4 = 0.5, not > 0.5
+  }
+
   test("zscoreScaleDims: exact moments, constant dims to 0, partition-invariant") {
     // dim0 constant -> z=0; dim1 {2,4}: mean 3, var 1 -> z = -1, +1.
     val df = Seq((1L, Seq(0f, 2f)), (2L, Seq(0f, 4f))).toDF("vec_id", "embedding")
