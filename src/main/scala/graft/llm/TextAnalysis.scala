@@ -182,9 +182,12 @@ object TextAnalysis {
     * Scale shape: lines travel as 60-bit hashes for the frequency pass
     * (8-byte shuffle keys); the line-membership frame is pinned once and
     * feeds both the df count and the rebuild; the boilerplate set is
-    * share-thresholded so it is group-count-sized and broadcasts; the
-    * rebuild is one groupBy(id) with an in-group sort of each doc's own
-    * lines (bounded by document size, never corpus-wide).
+    * share-thresholded but NOT broadcast-hinted — its size grows with
+    * group count x template width (a million domains with hundred-line
+    * templates is past broadcast range), so the anti-join keys on
+    * (group, hash) and AQE picks broadcast only when it actually fits;
+    * the rebuild is one groupBy(id) with an in-group sort of each doc's
+    * own lines (bounded by document size, never corpus-wide).
     */
   def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
                        groupCol: String, maxShare: Double): DataFrame = {
@@ -203,7 +206,7 @@ object TextAnalysis {
       .join(broadcast(nDocs), Seq(groupCol))
       .filter(col("df").cast("double") / col("n_docs") > maxShare)
       .select(col(groupCol), col("h"))
-    val kept = lines.join(broadcast(boiler), Seq(groupCol, "h"), "left_anti")
+    val kept = lines.join(boiler, Seq(groupCol, "h"), "left_anti")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept_lines"),
         concat_ws("\n",
