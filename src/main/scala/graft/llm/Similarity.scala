@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 import TextOps.hash60
@@ -441,15 +441,36 @@ object Similarity {
     * ~numTables/2^numPlanes of the data via partition pruning.
     */
   def writeLshIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                    numPlanes: Int, numTables: Int, path: String): Unit = {
+                    numPlanes: Int, numTables: Int, path: String): Unit =
+    writeLshLayout(corpus, idCol, vecCol, numPlanes, numTables, path,
+      SaveMode.Overwrite)
+
+  /** INCREMENTAL index maintenance: append a delta batch to an existing
+    * [[writeLshIndex]] layout. Bucket assignment is a pure per-row
+    * function of the vector (deterministic hyperplanes), so appended
+    * rows land in exactly the directories a full rebuild would put them
+    * in — probing the grown index equals probing a from-scratch index of
+    * the union. This is the 100 TB maintenance story: a daily ingest
+    * appends its partitions; nothing existing is rewritten, and the
+    * probe path is unchanged. (Deletes = the standard parquet story:
+    * tombstone or compact; out of scope here.)
+    */
+  def appendToLshIndex(delta: DataFrame, idCol: String, vecCol: String,
+                       numPlanes: Int, numTables: Int, path: String): Unit =
+    writeLshLayout(delta, idCol, vecCol, numPlanes, numTables, path,
+      SaveMode.Append)
+
+  private def writeLshLayout(rows: DataFrame, idCol: String, vecCol: String,
+                             numPlanes: Int, numTables: Int, path: String,
+                             mode: SaveMode): Unit = {
     import graft.functions.VectorFunctions.dot
-    corpus.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
+    rows.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
       .select(col("cand_id"), col("cv"), col("cnorm"),
         posexplode(array((0 until numTables).map(t =>
           hyperplaneBucket(col("cv"), numPlanes, t)): _*)).as(Seq("tbl", "bucket")))
       .withColumn("bucket", col("bucket").cast("int"))
-      .write.mode("overwrite").partitionBy("tbl", "bucket").parquet(path)
+      .write.mode(mode).partitionBy("tbl", "bucket").parquet(path)
   }
 
   /** Probe a [[writeLshIndex]] layout: query buckets join the index on its

@@ -62,6 +62,26 @@ object LlmQueries {
     fix
   }
 
+  /** Ensure the INCREMENTALLY-GROWN LSH index fixture exists: base index
+    * from the even vec_ids, the odd vec_ids appended afterwards
+    * ([[Similarity.appendToLshIndex]]). A completion marker (not parquet's
+    * _SUCCESS, which the BASE write already leaves) gates reuse, so a
+    * crash between build and append can't surface a half-grown index.
+    */
+  def ensureGrownLshIndex(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val fix = s"/tmp/graft_fixtures/lsh_grown_${fingerprintCached(s"$dir/embeddings.parquet")}"
+    val done = new java.io.File(s"$fix/_GRAFT_GROWN")
+    if (!done.exists()) {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeLshIndex(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", numPlanes = 4, numTables = 4, path = fix)
+      Similarity.appendToLshIndex(emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", numPlanes = 4, numTables = 4, path = fix)
+      done.createNewFile()
+    }
+    fix
+  }
+
   /** Ensure the write-time IVF index for `dir`'s embeddings exists; return
     * its path (same contract as [[ensureLshIndex]]).
     */
@@ -83,6 +103,7 @@ object LlmQueries {
     */
   def prepareIndexes(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     ensureLshIndex(s, dir)
+    ensureGrownLshIndex(s, dir)
     ensureIvfIndex(s, dir)
   }
 
@@ -233,6 +254,33 @@ object LlmQueries {
        |  list_transform(v, x -> x / sqrt(${dotSql("v", "v")})) AS u FROM v),
        |g AS (SELECT max(abs(x)) AS gmax
        |  FROM (SELECT unnest(u) AS x FROM u))""".stripMargin
+
+  /** Shared DuckDB twin of the 4-table x 4-plane LSH top-5 probe over
+    * queries `vec_id < 10` — the inline, write-time-indexed, and
+    * incrementally-grown variants must all return exactly these rows
+    * (bucket assignment is a pure per-row function), so they share one
+    * oracle.
+    */
+  private lazy val lshTopK5OracleSql: String = {
+    val bucket = (v: String, t: Int) => (0 until 4).map(p =>
+      s"(CASE WHEN ${projSql(v, t * 4 + p)} >= 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString("(", " + ", ")::BIGINT")
+    val bv = (0 until 4).map(t =>
+      s"SELECT vec_id, v, $t AS tbl, ${bucket("v", t)} AS bucket FROM v")
+      .mkString("\nUNION ALL\n")
+    s"""$vecCte,
+       |bv AS ($bv),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, q.v AS qv,
+       |  c.vec_id AS cand_id, c.v AS cv
+       |  FROM bv c JOIN bv q
+       |  ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10),
+       |ranked AS (SELECT query_id, cand_id, ${cosSql("qv", "cv")} AS cos,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ${cosSql("qv", "cv")} DESC, cand_id) AS INT) AS rank
+       |  FROM cand)
+       |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin
+  }
 
   val all: Map[String, Q] = Map(
 
@@ -858,26 +906,7 @@ object LlmQueries {
         Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, numPlanes = 4, numTables = 4)
       },
-      Some {
-        val bucket = (v: String, t: Int) => (0 until 4).map(p =>
-          s"(CASE WHEN ${projSql(v, t * 4 + p)} >= 0 THEN ${1L << p} ELSE 0 END)")
-          .mkString("(", " + ", ")::BIGINT")
-        val bv = (0 until 4).map(t =>
-          s"SELECT vec_id, v, $t AS tbl, ${bucket("v", t)} AS bucket FROM v")
-          .mkString("\nUNION ALL\n")
-        s"""$vecCte,
-           |bv AS ($bv),
-           |cand AS (SELECT DISTINCT q.vec_id AS query_id, q.v AS qv,
-           |  c.vec_id AS cand_id, c.v AS cv
-           |  FROM bv c JOIN bv q
-           |  ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
-           |  WHERE q.vec_id < 10),
-           |ranked AS (SELECT query_id, cand_id, ${cosSql("qv", "cv")} AS cos,
-           |  CAST(row_number() OVER (PARTITION BY query_id
-           |    ORDER BY ${cosSql("qv", "cv")} DESC, cand_id) AS INT) AS rank
-           |  FROM cand)
-           |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin
-      }),
+      Some(lshTopK5OracleSql)),
 
     // The write-time LSH index layout probed with partition pruning: the
     // corpus is materialized once (tbl, bucket)-partitioned, and the
@@ -896,26 +925,23 @@ object LlmQueries {
         Similarity.lshTopKFromIndex(s, fix, emb.filter(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, numPlanes = 4, numTables = 4)
       },
-      Some {
-        val bucket = (v: String, t: Int) => (0 until 4).map(p =>
-          s"(CASE WHEN ${projSql(v, t * 4 + p)} >= 0 THEN ${1L << p} ELSE 0 END)")
-          .mkString("(", " + ", ")::BIGINT")
-        val bv = (0 until 4).map(t =>
-          s"SELECT vec_id, v, $t AS tbl, ${bucket("v", t)} AS bucket FROM v")
-          .mkString("\nUNION ALL\n")
-        s"""$vecCte,
-           |bv AS ($bv),
-           |cand AS (SELECT DISTINCT q.vec_id AS query_id, q.v AS qv,
-           |  c.vec_id AS cand_id, c.v AS cv
-           |  FROM bv c JOIN bv q
-           |  ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
-           |  WHERE q.vec_id < 10),
-           |ranked AS (SELECT query_id, cand_id, ${cosSql("qv", "cv")} AS cos,
-           |  CAST(row_number() OVER (PARTITION BY query_id
-           |    ORDER BY ${cosSql("qv", "cv")} DESC, cand_id) AS INT) AS rank
-           |  FROM cand)
-           |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin
-      }),
+      Some(lshTopK5OracleSql)),
+
+    // INCREMENTAL index maintenance, end-to-end: the index is built from
+    // half the corpus and GROWN by appending the other half
+    // (Similarity.appendToLshIndex) — bucket assignment is a pure
+    // per-row function, so probing the grown layout must return exactly
+    // the rows of a from-scratch index (and of the inline path): all
+    // three share one oracle. The 100 TB story: daily ingests append
+    // partitions, nothing is rewritten, probes are unchanged.
+    "llm_sim_topk_lsh_grown" -> Q(
+      (s, dir) => {
+        val fix = ensureGrownLshIndex(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        Similarity.lshTopKFromIndex(s, fix, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, numPlanes = 4, numTables = 4)
+      },
+      Some(lshTopK5OracleSql)),
 
     // IVF approximate top-k: k-means coarse cells (seeded - deterministic
     // per environment, but not SQL-replicable), so the registered row is

@@ -310,6 +310,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("appendToLshIndex: grown index probes identically to a full rebuild") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val q = emb.filter($"vec_id" < 5)
+    val dir = java.nio.file.Files.createTempDirectory("lsh_grow").toString
+    try {
+      Similarity.writeLshIndex(emb.filter($"vec_id" % 2 === 0),
+        "vec_id", "embedding", 4, 4, s"$dir/grown")
+      Similarity.appendToLshIndex(emb.filter($"vec_id" % 2 === 1),
+        "vec_id", "embedding", 4, 4, s"$dir/grown")
+      Similarity.writeLshIndex(emb, "vec_id", "embedding", 4, 4, s"$dir/full")
+      val grown = Similarity.lshTopKFromIndex(spark, s"$dir/grown", q,
+        "vec_id", "embedding", 5, 4, 4).collect().toSet
+      val full = Similarity.lshTopKFromIndex(spark, s"$dir/full", q,
+        "vec_id", "embedding", 5, 4, 4).collect().toSet
+      assert(grown === full)
+      assert(grown === Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, 4, 4)
+        .collect().toSet)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("indexed LSH probe: identical rows to lshTopK, partition-pruned scan") {
     val emb = spark.read.parquet(sf("embeddings"))
     val q = emb.filter($"vec_id" < 5)
