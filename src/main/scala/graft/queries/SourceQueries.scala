@@ -1139,6 +1139,23 @@ object SourceQueries {
              |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // Windowed top-k batch parity: per hourly window, the 3 highest-value
+    // events via the bounded-heap aggregate under window state — O(k)
+    // state per window in streaming (the heap's merge IS the state-store
+    // merge), vs a rank window's full per-window sort. Ties to the
+    // smaller event_id.
+    "st6_windowed_topk" -> Q(
+      (s, dir) => graft.streaming.Streams.windowedTopK(
+        Tables.events(s, dir), "1 hour", "1 hour", k = 3),
+      Some("""WITH w AS (SELECT make_timestamp(
+             |  (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000)
+             |    AS window_start, event_id, value FROM events),
+             |r AS (SELECT window_start, event_id, value,
+             |  CAST(row_number() OVER (PARTITION BY window_start
+             |    ORDER BY value DESC, event_id) AS INT) AS rank FROM w)
+             |SELECT window_start, rank, value, event_id
+             |FROM r WHERE rank <= 3""".stripMargin)),
+
     // session_window batch parity: gap-based sessions per user with the
     // native session_window operator (stateful in streaming). The island
     // flag uses >= gap: session_window's window is [start, last + gap), so

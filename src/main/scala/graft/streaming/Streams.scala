@@ -69,6 +69,34 @@ object Streams {
         col("w.end").as("session_end"), col("n_events"),
         col("sv").cast("double").as("session_value"))
 
+  /** Per-window TOP-K events by value: the custom bounded-heap aggregate
+    * ([[graft.functions.TopKByScore]]) under streaming window state —
+    * trending/leaderboard semantics with O(k) state per window instead
+    * of every event. ONE stateful aggregation (streaming-safe in any
+    * mode); the heap's merge is what the state store calls between
+    * micro-batches, exercised by the MemoryStream parity spec. Ties
+    * break on the smaller event id (heap payload order), so results are
+    * deterministic and oracle-checkable. Same plan runs batch (the
+    * driver parity row) and streaming.
+    */
+  def windowedTopK(events: DataFrame, windowLen: String, watermark: String,
+                   k: Int): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(graft.functions.AggFunctions.topK(col("value"),
+        lpad(col("event_id").cast("string"), 20, "0"), k).as("tk"))
+      .select(col("w.start").as("window_start"),
+        posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("window_start"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.score").as("value"),
+        // Fail-loud decode (the topKPerQuery rule): a negative id breaks
+        // zero-padded lexical order, so never NULL it silently.
+        when(col("e.value").try_cast("long").isNull,
+          raise_error(concat(lit("windowed top-k: unparseable id: "),
+            col("e.value"))))
+          .otherwise(col("e.value").try_cast("long")).as("event_id"))
+
   /** Sliding-window rate: events per (sliding window, type); window
     * `windowLen` sliding every `slide`.
     */

@@ -14,6 +14,8 @@ case class Ev(ts: java.sql.Timestamp, event_type: String,
 case class IdEv(event_id: Long, ts: java.sql.Timestamp, event_type: String,
                 user_id: Long)
 
+case class IdEv2(event_id: Long, ts: java.sql.Timestamp, value: Double)
+
 case class KV(k: Long, name: String, v: Double, seq: Long)
 
 /** Streaming semantics: replay the same rows through MemoryStream and
@@ -47,6 +49,37 @@ class StreamsSpec extends SparkSpec {
         .orderBy("window_start", "event_type").collect()
       assert(streamed.map(_.toString) === batch.map(_.toString))
       assert(batch.length === 5) // windows 10:00 (click,view), 10:15, 10:30, 10:45
+    } finally q.stop()
+  }
+
+  test("streaming windowedTopK over MemoryStream equals batch; heap state merges") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[IdEv2]
+    def t2(m: Int) = java.sql.Timestamp.valueOf(
+      if (m < 60) f"2024-01-01 10:$m%02d:00" else f"2024-01-01 11:${m - 60}%02d:00")
+    val evs = Seq(
+      IdEv2(1L, t2(5), 5.0), IdEv2(2L, t2(10), 9.0),
+      IdEv2(3L, t2(20), 9.0), IdEv2(4L, t2(40), 1.0),
+      IdEv2(5L, t2(50), 7.0), IdEv2(6L, t2(65), 2.0))
+    val q = Streams.windowedTopK(mem.toDF(), "1 hour", "0 seconds", k = 3)
+      .writeStream.format("memory").queryName("topk_test")
+      .outputMode("complete").start()
+    try {
+      // Two micro-batches over the SAME window: the second batch's rows
+      // must merge into the first's heap state, not replace it.
+      mem.addData(evs.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("topk_test")
+        .orderBy("window_start", "rank").collect()
+      val batch = Streams.windowedTopK(evs.toDF(), "1 hour", "0 seconds", 3)
+        .orderBy("window_start", "rank").collect()
+      assert(streamed.map(_.toString) === batch.map(_.toString))
+      // 10:00 window: value ties (9.0) break on the smaller event_id.
+      val w10 = streamed.filter(_.getAs[Int]("rank") <= 3)
+        .take(3).map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+      assert(w10.toSeq === Seq((2L, 9.0), (3L, 9.0), (5L, 7.0)))
     } finally q.stop()
   }
 
