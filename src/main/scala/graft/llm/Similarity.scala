@@ -732,6 +732,38 @@ object Similarity {
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** INCREMENTAL IVF maintenance: assign a delta batch against the
+    * EXISTING centroids (read from the index — no retraining) and append
+    * its cell partitions. This is how a production IVF grows: the coarse
+    * quantizer is a versioned artifact, daily ingests are assigned and
+    * appended, and the index is retrained only when drift warrants a
+    * rebuild. Assignment is per-row deterministic given the centroids,
+    * so probes over the grown index behave exactly like probes over a
+    * corpus that had been assigned all at once.
+    */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       delta: DataFrame, idCol: String, vecCol: String,
+                       indexPath: String): Unit = {
+    import org.apache.spark.ml.linalg.Vectors
+    import graft.functions.VectorFunctions.{dot => dotc}
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .collect() // nCells rows — a tiny driver-side model artifact
+      .map(r => (r.getAs[Int]("cell"),
+        Vectors.dense(r.getAs[scala.collection.Seq[Double]]("centroid").toArray)))
+      .sortBy(_._1) // argmin ties (measure-zero) break to the lowest cell
+    val assign = udf((v: scala.collection.Seq[Double]) => {
+      val x = Vectors.dense(v.toArray)
+      centroids.minBy { case (_, c) => Vectors.sqdist(x, c) }._1
+    })
+    Dedup.ensureParallelism(
+        delta.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv")))
+      .withColumn("cnorm", sqrt(dotc(col("cv"), col("cv"))))
+      .withColumn("cell", assign(col("cv")))
+      .select("cand_id", "cv", "cnorm", "cell")
+      .write.mode(SaveMode.Append).partitionBy("cell")
+      .parquet(s"$indexPath/corpus")
+  }
+
   /** Probe a [[writeIvfIndex]] layout: cell ranking reads the tiny
     * centroid table; the corpus join is on the PARTITION column with the
     * probe side broadcast, so dynamic partition pruning reads only the

@@ -82,6 +82,26 @@ object LlmQueries {
     fix
   }
 
+  /** Ensure the INCREMENTALLY-GROWN IVF index fixture: centroids trained
+    * on the even vec_ids only, the odd vec_ids assigned against those
+    * frozen centroids and appended ([[Similarity.appendToIvfIndex]] — no
+    * retraining, the production maintenance pattern). Completion marker
+    * as in [[ensureGrownLshIndex]].
+    */
+  def ensureGrownIvfIndex(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val fix = s"/tmp/graft_fixtures/ivf_grown_v2_${fingerprintCached(s"$dir/embeddings.parquet")}"
+    val done = new java.io.File(s"$fix/_GRAFT_GROWN")
+    if (!done.exists()) {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", nCells = 10, path = fix)
+      Similarity.appendToIvfIndex(s, emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", fix)
+      done.createNewFile()
+    }
+    fix
+  }
+
   /** Ensure the write-time IVF index for `dir`'s embeddings exists; return
     * its path (same contract as [[ensureLshIndex]]).
     */
@@ -105,6 +125,7 @@ object LlmQueries {
     ensureLshIndex(s, dir)
     ensureGrownLshIndex(s, dir)
     ensureIvfIndex(s, dir)
+    ensureGrownIvfIndex(s, dir)
   }
 
   // ---- DuckDB SQL fragment generators (mirror graft.llm.TextOps) ----
@@ -997,6 +1018,30 @@ object LlmQueries {
         Similarity.annContract(
           Similarity.ivfTopKFromIndex(s, fix, q,
             "vec_id", "embedding", k = 5, nProbe = 3),
+          Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5),
+          emb, "vec_id", "embedding", k = 5, recallFloor = 0.2)
+      },
+      Some("""SELECT DISTINCT vec_id AS query_id, CAST(5 AS INT) AS k_returned,
+             |CAST(1 AS INT) AS cos_monotone_ok, CAST(1 AS INT) AS cos_exact_ok,
+             |CAST(1 AS INT) AS recall_floor_ok
+             |FROM embeddings WHERE vec_id < 10""".stripMargin)),
+
+    // INCREMENTAL IVF maintenance, end-to-end: centroids trained on half
+    // the corpus, the other half assigned against the FROZEN centroids
+    // and appended (no retraining — the production pattern; a rebuild is
+    // a drift decision, not an ingest step). The grown index carries the
+    // same contract oracle as the other IVF rows; nProbe=5 because a
+    // half-trained quantizer probing 3 of 10 cells can legitimately miss
+    // a query's whole neighborhood (measured min recall 0.0 at sf0.001),
+    // while at 5 the floor holds with margin (min 0.2-0.8 across SFs).
+    "llm_sim_topk_ivf_grown" -> Q(
+      (s, dir) => {
+        val fix = ensureGrownIvfIndex(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") < 10)
+        Similarity.annContract(
+          Similarity.ivfTopKFromIndex(s, fix, q,
+            "vec_id", "embedding", k = 5, nProbe = 5),
           Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5),
           emb, "vec_id", "embedding", k = 5, recallFloor = 0.2)
       },

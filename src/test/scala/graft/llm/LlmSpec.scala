@@ -310,6 +310,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("appendToIvfIndex assigns with the frozen centroids; clones co-locate") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_grow").toString
+    try {
+      val base = emb.filter($"vec_id" < 200)
+      Similarity.writeIvfIndex(base, "vec_id", "embedding", 10, dir)
+      // Append the SAME vectors under shifted ids: assignment is a pure
+      // function of (vector, centroids), so every clone must land in its
+      // base twin's cell.
+      Similarity.appendToIvfIndex(spark,
+        base.withColumn("vec_id", $"vec_id" + 100000L), "vec_id", "embedding", dir)
+      val cells = spark.read.parquet(s"$dir/corpus")
+        .select($"cand_id", $"cell".cast("int").as("cell"))
+      val mismatches = cells.filter($"cand_id" < 100000L).as("a")
+        .join(cells.filter($"cand_id" >= 100000L).as("b"),
+          col("a.cand_id") === col("b.cand_id") - 100000L)
+        .filter(col("a.cell") =!= col("b.cell")).count()
+      assert(mismatches === 0L)
+      // The grown index still probes: k rows per query, clones eligible.
+      val q = emb.filter($"vec_id" < 3)
+      val rows = Similarity.ivfTopKFromIndex(spark, dir, q,
+        "vec_id", "embedding", 5, 5)
+      assert(rows.groupBy("query_id").count().collect().forall(_.getLong(1) === 5L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("appendToLshIndex: grown index probes identically to a full rebuild") {
     val emb = spark.read.parquet(sf("embeddings"))
     val q = emb.filter($"vec_id" < 5)
