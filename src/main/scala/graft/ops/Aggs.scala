@@ -94,6 +94,27 @@ object Aggs {
     * aggregates directly. Timestamp/date columns should be cast by the
     * caller to a portable string form first.
     */
+  /** Percentile WINSORIZATION: clip a numeric column to its exact
+    * interpolated [pLo, pHi] percentiles — the standard outlier guard
+    * before feature scaling or loss-weighted sampling (clipping keeps
+    * the row where a filter would drop it). The two bounds come from ONE
+    * aggregate and ride a scalar subquery into the projection (the
+    * [[graft.llm.TextAnalysis.qualityGate]] shape) — data-derived
+    * constants, no join, no sort of the data.
+    */
+  def winsorize(df: DataFrame, valueCol: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got $pLo, $pHi")
+    val v = col(valueCol).cast("double")
+    val lo = org.apache.spark.sql.graft.Bridge.scalarSubquery(
+      df.agg(expr(s"percentile(CAST($valueCol AS DOUBLE), $pLo)").as("lo")))
+    val hi = org.apache.spark.sql.graft.Bridge.scalarSubquery(
+      df.agg(expr(s"percentile(CAST($valueCol AS DOUBLE), $pHi)").as("hi")))
+    df.withColumn(s"${valueCol}_wins",
+      least(greatest(v, lo), hi))
+  }
+
   /** Accuracy CONTRACT of `approx_percentile` — the same oracle shape as
     * the HLL contract row: the sketch VALUE is engine-specific, but its
     * guarantee (rank error ≤ n/accuracy) is checkable anywhere. Per

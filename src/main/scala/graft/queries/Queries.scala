@@ -264,6 +264,19 @@ object Queries {
              |CAST(1 AS INT) AS rank_err_ok
              |FROM (SELECT unnest([0.25, 0.5, 0.75]) AS p)""".stripMargin)),
 
+    // Percentile winsorization: clip order prices to the exact [p01, p99]
+    // interpolated percentiles (scalar-subquery bounds, no join); the
+    // oracle recomputes the same quantile_cont clip.
+    "winsorize_prices" -> Q(
+      (s, dir) => Aggs.winsorize(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+        "o_totalprice", pLo = 0.01, pHi = 0.99),
+      Some("""WITH b AS (SELECT quantile_cont(o_totalprice, 0.01) AS lo,
+             |  quantile_cont(o_totalprice, 0.99) AS hi FROM orders)
+             |SELECT o_orderkey, o_totalprice,
+             |  least(greatest(o_totalprice, lo), hi) AS o_totalprice_wins
+             |FROM orders CROSS JOIN b""".stripMargin)),
+
     // A2 upgrade - custom HLL sketch aggregate (TypedImperativeAggregate,
     // O(2^p) mergeable register state, map-side partial merge). Unlike
     // approx_count_distinct, every arithmetic step is engine-portable, so

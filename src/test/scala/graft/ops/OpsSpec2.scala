@@ -409,3 +409,22 @@ class WarehouseDdlSpec extends SparkSpec {
     assert(r.getDate(2).toString === "2023-12-31")
   }
 }
+
+class WinsorizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("winsorize clips to exact percentile bounds, keeps every row") {
+    import org.apache.spark.sql.functions._
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val out = graft.ops.Aggs.winsorize(df, "v", 0.05, 0.95)
+    assert(out.count() === 100)
+    // interpolated p05/p95 of 1..100 = 5.95 / 95.05
+    val w = out.select("v_wins").as[Double].collect()
+    assert(w.min === 5.95 && w.max === 95.05)
+    // interior values pass through untouched
+    assert(out.filter($"v" === 50.0).select("v_wins").head().getDouble(0) === 50.0)
+    intercept[IllegalArgumentException] {
+      graft.ops.Aggs.winsorize(df, "v", 0.9, 0.1)
+    }
+  }
+}
