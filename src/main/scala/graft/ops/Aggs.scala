@@ -94,6 +94,34 @@ object Aggs {
     * aggregates directly. Timestamp/date columns should be cast by the
     * caller to a portable string form first.
     */
+  /** Fixed-width HISTOGRAM of a numeric column: `nBins` equal-width bins
+    * over the exact [min, max] range, empty bins kept (a histogram with
+    * silent gaps misreads as continuous mass). The max lands in the last
+    * bin (half-open bins, closed top). Range bounds ride scalar
+    * subqueries; binning is one codegen'd projection + one hash
+    * aggregate; the empty-bin fill joins a broadcast nBins-row frame —
+    * nothing sorted, nothing corpus-sized moved.
+    */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    import org.apache.spark.sql.graft.Bridge.scalarSubquery
+    val v = col(valueCol).cast("double")
+    val lo = scalarSubquery(df.agg(min(v).as("lo")))
+    val hi = scalarSubquery(df.agg(max(v).as("hi")))
+    val binned = df.select(
+        // Degenerate range (all values equal) puts everything in bin 0
+        // rather than dividing by zero.
+        when(hi > lo,
+          least(greatest(floor((v - lo) / ((hi - lo) / nBins)), lit(0.0)),
+            lit((nBins - 1).toDouble)).cast("int"))
+          .otherwise(lit(0)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    val spark = df.sparkSession
+    spark.range(nBins).select(col("id").cast("int").as("bin"))
+      .join(binned, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** Percentile WINSORIZATION: clip a numeric column to its exact
     * interpolated [pLo, pHi] percentiles — the standard outlier guard
     * before feature scaling or loss-weighted sampling (clipping keeps

@@ -264,6 +264,21 @@ object Queries {
              |CAST(1 AS INT) AS rank_err_ok
              |FROM (SELECT unnest([0.25, 0.5, 0.75]) AS p)""".stripMargin)),
 
+    // Fixed-width histogram: 20 equal bins over the exact price range,
+    // empty bins kept; both engines compute identical double bin edges.
+    "histogram_prices" -> Q(
+      (s, dir) => Aggs.histogram(Tables.orders(s, dir), "o_totalprice", 20),
+      Some("""WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+             |  FROM orders),
+             |binned AS (SELECT CASE WHEN hi > lo THEN
+             |    CAST(least(greatest(floor((o_totalprice - lo)
+             |      / ((hi - lo) / 20)), 0), 19) AS INT)
+             |  ELSE 0 END AS bin FROM orders CROSS JOIN b),
+             |counts AS (SELECT bin, CAST(count(*) AS BIGINT) AS n
+             |  FROM binned GROUP BY 1)
+             |SELECT CAST(r.range AS INT) AS bin, coalesce(c.n, 0) AS n
+             |FROM range(20) r LEFT JOIN counts c ON r.range = c.bin""".stripMargin)),
+
     // Percentile winsorization: clip order prices to the exact [p01, p99]
     // interpolated percentiles (scalar-subquery bounds, no join); the
     // oracle recomputes the same quantile_cont clip.

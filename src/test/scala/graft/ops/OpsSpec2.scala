@@ -428,3 +428,22 @@ class WinsorizeSpec extends SparkSpec {
     }
   }
 }
+
+class HistogramSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("histogram: equal-width bins, empty bins kept, max in last bin") {
+    val df = Seq(0.0, 0.5, 1.0, 9.5, 10.0).toDF("v")
+    val out = graft.ops.Aggs.histogram(df, "v", 10)
+      .as[(Int, Long)].collect().sortBy(_._1)
+    assert(out.length === 10)             // empty bins present
+    assert(out.map(_._2).sum === 5L)      // every row binned
+    assert(out(0)._2 === 2L)              // 0.0, 0.5
+    assert(out(1)._2 === 1L)              // 1.0
+    assert(out(9)._2 === 2L)              // 9.5 and the max 10.0
+    // Degenerate range: everything in bin 0, no division by zero.
+    val flat = graft.ops.Aggs.histogram(Seq(7.0, 7.0).toDF("v"), "v", 4)
+      .as[(Int, Long)].collect().sortBy(_._1)
+    assert(flat.map(_._2).toSeq === Seq(2L, 0L, 0L, 0L))
+  }
+}
