@@ -347,10 +347,12 @@ object Curation {
     */
   def uniformSample(df: DataFrame, idCol: String, k: Int, salt: Int = 0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    df.withColumn("__h", TextOps.hash60Salted(col(idCol).cast("string"), salt))
-      .orderBy(col("__h"), col(idCol))
+    // The sort key is an inline expression, not a temp column: a
+    // withColumn("__h", ...) would silently destroy a caller column of
+    // that name (uniformSample passes ALL caller columns through).
+    df.orderBy(TextOps.hash60Salted(col(idCol).cast("string"), salt),
+        col(idCol))
       .limit(k)
-      .drop("__h")
   }
 
   /** Deterministic NEGATIVE SAMPLING for contrastive training: for each
@@ -383,9 +385,16 @@ object Curation {
           % nBuckets)
     cb.join(broadcast(qs), Seq("bucket"))
       .filter(col("cand_id") =!= col("query_id"))
-      // positives contract: two columns, (query id, positive id) in order.
-      .join(positives.toDF("query_id", "cand_id"),
-        Seq("query_id", "cand_id"), "left_anti")
+      // positives contract: EXACTLY two columns, (query id, positive id)
+      // in that order — the rename is positional, so arity is enforced
+      // here (a swapped frame is the caller's bug; a wider frame would
+      // silently mis-key the exclusion).
+      .join({
+        require(positives.columns.length == 2,
+          s"positives must have exactly (query_id, positive_id) columns, " +
+            s"got ${positives.columns.mkString(", ")}")
+        positives.toDF("query_id", "cand_id")
+      }, Seq("query_id", "cand_id"), "left_anti")
       .withColumn("h", TextOps.hash60(concat_ws(":",
         lit(salt), col("query_id"), col("slot"), col("cand_id"))))
       .groupBy(col("query_id"), col("slot"))

@@ -129,10 +129,11 @@ object Similarity {
     * The feature-normalization prep step before distance-based indexing
     * when dimensions have wildly different ranges.
     *
-    * Exactness: min/max are ORDER-INDEPENDENT for doubles (unlike sums,
-    * which is why this is the oracle-checkable scaling and z-score is
-    * not), and `(x - min) / (max - min)` is two exactly-rounded IEEE ops
-    * — bit-reproducible across engines and partitionings.
+    * Exactness: min/max are ORDER-INDEPENDENT for doubles (unlike plain
+    * double sums), and `(x - min) / (max - min)` is two exactly-rounded
+    * IEEE ops — bit-reproducible across engines and partitionings with
+    * no pinning machinery. ([[zscoreScaleDims]] achieves the same for
+    * sum-based moments by pinning values to decimal micro-units.)
     *
     * Scale shape: one narrow posexplode, one map-side-combined aggregate
     * whose result is DIMENSION-cardinality (e.g. 64 rows at any corpus
@@ -167,6 +168,9 @@ object Similarity {
       // Half-away-from-zero round, exact in both engines (the
       // quantizeInt8 parity); decimal(18,0) holds any sane micro-unit.
       .withColumn("xi", round(col("x") * lit(1e6)).cast("decimal(18,0)"))
+      // Pinned: the explode + quantize projection feeds the stats pass
+      // AND the output join — without the pin it runs twice.
+      .localCheckpoint(false)
     val stats = dims.groupBy(col("pos")).agg(
         count(lit(1)).as("nl"),
         sum(col("xi")).as("s1"),
@@ -573,14 +577,41 @@ object Similarity {
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(8)
       .setInitMode("random")
       .setFeaturesCol("features").fit(featTrain)
-    val cells = model.transform(Dedup.ensureParallelism(feat))
-      .select(col("cand_id"), col("cv"), col("prediction").as("cell"))
+    // Assignment goes through the ONE shared nearestCell function — not
+    // model.transform — so build-time and append-time assignment are the
+    // same arithmetic by construction (MLlib's findClosest uses a
+    // norm-cached distance form that can round a borderline vector into
+    // a different cell than a plain sqdist).
+    val cs = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+    val cells = Dedup.ensureParallelism(feat.select("cand_id", "cv"))
+      .withColumn("cell", nearestCell(cs)(col("cv")))
       .withColumn("cnorm", sqrt(dotc(col("cv"), col("cv"))))
+      .select("cand_id", "cv", "cell", "cnorm")
     // Tiny centroid frame: one row per cell, joined broadcast to queries.
-    val centroids = corpus.sparkSession.createDataFrame(
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
-        .toIndexedSeq).toDF("cell", "centroid")
+    val centroids = corpus.sparkSession.createDataFrame(cs.toIndexedSeq)
+      .toDF("cell", "centroid")
     (cells, centroids)
+  }
+
+  /** The single cell-assignment function every IVF path uses (build,
+    * append, and therefore any future re-assignment): plain squared
+    * euclidean distance, ties (measure-zero) to the lowest cell index.
+    * Write-time only — a per-row closure is fine where a probe-path
+    * expression would not be.
+    */
+  private def nearestCell(centroids: Array[(Int, Array[Double])]) = {
+    val sorted = centroids.sortBy(_._1)
+    udf((v: scala.collection.Seq[Double]) => {
+      var best = -1; var bestD = Double.PositiveInfinity
+      for ((cell, c) <- sorted) {
+        var d = 0.0
+        var i = 0
+        while (i < c.length) { val t = v(i) - c(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = cell }
+      }
+      best
+    })
   }
 
   /** Score queries against an assigned corpus: rank cells per query from
@@ -744,21 +775,16 @@ object Similarity {
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
                        delta: DataFrame, idCol: String, vecCol: String,
                        indexPath: String): Unit = {
-    import org.apache.spark.ml.linalg.Vectors
     import graft.functions.VectorFunctions.{dot => dotc}
     val centroids = spark.read.parquet(s"$indexPath/centroids")
       .collect() // nCells rows — a tiny driver-side model artifact
       .map(r => (r.getAs[Int]("cell"),
-        Vectors.dense(r.getAs[scala.collection.Seq[Double]]("centroid").toArray)))
-      .sortBy(_._1) // argmin ties (measure-zero) break to the lowest cell
-    val assign = udf((v: scala.collection.Seq[Double]) => {
-      val x = Vectors.dense(v.toArray)
-      centroids.minBy { case (_, c) => Vectors.sqdist(x, c) }._1
-    })
+        r.getAs[scala.collection.Seq[Double]]("centroid").toArray))
     Dedup.ensureParallelism(
         delta.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv")))
+      // Same nearestCell as the build path — exact assignment parity.
+      .withColumn("cell", nearestCell(centroids)(col("cv")))
       .withColumn("cnorm", sqrt(dotc(col("cv"), col("cv"))))
-      .withColumn("cell", assign(col("cv")))
       .select("cand_id", "cv", "cnorm", "cell")
       .write.mode(SaveMode.Append).partitionBy("cell")
       .parquet(s"$indexPath/corpus")

@@ -198,8 +198,12 @@ object TextAnalysis {
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
       .withColumn("h", TextOps.hash60(col("line")))
       .localCheckpoint(false) // feeds the df count AND the rebuild
-    val nDocs = df.groupBy(col(groupCol))
-      .agg(count_distinct(col(idCol)).as("n_docs"))
+    // The doc universe and per-group doc counts both come from the
+    // PINNED lines frame (split always yields >= 1 line, so no doc is
+    // lost) — re-aggregating the raw input would scan the corpus twice
+    // more for facts the pin already holds.
+    val docs = lines.select(col(idCol), col(groupCol)).distinct()
+    val nDocs = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
     // A line repeated inside ONE doc counts once toward its share.
     val boiler = lines.select(col(idCol), col(groupCol), col("h")).distinct()
       .groupBy(col(groupCol), col("h")).agg(count(lit(1)).as("df"))
@@ -213,7 +217,7 @@ object TextAnalysis {
           transform(array_sort(collect_list(struct(col("pos"), col("line")))),
             s => s.getField("line"))).as("clean_text"))
     // A doc whose every line was boilerplate still gets a row (empty text).
-    df.select(col(idCol)).join(kept, Seq(idCol), "left")
+    docs.select(col(idCol)).join(kept, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_kept_lines"), lit(0L)).as("n_kept_lines"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))

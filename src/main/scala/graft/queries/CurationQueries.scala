@@ -362,10 +362,13 @@ object CurationQueries {
               |  (SELECT DISTINCT doc_id, source, h FROM lh) GROUP BY 1, 2),
               |boiler AS (SELECT source, h FROM ldf JOIN nd USING (source)
               |  WHERE CAST(df AS DOUBLE) / n_docs > 0.5),
-              |kept AS (SELECT lh.* FROM lh ANTI JOIN boiler USING (source, h))
-              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_lines,
+              |kept AS (SELECT lh.* FROM lh ANTI JOIN boiler USING (source, h)),
+              |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_lines,
               |  string_agg(line, chr(10) ORDER BY pos) AS clean_text
-              |FROM kept GROUP BY 1""".stripMargin)),
+              |  FROM kept GROUP BY 1)
+              |SELECT d.doc_id, coalesce(a.n_kept_lines, 0) AS n_kept_lines,
+              |  coalesce(a.clean_text, '') AS clean_text
+              |FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin)),
 
     // Deterministic negative sampling (contrastive-training pairs):
     // bucket-hashed candidate selection with positive-pair exclusion and

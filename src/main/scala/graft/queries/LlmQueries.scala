@@ -89,7 +89,7 @@ object LlmQueries {
     * as in [[ensureGrownLshIndex]].
     */
   def ensureGrownIvfIndex(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val fix = s"/tmp/graft_fixtures/ivf_grown_v2_${fingerprintCached(s"$dir/embeddings.parquet")}"
+    val fix = s"/tmp/graft_fixtures/ivf_grown_v3_${fingerprintCached(s"$dir/embeddings.parquet")}"
     val done = new java.io.File(s"$fix/_GRAFT_GROWN")
     if (!done.exists()) {
       val emb = Tables.embeddings(s, dir)
@@ -106,10 +106,10 @@ object LlmQueries {
     * its path (same contract as [[ensureLshIndex]]).
     */
   def ensureIvfIndex(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    // v2: keyed past the r8 pinned-partitioning KMeans change — an index
+    // v3: keyed past the r8 unified nearestCell assignment change — an index
     // trained by the old (core-count-dependent) clustering must not be
     // probed against the new inline path.
-    val fix = s"/tmp/graft_fixtures/ivf_index_v2_${fingerprintCached(s"$dir/embeddings.parquet")}"
+    val fix = s"/tmp/graft_fixtures/ivf_index_v3_${fingerprintCached(s"$dir/embeddings.parquet")}"
     if (!new java.io.File(s"$fix/centroids/_SUCCESS").exists())
       Similarity.writeIvfIndex(Tables.embeddings(s, dir), "vec_id", "embedding",
         nCells = 10, path = fix)

@@ -1149,7 +1149,8 @@ object SourceQueries {
         Tables.events(s, dir), "1 hour", "1 hour", k = 3),
       Some("""WITH w AS (SELECT make_timestamp(
              |  (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000)
-             |    AS window_start, event_id, value FROM events),
+             |    AS window_start, event_id, value FROM events
+             |  WHERE value IS NOT NULL AND event_id IS NOT NULL),
              |r AS (SELECT window_start, event_id, value,
              |  CAST(row_number() OVER (PARTITION BY window_start
              |    ORDER BY value DESC, event_id) AS INT) AS rank FROM w)

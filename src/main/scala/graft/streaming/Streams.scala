@@ -82,6 +82,11 @@ object Streams {
   def windowedTopK(events: DataFrame, windowLen: String, watermark: String,
                    k: Int): DataFrame =
     events
+      // NULL-valued or NULL-id events are excluded from ranking BY
+      // CONTRACT (explicitly, so the oracle can mirror it — the heap
+      // aggregate would skip them silently and diverge from a SQL
+      // row_number that ranks NULLs last).
+      .filter(col("value").isNotNull && col("event_id").isNotNull)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen).as("w"))
       .agg(graft.functions.AggFunctions.topK(col("value"),
