@@ -109,6 +109,34 @@ object Similarity {
     topKPerQuery(scored, k, corpus.schema(idCol).dataType)
   }
 
+  /** HARD-NEGATIVE mining for contrastive training: per query, the k
+    * MOST similar corpus vectors that are not the query itself and not a
+    * known positive — the pairs that sharpen an embedding model's
+    * decision boundary, vs [[graft.llm.Curation.negativeSample]]'s
+    * uniform (easy) negatives. Exact by construction: the brute scoring
+    * scan with the positive pairs anti-joined out BEFORE ranking, so a
+    * positive can never crowd a negative out of the top-k. Same scale
+    * shape as [[bruteForceTopK]] (query batch broadcasts, bounded-heap
+    * ranking); `positives` must be (query id, positive id) two-column.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    positives: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    require(positives.columns.length == 2,
+      s"positives must have exactly (query_id, positive_id) columns, " +
+        s"got ${positives.columns.mkString(", ")}")
+    val c = corpus.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
+    val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .join(positives.toDF("query_id", "cand_id"),
+        Seq("query_id", "cand_id"), "left_anti")
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
+    topKPerQuery(scored, k, corpus.schema(idCol).dataType)
+  }
+
   /** Unit-normalize an embedding column: v / ||v||, with the norm from the
     * codegen'd dot fold. Normalized corpora make cosine a plain dot
     * product — the standard pre-processing step before ANN indexing (one

@@ -145,4 +145,39 @@ object Windows {
       .withColumn("ewma",
         contribs.map(_._1).reduce(_ + _) / contribs.map(_._2).reduce(_ + _))
   }
+
+  /** SESSION ASSEMBLY: collapse a per-key event log into one row per
+    * gap-delimited session, with the payloads concatenated in event
+    * order — the conversation-assembly step that turns raw interaction
+    * logs into training dialogues (turns joined chronologically, one
+    * document per session).
+    *
+    * Gaps-and-islands shape: every window shares ONE (key, ts, seq)
+    * sort (one Exchange total); the assembly groupBy sorts only each
+    * session's OWN rows (bounded by session length, never corpus-wide).
+    * Output: (key, sid, session_start, n_events, assembled).
+    */
+  def assembleSessions(df: DataFrame, key: String, ts: String, seq: String,
+                       payload: String, gapMinutes: Int,
+                       sep: String = " -> "): DataFrame = {
+    require(gapMinutes > 0, s"gapMinutes must be positive, got $gapMinutes")
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(seq))
+    val gapUs = gapMinutes * 60L * 1000000L
+    df.withColumn("prev_us",
+        unix_micros(lag(col(ts), 1).over(w).cast("timestamp")))
+      .withColumn("flag",
+        when(col("prev_us").isNull ||
+          unix_micros(col(ts).cast("timestamp")) - col("prev_us") >= gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid",
+        sum(col("flag")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(key), col("sid"))
+      .agg(
+        min(col(ts).cast("timestamp")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        concat_ws(sep,
+          transform(
+            array_sort(collect_list(struct(col(ts), col(seq), col(payload)))),
+            s => s.getField(payload))).as("assembled"))
+  }
 }

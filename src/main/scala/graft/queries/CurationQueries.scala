@@ -331,6 +331,32 @@ object CurationQueries {
               |FROM p2 WHERE pair IS NOT NULL
               |GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin)),
 
+    // Session assembly: gap-delimited sessions with payloads concatenated
+    // chronologically — the conversation-assembly step for dialogue
+    // training data. One window sort; per-session in-group assembly.
+    "events_session_assembly" -> Q(
+      (s, dir) => graft.ops.Windows.assembleSessions(
+        Tables.events(s, dir), "user_id", "ts", "event_id", "event_type",
+        gapMinutes = 30),
+      Some("""WITH f AS (SELECT user_id, ts, event_id, event_type,
+             |  CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+             |         (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |       OR epoch_us(CAST(ts AS TIMESTAMP))
+             |          - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+             |            (PARTITION BY user_id ORDER BY ts, event_id)
+             |          >= 1800000000
+             |       THEN 1 ELSE 0 END AS flag FROM events),
+             |g AS (SELECT user_id, ts, event_id, event_type,
+             |  sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM f)
+             |SELECT user_id, CAST(sid AS BIGINT) AS sid,
+             |  min(CAST(ts AS TIMESTAMP)) AS session_start,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  string_agg(event_type, ' -> ' ORDER BY ts, event_id)
+             |    AS assembled
+             |FROM g GROUP BY 1, 2""".stripMargin)),
+
     // C4-style line-level boilerplate removal. The synthetic corpus is
     // single-line, so the query builds the multi-line shape the operator
     // targets: a per-source header line (share 1.0 -> stripped), the

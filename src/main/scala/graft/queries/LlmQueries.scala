@@ -918,6 +918,29 @@ object LlmQueries {
          |  FROM scored)
          |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin)),
 
+    // Hard-negative mining: per query, the 5 MOST similar vectors that
+    // are neither self nor a known positive — anti-joined BEFORE
+    // ranking, so a positive can never crowd a real negative out of the
+    // top-k (the contrastive complement of uniform negativeSample).
+    // Positives are the (id, id+1) adjacency.
+    "llm_hard_negatives" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10),
+          emb.select(col("vec_id"), (col("vec_id") + 1).as("pos_id")),
+          "vec_id", "embedding", k = 5)
+      },
+      Some(s"""$vecCte,
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |  ${cosSql("q.v", "c.v")} AS cos
+         |  FROM v c JOIN v q ON c.vec_id <> q.vec_id
+         |    AND c.vec_id <> q.vec_id + 1
+         |  WHERE q.vec_id < 10),
+         |ranked AS (SELECT *, CAST(row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin)),
+
     // Multi-table LSH approximate top-k: 4 tables x 4 deterministic
     // hyperplanes; candidates = bucket-mates in any table, deduped, then
     // exact-cosine scored and ranked.

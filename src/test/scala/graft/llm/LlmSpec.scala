@@ -310,6 +310,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives: top similar minus positives; exclusion pre-ranking") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val q = emb.filter($"vec_id" < 3)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect()
+    // Declare each query's TOP brute neighbor as its positive: it must
+    // vanish, and the k-th slot must be BACKFILLED (exclusion happens
+    // before ranking, not by filtering the top-k afterwards).
+    val topPos = brute.groupBy(_._1).map { case (qid, cs) => (qid, cs.head._2) }.toSeq
+    val hn = Similarity.hardNegatives(emb, q, topPos.toDF("q", "p"),
+      "vec_id", "embedding", 5)
+    val rows = hn.select("query_id", "cand_id").as[(Long, Long)].collect()
+    assert(rows.groupBy(_._1).forall(_._2.length === 5)) // still k per query
+    assert(topPos.toSet.intersect(rows.toSet).isEmpty)   // positives excluded
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(emb, q,
+        emb.select("vec_id", "embedding", "label"), "vec_id", "embedding", 5)
+    }
+  }
+
   test("appendToIvfIndex assigns with the frozen centroids; clones co-locate") {
     val emb = spark.read.parquet(sf("embeddings"))
     val dir = java.nio.file.Files.createTempDirectory("ivf_grow").toString

@@ -447,3 +447,30 @@ class HistogramSpec extends SparkSpec {
     assert(flat.map(_._2).toSeq === Seq(2L, 0L, 0L, 0L))
   }
 }
+
+class SessionAssemblySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("assembleSessions splits on the gap and concatenates in event order") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1: events at 10:00/10:10/10:20 (one session), then 10:55
+    // (35 min > 30 min gap -> new session). Seq breaks the 10:10 tie.
+    val df = Seq(
+      (1L, t(10), 2L, "b"), (1L, t(0), 1L, "a"), (1L, t(10), 3L, "c"),
+      (1L, t(55), 4L, "d"), (2L, t(0), 5L, "x"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.ops.Windows.assembleSessions(
+      df, "user_id", "ts", "event_id", "event_type", gapMinutes = 30)
+      .orderBy("user_id", "sid")
+      .as[(Long, Long, java.sql.Timestamp, Long, String)].collect()
+    assert(out.length === 3)
+    assert(out(0) === ((1L, 1L, t(0), 3L, "a -> b -> c")))
+    assert(out(1) === ((1L, 2L, t(55), 1L, "d")))
+    assert(out(2) === ((2L, 1L, t(0), 1L, "x")))
+    // An event at EXACTLY the gap starts a new session (>= semantics).
+    val edge = Seq((1L, t(0), 1L, "a"), (1L, t(30), 2L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    assert(graft.ops.Windows.assembleSessions(
+      edge, "user_id", "ts", "event_id", "event_type", 30).count() === 2)
+  }
+}
