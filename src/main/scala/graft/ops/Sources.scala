@@ -162,6 +162,24 @@ object Sources {
     df.write.bucketBy(buckets, key).sortBy(key)
       .mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
 
+  /** DYNAMIC partition overwrite: replace ONLY the partitions present in
+    * `df`, leaving every other partition directory untouched — the
+    * idempotent incremental-batch pattern (a daily job rewrites its day,
+    * a backfill rewrites its range; re-running either is a no-op-shaped
+    * overwrite, never a full-table truncate). Plain
+    * `mode(Overwrite).partitionBy` would DELETE the whole table first —
+    * at 100 TB that turns a one-partition update into a full rewrite and
+    * a crash window where the table is empty. The mode is set per-write
+    * via the DataFrameWriter option, not session-wide.
+    */
+  def overwriteDynamicPartitions(df: DataFrame, path: String,
+                                 partitionCol: String): Unit =
+    df.write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+
   /** Compact a fragmented parquet directory: size the output file count
     * from the ACTUAL input bytes (ceil(bytes / targetBytes)), rewrite
     * through one round-robin repartition, and return the compacted frame.

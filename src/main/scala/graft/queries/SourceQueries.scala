@@ -1382,6 +1382,36 @@ object SourceQueries {
              |    AS total_price
              |FROM part GROUP BY 1""".stripMargin)),
 
+    // S17 - DYNAMIC partition overwrite: write the full table partitioned
+    // by segment, then rewrite ONE segment's rows with updated values.
+    // Only that partition directory is replaced (a plain overwrite would
+    // truncate the table — the full-rewrite trap a daily incremental job
+    // must avoid); the read-back must show the updated segment alongside
+    // the untouched ones.
+    "s17_dynamic_overwrite" -> Q(
+      (s, dir) => {
+        val fix = fixDir(dir, "s17")
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        Sources.overwriteDynamicPartitions(cust, fix, "c_mktsegment")
+        // The incremental batch: BUILDING rows rewritten with doubled
+        // balances; every other partition must survive untouched.
+        Sources.overwriteDynamicPartitions(
+          cust.filter(col("c_mktsegment") === "BUILDING")
+            .withColumn("c_acctbal", col("c_acctbal") * 2),
+          fix, "c_mktsegment")
+        s.read.parquet(fix)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+              .as("total_bal"))
+      },
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+             |CAST(sum(CAST(CASE WHEN c_mktsegment = 'BUILDING'
+             |  THEN c_acctbal * 2 ELSE c_acctbal END AS DECIMAL(18,2)))
+             |  AS DOUBLE) AS total_bal
+             |FROM customer GROUP BY 1""".stripMargin)),
+
     // Schema-evolution read: two parquet generations (v2 adds a column),
     // mergeSchema unions the footers; v1 rows surface the new column as
     // NULL. Aggregates count coverage per generation.

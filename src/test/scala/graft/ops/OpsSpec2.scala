@@ -474,3 +474,28 @@ class SessionAssemblySpec extends SparkSpec {
       edge, "user_id", "ts", "event_id", "event_type", 30).count() === 2)
   }
 }
+
+class DynamicOverwriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("overwriteDynamicPartitions replaces only the written partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("dynover").toString
+    try {
+      val full = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+        .toDF("id", "seg", "bal")
+      Sources.overwriteDynamicPartitions(full, dir, "seg")
+      def files(seg: String) = new java.io.File(s"$dir/seg=$seg").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+      val aBefore = files("a")
+      // Rewrite ONLY seg=b; seg=a's physical files must be untouched.
+      Sources.overwriteDynamicPartitions(
+        Seq((3L, "b", 99.0)).toDF("id", "seg", "bal"), dir, "seg")
+      assert(files("a") === aBefore)
+      val back = spark.read.parquet(dir).as[(Long, Double, String)]
+        .collect().map(r => (r._1, r._2)).toMap
+      assert(back === Map(1L -> 10.0, 2L -> 20.0, 3L -> 99.0))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+}
