@@ -96,17 +96,27 @@ object Similarity {
     * making the result fully deterministic.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
-                     idCol: String, vecCol: String, k: Int): DataFrame = {
+                     idCol: String, vecCol: String, k: Int): DataFrame =
+    topKPerQuery(scoredPairs(corpus, queries, idCol, vecCol), k,
+      corpus.schema(idCol).dataType)
+
+  /** The ONE brute scoring pipeline ([[bruteForceTopK]] and
+    * [[hardNegatives]] both rank over it): every (query, candidate)
+    * non-self pair scored with the pinned cosine fold. The fold shape is
+    * oracle-parity-bearing — a tweak here changes every consumer's
+    * hashes together, never one silently. Norms are computed ONCE per
+    * vector (n rows), not per scored pair (n·q rows) — same doubles, 3x
+    * less fold work in the join.
+    */
+  private def scoredPairs(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String): DataFrame = {
     import graft.functions.VectorFunctions.dot
-    // Norms are computed ONCE per vector (n rows), not per scored pair
-    // (n·q rows) — same doubles, 3x less fold work in the join.
     val c = corpus.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
-    val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+    c.join(broadcast(q), col("cand_id") =!= col("query_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
-    topKPerQuery(scored, k, corpus.schema(idCol).dataType)
   }
 
   /** HARD-NEGATIVE mining for contrastive training: per query, the k
@@ -122,19 +132,14 @@ object Similarity {
   def hardNegatives(corpus: DataFrame, queries: DataFrame,
                     positives: DataFrame, idCol: String, vecCol: String,
                     k: Int): DataFrame = {
-    import graft.functions.VectorFunctions.dot
     require(positives.columns.length == 2,
       s"positives must have exactly (query_id, positive_id) columns, " +
         s"got ${positives.columns.mkString(", ")}")
-    val c = corpus.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
-    val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
-      .join(positives.toDF("query_id", "cand_id"),
-        Seq("query_id", "cand_id"), "left_anti")
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
-    topKPerQuery(scored, k, corpus.schema(idCol).dataType)
+    topKPerQuery(
+      scoredPairs(corpus, queries, idCol, vecCol)
+        .join(positives.toDF("query_id", "cand_id"),
+          Seq("query_id", "cand_id"), "left_anti"),
+      k, corpus.schema(idCol).dataType)
   }
 
   /** Unit-normalize an embedding column: v / ||v||, with the norm from the

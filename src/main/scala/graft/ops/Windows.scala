@@ -146,6 +146,31 @@ object Windows {
         contribs.map(_._1).reduce(_ + _) / contribs.map(_._2).reduce(_ + _))
   }
 
+  /** Gap-delimited session ids — the ONE gaps-and-islands derivation
+    * every session consumer shares (the `>=` boundary is contract: an
+    * event at EXACTLY last + gap starts a new session, matching
+    * session_window's [start, last + gap) interval). Appends `__sid`
+    * (1-based per key) to the input; both windows ride one (key, ts,
+    * seq) sort. The input is projected to the four named columns, so a
+    * caller column can only collide if itself named `__`-something.
+    */
+  def sessionIds(df: DataFrame, key: String, ts: String, seq: String,
+                 extra: Seq[String], gapMinutes: Int): DataFrame = {
+    require(gapMinutes > 0, s"gapMinutes must be positive, got $gapMinutes")
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(seq))
+    val gapUs = gapMinutes * 60L * 1000000L
+    df.select((Seq(key, ts, seq) ++ extra).distinct.map(col): _*)
+      .withColumn("__prev_us",
+        unix_micros(lag(col(ts), 1).over(w).cast("timestamp")))
+      .withColumn("__flag",
+        when(col("__prev_us").isNull ||
+          unix_micros(col(ts).cast("timestamp")) - col("__prev_us") >= gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("__sid",
+        sum(col("__flag")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__prev_us", "__flag")
+  }
+
   /** SESSION ASSEMBLY: collapse a per-key event log into one row per
     * gap-delimited session, with the payloads concatenated in event
     * order — the conversation-assembly step that turns raw interaction
@@ -155,23 +180,15 @@ object Windows {
     * Gaps-and-islands shape: every window shares ONE (key, ts, seq)
     * sort (one Exchange total); the assembly groupBy sorts only each
     * session's OWN rows (bounded by session length, never corpus-wide).
-    * Output: (key, sid, session_start, n_events, assembled).
+    * Output: (key, sid, session_start, n_events, assembled). NULL
+    * payloads are skipped by the concat (both engines' agg semantics);
+    * an all-NULL session assembles to the empty string.
     */
   def assembleSessions(df: DataFrame, key: String, ts: String, seq: String,
                        payload: String, gapMinutes: Int,
-                       sep: String = " -> "): DataFrame = {
-    require(gapMinutes > 0, s"gapMinutes must be positive, got $gapMinutes")
-    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(seq))
-    val gapUs = gapMinutes * 60L * 1000000L
-    df.withColumn("prev_us",
-        unix_micros(lag(col(ts), 1).over(w).cast("timestamp")))
-      .withColumn("flag",
-        when(col("prev_us").isNull ||
-          unix_micros(col(ts).cast("timestamp")) - col("prev_us") >= gapUs, 1L)
-          .otherwise(0L))
-      .withColumn("sid",
-        sum(col("flag")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col(key), col("sid"))
+                       sep: String = " -> "): DataFrame =
+    sessionIds(df, key, ts, seq, Seq(payload), gapMinutes)
+      .groupBy(col(key), col("__sid").as("sid"))
       .agg(
         min(col(ts).cast("timestamp")).as("session_start"),
         count(lit(1)).as("n_events"),
@@ -179,5 +196,4 @@ object Windows {
           transform(
             array_sort(collect_list(struct(col(ts), col(seq), col(payload)))),
             s => s.getField(payload))).as("assembled"))
-  }
 }

@@ -353,8 +353,8 @@ object CurationQueries {
              |SELECT user_id, CAST(sid AS BIGINT) AS sid,
              |  min(CAST(ts AS TIMESTAMP)) AS session_start,
              |  CAST(count(*) AS BIGINT) AS n_events,
-             |  string_agg(event_type, ' -> ' ORDER BY ts, event_id)
-             |    AS assembled
+             |  coalesce(string_agg(event_type, ' -> ' ORDER BY ts, event_id),
+             |    '') AS assembled
              |FROM g GROUP BY 1, 2""".stripMargin)),
 
     // C4-style line-level boilerplate removal. The synthetic corpus is

@@ -559,21 +559,15 @@ object SourceQueries {
     // Sessionization (batch twin of the streaming session-window op):
     // 30-minute inactivity gap, per-user session counts via lag + running sum.
     "events_sessionize" -> Q(
-      (s, dir) => {
-        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        val gapUs = 30L * 60 * 1000000
-        val withFlag = Tables.events(s, dir)
-          .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(w).cast("timestamp")))
-          .withColumn("flag",
-            when(col("prev_us").isNull ||
-              unix_micros(col("ts").cast("timestamp")) - col("prev_us") >= gapUs, 1L)
-              .otherwise(0L))
-        withFlag
-          .withColumn("sid", sum(col("flag")).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)))
-          .groupBy(col("user_id"))
-          .agg(count(lit(1)).as("n_events"), max(col("sid")).as("n_sessions"))
-      },
+      // Session ids come from the ONE shared gaps-and-islands derivation
+      // (Windows.sessionIds — also under assembleSessions), so the `>=`
+      // boundary contract can't silently fork between consumers.
+      (s, dir) => graft.ops.Windows.sessionIds(
+          Tables.events(s, dir), "user_id", "ts", "event_id",
+          extra = Seq.empty, gapMinutes = 30)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("__sid")).as("n_sessions")),
       Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
              |CAST(max(sid) AS BIGINT) AS n_sessions FROM (
              |  SELECT user_id, sum(flag) OVER
