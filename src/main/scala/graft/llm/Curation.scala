@@ -45,6 +45,25 @@ object Curation {
     df.withColumn("split", labelExpr)
   }
 
+  /** LEAKAGE-SAFE train/val/test split: every near-dup CLUSTER is
+    * assigned as a unit — the split key is the cluster id for members
+    * and the document's own id for singletons — so two near-duplicate
+    * documents can never straddle train and test (the eval-inflation
+    * pitfall a per-document [[hashSplit]] has on un-deduped corpora).
+    * `clusters` is [[Dedup.dedupClusters]] output (doc_id, cluster_id);
+    * docs absent from it are singletons. Output adds (split_key, split).
+    *
+    * Scale shape: one left join keyed on the id (the cluster frame is
+    * member-count-sized), then the zero-shuffle hash-bucket labeling.
+    */
+  def clusterSplit(docs: DataFrame, clusters: DataFrame, idCol: String,
+                   splits: Seq[(String, Int)]): DataFrame =
+    hashSplit(
+      docs.join(clusters.toDF(idCol, "cluster_id"), Seq(idCol), "left")
+        .withColumn("split_key", coalesce(col("cluster_id"), col(idCol)))
+        .drop("cluster_id"),
+      "split_key", splits)
+
   /** Per-key quota sample: keep at most `quota` rows per key, chosen by
     * the deterministic hash order (NOT first-seen order, which depends on
     * partitioning). One shuffle on the key; the per-key sort is bounded by

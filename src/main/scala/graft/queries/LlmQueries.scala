@@ -367,6 +367,29 @@ object LlmQueries {
       Some(s"""$clustersCteSql
            |SELECT doc_id, cluster_id FROM cl""".stripMargin)),
 
+    // Leakage-safe split: near-dup clusters assigned to train/val/test
+    // as UNITS (split key = cluster id; singletons by own id), so two
+    // near-duplicates can never straddle train and test — the
+    // eval-inflation pitfall of per-doc splitting on un-deduped corpora.
+    "llm_cluster_split" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Curation.clusterSplit(docs.select(col("doc_id")),
+          Dedup.dedupClusters(Dedup.minhashLshPairs(docs,
+            "doc_id", "text", shingleK = 3, bands = 8, rowsPerBand = 2,
+            threshold = 0.5)),
+          "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      },
+      Some(s"""$clustersCteSql,
+           |keyed AS (SELECT d.doc_id,
+           |  coalesce(cl.cluster_id, d.doc_id) AS split_key
+           |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+           |SELECT doc_id, split_key,
+           |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM (SELECT doc_id, split_key,
+           |  ${h60("CAST(split_key AS VARCHAR)")} % 100 AS b FROM keyed)""".stripMargin)),
+
     // Cluster-canonical selection: the KEEP decision of near-dup dedup —
     // per cluster, the best-quality member (ties -> smallest doc_id) via
     // the bounded-heap k=1 aggregate (no per-cluster sort; a mega-cluster

@@ -101,6 +101,29 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject") && !plan.contains("Window"))
   }
 
+  test("clusterSplit assigns whole clusters to one split; singletons by own id") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(100).toDF("doc_id")
+    // Two clusters: {1,2,3} labeled 1 and {10,11} labeled 10.
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val out = Curation.clusterSplit(docs, clusters, "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select("doc_id", "split_key", "split")
+      .as[(Long, Long, String)].collect()
+    assert(out.length === 100)
+    val byId = out.map(r => r._1 -> r).toMap
+    // Cluster members share the key AND the split — no straddling.
+    assert(Seq(1L, 2L, 3L).map(byId(_)._3).distinct.size === 1)
+    assert(Seq(10L, 11L).map(byId(_)._3).distinct.size === 1)
+    assert(byId(2L)._2 === 1L && byId(11L)._2 === 10L)
+    // A singleton splits by its own id — same label hashSplit gives it.
+    val plain = Curation.hashSplit(docs.filter($"doc_id" === 50L), "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select("split").as[String].head()
+    assert(byId(50L)._3 === plain)
+  }
+
   test("negativeSample: never self or a positive, deterministic, up-to-k") {
     import org.apache.spark.sql.functions._
     val corpus = spark.range(200).toDF("id")
