@@ -35,7 +35,12 @@ object Dedup {
     * through — CALLER CONTRACT: pass a file-backed scan or an
     * already-spread frame; a deliberately narrow in-memory frame (a
     * `coalesce(1)` output, a 1-partition JDBC read) is not re-spread
-    * here, unlike the old physical-plan check.
+    * here, unlike the old physical-plan check. The same applies to a
+    * `coalesce(N)`/`repartition(1)` applied ON TOP of a many-file scan:
+    * `inputFiles` still reports the leaf file count, so the narrowing
+    * passes through undetected and the tokenize/hash pass runs at the
+    * caller's chosen width — callers narrowing a scan on purpose own
+    * that width; don't coalesce before a dedup entry point otherwise.
     */
   private[llm] def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism

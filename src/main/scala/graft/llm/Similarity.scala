@@ -194,13 +194,24 @@ object Similarity {
     * across engines). One pinned double expression then derives
     * mean/variance from the exact sums; constant dimensions scale to 0.
     * The per-dim stats frame broadcasts — nothing corpus-sized moves.
+    *
+    * VALUE-RANGE CONTRACT: |x| < 1e12 per component (decimal(18,0) holds
+    * the 1e6-scaled pin; its SQUARE must also stay inside decimal(37,0)
+    * for the exact s2 sum). Embedding components are O(1), so the bound
+    * is ~12 orders of headroom — but a silent non-ANSI overflow-to-NULL
+    * would null the sums with no error, so out-of-range values fail
+    * loudly instead.
     */
   def zscoreScaleDims(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val dims = df.select(col(idCol),
         posexplode(asDouble(col(vecCol))).as(Seq("pos", "x")))
       // Half-away-from-zero round, exact in both engines (the
       // quantizeInt8 parity); decimal(18,0) holds any sane micro-unit.
-      .withColumn("xi", round(col("x") * lit(1e6)).cast("decimal(18,0)"))
+      .withColumn("xi",
+        when(abs(col("x")) >= lit(1e12), raise_error(concat(
+          lit("zscoreScaleDims: |component| >= 1e12 overflows the exact "
+            + "micro-unit pin, got "), col("x").cast("string"))))
+        .otherwise(round(col("x") * lit(1e6)).cast("decimal(18,0)")))
       // Pinned: the explode + quantize projection feeds the stats pass
       // AND the output join — without the pin it runs twice.
       .localCheckpoint(false)

@@ -101,14 +101,20 @@ object Aggs {
     * subqueries; binning is one codegen'd projection + one hash
     * aggregate; the empty-bin fill joins a broadcast nBins-row frame —
     * nothing sorted, nothing corpus-sized moved.
+    *
+    * The histogram is over NON-NULL values only: NULL has no position on
+    * the axis, so NULL rows are excluded up front (a NULL `floor` result
+    * would otherwise fall through `greatest`'s null-skipping into bin 0
+    * and silently inflate it).
     */
   def histogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
     require(nBins > 0, s"nBins must be positive, got $nBins")
     import org.apache.spark.sql.graft.Bridge.scalarSubquery
     val v = col(valueCol).cast("double")
-    val lo = scalarSubquery(df.agg(min(v).as("lo")))
-    val hi = scalarSubquery(df.agg(max(v).as("hi")))
-    val binned = df.select(
+    val nonNull = df.where(v.isNotNull)
+    val lo = scalarSubquery(nonNull.agg(min(v).as("lo")))
+    val hi = scalarSubquery(nonNull.agg(max(v).as("hi")))
+    val binned = nonNull.select(
         // Degenerate range (all values equal) puts everything in bin 0
         // rather than dividing by zero.
         when(hi > lo,
@@ -129,18 +135,26 @@ object Aggs {
     * aggregate and ride a scalar subquery into the projection (the
     * [[graft.llm.TextAnalysis.qualityGate]] shape) — data-derived
     * constants, no join, no sort of the data.
+    *
+    * NULL values stay NULL: `least`/`greatest` skip NULL operands, so an
+    * unguarded clip would silently replace NULL with the low bound. The
+    * `isNotNull` guard keeps clipping a value-preserving transform on
+    * nullable columns.
     */
   def winsorize(df: DataFrame, valueCol: String,
                 pLo: Double, pHi: Double): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi,
       s"need 0 <= pLo < pHi <= 1, got $pLo, $pHi")
     val v = col(valueCol).cast("double")
+    // Backtick-quote the identifier (doubling embedded backticks) so the
+    // SQL-string percentile matches the column-API style everywhere else.
+    val q = "`" + valueCol.replace("`", "``") + "`"
     val lo = org.apache.spark.sql.graft.Bridge.scalarSubquery(
-      df.agg(expr(s"percentile(CAST($valueCol AS DOUBLE), $pLo)").as("lo")))
+      df.agg(expr(s"percentile(CAST($q AS DOUBLE), $pLo)").as("lo")))
     val hi = org.apache.spark.sql.graft.Bridge.scalarSubquery(
-      df.agg(expr(s"percentile(CAST($valueCol AS DOUBLE), $pHi)").as("hi")))
+      df.agg(expr(s"percentile(CAST($q AS DOUBLE), $pHi)").as("hi")))
     df.withColumn(s"${valueCol}_wins",
-      least(greatest(v, lo), hi))
+      when(v.isNotNull, least(greatest(v, lo), hi)))
   }
 
   /** Accuracy CONTRACT of `approx_percentile` — the same oracle shape as

@@ -269,11 +269,12 @@ object Queries {
     "histogram_prices" -> Q(
       (s, dir) => Aggs.histogram(Tables.orders(s, dir), "o_totalprice", 20),
       Some("""WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
-             |  FROM orders),
+             |  FROM orders WHERE o_totalprice IS NOT NULL),
              |binned AS (SELECT CASE WHEN hi > lo THEN
              |    CAST(least(greatest(floor((o_totalprice - lo)
              |      / ((hi - lo) / 20)), 0), 19) AS INT)
-             |  ELSE 0 END AS bin FROM orders CROSS JOIN b),
+             |  ELSE 0 END AS bin FROM orders CROSS JOIN b
+             |  WHERE o_totalprice IS NOT NULL),
              |counts AS (SELECT bin, CAST(count(*) AS BIGINT) AS n
              |  FROM binned GROUP BY 1)
              |SELECT CAST(r.range AS INT) AS bin, coalesce(c.n, 0) AS n
@@ -289,7 +290,9 @@ object Queries {
       Some("""WITH b AS (SELECT quantile_cont(o_totalprice, 0.01) AS lo,
              |  quantile_cont(o_totalprice, 0.99) AS hi FROM orders)
              |SELECT o_orderkey, o_totalprice,
-             |  least(greatest(o_totalprice, lo), hi) AS o_totalprice_wins
+             |  CASE WHEN o_totalprice IS NOT NULL
+             |    THEN least(greatest(o_totalprice, lo), hi) END
+             |  AS o_totalprice_wins
              |FROM orders CROSS JOIN b""".stripMargin)),
 
     // A2 upgrade - custom HLL sketch aggregate (TypedImperativeAggregate,

@@ -427,6 +427,25 @@ class WinsorizeSpec extends SparkSpec {
       graft.ops.Aggs.winsorize(df, "v", 0.9, 0.1)
     }
   }
+
+  test("winsorize propagates NULL instead of clipping it to the low bound") {
+    import org.apache.spark.sql.functions._
+    val df = (1 to 100).map(i => Some(i.toDouble)).toDF("v")
+      .union(Seq(Option.empty[Double]).toDF("v"))
+    val out = graft.ops.Aggs.winsorize(df, "v", 0.05, 0.95)
+    assert(out.count() === 101)            // NULL row kept...
+    assert(out.filter($"v".isNull).select("v_wins").head().isNullAt(0))
+    // ...and the non-null bounds are unchanged by its presence
+    val w = out.filter($"v".isNotNull).select("v_wins").as[Double].collect()
+    assert(w.min === 5.95 && w.max === 95.05)
+  }
+
+  test("winsorize handles identifiers needing quoting") {
+    val df = (1 to 10).map(_.toDouble).toDF("weird col")
+    val out = graft.ops.Aggs.winsorize(df, "weird col", 0.1, 0.9)
+    assert(out.columns.toSeq === Seq("weird col", "weird col_wins"))
+    assert(out.count() === 10)
+  }
 }
 
 class HistogramSpec extends SparkSpec {
@@ -445,6 +464,13 @@ class HistogramSpec extends SparkSpec {
     val flat = graft.ops.Aggs.histogram(Seq(7.0, 7.0).toDF("v"), "v", 4)
       .as[(Int, Long)].collect().sortBy(_._1)
     assert(flat.map(_._2).toSeq === Seq(2L, 0L, 0L, 0L))
+  }
+
+  test("histogram excludes NULL rows rather than counting them into bin 0") {
+    val df = Seq(Some(0.0), None, Some(10.0), None).toDF("v")
+    val out = graft.ops.Aggs.histogram(df, "v", 2)
+      .as[(Int, Long)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq === Seq(1L, 1L)) // only the two non-null rows
   }
 }
 
