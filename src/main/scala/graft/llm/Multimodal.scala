@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   * IMAGE decode is REAL: `javax.imageio` ships with every stock JVM and
   * reads PNG/JPEG/GIF/BMP, so [[decodeImage]] reports true decoded
   * width/height/channels and fails loud on an undecodable payload.
-  * Audio resample and video frame extraction have no JVM-builtin codec
-  * and none is installable in this environment, so those kernels remain
-  * clearly-marked DETERMINISTIC STUBS (pure arithmetic over the payload
-  * bytes). The execution shape around both — the schema, the batched
+  * AUDIO decode is REAL too: `javax.sound.sampled.AudioSystem` (also
+  * stock-JVM) parses WAV/AIFF/AU containers, so [[decodeAudio]] reports
+  * the true sample rate / channel count / frame length from the payload
+  * and fails loud on an undecodable one. Only VIDEO frame extraction has
+  * no JVM-builtin codec (and none is installable in this environment),
+  * so that kernel remains a clearly-marked DETERMINISTIC STUB (pure
+  * arithmetic over the payload bytes). The execution shape around all
+  * three — the schema, the batched
   * `mapPartitions` kernel (the Scala analog of `mapInPandas`:
   * iterator-of-batches in, iterator-of-batches out, no per-record codec
   * setup), the partitioning — is identical, so swapping a stub for a
@@ -42,12 +46,13 @@ object Multimodal {
                                  channels: Int, n_frames: Int,
                                  byte_checksum: Long)
 
-  /** ======== DETERMINISTIC STUB (audio/video only) ========
-    * Stand-in for the audio/video decode (no JVM-builtin codec; none
+  /** ======== DETERMINISTIC STUB (video only) ========
+    * Stand-in for the video decode (no JVM-builtin video codec; none
     * installable in this environment — images take the REAL
-    * [[decodeImage]] path instead). Pure function of payload length +
-    * bytes so results are reproducible and oracle-checkable. A real
-    * deployment swaps only this function.
+    * [[decodeImage]] path and audio the REAL [[decodeAudio]] path
+    * instead). Pure function of payload length + bytes so results are
+    * reproducible and oracle-checkable. A real deployment swaps only
+    * this function.
     */
   def decodeStub(r: MediaRecord): MediaFeatures = {
     val n = r.payload.length.toLong
@@ -89,14 +94,71 @@ object Multimodal {
       byte_checksum = sum % 1000000007L)
   }
 
+  /** Decoded audio properties — the audio twin of [[MediaFeatures]],
+    * with its own schema because the axes differ (a sample rate is not a
+    * pixel width; forcing one struct would smuggle meanings through
+    * mis-named fields). `duration_ms` is integer floor math
+    * (frames * 1000 / rate) so it is exactly reproducible anywhere.
+    */
+  final case class AudioFeatures(media_id: Long, n_bytes: Long,
+                                 sample_rate: Int, channels: Int,
+                                 bits_per_sample: Int, n_frames: Long,
+                                 duration_ms: Long, byte_checksum: Long)
+
+  /** REAL audio decode via `javax.sound.sampled.AudioSystem` (WAV/AIFF/AU
+    * on any stock JVM): true container-parsed sample rate, channel count,
+    * sample width, and frame length. An undecodable payload raises — same
+    * fail-loud contract as [[decodeImage]].
+    */
+  def decodeAudio(r: MediaRecord): AudioFeatures = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"undecodable audio payload for media_id=${r.media_id}", e)
+      }
+    try {
+      val fmt = ais.getFormat
+      var sum = 0L
+      var i = 0
+      while (i < r.payload.length) { sum += (r.payload(i) & 0xFF).toLong; i += 1 }
+      AudioFeatures(
+        media_id = r.media_id,
+        n_bytes = r.payload.length.toLong,
+        sample_rate = fmt.getSampleRate.toInt,
+        channels = fmt.getChannels,
+        bits_per_sample = fmt.getSampleSizeInBits,
+        n_frames = ais.getFrameLength,
+        duration_ms = ais.getFrameLength * 1000L / fmt.getSampleRate.toInt,
+        byte_checksum = sum % 1000000007L)
+    } finally ais.close()
+  }
+
   /** The batch-decode kernel: receives a whole record batch, returns its
-    * features. Images go through the REAL [[decodeImage]]; audio/video
-    * fall to the documented [[decodeStub]] (no JVM-builtin codec exists
-    * for them). A real codec decodes the batch in one native call — that
-    * is the point of the batch shape.
+    * features. Images go through the REAL [[decodeImage]], audio through
+    * the REAL [[decodeAudio]] (its properties folded into the shared
+    * struct: width = sample rate, height = bits per sample, n_frames =
+    * audio frame count — documented, lossless); video falls to the
+    * documented [[decodeStub]] (no JVM-builtin video codec exists). A
+    * real codec decodes the batch in one native call — that is the point
+    * of the batch shape. Audio callers wanting the typed schema use
+    * [[extractAudioFeatures]].
     */
   def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
-    batch.map(r => if (r.modality == "image") decodeImage(r) else decodeStub(r))
+    batch.map { r =>
+      r.modality match {
+        case "image" => decodeImage(r)
+        case "audio" =>
+          val a = decodeAudio(r)
+          MediaFeatures(a.media_id, r.modality, a.n_bytes,
+            width = a.sample_rate, height = a.bits_per_sample,
+            channels = a.channels, n_frames = a.n_frames.toInt,
+            byte_checksum = a.byte_checksum)
+        case _ => decodeStub(r)
+      }
+    }
 
   /** Batched feature extraction — the `mapInPandas` execution shape in
     * Scala: iterator-of-batches in, iterator-of-batches out. Each
@@ -108,6 +170,19 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap(batch => decodeBatch(batch))
+    }
+  }
+
+  /** Batched audio feature extraction with the typed [[AudioFeatures]]
+    * schema — same iterator-of-batches `mapPartitions` shape as
+    * [[extractFeatures]]. Every record must be decodable audio (the
+    * fail-loud [[decodeAudio]] contract).
+    */
+  def extractAudioFeatures(ds: Dataset[MediaRecord],
+                           batchSize: Int = 64): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(batch => batch.map(decodeAudio))
     }
   }
 
@@ -133,6 +208,59 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Deterministic real PCM WAV fixture: 16-bit signed little-endian,
+    * `nFrames` frames of `channels` channels at `sampleRate` Hz, sample
+    * (frame, ch) a pure function of (id, frame, ch), encoded by the
+    * JVM's WAV writer. As with [[syntheticPng]], the BYTES are
+    * encoder-dependent (never asserted); the container-parsed PROPERTIES
+    * are exact — a round-trip through [[decodeAudio]] certifies an
+    * actual decoder because the rate/channels/frames live only in the
+    * RIFF header the decoder parses.
+    */
+  def syntheticWav(id: Long, sampleRate: Int, channels: Int,
+                   nFrames: Int): Array[Byte] = {
+    val data = new Array[Byte](nFrames * channels * 2)
+    var f = 0
+    while (f < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val s = ((id * 31 + f * 7 + c * 13) % 65536 - 32768).toShort
+        val off = (f * channels + c) * 2
+        data(off) = (s & 0xFF).toByte            // little-endian
+        data(off + 1) = ((s >> 8) & 0xFF).toByte
+        c += 1
+      }
+      f += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Audio fixture generator over a plain id frame: every id becomes a
+    * real PCM WAV whose sample rate / channel count / frame count are
+    * arithmetic in the id — so a real container parse, and only a real
+    * parse, reproduces them (payload byte length alone under-determines
+    * the triple). Batched `mapPartitions`, no driver involvement.
+    */
+  def syntheticAudio(df: DataFrame, idCol: String)
+                    (implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRecord(id, "audio",
+          syntheticWav(id,
+            sampleRate = (8000 * (1 + id % 3)).toInt,
+            channels = (1 + id % 2).toInt,
+            nFrames = (200 + id % 300).toInt))
+      })
   }
 
   /** Media fixture generator over a plain id/text frame, exercising BOTH

@@ -1357,5 +1357,30 @@ object LlmQueries {
          |CAST(3 AS INT) AS channels,
          |CAST(CASE WHEN doc_id % 2 = 0 THEN 1
          |  ELSE 1 + octet_length(encode(text)) % 30 END AS INT) AS n_frames
+         |FROM documents""".stripMargin)),
+
+    // Audio: REAL WAV decode, separately visible from the image row (a
+    // stub regression in one modality must not hide behind the other's
+    // pass). Every doc_id becomes a real PCM WAV whose sample rate /
+    // channels / frame count are arithmetic in the id and live ONLY in
+    // the RIFF header — so the oracle passes iff a genuine container
+    // parse (javax.sound.sampled) recovers them. Encoder-dependent
+    // columns (n_bytes, byte_checksum) are dropped, exactly as encoded
+    // PNG size is for images; duration_ms is integer floor math, exact
+    // in both engines.
+    "llm_audio_features" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        val media = Multimodal.syntheticAudio(Tables.documents(s, dir), "doc_id")
+        Multimodal.extractAudioFeatures(media)
+          .toDF().drop("byte_checksum").drop("n_bytes")
+      },
+      Some("""SELECT doc_id AS media_id,
+         |CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+         |CAST(1 + doc_id % 2 AS INT) AS channels,
+         |CAST(16 AS INT) AS bits_per_sample,
+         |CAST(200 + doc_id % 300 AS BIGINT) AS n_frames,
+         |CAST((200 + doc_id % 300) * 1000 // (8000 * (1 + doc_id % 3))
+         |  AS BIGINT) AS duration_ms
          |FROM documents""".stripMargin)))
 }

@@ -753,6 +753,49 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1).modality === "video" && feats(1).n_bytes === 10L)
   }
 
+  test("decodeAudio recovers the true WAV rate/channels/frames from the header") {
+    // 16 kHz stereo, 441 frames — the triple lives only in the RIFF
+    // header, so recovering it certifies a real container parse.
+    val wav = Multimodal.syntheticWav(3L, sampleRate = 16000, channels = 2,
+      nFrames = 441)
+    val a = Multimodal.decodeAudio(Multimodal.MediaRecord(3L, "audio", wav))
+    assert(a.sample_rate === 16000 && a.channels === 2)
+    assert(a.bits_per_sample === 16 && a.n_frames === 441L)
+    assert(a.duration_ms === 441L * 1000L / 16000L)
+    assert(a.n_bytes === wav.length.toLong)
+  }
+
+  test("extractAudioFeatures: batched kernel over synthetic id-derived WAVs") {
+    implicit val s = spark
+    val df = Seq(5L, 10L).toDF("doc_id")
+    val feats = Multimodal.extractAudioFeatures(
+      Multimodal.syntheticAudio(df, "doc_id")).collect().sortBy(_.media_id)
+    // id 5: rate 8000*(1+5%3)=24000, ch 1+5%2=2, frames 200+5%300=205
+    assert(feats(0).sample_rate === 24000 && feats(0).channels === 2
+      && feats(0).n_frames === 205L)
+    // id 10: rate 8000*(1+10%3)=16000, ch 1, frames 210
+    assert(feats(1).sample_rate === 16000 && feats(1).channels === 1
+      && feats(1).n_frames === 210L)
+  }
+
+  test("decodeBatch routes audio through the real decoder (rate as width)") {
+    val wav = Multimodal.syntheticWav(1L, 8000, 1, 200)
+    val f = Multimodal.decodeBatch(
+      Seq(Multimodal.MediaRecord(1L, "audio", wav))).head
+    assert(f.width === 8000 && f.height === 16
+      && f.channels === 1 && f.n_frames === 200)
+  }
+
+  test("an undecodable audio payload fails loud, not as fake properties") {
+    implicit val s = spark
+    val junk = Seq(Multimodal.MediaRecord(8L, "audio",
+      "not audio at all".getBytes("UTF-8"))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractAudioFeatures(junk).collect()
+    }
+    assert(e.getCause.getMessage.contains("undecodable audio payload"))
+  }
+
   test("resize downsamples payloads to the byte budget, deterministically") {
     implicit val s = spark
     val df = Seq((1L, "image", "0123456789"), (2L, "image", "abc"))
