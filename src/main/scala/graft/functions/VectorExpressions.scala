@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
@@ -129,6 +129,88 @@ case class DotProductInt(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid assignment: argmin over squared euclidean distance
+  * from `vector` to each row of a (plan-time literal) centroid matrix,
+  * returning the index-aligned cell id; ties go to the first (= lowest,
+  * callers pass cell-sorted literals) index via strict `<`. This is the
+  * IVF cell-assignment kernel as a codegen'd `Expression` instead of a
+  * per-row Scala UDF: the k×dim argmin loop compiles into whole-stage
+  * codegen with no Seq boxing per row, vectorizing the index build for
+  * large corpora. The arithmetic (`t = v(i) - c(i); d += t*t`, ascending
+  * scan, strict improvement) is operation-for-operation the shape the
+  * previous UDF used, so existing index layouts re-assign identically.
+  */
+case class NearestCentroid(first: Expression, second: Expression,
+                           third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(IntegerType, _),
+            ArrayType(ArrayType(DoubleType, _), _)) => true
+      case _ => false
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_nearest_centroid requires (ARRAY<DOUBLE>, ARRAY<INT>, " +
+        s"ARRAY<ARRAY<DOUBLE>>), got ${first.dataType.sql}, " +
+        s"${second.dataType.sql}, ${third.dataType.sql}")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override protected def nullSafeEval(v: Any, cells: Any, cents: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val ids = cells.asInstanceOf[ArrayData]
+    val m = cents.asInstanceOf[ArrayData]
+    var best = -1
+    var bestD = Double.PositiveInfinity
+    var j = 0
+    while (j < m.numElements()) {
+      val c = m.getArray(j)
+      var d = 0.0
+      var i = 0
+      while (i < c.numElements()) {
+        val t = x.getDouble(i) - c.getDouble(i)
+        d += t * t
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = ids.getInt(j) }
+      j += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cells, cents) => {
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |${ev.value} = -1;
+         |double $bestD = Double.POSITIVE_INFINITY;
+         |for (int $j = 0; $j < $cents.numElements(); $j++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $c = $cents.getArray($j);
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $c.numElements(); $i++) {
+         |    double $t = $v.getDouble($i) - $c.getDouble($i);
+         |    $d += $t * $t;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; ${ev.value} = $cells.getInt($j); }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object VectorFunctions {
 
   /** Codegen'd dot product of two double arrays. */
@@ -138,6 +220,22 @@ object VectorFunctions {
   /** Codegen'd exact integer dot product of two int arrays. */
   def dotInt(a: Column, b: Column): Column =
     Bridge.column(DotProductInt(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd nearest-centroid cell assignment against a plan-time
+    * centroid model: the (cell, centroid) pairs become two index-aligned
+    * LITERALS (cell-sorted, so strict-`<` argmin ties resolve to the
+    * lowest cell id), and the per-row work is one generated k×dim loop.
+    */
+  def nearestCentroid(v: Column,
+                      centroids: Array[(Int, Array[Double])]): Column = {
+    val sorted = centroids.sortBy(_._1)
+    val cellsLit = Literal.create(sorted.map(_._1).toSeq,
+      ArrayType(IntegerType, containsNull = false))
+    val centLit = Literal.create(sorted.map(_._2.toSeq).toSeq,
+      ArrayType(ArrayType(DoubleType, containsNull = false),
+        containsNull = false))
+    Bridge.column(NearestCentroid(Bridge.expression(v), cellsLit, centLit))
+  }
 
   /** Cosine similarity in the pinned shape dot/(sqrt(na)*sqrt(nb)) over
     * the codegen'd [[DotProduct]] — value-identical to

@@ -19,6 +19,14 @@ import TextOps.hash60
   */
 object Similarity {
 
+  /** Default hot-bucket guard for the LSH probe paths: (table, bucket)
+    * groups wider than this many corpus members are excluded from
+    * candidate generation (they carry ~no discriminative signal and
+    * would blow the broadcast pair frame on a degenerate corpus).
+    * `Long.MaxValue` opts the guard out.
+    */
+  val DefaultMaxBucketWidth: Long = 10000L
+
   /** Cosine similarity as an explicit sequential double fold:
     * dot / (sqrt(na) * sqrt(nb)), each a left-to-right `aggregate` over the
     * arrays. The fold order and operator shapes are pinned so any engine
@@ -426,14 +434,18 @@ object Similarity {
     *   vectors hashing to one bucket) otherwise blows it. A bucket that
     *   wide carries ~no discriminative signal (it approximates a random
     *   corpus sample), so skipping it trades negligible recall for a
-    *   bounded plan. Default keeps every bucket (and skips the extra
-    *   width-count pass entirely) — set it whenever corpus skew is not
-    *   known to be benign.
+    *   bounded plan. SAFE BY DEFAULT: the guard is on at
+    *   [[Similarity.DefaultMaxBucketWidth]] (10k — far above any benign
+    *   bucket at reasonable plane counts, far below a degenerate one);
+    *   pass `Long.MaxValue` to opt out, which also skips the width-count
+    *   pass entirely. The same cap (same default) applies to
+    *   [[lshTopKFromIndex]], so inline and indexed probes stay
+    *   row-identical on any corpus.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, numPlanes: Int,
               numTables: Int = 4,
-              maxBucketWidth: Long = Long.MaxValue): DataFrame = {
+              maxBucketWidth: Long = DefaultMaxBucketWidth): DataFrame = {
     import graft.functions.VectorFunctions.dot
     val c = corpus.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
@@ -530,10 +542,19 @@ object Similarity {
     * computes the identical IEEE double twice — dedup on the value is
     * exact). Results are identical to [[lshTopK]] with the same
     * parameters.
+    *
+    * The hot-bucket guard (same default as [[lshTopK]], so the two paths
+    * stay row-identical) is computed on the PRUNED join, never a full
+    * index scan: every corpus member of a probed (tbl, bucket) joins at
+    * least one query row there, so `count(DISTINCT cand_id)` over the
+    * joined frame — taken BEFORE the self-pair filter, matching the
+    * inline path's whole-corpus width — equals the true bucket width,
+    * and unprobed buckets never need a width at all.
     */
   def lshTopKFromIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                        queries: DataFrame, idCol: String, vecCol: String,
-                       k: Int, numPlanes: Int, numTables: Int = 4): DataFrame = {
+                       k: Int, numPlanes: Int, numTables: Int = 4,
+                       maxBucketWidth: Long = DefaultMaxBucketWidth): DataFrame = {
     import graft.functions.VectorFunctions.dot
     val idx = spark.read.parquet(indexPath)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
@@ -542,7 +563,20 @@ object Similarity {
       posexplode(array((0 until numTables).map(t =>
         hyperplaneBucket(col("qv"), numPlanes, t)): _*)).as(Seq("tbl", "bucket")))
       .withColumn("bucket", col("bucket").cast("int"))
-    val scored = idx.join(broadcast(qb), Seq("tbl", "bucket"))
+    val joined = idx.join(broadcast(qb), Seq("tbl", "bucket"))
+    // No pin here (unlike inline lshTopK): a localCheckpoint would hide
+    // the parquet scan — and its dynamic partition pruning — behind an
+    // RDD barrier. The width pass re-reads the PRUNED partitions only,
+    // and its aggregate moves (tbl, bucket, cand_id) ids, nothing wider.
+    val capped =
+      if (maxBucketWidth == Long.MaxValue) joined
+      else joined.join(
+        broadcast(joined.groupBy(col("tbl"), col("bucket"))
+          .agg(countDistinct(col("cand_id")).as("w"))
+          .filter(col("w") > maxBucketWidth)
+          .select(col("tbl"), col("bucket"))),
+        Seq("tbl", "bucket"), "left_anti")
+    val scored = capped
       .filter(col("cand_id") =!= col("query_id"))
       .withColumn("cos",
         dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
@@ -621,7 +655,7 @@ object Similarity {
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(8)
       .setInitMode("random")
       .setFeaturesCol("features").fit(featTrain)
-    // Assignment goes through the ONE shared nearestCell function — not
+    // Assignment goes through the ONE shared nearestCell expression — not
     // model.transform — so build-time and append-time assignment are the
     // same arithmetic by construction (MLlib's findClosest uses a
     // norm-cached distance form that can round a borderline vector into
@@ -629,7 +663,7 @@ object Similarity {
     val cs = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }
     val cells = Dedup.ensureParallelism(feat.select("cand_id", "cv"))
-      .withColumn("cell", nearestCell(cs)(col("cv")))
+      .withColumn("cell", nearestCell(cs, col("cv")))
       .withColumn("cnorm", sqrt(dotc(col("cv"), col("cv"))))
       .select("cand_id", "cv", "cell", "cnorm")
     // Tiny centroid frame: one row per cell, joined broadcast to queries.
@@ -641,22 +675,15 @@ object Similarity {
   /** The single cell-assignment function every IVF path uses (build,
     * append, and therefore any future re-assignment): plain squared
     * euclidean distance, ties (measure-zero) to the lowest cell index.
-    * Write-time only — a per-row closure is fine where a probe-path
-    * expression would not be.
+    * Backed by the codegen'd [[graft.functions.NearestCentroid]]
+    * expression — same arithmetic shape as the earlier Scala-UDF form
+    * (ascending cell scan, strict-`<` improvement), so existing index
+    * layouts re-assign identically, but the k×dim argmin now runs inside
+    * whole-stage codegen with no per-row boxing.
     */
-  private def nearestCell(centroids: Array[(Int, Array[Double])]) = {
-    val sorted = centroids.sortBy(_._1)
-    udf((v: scala.collection.Seq[Double]) => {
-      var best = -1; var bestD = Double.PositiveInfinity
-      for ((cell, c) <- sorted) {
-        var d = 0.0
-        var i = 0
-        while (i < c.length) { val t = v(i) - c(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = cell }
-      }
-      best
-    })
-  }
+  private def nearestCell(centroids: Array[(Int, Array[Double])],
+                          v: org.apache.spark.sql.Column) =
+    graft.functions.VectorFunctions.nearestCentroid(v, centroids)
 
   /** Score queries against an assigned corpus: rank cells per query from
     * the broadcast centroid table, keep `nProbe`, score only bucket-mates.
@@ -827,7 +854,7 @@ object Similarity {
     Dedup.ensureParallelism(
         delta.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv")))
       // Same nearestCell as the build path — exact assignment parity.
-      .withColumn("cell", nearestCell(centroids)(col("cv")))
+      .withColumn("cell", nearestCell(centroids, col("cv")))
       .withColumn("cnorm", sqrt(dotc(col("cv"), col("cv"))))
       .select("cand_id", "cv", "cnorm", "cell")
       .write.mode(SaveMode.Append).partitionBy("cell")

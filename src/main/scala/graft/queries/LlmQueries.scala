@@ -280,7 +280,11 @@ object LlmQueries {
     * queries `vec_id < 10` — the inline, write-time-indexed, and
     * incrementally-grown variants must all return exactly these rows
     * (bucket assignment is a pure per-row function), so they share one
-    * oracle.
+    * oracle. Mirrors the default hot-bucket guard
+    * ([[graft.llm.Similarity.DefaultMaxBucketWidth]]): (tbl, bucket)
+    * groups wider than the cap are excluded from candidate generation in
+    * BOTH engines — a no-op on benign corpora, exact parity on
+    * degenerate ones.
     */
   private lazy val lshTopK5OracleSql: String = {
     val bucket = (v: String, t: Int) => (0 until 4).map(p =>
@@ -289,13 +293,17 @@ object LlmQueries {
     val bv = (0 until 4).map(t =>
       s"SELECT vec_id, v, $t AS tbl, ${bucket("v", t)} AS bucket FROM v")
       .mkString("\nUNION ALL\n")
+    val cap = graft.llm.Similarity.DefaultMaxBucketWidth
     s"""$vecCte,
        |bv AS ($bv),
+       |hot AS (SELECT tbl, bucket FROM bv GROUP BY tbl, bucket
+       |  HAVING count(*) > $cap),
        |cand AS (SELECT DISTINCT q.vec_id AS query_id, q.v AS qv,
        |  c.vec_id AS cand_id, c.v AS cv
        |  FROM bv c JOIN bv q
        |  ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
-       |  WHERE q.vec_id < 10),
+       |  WHERE q.vec_id < 10 AND NOT EXISTS (SELECT 1 FROM hot h
+       |    WHERE h.tbl = c.tbl AND h.bucket = c.bucket)),
        |ranked AS (SELECT query_id, cand_id, ${cosSql("qv", "cv")} AS cos,
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY ${cosSql("qv", "cv")} DESC, cand_id) AS INT) AS rank

@@ -256,27 +256,33 @@ class SimilaritySpec extends SparkSpec {
   test("lshTopK bucket-width cap: hot buckets excluded, benign corpora unchanged") {
     val emb = spark.read.parquet(sf("embeddings"))
     val q = emb.filter($"vec_id" < 5)
-    // A cap above every real bucket width must not change a single row.
-    val uncapped = Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, 4, 4)
-    val capped = Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, 4, 4,
-      maxBucketWidth = 1000000L)
+    // The DEFAULT (finite) cap sits far above every benign bucket width:
+    // it must not change a single row vs the explicit opt-out.
+    val uncapped = Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, 4, 4,
+      maxBucketWidth = Long.MaxValue)
+    val capped = Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, 4, 4)
     assert(capped.collect().toSet === uncapped.collect().toSet)
-    // Adversarial hot bucket: mass-duplicate one vector so ALL its copies
-    // hash to the same (tbl, bucket) in every table. With the cap, those
-    // buckets are skipped — the plan completes with a bounded pair frame
-    // and the duplicated ids never reach candidate scoring; the remaining
-    // corpus still answers.
+    // Adversarial hot bucket: mass-duplicate one vector past the DEFAULT
+    // cap so ALL its copies hash to the same (tbl, bucket) in every
+    // table. WITHOUT the caller setting anything, those buckets are
+    // skipped — the plan completes with a bounded pair frame and the
+    // duplicated ids never reach candidate scoring; the remaining corpus
+    // still answers.
     val base = emb.filter($"vec_id" >= 5 && $"vec_id" < 30)
     val hotVec = emb.filter($"vec_id" === 5).select($"embedding").head()
       .getAs[scala.collection.Seq[Float]]("embedding")
-    val clones = spark.range(1000, 3000)
+    val nClones = Similarity.DefaultMaxBucketWidth + 2000
+    val clones = spark.range(1000, 1000 + nClones)
       .select($"id".as("vec_id"), typedLit(hotVec.toSeq).as("embedding"))
     val degenerate = base.select($"vec_id", $"embedding").unionByName(clones)
-    val out = Similarity.lshTopK(degenerate, q, "vec_id", "embedding",
-      5, 4, 4, maxBucketWidth = 500L)
+    val out = Similarity.lshTopK(degenerate, q, "vec_id", "embedding", 5, 4, 4)
     val cands = out.select("cand_id").as[Long].collect().toSet
     assert(out.count() > 0)
     assert(cands.forall(_ < 1000), s"clone ids leaked past the cap: $cands")
+    // A tighter explicit cap still works the same way.
+    val tight = Similarity.lshTopK(degenerate, q, "vec_id", "embedding",
+      5, 4, 4, maxBucketWidth = 500L)
+    assert(tight.select("cand_id").as[Long].collect().forall(_ < 1000))
   }
 
   test("ANN ranking runs as the bounded-heap aggregate, not a rank window") {
@@ -290,6 +296,17 @@ class SimilaritySpec extends SparkSpec {
       assert(plan.contains("graft_top_k"), s"heap aggregate missing:\n$plan")
       assert(!plan.contains("row_number"), s"rank window still present:\n$plan")
     }
+  }
+
+  test("IVF cell assignment is a codegen'd expression, not a Scala UDF") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val q = emb.filter($"vec_id" < 5)
+    val plan = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 10, 3)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("graft_nearest_centroid"),
+      s"nearest-centroid expression missing from the IVF plan:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("UDF("),
+      s"Scala UDF still present in the IVF build:\n$plan")
   }
 
   test("indexed IVF probe: identical rows to ivfTopK, partition-pruned scan") {
