@@ -113,12 +113,18 @@ object Bench {
     // JSON: the artifact's last line is always the parseable result.
     println(line)
     // Compact trailer, printed LAST: the artifact keeps only the final
-    // ~2000 chars of stdout, and with 80+ queries the full line's headline
-    // total (printed first in the JSON) gets truncated away (r5's was).
-    // The trailer re-states the headline in <200 chars so the tail always
-    // parses, whichever line the consumer picks up.
+    // ~2000 chars of stdout, and with 140+ queries the full line's
+    // per-query map gets truncated away from the front (r8 lost
+    // a1..llm_si*, including the slowest queries). The trailer re-states
+    // the headline AND the top-5 slowest (name, sec) pairs in a few
+    // hundred chars so the tail always carries the queries that matter,
+    // whichever line the consumer picks up.
+    val top5 = results.filter { case (k, _) => !failures.contains(k) }
+      .sortBy(-_._2).take(5)
+      .map { case (k, v) => f"""["$k",$v%.3f]""" }
+      .mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"n_failed":${failures.size},"reps":$reps,"wall_sec":$wall%.3f,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"n_failed":${failures.size},"reps":$reps,"wall_sec":$wall%.3f,"top5":$top5,"sf":"$sfDir"}""")
   }
 
   /** Escape a string for embedding in a JSON literal (one line, no

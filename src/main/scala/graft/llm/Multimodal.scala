@@ -36,6 +36,24 @@ object Multimodal {
   private lazy val imageIoNoCache: Unit =
     javax.imageio.ImageIO.setUseCache(false)
 
+  // Audio SPI providers cached ONCE per JVM: every AudioSystem
+  // read/write dispatches through a synchronized static provider lookup
+  // (JDK13Services.getProviders), which serializes a 32-thread decode
+  // kernel on one global lock — measured ~18x instead of ~10x when the
+  // corpus grew 10x. ServiceLoader is the same public SPI AudioSystem
+  // itself uses; the cached reader/writer instances are stateless
+  // parsers, safe to share across tasks.
+  private lazy val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala.toList
+  }
+  private lazy val audioWriters: List[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala.toList
+  }
+
   /** One media record: payload + typed metadata. */
   final case class MediaRecord(media_id: Long, modality: String,
                                payload: Array[Byte])
@@ -111,14 +129,18 @@ object Multimodal {
     * fail-loud contract as [[decodeImage]].
     */
   def decodeAudio(r: MediaRecord): AudioFeatures = {
-    val ais =
-      try javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(r.payload))
+    // Cached-provider dispatch (not AudioSystem.getAudioInputStream,
+    // whose per-call synchronized provider lookup serializes the
+    // parallel kernel): try each stock reader, exactly as AudioSystem
+    // itself would.
+    val ais = audioReaders.iterator.flatMap { rd =>
+      try Some(rd.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload)))
       catch {
-        case e: javax.sound.sampled.UnsupportedAudioFileException =>
-          throw new IllegalArgumentException(
-            s"undecodable audio payload for media_id=${r.media_id}", e)
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
       }
+    }.nextOption().getOrElse(throw new IllegalArgumentException(
+      s"undecodable audio payload for media_id=${r.media_id}"))
     try {
       val fmt = ais.getFormat
       var sum = 0L
@@ -239,8 +261,11 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    // Cached-provider write — same lock-avoidance as decodeAudio.
+    val w = audioWriters.find(_.isFileTypeSupported(wave, ais))
+      .getOrElse(throw new IllegalStateException("no WAV writer on this JVM"))
+    w.write(ais, wave, bos)
     bos.toByteArray
   }
 
