@@ -1390,5 +1390,32 @@ object LlmQueries {
          |CAST(200 + doc_id % 300 AS BIGINT) AS n_frames,
          |CAST((200 + doc_id % 300) * 1000 // (8000 * (1 + doc_id % 3))
          |  AS BIGINT) AS duration_ms
-         |FROM documents""".stripMargin)))
+         |FROM documents""".stripMargin)),
+
+    // Audio SAMPLE decode: where llm_audio_features certifies the
+    // container parse, this certifies the PCM payload itself — exact
+    // integer energy / |sum| / peak over every decoded 16-bit sample.
+    // The WAV samples are a pure integer function of (id, frame,
+    // channel), so DuckDB regenerates them and the aggregates must
+    // match bit-for-bit; only a decoder that really reads the data
+    // section (correct endianness, correct frame layout) passes.
+    "llm_audio_energy" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        val media = Multimodal.syntheticAudio(Tables.documents(s, dir), "doc_id")
+        Multimodal.extractAudioContent(media).toDF()
+      },
+      Some("""WITH idx AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
+         |  unnest(range(0, (200 + doc_id % 300) * (1 + doc_id % 2)))
+         |    AS i FROM documents),
+         |s AS (SELECT doc_id,
+         |  ((doc_id*31 + (i // ch)*7 + (i % ch)*13) % 65536 - 32768) AS s
+         |  FROM idx)
+         |SELECT doc_id AS media_id,
+         |  CAST(1 + doc_id % 2 AS INT) AS channels,
+         |  CAST(200 + doc_id % 300 AS BIGINT) AS n_frames,
+         |  CAST(sum(s*s) AS BIGINT) AS sum_sq,
+         |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+         |  CAST(max(abs(s)) AS INT) AS peak_abs
+         |FROM s GROUP BY 1, 2, 3""".stripMargin)))
 }

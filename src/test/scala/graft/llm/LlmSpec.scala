@@ -795,6 +795,26 @@ class MultimodalSpec extends SparkSpec {
       && feats(1).n_frames === 210L)
   }
 
+  test("decodeAudioContent folds exact integer aggregates over real samples") {
+    // id 7: rate 16000, 2 channels, 207 frames; samples are
+    // s(f, c) = (7*31 + f*7 + c*13) % 65536 - 32768 — recompute directly.
+    val wav = Multimodal.syntheticWav(7L, 16000, 2, 207)
+    val a = Multimodal.decodeAudioContent(
+      Multimodal.MediaRecord(7L, "audio", wav))
+    val ref = for (f <- 0 until 207; c <- 0 until 2)
+      yield ((7L * 31 + f * 7 + c * 13) % 65536 - 32768).toInt
+    assert(a.channels === 2 && a.n_frames === 207L)
+    assert(a.sum_sq === ref.map(s => s.toLong * s).sum)
+    assert(a.sum_abs === ref.map(s => math.abs(s).toLong).sum)
+    assert(a.peak_abs === ref.map(math.abs).max)
+    // A truncated payload fails loud, not as silently-low energy.
+    val cut = java.util.Arrays.copyOf(wav, wav.length - 64)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodeAudioContent(Multimodal.MediaRecord(7L, "audio", cut))
+    }
+    assert(e.getMessage.contains("truncated audio payload"))
+  }
+
   test("decodeBatch routes audio through the real decoder (rate as width)") {
     val wav = Multimodal.syntheticWav(1L, 8000, 1, 200)
     val f = Multimodal.decodeBatch(
