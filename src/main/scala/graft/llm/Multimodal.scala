@@ -128,19 +128,23 @@ object Multimodal {
     * sample width, and frame length. An undecodable payload raises — same
     * fail-loud contract as [[decodeImage]].
     */
-  def decodeAudio(r: MediaRecord): AudioFeatures = {
-    // Cached-provider dispatch (not AudioSystem.getAudioInputStream,
-    // whose per-call synchronized provider lookup serializes the
-    // parallel kernel): try each stock reader, exactly as AudioSystem
-    // itself would.
-    val ais = audioReaders.iterator.flatMap { rd =>
-      try Some(rd.getAudioInputStream(
-        new java.io.ByteArrayInputStream(r.payload)))
+  /** Cached-provider open (not AudioSystem.getAudioInputStream, whose
+    * per-call synchronized provider lookup serializes the parallel
+    * kernel): try each stock reader, exactly as AudioSystem itself
+    * would; fail loud when none parses.
+    */
+  private def openAudio(payload: Array[Byte],
+                        mediaId: Long): javax.sound.sampled.AudioInputStream =
+    audioReaders.iterator.flatMap { rd =>
+      try Some(rd.getAudioInputStream(new java.io.ByteArrayInputStream(payload)))
       catch {
         case _: javax.sound.sampled.UnsupportedAudioFileException => None
       }
     }.nextOption().getOrElse(throw new IllegalArgumentException(
-      s"undecodable audio payload for media_id=${r.media_id}"))
+      s"undecodable audio payload for media_id=$mediaId"))
+
+  def decodeAudio(r: MediaRecord): AudioFeatures = {
+    val ais = openAudio(r.payload, r.media_id)
     try {
       val fmt = ais.getFormat
       var sum = 0L
@@ -226,45 +230,52 @@ object Multimodal {
     * count — a truncated blob in a 100 TB corpus must surface here,
     * not as silently-low energy.
     */
-  def decodeAudioContent(r: MediaRecord): AudioContentFeatures = {
-    val ais = audioReaders.iterator.flatMap { rd =>
-      try Some(rd.getAudioInputStream(
-        new java.io.ByteArrayInputStream(r.payload)))
-      catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      }
-    }.nextOption().getOrElse(throw new IllegalArgumentException(
-      s"undecodable audio payload for media_id=${r.media_id}"))
+  /** Decode the full PCM16 data section: (format, frame count, raw
+    * bytes), with the fail-loud non-PCM16 / truncation guards shared by
+    * every sample-level kernel.
+    */
+  private def readPcm16(payload: Array[Byte], mediaId: Long)
+      : (javax.sound.sampled.AudioFormat, Long, Array[Byte]) = {
+    val ais = openAudio(payload, mediaId)
     try {
       val fmt = ais.getFormat
       require(fmt.getEncoding ==
           javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
           && fmt.getSampleSizeInBits == 16,
         s"sample decode supports 16-bit signed PCM, got $fmt " +
-          s"for media_id=${r.media_id}")
+          s"for media_id=$mediaId")
       val bytes = ais.readAllBytes()
       val expected = ais.getFrameLength * fmt.getFrameSize
       require(bytes.length.toLong == expected,
-        s"truncated audio payload for media_id=${r.media_id}: " +
+        s"truncated audio payload for media_id=$mediaId: " +
           s"${bytes.length} data bytes, header promises $expected")
-      val big = fmt.isBigEndian
-      var i = 0
-      var sumSq = 0L
-      var sumAbs = 0L
-      var peak = 0
-      while (i + 2 <= bytes.length) {
-        val s =
-          if (big) (bytes(i) << 8) | (bytes(i + 1) & 0xFF)
-          else (bytes(i + 1) << 8) | (bytes(i) & 0xFF)
-        val a = if (s < 0) -s else s
-        sumSq += s.toLong * s
-        sumAbs += a
-        if (a > peak) peak = a
-        i += 2
-      }
-      AudioContentFeatures(r.media_id, fmt.getChannels, ais.getFrameLength,
-        sumSq, sumAbs, peak)
+      (fmt, ais.getFrameLength, bytes)
     } finally ais.close()
+  }
+
+  /** One 16-bit sample from a PCM data section. */
+  @inline private def pcm16At(bytes: Array[Byte], idx: Int, big: Boolean): Int =
+    if (big) (bytes(2 * idx) << 8) | (bytes(2 * idx + 1) & 0xFF)
+    else (bytes(2 * idx + 1) << 8) | (bytes(2 * idx) & 0xFF)
+
+  def decodeAudioContent(r: MediaRecord): AudioContentFeatures = {
+    val (fmt, nFrames, bytes) = readPcm16(r.payload, r.media_id)
+    val big = fmt.isBigEndian
+    val n = bytes.length / 2
+    var i = 0
+    var sumSq = 0L
+    var sumAbs = 0L
+    var peak = 0
+    while (i < n) {
+      val s = pcm16At(bytes, i, big)
+      val a = if (s < 0) -s else s
+      sumSq += s.toLong * s
+      sumAbs += a
+      if (a > peak) peak = a
+      i += 1
+    }
+    AudioContentFeatures(r.media_id, fmt.getChannels, nFrames,
+      sumSq, sumAbs, peak)
   }
 
   /** Batched sample-level extraction — the [[extractAudioFeatures]]
@@ -326,17 +337,82 @@ object Multimodal {
       }
       f += 1
     }
+    encodeWav(data, sampleRate, channels, nFrames.toLong)
+  }
+
+  /** Encode a PCM16 little-endian data section as WAV via the cached
+    * writer provider (same lock-avoidance as [[decodeAudio]]).
+    */
+  private def encodeWav(data: Array[Byte], sampleRate: Int, channels: Int,
+                        nFrames: Long): Array[Byte] = {
     val fmt = new javax.sound.sampled.AudioFormat(
       sampleRate.toFloat, 16, channels, true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+      new java.io.ByteArrayInputStream(data), fmt, nFrames)
     val bos = new java.io.ByteArrayOutputStream()
     val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
-    // Cached-provider write — same lock-avoidance as decodeAudio.
     val w = audioWriters.find(_.isFileTypeSupported(wave, ais))
       .getOrElse(throw new IllegalStateException("no WAV writer on this JVM"))
     w.write(ais, wave, bos)
     bos.toByteArray
+  }
+
+  /** REAL audio resample — the operation [[resizeStub]] fakes for
+    * video, done genuinely for audio: decode the PCM16 frames, linear-
+    * interpolate each channel onto the target rate's time grid, and
+    * re-encode as WAV at `targetRate`. ALL arithmetic is exact integer
+    * (output frame j samples source position j*src/target as a
+    * rational; the interpolation `s0 + (s1-s0)*frac/target` uses
+    * truncating integer division, which every engine reproduces), so a
+    * re-decode of the output is bit-for-bit predictable from the input
+    * samples — the property that makes a resample→energy pipeline
+    * oracle-checkable end to end. Output frame count:
+    * floor((nIn-1)*target/src) + 1 (the last source frame maps inside
+    * the grid; no extrapolation ever happens).
+    */
+  def resampleAudio(r: MediaRecord, targetRate: Int): MediaRecord = {
+    require(targetRate > 0, s"targetRate must be positive, got $targetRate")
+    val (fmt, nFramesL, bytes) = readPcm16(r.payload, r.media_id)
+    val srcRate = fmt.getSampleRate.toInt
+    val ch = fmt.getChannels
+    val nIn = nFramesL.toInt
+    require(nIn > 0, s"empty audio payload for media_id=${r.media_id}")
+    val big = fmt.isBigEndian
+    val nOut = ((nIn.toLong - 1) * targetRate / srcRate).toInt + 1
+    val out = new Array[Byte](nOut * ch * 2)
+    var j = 0
+    while (j < nOut) {
+      val posNum = j.toLong * srcRate
+      val p0 = (posNum / targetRate).toInt
+      val frac = (posNum % targetRate).toInt
+      var c = 0
+      while (c < ch) {
+        val s0 = pcm16At(bytes, p0 * ch + c, big)
+        val s1 =
+          if (p0 + 1 < nIn) pcm16At(bytes, (p0 + 1) * ch + c, big) else s0
+        // Truncating division: JVM `/` == DuckDB `//` on negatives.
+        val v = s0 + (((s1 - s0).toLong * frac) / targetRate).toInt
+        val off = (j * ch + c) * 2
+        out(off) = (v & 0xFF).toByte
+        out(off + 1) = ((v >> 8) & 0xFF).toByte
+        c += 1
+      }
+      j += 1
+    }
+    MediaRecord(r.media_id, r.modality, encodeWav(out, targetRate, ch, nOut.toLong))
+  }
+
+  /** Batched resample — the [[extractAudioFeatures]] kernel shape over
+    * [[resampleAudio]]: per-partition streaming, codec state amortized
+    * per batch, payloads shrink (or grow) BEFORE any shuffle touches
+    * them.
+    */
+  def resampleAudioDs(ds: Dataset[MediaRecord], targetRate: Int,
+                      batchSize: Int = 64): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map(resampleAudio(_, targetRate)))
+    }
   }
 
   /** Audio fixture generator over a plain id frame: every id becomes a

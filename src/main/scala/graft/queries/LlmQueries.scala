@@ -1417,5 +1417,42 @@ object LlmQueries {
          |  CAST(sum(s*s) AS BIGINT) AS sum_sq,
          |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
          |  CAST(max(abs(s)) AS INT) AS peak_abs
-         |FROM s GROUP BY 1, 2, 3""".stripMargin)))
+         |FROM s GROUP BY 1, 2, 3""".stripMargin)),
+
+    // REAL audio resample, end-to-end certified: decode PCM16 →
+    // linear-interpolate onto a 12 kHz grid (exact integer arithmetic;
+    // JVM truncating division == DuckDB `//`) → re-encode WAV →
+    // re-decode → integer energy aggregates. The source rates
+    // (8/16/24 kHz by id) exercise up- AND down-sampling. The oracle
+    // replays the interpolation symbolically from the id-arithmetic
+    // samples — only a resampler that actually reads, interpolates,
+    // and re-encodes the PCM data reproduces every aggregate.
+    "llm_audio_resample" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        val media = Multimodal.syntheticAudio(Tables.documents(s, dir), "doc_id")
+        Multimodal.extractAudioContent(
+          Multimodal.resampleAudioDs(media, targetRate = 12000)).toDF()
+      },
+      Some("""WITH par AS (SELECT doc_id, 8000*(1 + doc_id % 3) AS src,
+         |  1 + doc_id % 2 AS ch, 200 + doc_id % 300 AS nin FROM documents),
+         |p2 AS (SELECT *, ((nin-1)*12000)//src + 1 AS nout FROM par),
+         |idx AS (SELECT doc_id, src, ch, nin, nout,
+         |  unnest(range(0, nout*ch)) AS k FROM p2),
+         |pos AS (SELECT doc_id, src, ch, nin, nout, (k % ch) AS c,
+         |  ((k//ch)*src)//12000 AS p0, ((k//ch)*src) % 12000 AS frac
+         |  FROM idx),
+         |sm AS (SELECT doc_id, ch, nout, frac,
+         |  ((doc_id*31 + p0*7 + c*13) % 65536 - 32768) AS s0,
+         |  ((doc_id*31 + least(p0+1, nin-1)*7 + c*13) % 65536 - 32768) AS s1
+         |  FROM pos),
+         |o AS (SELECT doc_id, ch, nout,
+         |  s0 + ((s1-s0)*frac)//12000 AS s FROM sm)
+         |SELECT doc_id AS media_id,
+         |  CAST(ch AS INT) AS channels,
+         |  CAST(nout AS BIGINT) AS n_frames,
+         |  CAST(sum(s*s) AS BIGINT) AS sum_sq,
+         |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+         |  CAST(max(abs(s)) AS INT) AS peak_abs
+         |FROM o GROUP BY 1, 2, 3""".stripMargin)))
 }

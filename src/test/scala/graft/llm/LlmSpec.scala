@@ -815,6 +815,37 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("truncated audio payload"))
   }
 
+  test("resampleAudio linear-interpolates PCM onto the target grid exactly") {
+    // id 9: rate 8000, 2ch, 209 frames. Upsample to 12000: the j-th
+    // output frame samples source position j*8000/12000 = j*2/3 —
+    // recompute the interpolation by hand over the known samples.
+    val rec = Multimodal.MediaRecord(9L, "audio",
+      Multimodal.syntheticWav(9L, 8000, 2, 209))
+    def src(f: Int, c: Int) = ((9L * 31 + f * 7 + c * 13) % 65536 - 32768).toInt
+    val out = Multimodal.resampleAudio(rec, 12000)
+    val a = Multimodal.decodeAudio(out)
+    val nOut = ((209 - 1) * 12000L / 8000L).toInt + 1
+    assert(a.sample_rate === 12000 && a.channels === 2 && a.n_frames === nOut.toLong)
+    // Re-decode the content and compare against the symbolic replay.
+    val got = Multimodal.decodeAudioContent(out)
+    val ref = for (j <- 0 until nOut; c <- 0 until 2) yield {
+      val posNum = j.toLong * 8000
+      val p0 = (posNum / 12000).toInt
+      val frac = (posNum % 12000).toInt
+      val s0 = src(p0, c)
+      val s1 = if (p0 + 1 < 209) src(p0 + 1, c) else s0
+      s0 + (((s1 - s0).toLong * frac) / 12000).toInt
+    }
+    assert(got.sum_sq === ref.map(s => s.toLong * s).sum)
+    assert(got.sum_abs === ref.map(s => math.abs(s).toLong).sum)
+    assert(got.peak_abs === ref.map(math.abs).max)
+    // Downsampling halves the frame count (24000 -> 12000).
+    val down = Multimodal.decodeAudio(Multimodal.resampleAudio(
+      Multimodal.MediaRecord(2L, "audio",
+        Multimodal.syntheticWav(2L, 24000, 1, 300)), 12000))
+    assert(down.sample_rate === 12000 && down.n_frames === (299 * 12000L / 24000L) + 1)
+  }
+
   test("decodeBatch routes audio through the real decoder (rate as width)") {
     val wav = Multimodal.syntheticWav(1L, 8000, 1, 200)
     val f = Multimodal.decodeBatch(
