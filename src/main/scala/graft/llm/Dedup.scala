@@ -436,6 +436,70 @@ object Dedup {
       .drop("__island")
   }
 
+  /** CONTENT-DEFINED CHUNKING: split each document into chunks at the
+    * token positions whose k-gram hash ≡ 0 (mod `divisor`) — boundaries
+    * are a pure function of local CONTENT, not of position, so an
+    * insertion near the head of a document shifts only the chunk it
+    * lands in and its immediate neighbor; every later chunk keeps its
+    * bytes AND its hash (the property fixed-size chunking lacks, and
+    * the reason CDC is the dedup layout for mutable corpora). Expected
+    * chunk length ≈ `divisor` tokens; `chunk_h` is the 60-bit hash of
+    * the chunk's space-joined tokens, the cross-document dedup key.
+    *
+    * Every boundary decision is STATELESS (a windowed k-gram hash test
+    * per position — the winnowing trick applied to chunking), which is
+    * what makes the operator both embarrassingly parallel and exactly
+    * replayable by any engine: no sequential rolling state like classic
+    * Rabin CDC, same boundary set on any partitioning. Shape at 100 TB:
+    * one let-bound tokenization, a narrow gram explode + filter for
+    * boundaries (~n/divisor rows per doc), one per-DOC window over the
+    * boundary rows (bounded by doc length, never the corpus stream),
+    * and one co-partitioned join back to the pinned token frame for the
+    * chunk hashes.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 3, divisor: Int = 16,
+                mat: graft.ops.Materialize = graft.ops.Materialize.Local): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(divisor > 0, s"divisor must be positive, got $divisor")
+    import org.apache.spark.sql.expressions.Window
+    val toks = mat(ensureParallelism(
+        df.select(col(idCol).as("__id"), col(textCol)))
+      .select(col("__id"), tokens(col(textCol)).as("ws")))
+    // Boundary positions: gram starts (0-based) whose hash lands in the
+    // 1/divisor boundary class; position 0 is always a chunk start.
+    val grams = toks.select(col("__id"), size(col("ws")).as("n"),
+      posexplode(gramsFromTokens(col("ws"), k)).as(Seq("pos", "g")))
+    val starts = grams
+      .filter(col("pos") > 0 && hash60(col("g")) % divisor === 0)
+      .select(col("__id"), col("n"), col("pos").cast("int").as("start_tok"))
+      .unionByName(toks.select(col("__id"), size(col("ws")).as("n"),
+        lit(0).as("start_tok")))
+    val w = Window.partitionBy(col("__id")).orderBy(col("start_tok"))
+    val chunks = starts
+      .withColumn("end_tok", coalesce(lead(col("start_tok"), 1).over(w), col("n")))
+      .withColumn("chunk_idx", row_number().over(w) - 1)
+    chunks.join(toks, Seq("__id"))
+      .select(col("__id").as(idCol), col("chunk_idx"),
+        col("start_tok"),
+        (col("end_tok") - col("start_tok")).as("n_toks"),
+        hash60(array_join(
+          slice(col("ws"), col("start_tok") + 1, col("end_tok") - col("start_tok")),
+          " ")).as("chunk_h"))
+  }
+
+  /** All k-grams of a let-bound token array, with multiplicity — the
+    * [[TextOps.wordShinglesAll]] gram rule (short docs contribute their
+    * whole text as one gram) without re-tokenizing the text.
+    */
+  private def gramsFromTokens(ws: Column, k: Int): Column = {
+    val nShingles = size(ws) - (k - 1)
+    when(nShingles >= 1,
+      transform(sequence(lit(1), nShingles),
+        i => concat_ws(" ", (0 until k).map(o => element_at(ws, i + o)): _*)))
+      .otherwise(array(concat_ws(" ", ws)))
+  }
+
   /** Apply substring-level dedup: cut every [[substringDupSpans]] token
     * interval out of its document and rebuild the cleaned text (tokens
     * outside any duplicated span, original order, space-joined) — the

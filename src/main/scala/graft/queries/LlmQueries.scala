@@ -1454,5 +1454,36 @@ object LlmQueries {
          |  CAST(sum(s*s) AS BIGINT) AS sum_sq,
          |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
          |  CAST(max(abs(s)) AS INT) AS peak_abs
-         |FROM o GROUP BY 1, 2, 3""".stripMargin)))
+         |FROM o GROUP BY 1, 2, 3""".stripMargin)),
+
+    // Content-defined chunking: chunk boundaries at token positions
+    // whose 3-gram hash ≡ 0 (mod 16) — content-local, so insertions
+    // shift one chunk, not every later one (the dedup layout for
+    // mutable corpora). Boundary decisions are stateless windowed-hash
+    // tests (no sequential Rabin state), so the oracle replays the
+    // exact boundary set and every chunk hash.
+    "llm_cdc_chunks" -> Q(
+      (s, dir) => Dedup.cdcChunks(Tables.documents(s, dir),
+        "doc_id", "text", k = 3, divisor = 16),
+      Some(s"""WITH norm AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents),
+         |g AS (SELECT doc_id, ws, len(ws) AS n, ${gramsAllSql("ws")} AS gs
+         |      FROM norm),
+         |e AS (SELECT doc_id, n, CAST(unnest(range(0, len(gs))) AS INT) AS pos,
+         |      unnest(list_transform(gs, s -> ${h60("s")})) AS h FROM g),
+         |b AS (SELECT doc_id, n, pos AS start_tok FROM e
+         |      WHERE pos > 0 AND h % 16 = 0
+         |      UNION ALL SELECT doc_id, n, 0 FROM g),
+         |c AS (SELECT doc_id, n, start_tok,
+         |      CAST(row_number() OVER
+         |        (PARTITION BY doc_id ORDER BY start_tok) AS INT) - 1
+         |        AS chunk_idx,
+         |      coalesce(lead(start_tok) OVER
+         |        (PARTITION BY doc_id ORDER BY start_tok), n) AS end_tok
+         |      FROM b)
+         |SELECT c.doc_id,
+         |  CAST(chunk_idx AS INT) AS chunk_idx,
+         |  CAST(start_tok AS INT) AS start_tok,
+         |  CAST(end_tok - start_tok AS INT) AS n_toks,
+         |  ${h60("array_to_string(ws[start_tok+1:end_tok], ' ')")} AS chunk_h
+         |FROM c JOIN g USING (doc_id)""".stripMargin)))
 }

@@ -16,6 +16,35 @@ class DedupSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))) === Array((1L, 3L), (4L, 1L)))
   }
 
+  test("cdcChunks: chunks tile the document; insertions shift one chunk only") {
+    // A long deterministic pseudo-text so the divisor actually fires.
+    def word(i: Int) = s"w${(i * 7919) % 97}"
+    val text = (0 until 400).map(word).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(df, "doc_id", "text", k = 3, divisor = 8)
+      .orderBy("chunk_idx").collect()
+    // Tiling invariants: idx 0..n-1, starts contiguous, lengths sum to n.
+    assert(chunks.head.getAs[Int]("start_tok") === 0)
+    assert(chunks.map(_.getAs[Int]("n_toks")).sum === 400)
+    assert(chunks.length > 3, "divisor never fired - test text too tame")
+    // Insert 5 tokens near the head: every chunk that starts >= k tokens
+    // after the insertion point keeps its hash (content-defined), just
+    // shifted by 5 — fixed-size chunking would re-cut everything.
+    val inserted = (text.split(" ").take(10) ++ Seq("x1", "x2", "x3", "x4", "x5") ++
+      text.split(" ").drop(10)).mkString(" ")
+    val chunks2 = Dedup.cdcChunks(Seq((1L, inserted)).toDF("doc_id", "text"),
+      "doc_id", "text", k = 3, divisor = 8).collect()
+    val origByStart = chunks.map(r =>
+      (r.getAs[Int]("start_tok"), r.getAs[Long]("chunk_h"))).toMap
+    val survived = chunks2.count { r =>
+      val s = r.getAs[Int]("start_tok")
+      s > 15 && origByStart.get(s - 5).contains(r.getAs[Long]("chunk_h"))
+    }
+    val farOrig = chunks.count(_.getAs[Int]("start_tok") > 10)
+    assert(survived >= farOrig - 1,
+      s"only $survived of $farOrig post-insertion chunks kept their hash")
+  }
+
   test("minhashLshPairs finds a one-word-edit near-dup and no false pairs") {
     val base = "the quick brown fox jumps over the lazy dog and keeps on " +
       "running through the quiet green field toward the distant hills"
