@@ -87,19 +87,7 @@ object Dedup {
     // pass Reliable/Path.
     val sets = mat(ensureParallelism(df.select(col(idCol).as("id"), col(textCol)))
       .select(col("id"), wordShingles(col(textCol), shingleK).as("shingles")))
-    val hashed = sets.select(col("id"), explode(col("shingles")).as("s"))
-      .withColumn("h", hash60(col("s")) % MinhashP)
-    val sigs = hashed.groupBy(col("id")).agg(
-      min((lit(minhashParams(0)._1) * col("h") + lit(minhashParams(0)._2)) % MinhashP).as("m0"),
-      (1 until numHashes).map { i =>
-        val (a, b) = minhashParams(i)
-        min((lit(a) * col("h") + lit(b)) % MinhashP).as(s"m$i")
-      }: _*)
-    // One row per (doc, band): band key = the band's signature slice.
-    val banded = sigs.select(col("id"),
-      posexplode(array((0 until bands).map(bd =>
-        concat_ws("_", (0 until rowsPerBand).map(r => col(s"m${bd * rowsPerBand + r}")): _*)): _*))
-        .as(Seq("band", "key")))
+    val banded = bandKeys(sets, bands, rowsPerBand)
     val a = banded.select(col("band"), col("key"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("key"), col("id").as("id_b"))
     // Bucket join on (band, key); a<b orients each unordered pair once.
@@ -116,6 +104,116 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash band keys of a (id, shingles) frame: one row per (doc,
+    * band), key = the band's signature slice joined with '_'. The
+    * shared signature stage of the inline pair join AND the write-time
+    * index layout — identical expressions, so an index built here
+    * collides exactly where the inline path would.
+    */
+  private def bandKeys(sets: DataFrame, bands: Int,
+                       rowsPerBand: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val hashed = sets.select(col("id"), explode(col("shingles")).as("s"))
+      .withColumn("h", hash60(col("s")) % MinhashP)
+    val sigs = hashed.groupBy(col("id")).agg(
+      min((lit(minhashParams(0)._1) * col("h") + lit(minhashParams(0)._2)) % MinhashP).as("m0"),
+      (1 until numHashes).map { i =>
+        val (a, b) = minhashParams(i)
+        min((lit(a) * col("h") + lit(b)) % MinhashP).as(s"m$i")
+      }: _*)
+    sigs.select(col("id"),
+      posexplode(array((0 until bands).map(bd =>
+        concat_ws("_", (0 until rowsPerBand).map(r => col(s"m${bd * rowsPerBand + r}")): _*)): _*))
+        .as(Seq("band", "key")))
+  }
+
+  /** Materialize the write-time NEAR-DUP TEXT index: one row per (doc,
+    * band) — `(cand_id, key, shingles)` under `partitionBy(band, bkt)`,
+    * `bkt = hash60(key) % nBuckets`. Band keys are unbounded-cardinality
+    * strings, so (unlike the embedding-LSH layout's integral buckets)
+    * the PARTITION key is the band plus a bounded hash bucket of the
+    * key; the full key stays a data column and finishes the match as an
+    * equi-join residual inside the pruned read. Built once at write
+    * time, the index turns every "is this delta batch a near-dup of
+    * anything in the corpus?" question from a corpus re-shingle into a
+    * DPP-pruned read of ~the delta's bucket directories.
+    */
+  def writeNearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int, bands: Int, rowsPerBand: Int,
+                        nBuckets: Int, path: String): Unit =
+    writeNearDupLayout(corpus, idCol, textCol, shingleK, bands, rowsPerBand,
+      nBuckets, path, org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** INCREMENTAL maintenance: append a delta batch to an existing
+    * [[writeNearDupIndex]] layout. Signatures are a pure per-doc
+    * function (deterministic hash parameters), so appended rows land in
+    * exactly the directories a full rebuild would put them in — probing
+    * the grown index equals probing a from-scratch index of the union.
+    */
+  def appendToNearDupIndex(delta: DataFrame, idCol: String, textCol: String,
+                           shingleK: Int, bands: Int, rowsPerBand: Int,
+                           nBuckets: Int, path: String): Unit =
+    writeNearDupLayout(delta, idCol, textCol, shingleK, bands, rowsPerBand,
+      nBuckets, path, org.apache.spark.sql.SaveMode.Append)
+
+  private def writeNearDupLayout(rows: DataFrame, idCol: String,
+                                 textCol: String, shingleK: Int, bands: Int,
+                                 rowsPerBand: Int, nBuckets: Int, path: String,
+                                 mode: org.apache.spark.sql.SaveMode): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    // Pinned once: the shingle arrays feed the signature pass AND the
+    // output rows (the minhashLshPairs materialization contract).
+    val sets = ensureParallelism(rows.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), wordShingles(col(textCol), shingleK).as("shingles"))
+      .localCheckpoint(false)
+    bandKeys(sets, bands, rowsPerBand)
+      .join(sets, Seq("id"))
+      .select(col("id").as("cand_id"), col("key"), col("shingles"),
+        col("band"),
+        pmod(hash60(col("key")), lit(nBuckets.toLong)).cast("int").as("bkt"))
+      .write.mode(mode).partitionBy("band", "bkt").parquet(path)
+  }
+
+  /** Probe a [[writeNearDupIndex]] layout with a delta batch: the
+    * delta's band keys join the index on the PARTITION columns (band,
+    * bkt) — dynamic partition pruning reads only the bucket directories
+    * the delta hashes into — with the full key as the equi-join
+    * residual; survivors verify exact Jaccard against the shingle
+    * arrays CARRIED IN THE INDEX (the corpus text is never re-read, let
+    * alone re-shingled). A pair colliding in several bands verifies
+    * once per band and dedups on the identical computed value (the
+    * [[graft.llm.Similarity.lshTopKFromIndex]] trick) — bounded by
+    * `bands` recomputes of a broadcast-joined row, cheaper than the
+    * second pruned index read an ids-only dedup would need to re-attach
+    * corpus shingles.
+    *
+    * @return (query_id, cand_id, jaccard): delta docs paired with every
+    *   index member (delta members included, self excluded) at
+    *   `jaccard >= threshold`.
+    */
+  def probeNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String, delta: DataFrame,
+                        idCol: String, textCol: String,
+                        shingleK: Int, bands: Int, rowsPerBand: Int,
+                        nBuckets: Int, threshold: Double): DataFrame = {
+    val idx = spark.read.parquet(indexPath)
+    val qsets = ensureParallelism(delta.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), wordShingles(col(textCol), shingleK).as("shingles"))
+      .localCheckpoint(false)
+    val qb = bandKeys(qsets, bands, rowsPerBand)
+      .join(qsets.select(col("id"), col("shingles").as("q_sh")), Seq("id"))
+      .select(col("id").as("query_id"), col("q_sh"), col("band"), col("key"),
+        pmod(hash60(col("key")), lit(nBuckets.toLong)).cast("int").as("bkt"))
+    idx.join(broadcast(qb), Seq("band", "bkt", "key"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("inter", size(array_intersect(col("q_sh"), col("shingles"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("q_sh")) + size(col("shingles")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("query_id"), col("cand_id"), col("jaccard")).distinct()
   }
 
   /** 60-bit simhash of the token multiset: bit j is set when the sum of

@@ -116,7 +116,18 @@ object LlmQueries {
     fix
   }
 
-  /** Build both write-time ANN indexes up front (Bench warmup hook): index
+  /** Ensure the write-time NEAR-DUP TEXT index for `dir`'s documents
+    * exists; return its path (same contract as [[ensureLshIndex]]).
+    */
+  def ensureNearDupIndex(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val fix = s"/tmp/graft_fixtures/neardup_index_${fingerprintCached(s"$dir/documents.parquet")}"
+    if (!new java.io.File(s"$fix/_SUCCESS").exists())
+      Dedup.writeNearDupIndex(Tables.documents(s, dir), "doc_id", "text",
+        shingleK = 3, bands = 8, rowsPerBand = 2, nBuckets = 64, path = fix)
+    fix
+  }
+
+  /** Build the write-time indexes up front (Bench warmup hook): index
     * construction is fixture prep, not the graded probe dataflow, and
     * leaving it inside the first timed rep made `llm_sim_topk_ivf_index`'s
     * min-of-2 reflect KMeans + write instead of the probe plan.
@@ -126,6 +137,7 @@ object LlmQueries {
     ensureGrownLshIndex(s, dir)
     ensureIvfIndex(s, dir)
     ensureGrownIvfIndex(s, dir)
+    ensureNearDupIndex(s, dir)
   }
 
   // ---- DuckDB SQL fragment generators (mirror graft.llm.TextOps) ----
@@ -362,6 +374,47 @@ object LlmQueries {
            |FROM cand
            |WHERE len(list_intersect(sa, sb))::DOUBLE /
            |  (len(sa) + len(sb) - len(list_intersect(sa, sb)))::DOUBLE >= 0.5""".stripMargin
+      }),
+
+    // Write-time near-dup TEXT index, probed with a delta batch: the
+    // corpus's (doc, band) signature rows live (band, bkt)-partitioned
+    // with shingles carried in the index, so "is this new batch a
+    // near-dup of anything in the corpus?" is a DPP-pruned read + key
+    // equi-join + in-index Jaccard verify — the corpus text is never
+    // re-shingled. Same signature params as llm_dedup_minhash_lsh;
+    // delta = doc_id < 50.
+    "llm_neardup_index_probe" -> Q(
+      (s, dir) => {
+        val fix = ensureNearDupIndex(s, dir)
+        Dedup.probeNearDupIndex(s, fix,
+          Tables.documents(s, dir).filter(col("doc_id") < 50),
+          "doc_id", "text", shingleK = 3, bands = 8, rowsPerBand = 2,
+          nBuckets = 64, threshold = 0.5)
+      },
+      Some {
+        val P = TextOps.MinhashP
+        val mins = (0 until 16).map { i =>
+          val (a, b) = TextOps.minhashParams(i)
+          s"list_min(list_transform(hs, h -> ($a * h + $b) % $P))"
+        }.mkString("[", ", ", "]")
+        s"""$shCte,
+           |hs AS (SELECT doc_id, sh,
+           |  list_transform(sh, s -> ${h60("s")} % $P) AS hs FROM sh),
+           |sig AS (SELECT doc_id, sh, $mins AS sig FROM hs),
+           |banded AS (SELECT doc_id, sh, b.band,
+           |  array_to_string(sig[b.band*2+1:b.band*2+2], '_') AS bkey
+           |  FROM sig, (SELECT unnest(range(0, 8)) AS band) b),
+           |cand AS (SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS cand_id,
+           |  q.sh AS qs, c.sh AS cs
+           |  FROM banded c JOIN banded q
+           |  ON c.band = q.band AND c.bkey = q.bkey AND c.doc_id <> q.doc_id
+           |  WHERE q.doc_id < 50)
+           |SELECT query_id, cand_id,
+           |  len(list_intersect(qs, cs))::DOUBLE /
+           |  (len(qs) + len(cs) - len(list_intersect(qs, cs)))::DOUBLE AS jaccard
+           |FROM cand
+           |WHERE len(list_intersect(qs, cs))::DOUBLE /
+           |  (len(qs) + len(cs) - len(list_intersect(qs, cs)))::DOUBLE >= 0.5""".stripMargin
       }),
 
     // Near-dup CLUSTERS: MinHash-LSH pairs -> connected components -> one

@@ -45,6 +45,44 @@ class DedupSpec extends SparkSpec {
       s"only $survived of $farOrig post-insertion chunks kept their hash")
   }
 
+  test("near-dup index: probe equals inline pairs; grown index equals rebuild") {
+    val docs = spark.read.parquet(sf("documents")).select($"doc_id", $"text")
+    val delta = docs.filter($"doc_id" < 50)
+    val dir = java.nio.file.Files.createTempDirectory("neardup_idx").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("neardup_grown").toString
+    try {
+      Dedup.writeNearDupIndex(docs, "doc_id", "text", 3, 8, 2, 64, dir)
+      val probed = Dedup.probeNearDupIndex(spark, dir, delta,
+        "doc_id", "text", 3, 8, 2, 64, 0.5)
+      // Inline ground truth: the symmetric pair set restricted to
+      // queries, re-oriented to (query, cand).
+      val inline = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 8, 2, 0.5)
+        .collect().flatMap { r =>
+          val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+          Seq((a, b, j), (b, a, j)).filter(_._1 < 50)
+        }.toSet
+      val got = probed.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === inline)
+      // DPP: the probe's index scan is partition-pruned on (band, bkt).
+      val plan = probed.queryExecution.executedPlan.toString()
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"no partition pruning on the near-dup index scan:\n$plan")
+      // Grown index (half + appended half) probes identically.
+      Dedup.writeNearDupIndex(docs.filter($"doc_id" % 2 === 0),
+        "doc_id", "text", 3, 8, 2, 64, dir2)
+      Dedup.appendToNearDupIndex(docs.filter($"doc_id" % 2 === 1),
+        "doc_id", "text", 3, 8, 2, 64, dir2)
+      val grown = Dedup.probeNearDupIndex(spark, dir2, delta,
+        "doc_id", "text", 3, 8, 2, 64, 0.5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(grown === got)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
+    }
+  }
+
   test("minhashLshPairs finds a one-word-edit near-dup and no false pairs") {
     val base = "the quick brown fox jumps over the lazy dog and keeps on " +
       "running through the quiet green field toward the distant hills"
