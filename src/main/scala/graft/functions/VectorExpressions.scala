@@ -164,6 +164,15 @@ case class NearestCentroid(first: Expression, second: Expression,
     val x = v.asInstanceOf[ArrayData]
     val ids = cells.asInstanceOf[ArrayData]
     val m = cents.asInstanceOf[ArrayData]
+    // Fail loud on a vector shorter than the centroid dimension:
+    // ArrayData.getDouble past numElements() is an unchecked read on
+    // unsafe rows — a malformed row would get a silently arbitrary cell
+    // (and eval/codegen could even disagree) instead of failing the
+    // index build. Centroids all share one dimension; check once.
+    if (m.numElements() > 0 && x.numElements() < m.getArray(0).numElements())
+      throw new IllegalArgumentException(
+        s"graft_nearest_centroid: vector has ${x.numElements()} dims, " +
+          s"centroids have ${m.getArray(0).numElements()}")
     var best = -1
     var bestD = Double.PositiveInfinity
     var j = 0
@@ -191,6 +200,12 @@ case class NearestCentroid(first: Expression, second: Expression,
       val t = ctx.freshName("t")
       val bestD = ctx.freshName("bestD")
       s"""
+         |if ($cents.numElements() > 0 &&
+         |    $v.numElements() < $cents.getArray(0).numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_nearest_centroid: vector has " + $v.numElements() +
+         |    " dims, centroids have " + $cents.getArray(0).numElements());
+         |}
          |${ev.value} = -1;
          |double $bestD = Double.POSITIVE_INFINITY;
          |for (int $j = 0; $j < $cents.numElements(); $j++) {

@@ -142,9 +142,10 @@ object Dedup {
     */
   def writeNearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
                         shingleK: Int, bands: Int, rowsPerBand: Int,
-                        nBuckets: Int, path: String): Unit =
+                        nBuckets: Int, path: String,
+                        mat: graft.ops.Materialize = graft.ops.Materialize.Local): Unit =
     writeNearDupLayout(corpus, idCol, textCol, shingleK, bands, rowsPerBand,
-      nBuckets, path, org.apache.spark.sql.SaveMode.Overwrite)
+      nBuckets, path, org.apache.spark.sql.SaveMode.Overwrite, mat)
 
   /** INCREMENTAL maintenance: append a delta batch to an existing
     * [[writeNearDupIndex]] layout. Signatures are a pure per-doc
@@ -154,20 +155,22 @@ object Dedup {
     */
   def appendToNearDupIndex(delta: DataFrame, idCol: String, textCol: String,
                            shingleK: Int, bands: Int, rowsPerBand: Int,
-                           nBuckets: Int, path: String): Unit =
+                           nBuckets: Int, path: String,
+                           mat: graft.ops.Materialize = graft.ops.Materialize.Local): Unit =
     writeNearDupLayout(delta, idCol, textCol, shingleK, bands, rowsPerBand,
-      nBuckets, path, org.apache.spark.sql.SaveMode.Append)
+      nBuckets, path, org.apache.spark.sql.SaveMode.Append, mat)
 
   private def writeNearDupLayout(rows: DataFrame, idCol: String,
                                  textCol: String, shingleK: Int, bands: Int,
                                  rowsPerBand: Int, nBuckets: Int, path: String,
-                                 mode: org.apache.spark.sql.SaveMode): Unit = {
+                                 mode: org.apache.spark.sql.SaveMode,
+                                 mat: graft.ops.Materialize): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     // Pinned once: the shingle arrays feed the signature pass AND the
-    // output rows (the minhashLshPairs materialization contract).
-    val sets = ensureParallelism(rows.select(col(idCol).as("id"), col(textCol)))
-      .select(col("id"), wordShingles(col(textCol), shingleK).as("shingles"))
-      .localCheckpoint(false)
+    // output rows (the minhashLshPairs materialization contract —
+    // `mat` picks Local/Reliable/Path per the Materialize docs).
+    val sets = mat(ensureParallelism(rows.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), wordShingles(col(textCol), shingleK).as("shingles")))
     bandKeys(sets, bands, rowsPerBand)
       .join(sets, Seq("id"))
       .select(col("id").as("cand_id"), col("key"), col("shingles"),
@@ -197,11 +200,11 @@ object Dedup {
                         indexPath: String, delta: DataFrame,
                         idCol: String, textCol: String,
                         shingleK: Int, bands: Int, rowsPerBand: Int,
-                        nBuckets: Int, threshold: Double): DataFrame = {
+                        nBuckets: Int, threshold: Double,
+                        mat: graft.ops.Materialize = graft.ops.Materialize.Local): DataFrame = {
     val idx = spark.read.parquet(indexPath)
-    val qsets = ensureParallelism(delta.select(col(idCol).as("id"), col(textCol)))
-      .select(col("id"), wordShingles(col(textCol), shingleK).as("shingles"))
-      .localCheckpoint(false)
+    val qsets = mat(ensureParallelism(delta.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), wordShingles(col(textCol), shingleK).as("shingles")))
     val qb = bandKeys(qsets, bands, rowsPerBand)
       .join(qsets.select(col("id"), col("shingles").as("q_sh")), Seq("id"))
       .select(col("id").as("query_id"), col("q_sh"), col("band"), col("key"),

@@ -123,11 +123,6 @@ object Multimodal {
                                  bits_per_sample: Int, n_frames: Long,
                                  duration_ms: Long, byte_checksum: Long)
 
-  /** REAL audio decode via `javax.sound.sampled.AudioSystem` (WAV/AIFF/AU
-    * on any stock JVM): true container-parsed sample rate, channel count,
-    * sample width, and frame length. An undecodable payload raises — same
-    * fail-loud contract as [[decodeImage]].
-    */
   /** Cached-provider open (not AudioSystem.getAudioInputStream, whose
     * per-call synchronized provider lookup serializes the parallel
     * kernel): try each stock reader, exactly as AudioSystem itself
@@ -143,10 +138,21 @@ object Multimodal {
     }.nextOption().getOrElse(throw new IllegalArgumentException(
       s"undecodable audio payload for media_id=$mediaId"))
 
+  /** REAL audio decode (WAV/AIFF/AU on any stock JVM): true
+    * container-parsed sample rate, channel count, sample width, and
+    * frame length. An undecodable payload raises — same fail-loud
+    * contract as [[decodeImage]] — and so does a container whose
+    * header does not state its frame count (a streaming-style payload
+    * would otherwise ship `n_frames = -1` and a negative duration as if
+    * they were measurements).
+    */
   def decodeAudio(r: MediaRecord): AudioFeatures = {
     val ais = openAudio(r.payload, r.media_id)
     try {
       val fmt = ais.getFormat
+      require(ais.getFrameLength >= 0,
+        s"audio payload for media_id=${r.media_id} does not declare its " +
+          "frame count (streaming-style container); cannot report n_frames")
       var sum = 0L
       var i = 0
       while (i < r.payload.length) { sum += (r.payload(i) & 0xFF).toLong; i += 1 }
@@ -178,6 +184,13 @@ object Multimodal {
         case "image" => decodeImage(r)
         case "audio" =>
           val a = decodeAudio(r)
+          // The shared struct narrows n_frames to Int; refuse to wrap
+          // rather than ship a silently corrupted count (the typed
+          // extractAudioFeatures path keeps the Long).
+          require(a.n_frames <= Int.MaxValue,
+            s"audio media_id=${a.media_id} has ${a.n_frames} frames — " +
+              "exceeds the shared MediaFeatures Int field; use " +
+              "extractAudioFeatures for the typed Long schema")
           MediaFeatures(a.media_id, r.modality, a.n_bytes,
             width = a.sample_rate, height = a.bits_per_sample,
             channels = a.channels, n_frames = a.n_frames.toInt,
@@ -199,6 +212,16 @@ object Multimodal {
     }
   }
 
+  /** The shared per-record batched-kernel shape: iterator-of-batches
+    * in, records out. With a per-record `f` the batching is pure
+    * structure (one Seq per batch) — it exists so a future NATIVE batch
+    * codec swaps `_.map(f)` for one batch call without touching any
+    * caller; [[decodeBatch]] is the batch-granular variant.
+    */
+  private def mapBatched[I, O](it: Iterator[I], batchSize: Int)
+                              (f: I => O): Iterator[O] =
+    it.grouped(batchSize).flatMap(_.map(f))
+
   /** Batched audio feature extraction with the typed [[AudioFeatures]]
     * schema — same iterator-of-batches `mapPartitions` shape as
     * [[extractFeatures]]. Every record must be decodable audio (the
@@ -207,9 +230,7 @@ object Multimodal {
   def extractAudioFeatures(ds: Dataset[MediaRecord],
                            batchSize: Int = 64): Dataset[AudioFeatures] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions { it =>
-      it.grouped(batchSize).flatMap(batch => batch.map(decodeAudio))
-    }
+    ds.mapPartitions(mapBatched(_, batchSize)(decodeAudio))
   }
 
   /** SAMPLE-level audio content features — all-integer, so the values
@@ -223,16 +244,12 @@ object Multimodal {
                                         n_frames: Long, sum_sq: Long,
                                         sum_abs: Long, peak_abs: Int)
 
-  /** REAL sample decode: streams the PCM frames out of the container
-    * (16-bit signed PCM, either endianness) and folds exact integer
-    * aggregates over them. Fails loud on non-PCM16 payloads and on a
-    * payload whose data section is shorter than its header's frame
-    * count — a truncated blob in a 100 TB corpus must surface here,
-    * not as silently-low energy.
-    */
   /** Decode the full PCM16 data section: (format, frame count, raw
-    * bytes), with the fail-loud non-PCM16 / truncation guards shared by
-    * every sample-level kernel.
+    * bytes). Fails loud on non-PCM16 payloads, on containers that do
+    * not declare their frame count, and on a data section shorter than
+    * the header's promise — a truncated blob in a 100 TB corpus must
+    * surface here, not as silently-low energy. Shared by every
+    * sample-level kernel.
     */
   private def readPcm16(payload: Array[Byte], mediaId: Long)
       : (javax.sound.sampled.AudioFormat, Long, Array[Byte]) = {
@@ -244,6 +261,9 @@ object Multimodal {
           && fmt.getSampleSizeInBits == 16,
         s"sample decode supports 16-bit signed PCM, got $fmt " +
           s"for media_id=$mediaId")
+      require(ais.getFrameLength >= 0,
+        s"audio payload for media_id=$mediaId does not declare its frame " +
+          "count (streaming-style container); cannot verify the data section")
       val bytes = ais.readAllBytes()
       val expected = ais.getFrameLength * fmt.getFrameSize
       require(bytes.length.toLong == expected,
@@ -258,6 +278,11 @@ object Multimodal {
     if (big) (bytes(2 * idx) << 8) | (bytes(2 * idx + 1) & 0xFF)
     else (bytes(2 * idx + 1) << 8) | (bytes(2 * idx) & 0xFF)
 
+  /** REAL sample decode: reads the full PCM16 data section out of the
+    * container (either endianness) and folds exact integer aggregates
+    * over it — [[readPcm16]] carries the fail-loud non-PCM16 /
+    * undeclared-length / truncation guards.
+    */
   def decodeAudioContent(r: MediaRecord): AudioContentFeatures = {
     val (fmt, nFrames, bytes) = readPcm16(r.payload, r.media_id)
     val big = fmt.isBigEndian
@@ -284,9 +309,7 @@ object Multimodal {
   def extractAudioContent(ds: Dataset[MediaRecord],
                           batchSize: Int = 64): Dataset[AudioContentFeatures] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions { it =>
-      it.grouped(batchSize).flatMap(batch => batch.map(decodeAudioContent))
-    }
+    ds.mapPartitions(mapBatched(_, batchSize)(decodeAudioContent))
   }
 
   /** Deterministic real PNG fixture: `width`x`height` RGB with pixel
@@ -410,9 +433,7 @@ object Multimodal {
   def resampleAudioDs(ds: Dataset[MediaRecord], targetRate: Int,
                       batchSize: Int = 64): Dataset[MediaRecord] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions { it =>
-      it.grouped(batchSize).flatMap(_.map(resampleAudio(_, targetRate)))
-    }
+    ds.mapPartitions(mapBatched(_, batchSize)(resampleAudio(_, targetRate)))
   }
 
   /** Audio fixture generator over a plain id frame: every id becomes a

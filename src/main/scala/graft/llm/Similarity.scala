@@ -24,6 +24,17 @@ object Similarity {
     * candidate generation (they carry ~no discriminative signal and
     * would blow the broadcast pair frame on a degenerate corpus).
     * `Long.MaxValue` opts the guard out.
+    *
+    * CONFIGURATION CONTRACT: the default assumes `numPlanes` is sized
+    * to the corpus so a BENIGN bucket is far narrower than the cap —
+    * corpus/2^numPlanes ≪ 10k. That is also the condition for LSH to be
+    * useful at all (a probe scores every bucket-mate, so 10k-wide
+    * benign buckets mean the plane count, not the cap, is wrong — e.g.
+    * 200k uniformly-bucketed vectors under numPlanes=4 average 12.5k
+    * per table-bucket and need more planes). Callers running a large
+    * corpus at deliberately low plane counts must raise the cap or opt
+    * out explicitly; the guard never silently applies to a correctly
+    * sized index.
     */
   val DefaultMaxBucketWidth: Long = 10000L
 
@@ -216,9 +227,12 @@ object Similarity {
       // Half-away-from-zero round, exact in both engines (the
       // quantizeInt8 parity); decimal(18,0) holds any sane micro-unit.
       .withColumn("xi",
-        when(abs(col("x")) >= lit(1e12), raise_error(concat(
-          lit("zscoreScaleDims: |component| >= 1e12 overflows the exact "
-            + "micro-unit pin, got "), col("x").cast("string"))))
+        // NaN fails every comparison, so it needs its own arm — an
+        // unguarded NaN would fall through to the same silent
+        // overflow-to-NULL this guard exists to prevent.
+        when(isnan(col("x")) || abs(col("x")) >= lit(1e12), raise_error(concat(
+          lit("zscoreScaleDims: component NaN or |x| >= 1e12 breaks the "
+            + "exact micro-unit pin, got "), col("x").cast("string"))))
         .otherwise(round(col("x") * lit(1e6)).cast("decimal(18,0)")))
       // Pinned: the explode + quantize projection feeds the stats pass
       // AND the output join — without the pin it runs twice.
@@ -544,12 +558,14 @@ object Similarity {
     * parameters.
     *
     * The hot-bucket guard (same default as [[lshTopK]], so the two paths
-    * stay row-identical) is computed on the PRUNED join, never a full
-    * index scan: every corpus member of a probed (tbl, bucket) joins at
-    * least one query row there, so `count(DISTINCT cand_id)` over the
-    * joined frame — taken BEFORE the self-pair filter, matching the
-    * inline path's whole-corpus width — equals the true bucket width,
-    * and unprobed buckets never need a width at all.
+    * stay row-identical) is computed on a PRUNED read, never a full
+    * index scan: the index is semi-joined to the tiny distinct
+    * (tbl, bucket) probe set (partition-column join — pruned like the
+    * candidate scan) and widths are plain `count(*)` per bucket —
+    * row-count widths, exactly the inline path's measure, so even a
+    * corpus carrying duplicate ids (or an index double-appended by an
+    * operational mistake) caps identically in both paths. Unprobed
+    * buckets never need a width at all.
     */
   def lshTopKFromIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                        queries: DataFrame, idCol: String, vecCol: String,
@@ -566,13 +582,17 @@ object Similarity {
     val joined = idx.join(broadcast(qb), Seq("tbl", "bucket"))
     // No pin here (unlike inline lshTopK): a localCheckpoint would hide
     // the parquet scan — and its dynamic partition pruning — behind an
-    // RDD barrier. The width pass re-reads the PRUNED partitions only,
-    // and its aggregate moves (tbl, bucket, cand_id) ids, nothing wider.
+    // RDD barrier. The width pass reads the PROBED partitions only
+    // (semi-join on the partition columns), and its aggregate moves
+    // (tbl, bucket) pairs, nothing wider.
     val capped =
       if (maxBucketWidth == Long.MaxValue) joined
       else joined.join(
-        broadcast(joined.groupBy(col("tbl"), col("bucket"))
-          .agg(countDistinct(col("cand_id")).as("w"))
+        broadcast(idx
+          .join(broadcast(qb.select(col("tbl"), col("bucket")).distinct()),
+            Seq("tbl", "bucket"), "left_semi")
+          .groupBy(col("tbl"), col("bucket"))
+          .agg(count(lit(1)).as("w"))
           .filter(col("w") > maxBucketWidth)
           .select(col("tbl"), col("bucket"))),
         Seq("tbl", "bucket"), "left_anti")

@@ -966,11 +966,14 @@ object LlmQueries {
            |     ORDER BY cos DESC, cand_id) AS rank FROM scored)
            |  WHERE rank <= 5),
            |bv AS ($bv),
+           |hot AS (SELECT tbl, bucket FROM bv GROUP BY tbl, bucket
+           |  HAVING count(*) > ${graft.llm.Similarity.DefaultMaxBucketWidth}),
            |cand AS (SELECT DISTINCT q.vec_id AS query_id, q.v AS qv,
            |  c.vec_id AS cand_id, c.v AS cv
            |  FROM bv c JOIN bv q
            |  ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
-           |  WHERE q.vec_id < 10),
+           |  WHERE q.vec_id < 10 AND NOT EXISTS (SELECT 1 FROM hot h
+           |    WHERE h.tbl = c.tbl AND h.bucket = c.bucket)),
            |approx AS (SELECT query_id, cand_id FROM
            |  (SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
            |     ORDER BY ${cosSql("qv", "cv")} DESC, cand_id) AS rank FROM cand)

@@ -61,6 +61,19 @@ class FunctionsSpec extends SparkSpec {
     assert(expr.eval(null) === 0)
   }
 
+  test("NearestCentroid fails loud on a vector shorter than the centroids") {
+    val cents = Array((0, Array(1.0, 2.0, 3.0)), (1, Array(4.0, 5.0, 6.0)))
+    val df = Seq((1L, Seq(0.5, 0.5))).toDF("id", "v")
+      .select($"id", transform($"v", _.cast("double")).as("v"))
+    val e = intercept[Exception] {
+      df.select(VectorFunctions.nearestCentroid($"v", cents)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("graft_nearest_centroid")),
+      s"wrong failure: ${messages(e)}")
+  }
+
   test("Hash60Expr is identical to the composed conv(substring(md5)) form") {
     val docs = spark.read.parquet(sf("documents"))
       .select($"doc_id".cast("string").as("s"))

@@ -598,7 +598,22 @@ class TextAnalysisSpec extends SparkSpec {
     val b = Similarity.zscoreScaleDims(emb.repartition(13), "vec_id", "embedding")
       .collect().toSet
     assert(a === b)
+    // NaN and out-of-range components fail loud — both would otherwise
+    // fall into the silent non-ANSI overflow-to-NULL the guard exists for.
+    for (bad <- Seq(Double.NaN.toFloat, 2e12f)) {
+      val e = intercept[org.apache.spark.SparkException] {
+        Similarity.zscoreScaleDims(
+          Seq((1L, Seq(0f, bad))).toDF("vec_id", "embedding"),
+          "vec_id", "embedding").collect()
+      }
+      assert(String.valueOf(e.getMessage).contains("zscoreScaleDims") ||
+        messagesOf(e).exists(_.contains("zscoreScaleDims")))
+    }
   }
+
+  private def messagesOf(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x =>
+      String.valueOf(x.getMessage) +: messagesOf(x.getCause))
 
   test("ngramNovelty: share of shingles no other document contains") {
     // 3-shingles: d1 {a b c, b c d}, d2 {a b c, b c e}, d3 {x y z, y z w}
