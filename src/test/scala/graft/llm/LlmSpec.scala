@@ -600,14 +600,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a === b)
     // NaN and out-of-range components fail loud — both would otherwise
     // fall into the silent non-ANSI overflow-to-NULL the guard exists for.
+    // (SparkRuntimeException surfaces directly from the eager pin, not
+    // wrapped in a job-level SparkException — intercept broadly.)
     for (bad <- Seq(Double.NaN.toFloat, 2e12f)) {
-      val e = intercept[org.apache.spark.SparkException] {
+      val e = intercept[Exception] {
         Similarity.zscoreScaleDims(
           Seq((1L, Seq(0f, bad))).toDF("vec_id", "embedding"),
           "vec_id", "embedding").collect()
       }
-      assert(String.valueOf(e.getMessage).contains("zscoreScaleDims") ||
-        messagesOf(e).exists(_.contains("zscoreScaleDims")))
+      assert(messagesOf(e).exists(_.contains("zscoreScaleDims")),
+        s"wrong failure: ${messagesOf(e)}")
     }
   }
 
