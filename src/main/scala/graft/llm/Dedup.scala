@@ -589,6 +589,35 @@ object Dedup {
           " ")).as("chunk_h"))
   }
 
+  /** Chunk-level dedup stats over [[cdcChunks]]: per document, how many
+    * of its content-defined chunks also occur (by chunk hash) anywhere
+    * else in the corpus — the KEEP/DROP measurement CDC exists to feed.
+    * Because boundaries are content-defined, a document that shares a
+    * paragraph with another scores that paragraph's chunks as
+    * duplicated even when the surrounding bytes differ — the
+    * insertion-robust twin of [[substringDupStats]] at chunk (not gram)
+    * granularity, with shuffle volume ∝ chunks (~tokens/divisor), not
+    * grams.
+    *
+    * Shape: one chunk frame, one map-side-combined count on the 8-byte
+    * chunk hash, one equi-join back on the same key, one per-doc
+    * rollup — the gramIndex dataflow one granularity up.
+    */
+  def cdcDedupStats(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3, divisor: Int = 16,
+                    mat: graft.ops.Materialize = graft.ops.Materialize.Local): DataFrame = {
+    val chunks = mat(cdcChunks(df, idCol, textCol, k, divisor, mat)
+      .select(col(idCol), col("chunk_h")))
+    val counts = chunks.groupBy(col("chunk_h")).agg(count(lit(1)).as("cnt"))
+    chunks.join(counts, Seq("chunk_h"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+  }
+
   /** All k-grams of a let-bound token array, with multiplicity — the
     * [[TextOps.wordShinglesAll]] gram rule (short docs contribute their
     * whole text as one gram) without re-tokenizing the text.

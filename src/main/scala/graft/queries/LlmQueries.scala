@@ -1541,5 +1541,36 @@ object LlmQueries {
          |  CAST(start_tok AS INT) AS start_tok,
          |  CAST(end_tok - start_tok AS INT) AS n_toks,
          |  ${h60("array_to_string(ws[start_tok+1:end_tok], ' ')")} AS chunk_h
-         |FROM c JOIN g USING (doc_id)""".stripMargin)))
+         |FROM c JOIN g USING (doc_id)""".stripMargin)),
+
+    // Chunk-level dedup stats — the KEEP/DROP measurement CDC feeds:
+    // per doc, the fraction of its content-defined chunks whose hash
+    // occurs anywhere else in the corpus. Insertion-robust twin of
+    // llm_substring_dup at chunk granularity; shuffle ∝ chunks, not
+    // grams.
+    "llm_cdc_dedup" -> Q(
+      (s, dir) => Dedup.cdcDedupStats(Tables.documents(s, dir),
+        "doc_id", "text", k = 3, divisor = 16),
+      Some(s"""WITH norm AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents),
+         |g AS (SELECT doc_id, ws, len(ws) AS n, ${gramsAllSql("ws")} AS gs
+         |      FROM norm),
+         |e AS (SELECT doc_id, n, CAST(unnest(range(0, len(gs))) AS INT) AS pos,
+         |      unnest(list_transform(gs, s -> ${h60("s")})) AS h FROM g),
+         |b AS (SELECT doc_id, n, pos AS start_tok FROM e
+         |      WHERE pos > 0 AND h % 16 = 0
+         |      UNION ALL SELECT doc_id, n, 0 FROM g),
+         |c AS (SELECT doc_id, n, start_tok,
+         |      coalesce(lead(start_tok) OVER
+         |        (PARTITION BY doc_id ORDER BY start_tok), n) AS end_tok
+         |      FROM b),
+         |ch AS (SELECT c.doc_id,
+         |  ${h60("array_to_string(ws[start_tok+1:end_tok], ' ')")} AS chunk_h
+         |  FROM c JOIN g USING (doc_id)),
+         |cnt AS (SELECT chunk_h, count(*) AS cnt FROM ch GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_chunks,
+         |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS dup_frac
+         |FROM ch JOIN cnt USING (chunk_h) GROUP BY doc_id""".stripMargin)))
 }

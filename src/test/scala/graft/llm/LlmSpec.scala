@@ -83,6 +83,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cdcDedupStats flags shared-paragraph chunks despite differing context") {
+    def word(i: Int) = s"w$i" // injective - no accidental sequence reuse
+    val para = (0 until 120).map(word).mkString(" ")
+    // Doc 2 embeds doc 1's paragraph inside entirely different text.
+    val other = (500 until 560).map(word).mkString(" ")
+    val df = Seq(
+      (1L, para),
+      (2L, s"$other $para"),
+      (3L, (200 until 280).map(word).mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.cdcDedupStats(df, "doc_id", "text", k = 3, divisor = 8)
+      .orderBy("doc_id").collect()
+    // The shared paragraph's interior chunks hash identically in 1 and 2
+    // (content-defined boundaries re-sync inside it); doc 3 shares none.
+    assert(out(0).getAs[Long]("n_dup_chunks") > 0)
+    assert(out(1).getAs[Long]("n_dup_chunks") > 0)
+    assert(out(2).getAs[Long]("n_dup_chunks") === 0L)
+  }
+
   test("minhashLshPairs finds a one-word-edit near-dup and no false pairs") {
     val base = "the quick brown fox jumps over the lazy dog and keeps on " +
       "running through the quiet green field toward the distant hills"
