@@ -265,20 +265,30 @@ object Dedup {
     * `maxHamming` differing bits agrees exactly on at least one band; the
     * true hamming distance then filters the candidates.
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 60,
-      s"maxHamming must be in [0, 60), got $maxHamming")
+  /** The hamming band slices of a (id, sh) simhash frame: one row per
+    * (doc, band), key = that band's bit slice. Shared by the inline
+    * pair join and the write-time index layout — identical expressions,
+    * so the index collides exactly where the inline path would
+    * (pigeonhole recall: `maxHamming + 1` bands over 60 bits).
+    */
+  private def simhashBands(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
     val width = (60 + nBands - 1) / nBands // last band may be narrower
-    val sigs = simhashFrame(df, idCol, textCol)
-      .select(col(idCol).as("id"), col("simhash").as("sh"))
-    val banded = sigs.select(col("id"), col("sh"),
+    sigs.select(col("id"), col("sh"),
       posexplode(array((0 until nBands).map { b =>
         val w = math.min(width, 60 - b * width)
         shiftright(col("sh"), b * width).bitwiseAND((1L << math.max(w, 1)) - 1)
       }: _*))
         .as(Seq("band", "key")))
+  }
+
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 60,
+      s"maxHamming must be in [0, 60), got $maxHamming")
+    val sigs = simhashFrame(df, idCol, textCol)
+      .select(col(idCol).as("id"), col("simhash").as("sh"))
+    val banded = simhashBands(sigs, maxHamming)
     val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("band", "key"))
@@ -287,6 +297,77 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** Materialize the write-time SIMHASH index: one row per (doc, band)
+    * — `(cand_id, key, sh)` under `partitionBy(band, bkt)`,
+    * `bkt = key % nBuckets` (band values are bounded ints, but 2^width
+    * can still be thousands of directories; the bucket bounds the
+    * partition count like the near-dup text index's key hash). The
+    * third write-time dedup layout beside [[writeNearDupIndex]] and the
+    * embedding-LSH index: hamming near-dup probes of a delta batch
+    * against the corpus become DPP-pruned reads instead of corpus
+    * re-hashes.
+    */
+  def writeSimhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int, nBuckets: Int, path: String): Unit =
+    writeSimhashLayout(corpus, idCol, textCol, maxHamming, nBuckets, path,
+      org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** INCREMENTAL maintenance: append a delta batch to an existing
+    * [[writeSimhashIndex]] layout (signatures are per-doc pure — grown
+    * index probes identically to a rebuild).
+    */
+  def appendToSimhashIndex(delta: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int, nBuckets: Int, path: String): Unit =
+    writeSimhashLayout(delta, idCol, textCol, maxHamming, nBuckets, path,
+      org.apache.spark.sql.SaveMode.Append)
+
+  private def writeSimhashLayout(rows: DataFrame, idCol: String,
+                                 textCol: String, maxHamming: Int,
+                                 nBuckets: Int, path: String,
+                                 mode: org.apache.spark.sql.SaveMode): Unit = {
+    require(maxHamming >= 0 && maxHamming < 60,
+      s"maxHamming must be in [0, 60), got $maxHamming")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val sigs = simhashFrame(rows, idCol, textCol)
+      .select(col(idCol).as("id"), col("simhash").as("sh"))
+    simhashBands(sigs, maxHamming)
+      .select(col("id").as("cand_id"), col("key"), col("sh"),
+        col("band"), pmod(col("key"), lit(nBuckets.toLong)).cast("int").as("bkt"))
+      .write.mode(mode).partitionBy("band", "bkt").parquet(path)
+  }
+
+  /** Probe a [[writeSimhashIndex]] layout with a delta batch: the
+    * delta's band slices join the index on the PARTITION columns
+    * (band, bkt) — dynamic partition pruning — with the band value as
+    * the equi-join residual; survivors verify true hamming distance
+    * against the full signatures (the delta's inline, the corpus's
+    * carried in the index). Multi-band collisions dedup on the
+    * identical computed distance. Same params as [[simhashPairs]] give
+    * the delta-restricted, (query, cand)-oriented subset of its rows.
+    *
+    * @return (query_id, cand_id, hamming), cand ≠ query,
+    *   hamming ≤ maxHamming.
+    */
+  def probeSimhashIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String, delta: DataFrame,
+                        idCol: String, textCol: String,
+                        maxHamming: Int, nBuckets: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 60,
+      s"maxHamming must be in [0, 60), got $maxHamming")
+    val idx = spark.read.parquet(indexPath)
+    val qsigs = simhashFrame(delta, idCol, textCol)
+      .select(col(idCol).as("id"), col("simhash").as("sh"))
+    val qb = simhashBands(qsigs, maxHamming)
+      .select(col("id").as("query_id"), col("sh").as("q_sh"),
+        col("band"), col("key"),
+        pmod(col("key"), lit(nBuckets.toLong)).cast("int").as("bkt"))
+    idx.join(broadcast(qb), Seq("band", "bkt", "key"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("hamming", bit_count(col("q_sh").bitwiseXOR(col("sh"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("query_id"), col("cand_id"), col("hamming")).distinct()
   }
 
   /** Exact n-gram Jaccard similarity join: pairs with Jaccard ≥ `threshold`

@@ -138,6 +138,18 @@ object LlmQueries {
     ensureIvfIndex(s, dir)
     ensureGrownIvfIndex(s, dir)
     ensureNearDupIndex(s, dir)
+    ensureSimhashIndex(s, dir)
+  }
+
+  /** Ensure the write-time SIMHASH index for `dir`'s documents exists;
+    * return its path (same contract as [[ensureLshIndex]]).
+    */
+  def ensureSimhashIndex(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val fix = s"/tmp/graft_fixtures/simhash_index_${fingerprintCached(s"$dir/documents.parquet")}"
+    if (!new java.io.File(s"$fix/_SUCCESS").exists())
+      Dedup.writeSimhashIndex(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 8, nBuckets = 32, path = fix)
+    fix
   }
 
   // ---- DuckDB SQL fragment generators (mirror graft.llm.TextOps) ----
@@ -248,6 +260,33 @@ object LlmQueries {
        |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
        |cl AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
        |  FROM reach GROUP BY s)""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.llm.Dedup.simhashFrame]] ending in
+    * `sim(doc_id, simhash)` — shared by the signature, inline-pairs,
+    * and index-probe rows.
+    */
+  private lazy val simhashCte: String =
+    s"""WITH th AS (SELECT doc_id, list_transform(${toksSql("text")},
+       |  t -> ${h60("t")}) AS th FROM documents),
+       |sim AS (SELECT doc_id, list_reduce(list_transform(range(0, 60), j ->
+       |  CASE WHEN list_reduce(list_prepend(0::BIGINT, list_transform(th,
+       |    h -> CASE WHEN (h >> j) & 1 = 1 THEN 1::BIGINT ELSE (-1)::BIGINT END)),
+       |    (a, b) -> a + b) >= 0
+       |  THEN (1::BIGINT << j) ELSE 0::BIGINT END), (a, b) -> a | b) AS simhash
+       |FROM th)""".stripMargin
+
+  /** DuckDB twin of the maxHamming=8 simhash band slices over `sim` —
+    * the same 9 x 7-bit (last 4-bit) slices the Scala side derives.
+    */
+  private lazy val simhashBandsSql: String = {
+    val nBands = 9
+    val width = 7
+    (0 until nBands).map { b =>
+      val w = math.min(width, 60 - b * width)
+      val mask = (1L << math.max(w, 1)) - 1
+      s"SELECT doc_id, simhash, $b AS band, ((simhash >> ${b * width}) & $mask) AS key FROM sim"
+    }.mkString("\nUNION ALL\n")
   }
 
   /** All k=3 grams WITH multiplicity (DuckDB twin of
@@ -500,14 +539,46 @@ object LlmQueries {
     // via the corpus-scale explode + vote-sum path.
     "llm_simhash" -> Q(
       (s, dir) => Dedup.simhashFrame(Tables.documents(s, dir), "doc_id", "text"),
-      Some(s"""WITH th AS (SELECT doc_id, list_transform(${toksSql("text")},
-         |  t -> ${h60("t")}) AS th FROM documents)
-         |SELECT doc_id, list_reduce(list_transform(range(0, 60), j ->
-         |  CASE WHEN list_reduce(list_prepend(0::BIGINT, list_transform(th,
-         |    h -> CASE WHEN (h >> j) & 1 = 1 THEN 1::BIGINT ELSE (-1)::BIGINT END)),
-         |    (a, b) -> a + b) >= 0
-         |  THEN (1::BIGINT << j) ELSE 0::BIGINT END), (a, b) -> a | b) AS simhash
-         |FROM th""".stripMargin)),
+      Some(s"""$simhashCte
+         |SELECT doc_id, simhash FROM sim""".stripMargin)),
+
+    // SimHash near-dup PAIRS (the dedup decision, not just the
+    // signature): pigeonhole banding guarantees recall at hamming <= 8
+    // (9 bands over 60 bits), true distance filters candidates.
+    "llm_dedup_simhash_pairs" -> Q(
+      (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir),
+        "doc_id", "text", maxHamming = 8),
+      Some(s"""$simhashCte,
+         |banded AS ($simhashBandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.simhash AS sa, b.simhash AS sb
+         |  FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 8""".stripMargin)),
+
+    // Write-time SIMHASH index probed with a delta batch — the third
+    // write-time dedup layout (beside the near-dup text index and the
+    // embedding-LSH index): hamming probes become DPP-pruned reads with
+    // the band value as the join residual and full signatures carried
+    // in-index. Delta = doc_id < 50, same params as the pairs row.
+    "llm_simhash_index_probe" -> Q(
+      (s, dir) => {
+        val fix = ensureSimhashIndex(s, dir)
+        Dedup.probeSimhashIndex(s, fix,
+          Tables.documents(s, dir).filter(col("doc_id") < 50),
+          "doc_id", "text", maxHamming = 8, nBuckets = 32)
+      },
+      Some(s"""$simhashCte,
+         |banded AS ($simhashBandsSql),
+         |cand AS (SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS cand_id,
+         |  q.simhash AS qs, c.simhash AS cs
+         |  FROM banded c JOIN banded q
+         |  ON c.band = q.band AND c.key = q.key AND c.doc_id <> q.doc_id
+         |  WHERE q.doc_id < 50)
+         |SELECT query_id, cand_id,
+         |  CAST(bit_count(xor(qs, cs)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(qs, cs)) <= 8""".stripMargin)),
 
     // Embedding-cosine near-dup pairs, bucketed by the label column.
     "llm_dedup_embedding" -> Q(

@@ -101,6 +101,40 @@ class DedupSpec extends SparkSpec {
     assert(out(2).getAs[Long]("n_dup_chunks") === 0L)
   }
 
+  test("simhash index: probe equals inline pairs; grown index equals rebuild") {
+    val docs = spark.read.parquet(sf("documents")).select($"doc_id", $"text")
+    val delta = docs.filter($"doc_id" < 50)
+    val dir = java.nio.file.Files.createTempDirectory("simhash_idx").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("simhash_grown").toString
+    try {
+      Dedup.writeSimhashIndex(docs, "doc_id", "text", 8, 32, dir)
+      val probed = Dedup.probeSimhashIndex(spark, dir, delta,
+        "doc_id", "text", 8, 32)
+      val inline = Dedup.simhashPairs(docs, "doc_id", "text", 8)
+        .collect().flatMap { r =>
+          val (a, b, h) = (r.getLong(0), r.getLong(1), r.getInt(2))
+          Seq((a, b, h), (b, a, h)).filter(_._1 < 50)
+        }.toSet
+      val got = probed.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === inline)
+      val plan = probed.queryExecution.executedPlan.toString()
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"no partition pruning on the simhash index scan:\n$plan")
+      Dedup.writeSimhashIndex(docs.filter($"doc_id" % 2 === 0),
+        "doc_id", "text", 8, 32, dir2)
+      Dedup.appendToSimhashIndex(docs.filter($"doc_id" % 2 === 1),
+        "doc_id", "text", 8, 32, dir2)
+      val grown = Dedup.probeSimhashIndex(spark, dir2, delta,
+        "doc_id", "text", 8, 32).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(grown === got)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
+    }
+  }
+
   test("minhashLshPairs finds a one-word-edit near-dup and no false pairs") {
     val base = "the quick brown fox jumps over the lazy dog and keeps on " +
       "running through the quiet green field toward the distant hills"
