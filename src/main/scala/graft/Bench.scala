@@ -92,12 +92,48 @@ object Bench {
       }
       name -> best
     }
+    // ---- Self-probe (BASELINE.md "Round-10 Bench self-probe protocol").
+    // Four consecutive rounds (r3 minhash, r7 w2/upsert/st4, r9 j4) a
+    // driver-run per-query spike needed a manual fresh-JVM isolation probe
+    // and every one adjudicated as host/JIT noise. The suite now re-probes
+    // its own spikes: any query whose min-of-reps exceeds 2x its recorded
+    // minimum (and a 1 s absolute floor - sub-second jitter isn't a spike)
+    // is re-timed post-suite with extra reps, when the code cache is warm
+    // and the block manager swept - the conditions the manual probes used.
+    // Both numbers ship in the trailer so the artifact adjudicates itself.
+    val failures = failed.result().toMap
+    val reprobed: Seq[(String, Double, Double)] =
+      if (sfDir != BenchBaseline.sfDir) Nil
+      else {
+        val suspects = results.filter { case (name, best) =>
+          !failures.contains(name) && best > 1.0 &&
+            BenchBaseline.minima.get(name).exists(m => best > 2.0 * m)
+        }
+        suspects.map { case (name, suiteSec) =>
+          val fn = SparkEntry.queries(name)
+          val probeReps = math.max(reps + 2, 4)
+          var best = Double.MaxValue
+          var r = 0
+          while (r < probeReps && best > 0) {
+            val t0 = System.nanoTime()
+            try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            catch { case _: Throwable => best = -1.0 } // ran green in-suite; a
+            // probe-only failure is itself reportable as the -1 sentinel
+            if (best > 0)
+              best = math.min(best, (System.nanoTime() - t0) / 1e9)
+            spark.catalog.clearCache()
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
+            r += 1
+          }
+          (name, suiteSec, best)
+        }
+      }
     val wall = (System.nanoTime() - wall0) / 1e9
     // A failed query must be visible IN the JSON (stderr is routinely
     // discarded): its time is replaced with the -1 sentinel and its name
     // listed with the error line, so a green-looking total can't hide a
     // regression.
-    val failures = failed.result().toMap
     val qs = results.map { case (k, v) =>
       val shown = if (failures.contains(k)) -1.0 else v
       "\"" + k + f"""":$shown%.3f"""
@@ -123,8 +159,11 @@ object Bench {
       .sortBy(-_._2).take(5)
       .map { case (k, v) => f"""["$k",$v%.3f]""" }
       .mkString("[", ",", "]")
+    val reprobedJson = reprobed
+      .map { case (n, s, p) => f"""["$n",$s%.3f,$p%.3f]""" }
+      .mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"n_failed":${failures.size},"reps":$reps,"wall_sec":$wall%.3f,"top5":$top5,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"n_failed":${failures.size},"reps":$reps,"wall_sec":$wall%.3f,"top5":$top5,"reprobed":$reprobedJson,"sf":"$sfDir"}""")
   }
 
   /** Escape a string for embedding in a JSON literal (one line, no
