@@ -1554,6 +1554,33 @@ object LlmQueries {
     // replays the interpolation symbolically from the id-arithmetic
     // samples — only a resampler that actually reads, interpolates,
     // and re-encodes the PCM data reproduces every aggregate.
+    // Video: REAL RIFF/AVI container-metadata parse (the layer
+    // llm_audio_features certifies for WAV). Every doc_id becomes a
+    // structurally-genuine AVI whose width / height / fps rational /
+    // frame count are arithmetic in the id and live ONLY in the avih +
+    // vids-strh headers a chunk walk must find — so the oracle passes
+    // iff decodeVideoMeta genuinely parses the container. Encoder-
+    // dependent columns (n_bytes, byte_checksum) dropped as in the
+    // image/audio rows; duration_ms is truncating integer math, exact
+    // in both engines (DuckDB `//` == JVM `/` here: all values
+    // non-negative).
+    "llm_video_features" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        val media = Multimodal.syntheticVideo(Tables.documents(s, dir), "doc_id")
+        Multimodal.extractVideoFeatures(media)
+          .toDF().drop("byte_checksum").drop("n_bytes")
+      },
+      Some("""SELECT doc_id AS media_id,
+         |CAST(160 + (doc_id % 40) * 8 AS INT) AS width,
+         |CAST(120 + (doc_id % 30) * 8 AS INT) AS height,
+         |CAST(10 + doc_id % 50 AS INT) AS fps_rate,
+         |CAST(1 + doc_id % 3 AS INT) AS fps_scale,
+         |CAST(25 + doc_id % 200 AS BIGINT) AS n_frames,
+         |CAST((25 + doc_id % 200) * 1000 * (1 + doc_id % 3)
+         |  // (10 + doc_id % 50) AS BIGINT) AS duration_ms
+         |FROM documents""".stripMargin)),
+
     "llm_audio_resample" -> Q(
       (s, dir) => {
         implicit val sp = s

@@ -1000,6 +1000,78 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getCause.getMessage.contains("undecodable audio payload"))
   }
 
+  test("syntheticAvi lays fields out at the published AVI spec offsets") {
+    // Pins the WRITER to the spec independently of the parser, so a
+    // matched writer/parser offset bug cannot hide behind a round-trip:
+    // RIFF(12) + LIST-hdr(8) + 'hdrl'(4) puts avih data at 32
+    // (dwTotalFrames at +16, dwWidth at +32, dwHeight at +36); after
+    // avih (56) the strl LIST header lands strh data at 108 (fccType,
+    // dwScale at +20, dwRate at +24, dwLength at +32).
+    val b = Multimodal.syntheticAvi(width = 320, height = 240,
+      fpsRate = 30, fpsScale = 1, nFrames = 75)
+    def le(off: Int) = (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+    def cc(off: Int) = new String(b, off, 4, "US-ASCII")
+    assert(cc(0) === "RIFF" && cc(8) === "AVI ")
+    assert(le(4) === b.length - 8)
+    assert(cc(12) === "LIST" && cc(20) === "hdrl" && cc(24) === "avih")
+    assert(le(32 + 16) === 75 && le(32 + 32) === 320 && le(32 + 36) === 240)
+    assert(cc(108) === "vids")
+    assert(le(108 + 20) === 1 && le(108 + 24) === 30 && le(108 + 32) === 75)
+  }
+
+  test("decodeVideoMeta recovers AVI header fields via a real RIFF walk") {
+    val avi = Multimodal.syntheticAvi(width = 640, height = 360,
+      fpsRate = 30000, fpsScale = 1001, nFrames = 90)
+    val v = Multimodal.decodeVideoMeta(Multimodal.MediaRecord(4L, "video", avi))
+    assert(v.width === 640 && v.height === 360)
+    assert(v.fps_rate === 30000 && v.fps_scale === 1001)
+    assert(v.n_frames === 90L)
+    assert(v.duration_ms === 90L * 1000L * 1001L / 30000L) // 3003 ms
+    assert(v.n_bytes === avi.length.toLong)
+  }
+
+  test("decodeVideoMeta fails loud on junk, truncation, and header disagreement") {
+    implicit val s = spark
+    def dec(bytes: Array[Byte]) = Multimodal.decodeVideoMeta(
+      Multimodal.MediaRecord(1L, "video", bytes))
+    assert(intercept[IllegalArgumentException] {
+      dec("not an avi at all".getBytes("UTF-8"))
+    }.getMessage.contains("not a RIFF/AVI"))
+    val avi = Multimodal.syntheticAvi(320, 240, 25, 1, 50)
+    assert(intercept[IllegalArgumentException] {
+      dec(java.util.Arrays.copyOf(avi, avi.length - 10))
+    }.getMessage.contains("truncated container"))
+    // Corrupt avih.dwTotalFrames (offset 48): the cross-check against
+    // the vids strh.dwLength must refuse, not pick a side silently.
+    val bad = avi.clone(); bad(48) = (bad(48) + 1).toByte
+    assert(intercept[IllegalArgumentException] {
+      dec(bad)
+    }.getMessage.contains("disagrees"))
+    // Batched kernel path surfaces the same failure through Spark.
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractVideoFeatures(
+        Seq(Multimodal.MediaRecord(2L, "video", "junk".getBytes)).toDS()).collect()
+    }
+    assert(e.getCause.getMessage.contains("undecodable video payload"))
+  }
+
+  test("extractVideoFeatures: batched kernel over synthetic id-derived AVIs") {
+    implicit val s = spark
+    val df = Seq(6L, 13L).toDF("doc_id")
+    val feats = Multimodal.extractVideoFeatures(
+      Multimodal.syntheticVideo(df, "doc_id")).collect().sortBy(_.media_id)
+    // id 6: w 160+(6%40)*8=208, h 120+(6%30)*8=168, rate 16, scale 1, frames 31
+    assert(feats(0).width === 208 && feats(0).height === 168)
+    assert(feats(0).fps_rate === 16 && feats(0).fps_scale === 1
+      && feats(0).n_frames === 31L)
+    // id 13: w 160+13*8=264, h 120+13*8=224, rate 23, scale 2, frames 38
+    assert(feats(1).width === 264 && feats(1).height === 224)
+    assert(feats(1).fps_rate === 23 && feats(1).fps_scale === 2
+      && feats(1).n_frames === 38L)
+    assert(feats(1).duration_ms === 38L * 1000L * 2L / 23L)
+  }
+
   test("resize downsamples payloads to the byte budget, deterministically") {
     implicit val s = spark
     val df = Seq((1L, "image", "0123456789"), (2L, "image", "abc"))
