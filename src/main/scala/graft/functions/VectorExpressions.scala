@@ -173,6 +173,18 @@ case class NearestCentroid(first: Expression, second: Expression,
       throw new IllegalArgumentException(
         s"graft_nearest_centroid: vector has ${x.numElements()} dims, " +
           s"centroids have ${m.getArray(0).numElements()}")
+    // Fail loud on a null COMPONENT too: the type check accepts
+    // ARRAY<DOUBLE> with containsNull=true (real frames usually carry
+    // it), but getDouble on a null element reads 0.0 from unsafe rows —
+    // a silently-wrong cell instead of a failed build. One scan of the
+    // needed prefix per row, not per centroid.
+    val dim = if (m.numElements() > 0) m.getArray(0).numElements() else 0
+    var p = 0
+    while (p < dim) {
+      if (x.isNullAt(p)) throw new IllegalArgumentException(
+        s"graft_nearest_centroid: vector has a null component at index $p")
+      p += 1
+    }
     var best = -1
     var bestD = Double.PositiveInfinity
     var j = 0
@@ -205,6 +217,14 @@ case class NearestCentroid(first: Expression, second: Expression,
          |  throw new IllegalArgumentException(
          |    "graft_nearest_centroid: vector has " + $v.numElements() +
          |    " dims, centroids have " + $cents.getArray(0).numElements());
+         |}
+         |for (int $i = 0; $i < ($cents.numElements() > 0 ?
+         |    $cents.getArray(0).numElements() : 0); $i++) {
+         |  if ($v.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "graft_nearest_centroid: vector has a null component at index "
+         |      + $i);
+         |  }
          |}
          |${ev.value} = -1;
          |double $bestD = Double.POSITIVE_INFINITY;

@@ -1,0 +1,130 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared plumbing for the write-time BANDED-SIGNATURE index layouts —
+  * the skeleton [[Dedup.writeNearDupIndex]] (minhash band keys),
+  * [[Dedup.writeSimhashIndex]] (hamming band slices),
+  * [[Similarity.writeLshIndex]] (hyperplane buckets), and
+  * [[Dedup.writeExactDupIndex]] (content hash — the degenerate
+  * one-band case) all instantiate. Each family differs ONLY in its
+  * per-member signature function; everything below is common:
+  *
+  *  - WRITE: one row per (member, band) with a bounded partition
+  *    bucket, under `partitionBy(band, bkt)` — `band` is the
+  *    signature family's outer index (minhash band / hamming slice /
+  *    LSH table), `bkt` the bounded directory key derived from the
+  *    band's value.
+  *  - APPEND: signatures are pure per-member functions of deterministic
+  *    parameters, so a delta batch lands in exactly the directories a
+  *    full rebuild would use — probing a grown index equals probing a
+  *    rebuilt one.
+  *  - PROBE: the (small) query side's band rows broadcast-join the
+  *    index on the PARTITION columns — dynamic partition pruning reads
+  *    only the directories the delta hashes into — with any unbounded
+  *    band key finishing the match as an equi-join residual inside the
+  *    pruned read; self-pairs are dropped. The family-specific verify
+  *    measure (Jaccard / hamming / cosine) stays with the caller.
+  *
+  * A params SIDECAR (`_GRAFT_INDEX_PARAMS`, underscore-hidden from
+  * Spark's file listing) records the signature parameters at build
+  * time. Appends and probes validate it first and fail loud on a
+  * mismatch: an index probed (or grown) with different
+  * shingleK/bands/maxHamming/numPlanes/nBuckets than it was written
+  * with would silently return missing or wrong pairs — the one failure
+  * mode a layout of pure hash directories cannot surface by itself.
+  */
+private[llm] object BandedIndex {
+
+  /** Sidecar file name; the leading underscore hides it from Spark's
+    * parquet file discovery (Hadoop's hiddenFileFilter).
+    */
+  val ParamsFile = "_GRAFT_INDEX_PARAMS"
+
+  private def render(params: Map[String, String]): String =
+    params.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\n")
+
+  private def hadoopFs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def readSidecar(spark: SparkSession, path: String): Option[String] = {
+    val (fs, dir) = hadoopFs(spark, path)
+    val f = new org.apache.hadoop.fs.Path(dir, ParamsFile)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  private def writeSidecar(spark: SparkSession, path: String,
+                           params: Map[String, String]): Unit = {
+    val (fs, dir) = hadoopFs(spark, path)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, ParamsFile), true)
+    try out.write(render(params).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Fail loud unless the layout at `path` was built with exactly
+    * `params`. Called by every probe and every append.
+    */
+  def validateParams(spark: SparkSession, path: String,
+                     params: Map[String, String], op: String): Unit =
+    readSidecar(spark, path) match {
+      case None => throw new IllegalArgumentException(
+        s"$op: no $ParamsFile sidecar at $path - not a graft banded index " +
+          "(or built before sidecars existed); rebuild it with the " +
+          "matching write*Index call")
+      case Some(found) =>
+        val expected = render(params)
+        if (found != expected) throw new IllegalArgumentException(
+          s"$op: index at $path was built with different parameters.\n" +
+            s"index sidecar:\n$found\nthis call:\n$expected\n" +
+            "Probing or growing a banded layout with mismatched signature " +
+            "parameters silently returns missing or wrong pairs; rebuild " +
+            "the index or pass its recorded parameters.")
+    }
+
+  /** Write (Overwrite) or grow (Append) a banded layout. `banded` must
+    * carry `cand_id`, `band`, `bkt` plus the family's payload columns.
+    * Append validates the sidecar BEFORE touching data; Overwrite
+    * re-writes the sidecar AFTER the data lands (a failed build leaves
+    * no fresh sidecar behind).
+    */
+  def writeLayout(banded: DataFrame, path: String, mode: SaveMode,
+                  params: Map[String, String]): Unit = {
+    val spark = banded.sparkSession
+    if (mode == SaveMode.Append)
+      validateParams(spark, path, params, "append to banded index")
+    // Shuffle onto the partition columns BEFORE the partitioned write:
+    // without it every task writes a file into every directory its rows
+    // touch — at bands x nBuckets directories that is O(tasks x dirs)
+    // tiny files. Hash-clustered,
+    // each directory is owned by one task: total files == directories,
+    // and the one extra shuffle is write-time cost on a build-once
+    // layout, never probe-time.
+    banded.repartition(col("band"), col("bkt"))
+      .write.mode(mode).partitionBy("band", "bkt").parquet(path)
+    if (mode != SaveMode.Append) writeSidecar(spark, path, params)
+  }
+
+  /** The DPP probe join: index rows joined to the broadcast query band
+    * frame on the PARTITION columns plus any `residual` key columns,
+    * self-pairs dropped. `qb` must carry `query_id`, `band`, `bkt`,
+    * the residual columns, and whatever query payload the caller's
+    * measure needs. Returns the joined frame; measure + threshold +
+    * output dedup stay with the family.
+    */
+  def probeJoin(spark: SparkSession, indexPath: String, qb: DataFrame,
+                residual: Seq[String], params: Map[String, String]): DataFrame = {
+    validateParams(spark, indexPath, params, "probe banded index")
+    spark.read.parquet(indexPath)
+      .join(broadcast(qb), Seq("band", "bkt") ++ residual)
+      .filter(col("cand_id") =!= col("query_id"))
+  }
+}

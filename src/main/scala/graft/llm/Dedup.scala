@@ -160,6 +160,15 @@ object Dedup {
     writeNearDupLayout(delta, idCol, textCol, shingleK, bands, rowsPerBand,
       nBuckets, path, org.apache.spark.sql.SaveMode.Append, mat)
 
+  /** The sidecar-recorded signature parameters of a near-dup text
+    * layout ([[BandedIndex]] validates them on probe and append).
+    */
+  private def nearDupParams(shingleK: Int, bands: Int, rowsPerBand: Int,
+                            nBuckets: Int): Map[String, String] = Map(
+    "family" -> "neardup-text", "shingleK" -> shingleK.toString,
+    "bands" -> bands.toString, "rowsPerBand" -> rowsPerBand.toString,
+    "nBuckets" -> nBuckets.toString)
+
   private def writeNearDupLayout(rows: DataFrame, idCol: String,
                                  textCol: String, shingleK: Int, bands: Int,
                                  rowsPerBand: Int, nBuckets: Int, path: String,
@@ -171,12 +180,13 @@ object Dedup {
     // `mat` picks Local/Reliable/Path per the Materialize docs).
     val sets = mat(ensureParallelism(rows.select(col(idCol).as("id"), col(textCol)))
       .select(col("id"), wordShingles(col(textCol), shingleK).as("shingles")))
-    bandKeys(sets, bands, rowsPerBand)
+    val banded = bandKeys(sets, bands, rowsPerBand)
       .join(sets, Seq("id"))
       .select(col("id").as("cand_id"), col("key"), col("shingles"),
         col("band"),
         pmod(hash60(col("key")), lit(nBuckets.toLong)).cast("int").as("bkt"))
-      .write.mode(mode).partitionBy("band", "bkt").parquet(path)
+    BandedIndex.writeLayout(banded, path, mode,
+      nearDupParams(shingleK, bands, rowsPerBand, nBuckets))
   }
 
   /** Probe a [[writeNearDupIndex]] layout with a delta batch: the
@@ -202,21 +212,92 @@ object Dedup {
                         shingleK: Int, bands: Int, rowsPerBand: Int,
                         nBuckets: Int, threshold: Double,
                         mat: graft.ops.Materialize = graft.ops.Materialize.Local): DataFrame = {
-    val idx = spark.read.parquet(indexPath)
     val qsets = mat(ensureParallelism(delta.select(col(idCol).as("id"), col(textCol)))
       .select(col("id"), wordShingles(col(textCol), shingleK).as("shingles")))
     val qb = bandKeys(qsets, bands, rowsPerBand)
       .join(qsets.select(col("id"), col("shingles").as("q_sh")), Seq("id"))
       .select(col("id").as("query_id"), col("q_sh"), col("band"), col("key"),
         pmod(hash60(col("key")), lit(nBuckets.toLong)).cast("int").as("bkt"))
-    idx.join(broadcast(qb), Seq("band", "bkt", "key"))
-      .filter(col("cand_id") =!= col("query_id"))
+    BandedIndex.probeJoin(spark, indexPath, qb, Seq("key"),
+        nearDupParams(shingleK, bands, rowsPerBand, nBuckets))
       .withColumn("inter", size(array_intersect(col("q_sh"), col("shingles"))))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (size(col("q_sh")) + size(col("shingles")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("query_id"), col("cand_id"), col("jaccard")).distinct()
+  }
+
+  /** Sidecar params of an exact-dup layout (see [[nearDupParams]]). */
+  private def exactDupParams(nBuckets: Int): Map[String, String] =
+    Map("family" -> "exactdup-text", "nBuckets" -> nBuckets.toString)
+
+  /** The exact-dup signature frame shared by write and probe: one row
+    * per doc — `key` = 60-bit hash of the normalized text (the bucket
+    * key), the full md5 carried alongside so the probe verifies matches
+    * collision-proof, under the degenerate single band.
+    */
+  private def exactDupSignature(rows: DataFrame, idCol: String,
+                                textCol: String, idOut: String,
+                                hashOut: String, nBuckets: Int): DataFrame =
+    ensureParallelism(rows.select(col(idCol).as(idOut), col(textCol)))
+      .select(col(idOut), normalize(col(textCol)).as("__norm"))
+      .select(col(idOut), hash60(col("__norm")).as("key"),
+        md5(col("__norm")).as(hashOut))
+      .select(col(idOut), col("key"), col(hashOut), lit(0).as("band"),
+        pmod(col("key"), lit(nBuckets.toLong)).cast("int").as("bkt"))
+
+  /** Materialize the write-time EXACT-DUP index — the degenerate
+    * single-band [[BandedIndex]] family, and the measure of what a new
+    * family costs on the shared layout: one signature function
+    * ([[exactDupSignature]]) plus parameter plumbing. "Is this delta
+    * batch textually identical to anything in the corpus?" becomes a
+    * DPP-pruned read of the delta's bucket directories — the write-time
+    * twin of [[exactDedup]], as [[writeNearDupIndex]] is of
+    * [[minhashLshPairs]].
+    */
+  def writeExactDupIndex(corpus: DataFrame, idCol: String, textCol: String,
+                         nBuckets: Int, path: String): Unit =
+    writeExactDupLayout(corpus, idCol, textCol, nBuckets, path,
+      org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** INCREMENTAL maintenance: append a delta batch to an existing
+    * [[writeExactDupIndex]] layout (per-doc pure signatures — grown
+    * index probes identically to a rebuild; params sidecar-validated).
+    */
+  def appendToExactDupIndex(delta: DataFrame, idCol: String, textCol: String,
+                            nBuckets: Int, path: String): Unit =
+    writeExactDupLayout(delta, idCol, textCol, nBuckets, path,
+      org.apache.spark.sql.SaveMode.Append)
+
+  private def writeExactDupLayout(rows: DataFrame, idCol: String,
+                                  textCol: String, nBuckets: Int,
+                                  path: String,
+                                  mode: org.apache.spark.sql.SaveMode): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    BandedIndex.writeLayout(
+      exactDupSignature(rows, idCol, textCol, "cand_id", "h128", nBuckets),
+      path, mode, exactDupParams(nBuckets))
+  }
+
+  /** Probe a [[writeExactDupIndex]] layout with a delta batch: bucket-key
+    * equi-join under dynamic partition pruning, then the carried md5
+    * verifies true text equality (a 60-bit bucket-key collision cannot
+    * produce a false pair).
+    *
+    * @return (query_id, cand_id): delta docs paired with every index
+    *   member whose normalized text is identical (self excluded).
+    */
+  def probeExactDupIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, delta: DataFrame,
+                         idCol: String, textCol: String,
+                         nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val qb = exactDupSignature(delta, idCol, textCol, "query_id", "q_h128", nBuckets)
+    BandedIndex.probeJoin(spark, indexPath, qb, Seq("key"),
+        exactDupParams(nBuckets))
+      .filter(col("h128") === col("q_h128"))
+      .select(col("query_id"), col("cand_id"))
   }
 
   /** 60-bit simhash of the token multiset: bit j is set when the sum of
@@ -323,6 +404,11 @@ object Dedup {
     writeSimhashLayout(delta, idCol, textCol, maxHamming, nBuckets, path,
       org.apache.spark.sql.SaveMode.Append)
 
+  /** Sidecar params of a simhash layout (see [[nearDupParams]]). */
+  private def simhashParams(maxHamming: Int, nBuckets: Int): Map[String, String] =
+    Map("family" -> "simhash", "maxHamming" -> maxHamming.toString,
+      "nBuckets" -> nBuckets.toString)
+
   private def writeSimhashLayout(rows: DataFrame, idCol: String,
                                  textCol: String, maxHamming: Int,
                                  nBuckets: Int, path: String,
@@ -332,10 +418,11 @@ object Dedup {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val sigs = simhashFrame(rows, idCol, textCol)
       .select(col(idCol).as("id"), col("simhash").as("sh"))
-    simhashBands(sigs, maxHamming)
+    val banded = simhashBands(sigs, maxHamming)
       .select(col("id").as("cand_id"), col("key"), col("sh"),
         col("band"), pmod(col("key"), lit(nBuckets.toLong)).cast("int").as("bkt"))
-      .write.mode(mode).partitionBy("band", "bkt").parquet(path)
+    BandedIndex.writeLayout(banded, path, mode,
+      simhashParams(maxHamming, nBuckets))
   }
 
   /** Probe a [[writeSimhashIndex]] layout with a delta batch: the
@@ -356,15 +443,14 @@ object Dedup {
                         maxHamming: Int, nBuckets: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 60,
       s"maxHamming must be in [0, 60), got $maxHamming")
-    val idx = spark.read.parquet(indexPath)
     val qsigs = simhashFrame(delta, idCol, textCol)
       .select(col(idCol).as("id"), col("simhash").as("sh"))
     val qb = simhashBands(qsigs, maxHamming)
       .select(col("id").as("query_id"), col("sh").as("q_sh"),
         col("band"), col("key"),
         pmod(col("key"), lit(nBuckets.toLong)).cast("int").as("bkt"))
-    idx.join(broadcast(qb), Seq("band", "bkt", "key"))
-      .filter(col("cand_id") =!= col("query_id"))
+    BandedIndex.probeJoin(spark, indexPath, qb, Seq("key"),
+        simhashParams(maxHamming, nBuckets))
       .withColumn("hamming", bit_count(col("q_sh").bitwiseXOR(col("sh"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("query_id"), col("cand_id"), col("hamming")).distinct()
@@ -671,8 +757,14 @@ object Dedup {
   }
 
   /** Chunk-level dedup stats over [[cdcChunks]]: per document, how many
-    * of its content-defined chunks also occur (by chunk hash) anywhere
-    * else in the corpus — the KEEP/DROP measurement CDC exists to feed.
+    * of its content-defined chunks occur (by chunk hash) more than once
+    * across the corpus — the KEEP/DROP measurement CDC exists to feed.
+    * "More than once" counts OCCURRENCES, not distinct documents: a
+    * chunk repeated inside one document is flagged exactly like a chunk
+    * shared across two (repeated content is redundant training signal
+    * either way, and the occurrence count is one map-side-combined
+    * aggregate where a distinct-docs count would need a second
+    * distinct shuffle).
     * Because boundaries are content-defined, a document that shares a
     * paragraph with another scores that paragraph's chunks as
     * duplicated even when the surrounding bytes differ — the

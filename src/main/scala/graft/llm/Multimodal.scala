@@ -157,6 +157,13 @@ object Multimodal {
       require(ais.getFrameLength >= 0,
         s"audio payload for media_id=${r.media_id} does not declare its " +
           "frame count (streaming-style container); cannot report n_frames")
+      // getSampleRate can be AudioSystem.NOT_SPECIFIED (-1) or 0 for some
+      // containers — that would ship a negative duration (or divide by
+      // zero) as if it were a measurement; same fail-loud contract as the
+      // frame-length guard above.
+      require(fmt.getSampleRate > 0,
+        s"audio payload for media_id=${r.media_id} does not declare a " +
+          s"positive sample rate (got ${fmt.getSampleRate})")
       var sum = 0L
       var i = 0
       while (i < r.payload.length) { sum += (r.payload(i) & 0xFF).toLong; i += 1 }

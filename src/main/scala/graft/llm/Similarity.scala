@@ -34,7 +34,9 @@ object Similarity {
     * per table-bucket and need more planes). Callers running a large
     * corpus at deliberately low plane counts must raise the cap or opt
     * out explicitly; the guard never silently applies to a correctly
-    * sized index.
+    * sized index. [[overCapBuckets]] reports exactly which buckets (and
+    * how many members) a given setting excludes — the audit to run when
+    * sizing numPlanes for a new corpus.
     */
   val DefaultMaxBucketWidth: Long = 10000L
 
@@ -508,7 +510,8 @@ object Similarity {
 
   /** Materialize the write-time LSH index layout the probe path promises:
     * one row per (table, bucket) membership of each corpus vector —
-    * `(cand_id, cv, cnorm)` under `partitionBy(tbl, bucket)`. The
+    * `(cand_id, cv, cnorm)` under `partitionBy(band, bkt)` (the shared
+    * [[BandedIndex]] partition grammar: band = table index). The
     * hyperplanes are deterministic ([[planeWeight]]), so the layout is a
     * pure function of the corpus: built once, probed forever. At 100 TB
     * this turns every probe batch from a full-corpus scan into a read of
@@ -534,17 +537,27 @@ object Similarity {
     writeLshLayout(delta, idCol, vecCol, numPlanes, numTables, path,
       SaveMode.Append)
 
+  /** Sidecar params of an LSH layout ([[graft.llm.Dedup]]'s banded
+    * families carry theirs the same way; [[BandedIndex]] validates on
+    * probe and append). `maxBucketWidth` is probe-time, not layout.
+    */
+  private def lshParams(numPlanes: Int, numTables: Int): Map[String, String] =
+    Map("family" -> "lsh-hyperplane", "numPlanes" -> numPlanes.toString,
+      "numTables" -> numTables.toString)
+
   private def writeLshLayout(rows: DataFrame, idCol: String, vecCol: String,
                              numPlanes: Int, numTables: Int, path: String,
                              mode: SaveMode): Unit = {
     import graft.functions.VectorFunctions.dot
-    rows.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
+    // band = LSH table index, bkt = the table's (bounded, 2^planes)
+    // hyperplane bucket — the shared BandedIndex partition grammar.
+    val banded = rows.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
       .select(col("cand_id"), col("cv"), col("cnorm"),
         posexplode(array((0 until numTables).map(t =>
-          hyperplaneBucket(col("cv"), numPlanes, t)): _*)).as(Seq("tbl", "bucket")))
-      .withColumn("bucket", col("bucket").cast("int"))
-      .write.mode(mode).partitionBy("tbl", "bucket").parquet(path)
+          hyperplaneBucket(col("cv"), numPlanes, t)): _*)).as(Seq("band", "bkt")))
+      .withColumn("bkt", col("bkt").cast("int"))
+    BandedIndex.writeLayout(banded, path, mode, lshParams(numPlanes, numTables))
   }
 
   /** Probe a [[writeLshIndex]] layout: query buckets join the index on its
@@ -560,7 +573,7 @@ object Similarity {
     * The hot-bucket guard (same default as [[lshTopK]], so the two paths
     * stay row-identical) is computed on a PRUNED read, never a full
     * index scan: the index is semi-joined to the tiny distinct
-    * (tbl, bucket) probe set (partition-column join — pruned like the
+    * (band, bkt) probe set (partition-column join — pruned like the
     * candidate scan) and widths are plain `count(*)` per bucket —
     * row-count widths, exactly the inline path's measure, so even a
     * corpus carrying duplicate ids (or an index double-appended by an
@@ -572,37 +585,56 @@ object Similarity {
                        k: Int, numPlanes: Int, numTables: Int = 4,
                        maxBucketWidth: Long = DefaultMaxBucketWidth): DataFrame = {
     import graft.functions.VectorFunctions.dot
-    val idx = spark.read.parquet(indexPath)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
     val qb = q.select(col("query_id"), col("qv"), col("qnorm"),
       posexplode(array((0 until numTables).map(t =>
-        hyperplaneBucket(col("qv"), numPlanes, t)): _*)).as(Seq("tbl", "bucket")))
-      .withColumn("bucket", col("bucket").cast("int"))
-    val joined = idx.join(broadcast(qb), Seq("tbl", "bucket"))
+        hyperplaneBucket(col("qv"), numPlanes, t)): _*)).as(Seq("band", "bkt")))
+      .withColumn("bkt", col("bkt").cast("int"))
+    val joined = BandedIndex.probeJoin(spark, indexPath, qb, Nil,
+      lshParams(numPlanes, numTables))
     // No pin here (unlike inline lshTopK): a localCheckpoint would hide
     // the parquet scan — and its dynamic partition pruning — behind an
     // RDD barrier. The width pass reads the PROBED partitions only
     // (semi-join on the partition columns), and its aggregate moves
-    // (tbl, bucket) pairs, nothing wider.
+    // (band, bkt) pairs, nothing wider.
     val capped =
       if (maxBucketWidth == Long.MaxValue) joined
       else joined.join(
-        broadcast(idx
-          .join(broadcast(qb.select(col("tbl"), col("bucket")).distinct()),
-            Seq("tbl", "bucket"), "left_semi")
-          .groupBy(col("tbl"), col("bucket"))
+        broadcast(spark.read.parquet(indexPath)
+          .join(broadcast(qb.select(col("band"), col("bkt")).distinct()),
+            Seq("band", "bkt"), "left_semi")
+          .groupBy(col("band"), col("bkt"))
           .agg(count(lit(1)).as("w"))
           .filter(col("w") > maxBucketWidth)
-          .select(col("tbl"), col("bucket"))),
-        Seq("tbl", "bucket"), "left_anti")
+          .select(col("band"), col("bkt"))),
+        Seq("band", "bkt"), "left_anti")
     val scored = capped
-      .filter(col("cand_id") =!= col("query_id"))
       .withColumn("cos",
         dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
       .select("query_id", "cand_id", "cos").distinct()
     topKPerQuery(scored, k, queries.schema(idCol).dataType)
   }
+
+  /** DIAGNOSTIC for the hot-bucket cap: every (band, bkt) group wider
+    * than `maxBucketWidth`, with its width — exactly the buckets
+    * [[lshTopK]] and [[lshTopKFromIndex]] silently exclude from
+    * candidate generation at the same setting. The probe paths keep the
+    * cap silent by design (a bounded plan is their contract and a
+    * per-probe count action would double their cost); a corpus audit
+    * runs THIS to see whether — and how hard — the cap is biting, e.g.
+    * before committing numPlanes for a new corpus. Empty result = no
+    * bucket capped = probe results are exactly the uncapped results.
+    */
+  def overCapBuckets(corpus: DataFrame, idCol: String, vecCol: String,
+                     numPlanes: Int, numTables: Int = 4,
+                     maxBucketWidth: Long = DefaultMaxBucketWidth): DataFrame =
+    corpus.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cv"))
+      .select(col("cand_id"), posexplode(array((0 until numTables).map(t =>
+        hyperplaneBucket(col("cv"), numPlanes, t)): _*)).as(Seq("band", "bkt")))
+      .groupBy(col("band"), col("bkt").cast("int").as("bkt"))
+      .agg(count(lit(1)).as("width"))
+      .filter(col("width") > maxBucketWidth)
 
   /** ANN quality evaluation: per-query recall@k of an approximate top-k
     * result against the exact (brute-force) top-k. The join is on

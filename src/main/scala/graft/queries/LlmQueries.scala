@@ -55,7 +55,7 @@ object LlmQueries {
     * ([[prepareIndexes]]) and the timed query is a pure probe.
     */
   def ensureLshIndex(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val fix = s"/tmp/graft_fixtures/lsh_index_${fingerprintCached(s"$dir/embeddings.parquet")}"
+    val fix = s"/tmp/graft_fixtures/lsh_index_v2_${fingerprintCached(s"$dir/embeddings.parquet")}"
     if (!new java.io.File(s"$fix/_SUCCESS").exists())
       Similarity.writeLshIndex(Tables.embeddings(s, dir), "vec_id", "embedding",
         numPlanes = 4, numTables = 4, path = fix)
@@ -69,7 +69,7 @@ object LlmQueries {
     * crash between build and append can't surface a half-grown index.
     */
   def ensureGrownLshIndex(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val fix = s"/tmp/graft_fixtures/lsh_grown_${fingerprintCached(s"$dir/embeddings.parquet")}"
+    val fix = s"/tmp/graft_fixtures/lsh_grown_v2_${fingerprintCached(s"$dir/embeddings.parquet")}"
     val done = new java.io.File(s"$fix/_GRAFT_GROWN")
     if (!done.exists()) {
       val emb = Tables.embeddings(s, dir)
@@ -120,7 +120,7 @@ object LlmQueries {
     * exists; return its path (same contract as [[ensureLshIndex]]).
     */
   def ensureNearDupIndex(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val fix = s"/tmp/graft_fixtures/neardup_index_${fingerprintCached(s"$dir/documents.parquet")}"
+    val fix = s"/tmp/graft_fixtures/neardup_index_v2_${fingerprintCached(s"$dir/documents.parquet")}"
     if (!new java.io.File(s"$fix/_SUCCESS").exists())
       Dedup.writeNearDupIndex(Tables.documents(s, dir), "doc_id", "text",
         shingleK = 3, bands = 8, rowsPerBand = 2, nBuckets = 64, path = fix)
@@ -139,16 +139,28 @@ object LlmQueries {
     ensureGrownIvfIndex(s, dir)
     ensureNearDupIndex(s, dir)
     ensureSimhashIndex(s, dir)
+    ensureExactDupIndex(s, dir)
   }
 
   /** Ensure the write-time SIMHASH index for `dir`'s documents exists;
     * return its path (same contract as [[ensureLshIndex]]).
     */
   def ensureSimhashIndex(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val fix = s"/tmp/graft_fixtures/simhash_index_${fingerprintCached(s"$dir/documents.parquet")}"
+    val fix = s"/tmp/graft_fixtures/simhash_index_v2_${fingerprintCached(s"$dir/documents.parquet")}"
     if (!new java.io.File(s"$fix/_SUCCESS").exists())
       Dedup.writeSimhashIndex(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 8, nBuckets = 32, path = fix)
+    fix
+  }
+
+  /** Ensure the write-time EXACT-DUP index for `dir`'s documents exists;
+    * return its path (same contract as [[ensureLshIndex]]).
+    */
+  def ensureExactDupIndex(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val fix = s"/tmp/graft_fixtures/exactdup_index_${fingerprintCached(s"$dir/documents.parquet")}"
+    if (!new java.io.File(s"$fix/_SUCCESS").exists())
+      Dedup.writeExactDupIndex(Tables.documents(s, dir), "doc_id", "text",
+        nBuckets = 64, path = fix)
     fix
   }
 
@@ -455,6 +467,28 @@ object LlmQueries {
            |WHERE len(list_intersect(qs, cs))::DOUBLE /
            |  (len(qs) + len(cs) - len(list_intersect(qs, cs)))::DOUBLE >= 0.5""".stripMargin
       }),
+
+    // EXACT-dup write-time index probe — the 4th BandedIndex family.
+    // The delta is a whitespace/case-perturbed copy of every 7th doc
+    // (ids offset by 1e6), so each delta doc matches at least its own
+    // original under text normalization at EVERY scale factor; the
+    // carried-md5 verify makes a 60-bit bucket collision unable to
+    // fabricate a pair. The oracle replays normalized-text equality
+    // directly.
+    "llm_exactdup_index_probe" -> Q(
+      (s, dir) => {
+        val fix = ensureExactDupIndex(s, dir)
+        val delta = Tables.documents(s, dir)
+          .filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            upper(concat(lit("  "), regexp_replace(col("text"), " ", "  "),
+              lit(" "))).as("text"))
+        Dedup.probeExactDupIndex(s, fix, delta, "doc_id", "text", nBuckets = 64)
+      },
+      Some(s"""SELECT d.doc_id + 1000000 AS query_id, c.doc_id AS cand_id
+           |FROM documents d JOIN documents c
+           |  ON ${normSql("d.text")} = ${normSql("c.text")}
+           |WHERE d.doc_id % 7 = 0""".stripMargin)),
 
     // Near-dup CLUSTERS: MinHash-LSH pairs -> connected components -> one
     // cluster id (min member) per involved doc. The oracle replicates the

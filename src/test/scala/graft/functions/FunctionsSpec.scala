@@ -74,6 +74,38 @@ class FunctionsSpec extends SparkSpec {
       s"wrong failure: ${messages(e)}")
   }
 
+  test("NearestCentroid fails loud on a null vector component") {
+    val cents = Array((0, Array(1.0, 2.0)), (1, Array(4.0, 5.0)))
+    // A null component would read as 0.0 from unsafe rows without the
+    // guard — a silently-wrong cell. Codegen path:
+    val df = Seq((1L, Seq[java.lang.Double](0.5, null)))
+      .toDF("id", "v")
+      .select($"id", transform($"v", _.cast("double")).as("v"))
+    val e = intercept[Exception] {
+      df.select(VectorFunctions.nearestCentroid($"v", cents)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("null component")),
+      s"wrong failure: ${messages(e)}")
+    // Interpreted eval path agrees:
+    val expr = NearestCentroid(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq[java.lang.Double](0.5, null), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = true)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(0, 1), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType, containsNull = false)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(Seq(1.0, 2.0), Seq(4.0, 5.0)),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false),
+          containsNull = false)))
+    val e2 = intercept[IllegalArgumentException] { expr.eval(null) }
+    assert(e2.getMessage.contains("null component"))
+  }
+
   test("Hash60Expr is identical to the composed conv(substring(md5)) form") {
     val docs = spark.read.parquet(sf("documents"))
       .select($"doc_id".cast("string").as("s"))

@@ -83,6 +83,74 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("exact-dup index: perturbed probe finds originals; grown equals rebuild") {
+    val docs = spark.read.parquet(sf("documents")).select($"doc_id", $"text")
+    // Whitespace/case perturbation, normalization-invariant.
+    val delta = docs.filter($"doc_id" % 7 === 0).select(
+      ($"doc_id" + 1000000L).as("doc_id"),
+      upper(concat(lit("  "), regexp_replace($"text", " ", "  "), lit(" ")))
+        .as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("exactdup_idx").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("exactdup_grown").toString
+    try {
+      Dedup.writeExactDupIndex(docs, "doc_id", "text", 64, dir)
+      val probed = Dedup.probeExactDupIndex(spark, dir, delta,
+        "doc_id", "text", 64)
+      val got = probed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // Every delta doc matches at least its own original.
+      val deltaIds = docs.filter($"doc_id" % 7 === 0)
+        .collect().map(_.getLong(0)).toSet
+      assert(deltaIds.forall(id => got.contains((id + 1000000L, id))))
+      val plan = probed.queryExecution.executedPlan.toString()
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"no partition pruning on the exact-dup index scan:\n$plan")
+      Dedup.writeExactDupIndex(docs.filter($"doc_id" % 2 === 0),
+        "doc_id", "text", 64, dir2)
+      Dedup.appendToExactDupIndex(docs.filter($"doc_id" % 2 === 1),
+        "doc_id", "text", 64, dir2)
+      val grown = Dedup.probeExactDupIndex(spark, dir2, delta,
+        "doc_id", "text", 64).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(grown === got)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
+    }
+  }
+
+  test("banded index params sidecar: mismatched probe or append fails loud") {
+    val docs = spark.read.parquet(sf("documents")).select($"doc_id", $"text")
+      .filter($"doc_id" < 40)
+    val dir = java.nio.file.Files.createTempDirectory("sidecar_idx").toString
+    try {
+      Dedup.writeNearDupIndex(docs, "doc_id", "text", 3, 8, 2, 64, dir)
+      // Probe with a different shingleK: wrong pairs would come back
+      // silently without the sidecar check.
+      val e1 = intercept[IllegalArgumentException] {
+        Dedup.probeNearDupIndex(spark, dir, docs, "doc_id", "text",
+          5, 8, 2, 64, 0.5)
+      }
+      assert(e1.getMessage.contains("different parameters"))
+      // Append with different nBuckets: rows would land in directories a
+      // rebuild would never use.
+      val e2 = intercept[IllegalArgumentException] {
+        Dedup.appendToNearDupIndex(docs, "doc_id", "text", 3, 8, 2, 128, dir)
+      }
+      assert(e2.getMessage.contains("different parameters"))
+      // A parquet dir that is not a graft index at all (no sidecar).
+      val bare = java.nio.file.Files.createTempDirectory("bare_parquet").toString
+      try {
+        docs.write.mode("overwrite").parquet(bare)
+        val e3 = intercept[IllegalArgumentException] {
+          Dedup.probeSimhashIndex(spark, bare, docs, "doc_id", "text", 8, 32)
+        }
+        assert(e3.getMessage.contains("sidecar"))
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(bare))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("cdcDedupStats flags shared-paragraph chunks despite differing context") {
     def word(i: Int) = s"w$i" // injective - no accidental sequence reuse
     val para = (0 until 120).map(word).mkString(" ")
@@ -336,6 +404,22 @@ class DedupSpec extends SparkSpec {
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("overCapBuckets reports exactly the buckets the probe cap excludes") {
+    // 6 identical vectors land in ONE bucket per table; 2 distinct others
+    // stay under any cap. numTables=4 -> 4 over-cap rows at cap 3.
+    val vecs = (0 until 6).map(i => (i.toLong, Seq(1.0, 2.0, 3.0))) ++
+      Seq((10L, Seq(-5.0, 1.0, 0.5)), (11L, Seq(2.0, -7.0, 4.0)))
+    val df = vecs.toDF("vec_id", "embedding")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("embedding"))
+    val over = Similarity.overCapBuckets(df, "vec_id", "embedding",
+      numPlanes = 4, numTables = 4, maxBucketWidth = 3).collect()
+    assert(over.length === 4)
+    assert(over.forall(_.getAs[Long]("width") >= 6L))
+    // Default cap on a benign corpus: empty = nothing excluded.
+    assert(Similarity.overCapBuckets(df, "vec_id", "embedding",
+      numPlanes = 4, numTables = 4).isEmpty)
+  }
+
   test("bruteForceTopK ranks by cosine, excludes self, breaks ties by id") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
@@ -527,7 +611,7 @@ class SimilaritySpec extends SparkSpec {
       val direct = Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, 4, 4)
       assert(probed.collect().toSet === direct.collect().toSet)
       // The index scan must carry a dynamic partition-pruning filter on
-      // (tbl, bucket) — the probe reads matching bucket dirs only.
+      // (band, bkt) — the probe reads matching bucket dirs only.
       val plan = probed.queryExecution.executedPlan.toString()
       assert(plan.toLowerCase.contains("dynamicpruning"),
         s"no partition pruning on the index scan:\n$plan")
