@@ -558,8 +558,24 @@ object Curation {
     */
   def bpeTrain(df: DataFrame, idCol: String, textCol: String,
                nMerges: Int): DataFrame = {
-    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     val spark = df.sparkSession
+    val (rules, _) = bpeMergeLoop(df, idCol, textCol, nMerges)
+    import spark.implicits._
+    rules.toDF("round", "pair", "merged", "n")
+      .select(col("round").cast("int").as("round"), col("pair"),
+        col("merged"), col("n"))
+  }
+
+  /** The shared BPE training loop body: learn up to `nMerges` greedy
+    * rules AND carry the merged token streams forward. Returns both the
+    * rule table rows and the final (id, pos, token) stream — [[bpeTrain]]
+    * keeps the rules (the trainer's artifact), [[bpeEncode]] keeps the
+    * stream (the tokenizer's output). One loop, so the two can never
+    * diverge on selection or application semantics.
+    */
+  private def bpeMergeLoop(df: DataFrame, idCol: String, textCol: String,
+                           nMerges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     var toks = tokenStream(df, idCol, textCol).localCheckpoint(false)
     val rules = Seq.newBuilder[(Int, String, String, Long)]
     var exhausted = false
@@ -575,10 +591,30 @@ object Curation {
         toks = applyMergeToTokens(toks, idCol, a, b).localCheckpoint(false)
       }
     }
-    import spark.implicits._
-    rules.result().toDF("round", "pair", "merged", "n")
-      .select(col("round").cast("int").as("round"), col("pair"),
-        col("merged"), col("n"))
+    (rules.result(), toks)
+  }
+
+  /** BPE ENCODE — the tokenizer APPLY step: train `nMerges` greedy rules
+    * (same loop as [[bpeTrain]]) and return every document's final merged
+    * token stream as `(id, pos, token)` with positions re-densified to
+    * 0..n-1. This is the operator a training pipeline actually runs over
+    * the full corpus after the trainer converges; the per-doc token
+    * sequence is the model input.
+    *
+    * Scale shape: the training loop is O(nMerges) driver rows (argmax
+    * rules only); the encode side stays the per-doc windowed merge of
+    * [[bpeApplyMerge]] — every window partitions by document, the final
+    * re-densify shares the same (id, pos) sort, and no corpus-wide
+    * window or collect exists anywhere.
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                nMerges: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, toks) = bpeMergeLoop(df, idCol, textCol, nMerges)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    toks.select(col(idCol),
+      (row_number().over(w) - 1).cast("int").as("pos"),
+      col("token"))
   }
 
   /** Adjacent-pair counts AFTER applying one merge rule — BPE training

@@ -352,24 +352,48 @@ object Dedup {
     * so the index collides exactly where the inline path would
     * (pigeonhole recall: `maxHamming + 1` bands over 60 bits).
     */
-  private def simhashBands(sigs: DataFrame, maxHamming: Int): DataFrame = {
+  private def simhashBands(sigs: DataFrame, maxHamming: Int): DataFrame =
+    hammingBands(sigs, nBits = 60, maxHamming = maxHamming)
+
+  /** The hamming band slices of ANY (id, sh) bit-signature frame — the
+    * simhash machinery with the bit width as a parameter, so other
+    * hamming-space signatures (e.g. the 56-bit image dHash) reuse the
+    * identical pigeonhole layout. Each of the `maxHamming + 1` bands
+    * must be non-empty (a zero-width band would key everyone to 0 and
+    * cross-join the corpus) — rejected loudly.
+    */
+  private def hammingBands(sigs: DataFrame, nBits: Int,
+                           maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
-    val width = (60 + nBands - 1) / nBands // last band may be narrower
+    val width = (nBits + nBands - 1) / nBands // last band may be narrower
+    require(width * (nBands - 1) < nBits,
+      s"$nBands bands over $nBits bits leaves an empty band " +
+        s"(width $width); pick maxHamming so every band gets >= 1 bit")
     sigs.select(col("id"), col("sh"),
       posexplode(array((0 until nBands).map { b =>
-        val w = math.min(width, 60 - b * width)
+        val w = math.min(width, nBits - b * width)
         shiftright(col("sh"), b * width).bitwiseAND((1L << math.max(w, 1)) - 1)
       }: _*))
         .as(Seq("band", "key")))
   }
 
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 60,
-      s"maxHamming must be in [0, 60), got $maxHamming")
-    val sigs = simhashFrame(df, idCol, textCol)
-      .select(col(idCol).as("id"), col("simhash").as("sh"))
-    val banded = simhashBands(sigs, maxHamming)
+  /** Near-duplicate pairs of ANY (id, sh) fixed-width bit-signature frame
+    * under hamming distance — banded candidate generation (pigeonhole
+    * recall: `maxHamming + 1` bands, a pair within `maxHamming` agrees on
+    * at least one whole band) + exact `bit_count(xor)` verify. The
+    * hamming-space dedup core shared by [[simhashPairs]] (60-bit text
+    * simhash) and the image dHash pairs (56-bit perceptual hash):
+    * bucket-key shuffle on (band, key), never all-pairs.
+    */
+  def hammingNearDupPairs(sigs: DataFrame, idCol: String, hashCol: String,
+                          nBits: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < nBits,
+      s"maxHamming must be in [0, $nBits), got $maxHamming")
+    require(nBits >= 1 && nBits <= 63,
+      s"nBits must be in [1, 63] (positive int64 signatures), got $nBits")
+    val banded = hammingBands(
+      sigs.select(col(idCol).as("id"), col(hashCol).as("sh")),
+      nBits, maxHamming)
     val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("band", "key"))
@@ -378,6 +402,16 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 60,
+      s"maxHamming must be in [0, 60), got $maxHamming")
+    hammingNearDupPairs(
+      simhashFrame(df, idCol, textCol)
+        .select(col(idCol).as("id"), col("simhash").as("sh")),
+      idCol = "id", hashCol = "sh", nBits = 60, maxHamming = maxHamming)
   }
 
   /** Materialize the write-time SIMHASH index: one row per (doc, band)

@@ -116,6 +116,77 @@ object Multimodal {
       byte_checksum = sum % 1000000007L)
   }
 
+  /** 56-bit perceptual difference hash (dHash) of a decoded image: the
+    * image-dedup signature. Kept at 56 bits (8 column comparisons x 7
+    * rows over a 9 x 7 luma grid) so the value is a positive int64 in
+    * every engine — the same rationale as the 60-bit text simhash.
+    */
+  final case class ImageHash(media_id: Long, width: Int, height: Int,
+                             dhash: Long)
+
+  /** REAL perceptual hash via `javax.imageio`: decode, integer luma per
+    * pixel (299 r + 587 g + 114 b — the ITU-R 601 weights x1000, exact
+    * int64 math), box-average onto a 9 x 7 grid (pixel x lands in cell
+    * `x*9/w`, exact floor division), then one bit per adjacent-column
+    * comparison: bit `cy*8+cx` set iff `cell[cy][cx+1] > cell[cy][cx]`.
+    * Every step is integer-exact, so an engine that regenerates the
+    * pixels reproduces the hash bit-for-bit — and like [[decodeImage]],
+    * only a genuine pixel decode can: the hash lives in the image DATA,
+    * not the container header. dHash is shift-invariant in brightness
+    * (a uniformly brightened copy hashes identically), which is exactly
+    * the near-dup robustness an image-dedup pass wants.
+    */
+  def decodeImageHash(r: MediaRecord): ImageHash = {
+    imageIoNoCache
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+    require(img != null, s"undecodable image payload for media_id=${r.media_id}")
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w >= 9 && h >= 7,
+      s"image ${w}x$h too small for the 9x7 dHash grid (media_id=${r.media_id})")
+    val sums = new Array[Long](7 * 9)
+    val counts = new Array[Long](7 * 9)
+    var y = 0
+    while (y < h) {
+      val cy = y * 7 / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = ((rgb >> 16) & 0xFF) * 299L +
+          ((rgb >> 8) & 0xFF) * 587L + (rgb & 0xFF) * 114L
+        val c = cy * 9 + x * 9 / w
+        sums(c) += luma
+        counts(c) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var cy = 0
+    while (cy < 7) {
+      var cx = 0
+      while (cx < 8) {
+        val left = sums(cy * 9 + cx) / counts(cy * 9 + cx)
+        val right = sums(cy * 9 + cx + 1) / counts(cy * 9 + cx + 1)
+        if (right > left) hash |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    ImageHash(r.media_id, w, h, hash)
+  }
+
+  /** Batched perceptual-hash extraction — the same iterator-of-batches
+    * `mapPartitions` kernel shape as [[extractFeatures]]. Zero shuffles:
+    * payloads never leave their scan partition; only the 8-byte hash +
+    * dims flow downstream (the frame an image-dedup pair join consumes).
+    */
+  def extractImageHashes(ds: Dataset[MediaRecord],
+                         batchSize: Int = 64): Dataset[ImageHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(mapBatched(_, batchSize)(decodeImageHash))
+  }
+
   /** Decoded audio properties — the audio twin of [[MediaFeatures]],
     * with its own schema because the axes differ (a sample rate is not a
     * pixel width; forcing one struct would smuggle meanings through
@@ -676,6 +747,50 @@ object Multimodal {
             syntheticPng(id, (8 + id % 32).toInt, (8 + (id / 3) % 32).toInt))
         else MediaRecord(id, "video", text.getBytes("UTF-8"))
       })
+  }
+
+  /** Near-duplicate image fixture generator: consecutive `groupSize` ids
+    * share one base image (dimensions and a xorshift-mixed pixel field
+    * arithmetic in the GROUP id), and each member nudges the blue byte by
+    * `3 * (id % groupSize)` with wraparound — a brightness-shifted
+    * near-copy, the classic image near-dup case. dHashes within a group
+    * land within a few bits (wrapped pixels move their cell averages
+    * slightly); distinct groups hash ~uniformly. Every pixel is a pure
+    * integer function of (id, x, y), so an engine that replays the
+    * arithmetic reproduces the hashes exactly — but only through a real
+    * PNG decode on the Spark side, since the values live in the pixels.
+    */
+  def syntheticImageGroups(df: DataFrame, idCol: String, groupSize: Int = 4)
+                          (implicit spark: SparkSession): Dataset[MediaRecord] = {
+    require(groupSize >= 1, s"groupSize must be >= 1, got $groupSize")
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .mapPartitions { it =>
+        imageIoNoCache
+        it.map { id =>
+          val g = id / groupSize
+          val m = id % groupSize
+          val w = (12 + g % 20).toInt
+          val h = (10 + g % 15).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = g * 2654435761L + x * 40503L + y * 70423L
+              val base = (v ^ (v >> 13)) & 0xFFFFFFL
+              val rgb = (base & 0xFFFF00L) | ((base + m * 3) & 0xFFL)
+              img.setRGB(x, y, rgb.toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRecord(id, "image", bos.toByteArray)
+        }
+      }
   }
 
   /** Attach a binary payload column derived from a string column (UTF-8

@@ -485,43 +485,73 @@ object CurationQueries {
       (s, dir) => Curation.bpeTrain(Tables.documents(s, dir), "doc_id", "text", 3),
       Some {
         val rounds = 3
-        val sb = new StringBuilder
-        sb ++= s"""WITH norm AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents),
-                  |e0 AS (SELECT doc_id, pos, t FROM
-                  |  (SELECT doc_id, CAST(unnest(range(0, len(ws))) AS INT) AS pos,
-                  |     unnest(ws) AS t FROM norm) WHERE t <> '')""".stripMargin
-        for (r <- 1 to rounds) {
-          val prev = s"e${r - 1}"
-          sb ++= s""",
-                    |p$r AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM
-                    |  (SELECT t || ' ' || lead(t) OVER
-                    |     (PARTITION BY doc_id ORDER BY pos) AS pair FROM $prev)
-                    |  WHERE pair IS NOT NULL
-                    |  GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
-                    |rule$r AS (SELECT string_split(pair, ' ')[1] AS pa,
-                    |  string_split(pair, ' ')[2] AS pb,
-                    |  replace(pair, ' ', '') AS m FROM p$r),
-                    |c$r AS (SELECT doc_id, pos, t,
-                    |  row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
-                    |  coalesce(t = pa AND lead(t) OVER
-                    |    (PARTITION BY doc_id ORDER BY pos) = pb, false) AS cand
-                    |  FROM $prev CROSS JOIN rule$r),
-                    |s$r AS (SELECT doc_id, pos, t, cand AND (rn -
-                    |    (coalesce(max(CASE WHEN NOT cand THEN rn END) OVER
-                    |      (PARTITION BY doc_id ORDER BY pos
-                    |       ROWS UNBOUNDED PRECEDING), 0) + 1)) % 2 = 0 AS sel
-                    |  FROM c$r),
-                    |k$r AS (SELECT doc_id, pos,
-                    |  CASE WHEN sel THEN (SELECT m FROM rule$r) ELSE t END AS t,
-                    |  coalesce(lag(sel) OVER
-                    |    (PARTITION BY doc_id ORDER BY pos), false) AS prev_sel
-                    |  FROM s$r),
-                    |e$r AS (SELECT doc_id, pos, t FROM k$r WHERE NOT prev_sel)""".stripMargin
-        }
-        sb ++= (1 to rounds).map(r =>
+        bpeCtes(rounds) + (1 to rounds).map(r =>
           s"SELECT CAST($r AS INT) AS round, pair, " +
             s"replace(pair, ' ', '') AS merged, n FROM p$r")
           .mkString("\n", "\nUNION ALL\n", "")
-        sb.toString
+      }),
+
+    // BPE ENCODE — the tokenizer APPLY step over the whole corpus: the
+    // 3 trained merge rules applied greedily per document, every final
+    // token emitted at its re-densified position. The oracle replays the
+    // identical 3 training rounds AND the merged streams, so a selection
+    // or application divergence anywhere in the chain shifts tokens and
+    // goes red — this row hash-checks the actual model-input token
+    // sequence, not just the rule table.
+    "llm_bpe_encode" -> Q(
+      (s, dir) => Curation.bpeEncode(Tables.documents(s, dir), "doc_id", "text", 3),
+      Some {
+        val rounds = 3
+        bpeCtes(rounds) +
+          s"""SELECT doc_id, CAST(row_number() OVER
+             |  (PARTITION BY doc_id ORDER BY pos) - 1 AS INT) AS pos,
+             |  t AS token
+             |FROM e$rounds""".stripMargin
       }))
+
+  /** The BPE training-loop CTE chain (DuckDB twin of
+    * [[Curation.bpeTrain]]'s loop): `e0` is the tokenized corpus, round r
+    * derives its greedy rule in `p_r`/`rule_r` and the r-times-merged
+    * streams in `e_r`. Shared by the train row (which reads the `p_r`
+    * rule rows) and the encode row (which reads the final `e_rounds`
+    * stream), so both replay the SAME chain — ends open, caller appends
+    * its SELECT.
+    */
+  private def bpeCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH norm AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents),
+              |e0 AS (SELECT doc_id, pos, t FROM
+              |  (SELECT doc_id, CAST(unnest(range(0, len(ws))) AS INT) AS pos,
+              |     unnest(ws) AS t FROM norm) WHERE t <> '')""".stripMargin
+    for (r <- 1 to rounds) {
+      val prev = s"e${r - 1}"
+      sb ++= s""",
+                |p$r AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM
+                |  (SELECT t || ' ' || lead(t) OVER
+                |     (PARTITION BY doc_id ORDER BY pos) AS pair FROM $prev)
+                |  WHERE pair IS NOT NULL
+                |  GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+                |rule$r AS (SELECT string_split(pair, ' ')[1] AS pa,
+                |  string_split(pair, ' ')[2] AS pb,
+                |  replace(pair, ' ', '') AS m FROM p$r),
+                |c$r AS (SELECT doc_id, pos, t,
+                |  row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+                |  coalesce(t = pa AND lead(t) OVER
+                |    (PARTITION BY doc_id ORDER BY pos) = pb, false) AS cand
+                |  FROM $prev CROSS JOIN rule$r),
+                |s$r AS (SELECT doc_id, pos, t, cand AND (rn -
+                |    (coalesce(max(CASE WHEN NOT cand THEN rn END) OVER
+                |      (PARTITION BY doc_id ORDER BY pos
+                |       ROWS UNBOUNDED PRECEDING), 0) + 1)) % 2 = 0 AS sel
+                |  FROM c$r),
+                |k$r AS (SELECT doc_id, pos,
+                |  CASE WHEN sel THEN (SELECT m FROM rule$r) ELSE t END AS t,
+                |  coalesce(lag(sel) OVER
+                |    (PARTITION BY doc_id ORDER BY pos), false) AS prev_sel
+                |  FROM s$r),
+                |e$r AS (SELECT doc_id, pos, t FROM k$r WHERE NOT prev_sel)""".stripMargin
+    }
+    sb ++= "\n"
+    sb.toString
+  }
 }

@@ -288,6 +288,42 @@ object LlmQueries {
        |  THEN (1::BIGINT << j) ELSE 0::BIGINT END), (a, b) -> a | b) AS simhash
        |FROM th)""".stripMargin
 
+  /** DuckDB twin of [[Multimodal.syntheticImageGroups]] +
+    * [[Multimodal.decodeImageHash]] ending in `ph(doc_id, w, h, dhash)`:
+    * regenerate the id-arithmetic pixel field, ITU-R 601 integer luma,
+    * 9x7 box-average cells (exact floor division — all values
+    * non-negative, so DuckDB `//` == JVM `/`), one bit per
+    * adjacent-column comparison. Shared by the signature row and the
+    * near-dup pair row.
+    */
+  private lazy val phashCte: String =
+    """WITH img AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m,
+      |  CAST(12 + (doc_id // 4) % 20 AS INT) AS w,
+      |  CAST(10 + (doc_id // 4) % 15 AS INT) AS h FROM documents),
+      |xs AS (SELECT doc_id, g, m, w, h, unnest(range(0, w)) AS x FROM img),
+      |pp AS (SELECT doc_id, g, m, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      |bb AS (SELECT doc_id, w, h, x, y, m,
+      |  xor(g*2654435761 + x*40503 + y*70423,
+      |      (g*2654435761 + x*40503 + y*70423) >> 13) & 16777215 AS base
+      |  FROM pp),
+      |pxv AS (SELECT doc_id, w, h, x, y,
+      |  (base & 16776960) | ((base + m*3) & 255) AS rgb FROM bb),
+      |lum AS (SELECT doc_id, w, h, (y*7)//h AS cy, (x*9)//w AS cx,
+      |  ((rgb >> 16) & 255)*299 + ((rgb >> 8) & 255)*587
+      |    + (rgb & 255)*114 AS luma
+      |  FROM pxv),
+      |cells AS (SELECT doc_id, w, h, cy, cx,
+      |  CAST(sum(luma) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg
+      |  FROM lum GROUP BY 1, 2, 3, 4, 5),
+      |ph AS (SELECT a.doc_id, a.w, a.h,
+      |  CAST(coalesce(sum(CASE WHEN c.avg > a.avg
+      |    THEN (CAST(1 AS BIGINT) << (a.cy*8 + a.cx))
+      |    ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS dhash
+      |  FROM cells a JOIN cells c ON a.doc_id = c.doc_id
+      |    AND a.cy = c.cy AND c.cx = a.cx + 1
+      |  WHERE a.cx < 8
+      |  GROUP BY 1, 2, 3)""".stripMargin
+
   /** DuckDB twin of the maxHamming=8 simhash band slices over `sim` —
     * the same 9 x 7-bit (last 4-bit) slices the Scala side derives.
     */
@@ -1527,6 +1563,53 @@ object LlmQueries {
          |CAST(CASE WHEN doc_id % 2 = 0 THEN 1
          |  ELSE 1 + octet_length(encode(text)) % 30 END AS INT) AS n_frames
          |FROM documents""".stripMargin)),
+
+    // Image perceptual hash: REAL pixel decode certified at the DATA
+    // level (where llm_multimodal_features certifies the header parse).
+    // Every pixel of the grouped-PNG fixture is integer arithmetic in
+    // (doc_id, x, y), so the oracle regenerates the field and replays
+    // the luma → 9x7 box-average → adjacent-column-comparison chain in
+    // exact int64 math — the 56-bit dHash matches bit-for-bit iff the
+    // Spark side genuinely decoded the pixels.
+    "llm_image_phash" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        Multimodal.extractImageHashes(
+          Multimodal.syntheticImageGroups(
+            Tables.documents(s, dir), "doc_id")).toDF()
+      },
+      Some(s"""$phashCte
+         |SELECT doc_id AS media_id, w AS width, h AS height,
+         |  CAST(dhash AS BIGINT) AS dhash
+         |FROM ph""".stripMargin)),
+
+    // Image NEAR-DUP pairs — dedup extended to the multimodal corpus:
+    // banded hamming join over the 56-bit dHashes (8 bands x 7 bits,
+    // pigeonhole recall for maxHamming=7), exact bit_count(xor) verify.
+    // Fixture groups of 4 are brightness-nudged near-copies (dHash is
+    // shift-invariant, so they land within a few bits); the oracle
+    // replays the hashes AND the banded candidacy, so both the
+    // signature and the candidate generation are hash-checked.
+    "llm_image_neardup" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        val hashes = Multimodal.extractImageHashes(
+          Multimodal.syntheticImageGroups(
+            Tables.documents(s, dir), "doc_id")).toDF()
+        Dedup.hammingNearDupPairs(hashes, "media_id", "dhash",
+          nBits = 56, maxHamming = 7)
+      },
+      Some(s"""$phashCte,
+         |banded AS (SELECT doc_id, dhash, b.b AS band,
+         |  (dhash >> (b.b * 7)) & 127 AS key
+         |  FROM ph, (SELECT unnest(range(0, 8)) AS b) b),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |  a.dhash AS ha, c.dhash AS hb
+         |  FROM banded a JOIN banded c
+         |  ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 7""".stripMargin)),
 
     // Audio: REAL WAV decode, separately visible from the image row (a
     // stub regression in one modality must not hide behind the other's

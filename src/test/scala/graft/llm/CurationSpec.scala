@@ -212,6 +212,24 @@ class CurationSpec extends SparkSpec {
     assert(r2.length < 5)
   }
 
+  test("bpeEncode emits the final merged token streams at dense positions") {
+    // Same corpus as the bpeTrain chaining spec; rules are (a,a)→aa,
+    // (a,b)→ab, (aa,ab)→aaab, so after 3 rounds:
+    //   doc1 "a a a b"  → [aa, a, b] → [aa, ab] → [aaab]
+    //   doc2 "a a b b"  → [aa, b, b] (no a·b adjacency, no aa·ab)
+    val df = Seq((1L, "a a a b"), (2L, "a a b b")).toDF("doc_id", "text")
+    val out = Curation.bpeEncode(df, "doc_id", "text", 3)
+      .as[(Long, Int, String)].collect().sorted
+    assert(out === Array(
+      (1L, 0, "aaab"),
+      (2L, 0, "aa"), (2L, 1, "b"), (2L, 2, "b")))
+    // Concatenating each doc's tokens reconstructs its normalized text
+    // minus separators — merges concatenate, never drop characters.
+    val rebuilt = out.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(_._3).mkString).toMap
+    assert(rebuilt === Map(1L -> "aaab", 2L -> "aabb"))
+  }
+
   test("termRelevance computes tf, df, and the unlogged tf-idf ratio") {
     val df = Seq((1L, "cat cat dog"), (2L, "dog fish"), (3L, "cat")).toDF("id", "text")
     val out = TextAnalysis.termRelevance(df, "id", "text")

@@ -16,6 +16,27 @@ class DedupSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))) === Array((1L, 3L), (4L, 1L)))
   }
 
+  test("hammingNearDupPairs: banded pigeonhole recall at any bit width, " +
+    "empty bands rejected") {
+    // 56-bit signatures: a/b differ in exactly 2 bits (found), c is the
+    // complement of a (56 bits away — never a candidate AND filtered).
+    val a = 0x00FFFFFFFFFFFFFFL & 0x00AAAAAAAAAAAAAAL
+    val b = a ^ 3L
+    val c = a ^ 0x00FFFFFFFFFFFFFFL
+    val sigs = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "sh")
+    val pairs = Dedup.hammingNearDupPairs(sigs, "id", "sh",
+      nBits = 56, maxHamming = 7)
+      .as[(Long, Long, Int)].collect().sorted
+    assert(pairs === Array((1L, 2L, 2)))
+    // 9 bands over 56 bits would leave band 8 empty (width 7 x 8 = 56):
+    // an always-equal key that cross-joins the corpus — rejected loud.
+    val e = intercept[IllegalArgumentException] {
+      Dedup.hammingNearDupPairs(sigs, "id", "sh", nBits = 56, maxHamming = 8)
+        .collect()
+    }
+    assert(e.getMessage.contains("empty band"))
+  }
+
   test("cdcChunks: chunks tile the document; insertions shift one chunk only") {
     // A long deterministic pseudo-text so the divisor actually fires.
     def word(i: Int) = s"w${(i * 7919) % 97}"
@@ -959,6 +980,84 @@ class MultimodalSpec extends SparkSpec {
       Seq(Multimodal.MediaRecord(5L, "image", png)).toDS()).collect()(0)
     assert(img.width === 12 && img.height === 7 && img.channels === 3)
     assert(img.n_bytes === png.length.toLong)
+  }
+
+  test("decodeImageHash: dHash matches independent pixel arithmetic and " +
+    "is invariant to a uniform brightness shift") {
+    // Expected hash computed HERE from the raw pixel field — the decode
+    // path must reproduce it through a real PNG decode.
+    val (w, h) = (18, 14)
+    def pixel(x: Int, y: Int): Int = {
+      val v = 7L * 2654435761L + x * 40503L + y * 70423L
+      (((v ^ (v >> 13)) & 0xFFFFFFL)).toInt
+    }
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val sums = Array.ofDim[Long](7, 9)
+    val counts = Array.ofDim[Long](7, 9)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = pixel(x, y)
+      val luma = ((rgb >> 16) & 0xFF) * 299L + ((rgb >> 8) & 0xFF) * 587L +
+        (rgb & 0xFF) * 114L
+      sums(y * 7 / h)(x * 9 / w) += luma
+      counts(y * 7 / h)(x * 9 / w) += 1
+    }
+    var expected = 0L
+    for (cy <- 0 until 7; cx <- 0 until 8)
+      if (sums(cy)(cx + 1) / counts(cy)(cx + 1) > sums(cy)(cx) / counts(cy)(cx))
+        expected |= 1L << (cy * 8 + cx)
+    val got = Multimodal.decodeImageHash(
+      Multimodal.MediaRecord(7L, "image", png(pixel)))
+    assert(got.width === w && got.height === h)
+    assert(got.dhash === expected)
+    // A uniformly brightened copy (no channel wraps: +16 on each byte
+    // after clamping the base to <= 0xEF) must hash IDENTICALLY — the
+    // shift-invariance that makes dHash a near-dup signature.
+    def clamped(x: Int, y: Int): Int = {
+      val p = pixel(x, y)
+      (math.min((p >> 16) & 0xFF, 0xEF) << 16) |
+        (math.min((p >> 8) & 0xFF, 0xEF) << 8) | math.min(p & 0xFF, 0xEF)
+    }
+    val base = Multimodal.decodeImageHash(
+      Multimodal.MediaRecord(8L, "image", png(clamped)))
+    val bright = Multimodal.decodeImageHash(
+      Multimodal.MediaRecord(9L, "image", png((x, y) =>
+        clamped(x, y) + 0x101010)))
+    assert(base.dhash === bright.dhash)
+  }
+
+  test("decodeImageHash rejects images smaller than the 9x7 grid") {
+    val img = new java.awt.image.BufferedImage(
+      8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodeImageHash(
+        Multimodal.MediaRecord(1L, "image", bos.toByteArray))
+    }
+    assert(e.getMessage.contains("dHash grid"))
+  }
+
+  test("syntheticImageGroups: group members land within a few dHash bits, " +
+    "distinct groups far apart") {
+    implicit val s = spark
+    val df = (0L until 16L).toDF("doc_id")
+    val hashes = Multimodal.extractImageHashes(
+      Multimodal.syntheticImageGroups(df, "doc_id")).collect()
+      .map(r => r.media_id -> r.dhash).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // Within group 0 (ids 0-3): brightness-nudged near-copies.
+    for (m <- 1L to 3L)
+      assert(ham(hashes(0L), hashes(m)) <= 7,
+        s"member $m drifted ${ham(hashes(0L), hashes(m))} bits from its base")
+    // Across groups: different pixel fields, ~uniform hashes.
+    assert(ham(hashes(0L), hashes(4L)) > 7)
   }
 
   test("decodeImage reads a JVM-encoded JPEG's true dimensions") {
