@@ -449,14 +449,103 @@ object Dedup {
                                  mode: org.apache.spark.sql.SaveMode): Unit = {
     require(maxHamming >= 0 && maxHamming < 60,
       s"maxHamming must be in [0, 60), got $maxHamming")
+    writeHammingLayout(
+      simhashFrame(rows, idCol, textCol)
+        .select(col(idCol).as("id"), col("simhash").as("sh")),
+      "id", "sh", nBits = 60, maxHamming = maxHamming, nBuckets = nBuckets,
+      path = path, mode = mode, params = simhashParams(maxHamming, nBuckets))
+  }
+
+  /** Sidecar params of a GENERIC hamming-signature layout (see
+    * [[nearDupParams]]) — `nBits` is a layout parameter here, unlike
+    * the text-simhash family where 60 is part of the family contract.
+    */
+  private def hammingIndexParams(nBits: Int, maxHamming: Int,
+                                 nBuckets: Int): Map[String, String] = Map(
+    "family" -> "hamming-sig", "nBits" -> nBits.toString,
+    "maxHamming" -> maxHamming.toString, "nBuckets" -> nBuckets.toString)
+
+  /** Materialize the write-time index of ANY fixed-width bit-signature
+    * frame under hamming distance — the [[writeSimhashIndex]] machinery
+    * with the bit width as a parameter, so non-text hamming signatures
+    * (the 56-bit image dHash of
+    * [[graft.llm.Multimodal.decodeImageHash]], an audio fingerprint, …)
+    * get the same DPP-probed, incrementally growable layout without a
+    * per-modality reimplementation. `sigs` must carry one row per
+    * member with `idCol` and a positive int64 `hashCol` of `nBits`
+    * significant bits; band slices follow [[hammingNearDupPairs]]'s
+    * pigeonhole layout (`maxHamming + 1` bands, recall by
+    * construction).
+    */
+  def writeHammingIndex(sigs: DataFrame, idCol: String, hashCol: String,
+                        nBits: Int, maxHamming: Int, nBuckets: Int,
+                        path: String): Unit =
+    writeHammingLayout(sigs.select(col(idCol).as("id"), col(hashCol).as("sh")),
+      "id", "sh", nBits, maxHamming, nBuckets, path,
+      org.apache.spark.sql.SaveMode.Overwrite,
+      hammingIndexParams(nBits, maxHamming, nBuckets))
+
+  /** INCREMENTAL maintenance: append a delta's signatures to an existing
+    * [[writeHammingIndex]] layout (per-member pure signatures — grown
+    * index probes identically to a rebuild; sidecar-validated).
+    */
+  def appendToHammingIndex(sigs: DataFrame, idCol: String, hashCol: String,
+                           nBits: Int, maxHamming: Int, nBuckets: Int,
+                           path: String): Unit =
+    writeHammingLayout(sigs.select(col(idCol).as("id"), col(hashCol).as("sh")),
+      "id", "sh", nBits, maxHamming, nBuckets, path,
+      org.apache.spark.sql.SaveMode.Append,
+      hammingIndexParams(nBits, maxHamming, nBuckets))
+
+  private def writeHammingLayout(sigs: DataFrame, idCol: String,
+                                 hashCol: String, nBits: Int, maxHamming: Int,
+                                 nBuckets: Int, path: String,
+                                 mode: org.apache.spark.sql.SaveMode,
+                                 params: Map[String, String]): Unit = {
+    require(maxHamming >= 0 && maxHamming < nBits,
+      s"maxHamming must be in [0, $nBits), got $maxHamming")
+    require(nBits >= 1 && nBits <= 63,
+      s"nBits must be in [1, 63] (positive int64 signatures), got $nBits")
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
-    val sigs = simhashFrame(rows, idCol, textCol)
-      .select(col(idCol).as("id"), col("simhash").as("sh"))
-    val banded = simhashBands(sigs, maxHamming)
+    val banded = hammingBands(
+      sigs.select(col(idCol).as("id"), col(hashCol).as("sh")),
+      nBits, maxHamming)
       .select(col("id").as("cand_id"), col("key"), col("sh"),
         col("band"), pmod(col("key"), lit(nBuckets.toLong)).cast("int").as("bkt"))
-    BandedIndex.writeLayout(banded, path, mode,
-      simhashParams(maxHamming, nBuckets))
+    BandedIndex.writeLayout(banded, path, mode, params)
+  }
+
+  /** Probe a [[writeHammingIndex]] layout with a delta's signatures:
+    * band slices join the index on the PARTITION columns (dynamic
+    * partition pruning), survivors verify exact `bit_count(xor)` — the
+    * [[probeSimhashIndex]] dataflow for any bit width.
+    *
+    * @return (query_id, cand_id, hamming), cand ≠ query,
+    *   hamming ≤ maxHamming.
+    */
+  def probeHammingIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String, sigs: DataFrame,
+                        idCol: String, hashCol: String, nBits: Int,
+                        maxHamming: Int, nBuckets: Int): DataFrame =
+    probeHammingFrames(spark, indexPath,
+      sigs.select(col(idCol).as("id"), col(hashCol).as("sh")),
+      nBits, maxHamming, nBuckets,
+      hammingIndexParams(nBits, maxHamming, nBuckets))
+
+  private def probeHammingFrames(spark: org.apache.spark.sql.SparkSession,
+                                 indexPath: String, qsigs: DataFrame,
+                                 nBits: Int, maxHamming: Int, nBuckets: Int,
+                                 params: Map[String, String]): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < nBits,
+      s"maxHamming must be in [0, $nBits), got $maxHamming")
+    val qb = hammingBands(qsigs, nBits, maxHamming)
+      .select(col("id").as("query_id"), col("sh").as("q_sh"),
+        col("band"), col("key"),
+        pmod(col("key"), lit(nBuckets.toLong)).cast("int").as("bkt"))
+    BandedIndex.probeJoin(spark, indexPath, qb, Seq("key"), params)
+      .withColumn("hamming", bit_count(col("q_sh").bitwiseXOR(col("sh"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("query_id"), col("cand_id"), col("hamming")).distinct()
   }
 
   /** Probe a [[writeSimhashIndex]] layout with a delta batch: the
@@ -474,21 +563,12 @@ object Dedup {
   def probeSimhashIndex(spark: org.apache.spark.sql.SparkSession,
                         indexPath: String, delta: DataFrame,
                         idCol: String, textCol: String,
-                        maxHamming: Int, nBuckets: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 60,
-      s"maxHamming must be in [0, 60), got $maxHamming")
-    val qsigs = simhashFrame(delta, idCol, textCol)
-      .select(col(idCol).as("id"), col("simhash").as("sh"))
-    val qb = simhashBands(qsigs, maxHamming)
-      .select(col("id").as("query_id"), col("sh").as("q_sh"),
-        col("band"), col("key"),
-        pmod(col("key"), lit(nBuckets.toLong)).cast("int").as("bkt"))
-    BandedIndex.probeJoin(spark, indexPath, qb, Seq("key"),
-        simhashParams(maxHamming, nBuckets))
-      .withColumn("hamming", bit_count(col("q_sh").bitwiseXOR(col("sh"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("query_id"), col("cand_id"), col("hamming")).distinct()
-  }
+                        maxHamming: Int, nBuckets: Int): DataFrame =
+    probeHammingFrames(spark, indexPath,
+      simhashFrame(delta, idCol, textCol)
+        .select(col(idCol).as("id"), col("simhash").as("sh")),
+      nBits = 60, maxHamming = maxHamming, nBuckets = nBuckets,
+      params = simhashParams(maxHamming, nBuckets))
 
   /** Exact n-gram Jaccard similarity join: pairs with Jaccard ≥ `threshold`
     * over distinct word k-shingles — the count-based set-similarity join.

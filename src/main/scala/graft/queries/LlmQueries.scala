@@ -140,6 +140,7 @@ object LlmQueries {
     ensureNearDupIndex(s, dir)
     ensureSimhashIndex(s, dir)
     ensureExactDupIndex(s, dir)
+    ensureImageHashIndex(s, dir)
   }
 
   /** Ensure the write-time SIMHASH index for `dir`'s documents exists;
@@ -161,6 +162,25 @@ object LlmQueries {
     if (!new java.io.File(s"$fix/_SUCCESS").exists())
       Dedup.writeExactDupIndex(Tables.documents(s, dir), "doc_id", "text",
         nBuckets = 64, path = fix)
+    fix
+  }
+
+  /** Ensure the write-time IMAGE-dHASH index for `dir`'s synthetic image
+    * corpus exists; return its path (same contract as
+    * [[ensureLshIndex]]). The generic hamming family
+    * ([[Dedup.writeHammingIndex]]) over the 56-bit perceptual hashes —
+    * build decodes every image ONCE at write time; probes never touch
+    * corpus pixels again.
+    */
+  def ensureImageHashIndex(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    val fix = s"/tmp/graft_fixtures/imagehash_index_${fingerprintCached(s"$dir/documents.parquet")}"
+    if (!new java.io.File(s"$fix/_SUCCESS").exists())
+      Dedup.writeHammingIndex(
+        Multimodal.extractImageHashes(
+          Multimodal.syntheticImageGroups(Tables.documents(s, dir), "doc_id")).toDF(),
+        "media_id", "dhash", nBits = 56, maxHamming = 7, nBuckets = 64,
+        path = fix)
     fix
   }
 
@@ -323,6 +343,16 @@ object LlmQueries {
       |    AND a.cy = c.cy AND c.cx = a.cx + 1
       |  WHERE a.cx < 8
       |  GROUP BY 1, 2, 3)""".stripMargin
+
+  /** The 8 x 7-bit hamming band slices of `ph`'s 56-bit dHashes — the
+    * DuckDB twin of the maxHamming=7 [[Dedup.hammingNearDupPairs]]
+    * banding, shared by the inline-pairs, index-probe, and clusters
+    * image rows.
+    */
+  private lazy val phashBandedCte: String =
+    """banded AS (SELECT doc_id, dhash, b.b AS band,
+      |  (dhash >> (b.b * 7)) & 127 AS key
+      |  FROM ph, (SELECT unnest(range(0, 8)) AS b) b)""".stripMargin
 
   /** DuckDB twin of the maxHamming=8 simhash band slices over `sim` —
     * the same 9 x 7-bit (last 4-bit) slices the Scala side derives.
@@ -525,6 +555,42 @@ object LlmQueries {
            |FROM documents d JOIN documents c
            |  ON ${normSql("d.text")} = ${normSql("c.text")}
            |WHERE d.doc_id % 7 = 0""".stripMargin)),
+
+    // Streaming INGEST DEDUP GATE, batch parity: an arriving batch mixes
+    // perturbed copies of corpus docs (whitespace/case noise — must be
+    // REJECTED by normalized-text membership) with genuinely novel docs
+    // (suffixed text — must pass). The gate is the per-micro-batch body
+    // of [[graft.streaming.Streams.startDedupGateSink]]: a DPP-pruned
+    // probe of the write-time exact-dup index + left-anti on the id.
+    // StreamsSpec replays the same dataflow through MemoryStream,
+    // including the cross-batch append that rejects a later duplicate of
+    // an earlier ACCEPTED row.
+    "llm_stream_dedup_gate" -> Q(
+      (s, dir) => {
+        val fix = ensureExactDupIndex(s, dir)
+        val docs = Tables.documents(s, dir)
+        val arriving = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            upper(concat(lit(" "), regexp_replace(col("text"), " ", "   "),
+              lit("  "))).as("text"))
+          .unionByName(docs.filter(col("doc_id") % 7 === 3)
+            .select((col("doc_id") + 3000000L).as("doc_id"),
+              concat(col("text"), lit(" novelsuffix"),
+                col("doc_id").cast("string")).as("text")))
+        graft.streaming.Streams.dedupGateBatch(s, fix, arriving,
+          "doc_id", "text", nBuckets = 64)
+      },
+      Some(s"""WITH arriving AS (
+           |  SELECT doc_id + 2000000 AS doc_id,
+           |    upper(' ' || regexp_replace(text, ' ', '   ', 'g') || '  ') AS text
+           |  FROM documents WHERE doc_id % 7 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 3000000 AS doc_id,
+           |    text || ' novelsuffix' || doc_id AS text
+           |  FROM documents WHERE doc_id % 7 = 3)
+           |SELECT a.doc_id, a.text FROM arriving a
+           |WHERE NOT EXISTS (SELECT 1 FROM documents c
+           |  WHERE ${normSql("c.text")} = ${normSql("a.text")})""".stripMargin)),
 
     // Near-dup CLUSTERS: MinHash-LSH pairs -> connected components -> one
     // cluster id (min member) per involved doc. The oracle replicates the
@@ -1600,9 +1666,7 @@ object LlmQueries {
           nBits = 56, maxHamming = 7)
       },
       Some(s"""$phashCte,
-         |banded AS (SELECT doc_id, dhash, b.b AS band,
-         |  (dhash >> (b.b * 7)) & 127 AS key
-         |  FROM ph, (SELECT unnest(range(0, 8)) AS b) b),
+         |$phashBandedCte,
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
          |  a.dhash AS ha, c.dhash AS hb
          |  FROM banded a JOIN banded c
@@ -1610,6 +1674,66 @@ object LlmQueries {
          |SELECT id_a, id_b,
          |  CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
          |FROM cand WHERE bit_count(xor(ha, hb)) <= 7""".stripMargin)),
+
+    // Image near-dup at CORPUS scale: the write-time hamming index —
+    // the GENERIC BandedIndex family ([[Dedup.writeHammingIndex]],
+    // nBits a layout parameter) over the 56-bit dHashes — probed with
+    // the first 50 images as the delta batch. Build decodes every
+    // corpus image once; the probe decodes ONLY the delta and joins the
+    // index on its partition columns (DPP-pruned read), hamming
+    // verified against the carried signatures. The oracle replays the
+    // pixel-exact hash chain AND the banded candidacy, delta-oriented.
+    "llm_image_index_probe" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        val fix = ensureImageHashIndex(s, dir)
+        val delta = Multimodal.extractImageHashes(
+          Multimodal.syntheticImageGroups(
+            Tables.documents(s, dir).filter(col("doc_id") < 50),
+            "doc_id")).toDF()
+        Dedup.probeHammingIndex(s, fix, delta, "media_id", "dhash",
+          nBits = 56, maxHamming = 7, nBuckets = 64)
+      },
+      Some(s"""$phashCte,
+         |$phashBandedCte,
+         |cand AS (SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS cand_id,
+         |  q.dhash AS qh, c.dhash AS ch
+         |  FROM banded c JOIN banded q
+         |  ON c.band = q.band AND c.key = q.key AND c.doc_id <> q.doc_id
+         |  WHERE q.doc_id < 50)
+         |SELECT query_id, cand_id,
+         |  CAST(bit_count(xor(qh, ch)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(qh, ch)) <= 7""".stripMargin)),
+
+    // Image dedup CLUSTERS: dHash near-dup pairs -> connected
+    // components -> one canonical id (min member) per involved image —
+    // the [[Dedup.dedupClusters]] pointer-jump closure reused unchanged
+    // on a NON-TEXT pair source. The oracle replays the hash chain, the
+    // banded candidacy, and the transitive closure (recursive CTE).
+    "llm_image_dedup_clusters" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        val hashes = Multimodal.extractImageHashes(
+          Multimodal.syntheticImageGroups(
+            Tables.documents(s, dir), "doc_id")).toDF()
+        Dedup.dedupClusters(Dedup.hammingNearDupPairs(hashes, "media_id",
+          "dhash", nBits = 56, maxHamming = 7))
+      },
+      Some(s"""${phashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$phashBandedCte,
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |  a.dhash AS ha, c.dhash AS hb
+         |  FROM banded a JOIN banded c
+         |  ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id),
+         |pairs AS (SELECT id_a, id_b FROM cand
+         |  WHERE bit_count(xor(ha, hb)) <= 7),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (SELECT s, d FROM edges
+         |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |cl AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+         |  FROM reach GROUP BY s)
+         |SELECT doc_id, cluster_id FROM cl""".stripMargin)),
 
     // Audio: REAL WAV decode, separately visible from the image row (a
     // stub regression in one modality must not hide behind the other's

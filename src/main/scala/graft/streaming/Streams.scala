@@ -367,4 +367,64 @@ object Streams {
       .filter(v => below.forall(v < _))
       .sorted.lastOption
   }
+
+  /** One micro-batch of the streaming INGEST DEDUP GATE: keep only the
+    * batch rows whose normalized text is NOT already in the write-time
+    * exact-dup index ([[graft.llm.Dedup.writeExactDupIndex]]). The
+    * membership check is [[graft.llm.Dedup.probeExactDupIndex]] — a
+    * DPP-pruned read of the bucket directories the batch hashes into,
+    * md5-verified — then a left-anti join back on the id. The corpus
+    * text is never re-read or re-hashed; at 100 TB the gate's cost is
+    * the BATCH size, not the corpus size.
+    */
+  def dedupGateBatch(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String, batch: DataFrame, idCol: String,
+                     textCol: String, nBuckets: Int): DataFrame = {
+    val hits = graft.llm.Dedup
+      .probeExactDupIndex(spark, indexPath, batch, idCol, textCol, nBuckets)
+      .select(col("query_id").as(idCol)).distinct()
+    batch.join(hits, Seq(idCol), "left_anti")
+  }
+
+  /** Streaming ingest dedup gate: each micro-batch is gated through
+    * [[dedupGateBatch]], accepted rows land in a batchId-named parquet
+    * subdirectory (the [[startParquetSink]] idempotent layout) AND are
+    * appended to the index — so a document accepted in batch N rejects
+    * its duplicates in batch N+1 even under different ids. This is the
+    * write-path of a training-corpus ingest: the dedup index grows with
+    * the corpus and every arriving batch pays only its own hash + a
+    * pruned probe.
+    *
+    * Exactly-once on replay: if the process crashes AFTER the append
+    * but before the checkpoint commit, the replayed batch re-probes an
+    * index that already contains its own rows — but a row's match with
+    * its own appended copy has `cand_id == query_id`, which the probe
+    * excludes, so the replay accepts the same rows and overwrites the
+    * same directory. The double-append leaves duplicate index rows
+    * (same id, same hash); probes stay correct because hits are
+    * id-distinct, and a compaction rewrite can drop them any time.
+    *
+    * Intra-BATCH duplicates (two novel near-identical rows arriving in
+    * one micro-batch) are upstream's job — compose with watermark dedup
+    * or [[graft.llm.Dedup.exactDedup]] inside the source select; the
+    * gate defines membership against the CORPUS, which cannot see
+    * either row until the batch commits.
+    */
+  def startDedupGateSink(df: DataFrame, indexPath: String, outPath: String,
+                         checkpoint: String, idCol: String, textCol: String,
+                         nBuckets: Int) =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        // Pin the gate decision BEFORE the append mutates the index a
+        // lazy plan would re-read.
+        val accepted = dedupGateBatch(spark, indexPath, batch.toDF(),
+          idCol, textCol, nBuckets).localCheckpoint(true)
+        accepted.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        graft.llm.Dedup.appendToExactDupIndex(accepted, idCol, textCol,
+          nBuckets, indexPath)
+      }
+      .start()
 }

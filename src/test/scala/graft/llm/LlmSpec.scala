@@ -224,6 +224,52 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("generic hamming index over image dHashes: probe equals inline " +
+    "pairs; grown equals rebuild; mismatched params fail loud") {
+    implicit val s = spark
+    val ids = (0L until 64L).toDF("doc_id")
+    val hashes = Multimodal.extractImageHashes(
+      Multimodal.syntheticImageGroups(ids, "doc_id")).toDF()
+      .localCheckpoint(true)
+    val delta = hashes.filter($"media_id" < 16)
+    val dir = java.nio.file.Files.createTempDirectory("ham_idx").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("ham_grown").toString
+    try {
+      Dedup.writeHammingIndex(hashes, "media_id", "dhash", 56, 7, 16, dir)
+      val probed = Dedup.probeHammingIndex(spark, dir, delta,
+        "media_id", "dhash", 56, 7, 16)
+      val inline = Dedup.hammingNearDupPairs(hashes, "media_id", "dhash",
+        56, 7).collect().flatMap { r =>
+          val (a, b, h) = (r.getLong(0), r.getLong(1), r.getInt(2))
+          Seq((a, b, h), (b, a, h)).filter(_._1 < 16)
+        }.toSet
+      assert(inline.nonEmpty) // fixture groups of 4 inside the delta
+      val got = probed.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === inline)
+      val plan = probed.queryExecution.executedPlan.toString()
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"no partition pruning on the hamming index scan:\n$plan")
+      Dedup.writeHammingIndex(hashes.filter($"media_id" % 2 === 0),
+        "media_id", "dhash", 56, 7, 16, dir2)
+      Dedup.appendToHammingIndex(hashes.filter($"media_id" % 2 === 1),
+        "media_id", "dhash", 56, 7, 16, dir2)
+      val grown = Dedup.probeHammingIndex(spark, dir2, delta,
+        "media_id", "dhash", 56, 7, 16).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(grown === got)
+      // A different maxHamming re-bands the layout: sidecar rejects.
+      val e = intercept[IllegalArgumentException] {
+        Dedup.probeHammingIndex(spark, dir, delta, "media_id", "dhash",
+          56, 6, 16)
+      }
+      assert(e.getMessage.contains("different parameters"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
+    }
+  }
+
   test("minhashLshPairs finds a one-word-edit near-dup and no false pairs") {
     val base = "the quick brown fox jumps over the lazy dog and keeps on " +
       "running through the quiet green field toward the distant hills"

@@ -18,6 +18,8 @@ case class IdEv2(event_id: Long, ts: java.sql.Timestamp, value: Double)
 
 case class KV(k: Long, name: String, v: Double, seq: Long)
 
+case class Doc(doc_id: Long, text: String)
+
 /** Streaming semantics: replay the same rows through MemoryStream and
   * assert the incremental result equals the batch result of the SAME
   * transform — the unified-model contract the driver's batch-parity
@@ -287,6 +289,43 @@ class StreamsSpec extends SparkSpec {
     val kept = Streams.readUpserted(spark, tgt).select("k").orderBy("k")
       .collect().map(_.getLong(0)).toSeq
     assert(kept === Seq(1L, 2L))
+  }
+
+  test("streaming dedup gate rejects corpus dups and cross-batch dups " +
+    "of accepted rows; index grows with accepted rows only") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      Doc(1L, "alpha beta gamma"), Doc(2L, "delta epsilon zeta")).toDF()
+    val root = java.nio.file.Files.createTempDirectory("gate").toString
+    val (idx, out, ckpt) = (s"$root/idx", s"$root/out", s"$root/ckpt")
+    try {
+      graft.llm.Dedup.writeExactDupIndex(corpus, "doc_id", "text", 8, idx)
+      val mem = MemoryStream[Doc]
+      val q = Streams.startDedupGateSink(mem.toDF(), idx, out, ckpt,
+        "doc_id", "text", nBuckets = 8)
+      try {
+        // Batch 0: a corpus dup (case/space noise) and a novel doc.
+        mem.addData(
+          Doc(10L, "  ALPHA beta   GAMMA "), Doc(11L, "eta theta iota"))
+        q.processAllAvailable()
+        // Batch 1: a dup of batch 0's ACCEPTED doc under a new id (must
+        // be rejected via the cross-batch index append) and a novel doc.
+        mem.addData(
+          Doc(12L, "ETA theta  iota"), Doc(13L, "kappa lambda mu"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val accepted = spark.read.parquet(out)
+        .select("doc_id").as[Long].collect().sorted
+      assert(accepted === Array(11L, 13L))
+      // The gate's batch body agrees with a direct batch probe of the
+      // final index: everything already admitted is now a member.
+      val replay = Streams.dedupGateBatch(spark, idx,
+        Seq(Doc(20L, "eta THETA iota"), Doc(21L, "kappa lambda mu"),
+          Doc(22L, "nu xi omicron")).toDF(), "doc_id", "text", 8)
+        .select("doc_id").as[Long].collect().sorted
+      assert(replay === Array(22L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
   }
 
   test("dedupWithinWatermark drops replayed ids across micro-batches") {
