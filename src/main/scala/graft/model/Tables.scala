@@ -32,6 +32,17 @@ object Tables {
 
   /** Events table with `ts` normalized to TIMESTAMP_NTZ (microseconds).
     *
+    * The driver has shipped this column as both physical INT64
+    * TIMESTAMP(NANOS) (rounds <= 9) and plain TIMESTAMP(MICROS) (round 10+),
+    * so the loader adapts to whichever physical type the scan yields:
+    *
+    *  - LongType: the nanos-as-long legacy read. Convert the raw nanosecond
+    *    count with integer floor division (`div`, not `/`: long `/` long is
+    *    double division in Spark and epoch-nanos exceed double's exact 2^53
+    *    range), matching DuckDB's TIMESTAMP_NS to TIMESTAMP cast.
+    *  - Timestamp(NTZ): already microseconds; just pin the NTZ type so
+    *    downstream operators and the oracle see identical values either way.
+    *
     * The legacy conf must be in effect both when the scan is planned and when
     * it executes; since the returned DataFrame is lazy we cannot save/restore
     * around the read. The conf only affects INT64(NANOS) parquet fields -
@@ -39,8 +50,12 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = table(spark, dir, "events")
+    val tsCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+      case _ => col("ts").cast("timestamp_ntz")
+    }
+    raw.withColumn("ts", tsCol)
   }
 }
