@@ -570,6 +570,178 @@ object Dedup {
       nBits = 60, maxHamming = maxHamming, nBuckets = nBuckets,
       params = simhashParams(maxHamming, nBuckets))
 
+  // ---- WIDE (120-bit, two-word) simhash family -----------------------
+
+  /** 120-bit simhash carried as TWO int64 words: `simhash_lo` votes with
+    * `hash60(token)`, `simhash_hi` with the independent salt-1 hash of
+    * the same token — one token explode, one 120-column vote aggregate.
+    *
+    * Why a wide family exists (round-10 DPP sweep, BASELINE.md): the
+    * 60-bit family's pigeonhole bands at maxHamming=8 are ≤7-bit slices,
+    * so a band key has at most 128 distinct values and the write-time
+    * index can never spread over more than 128 directories per band —
+    * the one banded layout whose DPP pruning saturates BY CONSTRUCTION.
+    * At maxHamming=7 the wide fingerprint bands into 8 x 15-bit slices:
+    * 32768 distinct band-key values, restoring the full-entropy
+    * bucketing the minhash and LSH families already have, while the
+    * doubled fingerprint ALSO halves the per-bit noise rate of the
+    * hamming decision at equal band count.
+    */
+  def simhashWideFrame(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val th = ensureParallelism(df.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), explode(tokens(col(textCol))).as("t"))
+      .select(col("id"), hash60(col("t")).as("h1"),
+        hash60Salted(col("t"), 1).as("h2"))
+    val votes = th.groupBy(col("id")).agg(
+      sum(when(col("h1").bitwiseAND(1) === 1, 1L).otherwise(-1L)).as("a0"),
+      ((1 until 60).map(j =>
+        sum(when(shiftright(col("h1"), j).bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L)).as(s"a$j")) ++
+        (0 until 60).map(j =>
+          sum(when(shiftright(col("h2"), j).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L)).as(s"b$j"))): _*)
+    votes.select(col("id").as(idCol),
+      (0 until 60).map(j =>
+        when(col(s"a$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _).as("simhash_lo"),
+      (0 until 60).map(j =>
+        when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _).as("simhash_hi"))
+  }
+
+  /** Pigeonhole band slices of a two-word (id, sh_lo, sh_hi) signature
+    * frame: `maxHamming + 1` disjoint bands split between the words —
+    * `ceil(nBands/2)` slices over `sh_lo`'s 60 bits, the rest over
+    * `sh_hi`'s. Pigeonhole recall holds for ANY partition of the 120
+    * bit positions into nBands disjoint groups: a pair within
+    * `maxHamming` differing bits agrees exactly on at least one band.
+    * Needs `maxHamming >= 1` so both words contribute a band (for
+    * hamming-0 use the exact-dup family).
+    */
+  private def hammingBandsWide(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    val nLo = (nBands + 1) / 2
+    val nHi = nBands - nLo
+    require(nHi >= 1,
+      s"wide simhash needs maxHamming >= 1 (got $maxHamming); " +
+        "use the exact-dup family for hamming 0")
+    def slices(c: Column, nW: Int, offset: Int): Seq[(Int, Column)] = {
+      val width = (60 + nW - 1) / nW
+      require(width * (nW - 1) < 60,
+        s"$nW bands over 60 bits leaves an empty band (width $width)")
+      (0 until nW).map { b =>
+        val w = math.min(width, 60 - b * width)
+        (offset + b,
+          shiftright(c, b * width).bitwiseAND((1L << math.max(w, 1)) - 1))
+      }
+    }
+    val all = slices(col("sh_lo"), nLo, 0) ++ slices(col("sh_hi"), nHi, nLo)
+    sigs.select(col("id"), col("sh_lo"), col("sh_hi"),
+      explode(array(all.map { case (b, k) =>
+        struct(lit(b).as("band"), k.as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("sh_lo"), col("sh_hi"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Near-duplicate pairs under the 120-bit simhash: banded candidate
+    * generation on the wide slices (bucket-key shuffle, never
+    * all-pairs) + exact two-word `bit_count(xor)` verify.
+    *
+    * @return (id_a, id_b, hamming), id_a < id_b, hamming ≤ maxHamming.
+    */
+  def simhashWidePairs(df: DataFrame, idCol: String, textCol: String,
+                       maxHamming: Int): DataFrame = {
+    require(maxHamming >= 1 && maxHamming < 120,
+      s"maxHamming must be in [1, 120), got $maxHamming")
+    val banded = hammingBandsWide(
+      simhashWideFrame(df, idCol, textCol)
+        .select(col(idCol).as("id"), col("simhash_lo").as("sh_lo"),
+          col("simhash_hi").as("sh_hi")), maxHamming)
+    val a = banded.select(col("band"), col("key"), col("id").as("id_a"),
+      col("sh_lo").as("lo_a"), col("sh_hi").as("hi_a"))
+    val b = banded.select(col("band"), col("key"), col("id").as("id_b"),
+      col("sh_lo").as("lo_b"), col("sh_hi").as("hi_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b").distinct()
+      .withColumn("hamming",
+        bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Sidecar params of a wide-simhash layout (see [[nearDupParams]]). */
+  private def simhashWideParams(maxHamming: Int,
+                                nBuckets: Int): Map[String, String] =
+    Map("family" -> "simhash-wide", "maxHamming" -> maxHamming.toString,
+      "nBuckets" -> nBuckets.toString)
+
+  /** Materialize the write-time WIDE-simhash index — the
+    * [[writeSimhashIndex]] layout with 15-bit band keys (maxHamming=7),
+    * so `nBuckets` scales to 32768 directories per band instead of the
+    * 60-bit family's 128: the family whose DPP pruning does NOT
+    * saturate at corpus scale. Signature function + params are the only
+    * family-specific code; write/append/probe are [[BandedIndex]].
+    */
+  def writeSimhashWideIndex(corpus: DataFrame, idCol: String,
+                            textCol: String, maxHamming: Int,
+                            nBuckets: Int, path: String): Unit =
+    writeSimhashWideLayout(corpus, idCol, textCol, maxHamming, nBuckets,
+      path, org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** INCREMENTAL maintenance: append a delta to a [[writeSimhashWideIndex]]
+    * layout (per-doc pure signatures — append == rebuild; sidecar-validated).
+    */
+  def appendToSimhashWideIndex(delta: DataFrame, idCol: String,
+                               textCol: String, maxHamming: Int,
+                               nBuckets: Int, path: String): Unit =
+    writeSimhashWideLayout(delta, idCol, textCol, maxHamming, nBuckets,
+      path, org.apache.spark.sql.SaveMode.Append)
+
+  private def writeSimhashWideLayout(rows: DataFrame, idCol: String,
+                                     textCol: String, maxHamming: Int,
+                                     nBuckets: Int, path: String,
+                                     mode: org.apache.spark.sql.SaveMode): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val banded = hammingBandsWide(
+      simhashWideFrame(rows, idCol, textCol)
+        .select(col(idCol).as("id"), col("simhash_lo").as("sh_lo"),
+          col("simhash_hi").as("sh_hi")), maxHamming)
+      .select(col("id").as("cand_id"), col("key"), col("sh_lo"),
+        col("sh_hi"), col("band"),
+        pmod(col("key"), lit(nBuckets.toLong)).cast("int").as("bkt"))
+    BandedIndex.writeLayout(banded, path, mode,
+      simhashWideParams(maxHamming, nBuckets))
+  }
+
+  /** Probe a [[writeSimhashWideIndex]] layout with a delta batch — the
+    * [[probeSimhashIndex]] dataflow with the two-word verify.
+    *
+    * @return (query_id, cand_id, hamming), cand ≠ query,
+    *   hamming ≤ maxHamming.
+    */
+  def probeSimhashWideIndex(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, delta: DataFrame,
+                            idCol: String, textCol: String,
+                            maxHamming: Int, nBuckets: Int): DataFrame = {
+    val qb = hammingBandsWide(
+      simhashWideFrame(delta, idCol, textCol)
+        .select(col(idCol).as("id"), col("simhash_lo").as("sh_lo"),
+          col("simhash_hi").as("sh_hi")), maxHamming)
+      .select(col("id").as("query_id"), col("sh_lo").as("q_lo"),
+        col("sh_hi").as("q_hi"), col("band"), col("key"),
+        pmod(col("key"), lit(nBuckets.toLong)).cast("int").as("bkt"))
+    BandedIndex.probeJoin(spark, indexPath, qb, Seq("key"),
+      simhashWideParams(maxHamming, nBuckets))
+      .withColumn("hamming",
+        bit_count(col("q_lo").bitwiseXOR(col("sh_lo"))) +
+          bit_count(col("q_hi").bitwiseXOR(col("sh_hi"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("query_id"), col("cand_id"), col("hamming")).distinct()
+  }
+
   /** Exact n-gram Jaccard similarity join: pairs with Jaccard ≥ `threshold`
     * over distinct word k-shingles — the count-based set-similarity join.
     *

@@ -139,6 +139,7 @@ object LlmQueries {
     ensureGrownIvfIndex(s, dir)
     ensureNearDupIndex(s, dir)
     ensureSimhashIndex(s, dir)
+    ensureSimhashWideIndex(s, dir)
     ensureExactDupIndex(s, dir)
     ensureImageHashIndex(s, dir)
   }
@@ -151,6 +152,19 @@ object LlmQueries {
     if (!new java.io.File(s"$fix/_SUCCESS").exists())
       Dedup.writeSimhashIndex(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 8, nBuckets = 32, path = fix)
+    fix
+  }
+
+  /** Ensure the write-time WIDE-simhash index for `dir`'s documents
+    * exists; return its path (same contract as [[ensureLshIndex]]).
+    * nBuckets=256 — ABOVE the 60-bit family's 128-value band-key cap,
+    * exercising exactly the entropy headroom the wide family adds.
+    */
+  def ensureSimhashWideIndex(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val fix = s"/tmp/graft_fixtures/simhash_wide_index_${fingerprintCached(s"$dir/documents.parquet")}"
+    if (!new java.io.File(s"$fix/_SUCCESS").exists())
+      Dedup.writeSimhashWideIndex(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 7, nBuckets = 256, path = fix)
     fix
   }
 
@@ -307,6 +321,38 @@ object LlmQueries {
        |    (a, b) -> a + b) >= 0
        |  THEN (1::BIGINT << j) ELSE 0::BIGINT END), (a, b) -> a | b) AS simhash
        |FROM th)""".stripMargin
+
+  /** DuckDB twin of [[graft.llm.Dedup.simhashWideFrame]] ending in
+    * `simw(doc_id, sh_lo, sh_hi)`: the lo word votes with h60(token),
+    * the hi word with the salt-1 hash `h60('1:' || token)` — shared by
+    * the wide-pairs and wide-index-probe rows.
+    */
+  private lazy val simhashWideCte: String = {
+    def fold(th: String) =
+      s"""list_reduce(list_transform(range(0, 60), j ->
+         |  CASE WHEN list_reduce(list_prepend(0::BIGINT, list_transform($th,
+         |    h -> CASE WHEN (h >> j) & 1 = 1 THEN 1::BIGINT ELSE (-1)::BIGINT END)),
+         |    (a, b) -> a + b) >= 0
+         |  THEN (1::BIGINT << j) ELSE 0::BIGINT END), (a, b) -> a | b)""".stripMargin
+    s"""WITH th AS (SELECT doc_id,
+       |  list_transform(${toksSql("text")}, t -> ${h60("t")}) AS t1,
+       |  list_transform(${toksSql("text")}, t -> ${h60("'1:' || t")}) AS t2
+       |FROM documents),
+       |simw AS (SELECT doc_id, ${fold("t1")} AS sh_lo, ${fold("t2")} AS sh_hi
+       |FROM th)""".stripMargin
+  }
+
+  /** DuckDB twin of the maxHamming=7 WIDE band slices over `simw` —
+    * 4 x 15-bit slices of each word, bands 0-3 from sh_lo, 4-7 from
+    * sh_hi (the [[graft.llm.Dedup]] hammingBandsWide split).
+    */
+  private lazy val simhashWideBandsSql: String = {
+    val lo = (0 until 4).map(b =>
+      s"SELECT doc_id, sh_lo, sh_hi, $b AS band, ((sh_lo >> ${b * 15}) & 32767) AS key FROM simw")
+    val hi = (0 until 4).map(b =>
+      s"SELECT doc_id, sh_lo, sh_hi, ${b + 4} AS band, ((sh_hi >> ${b * 15}) & 32767) AS key FROM simw")
+    (lo ++ hi).mkString("\nUNION ALL\n")
+  }
 
   /** DuckDB twin of [[Multimodal.syntheticImageGroups]] +
     * [[Multimodal.decodeImageHash]] ending in `ph(doc_id, w, h, dhash)`:
@@ -715,6 +761,48 @@ object LlmQueries {
          |SELECT query_id, cand_id,
          |  CAST(bit_count(xor(qs, cs)) AS INT) AS hamming
          |FROM cand WHERE bit_count(xor(qs, cs)) <= 8""".stripMargin)),
+
+    // WIDE (120-bit) simhash near-dup pairs: two independent 60-bit
+    // words, pigeonhole over 8 x 15-bit bands, two-word bit_count(xor)
+    // verify. The oracle replays both hash chains, the exact band
+    // split, and the summed hamming decision — a divergence in either
+    // word or in the band layout goes red.
+    "llm_simhash_wide_pairs" -> Q(
+      (s, dir) => Dedup.simhashWidePairs(Tables.documents(s, dir),
+        "doc_id", "text", maxHamming = 7),
+      Some(s"""$simhashWideCte,
+         |banded AS ($simhashWideBandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.sh_lo AS la, a.sh_hi AS ha, b.sh_lo AS lb, b.sh_hi AS hb
+         |  FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS INT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 7""".stripMargin)),
+
+    // Write-time WIDE-simhash index probed with a delta batch — the
+    // simhash layout whose 15-bit band keys do NOT saturate the bucket
+    // axis (nBuckets=256 here, above the 60-bit family's 128-value
+    // cap; see the round-10 DPP sweep in BASELINE.md).
+    "llm_simhash_wide_index_probe" -> Q(
+      (s, dir) => {
+        val fix = ensureSimhashWideIndex(s, dir)
+        Dedup.probeSimhashWideIndex(s, fix,
+          Tables.documents(s, dir).filter(col("doc_id") < 50),
+          "doc_id", "text", maxHamming = 7, nBuckets = 256)
+      },
+      Some(s"""$simhashWideCte,
+         |banded AS ($simhashWideBandsSql),
+         |cand AS (SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS cand_id,
+         |  q.sh_lo AS ql, q.sh_hi AS qh, c.sh_lo AS cl, c.sh_hi AS ch
+         |  FROM banded c JOIN banded q
+         |  ON c.band = q.band AND c.key = q.key AND c.doc_id <> q.doc_id
+         |  WHERE q.doc_id < 50)
+         |SELECT query_id, cand_id,
+         |  CAST(bit_count(xor(ql, cl)) + bit_count(xor(qh, ch)) AS INT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(ql, cl)) + bit_count(xor(qh, ch)) <= 7""".stripMargin)),
 
     // Embedding-cosine near-dup pairs, bucketed by the label column.
     "llm_dedup_embedding" -> Q(

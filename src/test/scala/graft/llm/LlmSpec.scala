@@ -224,6 +224,74 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("wide simhash: identical docs at distance 0; pairs equal the " +
+    "brute-force two-word hamming decision") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val df = Seq((1L, base), (2L, base), (3L, base.replace("alpha", "omega")),
+      (4L, "totally different words nothing shared here at all ok"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhashWideFrame(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = ham(sigs(a), sigs(b)) if h <= 7
+    } yield (a, b, h)).toSet
+    val pairs = Dedup.simhashWidePairs(df, "doc_id", "text", maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs === brute)          // pigeonhole recall is exact within maxHamming
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+  }
+
+  test("wide simhash index: probe equals inline pairs; grown equals " +
+    "rebuild; 60-bit layout rejected loud") {
+    val docs = spark.read.parquet(sf("documents")).select($"doc_id", $"text")
+    val delta = docs.filter($"doc_id" < 50)
+    val dir = java.nio.file.Files.createTempDirectory("simw_idx").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("simw_grown").toString
+    try {
+      Dedup.writeSimhashWideIndex(docs, "doc_id", "text", 7, 256, dir)
+      val probed = Dedup.probeSimhashWideIndex(spark, dir, delta,
+        "doc_id", "text", 7, 256)
+      val inline = Dedup.simhashWidePairs(docs, "doc_id", "text", 7)
+        .collect().flatMap { r =>
+          val (a, b, h) = (r.getLong(0), r.getLong(1), r.getInt(2))
+          Seq((a, b, h), (b, a, h)).filter(_._1 < 50)
+        }.toSet
+      val got = probed.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === inline)
+      val plan = probed.queryExecution.executedPlan.toString()
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"no partition pruning on the wide-simhash index scan:\n$plan")
+      Dedup.writeSimhashWideIndex(docs.filter($"doc_id" % 2 === 0),
+        "doc_id", "text", 7, 256, dir2)
+      Dedup.appendToSimhashWideIndex(docs.filter($"doc_id" % 2 === 1),
+        "doc_id", "text", 7, 256, dir2)
+      val grown = Dedup.probeSimhashWideIndex(spark, dir2, delta,
+        "doc_id", "text", 7, 256).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(grown === got)
+      // A 60-bit simhash layout probed as wide must fail on the sidecar,
+      // not silently return wrong pairs.
+      val dir3 = java.nio.file.Files.createTempDirectory("simw_bad").toString
+      try {
+        Dedup.writeSimhashIndex(docs, "doc_id", "text", 8, 32, dir3)
+        val e = intercept[IllegalArgumentException] {
+          Dedup.probeSimhashWideIndex(spark, dir3, delta,
+            "doc_id", "text", 7, 256).collect()
+        }
+        assert(e.getMessage.contains("different parameters"))
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir3))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
+    }
+  }
+
   test("generic hamming index over image dHashes: probe equals inline " +
     "pairs; grown equals rebuild; mismatched params fail loud") {
     implicit val s = spark
