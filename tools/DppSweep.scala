@@ -105,6 +105,20 @@ object DppSweep {
           maxHamming = 8, nBuckets = nb))
     }
 
+    // Wide (120-bit) simhash: 15-bit band keys — the family added to
+    // lift the 60-bit saturation; same axis as neardup, expected to
+    // prune rather than saturate.
+    for (nb <- Seq(64, 512, 4096)) {
+      val path = s"$out/simw_$nb"
+      val (_, bs) = timed(if (!built(path))
+        Dedup.writeSimhashWideIndex(docs, "doc_id", "text",
+          maxHamming = 7, nBuckets = nb, path))
+      println(f"PROBE simw nb=$nb build=$bs%.1f totalFiles=${totalFiles(path)}")
+      probe(s"simw nb=$nb", reps = 4)(
+        Dedup.probeSimhashWideIndex(spark, path, deltaDocs, "doc_id", "text",
+          maxHamming = 7, nBuckets = nb))
+    }
+
     for (planes <- Seq(6, 9, 12)) {
       val path = s"$out/lsh_$planes"
       val (_, bs) = timed(if (!built(path))
