@@ -327,32 +327,42 @@ object LlmQueries {
     * the hi word with the salt-1 hash `h60('1:' || token)` — shared by
     * the wide-pairs and wide-index-probe rows.
     */
-  private lazy val simhashWideCte: String = {
-    def fold(th: String) =
-      s"""list_reduce(list_transform(range(0, 60), j ->
-         |  CASE WHEN list_reduce(list_prepend(0::BIGINT, list_transform($th,
-         |    h -> CASE WHEN (h >> j) & 1 = 1 THEN 1::BIGINT ELSE (-1)::BIGINT END)),
-         |    (a, b) -> a + b) >= 0
-         |  THEN (1::BIGINT << j) ELSE 0::BIGINT END), (a, b) -> a | b)""".stripMargin
-    s"""WITH th AS (SELECT doc_id,
+  private def wideFoldSql(th: String) =
+    s"""list_reduce(list_transform(range(0, 60), j ->
+       |  CASE WHEN list_reduce(list_prepend(0::BIGINT, list_transform($th,
+       |    h -> CASE WHEN (h >> j) & 1 = 1 THEN 1::BIGINT ELSE (-1)::BIGINT END)),
+       |    (a, b) -> a + b) >= 0
+       |  THEN (1::BIGINT << j) ELSE 0::BIGINT END), (a, b) -> a | b)""".stripMargin
+
+  /** The (th, sim) CTE pair computing wide signatures of `src`'s
+    * (doc_id, text) rows — parameterized by CTE names so a second
+    * source (the gate's arriving batch) can carry its own.
+    */
+  private def wideSigCte(src: String, th: String, sim: String): String =
+    s"""$th AS (SELECT doc_id,
        |  list_transform(${toksSql("text")}, t -> ${h60("t")}) AS t1,
        |  list_transform(${toksSql("text")}, t -> ${h60("'1:' || t")}) AS t2
-       |FROM documents),
-       |simw AS (SELECT doc_id, ${fold("t1")} AS sh_lo, ${fold("t2")} AS sh_hi
-       |FROM th)""".stripMargin
-  }
+       |FROM $src),
+       |$sim AS (SELECT doc_id, ${wideFoldSql("t1")} AS sh_lo,
+       |  ${wideFoldSql("t2")} AS sh_hi
+       |FROM $th)""".stripMargin
 
-  /** DuckDB twin of the maxHamming=7 WIDE band slices over `simw` —
-    * 4 x 15-bit slices of each word, bands 0-3 from sh_lo, 4-7 from
-    * sh_hi (the [[graft.llm.Dedup]] hammingBandsWide split).
+  /** The maxHamming=7 WIDE band slices over a sig CTE — 4 x 15-bit
+    * slices of each word, bands 0-3 from sh_lo, 4-7 from sh_hi (the
+    * [[graft.llm.Dedup]] hammingBandsWide split).
     */
-  private lazy val simhashWideBandsSql: String = {
+  private def wideBandsSql(sim: String): String = {
     val lo = (0 until 4).map(b =>
-      s"SELECT doc_id, sh_lo, sh_hi, $b AS band, ((sh_lo >> ${b * 15}) & 32767) AS key FROM simw")
+      s"SELECT doc_id, sh_lo, sh_hi, $b AS band, ((sh_lo >> ${b * 15}) & 32767) AS key FROM $sim")
     val hi = (0 until 4).map(b =>
-      s"SELECT doc_id, sh_lo, sh_hi, ${b + 4} AS band, ((sh_hi >> ${b * 15}) & 32767) AS key FROM simw")
+      s"SELECT doc_id, sh_lo, sh_hi, ${b + 4} AS band, ((sh_hi >> ${b * 15}) & 32767) AS key FROM $sim")
     (lo ++ hi).mkString("\nUNION ALL\n")
   }
+
+  private lazy val simhashWideCte: String =
+    "WITH " + wideSigCte("documents", "th", "simw")
+
+  private lazy val simhashWideBandsSql: String = wideBandsSql("simw")
 
   /** DuckDB twin of [[Multimodal.syntheticImageGroups]] +
     * [[Multimodal.decodeImageHash]] ending in `ph(doc_id, w, h, dhash)`:
@@ -637,6 +647,48 @@ object LlmQueries {
            |SELECT a.doc_id, a.text FROM arriving a
            |WHERE NOT EXISTS (SELECT 1 FROM documents c
            |  WHERE ${normSql("c.text")} = ${normSql("a.text")})""".stripMargin)),
+
+    // Streaming NEAR-dup gate, batch parity: the exact gate's near-dup
+    // twin over the wide-simhash index. The arriving batch mixes
+    // token-REVERSED copies of corpus docs (same token bag, different
+    // string — verbatim membership misses them, the bag-of-words wide
+    // simhash is identical so hamming = 0 rejects them) with suffixed
+    // novel docs; membership is wide-hamming <= 7 against the corpus
+    // index. The oracle replays both sig chains, the band split, and
+    // the NOT-EXISTS membership decision row-for-row.
+    "llm_stream_neardup_gate" -> Q(
+      (s, dir) => {
+        val fix = ensureSimhashWideIndex(s, dir)
+        val docs = Tables.documents(s, dir)
+        val arriving = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+          .unionByName(docs.filter(col("doc_id") % 7 === 3)
+            .select((col("doc_id") + 3000000L).as("doc_id"),
+              concat(col("text"), lit(" novelsuffix"),
+                col("doc_id").cast("string")).as("text")))
+        graft.streaming.Streams.nearDupGateBatch(s, fix, arriving,
+          "doc_id", "text", maxHamming = 7, nBuckets = 256)
+      },
+      Some(s"""WITH arrx AS (
+           |  SELECT doc_id + 2000000 AS doc_id,
+           |    array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+           |  FROM documents WHERE doc_id % 7 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 3000000 AS doc_id,
+           |    text || ' novelsuffix' || doc_id AS text
+           |  FROM documents WHERE doc_id % 7 = 3),
+           |${wideSigCte("documents", "thc", "simc")},
+           |${wideSigCte("arrx", "tha", "sima")},
+           |bandedc AS (${wideBandsSql("simc")}),
+           |bandeda AS (${wideBandsSql("sima")}),
+           |hits AS (SELECT DISTINCT a.doc_id FROM bandeda a JOIN bandedc c
+           |  ON a.band = c.band AND a.key = c.key
+           |  WHERE bit_count(xor(a.sh_lo, c.sh_lo))
+           |    + bit_count(xor(a.sh_hi, c.sh_hi)) <= 7)
+           |SELECT a.doc_id, a.text FROM arrx a
+           |WHERE NOT EXISTS (SELECT 1 FROM hits h
+           |  WHERE h.doc_id = a.doc_id)""".stripMargin)),
 
     // Near-dup CLUSTERS: MinHash-LSH pairs -> connected components -> one
     // cluster id (min member) per involved doc. The oracle replicates the

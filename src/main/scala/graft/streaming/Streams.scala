@@ -386,6 +386,53 @@ object Streams {
     batch.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** One micro-batch of the streaming NEAR-dup gate: keep only the
+    * batch rows whose 120-bit wide simhash is NOT within `maxHamming`
+    * of any corpus member — [[graft.llm.Dedup.probeSimhashWideIndex]]
+    * (a DPP-pruned read of the band directories the batch hashes into,
+    * two-word bit_count verify) + left-anti on the id. The near-dup
+    * twin of [[dedupGateBatch]]: the exact gate rejects only verbatim
+    * (normalized) copies, this one also rejects lightly-edited copies
+    * — the boilerplate/near-clone flood a real training-corpus ingest
+    * actually sees. Same 100 TB property: cost is the BATCH size.
+    */
+  def nearDupGateBatch(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, batch: DataFrame, idCol: String,
+                       textCol: String, maxHamming: Int,
+                       nBuckets: Int): DataFrame = {
+    val hits = graft.llm.Dedup
+      .probeSimhashWideIndex(spark, indexPath, batch, idCol, textCol,
+        maxHamming, nBuckets)
+      .select(col("query_id").as(idCol)).distinct()
+    batch.join(hits, Seq(idCol), "left_anti")
+  }
+
+  /** Streaming NEAR-dup ingest gate: [[startDedupGateSink]] with
+    * [[nearDupGateBatch]] as the decision and the wide-simhash index as
+    * the growing membership state — accepted rows append their band
+    * rows, so a document accepted in batch N rejects its near-copies in
+    * batch N+1. The replay/exactly-once argument of the exact gate
+    * transfers verbatim: a replayed batch's self-matches are
+    * `cand_id == query_id` (excluded by the probe), duplicate index
+    * rows from a double-append only ever re-confirm the same id-distinct
+    * hits, and the output directory is batchId-idempotent.
+    */
+  def startNearDupGateSink(df: DataFrame, indexPath: String, outPath: String,
+                           checkpoint: String, idCol: String, textCol: String,
+                           maxHamming: Int, nBuckets: Int) =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val accepted = nearDupGateBatch(spark, indexPath, batch.toDF(),
+          idCol, textCol, maxHamming, nBuckets).localCheckpoint(true)
+        accepted.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        graft.llm.Dedup.appendToSimhashWideIndex(accepted, idCol, textCol,
+          maxHamming, nBuckets, indexPath)
+      }
+      .start()
+
   /** Streaming ingest dedup gate: each micro-batch is gated through
     * [[dedupGateBatch]], accepted rows land in a batchId-named parquet
     * subdirectory (the [[startParquetSink]] idempotent layout) AND are

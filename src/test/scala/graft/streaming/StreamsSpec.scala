@@ -328,6 +328,51 @@ class StreamsSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("streaming NEAR-dup gate rejects edited copies and cross-batch " +
+    "near-dups of accepted rows via the wide-simhash index") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      Doc(1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      Doc(2L, "lambda mu nu xi omicron pi rho sigma tau upsilon")).toDF()
+    val root = java.nio.file.Files.createTempDirectory("ngate").toString
+    val (idx, out, ckpt) = (s"$root/idx", s"$root/out", s"$root/ckpt")
+    try {
+      graft.llm.Dedup.writeSimhashWideIndex(corpus, "doc_id", "text",
+        maxHamming = 7, nBuckets = 8, path = idx)
+      val mem = MemoryStream[Doc]
+      val q = Streams.startNearDupGateSink(mem.toDF(), idx, out, ckpt,
+        "doc_id", "text", maxHamming = 7, nBuckets = 8)
+      try {
+        // Batch 0: a REORDERED copy of corpus doc 1 (same token bag,
+        // different string — verbatim membership misses it, the
+        // bag-of-words simhash is IDENTICAL: hamming 0) and a novel doc
+        // from a disjoint vocabulary.
+        mem.addData(
+          Doc(10L, "kappa iota theta eta zeta epsilon delta gamma beta alpha"),
+          Doc(11L, "quark lepton boson hadron meson photon gluon tachyon axion neutrino"))
+        q.processAllAvailable()
+        // Batch 1: a verbatim copy of batch 0's ACCEPTED novel doc under
+        // a new id (cross-batch append: hamming 0 vs the grown index)
+        // and another disjoint-vocabulary novel doc.
+        mem.addData(
+          Doc(12L, "quark lepton boson hadron meson photon gluon tachyon axion neutrino"),
+          Doc(13L, "red orange yellow green blue indigo violet white black grey"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val accepted = spark.read.parquet(out)
+        .select("doc_id").as[Long].collect().sorted
+      assert(accepted === Array(11L, 13L))
+      // Gate body agrees with a direct probe of the final (grown) index.
+      val replay = Streams.nearDupGateBatch(spark, idx,
+        Seq(Doc(20L, "grey black white violet indigo blue green yellow orange red"),
+          Doc(21L, "totally fresh words appear nowhere else in any corpus document here")).toDF(),
+        "doc_id", "text", maxHamming = 7, nBuckets = 8)
+        .select("doc_id").as[Long].collect().sorted
+      assert(replay === Array(21L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("dedupWithinWatermark drops replayed ids across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[IdEv]
