@@ -113,6 +113,30 @@ object Schemas {
     "percentile", "pesticides", "ratingMonth", "ratingYear", "smallArms",
     "socialScore", "tobacco", "totalEsg")
 
+  /** ANALYSTRECCOMENDATIONS warehouse table (reference `code/sql/DDLs:18-29`
+    * [sic, the DDL's spelling]; ingested one yfinance recommendations frame
+    * per ticker at `ingest_data_API.py:98-100`): monthly analyst rating
+    * snapshots. DDL types: Date DATE, Period VARCHAR(50), the five rating
+    * buckets INT, Ticker VARCHAR(10), UNIQUE (Ticker, Date). */
+  val analystRecommendations: StructType = StructType(Seq(
+    StructField("Date", DateType, nullable = false),
+    StructField("Period", StringType),
+    StructField("StrongBuy", IntegerType),
+    StructField("Buy", IntegerType),
+    StructField("Hold", IntegerType),
+    StructField("Sell", IntegerType),
+    StructField("StrongSell", IntegerType),
+    StructField("Ticker", StringType, nullable = false)))
+
+  /** DIVIDEND_HISTORY warehouse table (reference `code/sql/DDLs:165-170`;
+    * ingested one dividends series per ticker at
+    * `ingest_data_API.py:107-110`): (Ticker, Date)-keyed dividend amounts,
+    * DECIMAL(20,2) per the DDL — exact fixed-point, no float rounding. */
+  val dividendHistory: StructType = StructType(Seq(
+    StructField("Ticker", StringType, nullable = false),
+    StructField("Date", DateType, nullable = false),
+    StructField("Dividends", DecimalType(20, 2))))
+
   /** Ticker dimension (stock_list.csv). Reference: `stock_list.csv:1`. */
   val stockList: StructType = StructType(Seq(
     StructField("Rank", IntegerType),

@@ -6,7 +6,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DecimalType, StringType, StructField, StructType}
 
 import graft.model.{Schemas, Tables}
 import graft.ops._
@@ -900,6 +900,153 @@ object SourceQueries {
            |  CAST(800 * (ti + 1) + 140 AS DOUBLE)
            |    / CAST(800 * (ti + 1) + 84 AS DOUBLE) AS pc_ratio
            |FROM tickers""".stripMargin
+      }),
+
+    // The ANALYSTRECCOMENDATIONS warehouse table (reference
+    // `code/sql/DDLs:18-29`; ingested one yfinance recommendations frame
+    // per ticker at `ingest_data_API.py:98-100`) — the last §1.4 schema.
+    // Fixture = one CSV per ticker in the yfinance frame shape (0m/-1m/
+    // -2m/-3m period snapshots, one Date per period); scan = ONE glob
+    // with ticker key recovery; cast to the DDL's typed shape
+    // (Schemas.analystRecommendations); analytic = the SURVEY §7.3 M5
+    // promise — per-ticker consensus TREND: current vs 3-months-ago
+    // bullish share via conditional aggregation (one shuffle, no
+    // self-join of the period snapshots). Counts are pure functions of
+    // (ticker, period) indexes, so the oracle rebuilds the rows from
+    // compact index tables and re-runs the same SQL aggregation.
+    "analyst_trend" -> Q(
+      (s, dir) => {
+        val fix = fixDir(dir, "analyst")
+        val periods = Seq("0m", "-1m", "-2m", "-3m")
+        Files.createDirectories(Paths.get(fix))
+        for ((t, ti) <- msTickers.zipWithIndex) {
+          val header = "Date,Period,StrongBuy,Buy,Hold,Sell,StrongSell"
+          val rows = periods.zipWithIndex.map { case (p, pi) =>
+            s"2024-0${6 - pi}-30,$p,${ti + pi + 1},${2 * ti + pi}," +
+              s"${ti + 2 * pi + 3},${pi + 1},${(ti + pi) % 3}"
+          }
+          Files.write(Paths.get(s"$fix/$t.csv"),
+            (header +: rows).mkString("\n").getBytes(StandardCharsets.UTF_8))
+        }
+        val readSchema = StructType(
+          Seq("Date", "Period", "StrongBuy", "Buy", "Hold", "Sell",
+            "StrongSell").map(StructField(_, StringType, nullable = true)))
+        val raw = Sources.csvWithHeader(s, s"$fix/*.csv", readSchema)
+        // Typed to the DDL column-for-column (Schemas.analystRecommendations).
+        val typed = Sources.globWithKey(raw, "Ticker", "([A-Z]+)\\.csv$")
+          .select(
+            col("Date").cast("date").as("Date"), col("Period"),
+            col("StrongBuy").cast("int").as("StrongBuy"),
+            col("Buy").cast("int").as("Buy"),
+            col("Hold").cast("int").as("Hold"),
+            col("Sell").cast("int").as("Sell"),
+            col("StrongSell").cast("int").as("StrongSell"),
+            col("Ticker"))
+        val bull = col("StrongBuy") + col("Buy")
+        val total = bull + col("Hold") + col("Sell") + col("StrongSell")
+        typed.groupBy(col("Ticker"))
+          .agg(
+            sum(when(col("Period") === "0m", bull).otherwise(0)).as("bull_now"),
+            sum(when(col("Period") === "0m", total).otherwise(0)).as("total_now"),
+            sum(when(col("Period") === "-3m", bull).otherwise(0)).as("bull_prior"),
+            sum(when(col("Period") === "-3m", total).otherwise(0)).as("total_prior"),
+            count(lit(1)).as("n_periods"))
+          .withColumn("bull_share_now",
+            col("bull_now").cast("double") / col("total_now").cast("double"))
+          .withColumn("trend",
+            col("bull_now").cast("double") / col("total_now").cast("double")
+              - col("bull_prior").cast("double") / col("total_prior").cast("double"))
+      },
+      Some {
+        val tickersSql = msTickers.zipWithIndex
+          .map { case (t, ti) => s"($ti, '$t')" }.mkString(", ")
+        // Per (ti, pi): StrongBuy=ti+pi+1, Buy=2ti+pi, Hold=ti+2pi+3,
+        // Sell=pi+1, StrongSell=(ti+pi)%3 — same formulas as the fixture.
+        s"""WITH tickers AS (SELECT * FROM (VALUES $tickersSql) t(ti, Ticker)),
+           |periods AS (SELECT * FROM (VALUES
+           |  (0, '0m'), (1, '-1m'), (2, '-2m'), (3, '-3m')) p(pi, Period)),
+           |recs AS (SELECT Ticker, pi,
+           |  (ti + pi + 1) + (2 * ti + pi) AS bull,
+           |  (ti + pi + 1) + (2 * ti + pi) + (ti + 2 * pi + 3)
+           |    + (pi + 1) + ((ti + pi) % 3) AS total
+           |  FROM tickers, periods)
+           |SELECT Ticker,
+           |  CAST(sum(CASE WHEN pi = 0 THEN bull ELSE 0 END) AS BIGINT) AS bull_now,
+           |  CAST(sum(CASE WHEN pi = 0 THEN total ELSE 0 END) AS BIGINT) AS total_now,
+           |  CAST(sum(CASE WHEN pi = 3 THEN bull ELSE 0 END) AS BIGINT) AS bull_prior,
+           |  CAST(sum(CASE WHEN pi = 3 THEN total ELSE 0 END) AS BIGINT) AS total_prior,
+           |  CAST(count(*) AS BIGINT) AS n_periods,
+           |  CAST(sum(CASE WHEN pi = 0 THEN bull ELSE 0 END) AS DOUBLE)
+           |    / CAST(sum(CASE WHEN pi = 0 THEN total ELSE 0 END) AS DOUBLE)
+           |    AS bull_share_now,
+           |  CAST(sum(CASE WHEN pi = 0 THEN bull ELSE 0 END) AS DOUBLE)
+           |    / CAST(sum(CASE WHEN pi = 0 THEN total ELSE 0 END) AS DOUBLE)
+           |  - CAST(sum(CASE WHEN pi = 3 THEN bull ELSE 0 END) AS DOUBLE)
+           |    / CAST(sum(CASE WHEN pi = 3 THEN total ELSE 0 END) AS DOUBLE)
+           |    AS trend
+           |FROM recs GROUP BY Ticker""".stripMargin
+      }),
+
+    // The DIVIDEND_HISTORY warehouse table (reference `code/sql/DDLs:
+    // 165-170`; ingested per ticker at `ingest_data_API.py:107-110`),
+    // joined to a price series with the real as-of operator — the
+    // prices↔dividends (Ticker, Date) pair SURVEY §2.3 names as THE
+    // as-of use case. Fixture = one dividends CSV per ticker (quarterly
+    // ex-dates, DECIMAL(20,2) amounts per the DDL); left side = a
+    // month-end close series built in-plan; Joins.asofJoin carries the
+    // most recent dividend (Date <= close date) forward — one shuffle on
+    // Ticker, one sort, null before the first ex-date. Amounts are
+    // exact cents from (ticker, quarter) indexes, so the oracle computes
+    // the covering quarter per month in closed form.
+    "dividend_asof" -> Q(
+      (s, dir) => {
+        val fix = fixDir(dir, "divhist")
+        val exDates = Seq("2023-02-15", "2023-05-15", "2023-08-15", "2023-11-15")
+        Files.createDirectories(Paths.get(fix))
+        for ((t, ti) <- msTickers.zipWithIndex) {
+          val header = "Date,Dividends"
+          val rows = exDates.zipWithIndex.map { case (d, qi) =>
+            // Exact cents: 25*(ti+1) + qi, rendered at scale 2.
+            s"$d,${java.math.BigDecimal.valueOf(25L * (ti + 1) + qi, 2).toPlainString}"
+          }
+          Files.write(Paths.get(s"$fix/$t.csv"),
+            (header +: rows).mkString("\n").getBytes(StandardCharsets.UTF_8))
+        }
+        val readSchema = StructType(Seq("Date", "Dividends")
+          .map(StructField(_, StringType, nullable = true)))
+        val raw = Sources.csvWithHeader(s, s"$fix/*.csv", readSchema)
+        // Typed to the DDL (Schemas.dividendHistory): DECIMAL(20,2) exact.
+        val divs = Sources.globWithKey(raw, "Ticker", "([A-Z]+)\\.csv$")
+          .select(col("Ticker"),
+            col("Date").cast("date").as("Date"),
+            col("Dividends").cast(DecimalType(20, 2)).as("Dividends"))
+        import s.implicits._
+        val prices = msTickers.zipWithIndex.toDF("Ticker", "ti")
+          .withColumn("m", explode(sequence(lit(1), lit(12))))
+          .select(col("Ticker"),
+            last_day(make_date(lit(2023), col("m"), lit(1))).as("Date"),
+            (col("ti") * 100 + col("m") + lit(0.5)).as("Close"))
+        // The dataflow is DECIMAL(20,2) end-to-end; only the OUTPUT is
+        // cast to DOUBLE for the hash compare (repo convention — the
+        // oracle harness flattens DuckDB DECIMAL to float64).
+        Joins.asofJoin(prices, divs, "Ticker", "Date", "Dividends")
+          .withColumn("Dividends", col("Dividends").cast("double"))
+      },
+      Some {
+        val tickersSql = msTickers.zipWithIndex
+          .map { case (t, ti) => s"($ti, '$t')" }.mkString(", ")
+        // Month-end m covers quarter qi = least((m-2)//3, 3) once m >= 2
+        // (ex-dates are the 15th of Feb/May/Aug/Nov); January precedes
+        // every ex-date -> NULL.
+        s"""WITH tickers AS (SELECT * FROM (VALUES $tickersSql) t(ti, Ticker)),
+           |months AS (SELECT CAST(unnest(range(1, 13)) AS INT) AS m)
+           |SELECT Ticker,
+           |  last_day(make_date(2023, m, 1)) AS Date,
+           |  CAST(ti * 100 + m + 0.5 AS DOUBLE) AS Close,
+           |  CASE WHEN m < 2 THEN CAST(NULL AS DOUBLE)
+           |       ELSE CAST((25 * (ti + 1) + LEAST((m - 2) // 3, 3)) / 100.0
+           |                 AS DOUBLE) END AS Dividends
+           |FROM tickers, months""".stripMargin
       }),
 
     // D3 GOLDEN PIPELINE — the reference's whole DAG chain as ONE
