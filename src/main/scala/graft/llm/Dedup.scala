@@ -625,14 +625,24 @@ object Dedup {
     require(nHi >= 1,
       s"wide simhash needs maxHamming >= 1 (got $maxHamming); " +
         "use the exact-dup family for hamming 0")
+    // Balanced slices: the first (60 % nW) bands get floor(60/nW)+1 bits,
+    // the rest floor(60/nW) — every band non-empty for any nW in [1, 60],
+    // so the whole documented maxHamming domain [1, 120) is accepted (a
+    // uniform ceil width used to leave trailing bands empty for e.g.
+    // nW=11). Pigeonhole recall holds for any disjoint full cover of the
+    // 60 bits. Layout note: for nW dividing 60 (incl. the in-repo
+    // maxHamming=7 -> 4+4 bands) this is bit-identical to the previous
+    // slicing, so existing written indexes keep matching their probes.
     def slices(c: Column, nW: Int, offset: Int): Seq[(Int, Column)] = {
-      val width = (60 + nW - 1) / nW
-      require(width * (nW - 1) < 60,
-        s"$nW bands over 60 bits leaves an empty band (width $width)")
+      require(nW >= 1 && nW <= 60,
+        s"$nW bands over 60 bits leaves an empty band")
+      val base = 60 / nW
+      val extra = 60 % nW
+      val starts = (0 until nW).scanLeft(0)((s, b) =>
+        s + base + (if (b < extra) 1 else 0))
       (0 until nW).map { b =>
-        val w = math.min(width, 60 - b * width)
-        (offset + b,
-          shiftright(c, b * width).bitwiseAND((1L << math.max(w, 1)) - 1))
+        val w = base + (if (b < extra) 1 else 0)
+        (offset + b, shiftright(c, starts(b)).bitwiseAND((1L << w) - 1))
       }
     }
     val all = slices(col("sh_lo"), nLo, 0) ++ slices(col("sh_hi"), nHi, nLo)

@@ -47,8 +47,25 @@ object Tables {
     * it executes; since the returned DataFrame is lazy we cannot save/restore
     * around the read. The conf only affects INT64(NANOS) parquet fields -
     * no other test table has one - so leaving it set is benign.
+    *
+    * BOTH normalizations go through a `cast(... as timestamp_ntz)`, which
+    * renders the instant in the SESSION time zone - under any non-UTC
+    * session the values would silently shift relative to the DuckDB
+    * oracle. A tz-free rewrite isn't safe either (instant -> NTZ -> instant
+    * round-trips are ambiguous across DST fall-backs), so the contract is
+    * asserted instead: fail loud here rather than hash-mismatch later.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    val utc = try {
+      java.time.ZoneId.of(tz).getRules.getOffset(java.time.Instant.EPOCH)
+        .getTotalSeconds == 0 &&
+        java.time.ZoneId.of(tz).getRules.isFixedOffset
+    } catch { case _: java.time.DateTimeException => false }
+    require(utc,
+      s"Tables.events requires spark.sql.session.timeZone=UTC (got '$tz'): " +
+        "the ts normalization casts through TIMESTAMP_NTZ, which renders " +
+        "in the session zone and would silently shift values")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")
     val tsCol = raw.schema("ts").dataType match {

@@ -416,6 +416,17 @@ object Streams {
     * `cand_id == query_id` (excluded by the probe), duplicate index
     * rows from a double-append only ever re-confirm the same id-distinct
     * hits, and the output directory is batchId-idempotent.
+    *
+    * Intra-batch clones (a bursty ingest delivering mutually-near-dup
+    * rows in ONE micro-batch, which the corpus probe cannot see) are
+    * also gated: after the corpus decision, a banded
+    * [[graft.llm.Dedup.simhashWidePairs]] self-check over the
+    * corpus-accepted rows rejects every row that near-matches a
+    * SMALLER id in the same batch — deterministic keep-lowest-id,
+    * batch-sized work, replay-stable (the rule is a pure function of
+    * the batch). Chain caveat: in a path a~b~c with a !~ c, both b and
+    * c are rejected (c matched b even though b itself was dropped) —
+    * strictly more conservative than a sequential arrival, never less.
     */
   def startNearDupGateSink(df: DataFrame, indexPath: String, outPath: String,
                            checkpoint: String, idCol: String, textCol: String,
@@ -425,8 +436,16 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val accepted = nearDupGateBatch(spark, indexPath, batch.toDF(),
-          idCol, textCol, maxHamming, nBuckets).localCheckpoint(true)
+        val corpusOk = nearDupGateBatch(spark, indexPath, batch.toDF(),
+          idCol, textCol, maxHamming, nBuckets)
+        // simhashWidePairs emits id_a < id_b, so id_b is always the
+        // larger member: dropping every id_b keeps the lowest id of
+        // each intra-batch near-dup group.
+        val intraDups = graft.llm.Dedup
+          .simhashWidePairs(corpusOk, idCol, textCol, maxHamming)
+          .select(col("id_b").as(idCol)).distinct()
+        val accepted = corpusOk.join(intraDups, Seq(idCol), "left_anti")
+          .localCheckpoint(true)
         accepted.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         graft.llm.Dedup.appendToSimhashWideIndex(accepted, idCol, textCol,
           maxHamming, nBuckets, indexPath)

@@ -245,6 +245,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
   }
 
+  test("wide simhash: balanced bands accept the whole documented " +
+    "maxHamming domain, recall still exact") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val df = Seq((1L, base), (2L, base), (3L, base.replace("alpha", "omega")),
+      (4L, "totally different words nothing shared here at all ok"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhashWideFrame(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    // 20 and 30 tripped the old uniform-ceil slicer's empty-band require
+    // (ceil(60/11)=6 with 6*10>=60); 119 is the domain edge (60+60 bands).
+    for (mh <- Seq(20, 30, 119)) {
+      val brute = (for {
+        a <- sigs.keys; b <- sigs.keys if a < b
+        h = ham(sigs(a), sigs(b)) if h <= mh
+      } yield (a, b, h)).toSet
+      val pairs = Dedup.simhashWidePairs(df, "doc_id", "text", maxHamming = mh)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(pairs === brute, s"maxHamming=$mh")
+    }
+  }
+
   test("wide simhash index: probe equals inline pairs; grown equals " +
     "rebuild; 60-bit layout rejected loud") {
     val docs = spark.read.parquet(sf("documents")).select($"doc_id", $"text")

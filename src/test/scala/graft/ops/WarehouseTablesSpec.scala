@@ -47,6 +47,21 @@ class WarehouseTablesSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("trend") - (1.0 / 5 - 7.0 / 20)) < 1e-12)
   }
 
+  test("Tables.events fails loud under a non-UTC session time zone") {
+    val key = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "America/New_York")
+      val e = intercept[IllegalArgumentException] {
+        graft.model.Tables.events(spark, "/root/testdata/sf0.001")
+      }
+      assert(e.getMessage.contains("session.timeZone"))
+    } finally spark.conf.set(key, saved)
+    // UTC-equivalent fixed offsets are accepted.
+    assert(graft.model.Tables.events(spark, "/root/testdata/sf0.001")
+      .schema("ts").dataType.typeName === "timestamp_ntz")
+  }
+
   test("dividend_asof: null before first ex-date, quarterly step after") {
     val rows = Queries.queries("dividend_asof")(spark, "/root/testdata/sf0.001")
       .filter(col("Ticker") === "BRAVO") // ti = 1 -> base 50 cents

@@ -373,6 +373,45 @@ class StreamsSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("streaming NEAR-dup gate rejects intra-batch clones: lowest id of " +
+    "a same-batch near-dup group wins, only survivors enter the index") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      Doc(1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")).toDF()
+    val root = java.nio.file.Files.createTempDirectory("ngate2").toString
+    val (idx, out, ckpt) = (s"$root/idx", s"$root/out", s"$root/ckpt")
+    try {
+      graft.llm.Dedup.writeSimhashWideIndex(corpus, "doc_id", "text",
+        maxHamming = 7, nBuckets = 8, path = idx)
+      val mem = MemoryStream[Doc]
+      val q = Streams.startNearDupGateSink(mem.toDF(), idx, out, ckpt,
+        "doc_id", "text", maxHamming = 7, nBuckets = 8)
+      try {
+        // ONE batch: ids 10/11 are mutual near-dups (identical token
+        // bag, reordered — hamming 0) both NOVEL vs the corpus; id 12
+        // is a disjoint-vocabulary singleton. The corpus probe passes
+        // all three; the intra-batch check must keep only min(10,11).
+        mem.addData(
+          Doc(10L, "quark lepton boson hadron meson photon gluon tachyon axion neutrino"),
+          Doc(11L, "neutrino axion tachyon gluon photon meson hadron boson lepton quark"),
+          Doc(12L, "red orange yellow green blue indigo violet white black grey"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val accepted = spark.read.parquet(out)
+        .select("doc_id").as[Long].collect().sorted
+      assert(accepted === Array(10L, 12L))
+      // The index grew with the SURVIVORS only, and rejects a later copy
+      // of the kept clone (proves 10 was appended, not lost with 11).
+      val replay = Streams.nearDupGateBatch(spark, idx,
+        Seq(Doc(20L, "quark lepton boson hadron meson photon gluon tachyon axion neutrino"),
+          Doc(21L, "totally fresh words appear nowhere else in any corpus document here")).toDF(),
+        "doc_id", "text", maxHamming = 7, nBuckets = 8)
+        .select("doc_id").as[Long].collect().sorted
+      assert(replay === Array(21L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("dedupWithinWatermark drops replayed ids across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[IdEv]
