@@ -127,4 +127,47 @@ private[llm] object BandedIndex {
       .join(broadcast(qb), Seq("band", "bkt") ++ residual)
       .filter(col("cand_id") =!= col("query_id"))
   }
+
+  /** Auto-size `nBuckets` from corpus cardinality: the next power of two
+    * of `rows / targetRowsPerBucket`, clamped to `[minBuckets,
+    * maxBuckets]`. Rationale (round-10 nBuckets sweep, BASELINE.md):
+    * more buckets means sharper DPP pruning — UNTIL the per-directory
+    * row count drops below a parquet file's worth, at which point probe
+    * latency is dominated by per-file open cost (a 5,000-doc fixture in
+    * a 2048-directory layout pays 3.4 s to read KB-sized files). A
+    * corpus-derived width gives fixtures narrow layouts and 100 TB
+    * corpora wide ones from the same call; the write records the chosen
+    * value in the sidecar, so probes/appends can resolve it with
+    * [[bucketsOf]] instead of re-deriving.
+    */
+  def autoBuckets(rows: Long, targetRowsPerBucket: Long = 512,
+                  minBuckets: Int = 16, maxBuckets: Int = 32768): Int = {
+    require(targetRowsPerBucket > 0 && minBuckets > 0 &&
+      maxBuckets >= minBuckets, "invalid autoBuckets bounds")
+    val want = math.max(1L, rows / targetRowsPerBucket)
+    val pow2 =
+      if (want >= maxBuckets) maxBuckets
+      else java.lang.Long.highestOneBit(math.max(want * 2 - 1, 1L)).toInt
+    math.min(math.max(pow2, minBuckets), maxBuckets)
+  }
+
+  /** The `nBuckets` a layout was written with, from its params sidecar —
+    * the resolution path for probes/appends against an auto-sized index.
+    * Fails loud on a missing sidecar or a family mismatch.
+    */
+  def bucketsOf(spark: SparkSession, path: String, family: String): Int =
+    readSidecar(spark, path) match {
+      case None => throw new IllegalArgumentException(
+        s"bucketsOf: no $ParamsFile sidecar at $path - not a graft banded " +
+          "index (or built before sidecars existed)")
+      case Some(found) =>
+        val kv = found.linesIterator.map(_.split("=", 2))
+          .collect { case Array(k, v) => k -> v }.toMap
+        if (!kv.get("family").contains(family))
+          throw new IllegalArgumentException(
+            s"bucketsOf: index at $path is family '${kv.getOrElse("family", "?")}', expected '$family'")
+        kv.get("nBuckets").map(_.toInt).getOrElse(
+          throw new IllegalArgumentException(
+            s"bucketsOf: sidecar at $path has no nBuckets entry"))
+    }
 }

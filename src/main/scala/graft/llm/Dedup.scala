@@ -321,24 +321,22 @@ object Dedup {
     }.reduce(_ bitwiseOR _)
   }
 
-  /** Corpus-scale simhash: explode tokens → md5 ONCE per token → 60
-    * map-side-combined ±1 vote sums per doc → pack bits. Identical values
-    * to [[simhash]] with one hash evaluation per token instead of 60.
+  /** Corpus-scale simhash: ONE codegen'd pass over each doc's token
+    * array ([[graft.functions.Simhash60Expr]]) — md5 once per token,
+    * the ±1 vote fold local to the row. Identical values to [[simhash]]
+    * and to the original explode → 60-column vote aggregate shape, with
+    * ZERO exchange: the signature is computed inside the scan
+    * projection (the aggregate form shuffled a row per doc and paid a
+    * 60-column whole-stage codegen compile per query).
     */
-  def simhashFrame(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val th = ensureParallelism(df.select(col(idCol).as("id"), col(textCol)))
-      .select(col("id"), explode(tokens(col(textCol))).as("t"))
-      .withColumn("h", hash60(col("t")))
-    val votes = th.groupBy(col("id")).agg(
-      sum(when(col("h").bitwiseAND(1) === 1, 1L).otherwise(-1L)).as("b0"),
-      (1 until 60).map(j =>
-        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-          .as(s"b$j")): _*)
-    votes.select(col("id").as(idCol),
-      (0 until 60).map(j =>
-        when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ bitwiseOR _).as("simhash"))
-  }
+  def simhashFrame(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    ensureParallelism(df.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id").as(idCol),
+        graft.functions.SimhashFunctions.simhash60(tokens(col(textCol)))
+          .as("simhash"))
+      // Null text has no tokens to vote: the explode form dropped the
+      // doc, the expression yields null — same membership either way.
+      .filter(col("simhash").isNotNull)
 
   /** SimHash near-duplicate pairs: docs whose 60-bit simhashes lie within
     * `maxHamming`. Candidate recall is guaranteed by pigeonhole: the 60
@@ -587,27 +585,21 @@ object Dedup {
     * doubled fingerprint ALSO halves the per-bit noise rate of the
     * hamming decision at equal band count.
     */
-  def simhashWideFrame(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val th = ensureParallelism(df.select(col(idCol).as("id"), col(textCol)))
-      .select(col("id"), explode(tokens(col(textCol))).as("t"))
-      .select(col("id"), hash60(col("t")).as("h1"),
-        hash60Salted(col("t"), 1).as("h2"))
-    val votes = th.groupBy(col("id")).agg(
-      sum(when(col("h1").bitwiseAND(1) === 1, 1L).otherwise(-1L)).as("a0"),
-      ((1 until 60).map(j =>
-        sum(when(shiftright(col("h1"), j).bitwiseAND(1) === 1, 1L)
-          .otherwise(-1L)).as(s"a$j")) ++
-        (0 until 60).map(j =>
-          sum(when(shiftright(col("h2"), j).bitwiseAND(1) === 1, 1L)
-            .otherwise(-1L)).as(s"b$j"))): _*)
-    votes.select(col("id").as(idCol),
-      (0 until 60).map(j =>
-        when(col(s"a$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ bitwiseOR _).as("simhash_lo"),
-      (0 until 60).map(j =>
-        when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ bitwiseOR _).as("simhash_hi"))
-  }
+  def simhashWideFrame(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    ensureParallelism(df.select(col(idCol).as("id"), col(textCol)))
+      // Let-bind the two-word signature in ONE projection (each word
+      // extracted in a SECOND projection — extracting both from an
+      // inline expression would re-run the whole token pass per word),
+      // then split. Zero exchange: the original explode → 120-column
+      // vote aggregate shape shuffled a row per doc and its aggregate
+      // codegen alone compiled for ~7 s cold (round-11 measurement).
+      .select(col("id").as(idCol),
+        graft.functions.SimhashFunctions.simhashWide(tokens(col(textCol)))
+          .as("_sig"))
+      .filter(col("_sig").isNotNull)
+      .select(col(idCol),
+        element_at(col("_sig"), 1).as("simhash_lo"),
+        element_at(col("_sig"), 2).as("simhash_hi"))
 
   /** Pigeonhole band slices of a two-word (id, sh_lo, sh_hi) signature
     * frame: `maxHamming + 1` disjoint bands split between the words —
@@ -701,6 +693,21 @@ object Dedup {
     writeSimhashWideLayout(corpus, idCol, textCol, maxHamming, nBuckets,
       path, org.apache.spark.sql.SaveMode.Overwrite)
 
+  /** AUTO-SIZED [[writeSimhashWideIndex]]: `nBuckets` derived from the
+    * corpus cardinality ([[BandedIndex.autoBuckets]] — one count job at
+    * build time, on a build-once layout), so a 5,000-doc fixture gets a
+    * narrow layout and a corpus-scale build a wide one from the same
+    * call. Returns the chosen `nBuckets` (also recorded in the sidecar;
+    * probes/appends resolve it from there).
+    */
+  def writeSimhashWideIndexAuto(corpus: DataFrame, idCol: String,
+                                textCol: String, maxHamming: Int,
+                                path: String): Int = {
+    val nBuckets = BandedIndex.autoBuckets(corpus.count())
+    writeSimhashWideIndex(corpus, idCol, textCol, maxHamming, nBuckets, path)
+    nBuckets
+  }
+
   /** INCREMENTAL maintenance: append a delta to a [[writeSimhashWideIndex]]
     * layout (per-doc pure signatures — append == rebuild; sidecar-validated).
     */
@@ -709,6 +716,16 @@ object Dedup {
                                nBuckets: Int, path: String): Unit =
     writeSimhashWideLayout(delta, idCol, textCol, maxHamming, nBuckets,
       path, org.apache.spark.sql.SaveMode.Append)
+
+  /** [[appendToSimhashWideIndex]] with `nBuckets` resolved from the
+    * layout's params sidecar — the append path against an auto-sized
+    * index ([[writeSimhashWideIndexAuto]]).
+    */
+  def appendToSimhashWideIndex(delta: DataFrame, idCol: String,
+                               textCol: String, maxHamming: Int,
+                               path: String): Unit =
+    appendToSimhashWideIndex(delta, idCol, textCol, maxHamming,
+      BandedIndex.bucketsOf(delta.sparkSession, path, "simhash-wide"), path)
 
   private def writeSimhashWideLayout(rows: DataFrame, idCol: String,
                                      textCol: String, maxHamming: Int,
@@ -751,6 +768,26 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("query_id"), col("cand_id"), col("hamming")).distinct()
   }
+
+  /** The `nBuckets` a wide-simhash layout was written with, from its
+    * params sidecar (public face of [[BandedIndex.bucketsOf]] for
+    * callers outside `graft.llm`, e.g. the streaming gates).
+    */
+  def simhashWideIndexBuckets(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String): Int =
+    BandedIndex.bucketsOf(spark, indexPath, "simhash-wide")
+
+  /** [[probeSimhashWideIndex]] with `nBuckets` resolved from the layout's
+    * params sidecar — the probe path against an auto-sized index
+    * ([[writeSimhashWideIndexAuto]]): callers need not thread the build
+    * width through.
+    */
+  def probeSimhashWideIndex(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, delta: DataFrame,
+                            idCol: String, textCol: String,
+                            maxHamming: Int): DataFrame =
+    probeSimhashWideIndex(spark, indexPath, delta, idCol, textCol, maxHamming,
+      BandedIndex.bucketsOf(spark, indexPath, "simhash-wide"))
 
   /** Exact n-gram Jaccard similarity join: pairs with Jaccard ≥ `threshold`
     * over distinct word k-shingles — the count-based set-similarity join.

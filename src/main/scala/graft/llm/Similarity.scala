@@ -40,6 +40,42 @@ object Similarity {
     */
   val DefaultMaxBucketWidth: Long = 10000L
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.llm.Similarity")
+
+  /** DIAGNOSTIC: how many (table, bucket) groups the most recent capped
+    * LSH probe on this driver excluded ([[lshTopK]] /
+    * [[lshTopKFromIndex]] with a finite `maxBucketWidth`). 0 after a
+    * probe that capped nothing; unchanged by uncapped
+    * (`Long.MaxValue`) probes. Driver-side, last-call-wins — a
+    * visibility hook for tests and operators (the authoritative per-call
+    * signal is the WARN log emitted when the cap fires), not a
+    * concurrency-safe metric.
+    */
+  val lastCapExclusions = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Shared cap plumbing: given the tiny over-cap bucket list (already
+    * collected — the width pass runs either way, so collecting it costs
+    * nothing extra), record + WARN when it is non-empty, and anti-join
+    * only then (the common uncapped case now skips the join entirely).
+    */
+  private def applyCap(rows: DataFrame, over: Array[org.apache.spark.sql.Row],
+                       keyCols: Seq[String], what: String,
+                       maxBucketWidth: Long): DataFrame = {
+    lastCapExclusions.set(over.length.toLong)
+    if (over.isEmpty) rows
+    else {
+      log.warn(s"$what: excluding ${over.length} over-cap bucket(s) " +
+        s"(maxBucketWidth=$maxBucketWidth) from candidate generation; " +
+        "run Similarity.overCapBuckets to audit widths")
+      val spark = rows.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(keyCols.map(c =>
+        org.apache.spark.sql.types.StructField(c, rows.schema(c).dataType)))
+      val overDf = spark.createDataFrame(
+        java.util.Arrays.asList(over: _*), schema)
+      rows.join(broadcast(overDf), keyCols, "left_anti")
+    }
+  }
+
   /** Cosine similarity as an explicit sequential double fold:
     * dot / (sqrt(na) * sqrt(nb)), each a left-to-right `aggregate` over the
     * arrays. The fold order and operator shapes are pinned so any engine
@@ -480,12 +516,17 @@ object Similarity {
       if (maxBucketWidth == Long.MaxValue) cb
       else {
         val pinned = cb.localCheckpoint(false)
-        pinned.join(
-          broadcast(pinned.groupBy(col("tbl"), col("bucket"))
-            .agg(count(lit(1)).as("w"))
-            .filter(col("w") > maxBucketWidth)
-            .select(col("tbl"), col("bucket"))),
-          Seq("tbl", "bucket"), "left_anti")
+        // The over-cap list (numTables x 2^planes rows at most) is
+        // COLLECTED, not lazily broadcast: the width pass runs either
+        // way, the driver-side list makes the cap VISIBLE (WARN +
+        // lastCapExclusions) when it fires, and the common uncapped
+        // case skips the anti-join entirely.
+        val over = pinned.groupBy(col("tbl"), col("bucket"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") > maxBucketWidth)
+          .select(col("tbl"), col("bucket")).collect()
+        applyCap(pinned, over, Seq("tbl", "bucket"), "lshTopK",
+          maxBucketWidth)
       }
     // Candidate PAIRS (ids only): bucket-mates in any table, deduped on
     // (query_id, cand_id) BEFORE any vector travels — the distinct's
@@ -600,15 +641,21 @@ object Similarity {
     // (band, bkt) pairs, nothing wider.
     val capped =
       if (maxBucketWidth == Long.MaxValue) joined
-      else joined.join(
-        broadcast(spark.read.parquet(indexPath)
+      else {
+        // Collected like the inline path (see lshTopK): the width pass
+        // still reads the PROBED partitions only; the driver-side list
+        // surfaces the cap when it fires and skips the anti-join when
+        // it doesn't.
+        val over = spark.read.parquet(indexPath)
           .join(broadcast(qb.select(col("band"), col("bkt")).distinct()),
             Seq("band", "bkt"), "left_semi")
           .groupBy(col("band"), col("bkt"))
           .agg(count(lit(1)).as("w"))
           .filter(col("w") > maxBucketWidth)
-          .select(col("band"), col("bkt"))),
-        Seq("band", "bkt"), "left_anti")
+          .select(col("band"), col("bkt")).collect()
+        applyCap(joined, over, Seq("band", "bkt"), "lshTopKFromIndex",
+          maxBucketWidth)
+      }
     val scored = capped
       .withColumn("cos",
         dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
@@ -618,13 +665,13 @@ object Similarity {
 
   /** DIAGNOSTIC for the hot-bucket cap: every (band, bkt) group wider
     * than `maxBucketWidth`, with its width — exactly the buckets
-    * [[lshTopK]] and [[lshTopKFromIndex]] silently exclude from
-    * candidate generation at the same setting. The probe paths keep the
-    * cap silent by design (a bounded plan is their contract and a
-    * per-probe count action would double their cost); a corpus audit
-    * runs THIS to see whether — and how hard — the cap is biting, e.g.
-    * before committing numPlanes for a new corpus. Empty result = no
-    * bucket capped = probe results are exactly the uncapped results.
+    * [[lshTopK]] and [[lshTopKFromIndex]] exclude from candidate
+    * generation at the same setting. The probe paths announce the cap
+    * when it fires (WARN + [[lastCapExclusions]], at no extra job — the
+    * width pass runs regardless) but only with the COUNT; a corpus
+    * audit runs THIS to see which buckets, and how hard, e.g. before
+    * committing numPlanes for a new corpus. Empty result = no bucket
+    * capped = probe results are exactly the uncapped results.
     */
   def overCapBuckets(corpus: DataFrame, idCol: String, vecCol: String,
                      numPlanes: Int, numTables: Int = 4,

@@ -157,14 +157,20 @@ object LlmQueries {
 
   /** Ensure the write-time WIDE-simhash index for `dir`'s documents
     * exists; return its path (same contract as [[ensureLshIndex]]).
-    * nBuckets=256 — ABOVE the 60-bit family's 128-value band-key cap,
-    * exercising exactly the entropy headroom the wide family adds.
+    * nBuckets is AUTO-SIZED from the corpus cardinality
+    * ([[Dedup.writeSimhashWideIndexAuto]]): a fixture-scale corpus gets
+    * a narrow layout (the r10 fixed nBuckets=256 put 5,000 docs in
+    * 2048 directories and the probe paid 3.4 s of per-file open cost),
+    * while the same call widens toward the family's 32768-value band-key
+    * headroom at corpus scale — the regime where the BASELINE.md
+    * nBuckets sweep measured 7.5% of files touched at nb=4096.
+    * Probes/appends resolve the chosen width from the params sidecar.
     */
   def ensureSimhashWideIndex(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val fix = s"/tmp/graft_fixtures/simhash_wide_index_${fingerprintCached(s"$dir/documents.parquet")}"
+    val fix = s"/tmp/graft_fixtures/simhash_wide_index_v2_${fingerprintCached(s"$dir/documents.parquet")}"
     if (!new java.io.File(s"$fix/_SUCCESS").exists())
-      Dedup.writeSimhashWideIndex(Tables.documents(s, dir), "doc_id", "text",
-        maxHamming = 7, nBuckets = 256, path = fix)
+      Dedup.writeSimhashWideIndexAuto(Tables.documents(s, dir), "doc_id",
+        "text", maxHamming = 7, path = fix)
     fix
   }
 
@@ -668,7 +674,7 @@ object LlmQueries {
               concat(col("text"), lit(" novelsuffix"),
                 col("doc_id").cast("string")).as("text")))
         graft.streaming.Streams.nearDupGateBatch(s, fix, arriving,
-          "doc_id", "text", maxHamming = 7, nBuckets = 256)
+          "doc_id", "text", maxHamming = 7)
       },
       Some(s"""WITH arrx AS (
            |  SELECT doc_id + 2000000 AS doc_id,
@@ -835,14 +841,15 @@ object LlmQueries {
 
     // Write-time WIDE-simhash index probed with a delta batch — the
     // simhash layout whose 15-bit band keys do NOT saturate the bucket
-    // axis (nBuckets=256 here, above the 60-bit family's 128-value
-    // cap; see the round-10 DPP sweep in BASELINE.md).
+    // axis (auto-sized width here, resolved from the sidecar; the
+    // family's 32768-value headroom vs the 60-bit family's 128-value
+    // cap is measured in the round-10 DPP sweep in BASELINE.md).
     "llm_simhash_wide_index_probe" -> Q(
       (s, dir) => {
         val fix = ensureSimhashWideIndex(s, dir)
         Dedup.probeSimhashWideIndex(s, fix,
           Tables.documents(s, dir).filter(col("doc_id") < 50),
-          "doc_id", "text", maxHamming = 7, nBuckets = 256)
+          "doc_id", "text", maxHamming = 7)
       },
       Some(s"""$simhashWideCte,
          |banded AS ($simhashWideBandsSql),

@@ -407,6 +407,16 @@ object Streams {
     batch.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** [[nearDupGateBatch]] with `nBuckets` resolved from the index's
+    * params sidecar — the gate against an auto-sized layout
+    * ([[graft.llm.Dedup.writeSimhashWideIndexAuto]]).
+    */
+  def nearDupGateBatch(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, batch: DataFrame, idCol: String,
+                       textCol: String, maxHamming: Int): DataFrame =
+    nearDupGateBatch(spark, indexPath, batch, idCol, textCol, maxHamming,
+      graft.llm.Dedup.simhashWideIndexBuckets(spark, indexPath))
+
   /** Streaming NEAR-dup ingest gate: [[startDedupGateSink]] with
     * [[nearDupGateBatch]] as the decision and the wide-simhash index as
     * the growing membership state — accepted rows append their band
@@ -451,6 +461,18 @@ object Streams {
           maxHamming, nBuckets, indexPath)
       }
       .start()
+
+  /** [[startNearDupGateSink]] with `nBuckets` resolved once from the
+    * index's params sidecar at start — the gate against an auto-sized
+    * layout ([[graft.llm.Dedup.writeSimhashWideIndexAuto]]).
+    */
+  def startNearDupGateSink(df: DataFrame, indexPath: String, outPath: String,
+                           checkpoint: String, idCol: String,
+                           textCol: String, maxHamming: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    startNearDupGateSink(df, indexPath, outPath, checkpoint, idCol, textCol,
+      maxHamming,
+      graft.llm.Dedup.simhashWideIndexBuckets(df.sparkSession, indexPath))
 
   /** Streaming ingest dedup gate: each micro-batch is gated through
     * [[dedupGateBatch]], accepted rows land in a batchId-named parquet

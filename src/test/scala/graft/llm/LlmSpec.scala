@@ -245,6 +245,42 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
   }
 
+  test("autoBuckets: corpus-derived power-of-two widths, clamped") {
+    assert(BandedIndex.autoBuckets(0) === 16)            // min clamp
+    assert(BandedIndex.autoBuckets(5000) === 16)         // 5000/512=9 -> min
+    assert(BandedIndex.autoBuckets(512 * 1024) === 1024) // exact pow2
+    assert(BandedIndex.autoBuckets(1L << 40) === 32768)  // max clamp
+    assert(BandedIndex.autoBuckets(513 * 1024) === 2048) // rounds UP
+  }
+
+  test("auto-sized wide-simhash index: sidecar-resolved probe equals " +
+    "explicit-width probe; append path resolves too") {
+    val docs = spark.read.parquet(sf("documents"))
+      .select($"doc_id", $"text").filter($"doc_id" < 200)
+    val dir = java.nio.file.Files.createTempDirectory("wsauto").toString
+    try {
+      val chosen = Dedup.writeSimhashWideIndexAuto(docs, "doc_id", "text",
+        maxHamming = 7, path = dir)
+      assert(chosen === BandedIndex.autoBuckets(docs.count()))
+      assert(Dedup.simhashWideIndexBuckets(spark, dir) === chosen)
+      val delta = spark.read.parquet(sf("documents"))
+        .select($"doc_id", $"text").filter($"doc_id" >= 200 && $"doc_id" < 230)
+      val auto = Dedup.probeSimhashWideIndex(spark, dir, delta,
+        "doc_id", "text", maxHamming = 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val explicit = Dedup.probeSimhashWideIndex(spark, dir, delta,
+        "doc_id", "text", maxHamming = 7, nBuckets = chosen)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(auto === explicit)
+      Dedup.appendToSimhashWideIndex(delta, "doc_id", "text",
+        maxHamming = 7, path = dir)   // sidecar-resolved width
+      val after = Dedup.probeSimhashWideIndex(spark, dir,
+        delta.limit(5), "doc_id", "text", maxHamming = 7)
+      assert(after.columns.toSeq === Seq("query_id", "cand_id", "hamming"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
+
   test("wide simhash: balanced bands accept the whole documented " +
     "maxHamming domain, recall still exact") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
@@ -624,6 +660,8 @@ class SimilaritySpec extends SparkSpec {
       maxBucketWidth = Long.MaxValue)
     val capped = Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, 4, 4)
     assert(capped.collect().toSet === uncapped.collect().toSet)
+    // A probe that capped nothing reports zero exclusions.
+    assert(Similarity.lastCapExclusions.get() === 0L)
     // Adversarial hot bucket: mass-duplicate one vector past the DEFAULT
     // cap so ALL its copies hash to the same (tbl, bucket) in every
     // table. WITHOUT the caller setting anything, those buckets are
@@ -638,6 +676,10 @@ class SimilaritySpec extends SparkSpec {
       .select($"id".as("vec_id"), typedLit(hotVec.toSeq).as("embedding"))
     val degenerate = base.select($"vec_id", $"embedding").unionByName(clones)
     val out = Similarity.lshTopK(degenerate, q, "vec_id", "embedding", 5, 4, 4)
+    // The cap FIRING is no longer silent: the probe records how many
+    // buckets it excluded (and WARNs) the moment the plan is built.
+    assert(Similarity.lastCapExclusions.get() >= 4L,
+      s"cap fired but reported ${Similarity.lastCapExclusions.get()} exclusions")
     val cands = out.select("cand_id").as[Long].collect().toSet
     assert(out.count() > 0)
     assert(cands.forall(_ < 1000), s"clone ids leaked past the cap: $cands")
@@ -645,6 +687,33 @@ class SimilaritySpec extends SparkSpec {
     val tight = Similarity.lshTopK(degenerate, q, "vec_id", "embedding",
       5, 4, 4, maxBucketWidth = 500L)
     assert(tight.select("cand_id").as[Long].collect().forall(_ < 1000))
+  }
+
+  test("lshTopKFromIndex surfaces the bucket cap like the inline path") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val q = emb.filter($"vec_id" < 3)
+    val hotVec = emb.filter($"vec_id" === 5).select($"embedding").head()
+      .getAs[scala.collection.Seq[Float]]("embedding")
+    val clones = spark.range(1000, 1600)
+      .select($"id".as("vec_id"), typedLit(hotVec.toSeq).as("embedding"))
+    val degenerate = emb.filter($"vec_id" >= 5 && $"vec_id" < 30)
+      .select($"vec_id", $"embedding").unionByName(clones)
+    val dir = java.nio.file.Files.createTempDirectory("lshcap").toString
+    try {
+      Similarity.writeLshIndex(degenerate, "vec_id", "embedding",
+        numPlanes = 4, numTables = 4, path = dir)
+      val out = Similarity.lshTopKFromIndex(spark, dir, q,
+        "vec_id", "embedding", 5, 4, 4, maxBucketWidth = 100L)
+      assert(Similarity.lastCapExclusions.get() >= 1L)
+      assert(out.select("cand_id").as[Long].collect().forall(_ < 1000))
+      // Uncapped probe of the same index: signal resets to zero only on
+      // the next CAPPED probe; opt-out leaves it untouched by contract.
+      val wide = Similarity.lshTopKFromIndex(spark, dir, q,
+        "vec_id", "embedding", 5, 4, 4)
+      assert(Similarity.lastCapExclusions.get() === 0L)
+      assert(wide.count() >= out.count())
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
   }
 
   test("ANN ranking runs as the bounded-heap aggregate, not a rank window") {
