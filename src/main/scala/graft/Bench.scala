@@ -13,18 +13,47 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_AQE_BYTES: cluster-posture partition sizing for sf>=1
+    // runs. The default local bench pins partitions = cores, which the sf10
+    // rehearsal showed is wrong for wide aggregates (r1_transpose spills
+    // 32 GB at 60M rows / 32 partitions) while 128 is wrong for CPU-bound
+    // map-side-combine shapes (ngram_jaccard 30 s at 32 vs 55 s at 128) —
+    // no constant wins per-operator. The recorded answer is AQE bytes: a
+    // high initial partition count that adaptive execution coalesces DOWN
+    // to an advisory byte target per-shuffle, which is exactly what a real
+    // cluster run would use. Set to "1" for the 64m default or an explicit
+    // size ("128m"). Unset = the pinned layout below, kept for sf0.1 where
+    // kilobyte-sized CPU-bound stages would be serialized onto 1-2 cores
+    // by byte coalescing (10-30x swings, r4 diagnosis).
+    val aqeBytes = sys.env.get("SPARK_GRAFT_AQE_BYTES").map {
+      case "1" | "true" => "64m"
+      case v => v
+    }
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // AQE's partition coalescing merges by BYTE size, but the text/dedup
-      // stages here are CPU-bound per row at kilobyte sizes — coalescing
-      // serialized them onto 1-2 cores with 10-30x timing swings. At real
-      // cluster scale (GB-sized partitions) the bytes proxy is sound and
-      // this stays on.
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val builder = aqeBytes match {
+      case Some(target) => builder0
+        // High initial count: AQE only coalesces, it never splits, so the
+        // pre-coalesce partition count must exceed what any shuffle needs.
+        .config("spark.sql.shuffle.partitions", "2048")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        // bytes govern, not the parallelism floor — the point of the toggle
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+          "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", target)
+      case None => builder0
+        .config("spark.sql.shuffle.partitions", cpus)
+        // AQE's partition coalescing merges by BYTE size, but the text/dedup
+        // stages here are CPU-bound per row at kilobyte sizes — coalescing
+        // serialized them onto 1-2 cores with 10-30x timing swings. At real
+        // cluster scale (GB-sized partitions) the bytes proxy is sound and
+        // this stays on.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    }
+    val spark = builder.getOrCreate()
     // ERROR, not WARN: the bench artifact is one parseable JSON line, and
     // task-retry WARN traces interleaving with it have corrupted the
     // artifact before (r2) — all failure detail goes in the JSON instead.

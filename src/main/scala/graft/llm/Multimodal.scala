@@ -404,7 +404,8 @@ object Multimodal {
                                  width: Int, height: Int,
                                  fps_rate: Int, fps_scale: Int,
                                  n_frames: Long, duration_ms: Long,
-                                 byte_checksum: Long)
+                                 bit_count: Int, compression: Long,
+                                 size_image: Long, byte_checksum: Long)
 
   /** Little-endian u32 read (as Long — RIFF sizes are unsigned). */
   @inline private def le32(b: Array[Byte], off: Int): Long =
@@ -464,16 +465,27 @@ object Multimodal {
       .getOrElse(fail("no hdrl header list"))
     var avih: Option[Long] = None
     var vidsStrh: Option[Long] = None
+    var vidsStrf: Option[(Long, Long)] = None
     chunks(hdrl._1, hdrl._2).foreach {
       case ("avih", f, t) =>
         if (t - f < 40) fail("avih main header shorter than 40 bytes")
         avih = avih.orElse(Some(f))
       case ("strl", f, t) =>
+        // One stream list = one strh followed by its strf format chunk;
+        // the strf belongs to the SAME strl, so pair them per list.
+        var strh: Option[(Long, Long)] = None
+        var strf: Option[(Long, Long)] = None
         chunks(f, t).foreach {
-          case ("strh", sf, st) if vidsStrh.isEmpty =>
-            if (st - sf < 36) fail("strh stream header shorter than 36 bytes")
-            if (fourcc(b, sf.toInt) == "vids") vidsStrh = Some(sf)
+          case ("strh", sf, st) if strh.isEmpty => strh = Some((sf, st))
+          case ("strf", sf, st) if strf.isEmpty => strf = Some((sf, st))
           case _ => ()
+        }
+        strh.foreach { case (sf, st) =>
+          if (vidsStrh.isEmpty && fourcc(b, sf.toInt) == "vids") {
+            if (st - sf < 36) fail("strh stream header shorter than 36 bytes")
+            vidsStrh = Some(sf)
+            vidsStrf = strf
+          }
         }
       case _ => ()
     }
@@ -488,6 +500,25 @@ object Multimodal {
     if (rate <= 0 || scale <= 0) fail(s"non-positive fps rational $rate/$scale")
     if (totalFrames != length) fail(
       s"avih.dwTotalFrames=$totalFrames disagrees with vids strh.dwLength=$length")
+    // strf = the stream FORMAT chunk: for a vids stream it is a
+    // BITMAPINFOHEADER (biSize u32, biWidth s32, biHeight s32, biPlanes
+    // u16, biBitCount u16, biCompression u32, biSizeImage u32, ...).
+    // Its dimensions must agree with the avih main header — a container
+    // where they disagree is corrupt and must surface, the same
+    // cross-check posture as dwTotalFrames==dwLength above.
+    val (ff, ft) = vidsStrf.getOrElse(fail("no strf format chunk in the vids strl"))
+    if (ft - ff < 40) fail("strf BITMAPINFOHEADER shorter than 40 bytes")
+    val f0 = ff.toInt
+    val biSize = le32(b, f0)
+    if (biSize < 40) fail(s"strf.biSize=$biSize below the 40-byte BITMAPINFOHEADER")
+    val biW = le32(b, f0 + 4).toInt
+    // biHeight < 0 marks a top-down DIB; the frame height is |biHeight|.
+    val biH = math.abs(le32(b, f0 + 8).toInt)
+    if (biW != width || biH != height) fail(
+      s"strf dimensions ${biW}x$biH disagree with avih ${width}x$height")
+    val bitCount = (b(f0 + 14) & 0xFF) | ((b(f0 + 15) & 0xFF) << 8)
+    val compression = le32(b, f0 + 16)
+    val sizeImage = le32(b, f0 + 20)
     var sum = 0L
     var i = 0
     while (i < b.length) { sum += (b(i) & 0xFF).toLong; i += 1 }
@@ -500,6 +531,9 @@ object Multimodal {
       fps_scale = scale.toInt,
       n_frames = length,
       duration_ms = length * 1000L * scale / rate,
+      bit_count = bitCount,
+      compression = compression,
+      size_image = sizeImage,
       byte_checksum = sum % 1000000007L)
   }
 
@@ -522,7 +556,8 @@ object Multimodal {
     * codec layer this environment cannot exercise).
     */
   def syntheticAvi(width: Int, height: Int, fpsRate: Int, fpsScale: Int,
-                   nFrames: Int): Array[Byte] = {
+                   nFrames: Int, bitCount: Int = 24,
+                   compression: Long = 0L): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     def u32(v: Long): Unit = {
       bos.write((v & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
@@ -556,9 +591,11 @@ object Multimodal {
     u32(0); u32(0); u32(0)                                // sugBuf/quality/sampleSize
     u16(0); u16(0); u16(width); u16(height)               // rcFrame
     tag("strf"); u32(strfSz)
+    // DIB rows pad to 4-byte boundaries: stride = ((w*bpp + 31) / 32) * 4.
+    val stride = ((width.toLong * bitCount + 31) / 32) * 4
     u32(40); u32(width); u32(height)                      // BITMAPINFOHEADER
-    u16(1); u16(24)                                       // planes / bitCount
-    u32(0); u32(width.toLong * height * 3)                // compression / sizeImage
+    u16(1); u16(bitCount)                                 // planes / bitCount
+    u32(compression); u32(stride * height)                // compression / sizeImage
     u32(0); u32(0); u32(0); u32(0)                        // ppm x/y, clrUsed/Important
     tag("LIST"); u32(moviSz); tag("movi")
     bos.toByteArray
@@ -574,13 +611,22 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long").as("media_id")).as[Long]
       .mapPartitions(_.map { id =>
+        // Pixel-format family by id, using genuine Windows BI_* pairings
+        // (compression code, matching bit depth): 0 BI_RGB/24bpp,
+        // 1 BI_RLE8/8bpp, 2 BI_RLE4/4bpp, 3 BI_BITFIELDS/32bpp — so the
+        // strf fields are id-arithmetic-recoverable like the rest.
+        val fam = (id % 4).toInt
         MediaRecord(id, "video",
           syntheticAvi(
             width = (160 + (id % 40) * 8).toInt,
             height = (120 + (id % 30) * 8).toInt,
             fpsRate = (10 + id % 50).toInt,
             fpsScale = (1 + id % 3).toInt,
-            nFrames = (25 + id % 200).toInt))
+            nFrames = (25 + id % 200).toInt,
+            bitCount = fam match {
+              case 0 => 24; case 1 => 8; case 2 => 4; case _ => 32
+            },
+            compression = fam.toLong))
       })
   }
 

@@ -1959,15 +1959,24 @@ object LlmQueries {
         Multimodal.extractVideoFeatures(media)
           .toDF().drop("byte_checksum").drop("n_bytes")
       },
-      Some("""SELECT doc_id AS media_id,
-         |CAST(160 + (doc_id % 40) * 8 AS INT) AS width,
-         |CAST(120 + (doc_id % 30) * 8 AS INT) AS height,
+      Some("""WITH p AS (SELECT doc_id,
+         |  160 + (doc_id % 40) * 8 AS w,
+         |  120 + (doc_id % 30) * 8 AS h,
+         |  CASE doc_id % 4 WHEN 0 THEN 24 WHEN 1 THEN 8
+         |    WHEN 2 THEN 4 ELSE 32 END AS bc
+         |  FROM documents)
+         |SELECT doc_id AS media_id,
+         |CAST(w AS INT) AS width,
+         |CAST(h AS INT) AS height,
          |CAST(10 + doc_id % 50 AS INT) AS fps_rate,
          |CAST(1 + doc_id % 3 AS INT) AS fps_scale,
          |CAST(25 + doc_id % 200 AS BIGINT) AS n_frames,
          |CAST((25 + doc_id % 200) * 1000 * (1 + doc_id % 3)
-         |  // (10 + doc_id % 50) AS BIGINT) AS duration_ms
-         |FROM documents""".stripMargin)),
+         |  // (10 + doc_id % 50) AS BIGINT) AS duration_ms,
+         |CAST(bc AS INT) AS bit_count,
+         |CAST(doc_id % 4 AS BIGINT) AS compression,
+         |CAST(((w * bc + 31) // 32) * 4 * h AS BIGINT) AS size_image
+         |FROM p""".stripMargin)),
 
     "llm_audio_resample" -> Q(
       (s, dir) => {

@@ -1419,6 +1419,17 @@ class MultimodalSpec extends SparkSpec {
     assert(v.n_frames === 90L)
     assert(v.duration_ms === 90L * 1000L * 1001L / 30000L) // 3003 ms
     assert(v.n_bytes === avi.length.toLong)
+    // strf BITMAPINFOHEADER fields (writer defaults: BI_RGB 24bpp);
+    // 640*24 bits is already 4-byte aligned, so sizeImage = w*h*3.
+    assert(v.bit_count === 24 && v.compression === 0L)
+    assert(v.size_image === 640L * 360L * 3L)
+    // Non-default pixel format round-trips, with the padded stride:
+    // 321px * 4bpp = 1284 bits -> ceil to 41 u32s -> 164-byte rows.
+    val avi2 = Multimodal.syntheticAvi(width = 321, height = 10,
+      fpsRate = 25, fpsScale = 1, nFrames = 5, bitCount = 4, compression = 2L)
+    val v2 = Multimodal.decodeVideoMeta(Multimodal.MediaRecord(5L, "video", avi2))
+    assert(v2.bit_count === 4 && v2.compression === 2L)
+    assert(v2.size_image === 164L * 10L)
   }
 
   test("decodeVideoMeta fails loud on junk, truncation, and header disagreement") {
@@ -1438,6 +1449,12 @@ class MultimodalSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       dec(bad)
     }.getMessage.contains("disagrees"))
+    // Corrupt strf.biWidth (strf data at 172, biWidth at +4): the
+    // format-vs-main-header dimension cross-check must refuse too.
+    val badStrf = avi.clone(); badStrf(176) = (badStrf(176) + 1).toByte
+    assert(intercept[IllegalArgumentException] {
+      dec(badStrf)
+    }.getMessage.contains("disagree with avih"))
     // Batched kernel path surfaces the same failure through Spark.
     val e = intercept[org.apache.spark.SparkException] {
       Multimodal.extractVideoFeatures(
