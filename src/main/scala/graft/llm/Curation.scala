@@ -476,68 +476,52 @@ object Curation {
     * under rule `(a,a)` becomes `[aa, a]`, and `[a,a,a,a]` becomes
     * `[aa, aa]`). Returns the merged streams as (id, pos, token) rows —
     * `pos` keeps the pre-merge position of each surviving token, so
-    * ordering survives and downstream passes re-window on it.
+    * ordering survives into downstream passes.
     *
-    * Greedy selection is RELATIONAL, not a per-row fold: a string
-    * `replace` on the joined text is wrong for self-overlapping rules
-    * (the consumed separator skips the next legal merge), and an
-    * `aggregate` lambda rebuilding an array per token is O(doc²)
-    * interpreted work. Instead: flag candidate starts
-    * (`t[i]=a ∧ t[i+1]=b`), split consecutive candidates into runs with
-    * a running non-candidate count, and keep the EVEN offsets of each
-    * run — exactly the positions leftmost-greedy merges. Every window
-    * here shares one (id, pos) sort, partitions per document (bounded by
-    * document length, never corpus-wide), and the whole operator is one
-    * shuffle by id.
+    * Greedy selection is a NATIVE per-document array pass
+    * ([[graft.functions.BpeGreedyMergeExpr]], codegen'd O(doc) — a doc's
+    * tokens always fit one scalar value): the token stream stays one
+    * array per document, so applying a rule needs NO window and NO
+    * shuffle at any corpus size. (The previous form exploded to a row
+    * per token and selected merges relationally, which cost an
+    * id-Exchange + sort of the full token stream per rule — and the
+    * training loop's per-round `localCheckpoint` erases partitioning
+    * under AQE, so consecutive rounds could not even reuse it.)
     */
   def bpeApplyMerge(df: DataFrame, idCol: String, textCol: String,
                     a: String, b: String): DataFrame =
-    applyMergeToTokens(tokenStream(df, idCol, textCol), idCol, a, b)
+    explodeState(
+      tokenState(df, idCol, textCol)
+        .select(col(idCol),
+          graft.functions.BpeFunctions.greedyMerge(col("pt"), a, b).as("pt")),
+      idCol)
 
-  /** Tokenize to the (id, pos, token) stream every BPE pass operates on. */
-  private def tokenStream(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** Tokenize to the per-document `(pos, token)` struct-array state every
+    * BPE pass operates on: original-tokenization positions, empty tokens
+    * dropped (a blank doc is an empty array; a null text stays null and
+    * drops at explode time, both matching the exploded form).
+    */
+  private def tokenState(df: DataFrame, idCol: String, textCol: String): DataFrame =
     Dedup.ensureParallelism(df.select(col(idCol), col(textCol)))
       .select(col(idCol),
-        posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
-      .filter(col("t") =!= "")
-      .select(col(idCol), col("pos").cast("int").as("pos"), col("t").as("token"))
+        filter(
+          transform(tokens(col(textCol)),
+            (t, i) => struct(i.cast("int").as("pos"), t.as("token"))),
+          s => s.getField("token") =!= "").as("pt"))
 
-  /** The greedy-merge body of [[bpeApplyMerge]], over an (id, pos, token)
-    * stream — the shape [[bpeTrain]] iterates on (re-tokenizing per round
-    * would discard the previous rounds' merges). Output keeps each
-    * surviving token's pre-merge position, so rounds re-window on `pos`.
+  /** Flatten a `(pos, token)` state frame back to (id, pos, token) rows. */
+  private def explodeState(state: DataFrame, idCol: String): DataFrame =
+    state.select(col(idCol), explode(col("pt")).as("s"))
+      .select(col(idCol), col("s.pos").as("pos"), col("s.token").as("token"))
+
+  /** Adjacent-pair strings of a `(pos, token)` state array — the zip-
+    * against-own-tail shape of [[TextOps.adjacentPairs]], over the kept
+    * tokens. No window: adjacency IS array order.
     */
-  private def applyMergeToTokens(toks: DataFrame, idCol: String,
-                                 a: String, b: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    // Run parity works on the dense per-document RANK, not on `pos`:
-    // after a prior merge the positions are SPARSE (survivors keep their
-    // pre-merge pos), and position arithmetic would mis-place the run
-    // start — caught by the bpeTrain chaining spec, where round 2's
-    // candidate at a gapped position must still be offset 0 of its run.
-    // All columns below ride the SAME (id, pos) window: one Exchange,
-    // one sort.
-    val sel = toks
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cand",
-        coalesce(col("token") === a && lead(col("token"), 1).over(w) === b,
-          lit(false)))
-      // First candidate rank of this run = (last non-candidate rank
-      // before here) + 1 — a RUNNING max, not a per-run min (which would
-      // re-sort).
-      .withColumn("firstr",
-        coalesce(
-          max(when(!col("cand"), col("rn")))
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-          lit(0L)) + 1)
-      .withColumn("sel",
-        col("cand") && (col("rn") - col("firstr")) % 2 === 0)
-    sel
-      .withColumn("prev_sel", coalesce(lag(col("sel"), 1).over(w), lit(false)))
-      .filter(!col("prev_sel")) // absorbed into the merge starting before it
-      .select(col(idCol), col("pos"),
-        when(col("sel"), lit(a + b)).otherwise(col("token")).as("token"))
+  private def statePairs(pt: Column): Column = {
+    val len = greatest(size(pt) - 1, lit(0))
+    zip_with(slice(pt, lit(1), len), slice(pt, lit(2), len),
+      (x, y) => concat(x.getField("token"), lit(" "), y.getField("token")))
   }
 
   /** BPE TRAINING LOOP: learn `nMerges` successive merge rules from the
@@ -548,13 +532,15 @@ object Curation {
     * trainer persists.
     *
     * Iteration shape = [[Dedup.dedupClusters]]'s driver loop: each round
-    * the merged stream is pinned with `localCheckpoint` (the next count
+    * the merged state is pinned with `localCheckpoint` (the next count
     * must not replay r prior merge cascades), and exactly ONE row — the
     * argmax rule — crosses to the driver per round, because the rule must
-    * be a plan literal for the next round's merge predicate. O(nMerges)
-    * driver rows total, never a data-path collect; per round the work is
-    * one pair-count shuffle + one keyed-window shuffle at any corpus
-    * size. Stops early if the corpus runs out of adjacent pairs.
+    * be a plan literal for the next round's merge expression. O(nMerges)
+    * driver rows total, never a data-path collect; per round the ONLY
+    * shuffle is the map-side-combined pair-count aggregate (rows ∝
+    * distinct pairs, not corpus tokens) — rule application itself is the
+    * zero-shuffle native array pass. Stops early if the corpus runs out
+    * of adjacent pairs.
     */
   def bpeTrain(df: DataFrame, idCol: String, textCol: String,
                nMerges: Int): DataFrame = {
@@ -567,20 +553,22 @@ object Curation {
   }
 
   /** The shared BPE training loop body: learn up to `nMerges` greedy
-    * rules AND carry the merged token streams forward. Returns both the
-    * rule table rows and the final (id, pos, token) stream — [[bpeTrain]]
-    * keeps the rules (the trainer's artifact), [[bpeEncode]] keeps the
-    * stream (the tokenizer's output). One loop, so the two can never
-    * diverge on selection or application semantics.
+    * rules AND carry the merged per-document state forward. Returns both
+    * the rule table rows and the final `(id, pt)` state frame —
+    * [[bpeTrain]] keeps the rules (the trainer's artifact),
+    * [[bpeEncode]] keeps the stream (the tokenizer's output). One loop,
+    * so the two can never diverge on selection or application semantics.
     */
   private def bpeMergeLoop(df: DataFrame, idCol: String, textCol: String,
                            nMerges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
-    var toks = tokenStream(df, idCol, textCol).localCheckpoint(false)
+    var state = tokenState(df, idCol, textCol).localCheckpoint(false)
     val rules = Seq.newBuilder[(Int, String, String, Long)]
     var exhausted = false
     for (r <- 1 to nMerges if !exhausted) {
-      val top = pairCountsOverTokens(toks, idCol)
+      val top = state
+        .select(explode(statePairs(col("pt"))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair")).limit(1)
         .collect() // exactly one row: the round's merge rule
       if (top.isEmpty) exhausted = true
@@ -588,10 +576,12 @@ object Curation {
         val pair = top(0).getString(0)
         val Array(a, b) = pair.split(" ", 2)
         rules += ((r, pair, a + b, top(0).getLong(1)))
-        toks = applyMergeToTokens(toks, idCol, a, b).localCheckpoint(false)
+        state = state.select(col(idCol),
+          graft.functions.BpeFunctions.greedyMerge(col("pt"), a, b).as("pt"))
+          .localCheckpoint(false)
       }
     }
-    (rules.result(), toks)
+    (rules.result(), state)
   }
 
   /** BPE ENCODE — the tokenizer APPLY step: train `nMerges` greedy rules
@@ -602,19 +592,17 @@ object Curation {
     * sequence is the model input.
     *
     * Scale shape: the training loop is O(nMerges) driver rows (argmax
-    * rules only); the encode side stays the per-doc windowed merge of
-    * [[bpeApplyMerge]] — every window partitions by document, the final
-    * re-densify shares the same (id, pos) sort, and no corpus-wide
-    * window or collect exists anywhere.
+    * rules only); rule application is the zero-shuffle native array
+    * pass, and the final re-densify is just the array index at explode
+    * time (array order IS per-document token order) — no corpus-wide
+    * window, sort, or collect exists anywhere.
     */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
                 nMerges: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val (_, toks) = bpeMergeLoop(df, idCol, textCol, nMerges)
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    toks.select(col(idCol),
-      (row_number().over(w) - 1).cast("int").as("pos"),
-      col("token"))
+    val (_, state) = bpeMergeLoop(df, idCol, textCol, nMerges)
+    state.select(col(idCol), posexplode(col("pt")).as(Seq("newpos", "s")))
+      .select(col(idCol), col("newpos").cast("int").as("pos"),
+        col("s.token").as("token"))
   }
 
   /** Adjacent-pair counts AFTER applying one merge rule — BPE training
@@ -626,23 +614,12 @@ object Curation {
   def bpePairCountsAfterMerge(df: DataFrame, idCol: String, textCol: String,
                               a: String, b: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    pairCountsOverTokens(bpeApplyMerge(df, idCol, textCol, a, b), idCol)
+    tokenState(df, idCol, textCol)
+      .select(graft.functions.BpeFunctions.greedyMerge(col("pt"), a, b).as("pt"))
+      .select(explode(statePairs(col("pt"))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
       .withColumn("merged", regexp_replace(col("pair"), " ", ""))
-  }
-
-  /** Adjacent-pair counts over an (id, pos, token) stream — the one pair
-    * former every BPE pass shares (a tweak to separator or null handling
-    * must not let the one-shot counter and the training loop diverge).
-    */
-  private def pairCountsOverTokens(toks: DataFrame, idCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    toks
-      .withColumn("nt", lead(col("token"), 1).over(w))
-      .filter(col("nt").isNotNull)
-      .select(concat(col("token"), lit(" "), col("nt")).as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
   }
 }
