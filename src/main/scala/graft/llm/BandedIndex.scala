@@ -151,6 +151,87 @@ private[llm] object BandedIndex {
     math.min(math.max(pow2, minBuckets), maxBuckets)
   }
 
+  /** Compact a banded layout in place. Every [[writeLayout]] Append adds
+    * at least one file to each (band, bkt) directory the delta hashes
+    * into, so a long-lived index under steady ingest drifts into the
+    * small-files regime the round-10 nBuckets sweep measured (probe
+    * latency dominated by per-file OPEN cost instead of per-bucket
+    * bytes). Compaction re-clusters the layout on its partition columns
+    * — one writer task per directory, so one file per directory — with
+    * the params sidecar carried over byte-for-byte and every other
+    * root-level marker file (e.g. a fixture's completion marker)
+    * preserved. The row set is unchanged by construction, so a probe of
+    * the compacted layout returns exactly what the fragmented one did.
+    *
+    * The swap is rename-aside + rename-in (never delete-then-write):
+    * a crash between the two renames leaves the old layout intact
+    * under `<path>_PRECOMPACT`, and a crash before them leaves the
+    * original untouched — at no point is neither layout present. On a
+    * production object store the equivalent swap is a metastore/table
+    * pointer flip; the maintenance dataflow (read, re-cluster, write,
+    * swap) is identical.
+    *
+    * Applies to the flat banded families (exact-dup / near-dup text /
+    * simhash / wide-simhash / LSH / hamming). The IVF layout nests
+    * `cells/` + `centroids/` subdirectories and has its own lifecycle.
+    *
+    * @return (dataFilesBefore, dataFilesAfter, rows) — callers assert
+    *   `dataFilesAfter <= dataFilesBefore` and carry `rows` into their
+    *   own row-preservation contract.
+    */
+  def compactLayout(spark: SparkSession, path: String): (Long, Long, Long) = {
+    val sidecar = readSidecar(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"compactLayout: no $ParamsFile sidecar at $path - not a graft " +
+          "banded index (or built before sidecars existed)"))
+    val (fs, dir) = hadoopFs(spark, path)
+    def dataFiles(p: org.apache.hadoop.fs.Path): Long = {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+      }
+      n
+    }
+    val before = dataFiles(dir)
+    val rows = spark.read.parquet(path)
+    val tmp = new org.apache.hadoop.fs.Path(dir.getParent, dir.getName + "_COMPACTING")
+    fs.delete(tmp, true)
+    // Same hash-clustered shape as writeLayout: one task owns each
+    // (band, bkt) directory, so the compacted layout has exactly one
+    // file per directory regardless of how many appends preceded it.
+    rows.repartition(col("band"), col("bkt"))
+      .write.mode(SaveMode.Overwrite).partitionBy("band", "bkt")
+      .parquet(tmp.toString)
+    // Carry over the sidecar verbatim plus any other root-level marker
+    // files the write didn't produce itself (completion markers etc).
+    val rootStatus = fs.listStatus(dir)
+    rootStatus.filter(st => st.isFile && st.getPath.getName.startsWith("_"))
+      .foreach { st =>
+        val target = new org.apache.hadoop.fs.Path(tmp, st.getPath.getName)
+        if (!fs.exists(target))
+          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, target,
+            false, spark.sparkContext.hadoopConfiguration)
+      }
+    val compactedRows = spark.read.parquet(tmp.toString).count()
+    val aside = new org.apache.hadoop.fs.Path(dir.getParent, dir.getName + "_PRECOMPACT")
+    fs.delete(aside, true)
+    if (!fs.rename(dir, aside)) throw new java.io.IOException(
+      s"compactLayout: could not move $dir aside to $aside")
+    if (!fs.rename(tmp, dir)) throw new java.io.IOException(
+      s"compactLayout: could not move compacted layout $tmp into place at " +
+        s"$dir - the original is preserved at $aside")
+    fs.delete(aside, true)
+    // The sidecar must have survived the copy - a layout without it
+    // would refuse every future probe/append.
+    if (readSidecar(spark, path).isEmpty || readSidecar(spark, path).get != sidecar)
+      throw new IllegalStateException(
+        s"compactLayout: sidecar at $path changed across compaction")
+    (before, dataFiles(dir), compactedRows)
+  }
+
   /** The `nBuckets` a layout was written with, from its params sidecar —
     * the resolution path for probes/appends against an auto-sized index.
     * Fails loud on a missing sidecar or a family mismatch.

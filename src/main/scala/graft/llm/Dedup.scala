@@ -300,6 +300,20 @@ object Dedup {
       .select(col("query_id"), col("cand_id"))
   }
 
+  /** Compact ANY flat banded-index layout (exact-dup / near-dup text /
+    * simhash / wide-simhash / LSH / image-hamming) in place: rewrite to
+    * one file per (band, bkt) directory, params sidecar and marker files
+    * preserved, row set unchanged — see [[BandedIndex.compactLayout]]
+    * for the swap protocol and why a long-lived index needs this (the
+    * appends-accumulate-small-files regime measured in the round-10
+    * nBuckets sweep, BASELINE.md).
+    *
+    * @return (dataFilesBefore, dataFilesAfter, rows)
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   indexPath: String): (Long, Long, Long) =
+    BandedIndex.compactLayout(spark, indexPath)
+
   /** 60-bit simhash of the token multiset: bit j is set when the sum of
     * (+1 / -1) votes from each token's hash bit j is non-negative.
     * Token multiplicity weights the vote (term frequency).
@@ -955,6 +969,67 @@ object Dedup {
       .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+  }
+
+  /** SEMANTIC dedup — the SemDeDup recipe (Abbas et al. 2023,
+    * arXiv:2303.09540, public): k-means-cluster the embedding space,
+    * then treat members of the same cluster whose cosine similarity
+    * clears `threshold` as semantic duplicates and keep ONE
+    * representative per duplicate group. Catches paraphrases and
+    * re-renderings that no lexical pass (minhash / simhash / n-gram)
+    * can see, because the signal lives in the embedding, not the
+    * surface string.
+    *
+    * Mechanics, all shared with the existing families:
+    *  - Clustering is [[Similarity.ivfAssign]] — the SAME seeded,
+    *    partition-pinned k-means every IVF path uses, so cell
+    *    assignment is a pure function of the corpus (deterministic
+    *    across core counts).
+    *  - Candidate pairs form ONLY within a cell
+    *    ([[embeddingNearDupPairs]] keyed on the cell id) — the
+    *    all-pairs product never forms. This is the paper's own
+    *    approximation: cross-cluster near-dups are out of scope by
+    *    construction. At 100 TB, `nCells` grows with the corpus so
+    *    per-cell candidate mass stays bounded (cells ~ n/k members);
+    *    the quadratic term is per-cell and k is the knob.
+    *  - The >= threshold pair graph is closed into components with the
+    *    pinned pointer-jumping [[dedupClusters]]; the representative is
+    *    the component minimum id (deterministic canonical choice), and
+    *    `keep = 1` exactly for representatives. Note the group is the
+    *    CONNECTED component (transitive closure), so a dropped member
+    *    is within `threshold` of SOME group member — not necessarily of
+    *    the representative itself (same contract as the lexical
+    *    cluster families here).
+    *
+    * @return one row per corpus member:
+    *   (id, cell, rep_id, keep) with keep in {0, 1}
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int, threshold: Double): DataFrame = {
+    require(nCells > 0, s"nCells must be positive, got $nCells")
+    // Pin the cell assignment: pairs, closure, and the final join all
+    // consume it, and upstream is a k-means fit nobody wants re-run.
+    val members = Similarity.ivfAssign(df, idCol, vecCol, nCells)._1
+      .select(col("cand_id").as("id"), col("cell"), col("cv"))
+      .localCheckpoint(false)
+    semanticDedupWithCells(members, threshold)
+  }
+
+  /** The cell-parameterized core of [[semanticDedup]]: `members` =
+    * (id, cell, cv). Split out so the keep/drop decision (pair graph,
+    * closure, representative choice) is testable independent of where
+    * the coarse quantizer happens to place the cell boundaries.
+    */
+  private[llm] def semanticDedupWithCells(members: DataFrame,
+                                          threshold: Double): DataFrame = {
+    val pairs = embeddingNearDupPairs(members, "id", "cv", "cell", threshold)
+    val reps = dedupClusters(pairs)
+      .select(col("doc_id").as("id"), col("cluster_id").as("rep_id"))
+    // Members in no pair are their own (kept) representative.
+    members.join(reps, Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(col("rep_id"), col("id")).as("rep_id"))
+      .withColumn("keep", (col("id") === col("rep_id")).cast("int"))
   }
 
   /** Positional k-gram frequency index: every k-token gram of every

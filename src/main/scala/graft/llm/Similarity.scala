@@ -721,8 +721,8 @@ object Similarity {
     * its cell. Returns (cells = (cand_id, cv, cnorm, cell), centroids =
     * (cell, centroid)) — the two frames every IVF path starts from.
     */
-  private def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
-                        nCells: Int): (DataFrame, DataFrame) = {
+  private[llm] def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                             nCells: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import graft.functions.VectorFunctions.{dot => dotc}

@@ -618,6 +618,64 @@ object LlmQueries {
            |  ON ${normSql("d.text")} = ${normSql("c.text")}
            |WHERE d.doc_id % 7 = 0""".stripMargin)),
 
+    // INDEX MAINTENANCE — COMPACTION. A base exact-dup index plus three
+    // appended delta batches leaves up to four files per (band, bkt)
+    // directory — the small-files drift every long-lived banded layout
+    // accumulates under steady ingest (BASELINE.md round-10 sweep:
+    // probe cost becomes per-file open overhead). The query runs the
+    // full maintenance dataflow EVERY time (build, append x3, probe,
+    // compact, re-probe — no fixture reuse: compaction mutates the
+    // layout, and the dataflow IS what's graded): the output is the
+    // post-compaction probe, which the oracle recomputes from
+    // normalized-text equality — a compaction that lost or duplicated
+    // rows hash-mismatches — with contract columns asserting the file
+    // count strictly shrank, the row count survived exactly, and the
+    // pre-compaction probe returned the identical pair set.
+    "llm_index_compact" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val fix = s"/tmp/graft_fixtures/compact_exactdup_${fingerprintCached(s"$dir/documents.parquet")}"
+        Dedup.writeExactDupIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", nBuckets = 16, path = fix)
+        // Odd ids in three delta batches (1, 3, 5 mod 6 = the odds), so
+        // the layout ends fragmented AND complete: every corpus doc has
+        // exactly one signature row.
+        Seq(1L, 3L, 5L).foreach { r =>
+          Dedup.appendToExactDupIndex(docs.filter(col("doc_id") % 6 === r),
+            "doc_id", "text", nBuckets = 16, path = fix)
+        }
+        val delta = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            upper(concat(lit("  "), regexp_replace(col("text"), " ", "  "),
+              lit(" "))).as("text"))
+        // EAGER checkpoint: the pre-compaction pair set must be
+        // materialized BEFORE compactIndex swaps the files it reads
+        // (a lazy pin would evaluate after the swap and read renamed
+        // paths).
+        val beforeProbe = Dedup.probeExactDupIndex(s, fix, delta,
+          "doc_id", "text", nBuckets = 16).localCheckpoint()
+        val nDocs = docs.count()
+        val (filesBefore, filesAfter, rowsAfter) = Dedup.compactIndex(s, fix)
+        val afterProbe = Dedup.probeExactDupIndex(s, fix, delta,
+          "doc_id", "text", nBuckets = 16)
+        // Row-level probe equality: a pair present on only one side
+        // survives the full-outer join with a 0 flag (and, if the pair
+        // sets diverge, a row-count mismatch on top).
+        afterProbe.withColumn("__a", lit(1))
+          .join(beforeProbe.select(col("query_id"), col("cand_id"),
+            lit(1).as("__b")), Seq("query_id", "cand_id"), "full_outer")
+          .select(col("query_id"), col("cand_id"),
+            (col("__a").isNotNull && col("__b").isNotNull).cast("int")
+              .as("probe_unchanged"),
+            lit(if (filesAfter < filesBefore) 1 else 0).as("files_reduced"),
+            lit(if (rowsAfter == nDocs) 1 else 0).as("rows_preserved"))
+      },
+      Some(s"""SELECT d.doc_id + 1000000 AS query_id, c.doc_id AS cand_id,
+           |  1 AS probe_unchanged, 1 AS files_reduced, 1 AS rows_preserved
+           |FROM documents d JOIN documents c
+           |  ON ${normSql("d.text")} = ${normSql("c.text")}
+           |WHERE d.doc_id % 7 = 0""".stripMargin)),
+
     // Streaming INGEST DEDUP GATE, batch parity: an arriving batch mixes
     // perturbed copies of corpus docs (whitespace/case noise — must be
     // REJECTED by normalized-text membership) with genuinely novel docs
@@ -872,6 +930,53 @@ object LlmQueries {
          |  ${cosSql("a.v", "b.v")} AS cos
          |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.v", "b.v")} >= 0.35""".stripMargin)),
+
+    // SEMANTIC dedup — the SemDeDup recipe (Dedup.semanticDedup):
+    // k-means cells from the shared deterministic coarse quantizer,
+    // within-cell cosine pairs closed into components, keep = component
+    // minimum. KMeans cell boundaries aren't SQL-replicable, so the
+    // oracle checks the CONTRACT the decision must satisfy (the IVF-row
+    // pattern), each flag recomputed Spark-side from the raw vectors
+    // via an INDEPENDENT pair pass over the materialized decision
+    // frame: (a) a dropped member always has a same-cell witness
+    // clearing the threshold, (b) no two KEPT members of one cell clear
+    // it (exactly one representative per epsilon-group — a wrong
+    // closure breaks this), (c) every member's representative is itself
+    // kept, (d) one output row per corpus vector.
+    "llm_semantic_dedup" -> Q(
+      (s, dir) => {
+        val thr = 0.35
+        val emb = Tables.embeddings(s, dir)
+        val dd = Dedup.semanticDedup(emb, "vec_id", "embedding",
+          nCells = 8, threshold = thr).localCheckpoint(false)
+        // Pair graph recomputed from the DECISION frame (cells re-joined
+        // to raw vectors — no second k-means run).
+        val members = dd.select(col("id"), col("cell"))
+          .join(emb.select(col("vec_id").as("id"), col("embedding")), Seq("id"))
+        val pairs = Dedup.embeddingNearDupPairs(members, "id", "embedding",
+          "cell", thr).localCheckpoint(false)
+        val witnessed = pairs
+          .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+          .distinct().withColumn("__hasw", lit(1))
+        val keptViolation = pairs
+          .join(dd.select(col("id").as("id_a"), col("keep").as("__ka")), Seq("id_a"))
+          .join(dd.select(col("id").as("id_b"), col("keep").as("__kb")), Seq("id_b"))
+          .filter(col("__ka") === 1 && col("__kb") === 1)
+          .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+          .distinct().withColumn("__viol", lit(1))
+        dd.join(witnessed, Seq("id"), "left")
+          .join(keptViolation, Seq("id"), "left")
+          .join(dd.select(col("id").as("rep_id"), col("keep").as("__repkeep")),
+            Seq("rep_id"), "left")
+          .select(col("id").as("vec_id"),
+            (col("keep") === 1 || col("__hasw").isNotNull).cast("int")
+              .as("dropped_has_witness_ok"),
+            col("__viol").isNull.cast("int").as("kept_independent_ok"),
+            (col("__repkeep") === 1).cast("int").as("rep_kept_ok"))
+      },
+      Some("""SELECT vec_id, 1 AS dropped_has_witness_ok,
+             |1 AS kept_independent_ok, 1 AS rep_kept_ok
+             |FROM embeddings""".stripMargin)),
 
     // Substring-level exact dedup, stats edge: per-doc count/fraction of
     // k-gram occurrences (with multiplicity) that repeat ANYWHERE in the

@@ -139,6 +139,113 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("compactIndex: one file per directory, identical probe, sidecar and " +
+    "markers preserved; non-index dirs fail loud") {
+    val docs = spark.read.parquet(sf("documents")).select($"doc_id", $"text")
+    val delta = docs.filter($"doc_id" % 7 === 0).select(
+      ($"doc_id" + 1000000L).as("doc_id"),
+      upper(concat(lit(" "), regexp_replace($"text", " ", "  "))).as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("compact_idx").toString
+    try {
+      Dedup.writeExactDupIndex(docs.filter($"doc_id" % 2 === 0),
+        "doc_id", "text", 16, dir)
+      Dedup.appendToExactDupIndex(docs.filter($"doc_id" % 2 === 1),
+        "doc_id", "text", 16, dir)
+      val marker = new java.io.File(dir, "_GRAFT_GROWN")
+      marker.createNewFile()
+      val before = Dedup.probeExactDupIndex(spark, dir, delta,
+        "doc_id", "text", 16).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(before.nonEmpty)
+      val (fb, fa, rows) = Dedup.compactIndex(spark, dir)
+      assert(fa < fb, s"compaction did not reduce files: $fb -> $fa")
+      assert(rows === docs.count())
+      // Exactly one data file per (band, bkt) directory.
+      val leafDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .flatMap(_.listFiles().filter(_.isDirectory))
+      assert(leafDirs.nonEmpty)
+      leafDirs.foreach { d =>
+        val data = d.listFiles().filter(f =>
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        assert(data.length === 1, s"${d.getPath} has ${data.length} files")
+      }
+      assert(marker.exists(), "root marker file lost across compaction")
+      // Probe still validates the sidecar and returns the identical pairs.
+      val after = Dedup.probeExactDupIndex(spark, dir, delta,
+        "doc_id", "text", 16).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after === before)
+      // A parquet dir that is not a graft index refuses compaction.
+      val bare = java.nio.file.Files.createTempDirectory("bare_compact").toString
+      try {
+        docs.limit(5).write.mode("overwrite").parquet(bare)
+        val e = intercept[IllegalArgumentException] {
+          Dedup.compactIndex(spark, bare)
+        }
+        assert(e.getMessage.contains("sidecar"))
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(bare))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("semanticDedup decision core: transitive closure within a cell, " +
+    "min-id representative, cell boundaries respected") {
+    import spark.implicits._
+    // Hand-assigned cells make the decision deterministic: cell 0 holds
+    // a similarity CHAIN 1-2-3 (1~2 and 2~3 clear the threshold, 1~3
+    // does NOT - transitivity must still group them), plus orthogonal
+    // 20; cell 1 holds 30~31; 40 is near-identical to 30 but in the
+    // OTHER cell, so it must survive (the SemDeDup approximation).
+    def v(xs: Double*): Array[Double] = xs.toArray
+    val members = Seq(
+      (1L, 0, v(1, 0.30, 0, 0)), (2L, 0, v(1, 0, 0, 0)),
+      (3L, 0, v(1, -0.30, 0, 0)), (20L, 0, v(0, 0, 1, 0)),
+      (30L, 1, v(0, 0, 0, 1)), (31L, 1, v(0.01, 0, 0, 1)),
+      (40L, 0, v(0, 0.01, 0, 1))).toDF("id", "cell", "cv")
+    // cos(1,3) = (1 - 0.09)/1.09 ~ 0.835 < 0.9; cos(1,2)=cos(2,3) ~ 0.958.
+    val dd = Dedup.semanticDedupWithCells(members, threshold = 0.9)
+    val rows = dd.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L, 20L, 30L, 31L, 40L))
+    assert(rows(1L) === ((1L, 1)))
+    assert(rows(2L) === ((1L, 0)))
+    assert(rows(3L) === ((1L, 0))) // via the chain, not a direct edge
+    assert(rows(20L) === ((20L, 1)))
+    assert(rows(30L) === ((30L, 1)))
+    assert(rows(31L) === ((30L, 0)))
+    assert(rows(40L) === ((40L, 1))) // cross-cell near-dup survives
+  }
+
+  test("semanticDedup end-to-end: contract holds on real embeddings " +
+    "(witnessed drops, independent kept set, kept representatives)") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val thr = 0.35
+    val dd = Dedup.semanticDedup(emb, "vec_id", "embedding",
+      nCells = 8, threshold = thr).localCheckpoint()
+    val n = emb.count()
+    assert(dd.count() === n, "one output row per corpus vector")
+    val dropped = dd.filter($"keep" === 0)
+    assert(dropped.count() > 0, "fixture corpus has planted near-dups")
+    // Every member's representative is itself kept.
+    val repKeep = dd.join(
+      dd.select($"id".as("rep_id"), $"keep".as("rk")), Seq("rep_id"))
+    assert(repKeep.filter($"rk" =!= 1).count() === 0)
+    // Independent pair recompute: drops have a same-cell witness; no two
+    // kept members of one cell clear the threshold.
+    val members = dd.select($"id", $"cell")
+      .join(emb.select($"vec_id".as("id"), $"embedding"), Seq("id"))
+    val pairs = Dedup.embeddingNearDupPairs(members, "id", "embedding",
+      "cell", thr).localCheckpoint()
+    val witnessed = pairs.select(explode(array($"id_a", $"id_b")).as("id"))
+      .distinct()
+    assert(dropped.join(witnessed, Seq("id"), "left_anti").count() === 0)
+    val keptPairs = pairs
+      .join(dd.filter($"keep" === 1).select($"id".as("id_a")), Seq("id_a"))
+      .join(dd.filter($"keep" === 1).select($"id".as("id_b")), Seq("id_b"))
+    assert(keptPairs.count() === 0)
+  }
+
   test("banded index params sidecar: mismatched probe or append fails loud") {
     val docs = spark.read.parquet(sf("documents")).select($"doc_id", $"text")
       .filter($"doc_id" < 40)
