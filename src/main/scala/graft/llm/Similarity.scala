@@ -663,6 +663,45 @@ object Similarity {
     topKPerQuery(scored, k, queries.schema(idCol).dataType)
   }
 
+  /** SEMANTIC membership probe of a [[writeLshIndex]] layout: every
+    * (query, corpus) hyperplane-bucket-mate pair whose EXACT cosine
+    * clears `threshold` — the embedding-space twin of
+    * [[graft.llm.Dedup.probeExactDupIndex]], and the membership
+    * primitive of the streaming semantic ingest gate. Same DPP shape as
+    * [[lshTopKFromIndex]]: the batch's band rows broadcast-join the
+    * index on its partition columns, so only the bucket directories the
+    * batch hashes into are read, and cosine is scored inline on the
+    * pruned scan.
+    *
+    * Deliberately NO hot-bucket cap here, unlike the top-k paths: a cap
+    * drops candidates, which for a top-k ranking costs recall but for a
+    * MEMBERSHIP decision would wrongly ACCEPT a duplicate whose witness
+    * sits in a crowded bucket — and crowded buckets are exactly where
+    * near-duplicate mass concentrates. Cost stays bounded by batch size
+    * x probed-bucket width; a degenerate corpus shows up as an
+    * operational metric ([[overCapBuckets]]), not a silent admit.
+    *
+    * @return (query_id, cand_id, cos) distinct, cos >= threshold
+    */
+  def probeLshThreshold(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String, delta: DataFrame, idCol: String,
+                        vecCol: String, threshold: Double, numPlanes: Int,
+                        numTables: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val q = delta.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
+    val qb = q.select(col("query_id"), col("qv"), col("qnorm"),
+      posexplode(array((0 until numTables).map(t =>
+        hyperplaneBucket(col("qv"), numPlanes, t)): _*)).as(Seq("band", "bkt")))
+      .withColumn("bkt", col("bkt").cast("int"))
+    BandedIndex.probeJoin(spark, indexPath, qb, Nil,
+        lshParams(numPlanes, numTables))
+      .withColumn("cos",
+        dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
+      .filter(col("cos") >= threshold)
+      .select("query_id", "cand_id", "cos").distinct()
+  }
+
   /** DIAGNOSTIC for the hot-bucket cap: every (band, bkt) group wider
     * than `maxBucketWidth`, with its width — exactly the buckets
     * [[lshTopK]] and [[lshTopKFromIndex]] exclude from candidate

@@ -754,6 +754,62 @@ object LlmQueries {
            |WHERE NOT EXISTS (SELECT 1 FROM hits h
            |  WHERE h.doc_id = a.doc_id)""".stripMargin)),
 
+    // Streaming SEMANTIC gate, batch parity: the third gate of the
+    // family — membership is embedding-cosine >= threshold against the
+    // write-time LSH hyperplane index (Streams.semanticGateBatch =
+    // probeLshThreshold + left-anti). The arriving batch mixes
+    // positively-SCALED copies of corpus vectors (same direction =>
+    // identical hyperplane buckets in every table, cosine exactly 1 =>
+    // must be rejected; the surface-blind signal no lexical gate has)
+    // with NEGATED vectors (all projection signs flip => different
+    // buckets; accepted unless some bucket-mate scores <= -threshold).
+    // The oracle replays the whole decision: bucket assignment is a
+    // deterministic per-row function (projSql), cosine the pinned
+    // double fold — so acceptance is recomputed row-for-row, not
+    // contract-flagged. StreamsSpec drives the same dataflow through
+    // MemoryStream incl. the cross-batch append and intra-batch check.
+    "llm_stream_semantic_gate" -> Q(
+      (s, dir) => {
+        val fix = ensureLshIndex(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val arriving = emb.filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 20000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+          .unionByName(emb.filter(col("vec_id") % 5 === 2)
+            .select((col("vec_id") + 30000L).as("vec_id"),
+              transform(col("embedding"), x => -x).as("embedding")))
+        graft.streaming.Streams.semanticGateBatch(s, fix, arriving,
+          "vec_id", "embedding", threshold = 0.95, numPlanes = 4,
+          numTables = 4).select("vec_id")
+      },
+      Some {
+        val bucket = (v: String, t: Int) => (0 until 4).map(p =>
+          s"(CASE WHEN ${projSql(v, t * 4 + p)} >= 0 THEN ${1L << p} ELSE 0 END)")
+          .mkString("(", " + ", ")::BIGINT")
+        val cb = (0 until 4).map(t =>
+          s"SELECT vec_id, v, $t AS tbl, ${bucket("v", t)} AS bucket FROM v")
+          .mkString("\nUNION ALL\n")
+        val ab = (0 until 4).map(t =>
+          s"SELECT vec_id, v, $t AS tbl, ${bucket("v", t)} AS bucket FROM arriving")
+          .mkString("\nUNION ALL\n")
+        s"""$vecCte,
+           |arriving AS (
+           |  SELECT vec_id + 20000 AS vec_id,
+           |    list_transform(v, x -> x * 2) AS v
+           |  FROM v WHERE vec_id % 5 = 0
+           |  UNION ALL
+           |  SELECT vec_id + 30000 AS vec_id,
+           |    list_transform(v, x -> -x) AS v
+           |  FROM v WHERE vec_id % 5 = 2),
+           |cb AS ($cb),
+           |ab AS ($ab)
+           |SELECT a.vec_id FROM arriving a
+           |WHERE NOT EXISTS (SELECT 1 FROM ab JOIN cb
+           |  ON ab.tbl = cb.tbl AND ab.bucket = cb.bucket
+           |  WHERE ab.vec_id = a.vec_id
+           |    AND ${cosSql("ab.v", "cb.v")} >= 0.95)""".stripMargin
+      }),
+
     // Near-dup CLUSTERS: MinHash-LSH pairs -> connected components -> one
     // cluster id (min member) per involved doc. The oracle replicates the
     // transitive closure with a recursive CTE.

@@ -474,6 +474,84 @@ object Streams {
       maxHamming,
       graft.llm.Dedup.simhashWideIndexBuckets(df.sparkSession, indexPath))
 
+  /** One micro-batch of the streaming SEMANTIC ingest gate: keep only
+    * the batch rows whose embedding has NO corpus bucket-mate with
+    * cosine >= `threshold` in the write-time LSH index
+    * ([[graft.llm.Similarity.probeLshThreshold]] — a DPP-pruned read of
+    * the hyperplane-bucket directories the batch hashes into, exact
+    * cosine verify) + left-anti on the id. The third gate of the
+    * family: the exact gate rejects verbatim (normalized) copies, the
+    * near-dup gate lightly-edited copies, and this one PARAPHRASES —
+    * rewrites whose surface string shares nothing but whose embedding
+    * still matches (the SemDeDup signal, applied at ingest time instead
+    * of corpus-rebuild time). Same 100 TB property: cost is the BATCH
+    * size times probed-bucket width, never the corpus.
+    */
+  def semanticGateBatch(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String, batch: DataFrame, idCol: String,
+                        vecCol: String, threshold: Double, numPlanes: Int,
+                        numTables: Int): DataFrame = {
+    val hits = graft.llm.Similarity
+      .probeLshThreshold(spark, indexPath, batch, idCol, vecCol, threshold,
+        numPlanes, numTables)
+      .select(col("query_id").as(idCol)).distinct()
+    batch.join(hits, Seq(idCol), "left_anti")
+  }
+
+  /** Streaming SEMANTIC ingest gate: [[startDedupGateSink]] with
+    * [[semanticGateBatch]] as the decision and the LSH hyperplane index
+    * as the growing membership state — accepted rows append their
+    * bucket rows ([[graft.llm.Similarity.appendToLshIndex]]), so a
+    * vector accepted in batch N rejects its paraphrase-copies in batch
+    * N+1. Replay/exactly-once transfers from the exact gate verbatim
+    * (self-matches excluded by id, double-appends only re-confirm the
+    * same id-distinct hits, batchId-idempotent output directory).
+    *
+    * Intra-batch semantic clones are gated like the near-dup sink's:
+    * after the corpus decision, bucket-mate pairs WITHIN the accepted
+    * set (any shared table bucket, exact cosine >= threshold) reject
+    * every row matching a smaller id — deterministic keep-lowest-id,
+    * batch-sized, replay-stable. Same chain caveat as there.
+    */
+  def startSemanticGateSink(df: DataFrame, indexPath: String, outPath: String,
+                            checkpoint: String, idCol: String, vecCol: String,
+                            threshold: Double, numPlanes: Int,
+                            numTables: Int) =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val corpusOk = semanticGateBatch(spark, indexPath, batch.toDF(),
+          idCol, vecCol, threshold, numPlanes, numTables)
+          .localCheckpoint(true)
+        // Intra-batch: bucket-mates in any LSH table among the
+        // corpus-accepted rows, exact-cosine verified; id_a < id_b so
+        // dropping id_b keeps the lowest id of each group.
+        val b = corpusOk.select(col(idCol).as("id"),
+          posexplode(array((0 until numTables).map(t =>
+            graft.llm.Similarity.hyperplaneBucket(
+              transform(col(vecCol), x => x.cast("double")), numPlanes, t)): _*))
+            .as(Seq("tbl", "bucket")))
+        val mates = b.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+          .join(b.select(col("tbl"), col("bucket"), col("id").as("id_b")),
+            Seq("tbl", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        val vecs = corpusOk.select(col(idCol), col(vecCol))
+        val intraDups = mates
+          .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), Seq("id_a"))
+          .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), Seq("id_b"))
+          .filter(graft.llm.Similarity.cosine(col("__va"), col("__vb")) >= threshold)
+          .select(col("id_b").as(idCol)).distinct()
+        val accepted = corpusOk.join(intraDups, Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+        accepted.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        graft.llm.Similarity.appendToLshIndex(accepted, idCol, vecCol,
+          numPlanes, numTables, indexPath)
+      }
+      .start()
+
   /** Streaming ingest dedup gate: each micro-batch is gated through
     * [[dedupGateBatch]], accepted rows land in a batchId-named parquet
     * subdirectory (the [[startParquetSink]] idempotent layout) AND are

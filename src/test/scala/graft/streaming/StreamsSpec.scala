@@ -20,6 +20,8 @@ case class KV(k: Long, name: String, v: Double, seq: Long)
 
 case class Doc(doc_id: Long, text: String)
 
+case class Vec(vec_id: Long, embedding: Array[Float])
+
 /** Streaming semantics: replay the same rows through MemoryStream and
   * assert the incremental result equals the batch result of the SAME
   * transform — the unified-model contract the driver's batch-parity
@@ -407,6 +409,53 @@ class StreamsSpec extends SparkSpec {
           Doc(21L, "totally fresh words appear nowhere else in any corpus document here")).toDF(),
         "doc_id", "text", maxHamming = 7, nBuckets = 8)
         .select("doc_id").as[Long].collect().sorted
+      assert(replay === Array(21L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
+  test("streaming SEMANTIC gate rejects scaled copies, cross-batch " +
+    "paraphrases of accepted rows, and intra-batch clones via the LSH index") {
+    implicit val sqlCtx = spark.sqlContext
+    // 64-dim basis vectors: scaled copies share every hyperplane bucket
+    // with their original (cosine exactly 1); distinct basis vectors are
+    // orthogonal (cosine 0 < threshold) so they pass wherever they hash.
+    def e(i: Int, scale: Float = 1.0f): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(i) = scale; a
+    }
+    val corpus = Seq(Vec(1L, e(0)), Vec(2L, e(1))).toDF()
+    val root = java.nio.file.Files.createTempDirectory("sgate").toString
+    val (idx, out, ckpt) = (s"$root/idx", s"$root/out", s"$root/ckpt")
+    try {
+      graft.llm.Similarity.writeLshIndex(corpus, "vec_id", "embedding",
+        numPlanes = 4, numTables = 4, path = idx)
+      val mem = MemoryStream[Vec]
+      val q = Streams.startSemanticGateSink(mem.toDF(), idx, out, ckpt,
+        "vec_id", "embedding", threshold = 0.95, numPlanes = 4,
+        numTables = 4)
+      try {
+        // Batch 0: a scaled copy of corpus vector 1 (reject) and a novel
+        // direction (accept).
+        mem.addData(Vec(10L, e(0, 3.0f)), Vec(11L, e(2)))
+        q.processAllAvailable()
+        // Batch 1: a scaled copy of batch 0's ACCEPTED vector (cross-
+        // batch append must reject it), an intra-batch clone pair on a
+        // new direction (keep the lower id only), and a novel direction.
+        mem.addData(Vec(12L, e(2, 2.0f)),
+          Vec(13L, e(3)), Vec(14L, e(3, 5.0f)),
+          Vec(15L, e(4)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val accepted = spark.read.parquet(out)
+        .select("vec_id").as[Long].collect().sorted
+      assert(accepted === Array(11L, 13L, 15L))
+      // Gate body agrees with a direct probe of the final (grown) index:
+      // the intra-batch survivor 13 was appended (20 rejected), 14 wasn't.
+      val replay = Streams.semanticGateBatch(spark, idx,
+        Seq(Vec(20L, e(3, 7.0f)), Vec(21L, e(5))).toDF(),
+        "vec_id", "embedding", threshold = 0.95, numPlanes = 4,
+        numTables = 4)
+        .select("vec_id").as[Long].collect().sorted
       assert(replay === Array(21L))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(root))
