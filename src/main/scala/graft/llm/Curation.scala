@@ -147,6 +147,28 @@ object Curation {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** NEAR-dup benchmark decontamination: drop every corpus doc whose
+    * shingle Jaccard against ANY benchmark doc clears `threshold` — the
+    * paraphrase edition of [[decontaminate]]. The exact variant drops a
+    * doc for sharing a single n-gram (maximally conservative, but on a
+    * dense corpus it over-drops wholesale); this one drops only
+    * WHOLE-DOCUMENT near-matches — the reworded eval question that
+    * leaked into the training set — via the cross-corpus banded
+    * candidate join ([[Dedup.minhashLshPairsAcross]]: benchmark band
+    * rows broadcast, no corpus-wide shuffle, exact-Jaccard verified).
+    * The two variants compose: exact for verbatim leak, near-dup at a
+    * Jaccard threshold for paraphrase leak.
+    */
+  def decontaminateNearDup(corpus: DataFrame, benchmark: DataFrame,
+                           idCol: String, textCol: String, shingleK: Int,
+                           bands: Int, rowsPerBand: Int,
+                           threshold: Double): DataFrame = {
+    val contaminated = Dedup.minhashLshPairsAcross(corpus, benchmark,
+        idCol, textCol, shingleK, bands, rowsPerBand, threshold)
+      .select(col("id_a").as(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Deterministic score-proportional sampling: keep each row with
     * probability `clamp(score, 0, 1)` — the curation step that thins a
     * corpus TOWARD its high-quality tail without a hard cutoff (a hard

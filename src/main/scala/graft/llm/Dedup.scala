@@ -106,6 +106,49 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** CROSS-corpus near-dup pairs: every (left, right) doc pair whose
+    * shingle Jaccard clears `threshold`, candidates generated ONLY
+    * across the two frames — no left-left or right-right pair ever
+    * forms, which is the shape benchmark decontamination needs (a
+    * training corpus checked against an eval set: the train-train
+    * near-dup question is [[minhashLshPairs]]' job, not this one's).
+    * Same signature stage ([[bandKeys]] — identical hash parameters)
+    * and the same exact-Jaccard verify on carried shingle arrays, so a
+    * pair collides here exactly where the self-join family would see
+    * it. The right frame is typically benchmark-sized (thousands of
+    * docs vs a corpus of billions): its band rows broadcast, so the
+    * candidate join is a broadcast probe of the corpus band stream —
+    * no corpus-wide shuffle at all.
+    *
+    * @return (id_a = left id, id_b = right id, jaccard)
+    */
+  def minhashLshPairsAcross(left: DataFrame, right: DataFrame,
+                            idCol: String, textCol: String, shingleK: Int,
+                            bands: Int, rowsPerBand: Int, threshold: Double,
+                            mat: graft.ops.Materialize = graft.ops.Materialize.Local): DataFrame = {
+    def sets(df: DataFrame) =
+      mat(ensureParallelism(df.select(col(idCol).as("id"), col(textCol)))
+        .select(col("id"), wordShingles(col(textCol), shingleK).as("shingles")))
+    val ls = sets(left)
+    val rs = sets(right)
+    val cand = bandKeys(ls, bands, rowsPerBand)
+      .select(col("band"), col("key"), col("id").as("id_a"))
+      .join(broadcast(bandKeys(rs, bands, rowsPerBand)
+        .select(col("band"), col("key"), col("id").as("id_b"))),
+        Seq("band", "key"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(ls.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(broadcast(rs.select(col("id").as("id_b"), col("shingles").as("sh_b"))),
+        Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** MinHash band keys of a (id, shingles) frame: one row per (doc,
     * band), key = the band's signature slice joined with '_'. The
     * shared signature stage of the inline pair join AND the write-time

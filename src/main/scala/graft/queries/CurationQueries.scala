@@ -241,6 +241,50 @@ object CurationQueries {
               |WHERE doc_id % 89 <> 0
               |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin)),
 
+    // NEAR-dup decontamination: the paraphrase edition — a corpus doc
+    // is dropped only when its whole-document shingle Jaccard vs some
+    // benchmark doc clears 0.5 (the exact variants above drop on ANY
+    // shared shingle — verbatim-leak semantics; this catches the
+    // REWORDED eval question without over-dropping docs that merely
+    // share a phrase). Candidates via the cross-corpus minhash band
+    // join (benchmark side broadcast, no corpus-wide shuffle); the
+    // oracle replays the full signature/band/Jaccard chain — same
+    // CTE shape as llm_neardup_index_probe.
+    "llm_decontaminate_neardup" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val bench = docs.filter(col("doc_id") % 97 === 0)
+        val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        Curation.decontaminateNearDup(corpus, bench, "doc_id", "text",
+          shingleK = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
+          .select(col("doc_id"), col("lang"))
+      },
+      Some {
+        val P = graft.llm.TextOps.MinhashP
+        val mins = (0 until 16).map { i =>
+          val (a, b) = graft.llm.TextOps.minhashParams(i)
+          s"list_min(list_transform(hs, h -> ($a * h + $b) % $P))"
+        }.mkString("[", ", ", "]")
+        s"""WITH norm AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents),
+           |shd AS (SELECT doc_id, ${shinglesSql("ws")} AS sh FROM norm),
+           |hsd AS (SELECT doc_id, sh,
+           |  list_transform(sh, s -> ${h60("s")} % $P) AS hs FROM shd),
+           |sig AS (SELECT doc_id, sh, $mins AS sig FROM hsd),
+           |banded AS (SELECT doc_id, sh, b.band,
+           |  array_to_string(sig[b.band*2+1:b.band*2+2], '_') AS bkey
+           |  FROM sig, (SELECT unnest(range(0, 8)) AS band) b),
+           |cand AS (SELECT DISTINCT t.doc_id AS tid, t.sh AS ts, c.sh AS bs
+           |  FROM banded t JOIN banded c
+           |  ON t.band = c.band AND t.bkey = c.bkey
+           |  WHERE t.doc_id % 97 <> 0 AND c.doc_id % 97 = 0),
+           |bad AS (SELECT DISTINCT tid FROM cand
+           |  WHERE len(list_intersect(ts, bs))::DOUBLE /
+           |    (len(ts) + len(bs) - len(list_intersect(ts, bs)))::DOUBLE >= 0.5)
+           |SELECT doc_id, lang FROM documents
+           |WHERE doc_id % 97 <> 0
+           |  AND doc_id NOT IN (SELECT tid FROM bad)""".stripMargin
+      }),
+
     // TF-IDF-style term relevance (log-free: tf * N / df, every op
     // exactly-rounded IEEE, so even the double score hash-matches).
     "llm_tfidf" -> Q(

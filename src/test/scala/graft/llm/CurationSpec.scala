@@ -77,6 +77,35 @@ class CurationSpec extends SparkSpec {
     assert(out === Set(2L, 3L))
   }
 
+  test("decontaminateNearDup drops whole-document near-matches only: a " +
+    "doc sharing one phrase with the benchmark survives") {
+    val corpus = Seq(
+      // Near-verbatim copy of the benchmark doc (one word appended):
+      // jaccard well above 0.5 -> dropped.
+      (1L, "alpha beta gamma delta epsilon zeta eta theta extra"),
+      // Shares ONLY the leading phrase (3 of its many shingles): the
+      // exact variant would drop it; near-dup keeps it.
+      (2L, "alpha beta gamma delta completely different tail of words " +
+        "stretching far beyond any overlap with the benchmark document"),
+      (3L, "totally unrelated vocabulary everywhere")).toDF("id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("id", "text")
+    val out = Curation.decontaminateNearDup(corpus, bench, "id", "text",
+      shingleK = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(out === Set(2L, 3L))
+    // Cross-check the phrase-sharing claim: the exact variant DOES drop 2.
+    val exact = Curation.decontaminate(corpus, bench, "id", "text", 3)
+      .select("id").as[Long].collect().toSet
+    assert(exact === Set(3L))
+    // The pair frame orients (corpus, bench) and reports the jaccard.
+    val pairs = Dedup.minhashLshPairsAcross(corpus, bench, "id", "text",
+      3, 8, 2, 0.5).collect()
+    assert(pairs.length === 1)
+    assert(pairs(0).getLong(0) === 1L && pairs(0).getLong(1) === 100L)
+    assert(pairs(0).getDouble(2) > 0.5)
+  }
+
   test("vocabTopK returns highest-count tokens with deterministic ties") {
     val df = Seq("a a a b b c", "b c d", "  A  ").toDF("text")
     val top = Curation.vocabTopK(df, "text", 3).as[(String, Long)].collect()
