@@ -916,11 +916,14 @@ object Dedup {
     * Iterative min-label propagation with ADAPTIVE pointer jumping: each
     * round, every node adopts the smallest label among itself and its
     * neighbors (one join + one aggregate — the cheap round). Propagation
-    * alone needs O(component diameter) rounds, which is fine for real
-    * near-dup graphs (diameter is almost always < 8) — so the first
-    * `jumpAfter` rounds pay nothing extra. If convergence has NOT arrived
-    * by then, the graph has a deep component and every later round adds a
-    * pointer jump: follow the candidate label one hop through the label
+    * alone needs O(component diameter) rounds — fine for clique-ish
+    * lexical near-dup graphs, but embedding-threshold graphs chain
+    * (round-11 measurement: the semantic pair graph at sf0.1 has
+    * diameter > 8), so after `jumpAfter` cheap rounds (default 4 —
+    * measured best across both graph shapes; the extra join below is
+    * label-table-sized, cheap next to a wasted propagate round) every
+    * round adds a pointer jump: follow the candidate label one hop
+    * through the label
     * table (`label(label)` — every label value is a node id in the same
     * component, and labels only decrease, so the jump is sound), which
     * collapses chains exponentially (O(log diameter) jump rounds; a
@@ -932,7 +935,7 @@ object Dedup {
   def dedupClusters(pairs: DataFrame, idA: String = "id_a",
                     idB: String = "id_b", maxIters: Int = 25,
                     mat: graft.ops.Materialize = graft.ops.Materialize.Local,
-                    jumpAfter: Int = 8): DataFrame = {
+                    jumpAfter: Int = 4): DataFrame = {
     import graft.ops.Materialize
     // Per-step materialization (edges, initial labels, each round's
     // labels keep lineage flat). Path gets a distinct subdirectory per
@@ -950,8 +953,39 @@ object Dedup {
         struct(col(idA).as("src"), col(idB).as("dst")),
         struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst")))
-    var labels = matStep("labels_init")(edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")))
+    // Size the per-round shuffles to the GRAPH, not the session default:
+    // every round is 2-3 joins + an aggregate, and each materialization
+    // erases partitioning (localCheckpoint -> UnknownPartitioning, the
+    // round-11 BPE finding), so every round re-shuffles at
+    // spark.sql.shuffle.partitions — on a fixture-scale pair graph that
+    // is rounds x partitions near-empty tasks of pure scheduling
+    // overhead (measured: an 11 s closure over 1,303 pairs at 32
+    // partitions). The edge frame is already materialized, so its count
+    // is one cheap job; partitions = clamp(edges / 64k, 1, default
+    // parallelism) — a corpus-scale graph keeps full width, a small one
+    // runs single-task rounds. This is exactly what AQE's coalescing
+    // would pick; it's applied explicitly because the loop must also
+    // behave under sessions that pin AQE off (the local bench posture).
+    // The session value is restored in the finally — per-action plans
+    // read the conf at execution, and the loop materializes each round,
+    // so the narrowed value never leaks past this call (single-threaded
+    // driver assumption, same as the rest of the query registry).
+    val spark = pairs.sparkSession
+    val EdgesPerPartition = 65536L
+    val nEdges = edges.count()
+    val graphParts = math.max(1L, math.min(
+      (nEdges + EdgesPerPartition - 1) / EdgesPerPartition,
+      spark.sparkContext.defaultParallelism.toLong)).toInt
+    val prevShuffleParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", graphParts)
+    try {
+    // labels_0 fuses the first propagate round into initialization:
+    // min(id, neighbors) costs the same one aggregate the old
+    // distinct-then-round-0 shape paid, and saves a full round's jobs
+    // (every node appears as src — both edge directions were exploded).
+    var labels = matStep("labels_init")(
+      edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("__nmin"))
+        .select(col("id"), least(col("id"), col("__nmin")).as("label")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -986,7 +1020,14 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"dedupClusters did not converge in $maxIters rounds - a component's " +
         "diameter exceeds maxIters; raise maxIters")
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    // Materialized INSIDE the narrowed-conf scope: the caller's lazy
+    // consumers must not re-plan round frames under a restored wide
+    // setting (they'd only waste tasks, but keep the contract tight).
+    matStep("labels_final")(
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id")))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffleParts)
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs within a bucket column (e.g. a
@@ -1057,6 +1098,25 @@ object Dedup {
       .localCheckpoint(false)
     semanticDedupWithCells(members, threshold)
   }
+
+  /** [[semanticDedup]] over a write-time IVF layout
+    * ([[Similarity.writeIvfIndex]]): the cell assignment is READ from
+    * the index instead of retrained — the coarse quantizer is a
+    * versioned artifact (exactly how the IVF maintenance story treats
+    * it), so corpus-wide semantic dedup becomes an index-consumer job:
+    * per-cell pair join + closure, zero k-means at decision time, and
+    * the decision stays consistent with every other consumer of the
+    * same index (probes, appends) by construction. The inline
+    * [[semanticDedup]] remains the one-shot form; this is the
+    * production shape once an index exists.
+    */
+  def semanticDedupFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                                indexPath: String,
+                                threshold: Double): DataFrame =
+    semanticDedupWithCells(
+      spark.read.parquet(s"$indexPath/corpus")
+        .select(col("cand_id").as("id"), col("cell"), col("cv")),
+      threshold)
 
   /** The cell-parameterized core of [[semanticDedup]]: `members` =
     * (id, cell, cv). Split out so the keep/drop decision (pair graph,

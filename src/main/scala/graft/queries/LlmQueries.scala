@@ -502,6 +502,56 @@ object LlmQueries {
        |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin
   }
 
+  /** Shared contract construction of the two semantic-dedup rows: given
+    * the decision frame (id, cell, rep_id, keep), recompute the pair
+    * graph INDEPENDENTLY from raw vectors over the decision's own cells
+    * and emit one flag row per corpus vector — (a) dropped members have
+    * a same-cell witness clearing the threshold, (b) no two KEPT
+    * members of one cell clear it, (c) every representative is itself
+    * kept. KMeans cell boundaries aren't SQL-replicable, so this is the
+    * IVF-row contract pattern: the oracle pins the flags to 1.
+    */
+  private def semanticDedupContract(s: org.apache.spark.sql.SparkSession,
+                                    dir: String,
+                                    decision: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // 0.4: tight enough that a "semantic duplicate" means a genuinely
+    // near-identical embedding (the SemDeDup meaning) and the pair
+    // graph stays clique-ish (round-11 probe: 0.35 chains 1.2k weak
+    // pairs into an 18-round closure; 0.4 keeps 25-300 real pairs
+    // across SFs with drops at every scale).
+    val thr = 0.4
+    val dd = decision.localCheckpoint(false)
+    val members = dd.select(col("id"), col("cell"))
+      .join(Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding")), Seq("id"))
+    val pairs = Dedup.embeddingNearDupPairs(members, "id", "embedding",
+      "cell", thr).localCheckpoint(false)
+    val witnessed = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct().withColumn("__hasw", lit(1))
+    val keptViolation = pairs
+      .join(dd.select(col("id").as("id_a"), col("keep").as("__ka")), Seq("id_a"))
+      .join(dd.select(col("id").as("id_b"), col("keep").as("__kb")), Seq("id_b"))
+      .filter(col("__ka") === 1 && col("__kb") === 1)
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct().withColumn("__viol", lit(1))
+    dd.join(witnessed, Seq("id"), "left")
+      .join(keptViolation, Seq("id"), "left")
+      .join(dd.select(col("id").as("rep_id"), col("keep").as("__repkeep")),
+        Seq("rep_id"), "left")
+      .select(col("id").as("vec_id"),
+        (col("keep") === 1 || col("__hasw").isNotNull).cast("int")
+          .as("dropped_has_witness_ok"),
+        col("__viol").isNull.cast("int").as("kept_independent_ok"),
+        (col("__repkeep") === 1).cast("int").as("rep_kept_ok"))
+  }
+
+  private val semanticContractOracleSql: String =
+    """SELECT vec_id, 1 AS dropped_has_witness_ok,
+      |1 AS kept_independent_ok, 1 AS rep_kept_ok
+      |FROM embeddings""".stripMargin
+
   val all: Map[String, Q] = Map(
 
     // Exact dedup: the corpus unioned with a case/whitespace-perturbed
@@ -1000,39 +1050,23 @@ object LlmQueries {
     // closure breaks this), (c) every member's representative is itself
     // kept, (d) one output row per corpus vector.
     "llm_semantic_dedup" -> Q(
-      (s, dir) => {
-        val thr = 0.35
-        val emb = Tables.embeddings(s, dir)
-        val dd = Dedup.semanticDedup(emb, "vec_id", "embedding",
-          nCells = 8, threshold = thr).localCheckpoint(false)
-        // Pair graph recomputed from the DECISION frame (cells re-joined
-        // to raw vectors — no second k-means run).
-        val members = dd.select(col("id"), col("cell"))
-          .join(emb.select(col("vec_id").as("id"), col("embedding")), Seq("id"))
-        val pairs = Dedup.embeddingNearDupPairs(members, "id", "embedding",
-          "cell", thr).localCheckpoint(false)
-        val witnessed = pairs
-          .select(explode(array(col("id_a"), col("id_b"))).as("id"))
-          .distinct().withColumn("__hasw", lit(1))
-        val keptViolation = pairs
-          .join(dd.select(col("id").as("id_a"), col("keep").as("__ka")), Seq("id_a"))
-          .join(dd.select(col("id").as("id_b"), col("keep").as("__kb")), Seq("id_b"))
-          .filter(col("__ka") === 1 && col("__kb") === 1)
-          .select(explode(array(col("id_a"), col("id_b"))).as("id"))
-          .distinct().withColumn("__viol", lit(1))
-        dd.join(witnessed, Seq("id"), "left")
-          .join(keptViolation, Seq("id"), "left")
-          .join(dd.select(col("id").as("rep_id"), col("keep").as("__repkeep")),
-            Seq("rep_id"), "left")
-          .select(col("id").as("vec_id"),
-            (col("keep") === 1 || col("__hasw").isNotNull).cast("int")
-              .as("dropped_has_witness_ok"),
-            col("__viol").isNull.cast("int").as("kept_independent_ok"),
-            (col("__repkeep") === 1).cast("int").as("rep_kept_ok"))
-      },
-      Some("""SELECT vec_id, 1 AS dropped_has_witness_ok,
-             |1 AS kept_independent_ok, 1 AS rep_kept_ok
-             |FROM embeddings""".stripMargin)),
+      (s, dir) => semanticDedupContract(s, dir,
+        Dedup.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+          nCells = 8, threshold = 0.4)),
+      Some(semanticContractOracleSql)),
+
+    // Semantic dedup as an INDEX CONSUMER: the cell assignment is read
+    // from the write-time IVF layout (built once in warmup fixture prep,
+    // like every other *_index row) instead of retrained per run — the
+    // production shape once a coarse-quantizer artifact exists, and the
+    // timed cost is the decision dataflow (per-cell pairs + closure +
+    // contract), not a k-means fit. Same contract oracle; the flags are
+    // recomputed from the index's own cells.
+    "llm_semantic_dedup_index" -> Q(
+      (s, dir) => semanticDedupContract(s, dir,
+        Dedup.semanticDedupFromIvfIndex(s, ensureIvfIndex(s, dir),
+          threshold = 0.4)),
+      Some(semanticContractOracleSql)),
 
     // Substring-level exact dedup, stats edge: per-doc count/fraction of
     // k-gram occurrences (with multiplicity) that repeat ANYWHERE in the

@@ -220,7 +220,7 @@ class DedupSpec extends SparkSpec {
   test("semanticDedup end-to-end: contract holds on real embeddings " +
     "(witnessed drops, independent kept set, kept representatives)") {
     val emb = spark.read.parquet(sf("embeddings"))
-    val thr = 0.35
+    val thr = 0.4
     val dd = Dedup.semanticDedup(emb, "vec_id", "embedding",
       nCells = 8, threshold = thr).localCheckpoint()
     val n = emb.count()
