@@ -118,28 +118,38 @@ object Dedup {
     * it. The right frame is typically benchmark-sized (thousands of
     * docs vs a corpus of billions): its band rows broadcast, so the
     * candidate join is a broadcast probe of the corpus band stream —
-    * no corpus-wide shuffle at all.
+    * no corpus-wide shuffle at all. The broadcast is GUARDED, not
+    * assumed: the materialized right side is counted (one cheap job
+    * over the pinned shingle frame) and a right side over
+    * `maxBroadcastRight` docs falls back to plain shuffle joins — AQE
+    * picks the sides — instead of OOMing the driver with a
+    * corpus-sized shingle broadcast. The default bounds the broadcast
+    * at ~100k docs × (8 band rows + one shingle array) — comfortably
+    * inside a driver heap, far past any real eval suite.
     *
     * @return (id_a = left id, id_b = right id, jaccard)
     */
   def minhashLshPairsAcross(left: DataFrame, right: DataFrame,
                             idCol: String, textCol: String, shingleK: Int,
                             bands: Int, rowsPerBand: Int, threshold: Double,
-                            mat: graft.ops.Materialize = graft.ops.Materialize.Local): DataFrame = {
+                            mat: graft.ops.Materialize = graft.ops.Materialize.Local,
+                            maxBroadcastRight: Long = 100000L): DataFrame = {
     def sets(df: DataFrame) =
       mat(ensureParallelism(df.select(col(idCol).as("id"), col(textCol)))
         .select(col("id"), wordShingles(col(textCol), shingleK).as("shingles")))
     val ls = sets(left)
     val rs = sets(right)
+    val bHint: DataFrame => DataFrame =
+      if (rs.count() <= maxBroadcastRight) broadcast else identity
     val cand = bandKeys(ls, bands, rowsPerBand)
       .select(col("band"), col("key"), col("id").as("id_a"))
-      .join(broadcast(bandKeys(rs, bands, rowsPerBand)
+      .join(bHint(bandKeys(rs, bands, rowsPerBand)
         .select(col("band"), col("key"), col("id").as("id_b"))),
         Seq("band", "key"))
       .select("id_a", "id_b").distinct()
     cand
       .join(ls.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
-      .join(broadcast(rs.select(col("id").as("id_b"), col("shingles").as("sh_b"))),
+      .join(bHint(rs.select(col("id").as("id_b"), col("shingles").as("sh_b"))),
         Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
@@ -1089,14 +1099,15 @@ object Dedup {
     *   (id, cell, rep_id, keep) with keep in {0, 1}
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    nCells: Int, threshold: Double): DataFrame = {
+                    nCells: Int, threshold: Double,
+                    maxCellSize: Int = DefaultMaxCellSize): DataFrame = {
     require(nCells > 0, s"nCells must be positive, got $nCells")
     // Pin the cell assignment: pairs, closure, and the final join all
     // consume it, and upstream is a k-means fit nobody wants re-run.
     val members = Similarity.ivfAssign(df, idCol, vecCol, nCells)._1
       .select(col("cand_id").as("id"), col("cell"), col("cv"))
       .localCheckpoint(false)
-    semanticDedupWithCells(members, threshold)
+    semanticDedupWithCells(members, threshold, maxCellSize)
   }
 
   /** [[semanticDedup]] over a write-time IVF layout
@@ -1112,25 +1123,63 @@ object Dedup {
     */
   def semanticDedupFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
                                 indexPath: String,
-                                threshold: Double): DataFrame =
+                                threshold: Double,
+                                maxCellSize: Int = DefaultMaxCellSize): DataFrame =
     semanticDedupWithCells(
       spark.read.parquet(s"$indexPath/corpus")
         .select(col("cand_id").as("id"), col("cell"), col("cv")),
-      threshold)
+      threshold, maxCellSize)
+
+  /** Default pathological-cell guard for [[semanticDedup]]: cells wider
+    * than this are salt-sub-split before the pair join. 10k members →
+    * ≤ ~50M in-cell candidate pairs for the worst cell, which one
+    * executor core grinds through in seconds; without the cap a skewed
+    * coarse quantizer (one dense embedding region) can concentrate
+    * millions of members in one cell and that cell's pair mass grows as
+    * its size SQUARED — the one shape that turns a banded design back
+    * into all-pairs.
+    */
+  val DefaultMaxCellSize: Int = 10000
 
   /** The cell-parameterized core of [[semanticDedup]]: `members` =
     * (id, cell, cv). Split out so the keep/drop decision (pair graph,
     * closure, representative choice) is testable independent of where
     * the coarse quantizer happens to place the cell boundaries.
+    *
+    * Pathological-cell guard: any cell wider than `maxCellSize` is
+    * sub-split by a deterministic salt — `pair_cell = "<cell>#<sub>"`,
+    * `sub = hash60(id) % ceil(n/maxCellSize)` — and candidate pairs form
+    * only within a sub-cell. A near-dup pair landing in different
+    * sub-cells is missed, the same accepted boundary miss the coarse
+    * cells themselves already have (SemDeDup's own approximation); in
+    * exchange the per-task pair mass is bounded by `maxCellSize²`
+    * regardless of quantizer skew. Cells at or under the cap keep
+    * `pair_cell = "<cell>"` — bit-identical decisions to the uncapped
+    * path. The count join is nCells rows, broadcast.
+    *
+    * @return (id, cell, pair_cell, rep_id, keep)
     */
   private[llm] def semanticDedupWithCells(members: DataFrame,
-                                          threshold: Double): DataFrame = {
-    val pairs = embeddingNearDupPairs(members, "id", "cv", "cell", threshold)
+                                          threshold: Double,
+                                          maxCellSize: Int = DefaultMaxCellSize): DataFrame = {
+    require(maxCellSize > 0, s"maxCellSize must be positive, got $maxCellSize")
+    val cellCounts = members.groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+    val sub = members
+      .join(broadcast(cellCounts), Seq("cell"))
+      .withColumn("__nsub",
+        expr(s"(__n + ${maxCellSize.toLong - 1L}) div ${maxCellSize.toLong}"))
+      .withColumn("pair_cell",
+        when(col("__nsub") <= 1L, col("cell").cast("string"))
+          .otherwise(concat(col("cell").cast("string"), lit("#"),
+            pmod(hash60(col("id").cast("string")), col("__nsub"))
+              .cast("string"))))
+      .drop("__n", "__nsub")
+    val pairs = embeddingNearDupPairs(sub, "id", "cv", "pair_cell", threshold)
     val reps = dedupClusters(pairs)
       .select(col("doc_id").as("id"), col("cluster_id").as("rep_id"))
     // Members in no pair are their own (kept) representative.
-    members.join(reps, Seq("id"), "left")
-      .select(col("id"), col("cell"),
+    sub.join(reps, Seq("id"), "left")
+      .select(col("id"), col("cell"), col("pair_cell"),
         coalesce(col("rep_id"), col("id")).as("rep_id"))
       .withColumn("keep", (col("id") === col("rep_id")).cast("int"))
   }

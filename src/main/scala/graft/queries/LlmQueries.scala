@@ -522,11 +522,14 @@ object LlmQueries {
     // across SFs with drops at every scale).
     val thr = 0.4
     val dd = decision.localCheckpoint(false)
-    val members = dd.select(col("id"), col("cell"))
+    // Pair over the EFFECTIVE pairing key (pair_cell: the coarse cell,
+    // sub-split when the pathological-cell guard fired) so contract (b)
+    // judges exactly the pairs the decision could have seen.
+    val members = dd.select(col("id"), col("pair_cell"))
       .join(Tables.embeddings(s, dir)
         .select(col("vec_id").as("id"), col("embedding")), Seq("id"))
     val pairs = Dedup.embeddingNearDupPairs(members, "id", "embedding",
-      "cell", thr).localCheckpoint(false)
+      "pair_cell", thr).localCheckpoint(false)
     val witnessed = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct().withColumn("__hasw", lit(1))

@@ -104,6 +104,16 @@ class CurationSpec extends SparkSpec {
     assert(pairs.length === 1)
     assert(pairs(0).getLong(0) === 1L && pairs(0).getLong(1) === 100L)
     assert(pairs(0).getDouble(2) > 0.5)
+    // Broadcast guard: with the threshold forced below the right side's
+    // size the hint is dropped (AQE picks the sides) and the pair set is
+    // unchanged — the fallback changes the plan, never the answer.
+    val shuffled = Dedup.minhashLshPairsAcross(corpus, bench, "id", "text",
+      3, 8, 2, 0.5, maxBroadcastRight = 0L)
+    assert(!shuffled.queryExecution.analyzed.toString
+      .contains("ResolvedHint"), "hint must be dropped above the threshold")
+    val sp = shuffled.collect()
+    assert(sp.length === 1 && sp(0).getLong(0) === 1L &&
+      sp(0).getLong(1) === 100L && sp(0).getDouble(2) === pairs(0).getDouble(2))
   }
 
   test("vocabTopK returns highest-count tokens with deterministic ties") {

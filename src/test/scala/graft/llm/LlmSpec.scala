@@ -205,8 +205,8 @@ class DedupSpec extends SparkSpec {
       (40L, 0, v(0, 0.01, 0, 1))).toDF("id", "cell", "cv")
     // cos(1,3) = (1 - 0.09)/1.09 ~ 0.835 < 0.9; cos(1,2)=cos(2,3) ~ 0.958.
     val dd = Dedup.semanticDedupWithCells(members, threshold = 0.9)
-    val rows = dd.collect().map(r =>
-      r.getLong(0) -> ((r.getLong(2), r.getInt(3)))).toMap
+    val rows = dd.select("id", "rep_id", "keep").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
     assert(rows.keySet === Set(1L, 2L, 3L, 20L, 30L, 31L, 40L))
     assert(rows(1L) === ((1L, 1)))
     assert(rows(2L) === ((1L, 0)))
@@ -215,6 +215,39 @@ class DedupSpec extends SparkSpec {
     assert(rows(30L) === ((30L, 1)))
     assert(rows(31L) === ((30L, 0)))
     assert(rows(40L) === ((40L, 1))) // cross-cell near-dup survives
+  }
+
+  test("semanticDedup pathological-cell guard: oversized cells sub-split " +
+    "deterministically; at-cap cells are bit-identical to uncapped") {
+    import spark.implicits._
+    // One 12-member cell of near-identical vectors (the skewed-quantizer
+    // shape) plus a small 2-member cell.
+    def v(eps: Double): Array[Double] = Array(1.0, eps, 0.0, 0.0)
+    val members = ((0 until 12).map(i => (i.toLong, 7, v(i * 1e-4))) ++
+      Seq((100L, 9, v(0.0)), (101L, 9, v(1e-4)))).toDF("id", "cell", "cv")
+    val capped = Dedup.semanticDedupWithCells(members, threshold = 0.9,
+      maxCellSize = 4).localCheckpoint()
+    // The wide cell split into ceil(12/4)=3 sub-cells; the small one kept
+    // its plain key (no '#').
+    val wide = capped.filter($"cell" === 7)
+    assert(wide.select($"pair_cell").distinct().count() === 3)
+    assert(wide.filter(!$"pair_cell".startsWith("7#")).count() === 0)
+    assert(capped.filter($"cell" === 9)
+      .select($"pair_cell").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("9"))
+    // Sub-splitting bounds the pair mass: each kept row is its sub-cell's
+    // min id, and every sub-cell keeps exactly one of these near-dups
+    // (3 representatives instead of 1 — the accepted boundary miss).
+    assert(wide.filter($"keep" === 1).count() === 3)
+    // The guard is inert for cells at/under the cap: identical decisions.
+    val uncapped = Dedup.semanticDedupWithCells(members, threshold = 0.9)
+    assert(uncapped.filter($"cell" === 7)
+      .filter($"keep" === 1).count() === 1)
+    val a = capped.filter($"cell" === 9)
+      .select("id", "rep_id", "keep").collect().toSet
+    val b = uncapped.filter($"cell" === 9)
+      .select("id", "rep_id", "keep").collect().toSet
+    assert(a === b)
   }
 
   test("semanticDedup end-to-end: contract holds on real embeddings " +
@@ -233,10 +266,10 @@ class DedupSpec extends SparkSpec {
     assert(repKeep.filter($"rk" =!= 1).count() === 0)
     // Independent pair recompute: drops have a same-cell witness; no two
     // kept members of one cell clear the threshold.
-    val members = dd.select($"id", $"cell")
+    val members = dd.select($"id", $"pair_cell")
       .join(emb.select($"vec_id".as("id"), $"embedding"), Seq("id"))
     val pairs = Dedup.embeddingNearDupPairs(members, "id", "embedding",
-      "cell", thr).localCheckpoint()
+      "pair_cell", thr).localCheckpoint()
     val witnessed = pairs.select(explode(array($"id_a", $"id_b")).as("id"))
       .distinct()
     assert(dropped.join(witnessed, Seq("id"), "left_anti").count() === 0)
