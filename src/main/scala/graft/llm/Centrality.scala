@@ -76,4 +76,59 @@ object Centrality {
     }
     ranks
   }
+
+  /** Per-node triangle participation counts over an UNDIRECTED graph:
+    * `(node, n_triangles)` for every node in at least one triangle.
+    * Triangle density is the classic graph-cohesion signal (clustering
+    * coefficient numerator) — over a co-purchase / co-citation / link
+    * graph it separates genuinely clustered neighborhoods from hub
+    * noise, which degree alone cannot.
+    *
+    * Input edges may carry duplicates, self-loops, or both directions;
+    * they are normalized to simple `a < b` edges first.
+    *
+    * Scale shape — the degree-ordered wedge join (the MapReduce triangle
+    * pattern of Suri–Vassilvitskii / Cohen, public): each edge is
+    * ORIENTED from its (degree, id)-smaller endpoint to the larger, so
+    * every triangle has exactly one apex with out-edges to the other two
+    * and is found exactly once. The payoff is skew-proofing: a node's
+    * wedge fan-out is its OUT-degree, which the orientation bounds by
+    * O(√m) regardless of raw degree — the celebrity hub that makes the
+    * naive neighbor-pair explosion quadratic never enumerates its
+    * pairs, because all its edges point INTO it. Three shuffles total
+    * (degree agg, wedge self-join on the apex, closing equi-join on the
+    * (u,v) pair); nothing is ever all-pairs.
+    */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String,
+                     mat: Materialize = Materialize.Local): DataFrame = {
+    // Simple undirected edges: canonical a < b, self-loops dropped.
+    val e0 = edges.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e0.select(col("a").as("n")).union(e0.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // Orient by the (degree, id) total order; a < b already, so ties go
+    // a → b. Carry the head's degree: wedge pairs below are ordered by
+    // the SAME key, so the closing edge is probed in its stored
+    // orientation — no double lookup.
+    val ori = mat(e0
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("src"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("dst"),
+        when(col("da") <= col("db"), col("db")).otherwise(col("da")).as("dd"))
+      .repartition(col("src")))
+    val wedges = ori.select(col("src"), col("dst").as("u"), col("dd").as("du"))
+      .join(ori.select(col("src"), col("dst").as("v"), col("dd").as("dv")),
+        Seq("src"))
+      .filter(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")))
+      .select(col("src").as("w"), col("u"), col("v"))
+    val tris = wedges.join(
+      ori.select(col("src").as("u"), col("dst").as("v")), Seq("u", "v"))
+    tris.select(explode(array(col("w"), col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

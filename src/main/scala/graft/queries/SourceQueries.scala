@@ -347,6 +347,40 @@ object SourceQueries {
              |SELECT node, CAST(rank AS BIGINT) AS rank_units
              |FROM r3""".stripMargin)),
 
+    // Graph cohesion: per-node triangle counts over the FREQUENT
+    // co-purchase graph (parts co-occurring in >= 2 orders — the
+    // market-basket support threshold that keeps the pair graph
+    // orders of magnitude below raw co-occurrence). The engine side is
+    // the degree-ordered wedge join (Centrality.triangleCounts: oriented
+    // edges bound wedge fan-out by O(sqrt m) — hub-skew-proof); the
+    // oracle enumerates the same triangles by plain id-ordered 3-way
+    // join, so agreement checks the orientation logic, not just the
+    // arithmetic.
+    "graph_triangles" -> Q(
+      (s, dir) => {
+        val items = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val freq = items.as("x")
+          .join(items.as("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("a"), col("y.p").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("supp"))
+          .filter(col("supp") >= 2)
+        graft.llm.Centrality.triangleCounts(freq, "a", "b")
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             |  FROM lineitem),
+             |e0 AS (SELECT a.p AS a, b.p AS b FROM items a
+             |       JOIN items b ON a.o = b.o AND a.p < b.p
+             |       GROUP BY 1, 2 HAVING count(*) >= 2),
+             |tri AS (SELECT e1.a AS w, e1.b AS u, e2.b AS v
+             |        FROM e0 e1 JOIN e0 e2 ON e1.a = e2.a AND e1.b < e2.b
+             |        JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b)
+             |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+             |  SELECT w AS node FROM tri UNION ALL SELECT u FROM tri
+             |  UNION ALL SELECT v FROM tri) GROUP BY node""".stripMargin)),
+
     // S8 + S10 - NDJSON sink + truncate-reload into the warehouse registry
     // (transform_json_INFO.py:104-119, WRITE_TRUNCATE).
     "s8_s10_ndjson_roundtrip" -> Q(

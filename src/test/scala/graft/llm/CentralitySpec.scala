@@ -42,6 +42,38 @@ class CentralitySpec extends SparkSpec {
     assert(one === many)
   }
 
+  test("triangleCounts: clique + pendant triangle, exact per-node counts, " +
+    "input normalization (dups, reversals, self-loops)") {
+    // 4-clique {1,2,3,4} -> C(3,2)=3 triangles per member, 4 total;
+    // node 8 closes one extra triangle with 1-2; path 5-6-7 closes none.
+    val clean = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (8L, 1L), (8L, 2L), (5L, 6L), (6L, 7L))
+    // Noise the input: every edge also reversed, one duplicated, one loop.
+    val edges = (clean ++ clean.map(_.swap) ++ Seq((1L, 2L), (6L, 6L)))
+      .toDF("a", "b")
+    val out = Centrality.triangleCounts(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 4L, 2L -> 4L, 3L -> 3L, 4L -> 3L, 8L -> 1L))
+  }
+
+  test("triangleCounts: star hub has zero wedge fan-out (oriented inward), " +
+    "and the result is partitioning-invariant") {
+    val star = (1L to 200L).map(i => (0L, i))
+    assert(Centrality.triangleCounts(star.toDF("a", "b"), "a", "b")
+      .count() === 0L)
+    // K8: C(8,3) = 56 triangles, every node in C(7,2) = 21.
+    val k8 = for (a <- 0L until 8L; b <- (a + 1) until 8L) yield (a, b)
+    val one = Centrality.triangleCounts(
+      k8.toDF("a", "b").coalesce(1), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val many = Centrality.triangleCounts(
+      k8.toDF("a", "b").repartition(13), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one === many)
+    assert(one === (0L until 8L).map(_ -> 21L).toMap)
+  }
+
   test("rejects empty edge lists and bad iteration counts") {
     intercept[IllegalArgumentException] {
       Centrality.pageRankFixedPoint(
