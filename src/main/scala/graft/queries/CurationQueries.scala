@@ -83,6 +83,56 @@ object CurationQueries {
              |             r_regionkey * 40000 + 39999 AS hi FROM region) bands
              |ON p >= lo AND p <= hi GROUP BY 1""".stripMargin)),
 
+    // Blocked fuzzy join (entity resolution): part names vs a dirty
+    // twin catalog — even keys lose their 2nd character (prefix block
+    // broken, suffix catches), odd keys lose their 2nd-to-last (suffix
+    // broken, prefix catches) — so BOTH blocking keys are load-bearing
+    // in the recall. Candidates form only inside a block (equi-shuffle,
+    // never n x m); the codegen'd levenshtein sees only length-plausible
+    // same-block pairs. The oracle replicates blocking + DuckDB's own
+    // levenshtein, so agreement checks the candidate generation AND the
+    // edit-distance kernel across engines.
+    "j7_fuzzy_join" -> Q(
+      (s, dir) => {
+        // Master catalog: one canonical row per distinct name (the part
+        // table repeats few names many times — matching raw-vs-raw would
+        // be quadratic in the duplicate-group size; master-vs-records is
+        // the standard linear ER shape).
+        val master = Tables.part(s, dir)
+          .groupBy(col("p_name"))
+          .agg(min(col("p_partkey")).as("m_key"))
+        val dirty = Tables.part(s, dir).select(
+          (col("p_partkey") + 1000000L).as("d_key"),
+          when(col("p_partkey") % 2 === 0,
+            expr("concat(substring(p_name, 1, 1), substring(p_name, 3))"))
+            .otherwise(expr(
+              "concat(substring(p_name, 1, length(p_name) - 2), " +
+                "substring(p_name, length(p_name), 1))"))
+            .as("d_name"))
+        Joins.fuzzyJoinBlocked(master, dirty, "m_key", "p_name",
+          "d_key", "d_name", maxDistance = 1)
+          .select(col("id_a"), col("id_b"), col("dist"))
+      },
+      Some("""WITH a0 AS (SELECT min(p_partkey) AS id_a,
+             |  lower(trim(p_name)) AS t_a FROM part GROUP BY p_name),
+             |b0 AS (SELECT p_partkey + 1000000 AS id_b,
+             |  lower(trim(CASE WHEN p_partkey % 2 = 0
+             |    THEN substr(p_name, 1, 1) || substr(p_name, 3)
+             |    ELSE substr(p_name, 1, length(p_name) - 2) ||
+             |         substr(p_name, length(p_name), 1) END)) AS t_b
+             |  FROM part),
+             |ka AS (SELECT id_a, 'p:' || substr(t_a, 1, 3) AS bkey FROM a0
+             |  UNION ALL SELECT id_a,
+             |    's:' || substr(t_a, greatest(length(t_a) - 2, 1), 3) FROM a0),
+             |kb AS (SELECT id_b, 'p:' || substr(t_b, 1, 3) AS bkey FROM b0
+             |  UNION ALL SELECT id_b,
+             |    's:' || substr(t_b, greatest(length(t_b) - 2, 1), 3) FROM b0),
+             |cand AS (SELECT DISTINCT id_a, id_b FROM ka JOIN kb USING (bkey))
+             |SELECT id_a, id_b, CAST(levenshtein(t_a, t_b) AS INT) AS dist
+             |FROM cand JOIN a0 USING (id_a) JOIN b0 USING (id_b)
+             |WHERE abs(length(t_a) - length(t_b)) <= 1
+             |  AND levenshtein(t_a, t_b) <= 1""".stripMargin)),
+
     // Context-window chunking: 40-token chunks, 8-token overlap
     // (stride 32). Chunk count, boundaries, and text are pure functions
     // of the normalized token array, replicated exactly in DuckDB via

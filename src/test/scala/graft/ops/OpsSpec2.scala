@@ -27,6 +27,33 @@ class JoinsSpec2 extends SparkSpec {
     assert(out === Set((1, "a"), (5, "b"), (5, "c"), (10, "c"), (15, "c")))
   }
 
+  test("fuzzyJoinBlocked: recalls single-end edits via either block key, " +
+    "respects the distance cap, no cross product") {
+    val clean = Seq(
+      (1L, "Amalgamated Widget Corp"),
+      (2L, "Consolidated Sprocket Ltd"),
+      (3L, "Zenith Gasket Holdings")).toDF("id", "name")
+    val dirty = Seq(
+      (11L, "malgamated Widget Corp"),   // head clipped: suffix block hits
+      (12L, "Consolidated Sprocket Lt"), // tail clipped: prefix block hits
+      (13L, "Zenith Gasket Hxldings"),   // mid typo: both blocks hit
+      (14L, "Completely Unrelated Name"),
+      (15L, "Zenith Gasket")             // 9 edits: blocked but over cap
+    ).toDF("id", "name")
+    val out = Joins.fuzzyJoinBlocked(clean, dirty, "id", "name",
+      "id", "name", maxDistance = 1)
+      .select($"id_a", $"id_b", $"dist").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(out === Set((1L, 11L, 1), (2L, 12L, 1), (3L, 13L, 1)))
+    // Case/whitespace are normalized before blocking and distance.
+    val ci = Joins.fuzzyJoinBlocked(
+      Seq((1L, "  ACME Corp ")).toDF("id", "name"),
+      Seq((2L, "acme corp")).toDF("id", "name"),
+      "id", "name", "id", "name", maxDistance = 0)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(ci === Seq((1L, 2L, 0)))
+  }
+
   test("starJoin broadcasts each dim and preserves all fact rows") {
     val fact = spark.read.parquet(sf("customer"))
     val dim = spark.read.parquet(sf("nation"))
