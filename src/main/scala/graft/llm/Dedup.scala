@@ -876,7 +876,50 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int, threshold: Double,
                         maxShingleDf: Long = Long.MaxValue,
-                        mat: graft.ops.Materialize = graft.ops.Materialize.Local): DataFrame = {
+                        mat: graft.ops.Materialize = graft.ops.Materialize.Local): DataFrame =
+    gramPairCore(df, idCol, textCol, shingleK, maxShingleDf, mat)
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** N-gram CONTAINMENT pairs: `inter / min(|A|, |B|)` — the asymmetric
+    * overlap measure that catches PARTIAL duplication Jaccard cannot: a
+    * quote, excerpt, or boilerplate block fully inside a much larger
+    * document scores containment ~1.0 while its Jaccard is ~|small|/|large|
+    * (arbitrarily low). This is the Broder containment of the smaller
+    * shingle set, the dedup literature's standard second measure, and the
+    * reason LSH-banded candidates (tuned for Jaccard) can't feed it —
+    * band collisions need HIGH Jaccard, exactly what containment pairs
+    * lack. Candidates here come from the shared-gram inverted index
+    * ([[ngramJaccardPairs]]' generator): any pair sharing one kept gram
+    * is scored, with the same df cap bounding the pair blowup.
+    *
+    * Same 100 TB shape as the Jaccard join — hashed 8-byte gram keys,
+    * map-side-combined intersection counts, lean size joins, no arrays
+    * through shuffles.
+    *
+    * @return (id_a, id_b, inter, containment), id_a < id_b
+    */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            shingleK: Int, threshold: Double,
+                            maxShingleDf: Long = Long.MaxValue,
+                            mat: graft.ops.Materialize = graft.ops.Materialize.Local): DataFrame =
+    gramPairCore(df, idCol, textCol, shingleK, maxShingleDf, mat)
+      .withColumn("containment",
+        col("inter").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "inter", "containment")
+
+  /** Shared core of [[ngramJaccardPairs]] / [[ngramContainmentPairs]]:
+    * `(id_a, id_b, inter, n_a, n_b)` for every pair sharing >= 1 kept
+    * gram, `id_a < id_b`, over distinct word k-shingles.
+    */
+  private def gramPairCore(df: DataFrame, idCol: String, textCol: String,
+                           shingleK: Int, maxShingleDf: Long,
+                           mat: graft.ops.Materialize): DataFrame = {
     // Join key is the 60-bit shingle hash, not the shingle string: the
     // self-join shuffle moves 8-byte longs instead of ~25-byte strings and
     // compares with long equality. (Collisions are ~n²/2^60 — none at any
@@ -911,11 +954,6 @@ object Dedup {
     inter
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** Connected components over a near-duplicate pair graph: every node

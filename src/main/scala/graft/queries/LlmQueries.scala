@@ -942,6 +942,42 @@ object LlmQueries {
          |FROM pairs JOIN sizes a ON id_a = a.doc_id JOIN sizes b ON id_b = b.doc_id
          |WHERE inter::DOUBLE / (a.n + b.n - inter)::DOUBLE >= 0.3""".stripMargin)),
 
+    // N-gram CONTAINMENT pairs: the corpus plus a 25-token excerpt of
+    // every document — the quote-inclusion shape. Each excerpt scores
+    // containment ~1.0 against its source while its Jaccard is ~25/len
+    // (invisible to every Jaccard-thresholded family above), which is
+    // exactly the asymmetric measure's job. Candidates come from the
+    // same df-capped shared-gram index as the Jaccard join.
+    "llm_containment" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val quotes = docs.select((col("doc_id") + 2000000L).as("doc_id"),
+          concat_ws(" ",
+            slice(graft.llm.TextOps.tokens(col("text")), 1, 25)).as("text"))
+        Dedup.ngramContainmentPairs(docs.unionByName(quotes), "doc_id",
+          "text", shingleK = 3, threshold = 0.8, maxShingleDf = 100)
+      },
+      Some(s"""WITH corpus AS (
+         |  SELECT doc_id, ${toksSql("text")} AS ws FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, (${toksSql("text")})[1:25] FROM documents),
+         |shc AS (SELECT doc_id, ${shinglesSql("ws")} AS sh FROM corpus),
+         |inv AS (SELECT doc_id,
+         |  unnest(list_transform(sh, x -> ${h60("x")})) AS s FROM shc),
+         |kept AS (SELECT doc_id, s FROM
+         |  (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM inv)
+         |  WHERE df <= 100),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+         |pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+         |  count(*) AS inter
+         |  FROM kept x JOIN kept y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+         |  inter::DOUBLE / least(a.n, b.n)::DOUBLE AS containment
+         |FROM pairs JOIN sizes a ON id_a = a.doc_id
+         |JOIN sizes b ON id_b = b.doc_id
+         |WHERE inter::DOUBLE / least(a.n, b.n)::DOUBLE >= 0.8""".stripMargin)),
+
     // Per-doc 60-bit SimHash signature (full bit-math parity check),
     // via the corpus-scale explode + vote-sum path.
     "llm_simhash" -> Q(

@@ -624,6 +624,26 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() === 6) // all pairs share "x y z"
   }
 
+  test("ngramContainmentPairs: an embedded excerpt scores 1.0 where its " +
+    "Jaccard is low; partial overlap scores the exact fraction") {
+    val big = "q w e r t y u i o p a s d f g h j k l z"   // 20 tokens
+    val df = Seq(
+      (1L, big),
+      (2L, "q w e r t"),        // 5-token prefix: 3 shingles, all in doc 1
+      (3L, "t y u x x x x"))    // shares 1 of its 4 distinct shingles
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramContainmentPairs(df, "doc_id", "text", 3,
+      threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // doc 2 in doc 1: containment 3/3 = 1.0 — but Jaccard is 3/18.
+    assert(out((1L, 2L)) === ((3L, 1.0)))
+    assert(out((1L, 3L)) === ((1L, 0.25)))
+    // The Jaccard family at the same threshold level misses the excerpt.
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.5)
+    assert(jac.count() === 0)
+  }
+
   test("dedupClusters: chain, triangle and pair resolve to min-id components") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), // 6-node chain
