@@ -401,6 +401,65 @@ object TextAnalysis {
           / lit(1e6))
   }
 
+  /** Interpolated Kneser–Ney bigram surprisal per document — the CCNet
+    * recipe (Wenzek et al. 2020, public: score documents by an n-gram
+    * LM's perplexity and filter the tail) with the LM trained on the
+    * corpus itself, absolute-discount smoothed (Kneser–Ney, the standard
+    * n-gram smoothing):
+    *
+    *   p(w2|w1) = (max(c(w1w2) − D, 0) + D·N1+(w1·)·Pcont(w2)) / c(w1·)
+    *   Pcont(w2) = N1+(·w2) / |distinct bigram types|
+    *
+    * with discount D = 0.75. Unlike the MLE conditional
+    * ([[bigramSurprisal]]), the continuation term scores a word by how
+    * many CONTEXTS it follows, not how often — the "San Francisco"
+    * effect: "francisco" is frequent but predictable, and KN is what
+    * separates genuinely fluent text from stuffed/templated text that
+    * merely reuses frequent words. Perplexity is exp(avg_kn_surprisal)
+    * — monotone, left to the consumer.
+    *
+    * Exactness: per-occurrence surprisal pins to integer micro-nats
+    * before the cross-row sum (the family convention); the p expression
+    * is written in ONE fixed parenthesization replicated verbatim in the
+    * oracle, so every IEEE engine rounds identically. Scale shape: the
+    * materialized pair stream feeds three vocab-cardinality aggregates
+    * (map-side combined) and three lean equi-joins; the bigram-type
+    * total is one driver scalar off the smallest aggregate, baked into
+    * the plan as a literal. No windows, nothing quadratic.
+    */
+  def knBigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+                        discount: Double = 0.75,
+                        mat: graft.ops.Materialize = graft.ops.Materialize.Local)
+      : DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0, 1), got $discount")
+    val bg = mat(Dedup.ensureParallelism(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(TextOps.adjacentPairs(col(textCol))).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1)))
+    val c12 = mat(bg.groupBy(col("bg"))
+      .agg(count(lit(1)).cast("double").as("c12")))
+    // c(w1·) and N1+(w1·) fall out of ONE pass over the pair stream.
+    val c1s = bg.groupBy(col("w1"))
+      .agg(count(lit(1)).cast("double").as("c1"),
+        countDistinct(col("w2")).cast("double").as("nfw"))
+    val cw = bg.groupBy(col("w2"))
+      .agg(countDistinct(col("w1")).cast("double").as("ncw"))
+    val nbt = c12.count().toDouble
+    bg.join(c12, Seq("bg")).join(c1s, Seq("w1")).join(cw, Seq("w2"))
+      .select(col(idCol),
+        floor(-log(
+          (greatest(col("c12") - lit(discount), lit(0.0)) +
+            ((lit(discount) * col("nfw")) * (col("ncw") / lit(nbt)))) /
+            col("c1"))
+          * lit(1e6) + lit(0.5)).cast("long").as("u"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("u")).as("sum_unats"))
+      .withColumn("avg_kn_surprisal",
+        col("sum_unats").cast("double") / col("n_bigrams").cast("double")
+          / lit(1e6))
+  }
+
   /** Out-of-vocabulary rate per document against the corpus top-`vocabK`
     * token vocabulary (ties broken (n desc, token asc) — the same
     * deterministic boundary as [[Curation.vocabTopK]]). The coverage

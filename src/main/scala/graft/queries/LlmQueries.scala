@@ -1193,6 +1193,40 @@ object LlmQueries {
          |    AS avg_bigram_surprisal
          |FROM u GROUP BY doc_id""".stripMargin)),
 
+    // Interpolated Kneser–Ney bigram surprisal (the CCNet perplexity
+    // filter): absolute discount 0.75 + continuation probability. The
+    // p expression's parenthesization is replicated VERBATIM in the
+    // oracle so both IEEE engines round identically; per-occurrence
+    // surprisals pin to micro-nats before the per-doc sum.
+    "llm_kn_surprisal" -> Q(
+      (s, dir) => TextAnalysis.knBigramSurprisal(
+        Tables.documents(s, dir), "doc_id", "text"),
+      Some(s"""WITH norm AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents),
+         |bg AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(ws)),
+         |      i -> ws[i] || ' ' || ws[i+1])) AS bg
+         |  FROM norm),
+         |bgw AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1,
+         |    split_part(bg, ' ', 2) AS w2 FROM bg),
+         |c12 AS (SELECT bg, CAST(count(*) AS DOUBLE) AS c12
+         |  FROM bgw GROUP BY 1),
+         |c1s AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1,
+         |    CAST(count(DISTINCT w2) AS DOUBLE) AS nfw FROM bgw GROUP BY 1),
+         |cw AS (SELECT w2, CAST(count(DISTINCT w1) AS DOUBLE) AS ncw
+         |  FROM bgw GROUP BY 1),
+         |nb AS (SELECT CAST(count(*) AS DOUBLE) AS nbt FROM c12),
+         |u AS (SELECT doc_id,
+         |    CAST(floor(-ln(
+         |      (greatest(c12 - 0.75, 0.0) + ((0.75 * nfw) * (ncw / nbt)))
+         |        / c1) * 1e6 + 0.5) AS BIGINT) AS u
+         |  FROM bgw JOIN c12 USING (bg) JOIN c1s USING (w1)
+         |  JOIN cw USING (w2) CROSS JOIN nb)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(u) AS BIGINT) AS sum_unats,
+         |  CAST(sum(u) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
+         |    AS avg_kn_surprisal
+         |FROM u GROUP BY doc_id""".stripMargin)),
+
     // OOV rate against the deterministic top-100 corpus vocabulary —
     // the tokenizer-coverage check; the vocab side broadcasts.
     "llm_oov_rate" -> Q(

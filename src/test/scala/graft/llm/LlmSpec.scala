@@ -1276,6 +1276,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1).getLong(1) === 1L && out(1).getLong(2) === s_ab)
   }
 
+  test("knBigramSurprisal matches a plain-Scala Kneser-Ney reference; " +
+    "per-context probabilities are properly normalized") {
+    val docs = Seq((1L, "a b a b c"), (2L, "a b c c a"), (3L, "b c a a b"),
+      (4L, "x"))
+    val bgs = docs.flatMap { case (id, t) =>
+      t.split(" ").toSeq.sliding(2).filter(_.size == 2)
+        .map(p => (id, (p(0), p(1)))).toSeq
+    }
+    val types = bgs.map(_._2).distinct
+    val c12 = bgs.groupBy(_._2).map { case (k, v) => k -> v.size.toDouble }
+    val c1 = bgs.groupBy(_._2._1).map { case (k, v) => k -> v.size.toDouble }
+    val nfw = types.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    val ncw = types.groupBy(_._2).map { case (k, v) => k -> v.size.toDouble }
+    val nbt = types.size.toDouble
+    def p(b: (String, String)): Double =
+      (math.max(c12(b) - 0.75, 0.0) + ((0.75 * nfw(b._1)) * (ncw(b._2) / nbt))) / c1(b._1)
+    def u(b: (String, String)): Long =
+      math.floor(-math.log(p(b)) * 1e6 + 0.5).toLong
+    val expected = bgs.groupBy(_._1).map { case (id, v) =>
+      id -> ((v.size.toLong, v.map(x => u(x._2)).sum))
+    }
+    val out = TextAnalysis.knBigramSurprisal(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === expected) // doc 4 (no bigrams) absent from both
+    // KN sanity: the smoothed distribution sums to 1 over the vocabulary
+    // for every observed context (discount mass exactly redistributed).
+    val vocab = docs.flatMap(_._2.split(" ")).distinct
+    for (w1 <- nfw.keys) {
+      val total = vocab.map { w2 =>
+        (math.max(c12.getOrElse((w1, w2), 0.0) - 0.75, 0.0) +
+          ((0.75 * nfw(w1)) * (ncw.getOrElse(w2, 0.0) / nbt))) / c1(w1)
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-12, s"context $w1 sums to $total")
+    }
+  }
+
   test("oovRate counts tokens outside the deterministic top-k vocab") {
     val docs = Seq(
       (1L, "a a b"), (2L, "a rare1 rare2")).toDF("doc_id", "text")
