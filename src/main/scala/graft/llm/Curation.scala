@@ -644,4 +644,69 @@ object Curation {
       .limit(k)
       .withColumn("merged", regexp_replace(col("pair"), " ", ""))
   }
+
+  /** DSIR importance log-weights — Data Selection via Importance
+    * Resampling (Xie et al. 2023, arXiv:2302.03169, public): score every
+    * corpus document by how much its hashed-n-gram profile looks drawn
+    * from the TARGET distribution rather than the raw one,
+    *
+    *   log w(x) = Σ_grams∈x  ln( p̂_target[h(g)] / p̂_raw[h(g)] )
+    *
+    * with uni+bigram features hashed into `nBuckets` buckets and
+    * add-one-smoothed bucket probabilities. Downstream, resampling
+    * proportional to exp(log w) (e.g. [[scoreWeightedSample]]) yields a
+    * corpus distributed like the target — the principled version of
+    * "keep what looks like Wikipedia".
+    *
+    * Exactness: per-bucket log-ratios pin to integer micro-nats ONCE
+    * (the λ table), per-doc weights are exact long sums of λ values —
+    * order-free, engine-exact. The smoothed ratio is formed as a single
+    * division of two exact long products,
+    * `((ct+1)·(Nr+B)) / ((cr+1)·(Nt+B))` — at extreme corpus sizes
+    * (gram count × gram count > 2^62) switch to the log-difference
+    * form; fixture scales are exact.
+    *
+    * Scale shape: gram streams are scan-stage maps; bucket counts are
+    * two `nBuckets`-cardinality map-side-combined aggregates; the λ
+    * table is `nBuckets` rows and BROADCASTS onto the corpus stream, so
+    * the only data-scale shuffle is the final per-doc rollup. Documents
+    * with no grams (empty text) drop from the output.
+    *
+    * @return (idCol, n_grams, logw_units, log_weight)
+    */
+  def dsirLogWeights(corpus: DataFrame, target: DataFrame,
+                     idCol: String, textCol: String,
+                     nBuckets: Int = 1024,
+                     mat: graft.ops.Materialize = graft.ops.Materialize.Local): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    def grams(df: DataFrame): DataFrame =
+      Dedup.ensureParallelism(df.select(col(idCol).as("id"), col(textCol)))
+        .select(col("id"), explode(concat(
+          tokens(col(textCol)), adjacentPairs(col(textCol)))).as("g"))
+        .filter(col("g") =!= "")
+        .select(col("id"), pmod(hash60(col("g")), lit(nBuckets.toLong)).as("b"))
+    // The corpus stream feeds the raw counts AND the per-doc scoring
+    // join; the target stream is read once for its counts.
+    val cb = mat(grams(corpus))
+    val tb = grams(target)
+    val raw = cb.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = tb.groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val nr = cb.count()
+    val nt = tb.count()
+    require(nr > 0 && nt > 0, "dsirLogWeights: empty corpus or target")
+    // λ[b] only needs buckets with cr >= 1 — a bucket no corpus gram
+    // hashes to can never be scored.
+    val lam = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"),
+        floor(log(
+          ((coalesce(col("ct"), lit(0L)) + lit(1L)) *
+            lit(nr + nBuckets)).cast("double") /
+            ((col("cr") + lit(1L)) * lit(nt + nBuckets)).cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long").as("u"))
+    cb.join(broadcast(lam), Seq("b"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("u")).as("logw_units"))
+      .select(col("id").as(idCol), col("n_grams"), col("logw_units"),
+        (col("logw_units").cast("double") / lit(1e6)).as("log_weight"))
+  }
 }

@@ -83,6 +83,40 @@ object CurationQueries {
              |             r_regionkey * 40000 + 39999 AS hi FROM region) bands
              |ON p >= lo AND p <= hi GROUP BY 1""".stripMargin)),
 
+    // DSIR importance log-weights: every doc scored by how English-like
+    // its hashed uni+bigram profile is (target = the lang='en' subset,
+    // raw = the whole corpus; 1024 feature buckets, add-one smoothing).
+    // Per-bucket log-ratios pin to micro-nats once; per-doc weights are
+    // exact long sums, so the row hashes match bit-for-bit.
+    "llm_dsir_weights" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Curation.dsirLogWeights(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text")
+      },
+      Some(s"""WITH norm AS (SELECT doc_id, lang, ${toksSql("text")} AS ws
+             |  FROM documents),
+             |g0 AS (SELECT doc_id, lang, unnest(list_concat(ws,
+             |    list_transform(range(1, len(ws)),
+             |      i -> ws[i] || ' ' || ws[i+1]))) AS g
+             |  FROM norm),
+             |g AS (SELECT doc_id, lang, ${h60("g")} % 1024 AS b
+             |  FROM g0 WHERE g <> ''),
+             |crb AS (SELECT b, count(*) AS cr FROM g GROUP BY 1),
+             |ctb AS (SELECT b, count(*) AS ct FROM g WHERE lang = 'en'
+             |  GROUP BY 1),
+             |tot AS (SELECT (SELECT count(*) FROM g) AS nr,
+             |        (SELECT count(*) FROM g WHERE lang = 'en') AS nt),
+             |lam AS (SELECT b, CAST(floor(ln(
+             |    CAST((COALESCE(ct, 0) + 1) * (nr + 1024) AS DOUBLE) /
+             |    CAST((cr + 1) * (nt + 1024) AS DOUBLE)) * 1e6 + 0.5)
+             |    AS BIGINT) AS u
+             |  FROM crb LEFT JOIN ctb USING (b) CROSS JOIN tot)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             |  CAST(sum(u) AS BIGINT) AS logw_units,
+             |  CAST(sum(u) AS DOUBLE) / 1e6 AS log_weight
+             |FROM g JOIN lam USING (b) GROUP BY doc_id""".stripMargin)),
+
     // Blocked fuzzy join (entity resolution): part names vs a dirty
     // twin catalog — even keys lose their 2nd character (prefix block
     // broken, suffix catches), odd keys lose their 2nd-to-last (suffix

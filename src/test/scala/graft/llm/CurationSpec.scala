@@ -116,6 +116,42 @@ class CurationSpec extends SparkSpec {
       sp(0).getLong(1) === 100L && sp(0).getDouble(2) === pairs(0).getDouble(2))
   }
 
+  test("dsirLogWeights: target-like docs out-score off-target docs; " +
+    "weights match a plain-Scala reference") {
+    val corpus = Seq(
+      (1L, "the quick brown fox", "en"),
+      (2L, "the lazy brown dog", "en"),
+      (3L, "der schnelle braune fuchs", "de"),
+      (4L, "der faule braune hund", "de")).toDF("doc_id", "text", "lang")
+    val out = Curation.dsirLogWeights(corpus,
+      corpus.filter($"lang" === "en"), "doc_id", "text", nBuckets = 64)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // Direction: both English docs above both German docs.
+    assert(Seq(1L, 2L).map(out(_)._2).min > Seq(3L, 4L).map(out(_)._2).max)
+    // Exact values against an independent reference implementation.
+    def h60(s: String): Long = TextOps.hash60Scala(s)
+    def grams(t: String): Seq[Long] = {
+      val ws = t.split(" ").toSeq
+      (ws ++ ws.sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+        .filter(_.nonEmpty).map(g => h60(g) % 64)
+    }
+    val all = Seq(1L -> "the quick brown fox", 2L -> "the lazy brown dog",
+      3L -> "der schnelle braune fuchs", 4L -> "der faule braune hund")
+    val en = all.take(2)
+    val cr = all.flatMap(x => grams(x._2)).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val ct = en.flatMap(x => grams(x._2)).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val nr = cr.values.sum; val nt = ct.values.sum
+    def u(b: Long): Long = math.floor(math.log(
+      ((ct.getOrElse(b, 0L) + 1L) * (nr + 64)).toDouble /
+        ((cr(b) + 1L) * (nt + 64)).toDouble) * 1e6 + 0.5).toLong
+    val expected = all.map { case (id, t) =>
+      id -> ((grams(t).size.toLong, grams(t).map(u).sum)) }.toMap
+    assert(out === expected)
+  }
+
   test("vocabTopK returns highest-count tokens with deterministic ties") {
     val df = Seq("a a a b b c", "b c d", "  A  ").toDF("text")
     val top = Curation.vocabTopK(df, "text", 3).as[(String, Long)].collect()
