@@ -131,4 +131,31 @@ object Centrality {
     tris.select(explode(array(col("w"), col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Local clustering coefficient per node:
+    * `2 · triangles(v) / (deg(v) · (deg(v) − 1))` — the fraction of a
+    * node's neighbor pairs that are themselves connected. The per-node
+    * cohesion ratio on top of [[triangleCounts]]; degree-1 nodes (no
+    * neighbor pair to close) report 0. One extra degree aggregate and a
+    * left join over the triangle frame; the wedge-join cost dominates
+    * and is inherited unchanged.
+    *
+    * @return (node, degree, n_triangles, clustering)
+    */
+  def clusteringCoefficient(edges: DataFrame, aCol: String, bCol: String,
+                            mat: Materialize = Materialize.Local): DataFrame = {
+    val e0 = edges.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e0.select(col("a").as("node")).union(e0.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg.join(triangleCounts(e0, "a", "b", mat), Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering",
+        when(col("degree") < 2, lit(0.0))
+          .otherwise((lit(2L) * col("n_triangles")).cast("double") /
+            (col("degree") * (col("degree") - lit(1L))).cast("double")))
+  }
 }

@@ -381,6 +381,44 @@ object SourceQueries {
              |  SELECT w AS node FROM tri UNION ALL SELECT u FROM tri
              |  UNION ALL SELECT v FROM tri) GROUP BY node""".stripMargin)),
 
+    // Local clustering coefficient over the same frequent co-purchase
+    // graph: 2·tri/(deg·(deg−1)) per node, degree-1 nodes 0 — the node
+    // cohesion ratio on top of graph_triangles (one extra degree agg +
+    // left join; wedge-join cost inherited).
+    "graph_clustering" -> Q(
+      (s, dir) => {
+        val items = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val freq = items.as("x")
+          .join(items.as("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("a"), col("y.p").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("supp"))
+          .filter(col("supp") >= 2)
+        graft.llm.Centrality.clusteringCoefficient(freq, "a", "b")
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             |  FROM lineitem),
+             |e0 AS (SELECT a.p AS a, b.p AS b FROM items a
+             |       JOIN items b ON a.o = b.o AND a.p < b.p
+             |       GROUP BY 1, 2 HAVING count(*) >= 2),
+             |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+             |  SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+             |  GROUP BY 1),
+             |tri AS (SELECT e1.a AS w, e1.b AS u, e2.b AS v
+             |        FROM e0 e1 JOIN e0 e2 ON e1.a = e2.a AND e1.b < e2.b
+             |        JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b),
+             |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+             |  FROM (SELECT w AS node FROM tri UNION ALL SELECT u FROM tri
+             |        UNION ALL SELECT v FROM tri) GROUP BY 1)
+             |SELECT node, degree, COALESCE(n_triangles, 0) AS n_triangles,
+             |  CASE WHEN degree < 2 THEN 0.0
+             |       ELSE CAST(2 * COALESCE(n_triangles, 0) AS DOUBLE) /
+             |            CAST(degree * (degree - 1) AS DOUBLE) END
+             |    AS clustering
+             |FROM deg LEFT JOIN pn USING (node)""".stripMargin)),
+
     // S8 + S10 - NDJSON sink + truncate-reload into the warehouse registry
     // (transform_json_INFO.py:104-119, WRITE_TRUNCATE).
     "s8_s10_ndjson_roundtrip" -> Q(

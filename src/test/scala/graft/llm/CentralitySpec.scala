@@ -74,6 +74,22 @@ class CentralitySpec extends SparkSpec {
     assert(one === (0L until 8L).map(_ -> 21L).toMap)
   }
 
+  test("clusteringCoefficient: exact ratios, degree-1 nodes report 0, " +
+    "non-participants appear with 0 triangles") {
+    // Clique {1,2,3,4} + node 8 on 1-2 + pendant 9 on 1.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (8L, 1L), (8L, 2L), (9L, 1L)).toDF("a", "b")
+    val out = Centrality.clusteringCoefficient(edges, "a", "b")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((5L, 4L, 2.0 * 4 / (5 * 4))))
+    assert(out(2L) === ((4L, 4L, 2.0 * 4 / (4 * 3))))
+    assert(out(3L) === ((3L, 3L, 1.0)))
+    assert(out(4L) === ((3L, 3L, 1.0)))
+    assert(out(8L) === ((2L, 1L, 1.0)))
+    assert(out(9L) === ((1L, 0L, 0.0)))
+  }
+
   test("rejects empty edge lists and bad iteration counts") {
     intercept[IllegalArgumentException] {
       Centrality.pageRankFixedPoint(
