@@ -392,6 +392,108 @@ object Similarity {
     topKPerQuery(scored, k, corpus.schema(idCol).dataType)
   }
 
+  /** Per-subspace product-quantization codebooks (Jégou et al. 2011,
+    * "Product quantization for nearest neighbor search", public): the
+    * unit-normalized vector splits into `m` contiguous sub-vectors and
+    * each subspace gets its own `codebookK`-centroid k-means codebook.
+    * A vector's PQ code is then `m` small ints — at codebookK=256 one
+    * BYTE per subspace, a 32× compression over float32 at m=8/d=64 —
+    * and approximate scoring never touches the original vectors.
+    *
+    * Training shares [[ivfAssign]]'s determinism pin (fixed 8-way hash
+    * partitioning, seeded random init, one seed per subspace), so the
+    * codebooks are a pure function of the corpus: an index built on one
+    * cluster shape agrees with an inline run on another. At corpus
+    * sizes where the pin's shuffle is prohibitive, train on a
+    * deterministic hash-mod sample — encoding below is unaffected.
+    */
+  private[llm] def pqCodebooks(unit: DataFrame, dims: Int, m: Int,
+                               codebookK: Int): Array[Array[(Int, Array[Double])]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(m > 0 && dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    require(codebookK > 1, s"codebookK must be > 1, got $codebookK")
+    val sub = dims / m
+    val pinned = unit.repartition(8, col("cand_id"))
+      .sortWithinPartitions("cand_id")
+      .localCheckpoint(false) // m fits iterate over it; scan once
+    (0 until m).map { j =>
+      val train = pinned.select(
+        array_to_vector(slice(col("uv"), j * sub + 1, sub)).as("features"))
+      val model = new KMeans().setK(codebookK).setSeed(42L + j)
+        .setMaxIter(8).setInitMode("random")
+        .setFeaturesCol("features").fit(train)
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+    }.toArray
+  }
+
+  /** PQ-encode: `m` nearest-codeword ids per vector, each via the shared
+    * codegen'd [[graft.functions.NearestCentroid]] argmin (the SAME
+    * assignment arithmetic as every IVF path, per subspace).
+    */
+  private def pqCodes(unit: DataFrame, dims: Int,
+                      books: Array[Array[(Int, Array[Double])]]): DataFrame = {
+    val m = books.length
+    val sub = dims / m
+    unit.withColumn("codes", array((0 until m).map(j =>
+      nearestCell(books(j), slice(col("uv"), j * sub + 1, sub))): _*))
+  }
+
+  /** Two-stage PQ ANN: asymmetric-distance first pass over the code
+    * column, exact float-cosine re-rank of the `oversample·k` shortlist
+    * — the IVF-PQ literature's standard decode path expressed as
+    * dataflow. The first pass scores dot(q, reconstruct(codes)) where
+    * `reconstruct` concatenates each code's codeword (PQ's ADC — the
+    * dot is linear over the concatenation, so this equals the per-
+    * subspace lookup-table sum without materializing per-query LUTs);
+    * reconstruction is an expression over the broadcast codebook
+    * literals, so the corpus-wide scoring scan reads ONLY the m-int
+    * code column, never the vectors. Full-precision vectors join in at
+    * shortlist cardinality for the re-rank, whose cosine is the pinned
+    * brute-force shape — where the shortlist contains the true top-k,
+    * output rows are IDENTICAL to brute force.
+    */
+  def pqRerankTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                   isQuery: Column, k: Int, m: Int, codebookK: Int,
+                   oversample: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    require(k > 0 && oversample > 0, "k and oversample must be positive")
+    val unit = normalize(corpus, idCol, vecCol)
+      .select(col(idCol), col("unit").as("uv"))
+      .localCheckpoint(false) // feeds training, encoding, and queries
+    val dims = unit.select(size(col("uv"))).head().getInt(0)
+    val unitC = unit.select(col(idCol).as("cand_id"), col("uv"))
+    val books = pqCodebooks(unitC, dims, m, codebookK)
+    // Reconstruction: codes -> concat of codeword vectors, from the
+    // codebook literals (array<array<double>> per subspace, indexed by
+    // code+1). flatten(codeword_0, ..., codeword_{m-1}) is the ADC
+    // decode; only `codes` flows through the corpus-wide scoring scan.
+    val bookLits = books.map(b => typedLit(b.sortBy(_._1).map(_._2.toSeq).toSeq))
+    val recon = flatten(array((0 until m).map(j =>
+      element_at(bookLits(j), col("codes")(j) + 1)): _*))
+    val c = pqCodes(unitC, dims, books)
+      .select(col("cand_id"), col("codes"))
+      .withColumn("recon", recon)
+    val q = unit.filter(isQuery)
+      .select(col(idCol).as("query_id"), col("uv").as("qv"))
+    val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qv"), col("recon")))
+    val shortlist =
+      topKPerQuery(scored, k * oversample, corpus.schema(idCol).dataType)
+        .select(col("query_id"), col("cand_id"))
+    val vecs = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val rescored = shortlist
+      .join(vecs.select(col(idCol).as("cand_id"), col("v").as("cv"),
+        col("norm").as("cnorm")), Seq("cand_id"))
+      .join(broadcast(vecs.filter(isQuery)
+        .select(col(idCol).as("query_id"), col("v").as("qv"),
+          col("norm").as("qnorm"))), Seq("query_id"))
+      .withColumn("cos",
+        dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
+    topKPerQuery(rescored, k, corpus.schema(idCol).dataType)
+  }
+
   /** Nearest-centroid classification: assign every vector to the label
     * whose class centroid it is most cosine-similar to — the deterministic
     * sibling of k-means assignment (fixed class centroids instead of

@@ -1488,6 +1488,31 @@ object LlmQueries {
          |  ORDER BY cos DESC, cand_id) AS INT) AS rank FROM rer)
          |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin)),
 
+    // Product quantization (IVF-PQ's code path): 8 subspace codebooks of
+    // 16 codewords over the unit-normalized 64-dim embeddings — codes
+    // are 8 small ints per vector, the corpus-wide ADC scan reads ONLY
+    // them (reconstruct-then-dot against the broadcast codebook
+    // literals), and the exact cosine re-ranks the 4x-oversampled
+    // shortlist. KMeans codebooks aren't SQL-replicable, so the oracle
+    // is the pinned contract row (the IVF pattern): k returned, heap
+    // order intact, reported cos bit-equal to the pinned recompute,
+    // recall floor vs brute force cleared.
+    "llm_sim_topk_pq" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") < 10)
+        val approx = Similarity.pqRerankTopK(emb, "vec_id", "embedding",
+          col("vec_id") < 10, k = 5, m = 8, codebookK = 16, oversample = 4)
+          .localCheckpoint(false)
+        Similarity.annContract(approx,
+          Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5),
+          emb, "vec_id", "embedding", k = 5, recallFloor = 0.2)
+      },
+      Some("""SELECT DISTINCT vec_id AS query_id, CAST(5 AS INT) AS k_returned,
+             |CAST(1 AS INT) AS cos_monotone_ok, CAST(1 AS INT) AS cos_exact_ok,
+             |CAST(1 AS INT) AS recall_floor_ok
+             |FROM embeddings WHERE vec_id < 10""".stripMargin)),
+
     // SQ8 quality: per-query recall@5 of the quantized ranking against
     // the float brute-force ground truth — how much cosine fidelity the
     // 8x memory saving costs on this corpus.

@@ -799,6 +799,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 5, s"IVF recall $recall/50 below floor")
   }
 
+  test("pqRerankTopK: codes compress to m small ints, rerank recall beats " +
+    "the floor, and the result is partitioning-invariant") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val isQ = $"vec_id" < 5
+    val pq = Similarity.pqRerankTopK(emb, "vec_id", "embedding", isQ,
+      k = 5, m = 8, codebookK = 16, oversample = 4)
+    val brute = Similarity.bruteForceTopK(emb, emb.filter(isQ),
+      "vec_id", "embedding", 5)
+    // Every query answers with exactly k rows in heap order.
+    val byQ = pq.collect().groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    assert(byQ.values.forall(_.length === 5))
+    // Rerank recall: the 4x-oversampled ADC shortlist recovers most of
+    // the true top-5 on the fixture corpus.
+    val rec = Similarity.recallAtK(brute, pq, 5)
+      .select("recall").collect().map(_.getDouble(0))
+    assert(rec.forall(_ >= 0.2), s"recall@5 too low: ${rec.mkString(",")}")
+    // Training is partition-pinned: a different input layout yields the
+    // identical result rows (the ivfAssign determinism contract).
+    val again = Similarity.pqRerankTopK(emb.repartition(13), "vec_id",
+      "embedding", isQ, k = 5, m = 8, codebookK = 16, oversample = 4)
+    assert(again.collect().toSet === pq.collect().toSet)
+  }
+
   test("multi-table LSH recall dominates single-table on real embeddings") {
     val emb = spark.read.parquet(sf("embeddings"))
     val q = emb.filter($"vec_id" < 5)
