@@ -102,10 +102,13 @@ object Centrality {
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String,
                      mat: Materialize = Materialize.Local): DataFrame = {
     // Simple undirected edges: canonical a < b, self-loops dropped.
-    val e0 = edges.select(
+    // Pinned: the frame feeds the degree union (twice) and the
+    // orientation join — without the pin every consumer would re-run
+    // the caller's whole edge-construction pipeline.
+    val e0 = mat(edges.select(
         least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+      .filter(col("a") =!= col("b")).distinct())
     val deg = e0.select(col("a").as("n")).union(e0.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // Orient by the (degree, id) total order; a < b already, so ties go
@@ -144,10 +147,13 @@ object Centrality {
     */
   def clusteringCoefficient(edges: DataFrame, aCol: String, bCol: String,
                             mat: Materialize = Materialize.Local): DataFrame = {
-    val e0 = edges.select(
+    // Pinned once here; triangleCounts' own pin below then re-pins a
+    // trivial distinct-of-pinned instead of re-running the caller's
+    // edge construction for each of its three consumers.
+    val e0 = mat(edges.select(
         least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+      .filter(col("a") =!= col("b")).distinct())
     val deg = e0.select(col("a").as("node")).union(e0.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
     deg.join(triangleCounts(e0, "a", "b", mat), Seq("node"), "left")

@@ -400,31 +400,77 @@ object Similarity {
     * BYTE per subspace, a 32× compression over float32 at m=8/d=64 —
     * and approximate scoring never touches the original vectors.
     *
-    * Training shares [[ivfAssign]]'s determinism pin (fixed 8-way hash
-    * partitioning, seeded random init, one seed per subspace), so the
-    * codebooks are a pure function of the corpus: an index built on one
-    * cluster shape agrees with an inline run on another. At corpus
-    * sizes where the pin's shuffle is prohibitive, train on a
-    * deterministic hash-mod sample — encoding below is unaffected.
+    * Training is an EXACT-ARITHMETIC Lloyd's loop over all m subspaces
+    * in one dataflow: per iteration, ONE distributed job assigns every
+    * (subspace, sub-vector) row against the broadcast codebooks and
+    * sums micro-unit-pinned components per (subspace, code, dim) — so
+    * the job count is O(iters), not O(m · iters) as m separate MLlib
+    * fits would pay, and determinism needs no layout pinning at all:
+    * integer sums are order-free, so the codebooks are a pure function
+    * of the corpus SET under any partitioning (stronger than the
+    * seeded-KMeans + partition-pin recipe the IVF coarse quantizer
+    * uses, where determinism holds only for a fixed layout). Init is
+    * the codebookK lowest-id vectors per subspace. At corpus sizes
+    * where training shouldn't scan everything, train on a
+    * deterministic hash-mod sample — encoding is unaffected.
     */
   private[llm] def pqCodebooks(unit: DataFrame, dims: Int, m: Int,
-                               codebookK: Int): Array[Array[(Int, Array[Double])]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+                               codebookK: Int,
+                               iters: Int = 4): Array[Array[(Int, Array[Double])]] = {
     require(m > 0 && dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
     require(codebookK > 1, s"codebookK must be > 1, got $codebookK")
     val sub = dims / m
-    val pinned = unit.repartition(8, col("cand_id"))
-      .sortWithinPartitions("cand_id")
-      .localCheckpoint(false) // m fits iterate over it; scan once
-    (0 until m).map { j =>
-      val train = pinned.select(
-        array_to_vector(slice(col("uv"), j * sub + 1, sub)).as("features"))
-      val model = new KMeans().setK(codebookK).setSeed(42L + j)
-        .setMaxIter(8).setInitMode("random")
-        .setFeaturesCol("features").fit(train)
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
-    }.toArray
+    // ALL subspaces train in one dataflow: the exploded (subspace,
+    // sub-vector) frame is pinned once, and each Lloyd iteration is ONE
+    // distributed job (assign against the broadcast codebooks, per-
+    // (subspace, code, dim) sum) — not m separate fits with their own
+    // init/iteration jobs. Determinism needs NO layout pinning:
+    // components pin to integer micro-units (1e9 — exact in long sums
+    // far past any training-sample size) BEFORE the cross-row sums, so
+    // the codebooks are a pure function of the corpus SET under any
+    // partitioning (the centroidClassify exactness recipe applied to
+    // k-means training).
+    val sv = unit.select(col("cand_id"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"),
+          transform(slice(col("uv"), j * sub + 1, sub),
+            x => round(x * lit(1e9)).cast("long")).as("q"))): _*)).as("e"))
+      .select(col("e.j").as("j"), col("e.q").as("q"))
+      .localCheckpoint(false)
+    // Deterministic init: the codebookK lowest-id vectors seed every
+    // subspace (id order is corpus-intrinsic); iterations do the rest.
+    val seedRows = unit.orderBy(col("cand_id")).limit(codebookK)
+      .select(col("uv")).collect().map(_.getSeq[Double](0).toArray)
+    require(seedRows.length == codebookK,
+      s"pqCodebooks: corpus smaller than codebookK=$codebookK")
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m, codebookK) {
+      (j, c) => seedRows(c).slice(j * sub, (j + 1) * sub)
+    }
+    for (_ <- 1 to iters) {
+      // Per-row assignment: one codegen'd argmin per subspace, selected
+      // by the subspace id (m is small; the when-chain stays in codegen).
+      val qDouble = transform(col("q"), x => x.cast("double") / lit(1e9))
+      val code = (1 until m).foldLeft(
+        nearestCell(books(0).zipWithIndex.map { case (c, i) => (i, c) }, qDouble)) {
+        (acc, j) => when(col("j") === j,
+          nearestCell(books(j).zipWithIndex.map { case (c, i) => (i, c) }, qDouble))
+          .otherwise(acc)
+      }
+      val sums = sv.withColumn("code", code)
+        .select(col("j"), col("code"), posexplode(col("q")).as(Seq("d", "v")))
+        .groupBy(col("j"), col("code"), col("d"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      sums.groupBy(r => (r.getInt(0), r.getInt(1))).foreach { case ((j, c), rows) =>
+        val cent = next(j)(c)
+        rows.foreach { r =>
+          cent(r.getInt(2)) = r.getLong(3).toDouble / r.getLong(4) / 1e9
+        }
+        // A code with no members keeps its previous centroid (absent key).
+      }
+      books = next
+    }
+    books.map(_.zipWithIndex.map { case (c, i) => (i, c) })
   }
 
   /** PQ-encode: `m` nearest-codeword ids per vector, each via the shared

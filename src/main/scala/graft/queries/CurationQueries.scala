@@ -117,6 +117,51 @@ object CurationQueries {
              |  CAST(sum(u) AS DOUBLE) / 1e6 AS log_weight
              |FROM g JOIN lam USING (b) GROUP BY doc_id""".stripMargin)),
 
+    // DSIR end-to-end: importance weights -> keep probability
+    // exp(logw - max_logw) -> the deterministic score-proportional
+    // sampler (salt "qw:"). The max re-bases weights so the best doc
+    // keeps with probability exactly 1; everything downstream is the
+    // pinned clamp/floor ppm rule, replicated verbatim.
+    "llm_dsir_resample" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val w = Curation.dsirLogWeights(docs,
+          docs.filter(col("lang") === "en"), "doc_id", "text")
+          .localCheckpoint(false)
+        val mx = w.agg(max(col("logw_units"))).head().getLong(0)
+        val scored = w.withColumn("score",
+          exp((col("logw_units") - lit(mx)).cast("double") / lit(1e6)))
+        Curation.scoreWeightedSample(scored, "doc_id", "score")
+          .select(col("doc_id"), col("n_grams"), col("logw_units"))
+      },
+      Some(s"""WITH norm AS (SELECT doc_id, lang, ${toksSql("text")} AS ws
+             |  FROM documents),
+             |g0 AS (SELECT doc_id, lang, unnest(list_concat(ws,
+             |    list_transform(range(1, len(ws)),
+             |      i -> ws[i] || ' ' || ws[i+1]))) AS g
+             |  FROM norm),
+             |g AS (SELECT doc_id, lang, ${h60("g")} % 1024 AS b
+             |  FROM g0 WHERE g <> ''),
+             |crb AS (SELECT b, count(*) AS cr FROM g GROUP BY 1),
+             |ctb AS (SELECT b, count(*) AS ct FROM g WHERE lang = 'en'
+             |  GROUP BY 1),
+             |tot AS (SELECT (SELECT count(*) FROM g) AS nr,
+             |        (SELECT count(*) FROM g WHERE lang = 'en') AS nt),
+             |lam AS (SELECT b, CAST(floor(ln(
+             |    CAST((COALESCE(ct, 0) + 1) * (nr + 1024) AS DOUBLE) /
+             |    CAST((cr + 1) * (nt + 1024) AS DOUBLE)) * 1e6 + 0.5)
+             |    AS BIGINT) AS u
+             |  FROM crb LEFT JOIN ctb USING (b) CROSS JOIN tot),
+             |doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             |  CAST(sum(u) AS BIGINT) AS logw_units
+             |  FROM g JOIN lam USING (b) GROUP BY doc_id),
+             |mx AS (SELECT max(logw_units) AS m FROM doc)
+             |SELECT doc_id, n_grams, logw_units FROM doc CROSS JOIN mx
+             |WHERE ${h60("'qw:' || CAST(doc_id AS VARCHAR)")} % 1000000 <
+             |  floor(least(greatest(
+             |    exp(CAST(logw_units - m AS DOUBLE) / 1e6), 0.0), 1.0)
+             |    * 1e6)""".stripMargin)),
+
     // Blocked fuzzy join (entity resolution): part names vs a dirty
     // twin catalog — even keys lose their 2nd character (prefix block
     // broken, suffix catches), odd keys lose their 2nd-to-last (suffix

@@ -23,6 +23,31 @@ import graft.pipeline.Pipeline
 object SourceQueries {
 
   /** Deterministic scratch dir per (sf dir, query). */
+  /** Frequent co-purchase edges (support >= 2) for the two graph-cohesion
+    * queries: ONE exchange builds the baskets (groupBy order with a
+    * map-side-combined collect_set — the set dedups within the order, so
+    * no up-front distinct), pairs explode IN THE SCAN STAGE from the
+    * sorted basket array (per-order fan-out bounded by basket size —
+    * TPC-H-shaped orders hold <= ~17 items), and the support count is the
+    * second and last exchange. The earlier items-self-join shape paid
+    * three exchanges (distinct, both join sides) for the same result.
+    */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy(col("o")).agg(collect_set(col("p")).as("ps0"))
+      .filter(size(col("ps0")) >= 2)
+      .select(array_sort(col("ps0")).as("ps"))
+    baskets
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(
+          slice(col("ps"), i + lit(2), size(col("ps")) - i - lit(1)),
+          y => struct(x.as("a"), y.as("b")))))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= 2)
+  }
+
   private def fixDir(dir: String, name: String): String =
     s"/tmp/graft_fixtures/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
 
@@ -357,18 +382,8 @@ object SourceQueries {
     // join, so agreement checks the orientation logic, not just the
     // arithmetic.
     "graph_triangles" -> Q(
-      (s, dir) => {
-        val items = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val freq = items.as("x")
-          .join(items.as("y"),
-            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-          .select(col("x.p").as("a"), col("y.p").as("b"))
-          .groupBy("a", "b").agg(count(lit(1)).as("supp"))
-          .filter(col("supp") >= 2)
-        graft.llm.Centrality.triangleCounts(freq, "a", "b")
-      },
+      (s, dir) =>
+        graft.llm.Centrality.triangleCounts(coPurchaseEdges(s, dir), "a", "b"),
       Some("""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
              |  FROM lineitem),
              |e0 AS (SELECT a.p AS a, b.p AS b FROM items a
@@ -386,18 +401,9 @@ object SourceQueries {
     // cohesion ratio on top of graph_triangles (one extra degree agg +
     // left join; wedge-join cost inherited).
     "graph_clustering" -> Q(
-      (s, dir) => {
-        val items = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val freq = items.as("x")
-          .join(items.as("y"),
-            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-          .select(col("x.p").as("a"), col("y.p").as("b"))
-          .groupBy("a", "b").agg(count(lit(1)).as("supp"))
-          .filter(col("supp") >= 2)
-        graft.llm.Centrality.clusteringCoefficient(freq, "a", "b")
-      },
+      (s, dir) =>
+        graft.llm.Centrality.clusteringCoefficient(coPurchaseEdges(s, dir),
+          "a", "b"),
       Some("""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
              |  FROM lineitem),
              |e0 AS (SELECT a.p AS a, b.p AS b FROM items a
