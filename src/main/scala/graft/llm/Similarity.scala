@@ -485,6 +485,19 @@ object Similarity {
       nearestCell(books(j), slice(col("uv"), j * sub + 1, sub))): _*))
   }
 
+  /** ADC reconstruction over a `codes` column: concat of each code's
+    * codeword from the broadcast codebook LITERALS
+    * (array<array<double>> per subspace, indexed by code+1).
+    * dot(q, recon) equals the per-subspace lookup-table sum by
+    * linearity — no per-query LUT materialization, and only the m-int
+    * code column flows through the corpus-wide scoring scan.
+    */
+  private def pqRecon(books: Array[Array[(Int, Array[Double])]]): Column = {
+    val bookLits = books.map(b => typedLit(b.sortBy(_._1).map(_._2.toSeq).toSeq))
+    flatten(array(books.indices.map(j =>
+      element_at(bookLits(j), col("codes")(j) + 1)): _*))
+  }
+
   /** Two-stage PQ ANN: asymmetric-distance first pass over the code
     * column, exact float-cosine re-rank of the `oversample·k` shortlist
     * — the IVF-PQ literature's standard decode path expressed as
@@ -510,16 +523,9 @@ object Similarity {
     val dims = unit.select(size(col("uv"))).head().getInt(0)
     val unitC = unit.select(col(idCol).as("cand_id"), col("uv"))
     val books = pqCodebooks(unitC, dims, m, codebookK)
-    // Reconstruction: codes -> concat of codeword vectors, from the
-    // codebook literals (array<array<double>> per subspace, indexed by
-    // code+1). flatten(codeword_0, ..., codeword_{m-1}) is the ADC
-    // decode; only `codes` flows through the corpus-wide scoring scan.
-    val bookLits = books.map(b => typedLit(b.sortBy(_._1).map(_._2.toSeq).toSeq))
-    val recon = flatten(array((0 until m).map(j =>
-      element_at(bookLits(j), col("codes")(j) + 1)): _*))
     val c = pqCodes(unitC, dims, books)
       .select(col("cand_id"), col("codes"))
-      .withColumn("recon", recon)
+      .withColumn("recon", pqRecon(books))
     val q = unit.filter(isQuery)
       .select(col(idCol).as("query_id"), col("uv").as("qv"))
     val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
@@ -527,6 +533,19 @@ object Similarity {
     val shortlist =
       topKPerQuery(scored, k * oversample, corpus.schema(idCol).dataType)
         .select(col("query_id"), col("cand_id"))
+    exactRerank(corpus, idCol, vecCol, isQuery, shortlist, k)
+  }
+
+  /** Exact-cosine re-rank of a `(query_id, cand_id)` shortlist against
+    * the base table: full-precision vectors join in at SHORTLIST
+    * cardinality (queries·k·oversample rows), never corpus-wide; the
+    * cosine is the pinned brute-force fold shape, so reported scores
+    * bit-match the ANN contract's recompute.
+    */
+  private def exactRerank(corpus: DataFrame, idCol: String, vecCol: String,
+                          isQuery: Column, shortlist: DataFrame,
+                          k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dot
     val vecs = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
     val rescored = shortlist
@@ -982,14 +1001,16 @@ object Similarity {
     * paths use, so a hot query never serializes its full candidate list
     * through one window task.
     */
-  private def ivfProbe(cells: DataFrame, centroids: DataFrame,
-                       queries: DataFrame, idCol: String, vecCol: String,
-                       k: Int, nProbe: Int): DataFrame = {
+  /** Rank cells per query against the broadcast centroid table and keep
+    * `nProbe`: `-dist2` on the bounded heap (IEEE negation is exact, so
+    * score DESC == dist2 ASC), zero-padded cell id as tie-break. Shared
+    * by the IVF probe and the IVF-PQ probe.
+    */
+  private def rankCells(q: DataFrame, centroids: DataFrame,
+                        nProbe: Int): DataFrame = {
     import graft.functions.AggFunctions.topK
     import graft.functions.VectorFunctions.{dot => dotc}
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("qnorm", sqrt(dotc(col("qv"), col("qv"))))
-    val probeCells = q.join(broadcast(centroids), lit(true))
+    q.join(broadcast(centroids), lit(true))
       .withColumn("dist2",
         dotc(col("qv"), col("qv")) - lit(2.0) * dotc(col("qv"), col("centroid"))
           + dotc(col("centroid"), col("centroid")))
@@ -998,7 +1019,16 @@ object Similarity {
         .as("tk"))
       .select(col("query_id"), explode(col("tk.value")).as("cellStr"))
       .select(col("query_id"), col("cellStr").cast("int").as("cell"))
-    val probes = probeCells.join(q, Seq("query_id"))
+  }
+
+  private def ivfProbe(cells: DataFrame, centroids: DataFrame,
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nProbe: Int): DataFrame = {
+    import graft.functions.AggFunctions.topK
+    import graft.functions.VectorFunctions.{dot => dotc}
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qnorm", sqrt(dotc(col("qv"), col("qv"))))
+    val probes = rankCells(q, centroids, nProbe).join(q, Seq("query_id"))
     val scored = cells.join(broadcast(probes), Seq("cell"))
       .filter(col("cand_id") =!= col("query_id"))
       .withColumn("cos", dotc(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
@@ -1161,4 +1191,110 @@ object Similarity {
       spark.read.parquet(s"$indexPath/corpus"),
       spark.read.parquet(s"$indexPath/centroids"),
       queries, idCol, vecCol, k, nProbe)
+
+  /** Materialize the IVF-PQ write-time layout — the production ANN
+    * index shape (FAISS's IVF-PQ as dataflow, public): the corpus is
+    * unit-normalized ONCE, coarse-quantized into `nCells` IVF cells
+    * (the probe's DPP pruning key) and PQ-encoded into `m` small ints
+    * per vector (the only per-vector payload the scoring scan ever
+    * reads — at codebookK=256 that is m BYTES against d floats).
+    * Alongside the cell-partitioned code table sit the two tiny model
+    * artifacts: the centroid table and the per-subspace codebooks.
+    * Training (both quantizers) runs once at write time; probes and
+    * appends never pay it again.
+    */
+  def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      nCells: Int, m: Int, codebookK: Int,
+                      path: String): Unit = {
+    val unit = normalize(corpus, idCol, vecCol).select(col(idCol), col("unit"))
+    val (cells, centroids) = ivfAssign(unit, idCol, "unit", nCells)
+    val unitC = cells.select(col("cand_id"), col("cv").as("uv"), col("cell"))
+      .localCheckpoint(false) // feeds training + encoding
+    val dims = unitC.select(size(col("uv"))).head().getInt(0)
+    val books = pqCodebooks(unitC.select(col("cand_id"), col("uv")),
+      dims, m, codebookK)
+    pqCodes(unitC, dims, books)
+      .select(col("cand_id"), col("codes"), col("cell"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(s"$path/codes")
+    centroids.write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    val bookRows = for {
+      (bj, j) <- books.zipWithIndex.toSeq
+      (c, cw) <- bj.toSeq
+    } yield (j, c, cw.toSeq)
+    corpus.sparkSession.createDataFrame(bookRows)
+      .toDF("j", "code", "codeword")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks")
+  }
+
+  /** INCREMENTAL IVF-PQ maintenance: assign + encode a delta batch
+    * against the FROZEN artifacts read from the index (no retraining —
+    * both quantizers are versioned artifacts, the IVF-append posture)
+    * and append its cell partitions. Assignment and encoding are
+    * per-row deterministic given the artifacts, so a grown index scores
+    * a probe exactly as if the delta had been present at build time.
+    */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                         delta: DataFrame, idCol: String, vecCol: String,
+                         indexPath: String): Unit = {
+    val centroids = readCentroids(spark, indexPath)
+    val books = readCodebooks(spark, indexPath)
+    val dims = books.map(_.head._2.length).sum
+    val unit = normalize(delta, idCol, vecCol)
+      .select(col(idCol).as("cand_id"), col("unit").as("uv"))
+    pqCodes(Dedup.ensureParallelism(unit), dims, books)
+      .withColumn("cell", nearestCell(centroids, col("uv")))
+      .select(col("cand_id"), col("codes"), col("cell"))
+      .write.mode(SaveMode.Append).partitionBy("cell")
+      .parquet(s"$indexPath/codes")
+  }
+
+  /** Probe a [[writeIvfPqIndex]] layout: cell ranking reads the tiny
+    * centroid table; the code-table join is on the PARTITION column
+    * with the probe side broadcast, so dynamic partition pruning reads
+    * only the `nProbe` cell directories each query batch needs — and
+    * inside them only the m-int code column. ADC scores the pruned
+    * scan via reconstruct-then-dot against the codebook literals; the
+    * exact cosine re-ranks the `oversample·k` shortlist from the BASE
+    * table (full vectors join at shortlist cardinality — the index
+    * never stores them).
+    */
+  def ivfPqTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, corpus: DataFrame,
+                         idCol: String, vecCol: String, isQuery: Column,
+                         k: Int, nProbe: Int, oversample: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val centroidRows = readCentroids(spark, indexPath)
+    val centroids = spark.createDataFrame(
+      centroidRows.toIndexedSeq.map { case (c, v) => (c, v.toSeq) })
+      .toDF("cell", "centroid")
+    val books = readCodebooks(spark, indexPath)
+    val q = normalize(corpus.filter(isQuery), idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("unit").as("qv"))
+    val probes = rankCells(q, centroids, nProbe).join(q, Seq("query_id"))
+    val scored = spark.read.parquet(s"$indexPath/codes")
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qv"), pqRecon(books)))
+    val shortlist =
+      topKPerQuery(scored, k * oversample, corpus.schema(idCol).dataType)
+        .select(col("query_id"), col("cand_id"))
+    exactRerank(corpus, idCol, vecCol, isQuery, shortlist, k)
+  }
+
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String): Array[(Int, Array[Double])] =
+    spark.read.parquet(s"$indexPath/centroids")
+      .collect() // nCells rows — a tiny driver-side model artifact
+      .map(r => (r.getAs[Int]("cell"),
+        r.getAs[scala.collection.Seq[Double]]("centroid").toArray))
+
+  private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String): Array[Array[(Int, Array[Double])]] =
+    spark.read.parquet(s"$indexPath/codebooks")
+      .collect() // m·codebookK rows — tiny
+      .map(r => (r.getAs[Int]("j"), r.getAs[Int]("code"),
+        r.getAs[scala.collection.Seq[Double]]("codeword").toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(r => (r._2, r._3)) }
 }

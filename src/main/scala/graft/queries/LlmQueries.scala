@@ -102,6 +102,31 @@ object LlmQueries {
     fix
   }
 
+  /** Ensure the INCREMENTALLY-GROWN IVF-PQ index fixture: both
+    * quantizers (coarse cells + subspace codebooks) trained on the even
+    * vec_ids only, the odds assigned + encoded against those FROZEN
+    * artifacts and appended ([[Similarity.appendToIvfPqIndex]] — no
+    * retraining). Completion marker as in [[ensureGrownLshIndex]].
+    */
+  def ensureGrownIvfPqIndex(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    // v2: codebookK 16 -> 32 — at 16 the ADC is too coarse for the dense
+    // planted-near-dup neighborhoods (sf0.1 probe: one query's true
+    // top-5 all rank below a 40-deep shortlist even probing EVERY cell;
+    // at 32 the worst per-query recall is 0.4, two quantization notches
+    // above the 0.2 floor).
+    val fix = s"/tmp/graft_fixtures/ivfpq_grown_v2_${fingerprintCached(s"$dir/embeddings.parquet")}"
+    val done = new java.io.File(s"$fix/_GRAFT_GROWN")
+    if (!done.exists()) {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeIvfPqIndex(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", nCells = 10, m = 8, codebookK = 32, path = fix)
+      Similarity.appendToIvfPqIndex(s, emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", fix)
+      done.createNewFile()
+    }
+    fix
+  }
+
   /** Ensure the write-time IVF index for `dir`'s embeddings exists; return
     * its path (same contract as [[ensureLshIndex]]).
     */
@@ -137,6 +162,7 @@ object LlmQueries {
     ensureGrownLshIndex(s, dir)
     ensureIvfIndex(s, dir)
     ensureGrownIvfIndex(s, dir)
+    ensureGrownIvfPqIndex(s, dir)
     ensureNearDupIndex(s, dir)
     ensureSimhashIndex(s, dir)
     ensureSimhashWideIndex(s, dir)
@@ -1505,6 +1531,29 @@ object LlmQueries {
           col("vec_id") < 10, k = 5, m = 8, codebookK = 16, oversample = 4)
           .localCheckpoint(false)
         Similarity.annContract(approx,
+          Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5),
+          emb, "vec_id", "embedding", k = 5, recallFloor = 0.2)
+      },
+      Some("""SELECT DISTINCT vec_id AS query_id, CAST(5 AS INT) AS k_returned,
+             |CAST(1 AS INT) AS cos_monotone_ok, CAST(1 AS INT) AS cos_exact_ok,
+             |CAST(1 AS INT) AS recall_floor_ok
+             |FROM embeddings WHERE vec_id < 10""".stripMargin)),
+
+    // IVF-PQ write-time index, grown by append: coarse cells + subspace
+    // codebooks trained on HALF the corpus (even ids), the other half
+    // assigned + encoded against the frozen artifacts and appended —
+    // then probed: DPP-pruned read of nProbe cell directories, ADC over
+    // the m-int code column only, exact rerank from the base table.
+    // The contract row holds over the FULL corpus ground truth, so it
+    // certifies the grown index answers for rows the training never saw.
+    "llm_sim_topk_pq_index" -> Q(
+      (s, dir) => {
+        val fix = ensureGrownIvfPqIndex(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") < 10)
+        Similarity.annContract(
+          Similarity.ivfPqTopKFromIndex(s, fix, emb, "vec_id", "embedding",
+            col("vec_id") < 10, k = 5, nProbe = 5, oversample = 8),
           Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5),
           emb, "vec_id", "embedding", k = 5, recallFloor = 0.2)
       },
