@@ -135,6 +135,45 @@ object Centrality {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Fixed-round k-core peel: `rounds` iterations of "drop every node
+    * with degree < k (and its edges)", then the surviving nodes with
+    * their in-subgraph degree. The density-core extraction of graph
+    * curation (a 2-core keeps only nodes on cycles — boilerplate link
+    * rings, co-purchase cliques); run to a fixed round count, not
+    * convergence, so the oracle can unroll the identical rounds (the
+    * [[pageRankFixedPoint]] convention — after `rounds` passes the
+    * result is the true k-core iff a pass removed nothing, which the
+    * caller can check by comparing consecutive-round outputs).
+    *
+    * Scale shape: each round is one map-side-combined degree aggregate
+    * plus two semi-joins of the edge frame against the (node-cardinality)
+    * survivor list — O(rounds) shuffles, each bounded by the shrinking
+    * edge frame; nothing quadratic, no windows. Edge frames are pinned
+    * per round to keep lineage flat.
+    *
+    * @return (node, degree) for nodes surviving all `rounds` passes
+    */
+  def kCoreFixedRounds(edges: DataFrame, aCol: String, bCol: String,
+                       k: Int, rounds: Int,
+                       mat: Materialize = Materialize.Local): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+    var e = mat(edges.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("degree") >= k).select(col("node"))
+      e = mat(e
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi"))
+    }
+    degrees(e)
+  }
+
   /** Local clustering coefficient per node:
     * `2 · triangles(v) / (deg(v) · (deg(v) − 1))` — the fraction of a
     * node's neighbor pairs that are themselves connected. The per-node

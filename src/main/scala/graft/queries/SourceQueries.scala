@@ -425,6 +425,39 @@ object SourceQueries {
              |    AS clustering
              |FROM deg LEFT JOIN pn USING (node)""".stripMargin)),
 
+    // Fixed-round 2-core peel over the frequent co-purchase graph: four
+    // rounds of "drop degree-<2 nodes and their edges", survivors with
+    // their in-core degree — the cycle-extraction pass (a 2-core is
+    // exactly the nodes on cycles). The oracle unrolls the identical
+    // four rounds, the pageRank fixed-round convention.
+    "graph_kcore" -> Q(
+      (s, dir) => graft.llm.Centrality.kCoreFixedRounds(
+        coPurchaseEdges(s, dir), "a", "b", k = 2, rounds = 4),
+      Some {
+        // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+        // each round references the previous edge frame three times —
+        // an inlined unroll re-evaluates the e0 self-join 3^4 times and
+        // spills the machine's disk.
+        val rounds = (1 to 4).map { i =>
+          s""",
+             |d$i AS MATERIALIZED (SELECT node, count(*) AS degree FROM (
+             |  SELECT a AS node FROM e${i - 1}
+             |  UNION ALL SELECT b FROM e${i - 1}) GROUP BY 1),
+             |k$i AS (SELECT node FROM d$i WHERE degree >= 2),
+             |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+             |  JOIN k$i ka ON a = ka.node JOIN k$i kb ON b = kb.node)"""
+            .stripMargin
+        }.mkString
+        s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           |  FROM lineitem),
+           |e0 AS MATERIALIZED (SELECT a.p AS a, b.p AS b FROM items a
+           |       JOIN items b ON a.o = b.o AND a.p < b.p
+           |       GROUP BY 1, 2 HAVING count(*) >= 2)$rounds
+           |SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+           |  SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4)
+           |GROUP BY 1""".stripMargin
+      }),
+
     // S8 + S10 - NDJSON sink + truncate-reload into the warehouse registry
     // (transform_json_INFO.py:104-119, WRITE_TRUNCATE).
     "s8_s10_ndjson_roundtrip" -> Q(

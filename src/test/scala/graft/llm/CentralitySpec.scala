@@ -90,6 +90,23 @@ class CentralitySpec extends SparkSpec {
     assert(out(9L) === ((1L, 0L, 0.0)))
   }
 
+  test("kCoreFixedRounds: cascade peel removes pendant chains round by " +
+    "round; the cycle survives with exact in-core degrees") {
+    // Triangle 1-2-3 with a pendant chain 3-4-5-6: each round peels one
+    // chain node (6, then 5, then 4), so 3 rounds reach the true 2-core
+    // and a 4th changes nothing.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L)).toDF("a", "b")
+    def run(r: Int) = Centrality.kCoreFixedRounds(edges, "a", "b", 2, r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // After 1 round only the leaf 6 is gone (5 had degree 2 going in).
+    assert(run(1).keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(run(3) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(run(4) === run(3)) // converged
+    // k above the max degree empties the graph.
+    assert(Centrality.kCoreFixedRounds(edges, "a", "b", 5, 2).count() === 0)
+  }
+
   test("rejects empty edge lists and bad iteration counts") {
     intercept[IllegalArgumentException] {
       Centrality.pageRankFixedPoint(
