@@ -447,17 +447,107 @@ object TextAnalysis {
       .agg(countDistinct(col("w1")).cast("double").as("ncw"))
     val nbt = c12.count().toDouble
     bg.join(c12, Seq("bg")).join(c1s, Seq("w1")).join(cw, Seq("w2"))
-      .select(col(idCol),
-        floor(-log(
-          (greatest(col("c12") - lit(discount), lit(0.0)) +
-            ((lit(discount) * col("nfw")) * (col("ncw") / lit(nbt)))) /
-            col("c1"))
-          * lit(1e6) + lit(0.5)).cast("long").as("u"))
+      .select(col(idCol), knUnats(discount, nbt).as("u"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("u")).as("sum_unats"))
       .withColumn("avg_kn_surprisal",
         col("sum_unats").cast("double") / col("n_bigrams").cast("double")
           / lit(1e6))
+  }
+
+  /** Write the frozen Kneser–Ney LM artifact [[knBigramSurprisal]]
+    * trains inline: the three count tables (`c12`, `c1s`, `cw`) plus a
+    * one-row `meta` (bigram-type total, discount in ppm, and the
+    * acceptance threshold = the corpus-wide MEAN per-bigram surprisal
+    * in exact milli-unats — `sum(u)·1000 div count(u)`, an integer
+    * scalar any engine recomputes identically). This is the CCNet
+    * posture made explicit: the quality LM is a VERSIONED ARTIFACT
+    * trained once on a reference corpus; ingest gates score against it
+    * frozen and never retrain in-band.
+    */
+  def writeKnLm(corpus: DataFrame, idCol: String, textCol: String,
+                path: String, discount: Double = 0.75,
+                mat: graft.ops.Materialize = graft.ops.Materialize.Local): Unit = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0, 1), got $discount")
+    val bg = mat(Dedup.ensureParallelism(corpus.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(TextOps.adjacentPairs(col(textCol))).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1)))
+    val c12 = mat(bg.groupBy(col("bg"))
+      .agg(count(lit(1)).cast("double").as("c12")))
+    val c1s = bg.groupBy(col("w1"))
+      .agg(count(lit(1)).cast("double").as("c1"),
+        countDistinct(col("w2")).cast("double").as("nfw"))
+    val cw = bg.groupBy(col("w2"))
+      .agg(countDistinct(col("w1")).cast("double").as("ncw"))
+    val nbt = c12.count().toDouble
+    c12.write.mode("overwrite").parquet(s"$path/c12")
+    c1s.write.mode("overwrite").parquet(s"$path/c1s")
+    cw.write.mode("overwrite").parquet(s"$path/cw")
+    // Threshold: exact integer stats over the training stream's own
+    // per-occurrence surprisals (the same u expression the gate scores
+    // with), so "accept" means "no worse than the reference corpus'
+    // average bigram".
+    val thr = bg.join(c12, Seq("bg")).join(c1s, Seq("w1")).join(cw, Seq("w2"))
+      .select(knUnats(discount, nbt).as("u"))
+      .agg((sum(col("u")) * lit(1000L)).cast("long").as("s"),
+        count(lit(1)).as("n"))
+      .selectExpr("s div n AS thr").head().getLong(0)
+    corpus.sparkSession.createDataFrame(
+        Seq((nbt, math.round(discount * 1e6), thr)))
+      .toDF("nbt", "discount_ppm", "thr_milliunats")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The shared per-occurrence KN surprisal expression (micro-nats):
+    * consumed over a frame carrying c12/c1/nfw/ncw.
+    */
+  private def knUnats(discount: Double, nbt: Double): Column =
+    floor(-log(
+      (greatest(col("c12") - lit(discount), lit(0.0)) +
+        ((lit(discount) * col("nfw")) * (col("ncw") / lit(nbt)))) /
+        col("c1"))
+      * lit(1e6) + lit(0.5)).cast("long")
+
+  /** Gate a batch against a frozen [[writeKnLm]] artifact: REJECT any
+    * document containing a bigram the LM never saw (not representable
+    * under the frozen model — itself a quality signal: heavy novelty
+    * against a reference corpus is noise, boilerplate soup, or another
+    * language), otherwise accept iff the document's exact milli-unat
+    * average surprisal is at or below the artifact's stored threshold.
+    * Both rules are integer-exact, so the decision replays identically
+    * in any engine. Documents with no bigrams at all (< 2 tokens) are
+    * rejected — nothing to score under a bigram LM. Scale shape: the
+    * batch's bigram stream joins the LM tables on bg/w1/w2
+    * (batch-sized probes of vocab-cardinality tables); the corpus
+    * never rescans.
+    */
+  def knGateBatch(spark: org.apache.spark.sql.SparkSession, lmPath: String,
+                  batch: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val meta = spark.read.parquet(s"$lmPath/meta").head()
+    val nbt = meta.getAs[Double]("nbt")
+    val discount = meta.getAs[Long]("discount_ppm").toDouble / 1e6
+    val thr = meta.getAs[Long]("thr_milliunats")
+    val bg = batch.select(col(idCol), col(textCol))
+      .select(col(idCol), explode(TextOps.adjacentPairs(col(textCol))).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val scored = bg
+      .join(spark.read.parquet(s"$lmPath/c12"), Seq("bg"), "left")
+      .join(spark.read.parquet(s"$lmPath/c1s"), Seq("w1"), "left")
+      .join(spark.read.parquet(s"$lmPath/cw"), Seq("w2"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(when(col("c12").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        // Unseen rows contribute NULL u — ignored by sum; the unseen
+        // counter already rejects those docs.
+        sum(when(col("c12").isNotNull, knUnats(discount, nbt))).as("su"),
+        count(lit(1)).as("nb"))
+      .filter(col("n_unseen") === 0L &&
+        (col("su") * lit(1000L)).cast("long") <= lit(thr) * col("nb"))
+      .select(col(idCol))
+    batch.join(scored, Seq(idCol), "left_semi")
   }
 
   /** Out-of-vocabulary rate per document against the corpus top-`vocabK`

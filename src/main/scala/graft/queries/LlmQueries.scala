@@ -127,6 +127,16 @@ object LlmQueries {
     fix
   }
 
+  /** Ensure the frozen Kneser–Ney LM artifact for `dir`'s documents
+    * exists; return its path (same contract as [[ensureLshIndex]]).
+    */
+  def ensureKnLm(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val fix = s"/tmp/graft_fixtures/knlm_v1_${fingerprintCached(s"$dir/documents.parquet")}"
+    if (!new java.io.File(s"$fix/meta/_SUCCESS").exists())
+      TextAnalysis.writeKnLm(Tables.documents(s, dir), "doc_id", "text", fix)
+    fix
+  }
+
   /** Ensure the write-time IVF index for `dir`'s embeddings exists; return
     * its path (same contract as [[ensureLshIndex]]).
     */
@@ -168,6 +178,7 @@ object LlmQueries {
     ensureSimhashWideIndex(s, dir)
     ensureExactDupIndex(s, dir)
     ensureImageHashIndex(s, dir)
+    ensureKnLm(s, dir)
   }
 
   /** Ensure the write-time SIMHASH index for `dir`'s documents exists;
@@ -1252,6 +1263,71 @@ object LlmQueries {
          |  CAST(sum(u) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
          |    AS avg_kn_surprisal
          |FROM u GROUP BY doc_id""".stripMargin)),
+
+    // Streaming QUALITY gate (the CCNet perplexity filter, fourth gate):
+    // arriving docs score against the FROZEN KN-LM artifact — intact
+    // re-submissions (id%10==0) carry corpus-typical bigrams; token-
+    // REVERSED twins (id%10==2) carry the same vocabulary in implausible
+    // order. Accept = zero LM-unseen bigrams AND exact milli-unat avg
+    // surprisal <= the artifact's stored corpus-mean threshold. The
+    // oracle is a FULL replay (train + threshold + score are all
+    // integer-exact), not contract flags.
+    "llm_stream_quality_gate" -> Q(
+      (s, dir) => {
+        val fix = ensureKnLm(s, dir)
+        val docs = Tables.documents(s, dir)
+        val arriving = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") % 10 === 2)
+            .select((col("doc_id") + 4000000L).as("doc_id"),
+              concat_ws(" ",
+                reverse(graft.llm.TextOps.tokens(col("text")))).as("text")))
+        TextAnalysis.knGateBatch(s, fix, arriving, "doc_id", "text")
+          .select("doc_id")
+      },
+      Some(s"""WITH norm AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents),
+         |bgc AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(ws)),
+         |      i -> ws[i] || ' ' || ws[i+1])) AS bg
+         |  FROM norm),
+         |bgw AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1,
+         |    split_part(bg, ' ', 2) AS w2 FROM bgc),
+         |c12 AS MATERIALIZED (SELECT bg, CAST(count(*) AS DOUBLE) AS c12
+         |  FROM bgw GROUP BY 1),
+         |c1s AS MATERIALIZED (SELECT w1, CAST(count(*) AS DOUBLE) AS c1,
+         |    CAST(count(DISTINCT w2) AS DOUBLE) AS nfw FROM bgw GROUP BY 1),
+         |cw AS MATERIALIZED (SELECT w2, CAST(count(DISTINCT w1) AS DOUBLE)
+         |    AS ncw FROM bgw GROUP BY 1),
+         |nb AS (SELECT CAST(count(*) AS DOUBLE) AS nbt FROM c12),
+         |tu AS (SELECT CAST(floor(-ln(
+         |      (greatest(c12 - 0.75, 0.0) + ((0.75 * nfw) * (ncw / nbt)))
+         |        / c1) * 1e6 + 0.5) AS BIGINT) AS u
+         |  FROM bgw JOIN c12 USING (bg) JOIN c1s USING (w1)
+         |  JOIN cw USING (w2) CROSS JOIN nb),
+         |thr AS (SELECT (CAST(sum(u) AS BIGINT) * 1000) // count(*) AS thr
+         |  FROM tu),
+         |arr AS (SELECT doc_id + 3000000 AS doc_id, ws FROM norm
+         |    WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 4000000, list_reverse(ws) FROM norm
+         |    WHERE doc_id % 10 = 2),
+         |abg AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(ws)),
+         |      i -> ws[i] || ' ' || ws[i+1])) AS bg
+         |  FROM arr),
+         |abw AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1,
+         |    split_part(bg, ' ', 2) AS w2 FROM abg),
+         |sc AS (SELECT doc_id,
+         |    sum(CASE WHEN c12 IS NULL THEN 1 ELSE 0 END) AS n_unseen,
+         |    sum(CASE WHEN c12 IS NOT NULL THEN CAST(floor(-ln(
+         |      (greatest(c12 - 0.75, 0.0) + ((0.75 * nfw) * (ncw / nbt)))
+         |        / c1) * 1e6 + 0.5) AS BIGINT) END) AS su,
+         |    count(*) AS nb
+         |  FROM abw LEFT JOIN c12 USING (bg) LEFT JOIN c1s USING (w1)
+         |  LEFT JOIN cw USING (w2) CROSS JOIN nb
+         |  GROUP BY 1)
+         |SELECT doc_id FROM sc CROSS JOIN thr
+         |WHERE n_unseen = 0 AND su * 1000 <= thr * nb""".stripMargin)),
 
     // OOV rate against the deterministic top-100 corpus vocabulary —
     // the tokenizer-coverage check; the vocab side broadcasts.

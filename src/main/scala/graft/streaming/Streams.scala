@@ -593,4 +593,32 @@ object Streams {
           nBuckets, indexPath)
       }
       .start()
+
+  /** Streaming QUALITY ingest gate — the CCNet perplexity filter as the
+    * fourth gate: every micro-batch is scored against the FROZEN
+    * Kneser–Ney LM artifact ([[graft.llm.TextAnalysis.writeKnLm]]) and
+    * only documents that (a) contain no LM-unseen bigram and (b) score
+    * at or below the artifact's stored mean-surprisal threshold land in
+    * the batchId-named output directory. Unlike the three membership
+    * gates, the state here is deliberately STATELESS-per-batch: the
+    * reference LM is a versioned artifact and accepted rows must NOT
+    * shift the acceptance bar mid-stream (quality drift would otherwise
+    * feed back into the filter — the CCNet posture). Replay is
+    * therefore trivially exactly-once: the decision is a pure function
+    * of (artifact, batch), and the overwrite of the same batch_id
+    * directory is idempotent.
+    */
+  def startQualityGateSink(df: DataFrame, lmPath: String, outPath: String,
+                           checkpoint: String, idCol: String,
+                           textCol: String) =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.llm.TextAnalysis.knGateBatch(spark, lmPath, batch.toDF(),
+          idCol, textCol)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+      }
+      .start()
 }

@@ -330,6 +330,46 @@ class StreamsSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("streaming QUALITY gate accepts reference-like text, rejects " +
+    "LM-unseen bigrams and over-threshold surprisal; stateless replay") {
+    implicit val sqlCtx = spark.sqlContext
+    // Reference corpus: a strongly repetitive phrase (low surprisal) and
+    // one rarer sentence so the mean threshold sits between them.
+    val corpus = ((1L to 8L).map(i => Doc(i, "the cat sat on the mat")) :+
+      Doc(9L, "a dog ran under the table and the cat sat")).toDF()
+    val root = java.nio.file.Files.createTempDirectory("qgate").toString
+    val (lm, out, ckpt) = (s"$root/lm", s"$root/out", s"$root/ckpt")
+    try {
+      graft.llm.TextAnalysis.writeKnLm(corpus, "doc_id", "text", lm)
+      val mem = MemoryStream[Doc]
+      val q = Streams.startQualityGateSink(mem.toDF(), lm, out, ckpt,
+        "doc_id", "text")
+      try {
+        // 10: corpus-typical (all bigrams frequent) -> accept.
+        // 11: novel bigram ("mat sat" never seen) -> reject.
+        // 12: all-seen bigrams but the rare ones only -> over threshold.
+        mem.addData(Doc(10L, "the cat sat on the mat"),
+          Doc(11L, "the cat mat sat"))
+        q.processAllAvailable()
+        mem.addData(Doc(12L, "a dog ran under the table"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val accepted = spark.read.parquet(out)
+        .select("doc_id").as[Long].collect().sorted
+      assert(accepted.contains(10L) && !accepted.contains(11L))
+      assert(!accepted.contains(12L), "all-rare-bigram doc must sit above " +
+        "the corpus-mean threshold")
+      // The gate is stateless per batch: a direct batch call against the
+      // frozen artifact makes the identical decision.
+      val again = graft.llm.TextAnalysis.knGateBatch(spark, lm,
+        Seq(Doc(20L, "the cat sat on the mat"), Doc(21L, "the cat mat sat"))
+          .toDF(), "doc_id", "text")
+        .select("doc_id").as[Long].collect().sorted
+      assert(again === Array(20L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("streaming NEAR-dup gate rejects edited copies and cross-batch " +
     "near-dups of accepted rows via the wide-simhash index") {
     implicit val sqlCtx = spark.sqlContext
