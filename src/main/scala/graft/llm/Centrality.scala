@@ -100,15 +100,27 @@ object Centrality {
     * (u,v) pair); nothing is ever all-pairs.
     */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String,
-                     mat: Materialize = Materialize.Local): DataFrame = {
-    // Simple undirected edges: canonical a < b, self-loops dropped.
-    // Pinned: the frame feeds the degree union (twice) and the
-    // orientation join — without the pin every consumer would re-run
-    // the caller's whole edge-construction pipeline.
-    val e0 = mat(edges.select(
+                     mat: Materialize = Materialize.Local): DataFrame =
+    triangleCountsOn(canonicalEdges(edges, aCol, bCol, mat), mat)
+
+  /** Simple undirected edges: canonical a < b, self-loops dropped.
+    * Pinned: the frame feeds the degree union (twice) and the
+    * orientation join — without the pin every consumer would re-run
+    * the caller's whole edge-construction pipeline.
+    */
+  private def canonicalEdges(edges: DataFrame, aCol: String, bCol: String,
+                             mat: Materialize): DataFrame =
+    mat(edges.select(
         least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct())
+
+  /** [[triangleCounts]] over an ALREADY-canonical pinned edge frame
+    * `(a, b)` — the entry [[clusteringCoefficient]] uses so its shared
+    * frame is normalized and pinned exactly once.
+    */
+  private def triangleCountsOn(e0: DataFrame,
+                               mat: Materialize): DataFrame = {
     val deg = e0.select(col("a").as("n")).union(e0.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // Orient by the (degree, id) total order; a < b already, so ties go
@@ -186,16 +198,12 @@ object Centrality {
     */
   def clusteringCoefficient(edges: DataFrame, aCol: String, bCol: String,
                             mat: Materialize = Materialize.Local): DataFrame = {
-    // Pinned once here; triangleCounts' own pin below then re-pins a
-    // trivial distinct-of-pinned instead of re-running the caller's
-    // edge construction for each of its three consumers.
-    val e0 = mat(edges.select(
-        least(col(aCol), col(bCol)).as("a"),
-        greatest(col(aCol), col(bCol)).as("b"))
-      .filter(col("a") =!= col("b")).distinct())
+    // Normalized and pinned exactly once; both the degree union and the
+    // triangle core consume the same materialization.
+    val e0 = canonicalEdges(edges, aCol, bCol, mat)
     val deg = e0.select(col("a").as("node")).union(e0.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
-    deg.join(triangleCounts(e0, "a", "b", mat), Seq("node"), "left")
+    deg.join(triangleCountsOn(e0, mat), Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
       .withColumn("clustering",
