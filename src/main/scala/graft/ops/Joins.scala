@@ -15,6 +15,27 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Joins")
+
+  /** Hot-block cap for [[fuzzyJoinBlocked]]: blocks wider than this
+    * (combined, both sides) are sub-split by length band before the
+    * candidate join, bounding per-task pair mass under any prefix/suffix
+    * skew ("every record starts 'the '"). Far above any benign ER block
+    * on a real name field, far below a degenerate one. Pass
+    * `Long.MaxValue` to opt out, which also skips the width pass.
+    */
+  val DefaultMaxBlockWidth: Long = 10000L
+
+  /** DIAGNOSTIC: how many over-cap blocks the most recent
+    * [[fuzzyJoinBlocked]] call on this driver sub-split, and how many
+    * sub-blocks it then dropped as STILL over cap (same block key AND
+    * same length band, wider than the cap). Driver-side, last-call-wins
+    * visibility hooks for tests and operators; the authoritative
+    * per-call signal is the WARN log emitted when either fires.
+    */
+  val lastBlockCapSplits = new java.util.concurrent.atomic.AtomicLong(0L)
+  val lastBlockCapDrops = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** J3 - star join: fact x N dimensions on a shared key, dims broadcast.
     * The reference's dims are <=20 rows (`stock_list.csv:1-21`) and at 100 TB
     * dimension tables stay small relative to facts, so an explicit
@@ -141,34 +162,118 @@ object Joins {
     * common dirty-data shape: truncated head, clipped tail, one typo)
     * still collides on the other key; only an edit run touching BOTH
     * ends within `maxDistance` total edits escapes, the documented
-    * recall boundary. A cheap `abs(len_a - len_b) <= maxDistance`
-    * pre-filter runs ahead of the O(len²) Levenshtein kernel (Spark's
-    * codegen'd `levenshtein`), which therefore only ever sees
-    * same-block, length-plausible candidates.
+    * recall boundary. RECALL FLOOR FOR SHORT TEXTS: below ~4 characters
+    * the prefix and suffix windows overlap, so a single length-changing
+    * edit ("ab" vs "abc", distance 1) rewrites BOTH keys and the pair is
+    * missed — the two-key guarantee only holds for texts of at least
+    * `3 + maxDistance` characters. A cheap `abs(len_a - len_b) <=
+    * maxDistance` pre-filter runs ahead of the O(len²) Levenshtein
+    * kernel (Spark's codegen'd `levenshtein`), which therefore only ever
+    * sees same-block, length-plausible candidates.
     *
-    * Skew note: a pathologically common prefix (every record starting
-    * "the ") concentrates one block; at corpus scale extend the key with
-    * a length band or cap hot blocks — the LSH bucket-cap pattern. Kept
-    * exact here because ER blocks on real name fields are short-tailed.
+    * SKEW GUARD (on by default at [[DefaultMaxBlockWidth]]): a
+    * pathologically common prefix (every record starting "the ")
+    * concentrates one block, and the candidate join inherits that skew —
+    * a hot block is quadratic in its width. A width pass counts each
+    * block (both sides combined); blocks over `maxBlockWidth` are
+    * sub-split by length band `floor(len / (maxDistance + 1))`, with the
+    * probe side exploded to the adjacent bands as well: any pair within
+    * `maxDistance` edits differs by at most `maxDistance` in length, so
+    * it lands at most one band apart and still collides — sub-splitting
+    * costs width, not recall. Sub-blocks STILL over cap (same key AND
+    * same length band) are dropped with a WARN — the only recall loss,
+    * confined to blocks so degenerate they carry no blocking signal —
+    * which bounds per-key pair mass at ~3·maxBlockWidth². Both passes
+    * fire only when a block is actually hot; the common benign case
+    * adds one count-shuffle and no joins.
     */
   def fuzzyJoinBlocked(left: DataFrame, right: DataFrame,
                        leftId: String, leftText: String,
                        rightId: String, rightText: String,
-                       maxDistance: Int): DataFrame = {
+                       maxDistance: Int,
+                       maxBlockWidth: Long = DefaultMaxBlockWidth): DataFrame = {
     require(maxDistance >= 0, s"maxDistance must be >= 0, got $maxDistance")
+    require(maxBlockWidth > 0, s"maxBlockWidth must be > 0, got $maxBlockWidth")
     def prep(df: DataFrame, idC: String, textC: String, side: String) =
       df.select(col(idC).as(s"id_$side"),
         lower(trim(col(textC))).as(s"t_$side"))
     def keyed(df: DataFrame, side: String) =
-      df.select(col(s"id_$side"), explode(array(
+      df.select(col(s"id_$side"),
+        (length(col(s"t_$side")) / (maxDistance + 1)).cast("long").as("_band"),
+        explode(array(
           concat(lit("p:"), expr(s"substring(t_$side, 1, 3)")),
           concat(lit("s:"),
             expr(s"substring(t_$side, greatest(length(t_$side) - 2, 1), 3)"))))
         .as("bkey"))
     val a = prep(left, leftId, leftText, "a")
     val b = prep(right, rightId, rightText, "b")
-    val cand = keyed(a, "a").join(keyed(b, "b"), Seq("bkey"))
-      .select("id_a", "id_b").distinct()
+    val ka = keyed(a, "a")
+    val kb = keyed(b, "b")
+    // Width pass: over-cap block keys, collected driver-side (bounded at
+    // 2·(|a|+|b|)/cap rows — the same driver-visibility trade as
+    // Similarity.applyCap; empty on any benignly-blocked corpus).
+    val over =
+      if (maxBlockWidth == Long.MaxValue) Array.empty[org.apache.spark.sql.Row]
+      else ka.select("bkey").unionAll(kb.select("bkey"))
+        .groupBy("bkey").agg(count(lit(1)).as("w"))
+        .filter(col("w") > maxBlockWidth).select("bkey").collect()
+    lastBlockCapSplits.set(over.length.toLong)
+    val cand =
+      if (over.isEmpty)
+        ka.select("id_a", "bkey").join(kb.select("id_b", "bkey"), Seq("bkey"))
+          .select("id_a", "id_b").distinct()
+      else {
+        log.warn(s"fuzzyJoinBlocked: sub-splitting ${over.length} hot " +
+          s"block(s) by length band (maxBlockWidth=$maxBlockWidth)")
+        val spark = left.sparkSession
+        val overDf = spark.createDataFrame(
+            java.util.Arrays.asList(over: _*),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("bkey",
+                org.apache.spark.sql.types.StringType))))
+          .withColumn("_hot", lit(true))
+        // Hot rows swap their key for bkey#band; the probe (b) side also
+        // emits the two adjacent bands so band-boundary pairs survive.
+        // Cold rows pass through untouched (null `_hot` → otherwise arm).
+        def split(k: DataFrame, idC: String, adjacent: Boolean) = {
+          val j = k.join(broadcast(overDf), Seq("bkey"), "left")
+          val bands = if (adjacent) Seq(-1L, 0L, 1L) else Seq(0L)
+          val keys = when(col("_hot"), array(bands.map(d =>
+              concat(col("bkey"), lit("#"), col("_band") + d)): _*))
+            .otherwise(array(col("bkey")))
+          j.select(col(idC), coalesce(col("_hot"), lit(false)).as("_hot"),
+            explode(keys).as("bkey"))
+        }
+        val sa = split(ka, "id_a", adjacent = false)
+        val sb = split(kb, "id_b", adjacent = true)
+        // Hard bound: a sub-block still over cap on either side (the b
+        // side gets a 3x allowance for its adjacent-band copies) is
+        // dropped from candidate generation entirely.
+        val still = sa.filter(col("_hot")).groupBy("bkey")
+          .agg(count(lit(1)).as("w")).filter(col("w") > maxBlockWidth)
+          .select("bkey")
+          .unionAll(sb.filter(col("_hot")).groupBy("bkey")
+            .agg(count(lit(1)).as("w"))
+            .filter(col("w") > 3L * maxBlockWidth).select("bkey"))
+          .distinct().collect()
+        lastBlockCapDrops.set(still.length.toLong)
+        val (fa, fb) =
+          if (still.isEmpty) (sa, sb)
+          else {
+            log.warn(s"fuzzyJoinBlocked: dropping ${still.length} " +
+              s"sub-block(s) still over cap after length banding " +
+              s"(maxBlockWidth=$maxBlockWidth) — recall degrades there")
+            val stillDf = spark.createDataFrame(
+              java.util.Arrays.asList(still: _*),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("bkey",
+                  org.apache.spark.sql.types.StringType))))
+            (sa.join(broadcast(stillDf), Seq("bkey"), "left_anti"),
+              sb.join(broadcast(stillDf), Seq("bkey"), "left_anti"))
+          }
+        fa.select("id_a", "bkey").join(fb.select("id_b", "bkey"), Seq("bkey"))
+          .select("id_a", "id_b").distinct()
+      }
     cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
       .filter(abs(length(col("t_a")) - length(col("t_b"))) <= maxDistance)
       .withColumn("dist", levenshtein(col("t_a"), col("t_b")))

@@ -54,6 +54,38 @@ class JoinsSpec2 extends SparkSpec {
     assert(ci === Seq((1L, 2L, 0)))
   }
 
+  test("fuzzyJoinBlocked: hot-block cap sub-splits a skewed block by " +
+    "length band with zero recall loss") {
+    // ADVERSARIAL SKEW: every record shares prefix "the " so the p-block
+    // holds all 4000 rows. Lengths vary, so banding disperses it.
+    def name(i: Int) = "the " + ("x" * (i % 397)) + f"$i%04d"
+    val clean = (0 until 2000).map(i => (i.toLong, name(i))).toDF("id", "name")
+    val dirty = (0 until 2000).map(i => (10000L + i, name(i) + "!"))
+      .toDF("id", "name") // +1 length: half the pairs straddle a band edge
+    val out = Joins.fuzzyJoinBlocked(clean, dirty, "id", "name",
+      "id", "name", maxDistance = 1, maxBlockWidth = 100)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(Joins.lastBlockCapSplits.get() > 0,
+      "the hot prefix block must trip the width cap")
+    assert(Joins.lastBlockCapDrops.get() === 0,
+      "length banding must disperse this block without drops")
+    // Full recall: every true pair survives, including the band-boundary
+    // ones rescued by the probe side's adjacent-band explode.
+    assert(out === (0 until 2000).map(i => (i.toLong, 10000L + i)).toSet)
+  }
+
+  test("fuzzyJoinBlocked: degenerate same-length hot sub-block is " +
+    "dropped loudly, bounding pair mass") {
+    val l = (0 until 500).map(i => (i.toLong, "the quick brown fox"))
+      .toDF("id", "name")
+    val r = (0 until 500).map(i => (1000L + i, "the quick brown fox"))
+      .toDF("id", "name")
+    val out = Joins.fuzzyJoinBlocked(l, r, "id", "name", "id", "name",
+      maxDistance = 0, maxBlockWidth = 50)
+    assert(out.count() === 0) // the 250k-pair quadratic block never forms
+    assert(Joins.lastBlockCapDrops.get() > 0)
+  }
+
   test("starJoin broadcasts each dim and preserves all fact rows") {
     val fact = spark.read.parquet(sf("customer"))
     val dim = spark.read.parquet(sf("nation"))
