@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import TextOps._
+import graft.ops.Materialize
 
 /** Corpus-curation operators a training-data pipeline needs beyond dedup:
   * deterministic splits/samples, token-budget sharding, benchmark
@@ -584,7 +585,7 @@ object Curation {
   private def bpeMergeLoop(df: DataFrame, idCol: String, textCol: String,
                            nMerges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
-    var state = tokenState(df, idCol, textCol).localCheckpoint(false)
+    var state = tokenState(df, idCol, textCol).transform(Materialize.pin)
     val rules = Seq.newBuilder[(Int, String, String, Long)]
     var exhausted = false
     for (r <- 1 to nMerges if !exhausted) {
@@ -600,7 +601,7 @@ object Curation {
         rules += ((r, pair, a + b, top(0).getLong(1)))
         state = state.select(col(idCol),
           graft.functions.BpeFunctions.greedyMerge(col("pt"), a, b).as("pt"))
-          .localCheckpoint(false)
+          .transform(Materialize.pin)
       }
     }
     (rules.result(), state)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import TextOps._
+import graft.ops.Materialize
 
 /** Deduplication operators for large-scale corpus cleaning.
   *
@@ -1144,7 +1145,7 @@ object Dedup {
     // consume it, and upstream is a k-means fit nobody wants re-run.
     val members = Similarity.ivfAssign(df, idCol, vecCol, nCells)._1
       .select(col("cand_id").as("id"), col("cell"), col("cv"))
-      .localCheckpoint(false)
+      .transform(Materialize.pin)
     semanticDedupWithCells(members, threshold, maxCellSize)
   }
 

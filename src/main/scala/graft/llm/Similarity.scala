@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 import TextOps.hash60
+import graft.ops.Materialize
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -274,7 +275,7 @@ object Similarity {
         .otherwise(round(col("x") * lit(1e6)).cast("decimal(18,0)")))
       // Pinned: the explode + quantize projection feeds the stats pass
       // AND the output join — without the pin it runs twice.
-      .localCheckpoint(false)
+      .transform(Materialize.pin)
     val stats = dims.groupBy(col("pos")).agg(
         count(lit(1)).as("nl"),
         sum(col("xi")).as("s1"),
@@ -435,7 +436,7 @@ object Similarity {
           transform(slice(col("uv"), j * sub + 1, sub),
             x => round(x * lit(1e9)).cast("long")).as("q"))): _*)).as("e"))
       .select(col("e.j").as("j"), col("e.q").as("q"))
-      .localCheckpoint(false)
+      .transform(Materialize.pin)
     // Deterministic init: the codebookK lowest-id vectors seed every
     // subspace (id order is corpus-intrinsic); iterations do the rest.
     val seedRows = unit.orderBy(col("cand_id")).limit(codebookK)
@@ -519,7 +520,7 @@ object Similarity {
     require(k > 0 && oversample > 0, "k and oversample must be positive")
     val unit = normalize(corpus, idCol, vecCol)
       .select(col(idCol), col("unit").as("uv"))
-      .localCheckpoint(false) // feeds training, encoding, and queries
+      .transform(Materialize.pin) // feeds training, encoding, and queries
     val dims = unit.select(size(col("uv"))).head().getInt(0)
     val unitC = unit.select(col(idCol).as("cand_id"), col("uv"))
     val books = pqCodebooks(unitC, dims, m, codebookK)
@@ -682,7 +683,7 @@ object Similarity {
     val cbCapped =
       if (maxBucketWidth == Long.MaxValue) cb
       else {
-        val pinned = cb.localCheckpoint(false)
+        val pinned = cb.transform(Materialize.pin)
         // The over-cap list (numTables x 2^planes rows at most) is
         // COLLECTED, not lazily broadcast: the width pass runs either
         // way, the driver-side list makes the cap VISIBLE (WARN +
@@ -953,7 +954,7 @@ object Similarity {
     val featTrain = feat
       .repartition(8, col("cand_id"))
       .sortWithinPartitions("cand_id")
-      .localCheckpoint(false) // training iterates; don't re-scan per pass
+      .transform(Materialize.pin) // training iterates; don't re-scan per pass
     // Random init (seeded → still deterministic) instead of k-means||: the
     // parallel init alone costs ~5 Spark jobs, more than the training it
     // saves at coarse-quantizer cell counts.
@@ -1089,7 +1090,7 @@ object Similarity {
     // The approx plan may be expensive (IVF assignment joins); it feeds
     // three consumers below, so pin its rows once.
     val a = approx.select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
-      .localCheckpoint(false)
+      .transform(Materialize.pin)
     // Rank-adjacent pairs: (r, r+1) per query; a single-row query has no
     // pair and is vacuously monotone.
     val monotone = a.as("x").join(a.as("y"),
@@ -1209,7 +1210,7 @@ object Similarity {
     val unit = normalize(corpus, idCol, vecCol).select(col(idCol), col("unit"))
     val (cells, centroids) = ivfAssign(unit, idCol, "unit", nCells)
     val unitC = cells.select(col("cand_id"), col("cv").as("uv"), col("cell"))
-      .localCheckpoint(false) // feeds training + encoding
+      .transform(Materialize.pin) // feeds training + encoding
     val dims = unitC.select(size(col("uv"))).head().getInt(0)
     val books = pqCodebooks(unitC.select(col("cand_id"), col("uv")),
       dims, m, codebookK)

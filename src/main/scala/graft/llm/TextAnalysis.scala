@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import TextOps._
+import graft.ops.Materialize
 
 /** Per-document text analysis for corpus curation: language ID, quality
   * scoring, token counting, fingerprinting.
@@ -197,7 +198,7 @@ object TextAnalysis {
       .select(col(idCol), col(groupCol),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
       .withColumn("h", TextOps.hash60(col("line")))
-      .localCheckpoint(false) // feeds the df count AND the rebuild
+      .transform(Materialize.pin) // feeds the df count AND the rebuild
     // The doc universe and per-group doc counts both come from the
     // PINNED lines frame (split always yields >= 1 line, so no doc is
     // lost) — re-aggregating the raw input would scan the corpus twice
@@ -241,7 +242,7 @@ object TextAnalysis {
       .select(col(idCol),
         explode(TextOps.wordShingles(col(textCol), k)).as("s"))
       .select(col(idCol), TextOps.hash60(col("s")).as("h"))
-      .localCheckpoint(false) // feeds the df count AND the tag-back join
+      .transform(Materialize.pin) // feeds the df count AND the tag-back join
     // wordShingles is distinct-per-doc, so count(*) per hash IS document
     // frequency.
     val dfc = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))

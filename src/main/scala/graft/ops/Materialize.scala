@@ -7,11 +7,12 @@ import org.apache.spark.sql.DataFrame
   * Several operators pin an expensive subplan that feeds 2+ consumers
   * (the range-partitioned frame in [[Windows.surrogateKey]], the dedup
   * inverted indexes, the per-round connected-component labels). The
-  * DEFAULT everywhere is [[Materialize.Local]] — a lazy local checkpoint:
-  * blocks live on executor local disks with NO lineage fallback. That is
-  * the fastest option and correct on a healthy cluster, but one lost
-  * executor fails the job, and for surrogateKey a recompute without the
-  * pin could silently re-sample range boundaries and desync offsets.
+  * DEFAULT everywhere is [[Materialize.Local]] — an EAGER local
+  * checkpoint (see [[Materialize.pin]] for why eager): blocks live on
+  * executor local disks with NO lineage fallback. That is the fastest
+  * option and correct on a healthy cluster, but one lost executor fails
+  * the job, and for surrogateKey a recompute without the pin could
+  * silently re-sample range boundaries and desync offsets.
   *
   * The executor-loss contract, explicitly:
   *  - [[Materialize.Local]]: executor loss => job failure (retry from the
@@ -27,7 +28,7 @@ import org.apache.spark.sql.DataFrame
   */
 sealed trait Materialize {
   def apply(df: DataFrame): DataFrame = this match {
-    case Materialize.Local    => df.localCheckpoint(false)
+    case Materialize.Local    => Materialize.pin(df)
     case Materialize.Reliable => df.checkpoint(false)
     case Materialize.Path(dir) =>
       df.write.mode("overwrite").parquet(dir)
@@ -36,7 +37,32 @@ sealed trait Materialize {
 }
 
 object Materialize {
-  /** Lazy local checkpoint: executor blocks, no lineage fallback. */
+  /** THE library-wide pin idiom: an EAGER local checkpoint. Every
+    * multi-consumer pin in graft routes through here
+    * (`df.transform(Materialize.pin)`), so the materialization policy is
+    * set in exactly one place.
+    *
+    * EAGER, deliberately: a lazy `localCheckpoint(false)` defers
+    * materialization to the first action, and that first materialization
+    * can race a concurrent broadcast-exchange thread finalizing the SAME
+    * checkpointed RDD — `RDD.markCheckpointed` vs
+    * `RDDCheckpointData.checkpoint` lock in opposite orders (one from
+    * the main action's doCheckpoint walk, one from the broadcast
+    * subjob), a jstack-confirmed JVM deadlock observed once in ~12
+    * rounds of full-suite runs. Eager materialization runs the
+    * checkpoint job to completion on the defining thread BEFORE any
+    * consumer can plan a broadcast over the frame, so the race window is
+    * structurally gone: by the time two threads can touch the RDD, it is
+    * already checkpointed and doCheckpoint is a no-op. The work is the
+    * same job the first consumer would have triggered anyway; the only
+    * cost is that the consumer re-reads the stored blocks instead of
+    * fusing with the materializing pass.
+    */
+  def pin(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+
+  /** Eager local checkpoint ([[pin]]): executor blocks, no lineage
+    * fallback.
+    */
   case object Local extends Materialize
 
   /** Lazy reliable checkpoint (requires `setCheckpointDir`); survives

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.llm.{Curation, TextAnalysis}
 import graft.model.Tables
 import graft.ops.Joins
+import graft.ops.Materialize
 
 /** Corpus-curation + scale-join queries: deterministic splits/samples,
   * token-budget sharding, benchmark decontamination, vocabulary top-k
@@ -127,7 +128,7 @@ object CurationQueries {
         val docs = Tables.documents(s, dir)
         val w = Curation.dsirLogWeights(docs,
           docs.filter(col("lang") === "en"), "doc_id", "text")
-          .localCheckpoint(false)
+          .transform(Materialize.pin)
         val mx = w.agg(max(col("logw_units"))).head().getLong(0)
         val scored = w.withColumn("score",
           exp((col("logw_units") - lit(mx)).cast("double") / lit(1e6)))

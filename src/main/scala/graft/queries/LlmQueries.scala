@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.llm.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.llm.TextOps
 import graft.model.Tables
+import graft.ops.Materialize
 
 /** LLM-data-pipeline queries over the `documents` and `embeddings` tables:
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
@@ -558,7 +559,7 @@ object LlmQueries {
     // pairs into an 18-round closure; 0.4 keeps 25-300 real pairs
     // across SFs with drops at every scale).
     val thr = 0.4
-    val dd = decision.localCheckpoint(false)
+    val dd = decision.transform(Materialize.pin)
     // Pair over the EFFECTIVE pairing key (pair_cell: the coarse cell,
     // sub-split when the pathological-cell guard fired) so contract (b)
     // judges exactly the pairs the decision could have seen.
@@ -566,7 +567,7 @@ object LlmQueries {
       .join(Tables.embeddings(s, dir)
         .select(col("vec_id").as("id"), col("embedding")), Seq("id"))
     val pairs = Dedup.embeddingNearDupPairs(members, "id", "embedding",
-      "pair_cell", thr).localCheckpoint(false)
+      "pair_cell", thr).transform(Materialize.pin)
     val witnessed = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct().withColumn("__hasw", lit(1))
@@ -743,7 +744,7 @@ object LlmQueries {
         // (a lazy pin would evaluate after the swap and read renamed
         // paths).
         val beforeProbe = Dedup.probeExactDupIndex(s, fix, delta,
-          "doc_id", "text", nBuckets = 16).localCheckpoint()
+          "doc_id", "text", nBuckets = 16).transform(Materialize.pin)
         val nDocs = docs.count()
         val (filesBefore, filesAfter, rowsAfter) = Dedup.compactIndex(s, fix)
         val afterProbe = Dedup.probeExactDupIndex(s, fix, delta,
@@ -1605,7 +1606,7 @@ object LlmQueries {
         val q = emb.filter(col("vec_id") < 10)
         val approx = Similarity.pqRerankTopK(emb, "vec_id", "embedding",
           col("vec_id") < 10, k = 5, m = 8, codebookK = 16, oversample = 4)
-          .localCheckpoint(false)
+          .transform(Materialize.pin)
         Similarity.annContract(approx,
           Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5),
           emb, "vec_id", "embedding", k = 5, recallFloor = 0.2)
@@ -1868,7 +1869,7 @@ object LlmQueries {
         // plan re-executes per consumer.
         val inline = Similarity.ivfTopK(emb, q,
           "vec_id", "embedding", k = 5, nCells = 10, nProbe = 3)
-          .localCheckpoint(false)
+          .transform(Materialize.pin)
         val contract = Similarity.annContract(inline,
           Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5),
           emb, "vec_id", "embedding", k = 5, recallFloor = 0.2)

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.ops.Materialize
 
 /** Structured Streaming operators over the events stream.
   *
@@ -455,7 +456,7 @@ object Streams {
           .simhashWidePairs(corpusOk, idCol, textCol, maxHamming)
           .select(col("id_b").as(idCol)).distinct()
         val accepted = corpusOk.join(intraDups, Seq(idCol), "left_anti")
-          .localCheckpoint(true)
+          .transform(Materialize.pin)
         accepted.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         graft.llm.Dedup.appendToSimhashWideIndex(accepted, idCol, textCol,
           maxHamming, nBuckets, indexPath)
@@ -524,7 +525,7 @@ object Streams {
         val spark = batch.sparkSession
         val corpusOk = semanticGateBatch(spark, indexPath, batch.toDF(),
           idCol, vecCol, threshold, numPlanes, numTables)
-          .localCheckpoint(true)
+          .transform(Materialize.pin)
         // Intra-batch: bucket-mates in any LSH table among the
         // corpus-accepted rows, exact-cosine verified; id_a < id_b so
         // dropping id_b keeps the lowest id of each group.
@@ -545,7 +546,7 @@ object Streams {
           .filter(graft.llm.Similarity.cosine(col("__va"), col("__vb")) >= threshold)
           .select(col("id_b").as(idCol)).distinct()
         val accepted = corpusOk.join(intraDups, Seq(idCol), "left_anti")
-          .localCheckpoint(true)
+          .transform(Materialize.pin)
         accepted.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         graft.llm.Similarity.appendToLshIndex(accepted, idCol, vecCol,
           numPlanes, numTables, indexPath)
@@ -587,7 +588,7 @@ object Streams {
         // Pin the gate decision BEFORE the append mutates the index a
         // lazy plan would re-read.
         val accepted = dedupGateBatch(spark, indexPath, batch.toDF(),
-          idCol, textCol, nBuckets).localCheckpoint(true)
+          idCol, textCol, nBuckets).transform(Materialize.pin)
         accepted.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         graft.llm.Dedup.appendToExactDupIndex(accepted, idCol, textCol,
           nBuckets, indexPath)
