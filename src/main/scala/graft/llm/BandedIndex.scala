@@ -164,16 +164,25 @@ private[llm] object BandedIndex {
     * the compacted layout returns exactly what the fragmented one did.
     *
     * The swap is rename-aside + rename-in (never delete-then-write):
-    * a crash between the two renames leaves the old layout intact
-    * under `<path>_PRECOMPACT`, and a crash before them leaves the
-    * original untouched — at no point is neither layout present. On a
-    * production object store the equivalent swap is a metastore/table
-    * pointer flip; the maintenance dataflow (read, re-cluster, write,
-    * swap) is identical.
+    * a crash before the renames leaves the original untouched, and a
+    * crash between them leaves the old layout intact under
+    * `<path>_PRECOMPACT` — the data always exists somewhere, though in
+    * the brief window between the two renames the index PATH itself is
+    * absent (a concurrent probe fails, and recovery from a crash in
+    * that window is a manual rename of `_PRECOMPACT` back into place).
+    * On a production object store the equivalent swap is a
+    * metastore/table pointer flip, which closes that window too; the
+    * maintenance dataflow (read, re-cluster, write, swap) is identical.
     *
     * Applies to the flat banded families (exact-dup / near-dup text /
-    * simhash / wide-simhash / LSH / hamming). The IVF layout nests
-    * `cells/` + `centroids/` subdirectories and has its own lifecycle.
+    * simhash / wide-simhash / LSH / hamming). The nested IVF family's
+    * cell-partitioned data compacts through the same core via
+    * [[graft.llm.Similarity.compactIvfIndex]] /
+    * [[graft.llm.Similarity.compactIvfPqIndex]].
+    *
+    * Row preservation is asserted INTERNALLY: the compacted copy is
+    * counted against the source before the swap, and a mismatch aborts
+    * with the original untouched.
     *
     * @return (dataFilesBefore, dataFilesAfter, rows) — callers assert
     *   `dataFilesAfter <= dataFilesBefore` and carry `rows` into their
@@ -184,6 +193,24 @@ private[llm] object BandedIndex {
       throw new IllegalArgumentException(
         s"compactLayout: no $ParamsFile sidecar at $path - not a graft " +
           "banded index (or built before sidecars existed)"))
+    val out = compactPartitionedDir(spark, path, Seq("band", "bkt"))
+    // The sidecar must have survived the copy - a layout without it
+    // would refuse every future probe/append.
+    if (readSidecar(spark, path).isEmpty || readSidecar(spark, path).get != sidecar)
+      throw new IllegalStateException(
+        s"compactLayout: sidecar at $path changed across compaction")
+    out
+  }
+
+  /** The compaction core shared by [[compactLayout]] and the IVF-family
+    * compactors: re-cluster `path`'s rows on `partitionCols` (one writer
+    * task per directory → one file per directory), verify the copy's
+    * row count against the source, then swap via rename-aside. Root
+    * `_`-prefixed marker files (params sidecars, completion markers)
+    * are carried over verbatim.
+    */
+  private[llm] def compactPartitionedDir(spark: SparkSession, path: String,
+                                         partitionCols: Seq[String]): (Long, Long, Long) = {
     val (fs, dir) = hadoopFs(spark, path)
     def dataFiles(p: org.apache.hadoop.fs.Path): Long = {
       val it = fs.listFiles(p, true)
@@ -197,13 +224,14 @@ private[llm] object BandedIndex {
     }
     val before = dataFiles(dir)
     val rows = spark.read.parquet(path)
+    val rowsBefore = rows.count()
     val tmp = new org.apache.hadoop.fs.Path(dir.getParent, dir.getName + "_COMPACTING")
     fs.delete(tmp, true)
     // Same hash-clustered shape as writeLayout: one task owns each
-    // (band, bkt) directory, so the compacted layout has exactly one
+    // partition directory, so the compacted layout has exactly one
     // file per directory regardless of how many appends preceded it.
-    rows.repartition(col("band"), col("bkt"))
-      .write.mode(SaveMode.Overwrite).partitionBy("band", "bkt")
+    rows.repartition(partitionCols.map(col).toIndexedSeq: _*)
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
       .parquet(tmp.toString)
     // Carry over the sidecar verbatim plus any other root-level marker
     // files the write didn't produce itself (completion markers etc).
@@ -216,19 +244,23 @@ private[llm] object BandedIndex {
             false, spark.sparkContext.hadoopConfiguration)
       }
     val compactedRows = spark.read.parquet(tmp.toString).count()
+    // Internal row-preservation gate: abort BEFORE the swap, original
+    // untouched, rather than returning a silently-shrunk layout.
+    if (compactedRows != rowsBefore) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"compactPartitionedDir: compacted copy of $path has " +
+          s"$compactedRows rows, source had $rowsBefore - aborting swap " +
+          "(original layout untouched)")
+    }
     val aside = new org.apache.hadoop.fs.Path(dir.getParent, dir.getName + "_PRECOMPACT")
     fs.delete(aside, true)
     if (!fs.rename(dir, aside)) throw new java.io.IOException(
-      s"compactLayout: could not move $dir aside to $aside")
+      s"compactPartitionedDir: could not move $dir aside to $aside")
     if (!fs.rename(tmp, dir)) throw new java.io.IOException(
-      s"compactLayout: could not move compacted layout $tmp into place at " +
-        s"$dir - the original is preserved at $aside")
+      s"compactPartitionedDir: could not move compacted layout $tmp into " +
+        s"place at $dir - the original is preserved at $aside")
     fs.delete(aside, true)
-    // The sidecar must have survived the copy - a layout without it
-    // would refuse every future probe/append.
-    if (readSidecar(spark, path).isEmpty || readSidecar(spark, path).get != sidecar)
-      throw new IllegalStateException(
-        s"compactLayout: sidecar at $path changed across compaction")
     (before, dataFiles(dir), compactedRows)
   }
 

@@ -1250,6 +1250,36 @@ object Similarity {
       .parquet(s"$indexPath/codes")
   }
 
+  /** Compact the cell-partitioned corpus data of a [[writeIvfIndex]]
+    * layout. Every [[appendToIvfIndex]] adds at least one file to each
+    * `cell=` directory its delta assigns into, so a long-lived index
+    * under steady ingest drifts into the small-files regime (probe
+    * latency dominated by per-file open cost — the same drift the
+    * banded families' [[graft.llm.Dedup.compactIndex]] exists for).
+    * Re-clusters `corpus/` to one file per cell with the
+    * rename-aside swap and internal row-preservation gate of
+    * [[BandedIndex.compactPartitionedDir]]; the `centroids/` model
+    * artifact is not touched (it is one tiny file and carries the
+    * assignment contract — compaction must not perturb it). Probe
+    * results are unchanged by construction: same rows, same cells,
+    * same DPP pruning key.
+    *
+    * @return (dataFilesBefore, dataFilesAfter, rows) over `corpus/`.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String): (Long, Long, Long) =
+    BandedIndex.compactPartitionedDir(spark, s"$indexPath/corpus", Seq("cell"))
+
+  /** [[compactIvfIndex]] for the [[writeIvfPqIndex]] layout: compacts
+    * the cell-partitioned `codes/` table; the `centroids/` and
+    * `codebooks/` model artifacts are not touched.
+    *
+    * @return (dataFilesBefore, dataFilesAfter, rows) over `codes/`.
+    */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String): (Long, Long, Long) =
+    BandedIndex.compactPartitionedDir(spark, s"$indexPath/codes", Seq("cell"))
+
   /** Probe a [[writeIvfPqIndex]] layout: cell ranking reads the tiny
     * centroid table; the code-table join is on the PARTITION column
     * with the probe side broadcast, so dynamic partition pruning reads

@@ -767,6 +767,51 @@ object LlmQueries {
            |  ON ${normSql("d.text")} = ${normSql("c.text")}
            |WHERE d.doc_id % 7 = 0""".stripMargin)),
 
+    // INDEX MAINTENANCE — IVF-PQ COMPACTION. The cell-partitioned ANN
+    // layouts accumulate one file per append per touched cell exactly
+    // like the banded families, and compact through the same
+    // rename-aside core. Full maintenance dataflow every time (train +
+    // write evens, append odds in THREE delta batches so every cell
+    // directory ends multi-file, probe, compact, re-probe). The corpus
+    // and training set match ensureGrownIvfPqIndex's, so per-query
+    // k_returned=5 holds wherever llm_sim_topk_pq_index's contract
+    // does; probe_unchanged asserts row-identical pre/post-compaction
+    // ANN results (the pre-probe is pinned EAGERLY before the swap
+    // renames the files it reads), and the file/row contract flags
+    // mirror llm_index_compact.
+    "llm_ivfpq_compact" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val fix = s"/tmp/graft_fixtures/compact_ivfpq_${fingerprintCached(s"$dir/embeddings.parquet")}"
+        Similarity.writeIvfPqIndex(emb.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", nCells = 10, m = 8, codebookK = 32, path = fix)
+        Seq(1L, 3L, 5L).foreach { r =>
+          Similarity.appendToIvfPqIndex(s,
+            emb.filter(col("vec_id") % 6 === r), "vec_id", "embedding", fix)
+        }
+        def probe() = Similarity.ivfPqTopKFromIndex(s, fix, emb,
+          "vec_id", "embedding", col("vec_id") < 10,
+          k = 5, nProbe = 5, oversample = 8)
+        val beforeProbe = probe().select(col("query_id"), col("cand_id"))
+          .transform(Materialize.pin)
+        val nVecs = emb.count()
+        val (filesBefore, filesAfter, rowsAfter) = Similarity.compactIvfPqIndex(s, fix)
+        probe().withColumn("__a", lit(1))
+          .join(beforeProbe.withColumn("__b", lit(1)),
+            Seq("query_id", "cand_id"), "full_outer")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).cast("int").as("k_returned"),
+            min((col("__a").isNotNull && col("__b").isNotNull).cast("int"))
+              .as("probe_unchanged"))
+          .select(col("query_id"), col("k_returned"), col("probe_unchanged"),
+            lit(if (filesAfter < filesBefore) 1 else 0).as("files_reduced"),
+            lit(if (rowsAfter == nVecs) 1 else 0).as("rows_preserved"))
+      },
+      Some("""SELECT DISTINCT vec_id AS query_id, CAST(5 AS INT) AS k_returned,
+             |CAST(1 AS INT) AS probe_unchanged, CAST(1 AS INT) AS files_reduced,
+             |CAST(1 AS INT) AS rows_preserved
+             |FROM embeddings WHERE vec_id < 10""".stripMargin)),
+
     // Streaming INGEST DEDUP GATE, batch parity: an arriving batch mixes
     // perturbed copies of corpus docs (whitespace/case noise — must be
     // REJECTED by normalized-text membership) with genuinely novel docs

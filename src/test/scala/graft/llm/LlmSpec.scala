@@ -1030,6 +1030,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("compactIvfIndex: fewer files, rows preserved, probe unchanged") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_compact").toString
+    try {
+      Similarity.writeIvfIndex(emb.filter($"vec_id" % 2 === 0),
+        "vec_id", "embedding", 10, dir)
+      Seq(1L, 3L, 5L).foreach { r =>
+        Similarity.appendToIvfIndex(spark,
+          emb.filter($"vec_id" % 6 === r), "vec_id", "embedding", dir)
+      }
+      val q = emb.filter($"vec_id" < 3)
+      def probe() = Similarity.ivfTopKFromIndex(spark, dir, q,
+        "vec_id", "embedding", 5, 5)
+      val before = probe().transform(graft.ops.Materialize.pin)
+      val (filesBefore, filesAfter, rows) = Similarity.compactIvfIndex(spark, dir)
+      assert(filesAfter < filesBefore)
+      assert(rows === emb.count())
+      val after = probe()
+      assert(after.except(before).count() === 0L &&
+        before.except(after).count() === 0L)
+      // Model artifact untouched: still exactly the 10 trained centroids.
+      assert(spark.read.parquet(s"$dir/centroids").count() === 10L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("appendToLshIndex: grown index probes identically to a full rebuild") {
     val emb = spark.read.parquet(sf("embeddings"))
     val q = emb.filter($"vec_id" < 5)
