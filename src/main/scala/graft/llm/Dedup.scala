@@ -994,14 +994,6 @@ object Dedup {
       case Materialize.Path(dir) => Materialize.Path(s"$dir/$step").apply
       case other                 => other.apply
     }
-    // Both edge directions from ONE pass over `pairs` (explode, not
-    // union-of-two-selects): the pair generator upstream is typically an
-    // expensive LSH join, and a union would execute that subplan twice.
-    val edges = matStep("edges")(pairs
-      .select(explode(array(
-        struct(col(idA).as("src"), col(idB).as("dst")),
-        struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst")))
     // Size the per-round shuffles to the GRAPH, not the session default:
     // every round is 2-3 joins + an aggregate, and each materialization
     // erases partitioning (localCheckpoint -> UnknownPartitioning, the
@@ -1015,19 +1007,34 @@ object Dedup {
     // runs single-task rounds. This is exactly what AQE's coalescing
     // would pick; it's applied explicitly because the loop must also
     // behave under sessions that pin AQE off (the local bench posture).
-    // The session value is restored in the finally — per-action plans
-    // read the conf at execution, and the loop materializes each round,
-    // so the narrowed value never leaks past this call (single-threaded
-    // driver assumption, same as the rest of the query registry).
+    //
+    // The narrowed width lives in a CLONED SparkSession (same
+    // SparkContext, executors, and block manager; its own SQLConf), so
+    // a query planned concurrently on the caller's session — a parallel
+    // streaming micro-batch, a multi-threaded driver — never sees it.
+    // Everything the loop materializes is built through `clone`, and the
+    // per-round actions plan under the clone's conf; the caller's
+    // session conf is never written. The pairs frame crosses into the
+    // clone via one Row pass (createDataFrame over pairs.rdd) that runs
+    // exactly once, during the eager edge pin below — the upstream pair
+    // generator (typically an LSH join) dominates it.
     val spark = pairs.sparkSession
+    val clone = spark.newSession()
+    val pairsClone = clone.createDataFrame(pairs.rdd, pairs.schema)
+    // Both edge directions from ONE pass over `pairs` (explode, not
+    // union-of-two-selects): the pair generator upstream is typically an
+    // expensive LSH join, and a union would execute that subplan twice.
+    val edges = matStep("edges")(pairsClone
+      .select(explode(array(
+        struct(col(idA).as("src"), col(idB).as("dst")),
+        struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
     val EdgesPerPartition = 65536L
     val nEdges = edges.count()
     val graphParts = math.max(1L, math.min(
       (nEdges + EdgesPerPartition - 1) / EdgesPerPartition,
       spark.sparkContext.defaultParallelism.toLong)).toInt
-    val prevShuffleParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", graphParts)
-    try {
+    clone.conf.set("spark.sql.shuffle.partitions", graphParts)
     // labels_0 fuses the first propagate round into initialization:
     // min(id, neighbors) costs the same one aggregate the old
     // distinct-then-round-0 shape paid, and saves a full round's jobs
@@ -1069,14 +1076,14 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"dedupClusters did not converge in $maxIters rounds - a component's " +
         "diameter exceeds maxIters; raise maxIters")
-    // Materialized INSIDE the narrowed-conf scope: the caller's lazy
-    // consumers must not re-plan round frames under a restored wide
-    // setting (they'd only waste tasks, but keep the contract tight).
+    // Materialized while still clone-planned, so no consumer can ever
+    // re-execute a round frame. The returned Dataset belongs to the
+    // clone, but it is a pinned LogicalRDD over blocks on the shared
+    // SparkContext: a caller-side join plans under the CALLER's session
+    // (the receiver's), reading those blocks directly — the narrowed
+    // width dies with the loop.
     matStep("labels_final")(
       labels.select(col("id").as("doc_id"), col("label").as("cluster_id")))
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffleParts)
-    }
   }
 
   /** Embedding-cosine near-duplicate pairs within a bucket column (e.g. a
