@@ -675,6 +675,29 @@ object Curation {
     *
     * @return (idCol, n_grams, logw_units, log_weight)
     */
+  /** Guard for [[dsirLogWeights]]'s exact-long λ arithmetic: the
+    * smoothed ratio is computed as the LONG products `(ct+1)·(nr+B)` /
+    * `(cr+1)·(nt+B)` with per-bucket `ct <= nt`, `cr <= nr` — past
+    * ~2^62 total gram-count product they overflow silently and every λ
+    * is garbage. The counts are already in hand when this runs, so the
+    * check is free; it fails loud with the remedy (sample the larger
+    * gram stream — DSIR's λ estimates converge on a sample and the
+    * importance ORDER of documents is what resampling consumes).
+    * Split out so the guard is testable at real-overflow magnitudes.
+    */
+  private[llm] def requireDsirExact(nr: Long, nt: Long, nBuckets: Int): Unit = {
+    val maxNum = BigInt(nt) + 1
+    val maxDen = BigInt(nr) + 1
+    if (maxNum * (BigInt(nr) + nBuckets) > Long.MaxValue ||
+        maxDen * (BigInt(nt) + nBuckets) > Long.MaxValue)
+      throw new IllegalArgumentException(
+        s"dsirLogWeights: gram counts (corpus=$nr, target=$nt, " +
+          s"nBuckets=$nBuckets) would overflow the exact long λ " +
+          "products. Sample the larger gram stream before weighting - " +
+          "DSIR's bucket ratios converge on a sample, and document " +
+          "importance ORDER is preserved.")
+  }
+
   def dsirLogWeights(corpus: DataFrame, target: DataFrame,
                      idCol: String, textCol: String,
                      nBuckets: Int = 1024,
@@ -695,6 +718,7 @@ object Curation {
     val nr = cb.count()
     val nt = tb.count()
     require(nr > 0 && nt > 0, "dsirLogWeights: empty corpus or target")
+    requireDsirExact(nr, nt, nBuckets)
     // λ[b] only needs buckets with cr >= 1 — a bucket no corpus gram
     // hashes to can never be scored.
     val lam = raw.join(tgt, Seq("b"), "left")

@@ -1142,7 +1142,11 @@ object Dedup {
     *    cluster families here).
     *
     * @return one row per corpus member:
-    *   (id, cell, rep_id, keep) with keep in {0, 1}
+    *   (id, cell, pair_cell, rep_id, keep) with keep in {0, 1};
+    *   `pair_cell` is the EFFECTIVE pairing key — equal to
+    *   `cell` as a string unless the pathological-cell guard sub-split
+    *   an over-cap cell (then `"<cell>#<sub>"`), so consumers can see
+    *   exactly which pairs the decision could have considered.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     nCells: Int, threshold: Double,

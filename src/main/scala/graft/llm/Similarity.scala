@@ -415,6 +415,26 @@ object Similarity {
     * where training shouldn't scan everything, train on a
     * deterministic hash-mod sample — encoding is unaffected.
     */
+  /** Largest training-sample row count whose per-(subspace, code, dim)
+    * micro-unit sums provably stay exact: components pin to 1e9-scale
+    * longs with |component| <= 1 on unit vectors, so a sum over N rows
+    * is bounded by N * 1e9 and must stay under Long.MaxValue.
+    */
+  private[llm] val MaxExactPqTrainingRows: Long = Long.MaxValue / 1000000000L
+
+  /** Fail loud — with the remedy — instead of letting a silent long
+    * overflow fold garbage into every codebook. Split out so the guard
+    * itself is testable at any bound.
+    */
+  private[llm] def requirePqTrainingExact(nTrain: Long,
+      bound: Long = MaxExactPqTrainingRows): Unit =
+    if (nTrain > bound) throw new IllegalArgumentException(
+      s"pqCodebooks: $nTrain training rows exceed the exact-arithmetic " +
+        s"bound of $bound (1e9-scale micro-unit sums would overflow " +
+        "Long). Train on a sample instead - codebooks converge on a " +
+        "small fraction of a corpus this size, and the full corpus is " +
+        "still encoded against them.")
+
   private[llm] def pqCodebooks(unit: DataFrame, dims: Int, m: Int,
                                codebookK: Int,
                                iters: Int = 4): Array[Array[(Int, Array[Double])]] = {
@@ -437,6 +457,10 @@ object Similarity {
             x => round(x * lit(1e9)).cast("long")).as("q"))): _*)).as("e"))
       .select(col("e.j").as("j"), col("e.q").as("q"))
       .transform(Materialize.pin)
+    // One cheap count over the pinned frame guards the exactness bound
+    // the micro-unit sums rely on (documented at
+    // [[MaxExactPqTrainingRows]]).
+    requirePqTrainingExact(sv.count() / m)
     // Deterministic init: the codebookK lowest-id vectors seed every
     // subspace (id order is corpus-intrinsic); iterations do the rest.
     val seedRows = unit.orderBy(col("cand_id")).limit(codebookK)

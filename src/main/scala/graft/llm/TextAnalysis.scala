@@ -434,19 +434,7 @@ object TextAnalysis {
       : DataFrame = {
     require(discount > 0 && discount < 1,
       s"discount must be in (0, 1), got $discount")
-    val bg = mat(Dedup.ensureParallelism(df.select(col(idCol), col(textCol)))
-      .select(col(idCol), explode(TextOps.adjacentPairs(col(textCol))).as("bg"))
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .withColumn("w2", substring_index(col("bg"), " ", -1)))
-    val c12 = mat(bg.groupBy(col("bg"))
-      .agg(count(lit(1)).cast("double").as("c12")))
-    // c(w1·) and N1+(w1·) fall out of ONE pass over the pair stream.
-    val c1s = bg.groupBy(col("w1"))
-      .agg(count(lit(1)).cast("double").as("c1"),
-        countDistinct(col("w2")).cast("double").as("nfw"))
-    val cw = bg.groupBy(col("w2"))
-      .agg(countDistinct(col("w1")).cast("double").as("ncw"))
-    val nbt = c12.count().toDouble
+    val (bg, c12, c1s, cw, nbt) = knCounts(df, idCol, textCol, mat)
     bg.join(c12, Seq("bg")).join(c1s, Seq("w1")).join(cw, Seq("w2"))
       .select(col(idCol), knUnats(discount, nbt).as("u"))
       .groupBy(col(idCol))
@@ -471,18 +459,7 @@ object TextAnalysis {
                 mat: graft.ops.Materialize = graft.ops.Materialize.Local): Unit = {
     require(discount > 0 && discount < 1,
       s"discount must be in (0, 1), got $discount")
-    val bg = mat(Dedup.ensureParallelism(corpus.select(col(idCol), col(textCol)))
-      .select(col(idCol), explode(TextOps.adjacentPairs(col(textCol))).as("bg"))
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .withColumn("w2", substring_index(col("bg"), " ", -1)))
-    val c12 = mat(bg.groupBy(col("bg"))
-      .agg(count(lit(1)).cast("double").as("c12")))
-    val c1s = bg.groupBy(col("w1"))
-      .agg(count(lit(1)).cast("double").as("c1"),
-        countDistinct(col("w2")).cast("double").as("nfw"))
-    val cw = bg.groupBy(col("w2"))
-      .agg(countDistinct(col("w1")).cast("double").as("ncw"))
-    val nbt = c12.count().toDouble
+    val (bg, c12, c1s, cw, nbt) = knCounts(corpus, idCol, textCol, mat)
     c12.write.mode("overwrite").parquet(s"$path/c12")
     c1s.write.mode("overwrite").parquet(s"$path/c1s")
     cw.write.mode("overwrite").parquet(s"$path/cw")
@@ -499,6 +476,31 @@ object TextAnalysis {
         Seq((nbt, math.round(discount * 1e6), thr)))
       .toDF("nbt", "discount_ppm", "thr_milliunats")
       .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The shared KN count-table construction — the materialized bigram
+    * pair stream, the three count tables (`c12`, `c1s`, `cw`) and the
+    * bigram-type total — consumed by BOTH the inline scorer
+    * ([[knBigramSurprisal]]) and the artifact writer ([[writeKnLm]]):
+    * one copy, so the trained tables and the inline scoring tables
+    * cannot drift apart.
+    */
+  private def knCounts(df: DataFrame, idCol: String, textCol: String,
+                       mat: graft.ops.Materialize)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, Double) = {
+    val bg = mat(Dedup.ensureParallelism(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(TextOps.adjacentPairs(col(textCol))).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1)))
+    val c12 = mat(bg.groupBy(col("bg"))
+      .agg(count(lit(1)).cast("double").as("c12")))
+    // c(w1·) and N1+(w1·) fall out of ONE pass over the pair stream.
+    val c1s = bg.groupBy(col("w1"))
+      .agg(count(lit(1)).cast("double").as("c1"),
+        countDistinct(col("w2")).cast("double").as("nfw"))
+    val cw = bg.groupBy(col("w2"))
+      .agg(countDistinct(col("w1")).cast("double").as("ncw"))
+    (bg, c12, c1s, cw, c12.count().toDouble)
   }
 
   /** The shared per-occurrence KN surprisal expression (micro-nats):

@@ -453,6 +453,16 @@ class CurationSpec extends SparkSpec {
     assert(out === Seq(("ab c", 2L), ("ab ab", 1L)))
   }
 
+  test("dsirLogWeights exact-λ guard: loud at overflow magnitudes, " +
+    "silent at sane ones") {
+    Curation.requireDsirExact(1000000L, 1000000L, 1024) // no throw
+    // 4e9 x 3e9 gram streams: the λ product tops 1.2e19 > Long.MaxValue.
+    val e = intercept[IllegalArgumentException] {
+      Curation.requireDsirExact(4000000000L, 3000000000L, 1024)
+    }
+    assert(e.getMessage.contains("Sample"))
+  }
+
   test("mixToProportions keeps the binding domain whole and hits targets") {
     val docs = spark.read.parquet(sf("documents"))
     val targets = Map("en" -> 0.5, "zh" -> 0.3, "es" -> 0.2)

@@ -759,6 +759,20 @@ class DedupSpec extends SparkSpec {
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("pqCodebooks exact-arithmetic guard: loud past the micro-unit " +
+    "bound, silent at it") {
+    Similarity.requirePqTrainingExact(Similarity.MaxExactPqTrainingRows)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.requirePqTrainingExact(Similarity.MaxExactPqTrainingRows + 1)
+    }
+    assert(e.getMessage.contains("sample"))
+    // Injectable bound proves the guard sits on the live training path
+    // at test scale.
+    intercept[IllegalArgumentException] {
+      Similarity.requirePqTrainingExact(11L, bound = 10L)
+    }
+  }
+
   test("overCapBuckets reports exactly the buckets the probe cap excludes") {
     // 6 identical vectors land in ONE bucket per table; 2 distinct others
     // stay under any cap. numTables=4 -> 4 over-cap rows at cap 3.
