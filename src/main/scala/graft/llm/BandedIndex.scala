@@ -45,9 +45,32 @@ private[llm] object BandedIndex {
   private def render(params: Map[String, String]): String =
     params.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\n")
 
-  private def hadoopFs(spark: SparkSession, path: String) = {
+  private[llm] def hadoopFs(spark: SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Swap a freshly-built layout at `tmpPath` into place at `path` with
+    * the same rename-aside protocol as [[compactPartitionedDir]] (a
+    * crash between the renames preserves the old layout under
+    * `<path>_PREREBUILD`; the path itself is briefly absent — on an
+    * object store this is the metastore pointer flip). Used by the
+    * whole-index rebuild operators, where the entire directory (data +
+    * model artifacts) must change as one unit.
+    */
+  private[llm] def swapInPlace(spark: SparkSession, path: String,
+                               tmpPath: String): Unit = {
+    val (fs, dir) = hadoopFs(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(tmpPath)
+    val aside = new org.apache.hadoop.fs.Path(dir.getParent,
+      dir.getName + "_PREREBUILD")
+    fs.delete(aside, true)
+    if (!fs.rename(dir, aside)) throw new java.io.IOException(
+      s"swapInPlace: could not move $dir aside to $aside")
+    if (!fs.rename(tmp, dir)) throw new java.io.IOException(
+      s"swapInPlace: could not move fresh layout $tmp into place at $dir " +
+        s"- the original is preserved at $aside")
+    fs.delete(aside, true)
   }
 
   private def readSidecar(spark: SparkSession, path: String): Option[String] = {

@@ -1274,6 +1274,49 @@ object Similarity {
       .parquet(s"$indexPath/codes")
   }
 
+  /** WHOLE-INDEX RETRAIN for a [[writeIvfIndex]] layout — the operator
+    * that closes the drift loop [[appendToIvfIndex]] deliberately
+    * leaves open: appends assign against FROZEN centroids, so a corpus
+    * whose distribution has drifted far from the training snapshot
+    * accumulates mis-sized cells (hot cells widen, probe recall decays).
+    * The rebuild retrains the coarse quantizer on the CURRENT corpus —
+    * read from the index itself, which stores full vectors — re-assigns
+    * every row, and atomically swaps the fresh layout into place with
+    * the rename-aside protocol ([[BandedIndex.swapInPlace]]). Training
+    * is the same deterministic k-means as the build path, so a rebuilt
+    * index is row-identical to one built from scratch on the same
+    * corpus.
+    */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String, nCells: Int): Unit = {
+    val corpus = spark.read.parquet(s"$indexPath/corpus")
+      .select(col("cand_id"), col("cv"))
+    val tmp = s"${indexPath}_REBUILDING"
+    BandedIndex.hadoopFs(spark, tmp)._1
+      .delete(new org.apache.hadoop.fs.Path(tmp), true)
+    writeIvfIndex(corpus, "cand_id", "cv", nCells, tmp)
+    BandedIndex.swapInPlace(spark, indexPath, tmp)
+  }
+
+  /** [[rebuildIvfIndex]] for the [[writeIvfPqIndex]] layout. The PQ
+    * index stores only m-int codes — the full vectors never enter it —
+    * so the caller supplies the current corpus; both quantizers
+    * (coarse centroids AND per-subspace codebooks) retrain on it, and
+    * the whole directory (codes + both model artifacts) swaps as one
+    * unit: a probe sees either the old model consistently or the new
+    * model consistently, never a mix.
+    */
+  def rebuildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                        nCells: Int, m: Int, codebookK: Int,
+                        indexPath: String): Unit = {
+    val spark = corpus.sparkSession
+    val tmp = s"${indexPath}_REBUILDING"
+    BandedIndex.hadoopFs(spark, tmp)._1
+      .delete(new org.apache.hadoop.fs.Path(tmp), true)
+    writeIvfPqIndex(corpus, idCol, vecCol, nCells, m, codebookK, tmp)
+    BandedIndex.swapInPlace(spark, indexPath, tmp)
+  }
+
   /** Compact the cell-partitioned corpus data of a [[writeIvfIndex]]
     * layout. Every [[appendToIvfIndex]] adds at least one file to each
     * `cell=` directory its delta assigns into, so a long-lived index

@@ -812,6 +812,45 @@ object LlmQueries {
              |CAST(1 AS INT) AS rows_preserved
              |FROM embeddings WHERE vec_id < 10""".stripMargin)),
 
+    // INDEX MAINTENANCE — WHOLE-INDEX RETRAIN (the drift fixture). An
+    // IVF-PQ index trained on HALF the corpus (evens) then grown with
+    // the other half against the frozen artifacts is the documented
+    // drift posture; rebuildIvfPqIndex retrains both quantizers on the
+    // full current corpus and atomically swaps the layout. The output
+    // asserts the rebuilt index's ANN contract against float brute
+    // force AND that the rebuilt layout probes row-identically to an
+    // index built from scratch on the same corpus (training is
+    // deterministic, so rebuild == fresh build exactly).
+    "llm_ivfpq_rebuild" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val fix = s"/tmp/graft_fixtures/rebuild_ivfpq_${fingerprintCached(s"$dir/embeddings.parquet")}"
+        val ref = s"${fix}_FRESH"
+        Similarity.writeIvfPqIndex(emb.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", nCells = 10, m = 8, codebookK = 32, path = fix)
+        Similarity.appendToIvfPqIndex(s, emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", fix)
+        Similarity.rebuildIvfPqIndex(emb, "vec_id", "embedding",
+          nCells = 10, m = 8, codebookK = 32, indexPath = fix)
+        Similarity.writeIvfPqIndex(emb, "vec_id", "embedding",
+          nCells = 10, m = 8, codebookK = 32, path = ref)
+        def probe(p: String) = Similarity.ivfPqTopKFromIndex(s, p, emb,
+          "vec_id", "embedding", col("vec_id") < 10,
+          k = 5, nProbe = 5, oversample = 8)
+        val rebuilt = probe(fix).transform(Materialize.pin)
+        val q = emb.filter(col("vec_id") < 10)
+        Similarity.annContract(rebuilt,
+            Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5),
+            emb, "vec_id", "embedding", k = 5, recallFloor = 0.2)
+          .join(Similarity.resultsMatchPerQuery(rebuilt, probe(ref))
+            .withColumnRenamed("rows_match", "rebuilt_matches_fresh"),
+            Seq("query_id"))
+      },
+      Some("""SELECT DISTINCT vec_id AS query_id, CAST(5 AS INT) AS k_returned,
+             |CAST(1 AS INT) AS cos_monotone_ok, CAST(1 AS INT) AS cos_exact_ok,
+             |CAST(1 AS INT) AS recall_floor_ok, CAST(1 AS INT) AS rebuilt_matches_fresh
+             |FROM embeddings WHERE vec_id < 10""".stripMargin)),
+
     // Streaming INGEST DEDUP GATE, batch parity: an arriving batch mixes
     // perturbed copies of corpus docs (whitespace/case noise — must be
     // REJECTED by normalized-text membership) with genuinely novel docs

@@ -1071,6 +1071,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("rebuildIvfIndex: retrained drifted index probes identically to " +
+    "a from-scratch build") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_rebuild").toString
+    try {
+      // Drift posture: train on evens, grow with odds against the
+      // frozen centroids.
+      Similarity.writeIvfIndex(emb.filter($"vec_id" % 2 === 0),
+        "vec_id", "embedding", 10, s"$dir/grown")
+      Similarity.appendToIvfIndex(spark, emb.filter($"vec_id" % 2 === 1),
+        "vec_id", "embedding", s"$dir/grown")
+      Similarity.rebuildIvfIndex(spark, s"$dir/grown", 10)
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", 10, s"$dir/fresh")
+      val q = emb.filter($"vec_id" < 5)
+      val a = Similarity.ivfTopKFromIndex(spark, s"$dir/grown", q,
+        "vec_id", "embedding", 5, 5)
+      val b = Similarity.ivfTopKFromIndex(spark, s"$dir/fresh", q,
+        "vec_id", "embedding", 5, 5)
+      assert(Similarity.resultsMatchPerQuery(a, b)
+        .filter($"rows_match" === 0).count() === 0L)
+      // No rebuild debris left beside the live layout.
+      assert(!new java.io.File(s"$dir/grown_REBUILDING").exists())
+      assert(!new java.io.File(s"$dir/grown_PREREBUILD").exists())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("appendToLshIndex: grown index probes identically to a full rebuild") {
     val emb = spark.read.parquet(sf("embeddings"))
     val q = emb.filter($"vec_id" < 5)
