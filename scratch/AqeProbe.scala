@@ -29,7 +29,8 @@ object AqeProbe {
       .config("spark.ui.enabled", "false")
     val builder = aqeBytes match {
       case Some(target) => b0
-        .config("spark.sql.shuffle.partitions", "2048")
+        .config("spark.sql.shuffle.partitions",
+          graft.Bench.derivePreCoalesce(sfDir, target, cpus.toInt).toString)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")

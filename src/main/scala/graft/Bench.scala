@@ -9,6 +9,37 @@ import org.apache.spark.sql.SparkSession
   * would flatter projection-heavy queries).
   */
 object Bench {
+
+  /** Working-set expansion bound from compressed parquet to the widest
+    * in-flight shuffle/aggregate state any registered query builds —
+    * measured, not guessed: the r10 sf10 spill probe saw ~1 GB of
+    * lineitem parquet become 32 GB of pivot aggregate state
+    * (BASELINE.md "Round-10 sf10 rehearsal"), and no other audited
+    * query exceeds that fan-out.
+    */
+  private val WorkingSetExpansion = 32L
+
+  /** Pre-coalesce `spark.sql.shuffle.partitions` for the AQE posture:
+    * enough partitions that the widest expected shuffle still meets the
+    * advisory byte target after decompression/explode, rounded up to a
+    * power of two, never below 4x the core count.
+    */
+  def derivePreCoalesce(sfDir: String, target: String, cpus: Int): Int = {
+    val targetBytes = math.max(1L,
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(target))
+    val inputBytes =
+      try {
+        val root = java.nio.file.Paths.get(sfDir)
+        val s = java.nio.file.Files.walk(root)
+        try s.filter(p => java.nio.file.Files.isRegularFile(p))
+          .mapToLong(p => java.nio.file.Files.size(p)).sum()
+        finally s.close()
+      } catch { case _: Throwable => 0L }
+    val want = math.max(4L * cpus,
+      inputBytes * WorkingSetExpansion / targetBytes)
+    java.lang.Long.highestOneBit(math.max(want * 2 - 1, 1L)).toInt
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -36,8 +67,20 @@ object Bench {
     val builder = aqeBytes match {
       case Some(target) => builder0
         // High initial count: AQE only coalesces, it never splits, so the
-        // pre-coalesce partition count must exceed what any shuffle needs.
-        .config("spark.sql.shuffle.partitions", "2048")
+        // pre-coalesce partition count must exceed what any shuffle
+        // needs. DERIVED from the input rather than pinned: the widest
+        // shuffle a query here produces is bounded by the input's
+        // decompressed, exploded working set, for which the measured
+        // anchor is the r10 sf10 probe (r1_transpose: ~1 GB of parquet
+        // fanning to 32 GB of aggregate state — a 32x snappy-decompress
+        // + row-overhead + explode headroom; every other audited query
+        // stays under it). partitions = inputBytes x 32 / advisory
+        // target, next power of two, floored at 4x cores (so a tiny SF
+        // still exercises AQE coalescing rather than starting at the
+        // floor) — at sf10 (1.6 GB) with the 64m default this lands at
+        // 1024, at sf100 it scales to 8192 with no constant to re-pin.
+        .config("spark.sql.shuffle.partitions",
+          derivePreCoalesce(sfDir, target, cpus.toInt).toString)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         // bytes govern, not the parallelism floor — the point of the toggle
