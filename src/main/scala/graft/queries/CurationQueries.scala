@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Curation, TextAnalysis}
+import graft.llm.{Curation, Dedup, TextAnalysis}
 import graft.model.Tables
 import graft.ops.Joins
 import graft.ops.Materialize
@@ -212,6 +212,84 @@ object CurationQueries {
              |FROM cand JOIN a0 USING (id_a) JOIN b0 USING (id_b)
              |WHERE abs(length(t_a) - length(t_b)) <= 1
              |  AND levenshtein(t_a, t_b) <= 1""".stripMargin)),
+
+    // End-to-end entity resolution: the guarded fuzzy join's pair graph
+    // closed into entities. Master catalog + dirty twin (the j7 fixture)
+    // feed fuzzyJoinBlocked; the resulting (master, record) pair graph
+    // goes through dedupClusters (min-label closure with pointer
+    // jumping), so a master whose dirty variants also collide with a
+    // NEIGHBOR master's variants merges into one entity — transitive
+    // resolution, not per-pair matching. Nodes untouched by any pair
+    // are singleton entities (left join + coalesce, not dropped).
+    // Output: one row per resolved entity with member composition —
+    // the shape an MDM/dedup consumer reads. The oracle replicates
+    // blocking + levenshtein + a WITH RECURSIVE reachability closure,
+    // so candidate generation, the edit kernel, AND the closure all
+    // cross-check against a second engine.
+    "j8_entity_resolution" -> Q(
+      (s, dir) => {
+        val master = Tables.part(s, dir)
+          .groupBy(col("p_name"))
+          .agg(min(col("p_partkey")).as("m_key"))
+        val dirty = Tables.part(s, dir).select(
+          (col("p_partkey") + 1000000L).as("d_key"),
+          when(col("p_partkey") % 2 === 0,
+            expr("concat(substring(p_name, 1, 1), substring(p_name, 3))"))
+            .otherwise(expr(
+              "concat(substring(p_name, 1, length(p_name) - 2), " +
+                "substring(p_name, length(p_name), 1))"))
+            .as("d_name"))
+        val pairs = Joins.fuzzyJoinBlocked(master, dirty, "m_key", "p_name",
+          "d_key", "d_name", maxDistance = 1)
+        val clusters = Dedup.dedupClusters(pairs.select("id_a", "id_b"))
+        val nodes = master.select(col("m_key").as("id"))
+          .unionAll(dirty.select(col("d_key").as("id")))
+        nodes.join(clusters, nodes("id") === clusters("doc_id"), "left")
+          .select(col("id"),
+            coalesce(col("cluster_id"), col("id")).as("entity_id"))
+          .groupBy(col("entity_id"))
+          .agg(
+            sum(when(col("id") < 1000000L, 1L).otherwise(0L)).as("n_masters"),
+            sum(when(col("id") >= 1000000L, 1L).otherwise(0L))
+              .as("n_records"),
+            count(lit(1)).as("n_members"))
+      },
+      Some("""WITH RECURSIVE a0 AS (SELECT min(p_partkey) AS id_a,
+             |  lower(trim(p_name)) AS t_a FROM part GROUP BY p_name),
+             |b0 AS (SELECT p_partkey + 1000000 AS id_b,
+             |  lower(trim(CASE WHEN p_partkey % 2 = 0
+             |    THEN substr(p_name, 1, 1) || substr(p_name, 3)
+             |    ELSE substr(p_name, 1, length(p_name) - 2) ||
+             |         substr(p_name, length(p_name), 1) END)) AS t_b
+             |  FROM part),
+             |ka AS (SELECT id_a, 'p:' || substr(t_a, 1, 3) AS bkey FROM a0
+             |  UNION ALL SELECT id_a,
+             |    's:' || substr(t_a, greatest(length(t_a) - 2, 1), 3) FROM a0),
+             |kb AS (SELECT id_b, 'p:' || substr(t_b, 1, 3) AS bkey FROM b0
+             |  UNION ALL SELECT id_b,
+             |    's:' || substr(t_b, greatest(length(t_b) - 2, 1), 3) FROM b0),
+             |cand AS (SELECT DISTINCT id_a, id_b FROM ka JOIN kb USING (bkey)),
+             |pairs AS (SELECT id_a, id_b
+             |  FROM cand JOIN a0 USING (id_a) JOIN b0 USING (id_b)
+             |  WHERE abs(length(t_a) - length(t_b)) <= 1
+             |    AND levenshtein(t_a, t_b) <= 1),
+             |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+             |  UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach AS (SELECT s, d FROM edges
+             |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+             |cl AS (SELECT s AS id, least(s, min(d)) AS entity_id
+             |  FROM reach GROUP BY s),
+             |nodes AS (SELECT id_a AS id FROM a0
+             |  UNION ALL SELECT id_b FROM b0),
+             |ent AS (SELECT n.id, COALESCE(cl.entity_id, n.id) AS entity_id
+             |  FROM nodes n LEFT JOIN cl ON n.id = cl.id)
+             |SELECT entity_id,
+             |  CAST(sum(CASE WHEN id < 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_masters,
+             |  CAST(sum(CASE WHEN id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_records,
+             |  CAST(count(*) AS BIGINT) AS n_members
+             |FROM ent GROUP BY entity_id""".stripMargin)),
 
     // Context-window chunking: 40-token chunks, 8-token overlap
     // (stride 32). Chunk count, boundaries, and text are pure functions
