@@ -734,4 +734,133 @@ object Curation {
       .select(col("id").as(idCol), col("n_grams"), col("logw_units"),
         (col("logw_units").cast("double") / lit(1e6)).as("log_weight"))
   }
+
+  /** Hashed binary feature rows for the linear quality classifier: one
+    * row per (doc, bucket) for every DISTINCT hashed unigram/bigram
+    * bucket the doc's text touches (presence features — the fastText /
+    * CCNet-classifier convention), plus one bias row `b = -1` per doc
+    * (reserved: hashed buckets land in [0, nBuckets)). Shares the DSIR
+    * gram stream (tokens + adjacent pairs, hash60 mod nBuckets).
+    */
+  private def clfFeatures(df: DataFrame, idCol: String, textCol: String,
+                          nBuckets: Int): DataFrame =
+    Dedup.ensureParallelism(df.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), explode(concat(
+        tokens(col(textCol)), adjacentPairs(col(textCol)))).as("g"))
+      .filter(col("g") =!= "")
+      .select(col("id"), pmod(hash60(col("g")), lit(nBuckets.toLong)).as("b"))
+      .distinct()
+      .unionAll(df.select(col(idCol).as("id"), lit(-1L).as("b")))
+
+  /** The pinned sigmoid: probability in integer micro-units from a
+    * micro-unit logit. One parenthesization, replicated VERBATIM in the
+    * DuckDB oracle (the [[dsirLogWeights]] float convention): saturation
+    * is exact in IEEE (exp(+inf) -> p=0, exp(-inf) -> p=1e6), so both
+    * engines agree even when the logit is far outside the linear range.
+    */
+  private def sigmoidUnits(z: Column): Column =
+    floor(lit(1000000.0) /
+      (lit(1.0) + exp(-(z.cast("double") / lit(1000000.0)))) + lit(0.5))
+      .cast("long")
+
+  /** Guard for the classifier's exact update arithmetic: a per-bucket
+    * gradient is a sum of per-doc micro-unit errors (|err| <= 1e6), so
+    * |grad| <= nDocs * 1e6; the update computes `grad * lr` in DOUBLE,
+    * which is exact only below 2^53. Fails loud with the remedy.
+    */
+  private[llm] def requireClfExact(nDocs: Long, lr: Double): Unit =
+    if (nDocs.toDouble * 1e6 * lr > 9.0e15)
+      throw new IllegalArgumentException(
+        s"trainQualityClassifier: nDocs=$nDocs at lr=$lr puts the " +
+          "worst-case gradient*lr product past exact double range " +
+          "(2^53). Train on a deterministic sample - the linear " +
+          "classifier's bucket weights converge far below this scale.")
+
+  /** Train a linear (logistic-regression) quality classifier over hashed
+    * text features — the standard trained corpus-quality filter (a
+    * high-quality reference set as positives, the raw crawl as
+    * negatives), expressed as deterministic Spark dataflow.
+    *
+    * Full-batch gradient descent, `iters` fixed rounds. The model is a
+    * micro-unit integer weight vector over `nBuckets + 1` buckets
+    * (bias = bucket -1), so training is EXACTLY reproducible: per-doc
+    * logits are exact long sums of weight units; the sigmoid is pinned
+    * to micro-units per doc ([[sigmoidUnits]]); per-bucket gradients
+    * are exact long sums of pinned errors; the weight update rounds
+    * `grad * lr / nDocs` back to units. An oracle replicating the same
+    * pinning reproduces the weights bit-for-bit.
+    *
+    * Scale shape: the feature stream shuffles twice per round (logits
+    * group by doc, gradients group by bucket), both linear in the gram
+    * count and map-side combined. The model itself is O(nBuckets) — it
+    * rides to the driver per round (exactly the MLlib GD shape: gradients
+    * aggregate to the driver, the updated vector broadcasts back), so
+    * driver memory is independent of corpus size; the feature frame is
+    * pinned once and reused by every round.
+    *
+    * @param labelCol integer 0/1 column on `df` (1 = quality positive)
+    * @return the trained model: one row per feature bucket,
+    *         `(b, w_units)` with `w_units` in micro-units (b = -1 is
+    *         the bias row)
+    */
+  def trainQualityClassifier(df: DataFrame, idCol: String, textCol: String,
+                             labelCol: String, nBuckets: Int = 1024,
+                             iters: Int = 3, lr: Double = 1.0,
+                             mat: Materialize = Materialize.Local): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(iters > 0, s"iters must be positive, got $iters")
+    require(lr > 0, s"lr must be positive, got $lr")
+    val spark = df.sparkSession
+    val feats = mat(clfFeatures(df, idCol, textCol, nBuckets))
+    val y = mat(df.select(col(idCol).as("id"),
+      col(labelCol).cast("long").as("y")))
+    val n = y.count()
+    require(n > 0, "trainQualityClassifier: empty input")
+    requireClfExact(n, lr)
+    val nD = n.toDouble
+    import spark.implicits._
+    // Driver-held model vector (O(nBuckets), corpus-size-independent).
+    var w = Map.empty[Long, Long].withDefaultValue(0L)
+    var it = 0
+    while (it < iters) {
+      val wDf = w.toSeq.toDF("b", "u")
+      val z = feats.join(broadcast(wDf), Seq("b"), "left")
+        .groupBy(col("id"))
+        .agg(coalesce(sum(col("u")), lit(0L)).as("z"))
+      val err = z.join(y, Seq("id"))
+        .select(col("id"),
+          (sigmoidUnits(col("z")) - col("y") * lit(1000000L)).as("err"))
+      val grad = feats.join(err, Seq("id"))
+        .groupBy(col("b")).agg(sum(col("err")).as("grad"))
+        .collect()
+      // Update mirrors the oracle verbatim: floor(grad * lr / n + 0.5).
+      grad.foreach { r =>
+        val b = r.getLong(0)
+        val g = r.getLong(1)
+        w = w.updated(b,
+          w(b) - math.floor(g.toDouble * lr / nD + 0.5).toLong)
+      }
+      it += 1
+    }
+    w.toSeq.toDF("b", "w_units")
+  }
+
+  /** Score text against a [[trainQualityClassifier]] model: the exact
+    * long logit per doc plus the thresholded keep decision. The model
+    * frame is broadcast (O(nBuckets)); the only shuffle is the per-doc
+    * logit aggregation, linear in the gram count.
+    *
+    * @return (idCol, score_units, pred) — `score_units` the micro-unit
+    *         logit, `pred = 1` iff the logit is positive
+    */
+  def scoreQualityClassifier(df: DataFrame, model: DataFrame,
+                             idCol: String, textCol: String,
+                             nBuckets: Int = 1024): DataFrame =
+    clfFeatures(df, idCol, textCol, nBuckets)
+      .join(broadcast(model.select(col("b"), col("w_units").as("u"))),
+        Seq("b"), "left")
+      .groupBy(col("id"))
+      .agg(coalesce(sum(col("u")), lit(0L)).as("score_units"))
+      .select(col("id").as(idCol), col("score_units"),
+        (col("score_units") > 0L).cast("int").as("pred"))
 }

@@ -37,6 +37,74 @@ object CurationQueries {
        |         i -> array_to_string(($ws)[i:i+2], ' '))
        |  ELSE [array_to_string($ws, ' ')] END)""".stripMargin
 
+  /** Shared oracle CTE for the trained quality classifier: replicates
+    * trainQualityClassifier's ClfIters full-batch GD rounds EXACTLY —
+    * binary hashed-gram features (+ bias bucket -1), the pinned
+    * micro-unit sigmoid (verbatim parenthesization), exact long
+    * gradient sums, and the rounded `grad * lr / n` update — so the
+    * final weight table `w3 (b, u)` matches the Spark model
+    * bit-for-bit. Every per-round CTE is MATERIALIZED (DuckDB inlines
+    * plain CTEs; an unrolled 3-round chain would otherwise re-evaluate
+    * the gram stream exponentially).
+    */
+  private lazy val clfCteSql: String = {
+    val sig = (z: String) =>
+      s"CAST(floor(1000000.0 / (1.0 + exp(-(CAST($z AS DOUBLE) / " +
+        s"1000000.0))) + 0.5) AS BIGINT)"
+    def round(i: Int, prevW: String): String = {
+      val (z, e, w) = (s"z$i", s"e$i", s"w$i")
+      val zDef =
+        if (prevW.isEmpty)
+          s"$z AS (SELECT doc_id, CAST(0 AS BIGINT) AS z FROM cy)"
+        else
+          s"""$z AS MATERIALIZED (SELECT f.doc_id,
+             |  CAST(COALESCE(sum(u), 0) AS BIGINT) AS z
+             |  FROM cfeats f LEFT JOIN $prevW USING (b) GROUP BY f.doc_id)""".stripMargin
+      val wDef =
+        if (prevW.isEmpty)
+          s"""$w AS MATERIALIZED (SELECT b,
+             |  0 - CAST(floor(CAST(sum(err) AS DOUBLE) * $ClfLr / n + 0.5)
+             |    AS BIGINT) AS u
+             |  FROM cfeats JOIN $e USING (doc_id) CROSS JOIN ctot
+             |  GROUP BY b, n)""".stripMargin
+        else
+          s"""$w AS MATERIALIZED (SELECT b,
+             |  u - CAST(floor(CAST(sum(err) AS DOUBLE) * $ClfLr / n + 0.5)
+             |    AS BIGINT) AS u
+             |  FROM cfeats JOIN $e USING (doc_id) JOIN $prevW USING (b)
+             |  CROSS JOIN ctot GROUP BY b, u, n)""".stripMargin
+      s"""$zDef,
+         |$e AS MATERIALIZED (SELECT doc_id, ${sig("z")} - y * 1000000 AS err
+         |  FROM $z JOIN cy USING (doc_id)),
+         |$wDef""".stripMargin
+    }
+    s"""WITH cnorm AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents),
+       |cg0 AS (SELECT doc_id, unnest(list_concat(ws,
+       |    list_transform(range(1, len(ws)),
+       |      i -> ws[i] || ' ' || ws[i+1]))) AS g
+       |  FROM cnorm),
+       |cgb AS (SELECT DISTINCT doc_id, ${h60("g")} % 1024 AS b
+       |  FROM cg0 WHERE g <> ''),
+       |cfeats AS MATERIALIZED (SELECT doc_id, b FROM cgb
+       |  UNION ALL SELECT doc_id, CAST(-1 AS BIGINT) FROM documents),
+       |cy AS MATERIALIZED (SELECT doc_id,
+       |  CASE WHEN list_contains(${toksSql("text")}, 'spark')
+       |    THEN 1 ELSE 0 END AS y FROM documents),
+       |ctot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM cy),
+       |${round(1, "")},
+       |${(2 to ClfIters).map(i => round(i, s"w${i - 1}")).mkString(",\n")}""".stripMargin
+  }
+
+  /** The classifier's pinned training config — one source of truth for
+    * the Spark call AND the oracle's unrolled rounds. The (lr, iters)
+    * point sits on the measured accuracy plateau for the marker-token
+    * task (lr 4-6 x iters 8-12 all land 98.6-99.4% at sf0.01; smaller
+    * rates collapse to the majority class, lone mid-range points
+    * oscillate on the saturating sigmoid).
+    */
+  private val ClfIters = 10
+  private val ClfLr = "4.0"
+
   val all: Map[String, Q] = Map(
 
     // Salted equi-join: the explicit skew fallback. The salt mechanics
@@ -162,6 +230,45 @@ object CurationQueries {
              |  floor(least(greatest(
              |    exp(CAST(logw_units - m AS DOUBLE) / 1e6), 0.0), 1.0)
              |    * 1e6)""".stripMargin)),
+
+    // Trained quality classifier (fastText/CCNet-style): logistic
+    // regression over hashed unigram+bigram presence features, ClfIters
+    // full-batch GD rounds. Label: the doc mentions the
+    // reference-domain marker token ("spark") — a deterministic,
+    // text-derived stand-in for "reference corpus vs crawl" with real
+    // signal in the features (the fixture's lang/source columns are
+    // assigned independently of the text, so a metadata label would be
+    // unlearnable by construction). The whole training loop is exact
+    // integer dataflow (micro-unit weights/sigmoid/gradients), so the
+    // oracle reproduces the MODEL bit-for-bit — not just the scores.
+    "llm_quality_clf_train" -> Q(
+      (s, dir) => Curation.trainQualityClassifier(
+        Tables.documents(s, dir)
+          .withColumn("is_ref", array_contains(
+            graft.llm.TextOps.tokens(col("text")), "spark").cast("int")),
+        "doc_id", "text", "is_ref", iters = ClfIters, lr = ClfLr.toDouble),
+      Some(s"""$clfCteSql
+             |SELECT b, u AS w_units FROM w$ClfIters""".stripMargin)),
+
+    // ...and the filter it exists for: score every doc with the trained
+    // weights (exact long logit; pred = keep). Broadcast model join +
+    // one per-doc aggregation — the 100 TB filter is one linear pass.
+    "llm_quality_clf_score" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val model = Curation.trainQualityClassifier(
+          docs.withColumn("is_ref", array_contains(
+            graft.llm.TextOps.tokens(col("text")), "spark").cast("int")),
+          "doc_id", "text", "is_ref", iters = ClfIters, lr = ClfLr.toDouble)
+        Curation.scoreQualityClassifier(docs, model, "doc_id", "text")
+      },
+      Some(s"""$clfCteSql,
+             |zf AS (SELECT f.doc_id, CAST(COALESCE(sum(u), 0) AS BIGINT) AS z
+             |  FROM cfeats f LEFT JOIN w$ClfIters USING (b)
+             |  GROUP BY f.doc_id)
+             |SELECT doc_id, z AS score_units,
+             |  CAST(CASE WHEN z > 0 THEN 1 ELSE 0 END AS INT) AS pred
+             |FROM zf""".stripMargin)),
 
     // Blocked fuzzy join (entity resolution): part names vs a dirty
     // twin catalog — even keys lose their 2nd character (prefix block

@@ -484,6 +484,42 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("trainQualityClassifier learns a separable marker and is " +
+    "partitioning-invariant") {
+    // 40 docs: positives all contain the marker token, negatives never.
+    val rows = (0 until 40).map { i =>
+      val y = i % 2
+      val base = s"alpha beta gamma doc$i common words here"
+      (i.toLong, if (y == 1) s"$base marker" else base, y)
+    }.toDF("id", "text", "y")
+    val model = Curation.trainQualityClassifier(rows, "id", "text", "y",
+      iters = 10, lr = 4.0)
+    val scored = Curation.scoreQualityClassifier(rows, model, "id", "text")
+      .join(rows.select(col("id"), col("y")), Seq("id"))
+    // A separable marker must be fully learned in 10 rounds.
+    assert(scored.filter(col("pred") =!= col("y")).count() === 0)
+    // The marker's unigram bucket carries the largest positive weight.
+    val marker = TextOps.hash60Scala("marker") match {
+      case h => ((h % 1024) + 1024) % 1024
+    }
+    val top = model.orderBy(col("w_units").desc).limit(1)
+      .collect()(0).getLong(0)
+    assert(top === marker, s"top bucket $top != marker bucket $marker")
+    // Training is a pure function of the data, not the layout.
+    val model13 = Curation.trainQualityClassifier(rows.repartition(13),
+      "id", "text", "y", iters = 10, lr = 4.0)
+    assert(model.except(model13).count() === 0 &&
+      model13.except(model).count() === 0)
+  }
+
+  test("requireClfExact refuses past exact-double gradient range") {
+    val e = intercept[IllegalArgumentException] {
+      Curation.requireClfExact(3000000000L, 4.0)
+    }
+    assert(e.getMessage.contains("sample"))
+    Curation.requireClfExact(2000000000L, 4.0) // inside the bound: fine
+  }
+
   test("rangeJoinBucketed equals the plain theta range join") {
     val points = (0L to 300L by 7L).toDF("p")
     val intervals = Seq((0L, 49L, "a"), (25L, 60L, "b"), (200L, 300L, "c"))
