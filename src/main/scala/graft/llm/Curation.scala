@@ -121,6 +121,78 @@ object Curation {
       .drop("_h", "_pfx", "_cum", "_offset")
   }
 
+  /** Fractional-epoch token-budget mixture: the training-mixture step
+    * where each domain gets a TOKEN budget that may exceed its corpus —
+    * high-quality domains repeat (epochs > 1), oversized domains
+    * downsample (epoch 0 only, partially filled), in one operator.
+    * Emits one row per (doc, epoch): `floor(budget / domainTokens)`
+    * full epochs for every doc, plus one partial epoch greedily filled
+    * in deterministic hash order until the remainder budget is spent
+    * (a doc joins the partial epoch iff its inclusive running token sum
+    * stays within the remainder). Domains without a budget row are
+    * dropped; a budget below the corpus size degenerates to pure
+    * downsampling (zero full epochs), so this subsumes
+    * [[mixToProportions]]'s direction while adding upsampling.
+    *
+    * Scale shape: the running sum uses the [[packByTokenBudget]]
+    * two-phase prefix-sum layout — cumulative sums within (domain, hash
+    * prefix) ranges, plus a broadcast per-(domain, prefix) offset frame
+    * of at most `domains * 2^prefixBits` rows — so no single task ever
+    * streams a whole domain. The per-domain plan (epochs, remainder) is
+    * a broadcast frame of one row per domain; full epochs explode from
+    * it without another shuffle.
+    *
+    * @param budgets one row per domain: (`domainCol`, `budget`) with
+    *   budget in tokens
+    * @return (idCol, domainCol, epoch, n_tokens), epochs numbered 0..ne
+    */
+  def epochMix(df: DataFrame, idCol: String, tokensCol: String,
+               domainCol: String, budgets: DataFrame,
+               prefixBits: Int = 8): DataFrame = {
+    require(prefixBits >= 1 && prefixBits <= 20,
+      s"prefixBits must be in [1, 20], got $prefixBits")
+    val tok = df.select(col(idCol).as("id"), col(domainCol).as("domain"),
+        col(tokensCol).cast("long").as("ntok"))
+      .withColumn("_h", hash60(concat(lit("ep:"), col("id").cast("string"))))
+      .withColumn("_pfx", shiftright(col("_h"), 60 - prefixBits))
+    val tot = tok.groupBy(col("domain")).agg(sum(col("ntok")).as("tt"))
+    // Per-domain plan: full-epoch count and leftover token budget. The
+    // division is IEEE double + floor (deterministic, oracle-replicable);
+    // the remainder is exact long arithmetic on top of it.
+    val plan = tot
+      .join(budgets.select(col(domainCol).as("domain"),
+        col("budget").cast("long").as("budget")), Seq("domain"))
+      .withColumn("ne",
+        floor(col("budget").cast("double") / col("tt").cast("double"))
+          .cast("long"))
+      .withColumn("rem", col("budget") - col("ne") * col("tt"))
+      .select(col("domain"), col("ne"), col("rem"))
+    // Two-phase global running sum per domain in (hash, id) order: the
+    // prefix ranges order-embed into the hash order, so offset + local
+    // cumsum IS the domain-global inclusive running sum.
+    val inRange = Window.partitionBy(col("domain"), col("_pfx"))
+      .orderBy(col("_h"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = tok.withColumn("_cum", sum(col("ntok")).over(inRange))
+    val offsets = tok.groupBy(col("domain"), col("_pfx"))
+      .agg(sum(col("ntok")).as("_t"))
+      .withColumn("_off", coalesce(sum(col("_t")).over(
+        Window.partitionBy(col("domain")).orderBy(col("_pfx"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("domain"), col("_pfx"), col("_off"))
+    val g = cum.join(broadcast(offsets), Seq("domain", "_pfx"))
+      .withColumn("_gcum", col("_off") + col("_cum"))
+      .join(broadcast(plan), Seq("domain"))
+    val full = g.filter(col("ne") > 0)
+      .select(col("id"), col("domain"), col("ntok"),
+        explode(sequence(lit(0L), col("ne") - 1)).as("epoch"))
+    val partial = g.filter(col("_gcum") <= col("rem"))
+      .select(col("id"), col("domain"), col("ntok"), col("ne").as("epoch"))
+    full.unionAll(partial)
+      .select(col("id").as(idCol), col("domain").as(domainCol),
+        col("epoch"), col("ntok").as("n_tokens"))
+  }
+
   /** Benchmark decontamination: drop every corpus document sharing at
     * least one word k-shingle with the benchmark set — the standard
     * guard against test-set leakage into training data.

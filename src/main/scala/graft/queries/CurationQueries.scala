@@ -270,6 +270,56 @@ object CurationQueries {
              |  CAST(CASE WHEN z > 0 THEN 1 ELSE 0 END AS INT) AS pred
              |FROM zf""".stripMargin)),
 
+    // Fractional-epoch token-budget mixture: five "high-quality"
+    // sources get 2.5x their token mass (2 full epochs + a partial),
+    // the rest 0.4x (pure downsample) — the Llama-style mixture step
+    // where repeats and downsampling are one plan. The oracle
+    // replicates the per-domain plan arithmetic and the hash-ordered
+    // greedy partial fill with a single per-domain window (the
+    // two-phase prefix sum order-embeds into it exactly).
+    "llm_epoch_mix" -> Q(
+      (s, dir) => {
+        val toks = Tables.documents(s, dir).select(col("doc_id"),
+          col("source"),
+          size(graft.llm.TextOps.tokens(col("text"))).cast("long")
+            .as("ntok"))
+        val hi = Seq("src0", "src1", "src2", "src3", "src4")
+        val budgets = toks.groupBy(col("source"))
+          .agg(sum(col("ntok")).as("tt"))
+          .select(col("source"),
+            floor(col("tt").cast("double") *
+              when(col("source").isin(hi: _*), lit(2.5))
+                .otherwise(lit(0.4))).cast("long").as("budget"))
+        Curation.epochMix(toks, "doc_id", "ntok", "source", budgets)
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, source AS domain,
+             |    CAST(len(${toksSql("text")}) AS BIGINT) AS ntok,
+             |    ${h60("'ep:' || CAST(doc_id AS VARCHAR)")} AS h
+             |  FROM documents),
+             |tot AS (SELECT domain, CAST(sum(ntok) AS BIGINT) AS tt
+             |  FROM tok GROUP BY domain),
+             |bud AS (SELECT domain, CAST(floor(CAST(tt AS DOUBLE) *
+             |    CASE WHEN domain IN ('src0','src1','src2','src3','src4')
+             |    THEN 2.5 ELSE 0.4 END) AS BIGINT) AS budget FROM tot),
+             |pl AS (SELECT t.domain,
+             |    CAST(floor(CAST(budget AS DOUBLE) / CAST(tt AS DOUBLE))
+             |      AS BIGINT) AS ne,
+             |    budget - CAST(floor(CAST(budget AS DOUBLE) /
+             |      CAST(tt AS DOUBLE)) AS BIGINT) * tt AS rem
+             |  FROM tot t JOIN bud USING (domain)),
+             |cum AS (SELECT doc_id, domain, ntok,
+             |    CAST(sum(ntok) OVER (PARTITION BY domain ORDER BY h, doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gcum
+             |  FROM tok)
+             |SELECT doc_id, domain AS source,
+             |  CAST(epoch AS BIGINT) AS epoch, ntok AS n_tokens
+             |FROM (SELECT doc_id, domain, ntok, unnest(range(0, ne)) AS epoch
+             |      FROM cum JOIN pl USING (domain)) f
+             |UNION ALL
+             |SELECT doc_id, domain AS source,
+             |  CAST(ne AS BIGINT) AS epoch, ntok AS n_tokens
+             |FROM cum JOIN pl USING (domain) WHERE gcum <= rem""".stripMargin)),
+
     // Blocked fuzzy join (entity resolution): part names vs a dirty
     // twin catalog — even keys lose their 2nd character (prefix block
     // broken, suffix catches), odd keys lose their 2nd-to-last (suffix
