@@ -917,6 +917,50 @@ object Curation {
     w.toSeq.toDF("b", "w_units")
   }
 
+  /** Write the frozen classifier artifact [[trainQualityClassifier]]
+    * produces: the weight table plus a one-row `meta` (bucket count and
+    * the training config in exact ppm), so a gate can resolve the
+    * feature width from the artifact instead of re-deriving it. Same
+    * posture as [[TextAnalysis.writeKnLm]]: the quality model is a
+    * VERSIONED ARTIFACT trained once on a labeled reference set; ingest
+    * gates score against it frozen and never retrain in-band.
+    */
+  def writeQualityClassifier(corpus: DataFrame, idCol: String,
+                             textCol: String, labelCol: String,
+                             path: String, nBuckets: Int = 1024,
+                             iters: Int = 10, lr: Double = 4.0,
+                             mat: Materialize = Materialize.Local): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    trainQualityClassifier(corpus, idCol, textCol, labelCol, nBuckets,
+      iters, lr, mat)
+      .write.mode("overwrite").parquet(s"$path/weights")
+    Seq((nBuckets, iters, math.round(lr * 1e6)))
+      .toDF("n_buckets", "iters", "lr_ppm")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Gate a batch against a frozen [[writeQualityClassifier]] artifact:
+    * accept iff the exact long logit is positive (the trained decision
+    * boundary). Pure function of (artifact, batch) — stateless per
+    * batch, integer-exact, so the decision replays identically in any
+    * engine. Scale shape: the weight table is O(nBuckets) and
+    * broadcast; the only shuffle is the batch's per-doc logit
+    * aggregation.
+    *
+    * @return accepted rows only: (idCol, score_units)
+    */
+  def clfGateBatch(spark: org.apache.spark.sql.SparkSession,
+                   modelPath: String, batch: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val nBuckets = spark.read.parquet(s"$modelPath/meta").head()
+      .getAs[Int]("n_buckets")
+    val model = spark.read.parquet(s"$modelPath/weights")
+    scoreQualityClassifier(batch, model, idCol, textCol, nBuckets)
+      .filter(col("pred") === 1)
+      .select(col(idCol), col("score_units"))
+  }
+
   /** Score text against a [[trainQualityClassifier]] model: the exact
     * long logit per doc plus the thresholded keep decision. The model
     * frame is broadcast (O(nBuckets)); the only shuffle is the per-doc

@@ -105,6 +105,23 @@ object CurationQueries {
   private val ClfIters = 10
   private val ClfLr = "4.0"
 
+  /** Ensure the frozen quality-classifier artifact for `dir`'s documents
+    * exists; return its path (same contract as LlmQueries' ensure*
+    * fixtures).
+    */
+  private[queries] def ensureClfModel(s: org.apache.spark.sql.SparkSession,
+                                      dir: String): String = {
+    val fix = "/tmp/graft_fixtures/clf_v1_" +
+      LlmQueries.fingerprintCached(s"$dir/documents.parquet")
+    if (!new java.io.File(s"$fix/meta/_SUCCESS").exists())
+      Curation.writeQualityClassifier(
+        Tables.documents(s, dir).withColumn("is_ref", array_contains(
+          graft.llm.TextOps.tokens(col("text")), "spark").cast("int")),
+        "doc_id", "text", "is_ref", fix,
+        iters = ClfIters, lr = ClfLr.toDouble)
+    fix
+  }
+
   val all: Map[String, Q] = Map(
 
     // Salted equi-join: the explicit skew fallback. The salt mechanics
@@ -319,6 +336,44 @@ object CurationQueries {
              |SELECT doc_id, domain AS source,
              |  CAST(ne AS BIGINT) AS epoch, ntok AS n_tokens
              |FROM cum JOIN pl USING (domain) WHERE gcum <= rem""".stripMargin)),
+
+    // Streaming trained-classifier ingest gate (the 5th gate), batch
+    // form: arriving docs score against the FROZEN classifier artifact;
+    // accept = positive logit. Unchanged re-ids (%10==0) keep their
+    // marker status; marker-stripped twins (%10==1, 'spark' tokens
+    // removed) lose the signal the model keys on and are rejected. The
+    // oracle is a FULL replay — retrain the model in SQL, re-featurize
+    // the arriving set, score against the final weight table.
+    "llm_stream_clf_gate" -> Q(
+      (s, dir) => {
+        val fix = ensureClfModel(s, dir)
+        val docs = Tables.documents(s, dir)
+        val arriving = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") % 10 === 1)
+            .select((col("doc_id") + 6000000L).as("doc_id"),
+              concat_ws(" ", filter(graft.llm.TextOps.tokens(col("text")),
+                t => t =!= "spark")).as("text")))
+        Curation.clfGateBatch(s, fix, arriving, "doc_id", "text")
+      },
+      Some(s"""$clfCteSql,
+             |arr AS (SELECT doc_id + 5000000 AS doc_id, ws FROM cnorm
+             |    WHERE doc_id % 10 = 0
+             |  UNION ALL SELECT doc_id + 6000000 AS doc_id,
+             |    list_filter(ws, t -> t <> 'spark') AS ws FROM cnorm
+             |    WHERE doc_id % 10 = 1),
+             |ag0 AS (SELECT doc_id, unnest(list_concat(ws,
+             |    list_transform(range(1, len(ws)),
+             |      i -> ws[i] || ' ' || ws[i+1]))) AS g
+             |  FROM arr),
+             |agb AS (SELECT DISTINCT doc_id, ${h60("g")} % 1024 AS b
+             |  FROM ag0 WHERE g <> ''),
+             |afeat AS (SELECT doc_id, b FROM agb
+             |  UNION ALL SELECT doc_id, CAST(-1 AS BIGINT) FROM arr),
+             |az AS (SELECT f.doc_id, CAST(COALESCE(sum(u), 0) AS BIGINT) AS z
+             |  FROM afeat f LEFT JOIN w$ClfIters USING (b)
+             |  GROUP BY f.doc_id)
+             |SELECT doc_id, z AS score_units FROM az WHERE z > 0""".stripMargin)),
 
     // Blocked fuzzy join (entity resolution): part names vs a dirty
     // twin catalog — even keys lose their 2nd character (prefix block

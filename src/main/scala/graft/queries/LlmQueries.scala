@@ -47,7 +47,7 @@ object LlmQueries {
     * JVMs still gets a fresh fingerprint (and therefore a fresh index).
     */
   private val fpCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def fingerprintCached(path: String): String =
+  private[queries] def fingerprintCached(path: String): String =
     fpCache.computeIfAbsent(path, fingerprint(_))
 
   /** Ensure the write-time LSH index for `dir`'s embeddings exists; return
@@ -180,6 +180,7 @@ object LlmQueries {
     ensureExactDupIndex(s, dir)
     ensureImageHashIndex(s, dir)
     ensureKnLm(s, dir)
+    CurationQueries.ensureClfModel(s, dir)
   }
 
   /** Ensure the write-time SIMHASH index for `dir`'s documents exists;

@@ -622,4 +622,30 @@ object Streams {
           .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
       }
       .start()
+
+  /** Streaming TRAINED-CLASSIFIER ingest gate — the fifth gate: every
+    * micro-batch is scored against a FROZEN
+    * [[graft.llm.Curation.writeQualityClassifier]] artifact and only
+    * documents with a positive logit land in the batchId-named output
+    * directory. Same posture as the KN quality gate: the model is a
+    * versioned artifact, the decision is stateless per batch (a pure
+    * integer-exact function of artifact + batch), and replay is
+    * trivially exactly-once via the idempotent per-batch overwrite.
+    * The two quality gates are complementary filters: the LM scores
+    * fluency against a reference corpus; the classifier scores
+    * membership of a LABELED reference class.
+    */
+  def startClassifierGateSink(df: DataFrame, modelPath: String,
+                              outPath: String, checkpoint: String,
+                              idCol: String, textCol: String) =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.llm.Curation.clfGateBatch(spark, modelPath, batch.toDF(),
+          idCol, textCol)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+      }
+      .start()
 }

@@ -370,6 +370,45 @@ class StreamsSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("streaming CLASSIFIER gate accepts positive-logit docs against " +
+    "the frozen model; stateless replay") {
+    implicit val sqlCtx = spark.sqlContext
+    // Labeled reference set: positives all carry the marker token.
+    val corpus = (0 until 40).map { i =>
+      val base = s"alpha beta gamma doc$i common words here"
+      Doc(i.toLong, if (i % 2 == 1) s"$base marker" else base)
+    }.toDF().withColumn("y",
+      array_contains(graft.llm.TextOps.tokens(col("text")), "marker")
+        .cast("int"))
+    val root = java.nio.file.Files.createTempDirectory("cgate").toString
+    val (model, out, ckpt) = (s"$root/model", s"$root/out", s"$root/ckpt")
+    try {
+      graft.llm.Curation.writeQualityClassifier(corpus, "doc_id", "text",
+        "y", model)
+      val mem = MemoryStream[Doc]
+      val q = Streams.startClassifierGateSink(mem.toDF(), model, out, ckpt,
+        "doc_id", "text")
+      try {
+        mem.addData(Doc(100L, "alpha beta gamma common words here marker"),
+          Doc(101L, "alpha beta gamma common words here"))
+        q.processAllAvailable()
+        mem.addData(Doc(102L, "gamma alpha marker words"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val accepted = spark.read.parquet(out)
+        .select("doc_id").as[Long].collect().sorted
+      assert(accepted === Array(100L, 102L))
+      // Stateless per batch: the direct batch call against the frozen
+      // artifact makes the identical decision.
+      val again = graft.llm.Curation.clfGateBatch(spark, model,
+        Seq(Doc(200L, "alpha common words marker"),
+          Doc(201L, "alpha common words")).toDF(), "doc_id", "text")
+        .select("doc_id").as[Long].collect().sorted
+      assert(again === Array(200L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("streaming NEAR-dup gate rejects edited copies and cross-batch " +
     "near-dups of accepted rows via the wide-simhash index") {
     implicit val sqlCtx = spark.sqlContext
