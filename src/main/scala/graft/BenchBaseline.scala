@@ -83,6 +83,14 @@ object BenchBaseline {
     "llm_dedup_ngram_jaccard" -> 0.836,
     "llm_dedup_simhash_pairs" -> 0.724,
     "llm_index_compact" -> 3.526, // maintenance dataflow timed by design
+    "llm_ivfpq_compact" -> 14.275, // r12: full lifecycle (PQ train + 3
+    // appends + compaction + 2 probes) rebuilt per rep by design
+    "llm_ivfpq_rebuild" -> 14.558, // r12: drift fixture + retrain + swap
+    "j8_entity_resolution" -> 3.470, // r12: fuzzy join + closure rounds
+    "llm_quality_clf_train" -> 4.146, // r12: 10 GD rounds = 20 jobs
+    "llm_quality_clf_score" -> 5.158, // r12: train + broadcast score
+    "llm_epoch_mix" -> 0.904, // r12
+    "llm_stream_clf_gate" -> 0.751, // r12: artifact prebuilt, pure probe
     "llm_semantic_dedup" -> 5.709, // inline: k-means fit + closure + contract
     "llm_semantic_dedup_index" -> 4.135,
     "llm_stream_quality_gate" -> 1.159, // r11 second pass
