@@ -700,6 +700,70 @@ object Curation {
         col("s.token").as("token"))
   }
 
+  /** Write the frozen BPE tokenizer artifact: the greedy rule table
+    * [[bpeTrain]] learns plus a one-row `meta` (rule count). Same
+    * versioned-artifact posture as the LM and classifier writers: the
+    * tokenizer is trained ONCE on a reference corpus; every later
+    * corpus encodes against the frozen rules ([[bpeEncodeFrozen]])
+    * without retraining — the production split between tokenizer
+    * training and the 100 TB encode pass.
+    */
+  def writeBpeTokenizer(corpus: DataFrame, idCol: String, textCol: String,
+                        nMerges: Int, path: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    bpeTrain(corpus, idCol, textCol, nMerges)
+      .write.mode("overwrite").parquet(s"$path/rules")
+    Seq(Tuple1(nMerges)).toDF("n_merges")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Apply a FROZEN ordered rule list to a corpus — the tokenizer apply
+    * step decoupled from training. Each rule is one zero-shuffle
+    * codegen'd array pass (`BpeFunctions.greedyMerge`, exact leftmost
+    * non-overlapping semantics); rules chain as nested expressions, with
+    * a pin every `pinEvery` rules so expression depth (and codegen
+    * method size) stays bounded for real vocabularies — between pins
+    * the whole rule block fuses into one generated pass over each
+    * document array. No shuffle, window, or sort exists anywhere: the
+    * encode pass is embarrassingly parallel over documents.
+    *
+    * @param rules (a, b) pairs in training round order
+    * @return (idCol, pos, token) with positions re-densified to 0..n-1
+    */
+  def bpeApplyRules(df: DataFrame, idCol: String, textCol: String,
+                    rules: Seq[(String, String)],
+                    pinEvery: Int = 8): DataFrame = {
+    require(pinEvery > 0, s"pinEvery must be positive, got $pinEvery")
+    var state = tokenState(df, idCol, textCol)
+    var applied = 0
+    rules.foreach { case (a, b) =>
+      state = state.select(col(idCol),
+        graft.functions.BpeFunctions.greedyMerge(col("pt"), a, b).as("pt"))
+      applied += 1
+      if (applied % pinEvery == 0) state = Materialize.pin(state)
+    }
+    state.select(col(idCol), posexplode(col("pt")).as(Seq("newpos", "s")))
+      .select(col(idCol), col("newpos").cast("int").as("pos"),
+        col("s.token").as("token"))
+  }
+
+  /** Encode a corpus against a frozen [[writeBpeTokenizer]] artifact:
+    * read the rule table (O(nMerges) driver rows — the model, not data),
+    * apply in round order. Pure function of (artifact, corpus).
+    */
+  def bpeEncodeFrozen(spark: org.apache.spark.sql.SparkSession,
+                      path: String, df: DataFrame, idCol: String,
+                      textCol: String, pinEvery: Int = 8): DataFrame = {
+    val rules = spark.read.parquet(s"$path/rules")
+      .orderBy(col("round")).select(col("pair")).collect()
+      .map { r =>
+        val Array(a, b) = r.getString(0).split(" ", 2)
+        (a, b)
+      }.toSeq
+    bpeApplyRules(df, idCol, textCol, rules, pinEvery)
+  }
+
   /** Adjacent-pair counts AFTER applying one merge rule — BPE training
     * iteration 2 (the top row of [[bpePairCounts]] is the rule; this
     * recounts over the re-merged streams, where pairs involving the new

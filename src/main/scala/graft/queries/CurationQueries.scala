@@ -105,6 +105,19 @@ object CurationQueries {
   private val ClfIters = 10
   private val ClfLr = "4.0"
 
+  /** Ensure the frozen BPE tokenizer artifact (3 greedy rules trained on
+    * `dir`'s full documents) exists; return its path.
+    */
+  private[queries] def ensureBpeTokenizer(s: org.apache.spark.sql.SparkSession,
+                                          dir: String): String = {
+    val fix = "/tmp/graft_fixtures/bpe_v1_" +
+      LlmQueries.fingerprintCached(s"$dir/documents.parquet")
+    if (!new java.io.File(s"$fix/meta/_SUCCESS").exists())
+      Curation.writeBpeTokenizer(Tables.documents(s, dir), "doc_id", "text",
+        nMerges = 3, path = fix)
+    fix
+  }
+
   /** Ensure the frozen quality-classifier artifact for `dir`'s documents
     * exists; return its path (same contract as LlmQueries' ensure*
     * fixtures).
@@ -971,6 +984,37 @@ object CurationQueries {
              |  (PARTITION BY doc_id ORDER BY pos) - 1 AS INT) AS pos,
              |  t AS token
              |FROM e$rounds""".stripMargin
+      }),
+
+    // FROZEN-TOKENIZER encode: rules trained once on the full corpus
+    // (the versioned artifact), applied to a DIFFERENT arriving set
+    // with no retraining — the production split between tokenizer
+    // training and the corpus-wide encode pass. The oracle replays
+    // training on the corpus, then routes the SAME rule CTEs through
+    // the shared application steps over the arriving stream: the rules
+    // provably come from the corpus, not the encoded set.
+    "llm_bpe_frozen_encode" -> Q(
+      (s, dir) => {
+        val fix = ensureBpeTokenizer(s, dir)
+        val arriving = Tables.documents(s, dir)
+          .filter(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + 7000000L).as("doc_id"), col("text"))
+        Curation.bpeEncodeFrozen(s, fix, arriving, "doc_id", "text")
+      },
+      Some {
+        val rounds = 3
+        bpeCtes(rounds) +
+          s""",anorm AS (SELECT doc_id + 7000000 AS doc_id, ws FROM norm
+             |  WHERE doc_id % 10 = 7),
+             |ae0 AS (SELECT doc_id, pos, t FROM
+             |  (SELECT doc_id, CAST(unnest(range(0, len(ws))) AS INT) AS pos,
+             |     unnest(ws) AS t FROM anorm) WHERE t <> '')""".stripMargin +
+          (1 to rounds).map(bpeStepSql(_, "a")).mkString +
+          s"""
+             |SELECT doc_id, CAST(row_number() OVER
+             |  (PARTITION BY doc_id ORDER BY pos) - 1 AS INT) AS pos,
+             |  t AS token
+             |FROM ae$rounds""".stripMargin
       }))
 
   /** The BPE training-loop CTE chain (DuckDB twin of
@@ -997,25 +1041,41 @@ object CurationQueries {
                 |  GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
                 |rule$r AS (SELECT string_split(pair, ' ')[1] AS pa,
                 |  string_split(pair, ' ')[2] AS pb,
-                |  replace(pair, ' ', '') AS m FROM p$r),
-                |c$r AS (SELECT doc_id, pos, t,
-                |  row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
-                |  coalesce(t = pa AND lead(t) OVER
-                |    (PARTITION BY doc_id ORDER BY pos) = pb, false) AS cand
-                |  FROM $prev CROSS JOIN rule$r),
-                |s$r AS (SELECT doc_id, pos, t, cand AND (rn -
-                |    (coalesce(max(CASE WHEN NOT cand THEN rn END) OVER
-                |      (PARTITION BY doc_id ORDER BY pos
-                |       ROWS UNBOUNDED PRECEDING), 0) + 1)) % 2 = 0 AS sel
-                |  FROM c$r),
-                |k$r AS (SELECT doc_id, pos,
-                |  CASE WHEN sel THEN (SELECT m FROM rule$r) ELSE t END AS t,
-                |  coalesce(lag(sel) OVER
-                |    (PARTITION BY doc_id ORDER BY pos), false) AS prev_sel
-                |  FROM s$r),
-                |e$r AS (SELECT doc_id, pos, t FROM k$r WHERE NOT prev_sel)""".stripMargin
+                |  replace(pair, ' ', '') AS m FROM p$r)""".stripMargin
+      sb ++= bpeStepSql(r, "")
     }
     sb ++= "\n"
     sb.toString
+  }
+
+  /** One greedy-merge APPLICATION round in SQL: candidate flags, the
+    * leftmost-non-overlapping parity selection, merge + swallow of the
+    * second element. Shared by the training chain ([[bpeCtes]], which
+    * also derives `rule_r` from its own stream) and the frozen-apply
+    * chain (which reuses the training chain's rules over a DIFFERENT,
+    * `prefix`-named stream) — one copy, so train-time and apply-time
+    * merge semantics cannot drift.
+    */
+  private def bpeStepSql(r: Int, prefix: String): String = {
+    val prev = s"${prefix}e${r - 1}"
+    val (c, s2, k, e) =
+      (s"${prefix}c$r", s"${prefix}s$r", s"${prefix}k$r", s"${prefix}e$r")
+    s""",
+       |$c AS (SELECT doc_id, pos, t,
+       |  row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+       |  coalesce(t = pa AND lead(t) OVER
+       |    (PARTITION BY doc_id ORDER BY pos) = pb, false) AS cand
+       |  FROM $prev CROSS JOIN rule$r),
+       |$s2 AS (SELECT doc_id, pos, t, cand AND (rn -
+       |    (coalesce(max(CASE WHEN NOT cand THEN rn END) OVER
+       |      (PARTITION BY doc_id ORDER BY pos
+       |       ROWS UNBOUNDED PRECEDING), 0) + 1)) % 2 = 0 AS sel
+       |  FROM $c),
+       |$k AS (SELECT doc_id, pos,
+       |  CASE WHEN sel THEN (SELECT m FROM rule$r) ELSE t END AS t,
+       |  coalesce(lag(sel) OVER
+       |    (PARTITION BY doc_id ORDER BY pos), false) AS prev_sel
+       |  FROM $s2),
+       |$e AS (SELECT doc_id, pos, t FROM $k WHERE NOT prev_sel)""".stripMargin
   }
 }

@@ -181,6 +181,7 @@ object LlmQueries {
     ensureImageHashIndex(s, dir)
     ensureKnLm(s, dir)
     CurationQueries.ensureClfModel(s, dir)
+    CurationQueries.ensureBpeTokenizer(s, dir)
   }
 
   /** Ensure the write-time SIMHASH index for `dir`'s documents exists;

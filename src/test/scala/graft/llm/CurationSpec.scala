@@ -551,6 +551,27 @@ class CurationSpec extends SparkSpec {
       mix13.except(mix).count() === 0)
   }
 
+  test("bpeEncodeFrozen against the corpus-trained artifact equals the " +
+    "inline encode; pin cadence is result-invisible") {
+    val root = java.nio.file.Files.createTempDirectory("bpetok").toString
+    try {
+      Curation.writeBpeTokenizer(docs, "doc_id", "text", nMerges = 3, root)
+      val frozen = Curation.bpeEncodeFrozen(spark, root, docs,
+        "doc_id", "text")
+      val inline = Curation.bpeEncode(docs, "doc_id", "text", nMerges = 3)
+      assert(frozen.except(inline).count() === 0 &&
+        inline.except(frozen).count() === 0)
+      // Expression-depth pinning must not change results.
+      val pinned = Curation.bpeEncodeFrozen(spark, root, docs,
+        "doc_id", "text", pinEvery = 1)
+      assert(pinned.except(inline).count() === 0 &&
+        inline.except(pinned).count() === 0)
+      // The artifact records the rule count it was trained with.
+      assert(spark.read.parquet(s"$root/meta").head().getInt(0) === 3)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("requireClfExact refuses past exact-double gradient range") {
     val e = intercept[IllegalArgumentException] {
       Curation.requireClfExact(3000000000L, 4.0)
