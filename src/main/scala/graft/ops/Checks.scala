@@ -64,4 +64,50 @@ object Checks {
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
       .select(lit(relation).as("relation"), col("n_rows"), col("n_orphans"))
+
+  /** k-anonymity audit over quasi-identifier columns: group sizes plus
+    * the re-identification risk flag (a group smaller than `k` makes its
+    * members linkable). The privacy gate a training-data pipeline runs
+    * before releasing records that carry quasi-identifiers. One
+    * map-side-combined aggregate — shuffle rows = group cardinality,
+    * never data size.
+    *
+    * @return one row per quasi-identifier group:
+    *         (quasiCols..., n, at_risk) with at_risk in {0, 1}
+    */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+                      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityAudit: no quasi columns")
+    require(k > 0, s"k must be positive, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", (col("n") < k).cast("int"))
+  }
+
+  /** Enforce k-anonymity by SUPPRESSION: rows whose quasi-identifier
+    * group is smaller than `k` get those columns nulled (the standard
+    * suppression step; generalization hierarchies are domain-specific
+    * and compose upstream by rewriting the columns first). Non-quasi
+    * columns always pass through untouched, so utility loss is confined
+    * to the linkable fields of the linkable rows.
+    *
+    * Scale shape: the risky-group frame is group-cardinality-sized and
+    * joins back on the quasi key (AQE broadcasts it when small — the
+    * common case, since risky groups are by definition the rare ones);
+    * the data is scanned twice (count pass + rewrite pass), the
+    * unavoidable minimum for a group-conditional rewrite.
+    */
+  def suppressBelowK(df: DataFrame, quasiCols: Seq[String],
+                     k: Long): DataFrame = {
+    val risky = kAnonymityAudit(df, quasiCols, k)
+      .filter(col("at_risk") === 1)
+      .select(quasiCols.map(col): _*)
+      .withColumn("__risk", lit(1))
+    val out = df.columns.map { c =>
+      if (quasiCols.contains(c))
+        when(col("__risk").isNotNull, lit(null)).otherwise(col(c)).as(c)
+      else col(c)
+    }
+    df.join(risky, quasiCols, "left").select(out.toIndexedSeq: _*)
+  }
 }

@@ -1750,6 +1750,38 @@ object SourceQueries {
              |     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
              |    AS n_orphans""".stripMargin)),
 
+    // k-anonymity audit over the (nation, segment) quasi-identifier
+    // pair: group sizes + re-identification risk (group < k) — the
+    // privacy gate a pipeline runs before releasing quasi-identified
+    // records. One map-side-combined aggregate, shuffle = group
+    // cardinality.
+    "dq_k_anonymity" -> Q(
+      (s, dir) => graft.ops.Checks.kAnonymityAudit(
+        Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"), k = 8),
+      Some("""SELECT c_nationkey, c_mktsegment,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(CASE WHEN count(*) < 8 THEN 1 ELSE 0 END AS INT)
+             |    AS at_risk
+             |FROM customer GROUP BY 1, 2""".stripMargin)),
+
+    // ...and the enforcement: rows in below-k groups get their
+    // quasi-identifiers SUPPRESSED (nulled); everything else passes
+    // through. The risky-group frame is group-cardinality-sized and
+    // joins back on the quasi key (AQE broadcasts it when small).
+    "dq_k_suppress" -> Q(
+      (s, dir) => graft.ops.Checks.suppressBelowK(
+        Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"), k = 8)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment")),
+      Some("""WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+             |  FROM customer GROUP BY 1, 2)
+             |SELECT c_custkey,
+             |  CASE WHEN n < 8 THEN NULL ELSE c.c_nationkey END
+             |    AS c_nationkey,
+             |  CASE WHEN n < 8 THEN NULL ELSE c.c_mktsegment END
+             |    AS c_mktsegment
+             |FROM customer c JOIN g USING (c_nationkey, c_mktsegment)"""
+        .stripMargin)),
+
     // Z-order curve values for the (partkey, suppkey) box-filter layout:
     // one codegen'd bit-interleave projection, zero shuffle. The write
     // path (writeZOrdered) range-partitions by this value so parquet

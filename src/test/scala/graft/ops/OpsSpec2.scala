@@ -250,6 +250,26 @@ class WindowsSpec2 extends SparkSpec {
   */
 class SourcesChecksSpec extends SparkSpec {
 
+  test("suppressBelowK nulls exactly the below-k quasi groups, keeps " +
+    "every row and non-quasi column") {
+    import spark.implicits._
+    val rows = Seq((1L, "a", "x"), (2L, "a", "x"), (3L, "a", "x"),
+      (4L, "b", "y"), (5L, "c", "z")).toDF("id", "q1", "q2")
+    val out = Checks.suppressBelowK(rows, Seq("q1", "q2"), k = 3)
+    assert(out.count() === 5)
+    assert(out.columns.toSeq === Seq("id", "q1", "q2"))
+    val m = out.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    // The k=3 group survives verbatim; the two singletons suppress.
+    assert(m(1L) === (("a", "x")) && m(3L) === (("a", "x")))
+    assert(m(4L)._1 == null && m(4L)._2 == null)
+    assert(m(5L)._1 == null && m(5L)._2 == null)
+    // The audit agrees: 2 of 3 groups at risk.
+    val audit = Checks.kAnonymityAudit(rows, Seq("q1", "q2"), k = 3)
+      .collect()
+    assert(audit.length === 3 && audit.count(_.getInt(3) == 1) === 2)
+  }
+
   test("compactParquet sizes output files from input bytes; rows survive") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("compact").toString
