@@ -160,6 +160,10 @@ object Curation {
     // division is IEEE double + floor (deterministic, oracle-replicable);
     // the remainder is exact long arithmetic on top of it.
     val plan = tot
+      // A domain whose corpus has zero tokens cannot absorb a budget
+      // (the epoch division is undefined) — dropped, like unbudgeted
+      // domains.
+      .filter(col("tt") > 0L)
       .join(budgets.select(col(domainCol).as("domain"),
         col("budget").cast("long").as("budget")), Seq("domain"))
       .withColumn("ne",

@@ -96,6 +96,11 @@ object Checks {
     * common case, since risky groups are by definition the rare ones);
     * the data is scanned twice (count pass + rewrite pass), the
     * unavoidable minimum for a group-conditional rewrite.
+    *
+    * Rows with a NULL quasi-identifier value pass through unchanged:
+    * SQL join semantics never match them against the risky frame, which
+    * is the right outcome — a null identifier is already non-linkable,
+    * so there is nothing left to suppress.
     */
   def suppressBelowK(df: DataFrame, quasiCols: Seq[String],
                      k: Long): DataFrame = {
