@@ -115,4 +115,42 @@ object Checks {
     }
     df.join(risky, quasiCols, "left").select(out.toIndexedSeq: _*)
   }
+
+  /** Laplace-noised group counts — the differential-privacy release
+    * mechanism (sensitivity-1 count query, scale b = 1/ε) with the
+    * noise drawn by INVERSE CDF from a hash-seeded uniform: u derives
+    * from the group key + `salt`, so the release is a pure function of
+    * (data, salt) and replays identically anywhere — the posture used
+    * to TEST a DP pipeline end-to-end. A production release draws fresh
+    * randomness per query instead (re-releasing under new salts leaks);
+    * the mechanism's shape — u -> -sign(v)·b·ln(1-2|v|), v = u-1/2 —
+    * is exactly the one a secure-sampler deployment runs.
+    *
+    * Noise pins to integer micro-units (the library float convention),
+    * and u is the half-open lattice `(k + 0.5)/1e6`, which never hits
+    * 1/2 exactly and keeps `1-2|v| >= 1e-6`, so the noise magnitude is
+    * bounded by ~13.8·b — no infinities at the lattice edge. One
+    * map-side-combined aggregate; the noise is a per-group projection.
+    *
+    * @return (groupCols..., n, noisy_units): the exact count and the
+    *         noised count in micro-units (`n·1e6 + noise_units`)
+    */
+  def dpNoisyCounts(df: DataFrame, groupCols: Seq[String],
+                    epsilon: Double, salt: String): DataFrame = {
+    require(groupCols.nonEmpty, "dpNoisyCounts: no group columns")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val key = concat_ws("|", groupCols.map(c => col(c).cast("string")): _*)
+    val u = (pmod(graft.llm.TextOps.hash60(
+        concat(lit(s"dp:$salt:"), key)), lit(1000000L)).cast("double") +
+      lit(0.5)) / lit(1000000.0)
+    val v = u - lit(0.5)
+    val noiseUnits = floor(
+      -(lit(1.0) / lit(epsilon) * signum(v)) *
+        log(lit(1.0) - lit(2.0) * abs(v)) * lit(1e6) + lit(0.5))
+      .cast("long")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noisy_units",
+        col("n") * lit(1000000L) + noiseUnits)
+  }
 }

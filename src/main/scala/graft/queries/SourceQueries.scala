@@ -1782,6 +1782,27 @@ object SourceQueries {
              |FROM customer c JOIN g USING (c_nationkey, c_mktsegment)"""
         .stripMargin)),
 
+    // Differential-privacy release: Laplace-noised segment counts
+    // (sensitivity-1 count, b=1/eps) with inverse-CDF noise from a
+    // hash-seeded uniform — deterministic per (data, salt) so the whole
+    // mechanism replays in the oracle, noise pinned to micro-units.
+    "dq_dp_noisy_count" -> Q(
+      (s, dir) => graft.ops.Checks.dpNoisyCounts(
+        Tables.customer(s, dir), Seq("c_mktsegment"),
+        epsilon = 1.0, salt = "v1"),
+      Some(s"""WITH c AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+             |  FROM customer GROUP BY 1),
+             |sv AS (SELECT c_mktsegment, n,
+             |  (CAST(CAST('0x' || substr(md5('dp:v1:' || c_mktsegment),
+             |       1, 15) AS BIGINT) % 1000000 AS DOUBLE)
+             |     + 0.5) / 1000000.0 - 0.5 AS v
+             |  FROM c)
+             |SELECT c_mktsegment, n,
+             |  n * 1000000 + CAST(floor(-(1.0 / 1.0 * sign(v)) *
+             |    ln(1.0 - 2.0 * abs(v)) * 1e6 + 0.5) AS BIGINT)
+             |    AS noisy_units
+             |FROM sv""".stripMargin)),
+
     // Z-order curve values for the (partkey, suppkey) box-filter layout:
     // one codegen'd bit-interleave projection, zero shuffle. The write
     // path (writeZOrdered) range-partitions by this value so parquet

@@ -270,6 +270,28 @@ class SourcesChecksSpec extends SparkSpec {
     assert(audit.length === 3 && audit.count(_.getInt(3) == 1) === 2)
   }
 
+  test("dpNoisyCounts: exact counts preserved, noise bounded by the " +
+    "lattice, deterministic per salt, different across salts") {
+    import spark.implicits._
+    val rows = (1 to 300).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "g")
+    val eps = 0.5 // b = 2 -> |noise| <= ~13.8 * 2
+    val out = Checks.dpNoisyCounts(rows, Seq("g"), eps, "s1").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.values.forall(_._1 == 100L))
+    out.values.foreach { case (n, noisy) =>
+      val noise = noisy - n * 1000000L
+      assert(math.abs(noise) <= (13.9 * 2 * 1e6).toLong,
+        s"noise $noise out of lattice bound")
+    }
+    // Same salt replays identically; a different salt moves the noise.
+    val again = Checks.dpNoisyCounts(rows, Seq("g"), eps, "s1").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out.keys.forall(k => again(k) == out(k)._2))
+    val other = Checks.dpNoisyCounts(rows, Seq("g"), eps, "s2").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out.keys.exists(k => other(k) != out(k)._2))
+  }
+
   test("compactParquet sizes output files from input bytes; rows survive") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("compact").toString
