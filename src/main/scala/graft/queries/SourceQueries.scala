@@ -1823,6 +1823,45 @@ object SourceQueries {
            |  CAST($terms AS BIGINT) AS z FROM lineitem""".stripMargin
       }),
 
+    // Per-key running-peak drawdown (the classic equity-curve analytic):
+    // each user's event values accumulate into a level series (pinned to
+    // integer cents so every prefix sum is exact in BOTH engines —
+    // window sums over doubles are association-dependent), the running
+    // peak tracks max(level), and max(peak - level) is the worst
+    // drawdown. Two window passes + one aggregate under one per-key
+    // ordered shuffle — the W2 family shape.
+    "events_drawdown" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+              .as("cents"))
+          .withColumn("lvl", sum(col("cents")).over(w))
+          .withColumn("peak", max(col("lvl")).over(w))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("cents")).as("final_level_cents"),
+            max(col("peak") - col("lvl")).as("max_drawdown_cents"))
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_id,
+             |    CAST(floor("value" * 100.0 + 0.5) AS BIGINT) AS cents
+             |  FROM events),
+             |w AS (SELECT user_id, ts, event_id, cents,
+             |    sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS lvl
+             |  FROM e),
+             |p AS (SELECT user_id, cents, lvl,
+             |    max(lvl) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS peak
+             |  FROM w)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(cents) AS BIGINT) AS final_level_cents,
+             |  CAST(max(peak - lvl) AS BIGINT) AS max_drawdown_cents
+             |FROM p GROUP BY user_id""".stripMargin)),
+
     // Fixed-horizon EWMA smoothing per user: 4 lag terms under ONE window
     // spec (single shuffle + sort), plan-literal weights, pinned
     // left-to-right evaluation — the portable form of the classic
