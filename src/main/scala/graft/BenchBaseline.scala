@@ -89,6 +89,7 @@ object BenchBaseline {
     "j8_entity_resolution" -> 3.470, // r12: fuzzy join + closure rounds
     "llm_quality_clf_train" -> 4.146, // r12: 10 GD rounds = 20 jobs
     "llm_quality_clf_score" -> 5.158, // r12: train + broadcast score
+    "llm_clf_auc" -> 5.460, // r12: train + score + rank statistic
     "llm_epoch_mix" -> 0.904, // r12
     "llm_stream_clf_gate" -> 0.751, // r12: artifact prebuilt, pure probe
     "llm_bpe_frozen_encode" -> 0.752, // r12: frozen rules, zero-shuffle

@@ -985,6 +985,41 @@ object Curation {
     w.toSeq.toDF("b", "w_units")
   }
 
+  /** Exact ROC-AUC for a binary scorer — the evaluation step after
+    * [[trainQualityClassifier]] / [[scoreQualityClassifier]]. Computed
+    * by the grouped-threshold identity (the Mann–Whitney U statistic
+    * with average tie ranks): group rows by score into
+    * (n_pos, n_neg) per distinct score, order scores ascending, and sum
+    * `n_pos · (2·cumNegBelow + n_neg)` in HALF-units so tie halves stay
+    * integer — `AUC = sum / (2·P·N)` exactly.
+    *
+    * Scale shape: the data-sized pass is ONE map-side-combined
+    * aggregate by score; the ordered cumulative runs over the DISTINCT
+    * score frame (score-cardinality rows, not data — same trade as the
+    * prefix-offset frames elsewhere). Exact long arithmetic end to end;
+    * the double materializes at the output edge only.
+    *
+    * @return one row: (n_pos, n_neg, auc_num_halfunits, auc)
+    */
+  def binaryAuc(scored: DataFrame, scoreCol: String,
+                labelCol: String): DataFrame = {
+    val byScore = scored
+      .groupBy(col(scoreCol).as("s"))
+      .agg(sum(col(labelCol).cast("long")).as("np"),
+        sum(lit(1L) - col(labelCol).cast("long")).as("nn"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("cumneg", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (lit(2L) * col("cumneg") + col("nn")))
+          .as("auc_num_halfunits"))
+      .select(col("n_pos"), col("n_neg"), col("auc_num_halfunits"),
+        (col("auc_num_halfunits").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double"))).as("auc"))
+  }
+
   /** Write the frozen classifier artifact [[trainQualityClassifier]]
     * produces: the weight table plus a one-row `meta` (bucket count and
     * the training config in exact ppm), so a gate can resolve the

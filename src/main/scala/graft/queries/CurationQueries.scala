@@ -350,6 +350,43 @@ object CurationQueries {
              |  CAST(ne AS BIGINT) AS epoch, ntok AS n_tokens
              |FROM cum JOIN pl USING (domain) WHERE gcum <= rem""".stripMargin)),
 
+    // ...and the evaluation: exact ROC-AUC of the trained scorer on the
+    // labeled set (Mann-Whitney with average tie ranks, half-unit
+    // integer arithmetic). The data-sized pass is one aggregate by
+    // score; the ordered cumulative runs over the distinct-score frame.
+    "llm_clf_auc" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("is_ref", array_contains(
+            graft.llm.TextOps.tokens(col("text")), "spark").cast("int"))
+        val model = Curation.trainQualityClassifier(docs, "doc_id", "text",
+          "is_ref", iters = ClfIters, lr = ClfLr.toDouble)
+        val scored = Curation.scoreQualityClassifier(docs, model,
+          "doc_id", "text")
+          .join(docs.select(col("doc_id"), col("is_ref")), Seq("doc_id"))
+        Curation.binaryAuc(scored, "score_units", "is_ref")
+      },
+      Some(s"""$clfCteSql,
+             |zf AS (SELECT f.doc_id, CAST(COALESCE(sum(u), 0) AS BIGINT) AS z
+             |  FROM cfeats f LEFT JOIN w$ClfIters USING (b)
+             |  GROUP BY f.doc_id),
+             |sc AS (SELECT z AS s, y FROM zf JOIN cy USING (doc_id)),
+             |bs AS (SELECT s, CAST(sum(y) AS BIGINT) AS np,
+             |    CAST(sum(1 - y) AS BIGINT) AS nn FROM sc GROUP BY s),
+             |cm AS (SELECT s, np, nn,
+             |    CAST(COALESCE(sum(nn) OVER (ORDER BY s
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS cumneg
+             |  FROM bs)
+             |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+             |  CAST(sum(nn) AS BIGINT) AS n_neg,
+             |  CAST(sum(np * (2 * cumneg + nn)) AS BIGINT)
+             |    AS auc_num_halfunits,
+             |  CAST(sum(np * (2 * cumneg + nn)) AS DOUBLE) /
+             |    (2.0 * CAST(sum(np) AS DOUBLE) * CAST(sum(nn) AS DOUBLE))
+             |    AS auc
+             |FROM cm""".stripMargin)),
+
     // Streaming trained-classifier ingest gate (the 5th gate), batch
     // form: arriving docs score against the FROZEN classifier artifact;
     // accept = positive logit. Unchanged re-ids (%10==0) keep their

@@ -572,6 +572,21 @@ class CurationSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("binaryAuc matches the hand-computed tie-aware rank statistic") {
+    // pos scores {3, 2}, neg scores {2, 1}: pairs win/win/tie/win
+    // -> AUC = 3.5/4 = 0.875 (7 half-units over 2*2*2).
+    val scored = Seq((3L, 1), (2L, 0), (2L, 1), (1L, 0))
+      .toDF("score", "y")
+    val r = Curation.binaryAuc(scored, "score", "y").collect()(0)
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getLong(2) === 7L)
+    assert(r.getDouble(3) === 0.875)
+    // Partitioning-invariant (exact integer path).
+    val r13 = Curation.binaryAuc(scored.repartition(13), "score", "y")
+      .collect()(0)
+    assert(r13.getLong(2) === 7L)
+  }
+
   test("requireClfExact refuses past exact-double gradient range") {
     val e = intercept[IllegalArgumentException] {
       Curation.requireClfExact(3000000000L, 4.0)
