@@ -572,6 +572,32 @@ class CurationSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("classifier scoring plan: broadcast model join, no Scala UDF") {
+    val labeled = docs.withColumn("y",
+      (col("doc_id") % 2).cast("int"))
+    val model = Curation.trainQualityClassifier(labeled, "doc_id", "text",
+      "y", iters = 1, lr = 1.0)
+    val plan = Curation.scoreQualityClassifier(docs, model,
+      "doc_id", "text").queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"model join is not broadcast:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("UDF("),
+      s"Scala UDF in the scoring plan:\n$plan")
+  }
+
+  test("epochMix plan: offsets and plan frames broadcast back, full " +
+    "epochs explode without a join shuffle on the data side") {
+    val rows = (0 until 200).map(i => (i.toLong, s"dom${i % 4}", 10L))
+      .toDF("id", "dom", "ntok")
+    val budgets = (0 until 4).map(i => (s"dom$i", 1200L)).toDF("dom", "budget")
+    val plan = Curation.epochMix(rows, "id", "ntok", "dom", budgets)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offset/plan frames not broadcast:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"Scala UDF present:\n$plan")
+  }
+
   test("binaryAuc matches the hand-computed tie-aware rank statistic") {
     // pos scores {3, 2}, neg scores {2, 1}: pairs win/win/tie/win
     // -> AUC = 3.5/4 = 0.875 (7 half-units over 2*2*2).
