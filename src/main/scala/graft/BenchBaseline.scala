@@ -96,6 +96,7 @@ object BenchBaseline {
     "dq_k_anonymity" -> 0.363, // r12
     "dq_k_suppress" -> 0.478, // r12
     "dq_dp_noisy_count" -> 0.357, // r12
+    "dq_benford" -> 0.601, // r12
     "events_drawdown" -> 0.726, // r12
     "llm_semantic_dedup" -> 5.709, // inline: k-means fit + closure + contract
     "llm_semantic_dedup_index" -> 4.135,

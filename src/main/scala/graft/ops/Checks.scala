@@ -116,6 +116,49 @@ object Checks {
     df.join(risky, quasiCols, "left").select(out.toIndexedSeq: _*)
   }
 
+  /** Benford's-law expected first-digit shares in ppm, digit -> share.
+    * Computed once here and inlined as plan literals — the oracle embeds
+    * the SAME Scala-computed constants, so no cross-engine log10 call
+    * exists anywhere.
+    */
+  val BenfordPpm: Map[Int, Long] =
+    (1 to 9).map(d => d -> math.round(math.log10(1 + 1.0 / d) * 1e6)).toMap
+
+  /** Benford's-law first-digit audit — the classic anomaly screen for
+    * invented numeric data (amounts, totals, counts spanning orders of
+    * magnitude). Values pin to integer cents FIRST (a double's string
+    * form is engine-specific; a long's is not), the leading significant
+    * digit is the first character of the long's decimal form (the x100
+    * shift never changes it), and the observed share is exact integer
+    * ppm. One map-side-combined aggregate; everything after it runs on
+    * the 9-row digit frame.
+    *
+    * @return one row per observed leading digit:
+    *         (digit, n, expected_ppm, observed_ppm)
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val digit = substring(
+      floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long")
+        .cast("string"), 1, 1).cast("int")
+    val counts = df.filter(col(valueCol) > 0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val sorted = BenfordPpm.toSeq.sortBy(_._1)
+    val expected = sorted.tail.foldLeft(
+      when(col("digit") === sorted.head._1, lit(sorted.head._2))) {
+      case (acc, (d, p)) => acc.when(col("digit") === d, lit(p))
+    }
+    // The total's window runs over the 9-row digit frame, not the data.
+    counts
+      .withColumn("expected_ppm", expected)
+      .withColumn("observed_ppm",
+        expr("(n * 1000000) div sum(n) over " +
+          "(partition by 1 rows between unbounded preceding " +
+          "and unbounded following)"))
+      .select(col("digit"), col("n"), col("expected_ppm"),
+        col("observed_ppm").cast("long").as("observed_ppm"))
+  }
+
   /** Laplace-noised group counts — the differential-privacy release
     * mechanism (sensitivity-1 count query, scale b = 1/ε) with the
     * noise drawn by INVERSE CDF from a hash-seeded uniform: u derives

@@ -1782,6 +1782,29 @@ object SourceQueries {
              |FROM customer c JOIN g USING (c_nationkey, c_mktsegment)"""
         .stripMargin)),
 
+    // Benford's-law first-digit audit over order totals: values pin to
+    // integer cents (a long's decimal string is engine-portable, a
+    // double's is not), expected shares are ONE set of Scala-computed
+    // ppm literals inlined into BOTH plans — no cross-engine log10.
+    "dq_benford" -> Q(
+      (s, dir) => graft.ops.Checks.benfordAudit(
+        Tables.orders(s, dir), "o_totalprice"),
+      Some {
+        val cases = graft.ops.Checks.BenfordPpm.toSeq.sortBy(_._1)
+          .map { case (d, p) => s"WHEN $d THEN $p" }.mkString(" ")
+        s"""WITH b AS (SELECT CAST(substr(CAST(CAST(floor(
+           |    o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR), 1, 1)
+           |    AS INT) AS digit
+           |  FROM orders WHERE o_totalprice > 0),
+           |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM b
+           |  GROUP BY 1),
+           |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+           |SELECT digit, n,
+           |  CAST(CASE digit $cases END AS BIGINT) AS expected_ppm,
+           |  CAST((n * 1000000) // total AS BIGINT) AS observed_ppm
+           |FROM c CROSS JOIN t""".stripMargin
+      }),
+
     // Differential-privacy release: Laplace-noised segment counts
     // (sensitivity-1 count, b=1/eps) with inverse-CDF noise from a
     // hash-seeded uniform — deterministic per (data, salt) so the whole

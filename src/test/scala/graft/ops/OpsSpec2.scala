@@ -270,6 +270,25 @@ class SourcesChecksSpec extends SparkSpec {
     assert(audit.length === 3 && audit.count(_.getInt(3) == 1) === 2)
   }
 
+  test("benfordAudit: ppm table sums to one, digits extract exactly, " +
+    "shares are exact integer ppm") {
+    import spark.implicits._
+    // The inlined expectation table is a probability distribution.
+    assert(math.abs(Checks.BenfordPpm.values.sum - 1000000L) <= 2)
+    // 2^k values: leading digits follow Benford closely by construction;
+    // here just pin exact digit extraction + ppm arithmetic.
+    val vals = Seq(1.23, 19.99, 2.5, 0.034, 911.0, 0.0, -5.0)
+      .toDF("v") // 0 and negatives must drop
+    val out = Checks.benfordAudit(vals, "v").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(3))).toMap
+    // digits: 1.23->1, 19.99->1 (1999 cents), 2.5->2, 0.034->3 (3 cents),
+    // 911.0->9
+    assert(out(1)._1 === 2L && out(2)._1 === 1L &&
+      out(3)._1 === 1L && out(9)._1 === 1L)
+    assert(out(1)._2 === 400000L) // 2 of 5 -> exact 400000 ppm
+    assert(out.values.map(_._1).sum === 5L)
+  }
+
   test("dpNoisyCounts: exact counts preserved, noise bounded by the " +
     "lattice, deterministic per salt, different across salts") {
     import spark.implicits._
