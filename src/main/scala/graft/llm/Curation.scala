@@ -24,6 +24,14 @@ import graft.ops.Materialize
   */
 object Curation {
 
+  /** Hard ceiling on [[epochMix]]'s per-domain full-epoch count: the
+    * full-epoch fan-out explodes `sequence(0, ne-1)` per row, so `ne`
+    * bounds both output amplification and the materialized array bytes.
+    * No real mixture runs a domain for 10^6 epochs — a larger value is
+    * a budget/token unit mistake and fails loud in-plan.
+    */
+  val MaxEpochs: Long = 1000000L
+
   /** Deterministic percentage split (train/val/test...): each row lands in
     * the split whose cumulative percentage range contains
     * `hash60(id) mod 100`. Stable under reruns, insert-order, and
@@ -169,6 +177,22 @@ object Curation {
       .withColumn("ne",
         floor(col("budget").cast("double") / col("tt").cast("double"))
           .cast("long"))
+      // Epoch-explosion guard: `full` below explodes sequence(0, ne-1),
+      // which materializes an 8·ne-byte array PER ROW before exploding.
+      // A misconfigured budget (wrong units against a tiny domain) would
+      // OOM a task or trip Spark's array cap with an opaque error; fail
+      // loud here instead. The check rides the domain-cardinality plan
+      // frame, so it costs nothing at data scale.
+      .withColumn("ne", when(col("ne") > lit(MaxEpochs),
+        raise_error(concat(lit("epochMix: domain "),
+          col("domain").cast("string"), lit(" derives "),
+          col("ne").cast("string"),
+          lit(s" full epochs (> $MaxEpochs) - the per-doc epoch " +
+            "explode would materialize an 8*ne-byte array per row. " +
+            "Check the budget/token units (a token budget orders of " +
+            "magnitude past the domain's corpus is almost always a " +
+            "unit mistake), or pre-replicate the corpus instead."))))
+        .otherwise(col("ne")))
       .withColumn("rem", col("budget") - col("ne") * col("tt"))
       .select(col("domain"), col("ne"), col("rem"))
     // Two-phase global running sum per domain in (hash, id) order: the
@@ -1002,11 +1026,20 @@ object Curation {
     * @return one row: (n_pos, n_neg, auc_num_halfunits, auc)
     */
   def binaryAuc(scored: DataFrame, scoreCol: String,
-                labelCol: String): DataFrame = {
-    val byScore = scored
+                labelCol: String,
+                mat: Materialize = Materialize.Local): DataFrame = {
+    val byScore = mat(scored
       .groupBy(col(scoreCol).as("s"))
       .agg(sum(col(labelCol).cast("long")).as("np"),
-        sum(lit(1L) - col(labelCol).cast("long")).as("nn"))
+        sum(lit(1L) - col(labelCol).cast("long")).as("nn")))
+    // The numerator is bounded by 2*P*N; past Long.MaxValue the exact
+    // long sum overflows SILENTLY (same class as requireDsirExact /
+    // requireClfExact). The per-score aggregate is pinned above, so the
+    // totals cost one score-cardinality pass, not a second data pass.
+    val tot = byScore
+      .agg(coalesce(sum(col("np")), lit(0L)),
+        coalesce(sum(col("nn")), lit(0L))).head()
+    requireAucExact(tot.getLong(0), tot.getLong(1))
     val w = Window.orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, -1)
     byScore
@@ -1019,6 +1052,22 @@ object Curation {
           (lit(2.0) * col("n_pos").cast("double") *
             col("n_neg").cast("double"))).as("auc"))
   }
+
+  /** Guard for [[binaryAuc]]'s exact half-unit numerator: the summed
+    * statistic is bounded by `2·P·N`, which silently wraps a long at
+    * ~4.3B balanced rows. Fails loud with the remedy, mirroring
+    * [[requireClfExact]]. The 9.0e18 margin keeps the double-domain
+    * comparison itself safely below Long.MaxValue (9.22e18).
+    */
+  private[llm] def requireAucExact(nPos: Long, nNeg: Long): Unit =
+    if (2.0 * nPos.toDouble * nNeg.toDouble > 9.0e18)
+      throw new IllegalArgumentException(
+        s"binaryAuc: n_pos=$nPos x n_neg=$nNeg puts the half-unit " +
+          "numerator bound 2*P*N past exact long range - the rank " +
+          "statistic would overflow silently. Evaluate on a " +
+          "deterministic sample (hashSplit); AUC is a mean over " +
+          "positive x negative pairs and converges far below this " +
+          "scale.")
 
   /** Write the frozen classifier artifact [[trainQualityClassifier]]
     * produces: the weight table plus a one-row `meta` (bucket count and

@@ -1020,6 +1020,15 @@ object Dedup {
     // generator (typically an LSH join) dominates it.
     val spark = pairs.sparkSession
     val clone = spark.newSession()
+    // newSession() starts from CONTEXT defaults, not the caller's session
+    // state: runtime confs the caller set via spark.conf.set (ANSI mode,
+    // session timezone, AQE toggles) would silently not apply to the
+    // closure rounds. Copy every modifiable runtime conf over so the
+    // clone plans under the caller's semantics; the shuffle-width
+    // narrowing below then overrides partitions on the clone alone.
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (clone.conf.isModifiable(k)) clone.conf.set(k, v)
+    }
     val pairsClone = clone.createDataFrame(pairs.rdd, pairs.schema)
     // Both edge directions from ONE pass over `pairs` (explode, not
     // union-of-two-selects): the pair generator upstream is typically an

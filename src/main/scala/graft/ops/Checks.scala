@@ -104,13 +104,18 @@ object Checks {
     */
   def suppressBelowK(df: DataFrame, quasiCols: Seq[String],
                      k: Long): DataFrame = {
+    // Fresh marker name: a hard-coded "__risk" would be ambiguous (and
+    // silently corrupt the suppression predicate) on an input that
+    // already carries that column — the uniformSample temp-column class.
+    val riskCol = Iterator.from(0).map(i => s"__risk$i")
+      .find(n => !df.columns.contains(n)).get
     val risky = kAnonymityAudit(df, quasiCols, k)
       .filter(col("at_risk") === 1)
       .select(quasiCols.map(col): _*)
-      .withColumn("__risk", lit(1))
+      .withColumn(riskCol, lit(1))
     val out = df.columns.map { c =>
       if (quasiCols.contains(c))
-        when(col("__risk").isNotNull, lit(null)).otherwise(col(c)).as(c)
+        when(col(riskCol).isNotNull, lit(null)).otherwise(col(c)).as(c)
       else col(c)
     }
     df.join(risky, quasiCols, "left").select(out.toIndexedSeq: _*)
@@ -133,15 +138,27 @@ object Checks {
     * ppm. One map-side-combined aggregate; everything after it runs on
     * the 9-row digit frame.
     *
+    * Domain edges, both fail-safe: a positive value that pins to 0
+    * cents (below ~0.005) has no leading digit at this resolution and
+    * is FILTERED (digit 0 with a NULL expected_ppm would otherwise
+    * leak out), and a value past the exactly-castable cents range
+    * (>= 9.0e16) raises instead of silently wrapping the long cast.
+    *
     * @return one row per observed leading digit:
     *         (digit, n, expected_ppm, observed_ppm)
     */
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
-    val digit = substring(
-      floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long")
-        .cast("string"), 1, 1).cast("int")
-    val counts = df.filter(col(valueCol) > 0)
-      .select(digit.as("digit"))
+    val v = col(valueCol)
+    val guarded = when(v >= lit(9.0e16),
+        raise_error(concat(lit(s"benfordAudit: $valueCol value "),
+          v.cast("string"),
+          lit(" overflows the long cents pin (>= 9.0e16)"))))
+      .otherwise(floor(v * lit(100.0) + lit(0.5)))
+    val counts = df.filter(v > 0)
+      .select(guarded.cast("long").as("cents"))
+      .filter(col("cents") >= 1L)
+      .select(substring(col("cents").cast("string"), 1, 1)
+        .cast("int").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
     val sorted = BenfordPpm.toSeq.sortBy(_._1)
     val expected = sorted.tail.foldLeft(

@@ -218,6 +218,9 @@ object Joins {
         .groupBy("bkey").agg(count(lit(1)).as("w"))
         .filter(col("w") > maxBlockWidth).select("bkey").collect()
     lastBlockCapSplits.set(over.length.toLong)
+    // Last-call-wins for BOTH diagnostics: a benign call must not leave a
+    // stale drop count from an earlier hot-block call.
+    lastBlockCapDrops.set(0L)
     val cand =
       if (over.isEmpty)
         ka.select("id_a", "bkey").join(kb.select("id_b", "bkey"), Seq("bkey"))

@@ -1792,10 +1792,12 @@ object SourceQueries {
       Some {
         val cases = graft.ops.Checks.BenfordPpm.toSeq.sortBy(_._1)
           .map { case (d, p) => s"WHEN $d THEN $p" }.mkString(" ")
-        s"""WITH b AS (SELECT CAST(substr(CAST(CAST(floor(
-           |    o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR), 1, 1)
-           |    AS INT) AS digit
+        s"""WITH p AS (SELECT CAST(floor(o_totalprice * 100.0 + 0.5)
+           |    AS BIGINT) AS cents
            |  FROM orders WHERE o_totalprice > 0),
+           |b AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+           |    AS INT) AS digit
+           |  FROM p WHERE cents >= 1),
            |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM b
            |  GROUP BY 1),
            |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)

@@ -551,6 +551,29 @@ class CurationSpec extends SparkSpec {
       mix13.except(mix).count() === 0)
   }
 
+  test("epochMix fails loud on a pathological budget instead of " +
+    "exploding a giant epoch array") {
+    val rows = Seq((1L, "tiny", 500L), (2L, "tiny", 500L))
+      .toDF("id", "dom", "ntok")
+    // 1e12-token budget against a 1e3-token domain -> ne = 1e9: the
+    // sequence() fan-out would materialize an 8 GB array per row.
+    val budgets = Seq(("tiny", 1000000000000L)).toDF("dom", "budget")
+    val e = intercept[Exception] {
+      Curation.epochMix(rows, "id", "ntok", "dom", budgets).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("unit mistake")),
+      s"wrong failure: ${msgs(e).mkString(" | ")}")
+    // At the cap boundary the guard stays silent.
+    val ok = Seq(("tiny", 1000L * Curation.MaxEpochs))
+      .toDF("dom", "budget")
+    assert(Curation.epochMix(rows, "id", "ntok", "dom", ok)
+      .groupBy("id").count().collect()
+      .forall(_.getLong(1) === Curation.MaxEpochs))
+  }
+
   test("bpeEncodeFrozen against the corpus-trained artifact equals the " +
     "inline encode; pin cadence is result-invisible") {
     val root = java.nio.file.Files.createTempDirectory("bpetok").toString
@@ -611,6 +634,15 @@ class CurationSpec extends SparkSpec {
     val r13 = Curation.binaryAuc(scored.repartition(13), "score", "y")
       .collect()(0)
     assert(r13.getLong(2) === 7L)
+  }
+
+  test("requireAucExact refuses past the exact long numerator bound") {
+    val e = intercept[IllegalArgumentException] {
+      Curation.requireAucExact(2500000000L, 2500000000L) // 2PN ~ 1.25e19
+    }
+    assert(e.getMessage.contains("sample"))
+    Curation.requireAucExact(2000000000L, 2000000000L) // 8e18 < 9e18: fine
+    Curation.requireAucExact(0L, 0L) // degenerate input never throws here
   }
 
   test("requireClfExact refuses past exact-double gradient range") {

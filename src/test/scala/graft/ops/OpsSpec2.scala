@@ -84,6 +84,15 @@ class JoinsSpec2 extends SparkSpec {
       maxDistance = 0, maxBlockWidth = 50)
     assert(out.count() === 0) // the 250k-pair quadratic block never forms
     assert(Joins.lastBlockCapDrops.get() > 0)
+    // Last-call-wins for BOTH diagnostics: a benign follow-up call must
+    // clear the drop count, not leave the previous call's value behind.
+    Joins.fuzzyJoinBlocked(
+      Seq((1L, "alpha")).toDF("id", "name"),
+      Seq((2L, "alpha")).toDF("id", "name"),
+      "id", "name", "id", "name", maxDistance = 0).count()
+    assert(Joins.lastBlockCapSplits.get() === 0)
+    assert(Joins.lastBlockCapDrops.get() === 0,
+      "a benign call must reset the stale drop diagnostic")
   }
 
   test("starJoin broadcasts each dim and preserves all fact rows") {
@@ -268,6 +277,42 @@ class SourcesChecksSpec extends SparkSpec {
     val audit = Checks.kAnonymityAudit(rows, Seq("q1", "q2"), k = 3)
       .collect()
     assert(audit.length === 3 && audit.count(_.getInt(3) == 1) === 2)
+  }
+
+  test("suppressBelowK survives an input that already carries a __risk " +
+    "column (fresh marker name)") {
+    import spark.implicits._
+    val rows = Seq((1L, "a", 7), (2L, "a", 8), (3L, "b", 9))
+      .toDF("id", "q1", "__risk")
+    val out = Checks.suppressBelowK(rows, Seq("q1"), k = 2)
+    assert(out.columns.toSeq === Seq("id", "q1", "__risk"))
+    val m = out.collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), r.getInt(2))).toMap
+    // The caller's __risk payload passes through untouched; only the
+    // singleton "b" group suppresses its quasi column.
+    assert(m(1L) === ((Some("a"), 7)) && m(2L) === ((Some("a"), 8)))
+    assert(m(3L) === ((None, 9)))
+  }
+
+  test("benfordAudit: sub-cent positives drop (no digit-0/NULL row) and " +
+    "the long cents pin fails loud past its range") {
+    import spark.implicits._
+    // 0.001 and 0.0049 pin to 0 cents: at this resolution they have no
+    // leading digit and must not surface as digit=0 with NULL expected.
+    val vals = Seq(0.001, 0.0049, 1.23).toDF("v")
+    val out = Checks.benfordAudit(vals, "v").collect()
+    assert(out.length === 1)
+    assert(out(0).getInt(0) === 1 && out(0).getLong(1) === 1L)
+    assert(!out(0).isNullAt(2) && out(0).getLong(3) === 1000000L)
+    // Overflow guard: a value past the exactly-castable cents range
+    // raises instead of silently wrapping the long cast.
+    val huge = Seq(1.0e17).toDF("v")
+    val e = intercept[Exception] {
+      Checks.benfordAudit(huge, "v").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("overflows the long cents pin")))
   }
 
   test("benfordAudit: ppm table sums to one, digits extract exactly, " +
