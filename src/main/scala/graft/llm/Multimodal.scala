@@ -144,6 +144,21 @@ object Multimodal {
     val h = img.getHeight
     require(w >= 9 && h >= 7,
       s"image ${w}x$h too small for the 9x7 dHash grid (media_id=${r.media_id})")
+    ImageHash(r.media_id, w, h, dhash9x7(w, h) { (x, y) =>
+      val rgb = img.getRGB(x, y)
+      ((rgb >> 16) & 0xFF) * 299L +
+        ((rgb >> 8) & 0xFF) * 587L + (rgb & 0xFF) * 114L
+    })
+  }
+
+  /** The shared dHash kernel: box-average the per-pixel luma onto a
+    * 9 x 7 grid (pixel x lands in cell `x*9/w`, exact floor division),
+    * then one bit per adjacent-column comparison — `bit cy*8+cx` set
+    * iff the right cell's average strictly exceeds the left's. Integer
+    * exact end to end; shared by the image and video-frame hashers so
+    * the two modalities carry ONE signature definition.
+    */
+  private def dhash9x7(w: Int, h: Int)(lumaAt: (Int, Int) => Long): Long = {
     val sums = new Array[Long](7 * 9)
     val counts = new Array[Long](7 * 9)
     var y = 0
@@ -151,11 +166,8 @@ object Multimodal {
       val cy = y * 7 / h
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
-        val luma = ((rgb >> 16) & 0xFF) * 299L +
-          ((rgb >> 8) & 0xFF) * 587L + (rgb & 0xFF) * 114L
         val c = cy * 9 + x * 9 / w
-        sums(c) += luma
+        sums(c) += lumaAt(x, y)
         counts(c) += 1L
         x += 1
       }
@@ -173,7 +185,7 @@ object Multimodal {
       }
       cy += 1
     }
-    ImageHash(r.media_id, w, h, hash)
+    hash
   }
 
   /** Batched perceptual-hash extraction — the same iterator-of-batches
@@ -546,6 +558,152 @@ object Multimodal {
     ds.mapPartitions(mapBatched(_, batchSize)(decodeVideoMeta))
   }
 
+  /** 56-bit first-frame perceptual hash of a video — the video-dedup
+    * signature ([[ImageHash]]'s twin; same [[dhash9x7]] kernel, so the
+    * two modalities share one signature definition).
+    */
+  final case class VideoHash(media_id: Long, width: Int, height: Int,
+                             dhash: Long)
+
+  /** REAL video-frame perceptual hash: walk the RIFF/AVI container to
+    * the `movi` list, decode the FIRST uncompressed `00db` frame as a
+    * bottom-up BI_RGB 24bpp DIB (BGR byte order, rows padded to 4-byte
+    * stride — the actual Windows DIB layout), and [[dhash9x7]] the
+    * pixel luma. The hash lives in the frame DATA, not the headers:
+    * only a decoder that really reads the pixel bytes (right stride,
+    * right row direction, right channel order) reproduces it — the
+    * data-level certification [[decodeImageHash]] gives images and
+    * [[decodeAudioContent]] gives audio, now for video. Fails loud on
+    * anything this decoder cannot honestly hash: no movi list, no
+    * frame chunk, compressed or non-24bpp formats, or a frame chunk
+    * whose size disagrees with stride x height.
+    */
+  def decodeVideoFrameHash(r: MediaRecord): VideoHash = {
+    val b = r.payload
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+      s"undecodable video payload for media_id=${r.media_id}: $msg")
+    if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
+      fail("not a RIFF/AVI container")
+    val riffEnd = 8 + le32(b, 4)
+    if (riffEnd > b.length) fail("truncated container")
+    def chunks(from: Long, until: Long): Iterator[(String, Long, Long)] =
+      new Iterator[(String, Long, Long)] {
+        private var pos = from
+        def hasNext: Boolean = pos + 8 <= until
+        def next(): (String, Long, Long) = {
+          val id = fourcc(b, pos.toInt)
+          val sz = le32(b, pos.toInt + 4)
+          val dataFrom = pos + 8
+          val dataTo = dataFrom + sz
+          if (dataTo > until) fail(s"chunk $id overruns its parent")
+          pos = dataTo + (sz & 1)
+          if (id == "LIST") {
+            if (sz < 4) fail("LIST chunk too short for a type")
+            (fourcc(b, dataFrom.toInt), dataFrom + 4, dataTo)
+          } else (id, dataFrom, dataTo)
+        }
+      }
+    // Frame geometry from the vids strf BITMAPINFOHEADER (the format
+    // contract the frame bytes must honor).
+    val hdrl = chunks(12, riffEnd)
+      .collectFirst { case ("hdrl", f, t) => (f, t) }
+      .getOrElse(fail("no hdrl header list"))
+    var fmt: Option[Long] = None
+    chunks(hdrl._1, hdrl._2).foreach {
+      case ("strl", f, t) if fmt.isEmpty =>
+        val isVids = chunks(f, t).collectFirst {
+          case ("strh", sf, _) => fourcc(b, sf.toInt) == "vids"
+        }.getOrElse(false)
+        if (isVids)
+          fmt = chunks(f, t).collectFirst { case ("strf", sf, _) => sf }
+      case _ => ()
+    }
+    val f0 = fmt.getOrElse(fail("no vids strf format chunk")).toInt
+    val w = le32(b, f0 + 4).toInt
+    val biH = le32(b, f0 + 8).toInt
+    val h = math.abs(biH)
+    val bitCount = (b(f0 + 14) & 0xFF) | ((b(f0 + 15) & 0xFF) << 8)
+    val compression = le32(b, f0 + 16)
+    if (compression != 0L || bitCount != 24)
+      fail(s"frame format not BI_RGB 24bpp (compression=$compression, " +
+        s"bitCount=$bitCount) - this decoder cannot honestly hash it")
+    if (w < 9 || h < 7)
+      fail(s"frame ${w}x$h too small for the 9x7 dHash grid")
+    val movi = chunks(12, riffEnd)
+      .collectFirst { case ("movi", f, t) => (f, t) }
+      .getOrElse(fail("no movi list"))
+    val frame = chunks(movi._1, movi._2)
+      .collectFirst { case (id, f, t)
+        if id.endsWith("db") || id.endsWith("dc") => (f, t) }
+      .getOrElse(fail("no frame chunk in the movi list"))
+    val stride = ((w.toLong * 24 + 31) / 32 * 4).toInt
+    if (frame._2 - frame._1 != stride.toLong * h)
+      fail(s"frame chunk ${frame._2 - frame._1} bytes, expected " +
+        s"stride($stride) x height($h)")
+    val base = frame._1.toInt
+    val topDown = biH < 0
+    VideoHash(r.media_id, w, h, dhash9x7(w, h) { (x, y) =>
+      val row = if (topDown) y else h - 1 - y
+      val off = base + row * stride + x * 3
+      // DIB pixel order is B, G, R.
+      (b(off + 2) & 0xFF) * 299L + (b(off + 1) & 0xFF) * 587L +
+        (b(off) & 0xFF) * 114L
+    })
+  }
+
+  /** Batched first-frame-hash extraction — the [[extractImageHashes]]
+    * kernel shape over [[decodeVideoFrameHash]]. Zero shuffles: frame
+    * payloads never leave their scan partition; only the 8-byte hash +
+    * dims flow downstream.
+    */
+  def extractVideoFrameHashes(ds: Dataset[MediaRecord],
+                              batchSize: Int = 64): Dataset[VideoHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(mapBatched(_, batchSize)(decodeVideoFrameHash))
+  }
+
+  /** Video near-dup fixture groups — [[syntheticImageGroups]]'s video
+    * twin: consecutive ids share a group whose FRAME PIXELS differ only
+    * by a per-member blue-channel nudge (+3·m — a re-encode-style
+    * perturbation dHash absorbs), so each group's first frames hash
+    * within a few bits of each other. The pixel field is integer
+    * arithmetic in (group, x, y), recoverable only by a genuine DIB
+    * frame decode; the AVI container is structurally real
+    * ([[syntheticAvi]] with an actual 00db frame).
+    */
+  def syntheticVideoGroups(df: DataFrame, idCol: String, groupSize: Int = 4)
+                          (implicit spark: SparkSession): Dataset[MediaRecord] = {
+    require(groupSize >= 1, s"groupSize must be >= 1, got $groupSize")
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id / groupSize
+        val m = id % groupSize
+        val w = (12 + g % 20).toInt
+        val h = (10 + g % 15).toInt
+        val stride = ((w * 24 + 31) / 32) * 4
+        val frame = new Array[Byte](stride * h)
+        var y = 0
+        while (y < h) {
+          val row = h - 1 - y // bottom-up DIB: file row 0 = image bottom
+          var x = 0
+          while (x < w) {
+            val v = g * 2654435761L + x * 48271L + y * 69621L
+            val base = (v ^ (v >> 13)) & 0xFFFFFFL
+            val off = row * stride + x * 3
+            frame(off) = ((base + m * 3) & 0xFFL).toByte         // B
+            frame(off + 1) = ((base >> 8) & 0xFFL).toByte        // G
+            frame(off + 2) = ((base >> 16) & 0xFFL).toByte       // R
+            x += 1
+          }
+          y += 1
+        }
+        MediaRecord(id, "video",
+          syntheticAvi(w, h, fpsRate = 25, fpsScale = 1, nFrames = 1,
+            bitCount = 24, compression = 0L, frames = Seq(frame)))
+      })
+  }
+
   /** Deterministic real AVI fixture: a structurally-genuine RIFF/AVI
     * (RIFF→hdrl→avih + strl→strh/strf→movi) whose header fields are
     * the given values. As with [[syntheticWav]], the properties live
@@ -557,7 +715,8 @@ object Multimodal {
     */
   def syntheticAvi(width: Int, height: Int, fpsRate: Int, fpsScale: Int,
                    nFrames: Int, bitCount: Int = 24,
-                   compression: Long = 0L): Array[Byte] = {
+                   compression: Long = 0L,
+                   frames: Seq[Array[Byte]] = Nil): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     def u32(v: Long): Unit = {
       bos.write((v & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
@@ -570,7 +729,9 @@ object Multimodal {
     val avihSz = 56; val strhSz = 56; val strfSz = 40
     val strlSz = 4 + (8 + strhSz) + (8 + strfSz)          // 'strl' + chunks
     val hdrlSz = 4 + (8 + avihSz) + (8 + strlSz)          // 'hdrl' + chunks
-    val moviSz = 4
+    // Each frame is one '00db' (uncompressed DIB) data chunk,
+    // word-aligned like every RIFF chunk.
+    val moviSz = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
     val riffSz = 4 + (8 + hdrlSz) + (8 + moviSz)          // 'AVI ' + lists
     tag("RIFF"); u32(riffSz); tag("AVI ")
     tag("LIST"); u32(hdrlSz); tag("hdrl")
@@ -598,6 +759,11 @@ object Multimodal {
     u32(compression); u32(stride * height)                // compression / sizeImage
     u32(0); u32(0); u32(0); u32(0)                        // ppm x/y, clrUsed/Important
     tag("LIST"); u32(moviSz); tag("movi")
+    frames.foreach { f =>
+      tag("00db"); u32(f.length)
+      bos.write(f, 0, f.length)
+      if ((f.length & 1) == 1) bos.write(0) // RIFF word alignment pad
+    }
     bos.toByteArray
   }
 

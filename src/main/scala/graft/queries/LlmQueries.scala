@@ -182,6 +182,7 @@ object LlmQueries {
     ensureCompactedIvfPqIndex(s, dir)
     ensureRebuiltIvfPqIndex(s, dir)
     ensureImageHashIndex(s, dir)
+    ensureVideoHashIndex(s, dir)
     ensureKnLm(s, dir)
     CurationQueries.ensureClfModel(s, dir)
     CurationQueries.ensureBpeTokenizer(s, dir)
@@ -355,6 +356,24 @@ object LlmQueries {
       Dedup.writeHammingIndex(
         Multimodal.extractImageHashes(
           Multimodal.syntheticImageGroups(Tables.documents(s, dir), "doc_id")).toDF(),
+        "media_id", "dhash", nBits = 56, maxHamming = 7, nBuckets = 64,
+        path = fix)
+    fix
+  }
+
+  /** Ensure the write-time VIDEO first-frame-hash index for `dir`'s
+    * synthetic video corpus exists; return its path
+    * ([[ensureImageHashIndex]]'s video twin over the same generic
+    * hamming family — build decodes every corpus frame ONCE at write
+    * time; probes never touch corpus pixels again).
+    */
+  def ensureVideoHashIndex(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    val fix = s"/tmp/graft_fixtures/videohash_index_${fingerprintCached(s"$dir/documents.parquet")}"
+    if (!new java.io.File(s"$fix/_SUCCESS").exists())
+      Dedup.writeHammingIndex(
+        Multimodal.extractVideoFrameHashes(
+          Multimodal.syntheticVideoGroups(Tables.documents(s, dir), "doc_id")).toDF(),
         "media_id", "dhash", nBits = 56, maxHamming = 7, nBuckets = 64,
         path = fix)
     fix
@@ -571,6 +590,49 @@ object LlmQueries {
     """banded AS (SELECT doc_id, dhash, b.b AS band,
       |  (dhash >> (b.b * 7)) & 127 AS key
       |  FROM ph, (SELECT unnest(range(0, 8)) AS b) b)""".stripMargin
+
+  /** DuckDB twin of [[Multimodal.syntheticVideoGroups]] +
+    * [[Multimodal.decodeVideoFrameHash]] ending in
+    * `vph(doc_id, w, h, dhash)`: regenerate the id-arithmetic FRAME
+    * pixel field (the bytes the Scala side can only reach through a
+    * genuine DIB frame decode — stride, bottom-up rows, BGR order) and
+    * replay the shared luma → 9x7 → adjacent-column dHash kernel in
+    * exact int64 math. The pixel mix constants differ from the image
+    * fixture's, so a video pass cannot free-ride on the image oracle.
+    */
+  private lazy val videoPhashCte: String =
+    """WITH vimg AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m,
+      |  CAST(12 + (doc_id // 4) % 20 AS INT) AS w,
+      |  CAST(10 + (doc_id // 4) % 15 AS INT) AS h FROM documents),
+      |vxs AS (SELECT doc_id, g, m, w, h, unnest(range(0, w)) AS x FROM vimg),
+      |vpp AS (SELECT doc_id, g, m, w, h, x, unnest(range(0, h)) AS y FROM vxs),
+      |vbb AS (SELECT doc_id, w, h, x, y, m,
+      |  xor(g*2654435761 + x*48271 + y*69621,
+      |      (g*2654435761 + x*48271 + y*69621) >> 13) & 16777215 AS base
+      |  FROM vpp),
+      |vlum AS (SELECT doc_id, w, h, (y*7)//h AS cy, (x*9)//w AS cx,
+      |  ((base >> 16) & 255)*299 + ((base >> 8) & 255)*587
+      |    + ((base + m*3) & 255)*114 AS luma
+      |  FROM vbb),
+      |vcells AS (SELECT doc_id, w, h, cy, cx,
+      |  CAST(sum(luma) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg
+      |  FROM vlum GROUP BY 1, 2, 3, 4, 5),
+      |vph AS (SELECT a.doc_id, a.w, a.h,
+      |  CAST(coalesce(sum(CASE WHEN c.avg > a.avg
+      |    THEN (CAST(1 AS BIGINT) << (a.cy*8 + a.cx))
+      |    ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS dhash
+      |  FROM vcells a JOIN vcells c ON a.doc_id = c.doc_id
+      |    AND a.cy = c.cy AND c.cx = a.cx + 1
+      |  WHERE a.cx < 8
+      |  GROUP BY 1, 2, 3)""".stripMargin
+
+  /** The 8 x 7-bit band slices of `vph` — [[phashBandedCte]]'s video
+    * twin.
+    */
+  private lazy val videoPhashBandedCte: String =
+    """vbanded AS (SELECT doc_id, dhash, b.b AS band,
+      |  (dhash >> (b.b * 7)) & 127 AS key
+      |  FROM vph, (SELECT unnest(range(0, 8)) AS b) b)""".stripMargin
 
   /** DuckDB twin of the maxHamming=8 simhash band slices over `sim` —
     * the same 9 x 7-bit (last 4-bit) slices the Scala side derives.
@@ -2584,6 +2646,79 @@ object LlmQueries {
          |CAST(doc_id % 4 AS BIGINT) AS compression,
          |CAST(((w * bc + 31) // 32) * 4 * h AS BIGINT) AS size_image
          |FROM p""".stripMargin)),
+
+    // Video FIRST-FRAME perceptual hash: REAL pixel decode certified at
+    // the DATA level (llm_video_features certifies the container walk).
+    // The fixture AVIs carry a genuine uncompressed 00db frame whose
+    // pixels are integer arithmetic in (group, x, y); only a decoder
+    // that honestly reads the DIB bytes — 4-byte row stride, bottom-up
+    // rows, BGR channel order — reproduces the 56-bit dHash the oracle
+    // recomputes symbolically. Same dhash9x7 kernel as the image family:
+    // one signature definition across modalities.
+    "llm_video_phash" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        Multimodal.extractVideoFrameHashes(
+          Multimodal.syntheticVideoGroups(
+            Tables.documents(s, dir), "doc_id")).toDF()
+      },
+      Some(s"""$videoPhashCte
+         |SELECT doc_id AS media_id, w AS width, h AS height,
+         |  CAST(dhash AS BIGINT) AS dhash
+         |FROM vph""".stripMargin)),
+
+    // Video NEAR-DUP pairs — the image near-dup machinery reused
+    // verbatim on the first-frame hashes: banded hamming join (8 bands
+    // x 7 bits, pigeonhole recall for maxHamming=7), exact
+    // bit_count(xor) verify. Fixture groups of 4 are blue-channel
+    // re-encode nudges (intra-group hamming <= 3 measured); the oracle
+    // replays the frame hashes AND the banded candidacy.
+    "llm_video_neardup" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        val hashes = Multimodal.extractVideoFrameHashes(
+          Multimodal.syntheticVideoGroups(
+            Tables.documents(s, dir), "doc_id")).toDF()
+        Dedup.hammingNearDupPairs(hashes, "media_id", "dhash",
+          nBits = 56, maxHamming = 7)
+      },
+      Some(s"""$videoPhashCte,
+         |$videoPhashBandedCte,
+         |vcand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |  a.dhash AS ha, c.dhash AS hb
+         |  FROM vbanded a JOIN vbanded c
+         |  ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+         |FROM vcand WHERE bit_count(xor(ha, hb)) <= 7""".stripMargin)),
+
+    // Video near-dup at CORPUS scale: the write-time GENERIC hamming
+    // index (Dedup.writeHammingIndex — the llm_image_index_probe
+    // family) over the first-frame hashes, probed with the first 50
+    // videos as the delta batch. Build decodes every corpus frame once
+    // at write time; the probe decodes ONLY the delta and joins the
+    // index on its partition columns (DPP-pruned read).
+    "llm_video_index_probe" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        val fix = ensureVideoHashIndex(s, dir)
+        val delta = Multimodal.extractVideoFrameHashes(
+          Multimodal.syntheticVideoGroups(
+            Tables.documents(s, dir).filter(col("doc_id") < 50),
+            "doc_id")).toDF()
+        Dedup.probeHammingIndex(s, fix, delta, "media_id", "dhash",
+          nBits = 56, maxHamming = 7, nBuckets = 64)
+      },
+      Some(s"""$videoPhashCte,
+         |$videoPhashBandedCte,
+         |vcand AS (SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS cand_id,
+         |  q.dhash AS qh, c.dhash AS ch
+         |  FROM vbanded c JOIN vbanded q
+         |  ON c.band = q.band AND c.key = q.key AND c.doc_id <> q.doc_id
+         |  WHERE q.doc_id < 50)
+         |SELECT query_id, cand_id,
+         |  CAST(bit_count(xor(qh, ch)) AS INT) AS hamming
+         |FROM vcand WHERE bit_count(xor(qh, ch)) <= 7""".stripMargin)),
 
     "llm_audio_resample" -> Q(
       (s, dir) => {

@@ -1793,6 +1793,91 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getCause.getMessage.contains("undecodable video payload"))
   }
 
+  test("decodeVideoFrameHash: first-frame dHash matches independent pixel " +
+    "arithmetic through the real DIB layout (stride, bottom-up, BGR)") {
+    val (w, h) = (18, 14) // stride = ((18*24+31)/32)*4 = 56 > 18*3: pad live
+    def pixel(x: Int, y: Int): (Int, Int, Int) = {
+      val v = 7L * 2654435761L + x * 48271L + y * 69621L
+      val base = (v ^ (v >> 13)) & 0xFFFFFFL
+      (((base >> 16) & 0xFF).toInt, ((base >> 8) & 0xFF).toInt,
+        (base & 0xFF).toInt)
+    }
+    val stride = ((w * 24 + 31) / 32) * 4
+    val frame = new Array[Byte](stride * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, bl) = pixel(x, y)
+      val off = (h - 1 - y) * stride + x * 3 // bottom-up rows
+      frame(off) = bl.toByte; frame(off + 1) = g.toByte
+      frame(off + 2) = r.toByte
+    }
+    val avi = Multimodal.syntheticAvi(w, h, 25, 1, nFrames = 1,
+      bitCount = 24, compression = 0L, frames = Seq(frame))
+    // Expected hash computed HERE from the raw pixel field — the decode
+    // path must reproduce it through a genuine frame-byte walk.
+    val sums = Array.ofDim[Long](7, 9)
+    val counts = Array.ofDim[Long](7, 9)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, bl) = pixel(x, y)
+      sums(y * 7 / h)(x * 9 / w) += r * 299L + g * 587L + bl * 114L
+      counts(y * 7 / h)(x * 9 / w) += 1
+    }
+    var expected = 0L
+    for (cy <- 0 until 7; cx <- 0 until 8)
+      if (sums(cy)(cx + 1) / counts(cy)(cx + 1) > sums(cy)(cx) / counts(cy)(cx))
+        expected |= 1L << (cy * 8 + cx)
+    val got = Multimodal.decodeVideoFrameHash(
+      Multimodal.MediaRecord(7L, "video", avi))
+    assert(got.width === w && got.height === h)
+    assert(got.dhash === expected)
+    // The frame-bearing container still parses at the metadata layer.
+    val meta = Multimodal.decodeVideoMeta(
+      Multimodal.MediaRecord(7L, "video", avi))
+    assert(meta.width === w && meta.n_frames === 1L)
+  }
+
+  test("decodeVideoFrameHash fails loud on frameless, non-BI_RGB, and " +
+    "size-mismatched payloads") {
+    def dec(bytes: Array[Byte]) = Multimodal.decodeVideoFrameHash(
+      Multimodal.MediaRecord(1L, "video", bytes))
+    // No frame chunk in the movi list (the metadata-only fixture).
+    assert(intercept[IllegalArgumentException] {
+      dec(Multimodal.syntheticAvi(320, 240, 25, 1, 50))
+    }.getMessage.contains("no frame chunk"))
+    // A compressed / non-24bpp format cannot be honestly hashed.
+    assert(intercept[IllegalArgumentException] {
+      dec(Multimodal.syntheticAvi(320, 240, 25, 1, 50, bitCount = 8,
+        compression = 1L))
+    }.getMessage.contains("BI_RGB"))
+    // A frame chunk whose size disagrees with stride x height refuses.
+    val stride = ((12 * 24 + 31) / 32) * 4
+    assert(intercept[IllegalArgumentException] {
+      dec(Multimodal.syntheticAvi(12, 10, 25, 1, 1,
+        frames = Seq(new Array[Byte](stride * 10 - 4))))
+    }.getMessage.contains("expected"))
+  }
+
+  test("syntheticVideoGroups: group members land within the near-dup " +
+    "hamming budget, pairs join via the banded machinery") {
+    implicit val s = spark
+    val hashes = Multimodal.extractVideoFrameHashes(
+      Multimodal.syntheticVideoGroups((0L until 24L).toDF("doc_id"),
+        "doc_id")).collect()
+    val byG = hashes.groupBy(_.media_id / 4)
+    for (g <- byG.values; a <- g; b <- g if a.media_id < b.media_id)
+      assert(java.lang.Long.bitCount(a.dhash ^ b.dhash) <= 7,
+        s"members ${a.media_id}/${b.media_id} too far apart")
+    // The generic banded hamming join recovers every intra-group pair.
+    val pairs = graft.llm.Dedup.hammingNearDupPairs(
+        Multimodal.extractVideoFrameHashes(
+          Multimodal.syntheticVideoGroups((0L until 24L).toDF("doc_id"),
+            "doc_id")).toDF(),
+        "media_id", "dhash", nBits = 56, maxHamming = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    for (g <- byG.values; a <- g; b <- g if a.media_id < b.media_id)
+      assert(pairs.contains((a.media_id, b.media_id)),
+        s"pair ${a.media_id}/${b.media_id} missed by the banded join")
+  }
+
   test("extractVideoFeatures: batched kernel over synthetic id-derived AVIs") {
     implicit val s = spark
     val df = Seq(6L, 13L).toDF("doc_id")
