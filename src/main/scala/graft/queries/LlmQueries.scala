@@ -2339,6 +2339,53 @@ object LlmQueries {
            |FROM s${TextAnalysis.piiPatterns.size}""".stripMargin
       }),
 
+    // Streaming PII-REDACTION transform, batch parity: the per-micro-
+    // batch body of [[graft.streaming.Streams.startPiiRedactSink]] (the
+    // sixth ingest stage — a stateless per-row transform, no index or
+    // artifact) applied to an arriving batch that mixes PII-laden rows
+    // (injected email/IP/phone, the llm_pii_redact fixture shifted out
+    // of corpus id range) with untouched rows. The oracle replays the
+    // fixed-order regex chain on the same arriving frame — a full
+    // replay, like the other five gate rows; StreamsSpec replays the
+    // same dataflow through MemoryStream including a restart.
+    "llm_stream_pii_redact" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val arriving = docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 7000000L).as("doc_id"),
+            concat(col("text"),
+              lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com from 10.0."),
+              (col("doc_id") % 256).cast("string"),
+              lit(".7 call +1 (555) 010-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+          .unionByName(docs.filter(col("doc_id") % 5 === 1)
+            .select((col("doc_id") + 8000000L).as("doc_id"), col("text")))
+        TextAnalysis.redactPii(arriving, "doc_id", "text")
+      },
+      Some {
+        val steps = TextAnalysis.piiPatterns.zipWithIndex.map {
+          case ((name, pattern, replacement), i) =>
+            s"""s${i + 1} AS (SELECT doc_id, ${
+              (0 until i).map(j => s"n_${TextAnalysis.piiPatterns(j)._1}, ").mkString
+            }CAST(len(regexp_extract_all(t, '$pattern')) AS BIGINT) AS n_$name,
+               |  regexp_replace(t, '$pattern', '$replacement', 'g') AS t FROM s$i)""".stripMargin
+        }
+        val names = TextAnalysis.piiPatterns.map { case (n, _, _) => s"n_$n" }
+        s"""WITH s0 AS (
+           |  SELECT doc_id + 7000000 AS doc_id,
+           |    text || ' contact user' || doc_id || '@example.com from 10.0.' ||
+           |    (doc_id % 256) || '.7 call +1 (555) 010-' ||
+           |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+           |  FROM documents WHERE doc_id % 5 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 8000000 AS doc_id, text AS t
+           |  FROM documents WHERE doc_id % 5 = 1),
+           |${steps.mkString(",\n")}
+           |SELECT doc_id, t AS redacted, ${names.mkString(", ")}
+           |FROM s${TextAnalysis.piiPatterns.size}""".stripMargin
+      }),
+
     // Repetitiousness (the Gopher boilerplate gate): the hottest 2-gram's
     // share of all the doc's 2-grams. Counts are exact integers; the
     // ratio is one exact double division.

@@ -648,4 +648,27 @@ object Streams {
           .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
       }
       .start()
+
+  /** Streaming PII-REDACTION transform — the scrub an ingest pipeline
+    * runs BEFORE persisting anything: every micro-batch passes through
+    * [[graft.llm.TextAnalysis.redactPii]] (typed placeholder tokens +
+    * per-type counts) and the redacted rows land in the batchId-named
+    * output directory; raw PII never reaches the sink. Unlike the
+    * membership gates this is a pure per-row TRANSFORM: no index, no
+    * artifact, no state — the narrowest of the six ingest stages — so
+    * replay is trivially exactly-once (the decision is a pure function
+    * of the batch, and the per-batch overwrite is idempotent). Composes
+    * BEFORE the gates: dedup/quality membership should be judged on the
+    * redacted text a leaked row would actually train on.
+    */
+  def startPiiRedactSink(df: DataFrame, outPath: String, checkpoint: String,
+                         idCol: String, textCol: String) =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.llm.TextAnalysis.redactPii(batch.toDF(), idCol, textCol)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+      }
+      .start()
 }

@@ -409,6 +409,52 @@ class StreamsSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("streaming PII-redaction transform scrubs every micro-batch " +
+    "before it lands; replay after restart is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("pgate").toString
+    val (out, ckpt) = (s"$root/out", s"$root/ckpt")
+    try {
+      val mem = MemoryStream[Doc]
+      val q = Streams.startPiiRedactSink(mem.toDF(), out, ckpt,
+        "doc_id", "text")
+      try {
+        mem.addData(
+          Doc(1L, "mail bob@example.com or call +1 (555) 010-2233 now"),
+          Doc(2L, "perfectly clean prose with no identifiers"))
+        q.processAllAvailable()
+        mem.addData(Doc(3L, "server at 10.0.3.7 pinged twice: 10.0.3.8"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.read.parquet(out)
+        .select("doc_id", "redacted", "n_email", "n_ipv4", "n_phone")
+        .as[(Long, String, Long, Long, Long)].collect()
+        .sortBy(_._1)
+      assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L))
+      // Raw PII never reaches the sink; typed placeholders do.
+      assert(rows(0)._2 === "mail <EMAIL> or call <PHONE> now")
+      assert((rows(0)._3, rows(0)._5) === ((1L, 1L)))
+      assert(rows(1)._2 === "perfectly clean prose with no identifiers")
+      assert((rows(1)._3, rows(1)._4, rows(1)._5) === ((0L, 0L, 0L)))
+      assert(rows(2)._2 === "server at <IP> pinged twice: <IP>")
+      assert(rows(2)._4 === 2L)
+      // Restart from the same checkpoint: committed offsets resume,
+      // late data lands in a NEW batch dir, and the earlier output is
+      // untouched (per-batch overwrite idempotence).
+      val q2 = Streams.startPiiRedactSink(mem.toDF(), out, ckpt,
+        "doc_id", "text")
+      try {
+        mem.addData(Doc(4L, "reach eve@corp.io"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val after = spark.read.parquet(out)
+        .select("doc_id", "redacted").as[(Long, String)].collect().toMap
+      assert(after.keySet === Set(1L, 2L, 3L, 4L))
+      assert(after(4L) === "reach <EMAIL>")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("streaming NEAR-dup gate rejects edited copies and cross-batch " +
     "near-dups of accepted rows via the wide-simhash index") {
     implicit val sqlCtx = spark.sqlContext
