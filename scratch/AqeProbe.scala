@@ -52,8 +52,13 @@ object AqeProbe {
     val only = sys.env.getOrElse("SPARK_GRAFT_ONLY",
       "r1_transpose_roundtrip").split(",").toSeq
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
-    try graft.queries.LlmQueries.prepareIndexes(spark, sfDir)
-    catch { case _: Throwable => () }
+    // Index warmup is skippable (SPARK_GRAFT_WARMUP=off) for probe sets
+    // that touch no write-time index: at sf100 prepareIndexes would
+    // spend tens of minutes building ANN/hash layouts the probe never
+    // reads.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "on") != "off")
+      try graft.queries.LlmQueries.prepareIndexes(spark, sfDir)
+      catch { case _: Throwable => () }
     val mode = aqeBytes.map(t => s"aqe:$t").getOrElse(s"pinned:$cpus")
     for (name <- only if SparkEntry.queries.contains(name)) {
       val fn = SparkEntry.queries(name)
