@@ -43,8 +43,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Shuffle files / spill / localCheckpoint blocks on tmpfs: the VM's
   // block device shows bursty multi-second IO stalls that randomly
   // inflate shuffle-heavy queries 10-20x; shuffle volumes here are tiny
-  // (MBs) so RAM-backed local dirs are safe.
-  "-Dspark.local.dir=/dev/shm/spark-local",
+  // (MBs) so RAM-backed local dirs are safe — at sf<=1 scales. At sf100
+  // a single wide aggregate spills tens of GB, which on tmpfs IS RAM:
+  // the kernel OOM-kills the JVM once heap + tmpfs spill crosses
+  // physical memory (r13 finding). Scale probes override to a
+  // disk-backed dir (SPARK_GRAFT_LOCAL_DIR=/tmp/spark-local), which is
+  // also the real-cluster posture: executors spill to local SSDs, never
+  // to memory-backed filesystems.
+  s"-Dspark.local.dir=${sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")}",
   // 32 concurrent local tasks need headroom: an 8g heap showed
   // timing-dependent many-x GC swings on the CPU-heavy text queries
   // (the host has 128 GiB; the forked JVM is the only Spark process).

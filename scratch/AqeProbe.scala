@@ -68,6 +68,11 @@ object AqeProbe {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+        // Nudge the ContextCleaner: shuffle files of finished queries
+        // are GC-triggered, and at sf100 a probe's accumulated shuffle
+        // dirs (tens of GB each) would otherwise fill the local-dir
+        // disk before the JVM exits.
+        System.gc()
         memSpill = 0L; diskSpill = 0L
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
