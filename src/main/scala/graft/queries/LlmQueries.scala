@@ -2767,6 +2767,37 @@ object LlmQueries {
          |  CAST(bit_count(xor(qh, ch)) AS INT) AS hamming
          |FROM vcand WHERE bit_count(xor(qh, ch)) <= 7""".stripMargin)),
 
+    // Video dedup CLUSTERS: first-frame near-dup pairs -> connected
+    // components -> one canonical id per involved video — the
+    // llm_image_dedup_clusters composition on the video pair source
+    // (Dedup.dedupClusters reused unchanged a third time). The oracle
+    // replays the frame-pixel hash chain, the banded candidacy, and the
+    // transitive closure (recursive CTE).
+    "llm_video_dedup_clusters" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        val hashes = Multimodal.extractVideoFrameHashes(
+          Multimodal.syntheticVideoGroups(
+            Tables.documents(s, dir), "doc_id")).toDF()
+        Dedup.dedupClusters(Dedup.hammingNearDupPairs(hashes, "media_id",
+          "dhash", nBits = 56, maxHamming = 7))
+      },
+      Some(s"""${videoPhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$videoPhashBandedCte,
+         |vcand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |  a.dhash AS ha, c.dhash AS hb
+         |  FROM vbanded a JOIN vbanded c
+         |  ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id),
+         |vpairs AS (SELECT id_a, id_b FROM vcand
+         |  WHERE bit_count(xor(ha, hb)) <= 7),
+         |vedges AS (SELECT id_a AS s, id_b AS d FROM vpairs
+         |  UNION ALL SELECT id_b, id_a FROM vpairs),
+         |vreach AS (SELECT s, d FROM vedges
+         |  UNION SELECT r.s, e.d FROM vreach r JOIN vedges e ON r.d = e.s),
+         |vcl AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+         |  FROM vreach GROUP BY s)
+         |SELECT doc_id, cluster_id FROM vcl""".stripMargin)),
+
     "llm_audio_resample" -> Q(
       (s, dir) => {
         implicit val sp = s
