@@ -211,4 +211,63 @@ object Centrality {
           .otherwise((lit(2L) * col("n_triangles")).cast("double") /
             (col("degree") * (col("degree") - lit(1L))).cast("double")))
   }
+
+  /** Synchronous label propagation for `rounds` rounds — the linear-time
+    * community detector (Raghavan et al. 2007, public): every node
+    * starts labeled with its own id; each round it adopts the label
+    * most frequent among its neighbors. Communities emerge as labels
+    * that saturate dense regions, which curation pipelines use to group
+    * near-duplicate *sources* (mirrors, scraper farms) the document-level
+    * dedup family can't see.
+    *
+    * Determinism contract: classic LPA breaks count ties RANDOMLY, which
+    * can never hash-match anything. Here ties break on the SMALLEST
+    * label (argmax over (count, -label) as a struct max — one exact
+    * aggregate, no window sort), and rounds are synchronous, so the
+    * whole evolution is a pure function of the edge set and the oracle
+    * unrolls the identical rounds.
+    *
+    * Scale shape per round: one edges⋈labels shuffle (partitioned by
+    * node) + one map-side-combined (node, label) count + one struct-max
+    * per node — message volume is |E|, never all-pairs, and a hub's
+    * messages combine map-side before they travel. Node ids must be
+    * NON-NEGATIVE longs (the struct-max negation trick needs a total
+    * order that survives negation; enforced fail-loud).
+    *
+    * @return (node, label) after `rounds` synchronous rounds
+    */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       rounds: Int,
+                       mat: Materialize = Materialize.Local): DataFrame = {
+    require(rounds >= 1 && rounds <= 50,
+      s"rounds must be in [1, 50], got $rounds")
+    def matStep(step: String): DataFrame => DataFrame = mat match {
+      case Materialize.Path(dir) => Materialize.Path(s"$dir/$step").apply
+      case other                 => other.apply
+    }
+    val simple = canonicalEdges(edges, aCol, bCol, mat)
+    val guard = when(col("a") < 0L,
+        raise_error(concat(lit("labelPropagation: negative node id "),
+          col("a").cast("string"))))
+      .otherwise(col("a"))
+    // Both directions: each undirected edge carries messages both ways.
+    val sym = matStep("sym")(simple
+      .select(guard.as("src"), col("b").as("dst"))
+      .union(simple.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src")))
+    var labels = matStep("l0")(
+      sym.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")))
+    for (i <- 1 to rounds) {
+      val counts = sym
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      labels = matStep(s"l$i")(counts
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.neg")).as("label")))
+    }
+    labels
+  }
 }

@@ -158,6 +158,25 @@ object Similarity {
     topKPerQuery(scoredPairs(corpus, queries, idCol, vecCol), k,
       corpus.schema(idCol).dataType)
 
+  /** RANGE similarity search: every non-self (query, candidate) pair
+    * with cosine >= `minCos` — the "all neighbors within a radius"
+    * complement of top-k (top-k bounds the RESULT size, range bounds
+    * the QUALITY; radius queries feed duplicate-pair mining and
+    * threshold-calibrated retrieval, where a fixed k either truncates
+    * dense neighborhoods or pads sparse ones). Exact by construction:
+    * the same pinned brute scoring scan as [[bruteForceTopK]] (query
+    * batch broadcasts, one corpus pass, codegen'd dot products) with
+    * the threshold pushed into the scan's filter — no heap state at
+    * all, so the operator is a pure codegen pipeline. For corpus-scale
+    * query sets, route through the IVF index family instead; this is
+    * the exact baseline those paths are recall-checked against.
+    */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, minCos: Double): DataFrame =
+    scoredPairs(corpus, queries, idCol, vecCol)
+      .filter(col("cos") >= lit(minCos))
+      .select(col("query_id"), col("cand_id"), col("cos"))
+
   /** The ONE brute scoring pipeline ([[bruteForceTopK]] and
     * [[hardNegatives]] both rank over it): every (query, candidate)
     * non-self pair scored with the pinned cosine fold. The fold shape is

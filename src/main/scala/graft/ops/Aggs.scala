@@ -259,4 +259,88 @@ object Aggs {
         col("e.score").cast("long").as("n"),
         (col("e.score") / col("total").cast("double")).as("share"))
   }
+
+  /** Per-group simple linear regression (OLS, one feature + intercept)
+    * via the closed-form normal equations — the trend-fitting step of a
+    * metrics pipeline (fit value ~ covariate per entity, flag groups
+    * whose slope breaks trend). ONE map-side-combined aggregate computes
+    * the five sufficient sums; slope/intercept/r2 are per-group scalar
+    * projections on the group-cardinality frame — no second data pass,
+    * no ML-library iteration for what has an exact closed form.
+    *
+    * Exactness contract (the events_corr recipe): x and y are cast to
+    * DECIMAL before summing, so the sums are order-independent exact
+    * decimals; doubles appear only in the final derived expressions,
+    * whose parenthesization the oracle replicates verbatim. Degenerate
+    * groups (n < 2 or zero x-variance) yield NULL slope/intercept/r2 via
+    * SQL division semantics — the honest answer, not a fabricated fit.
+    *
+    * r2 is computed as the squared Pearson correlation written as ONE
+    * ratio of products (not slope², not 1 − SSE/SST, both of which need
+    * a second pass or compound float rounding differently).
+    */
+  def olsSimple(df: DataFrame, group: String, xCol: String,
+                yCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(18,2)")
+    val y = col(yCol).cast("decimal(18,2)")
+    val agg = df.groupBy(col(group)).agg(
+      count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * y).as("sxy"), sum(x * x).as("sx2"), sum(y * y).as("sy2"))
+    def d(c: String) = col(c).cast("double")
+    val cov = col("n") * d("sxy") - d("sx") * d("sy")
+    // nullif makes the degenerate divisions (constant x within a group,
+    // or n = 1) NULL explicitly: under ANSI a bare /0 raises, and the
+    // oracle's engine would emit ±inf — nullif pins both to the same
+    // honest NULL.
+    val varX = nullif(col("n") * d("sx2") - d("sx") * d("sx"), lit(0.0))
+    val varY = col("n") * d("sy2") - d("sy") * d("sy")
+    val slope = (cov / varX).as("slope")
+    agg.select(col(group), col("n"), slope,
+        ((d("sy") - (cov / varX) * d("sx")) / col("n")).as("intercept"),
+        ((cov * cov) / nullif(varX * varY, lit(0.0))).as("r2"))
+  }
+
+  /** Count-min-sketch frequency audit over the exact heavy hitters: one
+    * pass builds the depth×width counter matrix (each row a distinct
+    * hash of the key), then the exact top-`k` keys' sketch estimates —
+    * min over their `depth` counters — ride next to their true counts
+    * with the CMS guarantee flag (`est >= true`, which the sketch can
+    * never violate). This is the audit a pipeline runs BEFORE trusting
+    * CMS at a width: how much do the heaviest keys' estimates inflate
+    * under this (depth, width) on this data?
+    *
+    * Like the HLL sketch ([[graft.functions.HllSketch]]), every step is
+    * integer arithmetic on portable hashes ([[graft.llm.TextOps.hash60]])
+    * — so unlike a typical sketch the ESTIMATE itself is exact-oracle-
+    * checkable, not just its contract. Scale shape: the counter build is
+    * one map-side-combined aggregate whose shuffle is ≤ depth·width rows
+    * per map partition regardless of data size (the explode fans
+    * depth× but combines before travel); the probe side is k·depth rows
+    * joining a broadcast counter frame.
+    *
+    * @return one row per exact-top-k key:
+    *         (keyCol, n, cms_est, over_ok) ordered facts, over_ok ∈ {1}
+    */
+  def cmsHeavyHitters(df: DataFrame, keyCol: String, depth: Int,
+                      width: Int, k: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    def buckets(c: Column): Column = array((0 until depth).map { i =>
+      struct(lit(i).as("r"),
+        pmod(graft.llm.TextOps.hash60(concat(lit(s"cms:$i:"), c)),
+          lit(width.toLong)).cast("int").as("b"))
+    }: _*)
+    val counters = df.select(col(keyCol).cast("string").as("__k"))
+      .select(explode(buckets(col("__k"))).as("e"))
+      .select(col("e.r").as("r"), col("e.b").as("b"))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+    val top = keySkewTopK(df, keyCol, k).select(col(keyCol), col("n"))
+    top.select(col(keyCol), col("n"),
+        explode(buckets(col(keyCol).cast("string"))).as("e"))
+      .select(col(keyCol), col("n"), col("e.r").as("r"), col("e.b").as("b"))
+      .join(broadcast(counters), Seq("r", "b"))
+      .groupBy(col(keyCol), col("n"))
+      .agg(min(col("c")).as("cms_est"))
+      .withColumn("over_ok", (col("cms_est") >= col("n")).cast("int"))
+  }
 }

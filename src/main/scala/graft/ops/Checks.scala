@@ -213,4 +213,113 @@ object Checks {
       .withColumn("noisy_units",
         col("n") * lit(1000000L) + noiseUnits)
   }
+
+  /** Population-stability-index drift audit between two cohorts (the
+    * standard "did this feature's distribution move" screen a pipeline
+    * runs between a reference snapshot and the current drop): bin the
+    * value into `nBins` equal-width bins over the GLOBAL min/max (the
+    * [[Aggs.histogram]] recipe — identical double bin edges in any
+    * engine), count per (bin, cohort), and emit each bin's PSI
+    * contribution in integer micro-units (Σ over bins ≥ 0.25 is the
+    * conventional "major shift" alarm). Shares are Laplace-smoothed —
+    * (c+1)/(n+nBins) — so empty bins contribute finitely instead of
+    * ±∞; empty bins are kept via the static bin-range join, so the
+    * output is always exactly `nBins` rows.
+    *
+    * Scale shape: one min/max pass + one map-side-combined (bin, cohort)
+    * count; everything after runs on the nBins-row frame (the window
+    * totals included). Float discipline: counts are exact longs, the
+    * shares and ln are doubles derived from exact integers with ONE
+    * parenthesization the oracle mirrors verbatim, and each bin's
+    * contribution pins to micro-units BEFORE any cross-bin sum.
+    *
+    * @param isA cohort predicate over the input row (true = cohort A,
+    *            the reference side); evaluated before binning.
+    * @return one row per bin: (bin, n_a, n_b, psi_micro)
+    */
+  def psiDrift(df: DataFrame, valueCol: String, isA: Column,
+               nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val spark = df.sparkSession
+    val base = df.select(col(valueCol).as("__v"), isA.as("__a"))
+      .filter(col("__v").isNotNull)
+    val bounds = base.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val binned = base.crossJoin(broadcast(bounds))
+      .select(
+        when(col("__hi") > col("__lo"),
+          least(greatest(floor((col("__v") - col("__lo")) /
+            ((col("__hi") - col("__lo")) / lit(nBins.toDouble))), lit(0.0)),
+            lit((nBins - 1).toDouble)).cast("int"))
+          .otherwise(lit(0)).as("bin"),
+        col("__a"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+           sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
+    val full = spark.range(nBins).select(col("id").cast("int").as("bin"))
+      .join(binned, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    // Totals ride a window over the nBins-row frame, not the data.
+    val tw = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val pa = (col("n_a") + lit(1L)).cast("double") /
+      (sum(col("n_a")).over(tw) + lit(nBins.toLong)).cast("double")
+    val pb = (col("n_b") + lit(1L)).cast("double") /
+      (sum(col("n_b")).over(tw) + lit(nBins.toLong)).cast("double")
+    full.select(col("bin"), col("n_a"), col("n_b"),
+      floor((pa - pb) * log(pa / pb) * lit(1e6) + lit(0.5))
+        .cast("long").as("psi_micro"))
+  }
+
+  /** Kolmogorov–Smirnov drift statistic between two cohorts: the max
+    * over all values of |F_a(v) − F_b(v)|, reported in exact ppm — the
+    * distribution-free companion to [[psiDrift]] (no binning choice, so
+    * it catches shifts PSI's fixed bins smear). All arithmetic is
+    * integer-exact: cumulative counts come from one distinct-value
+    * pre-aggregate fed through the two-phase [[Windows.prefixSums]]
+    * (never a global single-partition window), the per-value statistic
+    * is the cross-multiplied |cum_a·n_b − cum_b·n_a| (longs), and only
+    * the final one-row scaling divides — as DECIMAL, since max_diff·1e6
+    * overflows a long past ~9e12 rows per cohort.
+    *
+    * Scale shape: map-side-combined distinct-value aggregate (shuffle =
+    * value cardinality), range-partitioned prefix sums on that frame,
+    * one max. Cohort sizes above 3e9 rows would overflow the long
+    * cross-multiply and raise instead of wrapping.
+    *
+    * @return one row: (n_a, n_b, ks_ppm); ks_ppm is NULL when either
+    *         cohort is empty (the statistic is undefined, not 0).
+    */
+  def ksDrift(df: DataFrame, valueCol: String, isA: Column): DataFrame = {
+    val counts = df.select(col(valueCol).as("v"), isA.as("__a"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("ca"),
+           sum(when(!col("__a"), 1L).otherwise(0L)).as("cb"))
+    val cum = Windows.prefixSums(counts, Materialize.Local,
+      Seq(col("v")), Seq("ca", "cb"))
+    // One tiny totals row broadcast onto the distinct-value frame; the
+    // overflow guard rides the broadcast side so it costs nothing per row.
+    val totals = counts.agg(
+        sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+      .select(
+        when(col("n_a") > lit(3000000000L) || col("n_b") > lit(3000000000L),
+          raise_error(lit("ksDrift: cohort above 3e9 rows would overflow " +
+            "the long cross-multiply")))
+          .otherwise(col("n_a")).as("n_a"),
+        col("n_b"))
+    cum.crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"),
+        abs(col("cum_ca") * col("n_b") - col("cum_cb") * col("n_a"))
+          .as("diff"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("diff")).as("max_diff"))
+      .select(col("n_a"), col("n_b"),
+        expr("CAST((CAST(max_diff AS DECIMAL(38,0)) * 1000000) div " +
+          "nullif(CAST(n_a AS DECIMAL(38,0)) * n_b, 0) AS BIGINT)")
+          .as("ks_ppm"))
+  }
 }

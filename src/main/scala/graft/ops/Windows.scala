@@ -113,6 +113,52 @@ object Windows {
       .drop("__pid", "__local", "__offset")
   }
 
+  /** Distributed inclusive prefix sums over a TOTAL order — the
+    * generalization of [[surrogateKeyMaterialized]] from ranks to running
+    * totals. For each name in `sums`, appends `cum_<name>` = the sum of
+    * that column over all rows at-or-before this row in `order`. Two
+    * phases: range-partition on the order, per-partition window sums,
+    * then one broadcast partition-offset join — never a global
+    * single-partition window, so it holds at any scale the range
+    * exchange can balance.
+    *
+    * The order must be TOTAL (unique per row): ties would make each
+    * row's inclusive sum depend on intra-tie ordering, which no engine
+    * pair reproduces. Pre-aggregate to distinct order keys first (the
+    * natural shape for CDF/cumulative-count consumers like
+    * [[Checks.ksDrift]]).
+    *
+    * Same materialization contract as [[surrogateKeyMaterialized]]: the
+    * pinned frame feeds the offset aggregate and the final join, so both
+    * must see one set of range boundaries.
+    */
+  def prefixSums(df: DataFrame, mat: Materialize, order: Seq[Column],
+                 sums: Seq[String]): DataFrame = {
+    require(sums.nonEmpty, "prefixSums: no sum columns")
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = mat(df.repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id()))
+    val withLocal = sums.foldLeft(local) { (acc, c) =>
+      acc.withColumn(s"__loc_$c", sum(col(c)).over(w))
+    }
+    val offsets = local.groupBy(col("__pid"))
+      .agg(sums.map(c => sum(col(c)).as(s"__tot_$c")).head,
+           sums.map(c => sum(col(c)).as(s"__tot_$c")).tail: _*)
+    val wp = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withOff = sums.foldLeft(offsets) { (acc, c) =>
+      acc.withColumn(s"__off_$c",
+        coalesce(sum(col(s"__tot_$c")).over(wp), lit(0L)))
+    }.select(col("__pid") +: sums.map(c => col(s"__off_$c")): _*)
+    val joined = withLocal.join(broadcast(withOff), Seq("__pid"))
+    val out = sums.foldLeft(joined) { (acc, c) =>
+      acc.withColumn(s"cum_$c", col(s"__off_$c") + col(s"__loc_$c"))
+    }
+    out.drop("__pid" +: sums.flatMap(c =>
+      Seq(s"__loc_$c", s"__off_$c")): _*)
+  }
+
   /** Fixed-horizon exponentially-weighted moving average: per key, over
     * the last `terms` rows in (order, tiebreak) order, ewma = Σ w_i·x_{t-i}
     * / Σ w_i with w_i = α(1-α)^i, renormalized over the lags that exist

@@ -2028,6 +2028,24 @@ object LlmQueries {
          |  FROM scored)
          |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin)),
 
+    // Radius (range) similarity search: every non-self pair at cosine
+    // >= 0.25 for the 10-query batch — the result-size-unbounded
+    // complement of top-k, sharing the same pinned brute scoring scan,
+    // so the oracle is exact (no contract rows needed).
+    "llm_sim_range" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.rangeSearch(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", minCos = 0.25)
+      },
+      Some(s"""$vecCte,
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |  ${cosSql("q.v", "c.v")} AS cos
+         |  FROM v c JOIN v q ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10)
+         |SELECT query_id, cand_id, cos FROM scored
+         |WHERE cos >= 0.25""".stripMargin)),
+
     // Hard-negative mining: per query, the 5 MOST similar vectors that
     // are neither self nor a known positive — anti-joined BEFORE
     // ranking, so a positive can never crowd a real negative out of the

@@ -458,6 +458,173 @@ object SourceQueries {
            |GROUP BY 1""".stripMargin
       }),
 
+    // Community detection: 3 synchronous rounds of deterministic label
+    // propagation (most-frequent neighbor label, ties to the SMALLEST
+    // label) over the frequent co-purchase graph — the source-grouping
+    // companion to graph_kcore's cohesion peel. The oracle unrolls the
+    // identical rounds (MATERIALIZED per the kcore precedent) with the
+    // tie-break spelled as row_number(cnt DESC, label ASC), so agreement
+    // checks the struct-max argmax trick, not just the counting.
+    "graph_labelprop" -> Q(
+      (s, dir) => graft.llm.Centrality.labelPropagation(
+        coPurchaseEdges(s, dir), "a", "b", rounds = 3),
+      Some {
+        val rounds = (1 to 3).map { i =>
+          s""",
+             |m$i AS MATERIALIZED (SELECT e.dst AS node, l.label,
+             |  CAST(count(*) AS BIGINT) AS cnt
+             |  FROM e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2),
+             |l$i AS MATERIALIZED (SELECT node, label FROM (
+             |  SELECT node, label, row_number() OVER (PARTITION BY node
+             |    ORDER BY cnt DESC, label) AS rn FROM m$i) WHERE rn = 1)"""
+            .stripMargin
+        }.mkString
+        s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           |  FROM lineitem),
+           |e0 AS MATERIALIZED (SELECT a.p AS a, b.p AS b FROM items a
+           |       JOIN items b ON a.o = b.o AND a.p < b.p
+           |       GROUP BY 1, 2 HAVING count(*) >= 2),
+           |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+           |       UNION ALL SELECT b, a FROM e0),
+           |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label
+           |       FROM e)$rounds
+           |SELECT node, label FROM l3""".stripMargin
+      }),
+
+    // Trend fitting: per-type simple OLS (value ~ k) via the closed-form
+    // normal equations — slope/intercept/r2 from ONE pass of exact
+    // decimal sufficient sums (the events_corr recipe), doubles only in
+    // the final projections, whose parenthesization the oracle mirrors
+    // verbatim.
+    "events_ols_trend" -> Q(
+      (s, dir) => Aggs.olsSimple(
+        Tables.events(s, dir)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int")),
+        "event_type", "k", "value"),
+      Some("""WITH a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  sum(CAST(CAST(json_extract_string(props, '$.k') AS INT)
+             |      AS DECIMAL(18,2))) AS sx,
+             |  sum(CAST(value AS DECIMAL(18,2))) AS sy,
+             |  sum(CAST(CAST(json_extract_string(props, '$.k') AS INT)
+             |      AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sxy,
+             |  sum(CAST(CAST(json_extract_string(props, '$.k') AS INT)
+             |      AS DECIMAL(18,2))
+             |    * CAST(CAST(json_extract_string(props, '$.k') AS INT)
+             |      AS DECIMAL(18,2))) AS sx2,
+             |  sum(CAST(value AS DECIMAL(18,2))
+             |    * CAST(value AS DECIMAL(18,2))) AS sy2
+             |  FROM events GROUP BY 1)
+             |SELECT event_type, n,
+             |  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |  / nullif(n * CAST(sx2 AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
+             |    AS slope,
+             |  (CAST(sy AS DOUBLE) -
+             |    ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |     / nullif(n * CAST(sx2 AS DOUBLE)
+             |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+             |    * CAST(sx AS DOUBLE)) / n AS intercept,
+             |  ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |   * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             |  / nullif(nullif(n * CAST(sx2 AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
+             |   * (n * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+             |   0.0) AS r2
+             |FROM a""".stripMargin)),
+
+    // Distribution-drift audit #1: per-bin PSI contributions between the
+    // first and second half of the month (Laplace-smoothed shares over
+    // the global-min/max histogram bins; counts exact, ln pinned to
+    // micro-units per bin BEFORE any cross-bin sum).
+    "dq_psi_drift" -> Q(
+      (s, dir) => graft.ops.Checks.psiDrift(
+        Tables.events(s, dir), "value",
+        col("ts") < lit("2024-01-16").cast("timestamp"), nBins = 10),
+      Some("""WITH base AS (SELECT value AS v,
+             |  (ts < TIMESTAMP '2024-01-16') AS a
+             |  FROM events WHERE value IS NOT NULL),
+             |b AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
+             |binned AS (SELECT CASE WHEN hi > lo THEN
+             |    CAST(least(greatest(floor((v - lo) / ((hi - lo) / 10)),
+             |      0), 9) AS INT)
+             |  ELSE 0 END AS bin, a FROM base CROSS JOIN b),
+             |c AS (SELECT bin,
+             |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |  CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+             |  FROM binned GROUP BY 1),
+             |f AS (SELECT CAST(r.range AS INT) AS bin,
+             |  coalesce(c.n_a, 0) AS n_a, coalesce(c.n_b, 0) AS n_b
+             |  FROM range(10) r LEFT JOIN c ON r.range = c.bin),
+             |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+             |  CAST(sum(n_b) AS BIGINT) AS tb FROM f)
+             |SELECT bin, n_a, n_b,
+             |  CAST(floor((CAST(n_a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE)
+             |    - CAST(n_b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE))
+             |   * ln((CAST(n_a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE))
+             |     / (CAST(n_b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE)))
+             |   * 1e6 + 0.5) AS BIGINT) AS psi_micro
+             |FROM f CROSS JOIN t""".stripMargin)),
+
+    // Distribution-drift audit #2: the exact KS statistic between the
+    // same two cohorts in ppm — integer cross-multiplied CDFs over the
+    // distinct-value frame (two-phase prefix sums, no global window),
+    // one DECIMAL division at the single-row edge.
+    "dq_ks_drift" -> Q(
+      (s, dir) => graft.ops.Checks.ksDrift(
+        Tables.events(s, dir), "value",
+        col("ts") < lit("2024-01-16").cast("timestamp")),
+      Some("""WITH c AS (SELECT value AS v,
+             |  CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             |  CAST(sum(CASE WHEN NOT (ts < TIMESTAMP '2024-01-16')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS cb
+             |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+             |cum AS (SELECT v, sum(ca) OVER w AS cum_ca,
+             |  sum(cb) OVER w AS cum_cb FROM c
+             |  WINDOW w AS (ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+             |  CAST(sum(cb) AS BIGINT) AS n_b FROM c),
+             |m AS (SELECT max(abs(cum_ca * n_b - cum_cb * n_a)) AS max_diff
+             |  FROM cum CROSS JOIN t)
+             |SELECT n_a, n_b,
+             |  CAST((CAST(max_diff AS HUGEINT) * 1000000)
+             |    // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ks_ppm
+             |FROM t CROSS JOIN m""".stripMargin)),
+
+    // Count-min-sketch audit over the exact top-20 heavy hitters: the
+    // 4x256 counter matrix from portable hash60 buckets, estimates =
+    // min over each key's 4 counters, next to the true counts and the
+    // can't-underestimate guarantee flag. Like a2_hll_sketch the
+    // arithmetic is all-integer, so the ESTIMATE is oracle-checked
+    // exactly, not just its contract.
+    "a2_cms_topk" -> Q(
+      (s, dir) => Aggs.cmsHeavyHitters(
+        Tables.lineitem(s, dir), "l_partkey", depth = 4, width = 256, k = 20),
+      Some("""WITH keys AS (SELECT CAST(l_partkey AS VARCHAR) AS ks
+             |  FROM lineitem),
+             |cells AS (SELECT r.range AS r,
+             |  CAST(CAST('0x' || substr(md5('cms:' || CAST(r.range AS VARCHAR)
+             |    || ':' || ks), 1, 15) AS BIGINT) % 256 AS INT) AS b
+             |  FROM keys CROSS JOIN range(4) r),
+             |counters AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c
+             |  FROM cells GROUP BY 1, 2),
+             |cnt AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+             |  FROM lineitem GROUP BY 1),
+             |top AS (SELECT l_partkey, n FROM (SELECT l_partkey, n,
+             |  row_number() OVER (ORDER BY n DESC, l_partkey) AS rn FROM cnt)
+             |  WHERE rn <= 20),
+             |probes AS (SELECT t.l_partkey, t.n, r.range AS r,
+             |  CAST(CAST('0x' || substr(md5('cms:' || CAST(r.range AS VARCHAR)
+             |    || ':' || CAST(t.l_partkey AS VARCHAR)), 1, 15) AS BIGINT)
+             |    % 256 AS INT) AS b
+             |  FROM top t CROSS JOIN range(4) r)
+             |SELECT p.l_partkey, p.n, min(c.c) AS cms_est,
+             |  CAST(CASE WHEN min(c.c) >= p.n THEN 1 ELSE 0 END AS INT)
+             |    AS over_ok
+             |FROM probes p JOIN counters c ON p.r = c.r AND p.b = c.b
+             |GROUP BY 1, 2""".stripMargin)),
+
     // S8 + S10 - NDJSON sink + truncate-reload into the warehouse registry
     // (transform_json_INFO.py:104-119, WRITE_TRUNCATE).
     "s8_s10_ndjson_roundtrip" -> Q(

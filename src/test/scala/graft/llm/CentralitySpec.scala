@@ -118,3 +118,35 @@ class CentralitySpec extends SparkSpec {
     }
   }
 }
+
+class LabelPropagationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("labelPropagation: two disconnected triangles converge to their " +
+    "min-id labels; deterministic ties pick the smallest label") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val out = Centrality.labelPropagation(edges, "a", "b", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("labelPropagation: duplicate/reversed/self-loop edges normalize " +
+    "away; negative node ids fail loud") {
+    val messy = Seq(
+      (2L, 1L), (1L, 2L), (2L, 3L), (3L, 3L), (1L, 3L)).toDF("a", "b")
+    val out = Centrality.labelPropagation(messy, "a", "b", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+
+    val bad = Seq((-1L, 2L), (2L, 3L)).toDF("a", "b")
+    val e = intercept[Exception] {
+      Centrality.labelPropagation(bad, "a", "b", rounds = 1)
+        .collect()
+    }
+    assert(e.getMessage.contains("negative node id") ||
+      Option(e.getCause).exists(_.getMessage.contains("negative node id")))
+  }
+}

@@ -789,6 +789,19 @@ class SimilaritySpec extends SparkSpec {
       numPlanes = 4, numTables = 4).isEmpty)
   }
 
+  test("rangeSearch returns exactly the non-self pairs at/above the " +
+    "cosine threshold, and never a self pair") {
+    // v0 ∥ v1 (cos 1), v0 ⊥ v2 (cos 0), v0 vs v3 at cos ≈ 0.707.
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(2.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.rangeSearch(vecs, vecs.filter($"vec_id" < 2),
+        "vec_id", "embedding", minCos = 0.5)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect().toSet
+    assert(out === Set((0L, 1L), (0L, 3L), (1L, 0L), (1L, 3L)))
+  }
+
   test("bruteForceTopK ranks by cosine, excludes self, breaks ties by id") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),

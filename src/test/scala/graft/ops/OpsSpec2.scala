@@ -690,3 +690,87 @@ class DynamicOverwriteSpec extends SparkSpec {
     }
   }
 }
+
+class AnalyticsDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("olsSimple recovers an exact line (slope 2, intercept 1, r2 1) " +
+    "and yields NULLs for a zero-variance group") {
+    val rows = Seq(
+      ("g", 1.0, 3.0), ("g", 2.0, 5.0), ("g", 3.0, 7.0), ("g", 4.0, 9.0),
+      ("flat", 5.0, 1.0), ("flat", 5.0, 2.0))
+      .toDF("grp", "x", "y")
+    val out = Aggs.olsSimple(rows, "grp", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(g.getLong(1) === 4L)
+    assert(math.abs(g.getDouble(2) - 2.0) < 1e-12)
+    assert(math.abs(g.getDouble(3) - 1.0) < 1e-12)
+    assert(math.abs(g.getDouble(4) - 1.0) < 1e-12)
+    val flat = out("flat")
+    assert(flat.isNullAt(2) && flat.isNullAt(3) && flat.isNullAt(4))
+  }
+
+  test("prefixSums matches a single-partition window reference on a " +
+    "multi-partition frame") {
+    val df = (1 to 500).map(i => (i.toLong, (i % 7).toLong, (i % 3).toLong))
+      .toDF("v", "ca", "cb").repartition(8)
+    val out = Windows.prefixSums(df, Materialize.Local,
+      Seq(col("v")), Seq("ca", "cb"))
+      .select("v", "cum_ca", "cum_cb").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    var (ra, rb) = (0L, 0L)
+    (1 to 500).zip(out).foreach { case (i, (v, ca, cb)) =>
+      assert(v === i.toLong)
+      ra += i % 7; rb += i % 3
+      assert(ca === ra, s"cum_ca at $i")
+      assert(cb === rb, s"cum_cb at $i")
+    }
+  }
+
+  test("psiDrift: identical cohorts give zero PSI in every bin; a " +
+    "disjoint shift gives a large positive total") {
+    val same = (1 to 100).flatMap(i =>
+      Seq((i.toDouble, true), (i.toDouble, false))).toDF("v", "a")
+    val zero = Checks.psiDrift(same, "v", col("a"), nBins = 10)
+    assert(zero.count() === 10L)
+    assert(zero.agg(sum(abs(col("psi_micro")))).as[Long].head() === 0L)
+
+    val shifted = ((1 to 100).map(i => (i.toDouble, true)) ++
+      (101 to 200).map(i => (i.toDouble, false))).toDF("v", "a")
+    val psi = Checks.psiDrift(shifted, "v", col("a"), nBins = 10)
+      .agg(sum(col("psi_micro"))).as[Long].head()
+    // Disjoint supports: PSI far beyond the 0.25 alarm (in micro-units).
+    assert(psi > 250000L, s"psi_micro total $psi")
+  }
+
+  test("ksDrift: disjoint cohorts hit D = 1 (1e6 ppm), identical " +
+    "cohorts hit 0") {
+    val disjoint = ((1 to 50).map(i => (i.toDouble, true)) ++
+      (51 to 100).map(i => (i.toDouble, false))).toDF("v", "a")
+    val d1 = Checks.ksDrift(disjoint, "v", col("a"))
+      .select("n_a", "n_b", "ks_ppm").as[(Long, Long, Long)].head()
+    assert(d1 === ((50L, 50L, 1000000L)))
+
+    val same = (1 to 100).flatMap(i =>
+      Seq((i.toDouble, true), (i.toDouble, false))).toDF("v", "a")
+    val d0 = Checks.ksDrift(same, "v", col("a"))
+      .select("ks_ppm").as[Long].head()
+    assert(d0 === 0L)
+  }
+
+  test("cmsHeavyHitters: estimates can never undercount, and the exact " +
+    "top keys surface with their true counts") {
+    val data = (1 to 400).map(i => i % 20).map(k => s"k$k").toDF("key")
+      .union(Seq.fill(50)("hot").toDF("key"))
+    val out = Aggs.cmsHeavyHitters(data, "key", depth = 4, width = 64, k = 5)
+      .collect()
+    assert(out.length === 5)
+    out.foreach { r =>
+      assert(r.getInt(3) === 1, s"over_ok for ${r.getString(0)}")
+      assert(r.getLong(2) >= r.getLong(1))
+    }
+    val hot = out.find(_.getString(0) == "hot").get
+    assert(hot.getLong(1) === 50L)
+  }
+}
