@@ -304,6 +304,44 @@ object Curation {
     df.filter(bucket < ppm)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement, exact size k —
+    * the Efraimidis–Spirakis A-ES scheme (2006, public): each row draws
+    * u from the hash lattice and scores key = ln(u)/w; the k LARGEST
+    * keys are a weighted-without-replacement sample (P(row first) =
+    * w/Σw). The exact-COUNT weighted complement of
+    * [[scoreWeightedSample]]'s Bernoulli rate filter — what a budgeted
+    * curation step uses when "exactly k docs, longer/better ones
+    * proportionally likelier" is the contract.
+    *
+    * Determinism: u is the half-open lattice (h60(salt‖id)%1e6 + 0.5)/1e6
+    * (the [[graft.ops.Checks.dpNoisyCounts]] trick — never 0 or 1, so
+    * ln(u) ∈ [−13.8, 0)), keys pin to integer 1e-12 units before
+    * ordering, and ties (only possible at equal pinned keys) break on
+    * the id — a pure function of (data, salt) on any engine. Rows with
+    * non-positive or NULL weight are excluded (zero weight means "never
+    * sample"; a negative one is meaningless).
+    *
+    * Scale shape: one scan projecting the key + TakeOrderedAndProject
+    * (per-partition k-heaps, k rows per partition to the driver-side
+    * gather) — the [[uniformSample]] shape, no global sort.
+    *
+    * @return the k sampled rows (all caller columns) + `key_units`
+    */
+  def weightedSampleExactK(df: DataFrame, idCol: String, weightCol: String,
+                           k: Int, salt: String = "ws:"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(!df.columns.contains("key_units"),
+      "weightedSampleExactK appends 'key_units'; rename the caller's")
+    val u = (pmod(hash60(concat(lit(salt), col(idCol).cast("string"))),
+      lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000.0)
+    val w = col(weightCol).cast("double")
+    df.filter(w > lit(0.0))
+      .withColumn("key_units",
+        floor(log(u) / w * lit(1e12) + lit(0.5)).cast("long"))
+      .orderBy(col("key_units").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic weighted domain-mix downsampling — the data-mixing
     * step of a training-pipeline: keep each row of domain `d` with
     * probability `weights(d)` (ppm precision; `defaultWeight` for

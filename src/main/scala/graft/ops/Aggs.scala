@@ -300,6 +300,43 @@ object Aggs {
         ((cov * cov) / nullif(varX * varY, lit(0.0))).as("r2"))
   }
 
+  /** Per-group robust outlier screen via MEDIAN / MAD (median absolute
+    * deviation) — the heavy-tail-safe companion to the z-score screen
+    * (one wild value drags a mean/stddev enough to mask itself; it
+    * moves a median by at most one rank). Flags rows with
+    * |x − median| > k·MAD and reports per-group medians, MADs, and
+    * outlier counts.
+    *
+    * Three passes by necessity (median → deviations → MAD → count):
+    * each is a grouped aggregate + a broadcast of the group-cardinality
+    * frame — no data-scale shuffle beyond the grouped aggregations.
+    * Like [[winsorize]], the percentile is EXACT (interpolated, the
+    * engine-portable definition the oracle's quantile_cont matches);
+    * the exact aggregate buffers each group's values, so at extreme
+    * per-group cardinalities callers trade to approx_percentile and a
+    * contract oracle — the documented winsorize trade.
+    *
+    * @return one row per group: (group, med, mad, n, n_outliers)
+    */
+  def madOutliers(df: DataFrame, group: String, valueCol: String,
+                  k: Double): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val base = df.select(col(group), col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val med = base.groupBy(col(group))
+      .agg(expr(s"percentile(__v, 0.5)").as("med"))
+    val dev = base.join(broadcast(med), Seq(group))
+      .withColumn("__dev", abs(col("__v") - col("med")))
+    val mad = dev.groupBy(col(group))
+      .agg(expr("percentile(__dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq(group))
+      .groupBy(col(group))
+      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("__dev") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   /** Count-min-sketch frequency audit over the exact heavy hitters: one
     * pass builds the depth×width counter matrix (each row a distinct
     * hash of the key), then the exact top-`k` keys' sketch estimates —

@@ -274,6 +274,46 @@ object Checks {
         .cast("long").as("psi_micro"))
   }
 
+  /** Chi-squared homogeneity statistic between two cohorts over a
+    * CATEGORICAL column — the drift screen for discrete features
+    * ([[psiDrift]]/[[ksDrift]] cover numeric ones). Per category, the
+    * observed (cohort A, cohort B) cell counts are tested against the
+    * homogeneity expectation e = rowTotal·cohortTotal/grandTotal; the
+    * output carries each category's contribution (both cells) pinned to
+    * integer micro-units BEFORE any cross-category sum, so Σ is exact
+    * and comparable to the χ² critical value at (categories−1) d.o.f.
+    *
+    * One map-side-combined category count; totals ride a window over
+    * the category-cardinality frame. Doubles appear only in the final
+    * per-category projection, mirrored verbatim by the oracle. An empty
+    * cohort makes every expectation 0 and the statistic undefined —
+    * NULL via nullif, not a division error.
+    *
+    * @return one row per category: (catCol, n_a, n_b, chi2_micro)
+    */
+  def chi2Drift(df: DataFrame, catCol: String, isA: Column): DataFrame = {
+    val counts = df.select(col(catCol).as(catCol), isA.as("__a"))
+      .filter(col(catCol).isNotNull)
+      .groupBy(col(catCol))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+           sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
+    val tw = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val ta = sum(col("n_a")).over(tw)
+    val tb = sum(col("n_b")).over(tw)
+    val rowT = (col("n_a") + col("n_b")).cast("double")
+    val tot = (ta + tb).cast("double")
+    val ea = nullif(rowT * ta.cast("double") / tot, lit(0.0))
+    val eb = nullif(rowT * tb.cast("double") / tot, lit(0.0))
+    val oa = col("n_a").cast("double")
+    val ob = col("n_b").cast("double")
+    counts.select(col(catCol), col("n_a"), col("n_b"),
+      floor(((oa - ea) * (oa - ea) / ea + (ob - eb) * (ob - eb) / eb)
+        * lit(1e6) + lit(0.5)).cast("long").as("chi2_micro"))
+  }
+
   /** Kolmogorov–Smirnov drift statistic between two cohorts: the max
     * over all values of |F_a(v) − F_b(v)|, reported in exact ppm — the
     * distribution-free companion to [[psiDrift]] (no binning choice, so

@@ -2271,6 +2271,25 @@ object LlmQueries {
               |  < CAST(floor(least(greatest(quality, 0.0), 1.0) * 1e6)
               |         AS BIGINT)""".stripMargin)),
 
+    // Exact-k weighted sampling without replacement (Efraimidis–
+    // Spirakis): 200 docs with probability proportional to length —
+    // keys = ln(u)/w from the hash lattice, pinned to 1e-12 units, top-k
+    // by (key, doc_id). The exact-count weighted complement of
+    // llm_quality_sample's Bernoulli rate filter.
+    "llm_weighted_sample" -> Q(
+      (s, dir) => Curation.weightedSampleExactK(
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 200),
+      Some(s"""WITH u AS (SELECT doc_id, n_chars,
+              |  (CAST(${h60("'ws:' || CAST(doc_id AS VARCHAR)")} % 1000000
+              |     AS DOUBLE) + 0.5) / 1000000.0 AS u
+              |  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0.0),
+              |k AS (SELECT doc_id, n_chars,
+              |  CAST(floor(ln(u) / CAST(n_chars AS DOUBLE) * 1e12 + 0.5)
+              |    AS BIGINT) AS key_units FROM u)
+              |SELECT doc_id, n_chars, key_units FROM k
+              |ORDER BY key_units DESC, doc_id LIMIT 200""".stripMargin)),
+
     // Corpus length distribution per language: exact interpolated
     // percentiles (the curation dashboard numbers).
     "llm_quality_quantiles" -> Q(

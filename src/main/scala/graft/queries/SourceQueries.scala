@@ -592,6 +592,58 @@ object SourceQueries {
              |    // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ks_ppm
              |FROM t CROSS JOIN m""".stripMargin)),
 
+    // Distribution-drift audit #3: chi-squared homogeneity over the
+    // CATEGORICAL event_type between the same two time cohorts —
+    // per-category contributions pinned to micro-units before any sum,
+    // expectations from exact counts with the parenthesization mirrored.
+    "dq_chi2_drift" -> Q(
+      (s, dir) => graft.ops.Checks.chi2Drift(
+        Tables.events(s, dir), "event_type",
+        col("ts") < lit("2024-01-16").cast("timestamp")),
+      Some("""WITH c AS (SELECT event_type,
+             |  CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |  CAST(sum(CASE WHEN NOT (ts < TIMESTAMP '2024-01-16')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+             |  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+             |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+             |  CAST(sum(n_b) AS BIGINT) AS tb FROM c),
+             |e AS (SELECT event_type, n_a, n_b,
+             |  nullif(CAST(n_a + n_b AS DOUBLE) * CAST(ta AS DOUBLE)
+             |    / CAST(ta + tb AS DOUBLE), 0.0) AS ea,
+             |  nullif(CAST(n_a + n_b AS DOUBLE) * CAST(tb AS DOUBLE)
+             |    / CAST(ta + tb AS DOUBLE), 0.0) AS eb
+             |  FROM c CROSS JOIN t)
+             |SELECT event_type, n_a, n_b,
+             |  CAST(floor(((CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea)
+             |      / ea
+             |    + (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb)
+             |      / eb) * 1e6 + 0.5) AS BIGINT) AS chi2_micro
+             |FROM e""".stripMargin)),
+
+    // Per-type robust outliers: median/MAD screen (|x - med| > 3*MAD) —
+    // the heavy-tail-safe companion to events_anomaly_zscore; exact
+    // interpolated percentiles match quantile_cont (the winsorize
+    // parity).
+    "events_anomaly_mad" -> Q(
+      (s, dir) => Aggs.madOutliers(
+        Tables.events(s, dir), "event_type", "value", k = 3.0),
+      Some("""WITH base AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+             |  FROM events WHERE value IS NOT NULL),
+             |med AS (SELECT event_type, quantile_cont(v, 0.5) AS med
+             |  FROM base GROUP BY 1),
+             |dev AS (SELECT b.event_type, b.v, m.med,
+             |  abs(b.v - m.med) AS dev
+             |  FROM base b JOIN med m USING (event_type)),
+             |mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+             |  FROM dev GROUP BY 1)
+             |SELECT d.event_type, max(d.med) AS med, max(m.mad) AS mad,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN d.dev > 3.0 * m.mad THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_outliers
+             |FROM dev d JOIN mad m USING (event_type)
+             |GROUP BY 1""".stripMargin)),
+
     // Count-min-sketch audit over the exact top-20 heavy hitters: the
     // 4x256 counter matrix from portable hash60 buckets, estimates =
     // min over each key's 4 counters, next to the true counts and the

@@ -774,3 +774,52 @@ class AnalyticsDriftSpec extends SparkSpec {
     assert(hot.getLong(1) === 50L)
   }
 }
+
+class DriftSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chi2Drift: identical cohort distributions give zero in every " +
+    "category; a shifted one is positive") {
+    val same = (1 to 60).flatMap(i =>
+      Seq((s"t${i % 3}", true), (s"t${i % 3}", false))).toDF("cat", "a")
+    val zero = Checks.chi2Drift(same, "cat", col("a"))
+    assert(zero.count() === 3L)
+    assert(zero.agg(sum(abs(col("chi2_micro")))).as[Long].head() === 0L)
+
+    val skew = ((1 to 90).map(_ => ("x", true)) ++
+      (1 to 10).map(_ => ("y", true)) ++
+      (1 to 10).map(_ => ("x", false)) ++
+      (1 to 90).map(_ => ("y", false))).toDF("cat", "a")
+    val chi = Checks.chi2Drift(skew, "cat", col("a"))
+      .agg(sum(col("chi2_micro"))).as[Long].head()
+    // 2x2 with an 80-point swap: chi2 = 128 -> 128e6 micro-units.
+    assert(chi === 128000000L)
+  }
+
+  test("madOutliers: med 5 / MAD 2 on 1..9, exactly the two extreme " +
+    "rows flagged at k = 1.5") {
+    val df = (1 to 9).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val r = Aggs.madOutliers(df, "grp", "v", k = 1.5).collect().head
+    assert(r.getDouble(1) === 5.0)
+    assert(r.getDouble(2) === 2.0)
+    assert(r.getLong(3) === 9L)
+    assert(r.getLong(4) === 2L)
+  }
+
+  test("weightedSampleExactK: exact k, deterministic, excludes " +
+    "non-positive weights, and weight skew shows up in selection rates") {
+    val docs = ((1 to 500).map(i => (i.toLong, 1L)) ++
+      (501 to 550).map(i => (i.toLong, 1000L)) ++
+      Seq((900L, 0L), (901L, -5L))).toDF("doc_id", "w")
+    val s1 = graft.llm.Curation.weightedSampleExactK(docs, "doc_id", "w", 50)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = graft.llm.Curation.weightedSampleExactK(docs, "doc_id", "w", 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 === s2)
+    assert(s1.size === 50)
+    assert(!s1.contains(900L) && !s1.contains(901L))
+    // The 50 heavy rows are 1000x likelier: essentially all of them make
+    // the cut (P(heavy row beaten by enough light rows) is negligible).
+    assert(s1.count(_ > 500L) >= 45, s"heavy picked ${s1.count(_ > 500L)}")
+  }
+}
