@@ -1236,6 +1236,34 @@ object Similarity {
       spark.read.parquet(s"$indexPath/centroids"),
       queries, idCol, vecCol, k, nProbe)
 
+  /** RANGE search against a [[writeIvfIndex]] layout: every non-self
+    * pair at cosine >= `minCos` among the `nProbe` DPP-pruned cells per
+    * query — [[rangeSearch]]'s scale path. Scores come from the same
+    * exact cosine fold over the index's stored vectors, so the result
+    * is always a SUBSET of the brute range set (a pruned cell can only
+    * lose neighbors, never fabricate or mis-score one) — which is what
+    * the contract row checks. No heap at all: past the broadcast probe
+    * join this is a pure codegen filter over nProbe/nCells of the data.
+    */
+  def ivfRangeFromIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String, queries: DataFrame, idCol: String,
+                        vecCol: String, minCos: Double,
+                        nProbe: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{dot => dotc}
+    val cells = spark.read.parquet(s"$indexPath/corpus")
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+    val q = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("qnorm", sqrt(dotc(col("qv"), col("qv"))))
+    val probes = rankCells(q, centroids, nProbe).join(q, Seq("query_id"))
+    cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos",
+        dotc(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
+      .filter(col("cos") >= lit(minCos))
+      .select(col("query_id"), col("cand_id"), col("cos"))
+  }
+
   /** Materialize the IVF-PQ write-time layout — the production ANN
     * index shape (FAISS's IVF-PQ as dataflow, public): the corpus is
     * unit-normalized ONCE, coarse-quantized into `nCells` IVF cells

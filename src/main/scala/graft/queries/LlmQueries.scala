@@ -2228,6 +2228,47 @@ object LlmQueries {
       Some("""SELECT DISTINCT vec_id AS query_id, CAST(1 AS INT) AS meets_floor
              |FROM embeddings WHERE vec_id < 10""".stripMargin)),
 
+    // Range search's SCALE path: radius probe against the write-time
+    // IVF index (nProbe=5 of 10 DPP-pruned cells). Contract oracle (the
+    // KMeans cells aren't SQL-replicable): per query, the result must
+    // be a SUBSET of the brute range set (pruning can only lose
+    // neighbors — exact scores make fabrication impossible), every
+    // score at/above the threshold, and recall vs brute >= 0.3 (measured
+    // 0.62-1.00 across sf0.001/0.01/0.1; a broken probe lands 0.0).
+    "llm_sim_range_ivf" -> Q(
+      (s, dir) => {
+        val fix = ensureIvfIndex(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") < 10)
+        val brute = Similarity.rangeSearch(emb, q, "vec_id", "embedding",
+          minCos = 0.25)
+        val approx = Similarity.ivfRangeFromIndex(s, fix, q, "vec_id",
+          "embedding", minCos = 0.25, nProbe = 5)
+        val bn = brute.groupBy(col("query_id"))
+          .agg(count(lit(1)).as("brute_n"))
+        val an = approx.groupBy(col("query_id"))
+          .agg(count(lit(1)).as("approx_n"), min(col("cos")).as("min_cos"))
+        val hits = brute
+          .join(approx, Seq("query_id", "cand_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+        q.select(col("vec_id").as("query_id")).distinct()
+          .join(bn, Seq("query_id"), "left")
+          .join(an, Seq("query_id"), "left")
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            (coalesce(col("n_hits"), lit(0L)) ===
+              coalesce(col("approx_n"), lit(0L))).cast("int").as("subset_ok"),
+            coalesce(col("min_cos") >= lit(0.25), lit(true)).cast("int")
+              .as("cos_floor_ok"),
+            when(col("brute_n").isNull, lit(1))
+              .otherwise((coalesce(col("n_hits"), lit(0L)).cast("double") /
+                col("brute_n") >= lit(0.3)).cast("int"))
+              .as("recall_floor_ok"))
+      },
+      Some("""SELECT DISTINCT vec_id AS query_id, CAST(1 AS INT) AS subset_ok,
+             |CAST(1 AS INT) AS cos_floor_ok, CAST(1 AS INT) AS recall_floor_ok
+             |FROM embeddings WHERE vec_id < 10""".stripMargin)),
+
     // Language ID over the documents corpus.
     "llm_langid" -> Q(
       (s, dir) => Tables.documents(s, dir)

@@ -789,6 +789,40 @@ class SimilaritySpec extends SparkSpec {
       numPlanes = 4, numTables = 4).isEmpty)
   }
 
+  test("ivfRangeFromIndex: subset of brute at full probe width it IS " +
+    "brute; scores carry the exact cosine") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfrange").toString
+    try {
+      // Two tight clusters far apart: range neighbors = own cluster.
+      val vecs = ((0 until 12).map(i =>
+        (i.toLong, Seq(10.0f + i % 3, 1.0f))) ++
+        (12 until 24).map(i => (i.toLong, Seq(-10.0f - i % 3, 1.0f))))
+        .toDF("vec_id", "embedding")
+      Similarity.writeIvfIndex(vecs, "vec_id", "embedding", nCells = 2,
+        path = dir)
+      val q = vecs.filter($"vec_id" === 0L || $"vec_id" === 12L)
+      val brute = Similarity.rangeSearch(vecs, q, "vec_id", "embedding", 0.9)
+        .select($"query_id", $"cand_id", $"cos")
+        .as[(Long, Long, Double)].collect().toSet
+      // Probing ALL cells makes the pruned result exactly brute.
+      val full = Similarity.ivfRangeFromIndex(spark, dir, q, "vec_id",
+          "embedding", 0.9, nProbe = 2)
+        .select($"query_id", $"cand_id", $"cos")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(full === brute)
+      // At nProbe=1 still a subset, and cross-cluster pairs never appear.
+      val pruned = Similarity.ivfRangeFromIndex(spark, dir, q, "vec_id",
+          "embedding", 0.9, nProbe = 1)
+        .select($"query_id", $"cand_id", $"cos")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pruned.subsetOf(brute))
+      assert(pruned.forall { case (qid, cid, _) =>
+        (qid < 12) == (cid < 12) })
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("rangeSearch returns exactly the non-self pairs at/above the " +
     "cosine threshold, and never a self pair") {
     // v0 ∥ v1 (cos 1), v0 ⊥ v2 (cos 0), v0 vs v3 at cos ≈ 0.707.
