@@ -237,6 +237,19 @@ object Checks {
     *            the reference side); evaluated before binning.
     * @return one row per bin: (bin, n_a, n_b, psi_micro)
     */
+  /** The ONE equal-width binning expression every histogram-drift
+    * consumer shares ([[psiDrift]], [[writeDriftReference]],
+    * [[psiAgainstReference]], and their oracles replicate it verbatim):
+    * values outside [lo, hi] clamp into the edge bins — exactly what a
+    * frozen-reference monitor needs for out-of-range arrivals.
+    */
+  private def binExpr(v: Column, lo: Column, hi: Column,
+                      nBins: Int): Column =
+    when(hi > lo,
+      least(greatest(floor((v - lo) / ((hi - lo) / lit(nBins.toDouble))),
+        lit(0.0)), lit((nBins - 1).toDouble)).cast("int"))
+      .otherwise(lit(0))
+
   def psiDrift(df: DataFrame, valueCol: String, isA: Column,
                nBins: Int): DataFrame = {
     require(nBins > 0, s"nBins must be positive, got $nBins")
@@ -246,11 +259,7 @@ object Checks {
     val bounds = base.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
     val binned = base.crossJoin(broadcast(bounds))
       .select(
-        when(col("__hi") > col("__lo"),
-          least(greatest(floor((col("__v") - col("__lo")) /
-            ((col("__hi") - col("__lo")) / lit(nBins.toDouble))), lit(0.0)),
-            lit((nBins - 1).toDouble)).cast("int"))
-          .otherwise(lit(0)).as("bin"),
+        binExpr(col("__v"), col("__lo"), col("__hi"), nBins).as("bin"),
         col("__a"))
       .groupBy(col("bin"))
       .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
@@ -271,6 +280,77 @@ object Checks {
       (sum(col("n_b")).over(tw) + lit(nBins.toLong)).cast("double")
     full.select(col("bin"), col("n_a"), col("n_b"),
       floor((pa - pb) * log(pa / pb) * lit(1e6) + lit(0.5))
+        .cast("long").as("psi_micro"))
+  }
+
+  /** Freeze the drift-monitor REFERENCE artifact: the value column's
+    * equal-width histogram (bin edges from the reference's own min/max,
+    * per-bin counts, empty bins kept) written as a tiny versioned
+    * parquet — the distribution a streaming monitor compares every
+    * arriving batch against. Freezing matters: recomputing edges per
+    * batch would let drift move the yardstick it is measured by (the
+    * same posture as the frozen KN-LM / classifier gate artifacts).
+    *
+    * Artifact schema, one row per bin: (bin, n_ref, lo, hi) with the
+    * global edges repeated per row so a consumer needs no second read.
+    */
+  def writeDriftReference(df: DataFrame, valueCol: String, nBins: Int,
+                          path: String): Unit = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val spark = df.sparkSession
+    val base = df.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val bounds = base.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val counts = base.crossJoin(broadcast(bounds))
+      .select(binExpr(col("__v"), col("__lo"), col("__hi"), nBins).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_ref"))
+    spark.range(nBins).select(col("id").cast("int").as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .crossJoin(broadcast(bounds.select(
+        col("__lo").as("lo"), col("__hi").as("hi"))))
+      .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        col("lo"), col("hi"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** PSI of `arriving` against a FROZEN [[writeDriftReference]]
+    * artifact — the per-batch body of the streaming drift monitor.
+    * Arrivals bin with the artifact's edges (out-of-range values clamp
+    * into the edge bins), shares are Laplace-smoothed exactly as in
+    * [[psiDrift]], and each bin's contribution pins to micro-units.
+    * The artifact is nBins rows, so reading it per batch costs nothing;
+    * the arriving side is one map-side-combined bin count.
+    *
+    * @return one row per bin: (bin, n_ref, n_new, psi_micro)
+    */
+  def psiAgainstReference(spark: org.apache.spark.sql.SparkSession,
+                          refPath: String, arriving: DataFrame,
+                          valueCol: String): DataFrame = {
+    val ref = spark.read.parquet(refPath)
+    // Bounded driver read: the artifact is nBins rows by construction.
+    val head = ref.agg(max(col("bin")).cast("int").as("mb"),
+      max(col("lo")).as("lo"), max(col("hi")).as("hi")).head()
+    val (nBins, lo, hi) = (head.getInt(0) + 1, head.getDouble(1),
+      head.getDouble(2))
+    val newCounts = arriving
+      .select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .select(binExpr(col("__v"), lit(lo), lit(hi), nBins).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_new"))
+    val full = ref.select(col("bin"), col("n_ref"))
+      .join(newCounts, Seq("bin"), "left")
+      .select(col("bin"), col("n_ref"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val tw = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val pr = (col("n_ref") + lit(1L)).cast("double") /
+      (sum(col("n_ref")).over(tw) + lit(nBins.toLong)).cast("double")
+    val pn = (col("n_new") + lit(1L)).cast("double") /
+      (sum(col("n_new")).over(tw) + lit(nBins.toLong)).cast("double")
+    full.select(col("bin"), col("n_ref"), col("n_new"),
+      floor((pn - pr) * log(pn / pr) * lit(1e6) + lit(0.5))
         .cast("long").as("psi_micro"))
   }
 

@@ -138,6 +138,19 @@ object LlmQueries {
     fix
   }
 
+  /** Ensure the frozen drift-reference histogram for `dir`'s first-half
+    * events exists; return its path (same contract as [[ensureKnLm]]).
+    */
+  def ensureDriftRef(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val fix = s"/tmp/graft_fixtures/driftref_v1_${fingerprintCached(s"$dir/events.parquet")}"
+    if (!new java.io.File(s"$fix/_SUCCESS").exists())
+      graft.ops.Checks.writeDriftReference(
+        Tables.events(s, dir)
+          .filter(col("ts") < lit("2024-01-16").cast("timestamp")),
+        "value", nBins = 10, path = fix)
+    fix
+  }
+
   /** Ensure the write-time IVF index for `dir`'s embeddings exists; return
     * its path (same contract as [[ensureLshIndex]]).
     */
@@ -1523,6 +1536,51 @@ object LlmQueries {
     // surprisal <= the artifact's stored corpus-mean threshold. The
     // oracle is a FULL replay (train + threshold + score are all
     // integer-exact), not contract flags.
+    // The drift MONITOR stage (batch semantics of the seventh ingest
+    // stage, startDriftMonitorSink): second-half events scored as
+    // per-bin PSI against the FROZEN first-half reference artifact —
+    // edges from the reference only, out-of-range arrivals clamped into
+    // edge bins (vs dq_psi_drift's pooled global edges).
+    "llm_stream_drift_monitor" -> Q(
+      (s, dir) => {
+        val fix = ensureDriftRef(s, dir)
+        graft.ops.Checks.psiAgainstReference(s, fix,
+          Tables.events(s, dir)
+            .filter(!(col("ts") < lit("2024-01-16").cast("timestamp"))),
+          "value")
+      },
+      Some("""WITH ref AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+             |  WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-16'),
+             |b AS (SELECT min(v) AS lo, max(v) AS hi FROM ref),
+             |rb AS (SELECT CASE WHEN hi > lo THEN
+             |    CAST(least(greatest(floor((v - lo) / ((hi - lo) / 10)),
+             |      0), 9) AS INT)
+             |  ELSE 0 END AS bin FROM ref CROSS JOIN b),
+             |rc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_ref
+             |  FROM rb GROUP BY 1),
+             |arr AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+             |  WHERE value IS NOT NULL
+             |    AND NOT (ts < TIMESTAMP '2024-01-16')),
+             |ab AS (SELECT CASE WHEN hi > lo THEN
+             |    CAST(least(greatest(floor((v - lo) / ((hi - lo) / 10)),
+             |      0), 9) AS INT)
+             |  ELSE 0 END AS bin FROM arr CROSS JOIN b),
+             |ac AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_new
+             |  FROM ab GROUP BY 1),
+             |f AS (SELECT CAST(r.range AS INT) AS bin,
+             |  coalesce(rc.n_ref, 0) AS n_ref, coalesce(ac.n_new, 0) AS n_new
+             |  FROM range(10) r LEFT JOIN rc ON r.range = rc.bin
+             |  LEFT JOIN ac ON r.range = ac.bin),
+             |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+             |  CAST(sum(n_new) AS BIGINT) AS tn FROM f)
+             |SELECT bin, n_ref, n_new,
+             |  CAST(floor((CAST(n_new + 1 AS DOUBLE) / CAST(tn + 10 AS DOUBLE)
+             |    - CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE))
+             |   * ln((CAST(n_new + 1 AS DOUBLE) / CAST(tn + 10 AS DOUBLE))
+             |     / (CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE)))
+             |   * 1e6 + 0.5) AS BIGINT) AS psi_micro
+             |FROM f CROSS JOIN t""".stripMargin)),
+
     "llm_stream_quality_gate" -> Q(
       (s, dir) => {
         val fix = ensureKnLm(s, dir)

@@ -671,4 +671,30 @@ object Streams {
           .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
       }
       .start()
+
+  /** Streaming DRIFT MONITOR — the observability stage of the ingest
+    * pipeline (seventh stage; the six others decide what lands, this
+    * one watches WHAT is arriving): every micro-batch's value
+    * distribution is scored as per-bin PSI contributions against the
+    * FROZEN [[graft.ops.Checks.writeDriftReference]] artifact, and the
+    * nBins-row report lands in the batchId-named directory for the
+    * alerting consumer (Σ psi_micro ≥ 250000 is the conventional
+    * "major shift" alarm). Same posture as the quality gates: the
+    * reference is a versioned artifact so drift can never move its own
+    * yardstick; the report is a pure function of (artifact, batch), so
+    * replay is trivially exactly-once via the idempotent per-batch
+    * overwrite. A monitor, not a gate — it never drops rows, so it
+    * rides alongside the filtering stages, not in front of them.
+    */
+  def startDriftMonitorSink(df: DataFrame, refPath: String, outPath: String,
+                            checkpoint: String, valueCol: String) =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Checks.psiAgainstReference(batch.sparkSession, refPath,
+            batch.toDF(), valueCol)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+      }
+      .start()
 }

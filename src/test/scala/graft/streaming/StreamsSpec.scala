@@ -455,6 +455,45 @@ class StreamsSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("streaming drift monitor scores every micro-batch against the " +
+    "frozen reference; identical distribution reads zero, a shift alarms") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("dgate").toString
+    val (ref, out, ckpt) = (s"$root/ref", s"$root/out", s"$root/ckpt")
+    try {
+      def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+      // Reference: uniform 1..100.
+      graft.ops.Checks.writeDriftReference(
+        (1 to 100).map(i => IdEv2(i.toLong, ts(i), i.toDouble)).toDF(),
+        "value", nBins = 10, path = ref)
+      val mem = MemoryStream[IdEv2]
+      val q = Streams.startDriftMonitorSink(mem.toDF(), ref, out, ckpt,
+        "value")
+      try {
+        // Batch 0: same uniform shape -> PSI 0 in every bin.
+        mem.addData((1 to 100).map(i =>
+          IdEv2(1000L + i, ts(i), i.toDouble)): _*)
+        q.processAllAvailable()
+        // Batch 1: everything piled far above the range -> clamps into
+        // the top bin, large positive PSI there.
+        mem.addData((1 to 100).map(i =>
+          IdEv2(2000L + i, ts(i), 500.0 + i)): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val b0 = spark.read.parquet(s"$out/batch_id=0")
+        .agg(sum(abs(col("psi_micro")))).as[Long].head()
+      assert(b0 === 0L)
+      val b1 = spark.read.parquet(s"$out/batch_id=1")
+        .select("bin", "n_new", "psi_micro")
+        .as[(Int, Long, Long)].collect().sortBy(_._1)
+      assert(b1(9)._2 === 100L)   // every arrival clamped into bin 9
+      assert(b1.map(_._3).sum > 250000L)  // far past the 0.25 alarm
+      // The report is nBins rows per batch, rows never dropped.
+      assert(b1.length === 10)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("streaming NEAR-dup gate rejects edited copies and cross-batch " +
     "near-dups of accepted rows via the wide-simhash index") {
     implicit val sqlCtx = spark.sqlContext
