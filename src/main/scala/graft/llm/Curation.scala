@@ -317,9 +317,16 @@ object Curation {
     * (the [[graft.ops.Checks.dpNoisyCounts]] trick — never 0 or 1, so
     * ln(u) ∈ [−13.8, 0)), keys pin to integer 1e-12 units before
     * ordering, and ties (only possible at equal pinned keys) break on
-    * the id — a pure function of (data, salt) on any engine. Rows with
-    * non-positive or NULL weight are excluded (zero weight means "never
-    * sample"; a negative one is meaningless).
+    * (id, weight) — a pure function of (data, salt) on any engine
+    * PROVIDED ids are unique, the same contract every surrogate-key
+    * path carries. Duplicate ids share u by construction, so two rows
+    * with equal (id, weight) have identical sort keys and which one
+    * survives the boundary of limit(k) is partition-order-dependent —
+    * the weight term in the tiebreak totalizes the order for
+    * same-id-different-weight rows, but equal (id, weight) duplicates
+    * must be deduplicated (or keyed uniquely) by the caller first.
+    * Rows with non-positive or NULL weight are excluded (zero weight
+    * means "never sample"; a negative one is meaningless).
     *
     * Scale shape: one scan projecting the key + TakeOrderedAndProject
     * (per-partition k-heaps, k rows per partition to the driver-side
@@ -338,7 +345,7 @@ object Curation {
     df.filter(w > lit(0.0))
       .withColumn("key_units",
         floor(log(u) / w * lit(1e12) + lit(0.5)).cast("long"))
-      .orderBy(col("key_units").desc, col(idCol))
+      .orderBy(col("key_units").desc, col(idCol), w)
       .limit(k)
   }
 

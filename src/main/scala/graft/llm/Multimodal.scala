@@ -608,17 +608,24 @@ object Multimodal {
     val hdrl = chunks(12, riffEnd)
       .collectFirst { case ("hdrl", f, t) => (f, t) }
       .getOrElse(fail("no hdrl header list"))
-    var fmt: Option[Long] = None
+    var fmt: Option[(Long, Long)] = None
     chunks(hdrl._1, hdrl._2).foreach {
       case ("strl", f, t) if fmt.isEmpty =>
         val isVids = chunks(f, t).collectFirst {
           case ("strh", sf, _) => fourcc(b, sf.toInt) == "vids"
         }.getOrElse(false)
         if (isVids)
-          fmt = chunks(f, t).collectFirst { case ("strf", sf, _) => sf }
+          fmt = chunks(f, t)
+            .collectFirst { case ("strf", sf, st) => (sf, st) }
       case _ => ()
     }
-    val f0 = fmt.getOrElse(fail("no vids strf format chunk")).toInt
+    val (f0L, fEnd) = fmt.getOrElse(fail("no vids strf format chunk"))
+    // The fields read below live at f0+4..f0+19; a truncated strf would
+    // silently read the adjacent container bytes. BITMAPINFOHEADER is
+    // 40 bytes by spec — anything shorter is a malformed file.
+    if (fEnd - f0L < 40L)
+      fail(s"strf chunk ${fEnd - f0L} bytes, BITMAPINFOHEADER needs 40")
+    val f0 = f0L.toInt
     val w = le32(b, f0 + 4).toInt
     val biH = le32(b, f0 + 8).toInt
     val h = math.abs(biH)

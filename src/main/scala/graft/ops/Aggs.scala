@@ -283,7 +283,12 @@ object Aggs {
                 yCol: String): DataFrame = {
     val x = col(xCol).cast("decimal(18,2)")
     val y = col(yCol).cast("decimal(18,2)")
-    val agg = df.groupBy(col(group)).agg(
+    // Rows where EITHER coordinate is NULL (missing JSON key, cast
+    // failure) carry no information about the fit and must not count:
+    // sum() skips NULLs but count(lit(1)) would not, and inconsistent
+    // sufficient statistics give a silently wrong slope rather than a
+    // NULL — the psiDrift/madOutliers pre-filter convention.
+    val agg = df.filter(x.isNotNull && y.isNotNull).groupBy(col(group)).agg(
       count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
       sum(x * y).as("sxy"), sum(x * x).as("sx2"), sum(y * y).as("sy2"))
     def d(c: String) = col(c).cast("double")
@@ -313,8 +318,18 @@ object Aggs {
     * Like [[winsorize]], the percentile is EXACT (interpolated, the
     * engine-portable definition the oracle's quantile_cont matches);
     * the exact aggregate buffers each group's values, so at extreme
-    * per-group cardinalities callers trade to approx_percentile and a
-    * contract oracle — the documented winsorize trade.
+    * per-group cardinalities callers trade to [[madOutliersApprox]],
+    * the bounded-state twin with a rank-interval contract oracle.
+    *
+    * Degenerate case, by the classical MAD definition: when a MAJORITY
+    * of a group's values equal its median, MAD = 0 and the predicate
+    * |x − med| > k·0 flags EVERY row with any deviation, regardless of
+    * k. That is the textbook behavior (the robust scale estimate has
+    * collapsed, so any deviation is infinitely many "robust sigmas"
+    * out), but it surprises on heavy-point-mass distributions —
+    * callers who prefer silence there can filter `mad = 0` groups from
+    * the output, which reports mad per group exactly so the choice
+    * stays with the caller.
     *
     * @return one row per group: (group, med, mad, n, n_outliers)
     */
@@ -335,6 +350,66 @@ object Aggs {
         count(lit(1)).as("n"),
         sum(when(col("__dev") > lit(k) * col("mad"), 1L).otherwise(0L))
           .as("n_outliers"))
+  }
+
+  /** Bounded-state twin of [[madOutliers]] for extreme per-group
+    * cardinalities: median and MAD come from `approx_percentile`
+    * (KLL-style sketch, O(accuracy·log n) state per group) instead of
+    * the exact aggregate that buffers every group value. Same
+    * three-pass shape — grouped sketch → broadcast → deviations →
+    * grouped sketch → broadcast → screen — so only the aggregation
+    * state changes, not the shuffle count.
+    *
+    * The sketch VALUES are engine-specific, so like
+    * [[approxPercentileContract]] the checkable surface is the rank
+    * GUARANTEE, carried per group: `med_rank_ok` — the approx median's
+    * rank interval [count(< med)+1, count(≤ med)] intersects
+    * [n/2 − n/accuracy − 1, n/2 + n/accuracy + 1]; `mad_rank_ok` — the
+    * same bound for the approx MAD against the deviation frame it was
+    * sketched from. med/mad/n_outliers ride along for callers; a
+    * cross-engine oracle should project (group, n, med_rank_ok,
+    * mad_rank_ok).
+    *
+    * The MAD = 0 degenerate case of the exact twin applies unchanged.
+    *
+    * @return one row per group:
+    *         (group, n, med, mad, n_outliers, med_rank_ok, mad_rank_ok)
+    */
+  def madOutliersApprox(df: DataFrame, group: String, valueCol: String,
+                        k: Double, accuracy: Int = 1000): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
+    val base = df.select(col(group), col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val med = base.groupBy(col(group))
+      .agg(percentile_approx(col("__v"), lit(0.5), lit(accuracy)).as("med"),
+        count(lit(1)).as("n"))
+    val dev = base.join(broadcast(med), Seq(group))
+      .withColumn("__dev", abs(col("__v") - col("med")))
+    val mad = dev.groupBy(col(group))
+      .agg(percentile_approx(col("__dev"), lit(0.5), lit(accuracy)).as("mad"))
+    // Rank interval [rlo+1, rhi] must intersect the sketch's promised
+    // band around rank n/2 — the approxPercentileContract bound.
+    def rankOk(rlo: Column, rhi: Column): Column = {
+      val n = col("n").cast("double")
+      val slack = n / accuracy + 1
+      ((rhi.cast("double") >= n / 2 - slack) &&
+        ((rlo + 1).cast("double") <= n / 2 + slack)).cast("int")
+    }
+    dev.join(broadcast(mad), Seq(group))
+      .groupBy(col(group))
+      .agg(max(col("n")).as("n"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("__v") < col("med"), 1L).otherwise(0L)).as("mrlo"),
+        sum(when(col("__v") <= col("med"), 1L).otherwise(0L)).as("mrhi"),
+        sum(when(col("__dev") < col("mad"), 1L).otherwise(0L)).as("drlo"),
+        sum(when(col("__dev") <= col("mad"), 1L).otherwise(0L)).as("drhi"),
+        sum(when(col("__dev") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col(group), col("n"), col("med"), col("mad"),
+        col("n_outliers"),
+        rankOk(col("mrlo"), col("mrhi")).as("med_rank_ok"),
+        rankOk(col("drlo"), col("drhi")).as("mad_rank_ok"))
   }
 
   /** Count-min-sketch frequency audit over the exact heavy hitters: one

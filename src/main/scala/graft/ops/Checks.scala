@@ -304,12 +304,21 @@ object Checks {
     val counts = base.crossJoin(broadcast(bounds))
       .select(binExpr(col("__v"), col("__lo"), col("__hi"), nBins).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n_ref"))
+    // An empty / all-NULL reference aggregates NULL bounds; writing
+    // that artifact would make every later psiAgainstReference die with
+    // an opaque NPE at getDouble — fail loud at WRITE time instead (the
+    // in-plan raise_error idiom: zero extra jobs, the guard rides the
+    // same scan).
     spark.range(nBins).select(col("id").cast("int").as("bin"))
       .join(counts, Seq("bin"), "left")
       .crossJoin(broadcast(bounds.select(
         col("__lo").as("lo"), col("__hi").as("hi"))))
       .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-        col("lo"), col("hi"))
+        when(col("lo").isNull, raise_error(lit(
+          "writeDriftReference: reference frame has no non-null values " +
+            "for the drift column - refusing to freeze an unusable " +
+            "artifact"))).otherwise(col("lo")).as("lo"),
+        col("hi"))
       .write.mode("overwrite").parquet(path)
   }
 
@@ -330,6 +339,14 @@ object Checks {
     // Bounded driver read: the artifact is nBins rows by construction.
     val head = ref.agg(max(col("bin")).cast("int").as("mb"),
       max(col("lo")).as("lo"), max(col("hi")).as("hi")).head()
+    // Artifacts written before the writeDriftReference empty-frame
+    // guard may carry NULL edges; a typed error beats the NPE that
+    // head.getDouble would otherwise throw mid-batch.
+    if (head.isNullAt(0) || head.isNullAt(1) || head.isNullAt(2))
+      throw new IllegalArgumentException(
+        s"psiAgainstReference: drift artifact at $refPath has NULL " +
+          "bin/lo/hi (written from an empty or all-NULL reference) - " +
+          "re-freeze it from a frame with non-null values")
     val (nBins, lo, hi) = (head.getInt(0) + 1, head.getDouble(1),
       head.getDouble(2))
     val newCounts = arriving

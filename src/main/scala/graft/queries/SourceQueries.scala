@@ -513,7 +513,10 @@ object SourceQueries {
              |      AS DECIMAL(18,2))) AS sx2,
              |  sum(CAST(value AS DECIMAL(18,2))
              |    * CAST(value AS DECIMAL(18,2))) AS sy2
-             |  FROM events GROUP BY 1)
+             |  FROM events
+             |  WHERE CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
+             |    AND value IS NOT NULL
+             |  GROUP BY 1)
              |SELECT event_type, n,
              |  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
              |  / nullif(n * CAST(sx2 AS DOUBLE)
@@ -643,6 +646,22 @@ object SourceQueries {
              |    AS BIGINT) AS n_outliers
              |FROM dev d JOIN mad m USING (event_type)
              |GROUP BY 1""".stripMargin)),
+
+    // Bounded-state twin of events_anomaly_mad for extreme per-group
+    // cardinalities: approx_percentile sketches replace the exact
+    // buffering aggregate. Sketch values are engine-specific, so the
+    // oracle checks the rank-error CONTRACT per group (the
+    // a2_approx_percentile shape): both the approx median and the
+    // approx MAD must land within n/accuracy ranks of their targets.
+    "dq_mad_outliers_approx" -> Q(
+      (s, dir) => Aggs.madOutliersApprox(
+        Tables.events(s, dir), "event_type", "value", k = 3.0,
+        accuracy = 1000)
+        .select(col("event_type"), col("n"),
+          col("med_rank_ok"), col("mad_rank_ok")),
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(1 AS INT) AS med_rank_ok, CAST(1 AS INT) AS mad_rank_ok
+             |FROM events WHERE value IS NOT NULL GROUP BY 1""".stripMargin)),
 
     // Count-min-sketch audit over the exact top-20 heavy hitters: the
     // 4x256 counter matrix from portable hash60 buckets, estimates =

@@ -1901,6 +1901,18 @@ class MultimodalSpec extends SparkSpec {
       dec(Multimodal.syntheticAvi(12, 10, 25, 1, 1,
         frames = Seq(new Array[Byte](stride * 10 - 4))))
     }.getMessage.contains("expected"))
+    // A strf chunk too short for a BITMAPINFOHEADER must fail typed,
+    // not silently read the adjacent container bytes as pixel-format
+    // fields: patch the size field after the 'strf' tag down to 16.
+    val truncStrf = Multimodal.syntheticAvi(12, 10, 25, 1, 1,
+      frames = Seq(new Array[Byte](stride * 10)))
+    val strfAt = truncStrf.indices.find(i =>
+      truncStrf(i) == 's' && truncStrf(i + 1) == 't' &&
+        truncStrf(i + 2) == 'r' && truncStrf(i + 3) == 'f').get
+    truncStrf(strfAt + 4) = 16; truncStrf(strfAt + 5) = 0
+    truncStrf(strfAt + 6) = 0; truncStrf(strfAt + 7) = 0
+    assert(intercept[IllegalArgumentException] { dec(truncStrf) }
+      .getMessage.contains("BITMAPINFOHEADER needs 40"))
   }
 
   test("syntheticVideoGroups: group members land within the near-dup " +

@@ -822,4 +822,44 @@ class DriftSamplingSpec extends SparkSpec {
     // the cut (P(heavy row beaten by enough light rows) is negligible).
     assert(s1.count(_ > 500L) >= 45, s"heavy picked ${s1.count(_ > 500L)}")
   }
+
+  test("olsSimple: rows with a NULL coordinate are excluded from n AND " +
+    "the sums, so the fit comes from the complete pairs only") {
+    val rows = Seq[(String, java.lang.Double, java.lang.Double)](
+      ("g", 1.0, 3.0), ("g", 2.0, 5.0), ("g", 3.0, 7.0), ("g", 4.0, 9.0),
+      ("g", null, 100.0), ("g", 5.0, null))
+      .toDF("grp", "x", "y")
+    val r = Aggs.olsSimple(rows, "grp", "x", "y").collect().head
+    // n counts complete pairs only; the fit is still the exact line.
+    assert(r.getLong(1) === 4L)
+    assert(math.abs(r.getDouble(2) - 2.0) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
+  }
+
+  test("madOutliersApprox: matches the exact twin on small groups and " +
+    "both rank-contract flags hold") {
+    val df = (1 to 9).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val r = Aggs.madOutliersApprox(df, "grp", "v", k = 1.5).collect().head
+    assert(r.getLong(1) === 9L)                     // n
+    // At tiny n the sketch is exact: med 5, MAD 2, two extreme outliers.
+    assert(r.getDouble(2) === 5.0)
+    assert(r.getDouble(3) === 2.0)
+    assert(r.getLong(4) === 2L)
+    assert(r.getInt(5) === 1 && r.getInt(6) === 1)  // rank contracts
+  }
+
+  test("writeDriftReference refuses to freeze an empty or all-NULL " +
+    "reference (typed in-plan failure, not a downstream NPE)") {
+    val dir = java.nio.file.Files.createTempDirectory("drift_ref").toString
+    val empty = Seq.empty[Double].toDF("v")
+    val e = intercept[Throwable] {
+      Checks.writeDriftReference(empty, "v", 10, s"$dir/ref")
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("writeDriftReference")),
+      s"unexpected failure chain: ${messages(e)}")
+  }
 }
