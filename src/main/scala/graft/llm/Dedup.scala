@@ -470,6 +470,25 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Near-duplicate pairs of entities carrying a SET of signatures each
+    * (one row per member signature — e.g. the strided frame hashes of a
+    * video): two entities are near-dups when ANY cross pair of their
+    * member signatures is within `maxHamming`, reported with the MIN
+    * such distance. The winnowing idiom lifted to hamming space — the
+    * per-pair pigeonhole guarantee of [[hammingNearDupPairs]] holds for
+    * every member pair, so an entity pair with any in-budget member
+    * pair is always found. Same bucket-key shuffle, never all-pairs; a
+    * set of size k multiplies banded rows by k (bounded, caller-chosen),
+    * and the final per-entity-pair min is a grouped aggregate on the
+    * already-verified (small) pair frame.
+    */
+  def hammingNearDupPairsSet(sigs: DataFrame, idCol: String,
+                             hashCol: String, nBits: Int,
+                             maxHamming: Int): DataFrame =
+    hammingNearDupPairs(sigs, idCol, hashCol, nBits, maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 60,

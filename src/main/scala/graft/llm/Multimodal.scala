@@ -579,9 +579,26 @@ object Multimodal {
     * whose size disagrees with stride x height.
     */
   def decodeVideoFrameHash(r: MediaRecord): VideoHash = {
-    val b = r.payload
-    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+    val g = aviDibGeometry(r)
+    if (g.frames.isEmpty) videoFail(r, "no frame chunk in the movi list")
+    VideoHash(r.media_id, g.w, g.h, hashDibFrame(r, g, g.frames.head))
+  }
+
+  /** Decoded AVI frame geometry + the bounds of every uncompressed
+    * frame chunk — the shared RIFF-walk core of the first-frame and
+    * strided hashers.
+    */
+  private final case class AviDibGeometry(w: Int, h: Int, topDown: Boolean,
+                                          stride: Int,
+                                          frames: Vector[(Long, Long)])
+
+  private def videoFail(r: MediaRecord, msg: String): Nothing =
+    throw new IllegalArgumentException(
       s"undecodable video payload for media_id=${r.media_id}: $msg")
+
+  private def aviDibGeometry(r: MediaRecord): AviDibGeometry = {
+    val b = r.payload
+    def fail(msg: String): Nothing = videoFail(r, msg)
     if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
       fail("not a RIFF/AVI container")
     val riffEnd = 8 + le32(b, 4)
@@ -639,23 +656,76 @@ object Multimodal {
     val movi = chunks(12, riffEnd)
       .collectFirst { case ("movi", f, t) => (f, t) }
       .getOrElse(fail("no movi list"))
-    val frame = chunks(movi._1, movi._2)
-      .collectFirst { case (id, f, t)
+    val frames = chunks(movi._1, movi._2)
+      .collect { case (id, f, t)
         if id.endsWith("db") || id.endsWith("dc") => (f, t) }
-      .getOrElse(fail("no frame chunk in the movi list"))
+      .toVector
     val stride = ((w.toLong * 24 + 31) / 32 * 4).toInt
-    if (frame._2 - frame._1 != stride.toLong * h)
-      fail(s"frame chunk ${frame._2 - frame._1} bytes, expected " +
-        s"stride($stride) x height($h)")
+    AviDibGeometry(w, h, biH < 0, stride, frames)
+  }
+
+  /** dHash ONE uncompressed DIB frame given its chunk bounds — size
+    * check (stride x height, the format contract) + the shared
+    * [[dhash9x7]] luma kernel over bottom-up (or top-down) BGR rows.
+    */
+  private def hashDibFrame(r: MediaRecord, g: AviDibGeometry,
+                           frame: (Long, Long)): Long = {
+    val b = r.payload
+    if (frame._2 - frame._1 != g.stride.toLong * g.h)
+      videoFail(r, s"frame chunk ${frame._2 - frame._1} bytes, expected " +
+        s"stride(${g.stride}) x height(${g.h})")
     val base = frame._1.toInt
-    val topDown = biH < 0
-    VideoHash(r.media_id, w, h, dhash9x7(w, h) { (x, y) =>
-      val row = if (topDown) y else h - 1 - y
-      val off = base + row * stride + x * 3
+    dhash9x7(g.w, g.h) { (x, y) =>
+      val row = if (g.topDown) y else g.h - 1 - y
+      val off = base + row * g.stride + x * 3
       // DIB pixel order is B, G, R.
       (b(off + 2) & 0xFF) * 299L + (b(off + 1) & 0xFF) * 587L +
         (b(off) & 0xFF) * 114L
-    })
+    }
+  }
+
+  /** One STRIDED frame hash of a video: (media_id, total decodable
+    * frames, the frame's index, its 56-bit dHash). A video is a SET of
+    * these rows — the signature shape the banded hamming set-join
+    * consumes.
+    */
+  final case class VideoStrideHash(media_id: Long, n_frames: Int,
+                                   frame_idx: Int, dhash: Long)
+
+  /** STRIDED multi-frame perceptual hashes: hash `k` frames evenly
+    * strided across the movi list (indices ⌊i·n/k⌋ — frame 0, then
+    * every n/k-th; all n when n ≤ k) instead of the first frame only.
+    * Closes the first-frame evasion of [[decodeVideoFrameHash]]: a
+    * re-encode that prepends or edits the opening frame still shares
+    * its later strided frames with the original, so banding over the
+    * frame-hash SET (the winnowing idiom — any shared band of any
+    * frame pair makes the videos candidates) recovers the pair. Each
+    * selected frame passes the same stride × height format check as
+    * the first-frame path; container-level failures are identical.
+    */
+  def decodeVideoFrameHashesStrided(r: MediaRecord,
+                                    k: Int): Seq[VideoStrideHash] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val g = aviDibGeometry(r)
+    val n = g.frames.length
+    if (n == 0) videoFail(r, "no frame chunk in the movi list")
+    val kk = math.min(k, n)
+    (0 until kk).map { i =>
+      val idx = i * n / kk // strictly increasing for kk <= n: no dups
+      VideoStrideHash(r.media_id, n, idx, hashDibFrame(r, g, g.frames(idx)))
+    }
+  }
+
+  /** Batched strided-hash extraction — [[extractVideoFrameHashes]]'s
+    * multi-frame twin: one row per (video, strided frame), frame
+    * payloads never leave their scan partition.
+    */
+  def extractVideoFrameHashesStrided(ds: Dataset[MediaRecord], k: Int,
+                                     batchSize: Int = 64)
+                                    : Dataset[VideoStrideHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize)
+      .flatMap(_.flatMap(decodeVideoFrameHashesStrided(_, k))))
   }
 
   /** Batched first-frame-hash extraction — the [[extractImageHashes]]
@@ -708,6 +778,58 @@ object Multimodal {
         MediaRecord(id, "video",
           syntheticAvi(w, h, fpsRate = 25, fpsScale = 1, nFrames = 1,
             bitCount = 24, compression = 0L, frames = Seq(frame)))
+      })
+  }
+
+  /** MULTI-FRAME video near-dup fixture — the first-frame-evasion
+    * scenario [[syntheticVideoGroups]] cannot model: each AVI carries
+    * `nFrames` genuine 00db frames where frame 0 is scrambled PER
+    * MEMBER (`m·1000003` folded into the pixel mix — a re-encode that
+    * replaced the opening frame), while frames 1.. differ across group
+    * members only by the blue-channel nudge (+3·m). First-frame
+    * hashing therefore MISSES every intra-group pair; the strided
+    * frame-hash set recovers them through the shared later frames.
+    * All pixel fields stay integer arithmetic in (g, m, f, x, y) so a
+    * DuckDB oracle replays the hashes symbolically.
+    */
+  def syntheticVideoGroupsStrided(df: DataFrame, idCol: String,
+                                  groupSize: Int = 4, nFrames: Int = 4)
+                                 (implicit spark: SparkSession)
+                                 : Dataset[MediaRecord] = {
+    require(groupSize >= 1, s"groupSize must be >= 1, got $groupSize")
+    require(nFrames >= 2, s"nFrames must be >= 2, got $nFrames")
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id / groupSize
+        val m = id % groupSize
+        val w = (12 + g % 20).toInt
+        val h = (10 + g % 15).toInt
+        val stride = ((w * 24 + 31) / 32) * 4
+        val frames = (0 until nFrames).map { f =>
+          val frame = new Array[Byte](stride * h)
+          var y = 0
+          while (y < h) {
+            val row = h - 1 - y // bottom-up DIB
+            var x = 0
+            while (x < w) {
+              val mix = if (f == 0) m * 1000003L else 0L
+              val v = g * 2654435761L + x * 48271L + y * 69621L +
+                f * 1299721L + mix
+              val base = (v ^ (v >> 13)) & 0xFFFFFFL
+              val off = row * stride + x * 3
+              frame(off) = ((base + m * 3) & 0xFFL).toByte       // B
+              frame(off + 1) = ((base >> 8) & 0xFFL).toByte      // G
+              frame(off + 2) = ((base >> 16) & 0xFFL).toByte     // R
+              x += 1
+            }
+            y += 1
+          }
+          frame
+        }
+        MediaRecord(id, "video",
+          syntheticAvi(w, h, fpsRate = 25, fpsScale = 1, nFrames = nFrames,
+            bitCount = 24, compression = 0L, frames = frames))
       })
   }
 

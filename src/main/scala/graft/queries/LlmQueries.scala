@@ -647,6 +647,46 @@ object LlmQueries {
       |  (dhash >> (b.b * 7)) & 127 AS key
       |  FROM vph, (SELECT unnest(range(0, 8)) AS b) b)""".stripMargin
 
+  /** DuckDB twin of [[Multimodal.syntheticVideoGroupsStrided]] (4
+    * frames, member-scrambled frame 0) +
+    * [[Multimodal.decodeVideoFrameHashesStrided]] at k = 3 (strided
+    * frame set {0, 1, 2} of 4), ending in `vsph(doc_id, f, dhash)`:
+    * the per-frame pixel field is arithmetic in (g, m, f, x, y) with
+    * the `m·1000003` frame-0 scramble, replayed through the shared
+    * luma → 9x7 → adjacent-column dHash kernel in exact int64 math.
+    */
+  private lazy val videoStridedPhashCte: String =
+    """WITH vsimg AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m,
+      |  CAST(12 + (doc_id // 4) % 20 AS INT) AS w,
+      |  CAST(10 + (doc_id // 4) % 15 AS INT) AS h FROM documents),
+      |vsf AS (SELECT doc_id, g, m, w, h, unnest([0, 1, 2]) AS f FROM vsimg),
+      |vsxs AS (SELECT doc_id, g, m, w, h, f, unnest(range(0, w)) AS x
+      |  FROM vsf),
+      |vspp AS (SELECT doc_id, g, m, w, h, f, x, unnest(range(0, h)) AS y
+      |  FROM vsxs),
+      |vsbb AS (SELECT doc_id, w, h, f, x, y, m,
+      |  xor(g*2654435761 + x*48271 + y*69621 + f*1299721
+      |      + CASE WHEN f = 0 THEN m*1000003 ELSE 0 END,
+      |      (g*2654435761 + x*48271 + y*69621 + f*1299721
+      |      + CASE WHEN f = 0 THEN m*1000003 ELSE 0 END) >> 13)
+      |    & 16777215 AS base
+      |  FROM vspp),
+      |vslum AS (SELECT doc_id, f, (y*7)//h AS cy, (x*9)//w AS cx,
+      |  ((base >> 16) & 255)*299 + ((base >> 8) & 255)*587
+      |    + ((base + m*3) & 255)*114 AS luma
+      |  FROM vsbb),
+      |vscells AS (SELECT doc_id, f, cy, cx,
+      |  CAST(sum(luma) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg
+      |  FROM vslum GROUP BY 1, 2, 3, 4),
+      |vsph AS (SELECT a.doc_id, a.f,
+      |  CAST(coalesce(sum(CASE WHEN c.avg > a.avg
+      |    THEN (CAST(1 AS BIGINT) << (a.cy*8 + a.cx))
+      |    ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS dhash
+      |  FROM vscells a JOIN vscells c ON a.doc_id = c.doc_id AND a.f = c.f
+      |    AND a.cy = c.cy AND c.cx = a.cx + 1
+      |  WHERE a.cx < 8
+      |  GROUP BY 1, 2)""".stripMargin
+
   /** DuckDB twin of the maxHamming=8 simhash band slices over `sim` —
     * the same 9 x 7-bit (last 4-bit) slices the Scala side derives.
     */
@@ -2933,6 +2973,37 @@ object LlmQueries {
          |vcl AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
          |  FROM vreach GROUP BY s)
          |SELECT doc_id, cluster_id FROM vcl""".stripMargin)),
+
+    // STRIDED video near-dup — the first-frame-evasion hardening: the
+    // fixture's 4-frame AVIs scramble frame 0 per member (a re-encode
+    // that replaced the opening frame), so first-frame hashing finds
+    // NO intra-group pairs; hashing 3 evenly-strided frames and
+    // banding over the frame-hash SET (any in-budget frame pair makes
+    // the videos candidates, reported at the min distance) recovers
+    // every group through the shared later frames. The oracle replays
+    // the per-frame pixel hashes, the banded candidacy over all
+    // (video, frame) rows, and the per-pair min.
+    "llm_video_strided_neardup" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        val hashes = Multimodal.extractVideoFrameHashesStrided(
+          Multimodal.syntheticVideoGroupsStrided(
+            Tables.documents(s, dir), "doc_id"), k = 3).toDF()
+        Dedup.hammingNearDupPairsSet(hashes, "media_id", "dhash",
+          nBits = 56, maxHamming = 7)
+      },
+      Some(s"""$videoStridedPhashCte,
+         |vsbanded AS (SELECT doc_id, dhash, b.b AS band,
+         |  (dhash >> (b.b * 7)) & 127 AS key
+         |  FROM vsph, (SELECT unnest(range(0, 8)) AS b) b),
+         |vscand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |  a.dhash AS ha, c.dhash AS hb
+         |  FROM vsbanded a JOIN vsbanded c
+         |  ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(min(bit_count(xor(ha, hb))) AS INT) AS hamming
+         |FROM vscand WHERE bit_count(xor(ha, hb)) <= 7
+         |GROUP BY 1, 2""".stripMargin)),
 
     "llm_audio_resample" -> Q(
       (s, dir) => {

@@ -1937,6 +1937,41 @@ class MultimodalSpec extends SparkSpec {
         s"pair ${a.media_id}/${b.media_id} missed by the banded join")
   }
 
+  test("strided frame hashing recovers first-frame-edited near-dups the " +
+    "single-frame hash misses, and degrades to it on 1-frame videos") {
+    implicit val s = spark
+    val media = Multimodal.syntheticVideoGroupsStrided(
+      (0L until 16L).toDF("doc_id"), "doc_id")
+    // Frame 0 is member-scrambled: every intra-group FIRST-frame pair
+    // is far outside the hamming budget (measured min 19 over the
+    // fixture), so single-frame hashing finds none of them.
+    val first = Multimodal.extractVideoFrameHashes(media).collect()
+      .map(v => v.media_id -> v.dhash).toMap
+    for (g <- 0L until 4L; a <- 0L until 4L; b <- (a + 1) until 4L)
+      assert(java.lang.Long.bitCount(
+        first(g * 4 + a) ^ first(g * 4 + b)) > 7,
+        s"first frames of ${g * 4 + a}/${g * 4 + b} unexpectedly close")
+    // The strided frame-hash SET recovers every intra-group pair
+    // through the shared later frames.
+    val pairs = graft.llm.Dedup.hammingNearDupPairsSet(
+        Multimodal.extractVideoFrameHashesStrided(media, k = 3).toDF(),
+        "media_id", "dhash", nBits = 56, maxHamming = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    for (g <- 0L until 4L; a <- 0L until 4L; b <- (a + 1) until 4L)
+      assert(pairs.contains((g * 4 + a, g * 4 + b)),
+        s"strided set missed pair ${g * 4 + a}/${g * 4 + b}")
+    // On the legacy single-frame fixture the strided extractor is the
+    // first-frame hash: one row, frame 0, identical signature.
+    val legacy = Multimodal.syntheticVideoGroups(
+      (0L until 8L).toDF("doc_id"), "doc_id")
+    val lf = Multimodal.extractVideoFrameHashes(legacy).collect()
+      .map(v => v.media_id -> v.dhash).toMap
+    val ls = Multimodal.extractVideoFrameHashesStrided(legacy, 3).collect()
+    assert(ls.length === 8)
+    assert(ls.forall(v =>
+      lf(v.media_id) == v.dhash && v.n_frames == 1 && v.frame_idx == 0))
+  }
+
   test("extractVideoFeatures: batched kernel over synthetic id-derived AVIs") {
     implicit val s = spark
     val df = Seq(6L, 13L).toDF("doc_id")
