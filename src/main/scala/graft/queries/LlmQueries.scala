@@ -2367,6 +2367,50 @@ object LlmQueries {
              |CAST(1 AS INT) AS cos_floor_ok, CAST(1 AS INT) AS recall_floor_ok
              |FROM embeddings WHERE vec_id < 10""".stripMargin)),
 
+    // Range search against the GROWN index — the lifecycle twin of
+    // llm_sim_topk_ivf_grown: centroids trained on half the corpus, the
+    // other half appended against the frozen quantizer, then the radius
+    // probe runs on the grown layout. Same three-part contract as
+    // llm_sim_range_ivf (subset of brute, cos floor, recall floor) with
+    // the floor at 0.2, the llm_sim_topk_ivf_grown convention for a
+    // half-trained quantizer: measured per-query minimum across
+    // sf0.001/0.01/0.1 at nProbe=5 is 0.29 (sf0.01; 0.57/0.66 at the
+    // other decades), while a broken append (missing rows, stale
+    // cells) lands at 0.0.
+    "llm_sim_range_ivf_grown" -> Q(
+      (s, dir) => {
+        val fix = ensureGrownIvfIndex(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") < 10)
+        val brute = Similarity.rangeSearch(emb, q, "vec_id", "embedding",
+          minCos = 0.25)
+        val approx = Similarity.ivfRangeFromIndex(s, fix, q, "vec_id",
+          "embedding", minCos = 0.25, nProbe = 5)
+        val bn = brute.groupBy(col("query_id"))
+          .agg(count(lit(1)).as("brute_n"))
+        val an = approx.groupBy(col("query_id"))
+          .agg(count(lit(1)).as("approx_n"), min(col("cos")).as("min_cos"))
+        val hits = brute
+          .join(approx, Seq("query_id", "cand_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+        q.select(col("vec_id").as("query_id")).distinct()
+          .join(bn, Seq("query_id"), "left")
+          .join(an, Seq("query_id"), "left")
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            (coalesce(col("n_hits"), lit(0L)) ===
+              coalesce(col("approx_n"), lit(0L))).cast("int").as("subset_ok"),
+            coalesce(col("min_cos") >= lit(0.25), lit(true)).cast("int")
+              .as("cos_floor_ok"),
+            when(col("brute_n").isNull, lit(1))
+              .otherwise((coalesce(col("n_hits"), lit(0L)).cast("double") /
+                col("brute_n") >= lit(0.2)).cast("int"))
+              .as("recall_floor_ok"))
+      },
+      Some("""SELECT DISTINCT vec_id AS query_id, CAST(1 AS INT) AS subset_ok,
+             |CAST(1 AS INT) AS cos_floor_ok, CAST(1 AS INT) AS recall_floor_ok
+             |FROM embeddings WHERE vec_id < 10""".stripMargin)),
+
     // Language ID over the documents corpus.
     "llm_langid" -> Q(
       (s, dir) => Tables.documents(s, dir)
