@@ -47,7 +47,7 @@ object CurationQueries {
     * plain CTEs; an unrolled 3-round chain would otherwise re-evaluate
     * the gram stream exponentially).
     */
-  private lazy val clfCteSql: String = {
+  private[queries] lazy val clfCteSql: String = {
     val sig = (z: String) =>
       s"CAST(floor(1000000.0 / (1.0 + exp(-(CAST($z AS DOUBLE) / " +
         s"1000000.0))) + 0.5) AS BIGINT)"
@@ -102,7 +102,7 @@ object CurationQueries {
     * rates collapse to the majority class, lone mid-range points
     * oscillate on the saturating sigmoid).
     */
-  private val ClfIters = 10
+  private[queries] val ClfIters = 10
   private val ClfLr = "4.0"
 
   /** Ensure the frozen BPE tokenizer artifact (3 greedy rules trained on

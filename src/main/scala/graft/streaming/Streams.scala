@@ -697,4 +697,114 @@ object Streams {
           .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
       }
       .start()
+
+  /** The artifact/index paths of the COMPOSED ingest pipeline — one
+    * value so the batch body, the sink, and the tests name the seven
+    * stages' state identically.
+    */
+  final case class IngestPipelineConfig(
+      exactIndexPath: String, nearDupIndexPath: String, semIndexPath: String,
+      lmPath: String, clfModelPath: String, driftRefPath: String,
+      nBucketsExact: Int, maxHamming: Int, semThreshold: Double,
+      numPlanes: Int, numTables: Int)
+
+  /** One micro-batch of the FULL ingest pipeline — the six decision
+    * stages composed in their contract order over one arriving frame of
+    * `(idCol, textCol, vecCol)` rows:
+    *
+    *   1. PII redaction FIRST ([[graft.llm.TextAnalysis.redactPii]]) —
+    *      every later stage judges the redacted text a leaked row would
+    *      actually train on, and raw PII never reaches any sink or
+    *      index (the [[startPiiRedactSink]] contract).
+    *   2. exact-dup gate ([[dedupGateBatch]]) — verbatim (normalized)
+    *      corpus membership.
+    *   3. near-dup gate ([[nearDupGateBatch]]) — wide-simhash hamming
+    *      membership (lightly-edited copies).
+    *   4. semantic gate ([[semanticGateBatch]]) — embedding-cosine
+    *      membership (paraphrases).
+    *   5. quality gate ([[graft.llm.TextAnalysis.knGateBatch]]) — the
+    *      frozen KN-LM fluency filter.
+    *   6. classifier gate ([[graft.llm.Curation.clfGateBatch]]) — the
+    *      frozen trained-quality filter.
+    *
+    * The order is load-bearing twice: redaction before everything (the
+    * contract above), and the membership gates cheapest-first (an exact
+    * hash probe rejects for free what the LSH probe would pay buckets
+    * for). Each stage is the already-verified per-batch body, so the
+    * composition adds NO new decision logic — only the wiring — and the
+    * whole chain stays batch-sized at any corpus scale (every probe is
+    * a DPP-pruned index read keyed by the batch's own hashes).
+    *
+    * Returns the accepted rows as (idCol, textCol = REDACTED text,
+    * vecCol). The drift MONITOR (stage seven) never drops rows and so
+    * is not part of this decision body — [[startIngestPipelineSink]]
+    * runs it alongside, over the redacted arriving batch.
+    */
+  def ingestPipelineBatch(spark: org.apache.spark.sql.SparkSession,
+                          cfg: IngestPipelineConfig, batch: DataFrame,
+                          idCol: String, textCol: String,
+                          vecCol: String): DataFrame = {
+    val redacted = graft.llm.TextAnalysis.redactPii(batch, idCol, textCol)
+      .select(col(idCol), col("redacted").as(textCol))
+      .join(batch.select(col(idCol), col(vecCol)), Seq(idCol))
+    val g1 = dedupGateBatch(spark, cfg.exactIndexPath, redacted,
+      idCol, textCol, cfg.nBucketsExact)
+    val g2 = nearDupGateBatch(spark, cfg.nearDupIndexPath, g1,
+      idCol, textCol, cfg.maxHamming)
+    val g3 = semanticGateBatch(spark, cfg.semIndexPath, g2, idCol, vecCol,
+      cfg.semThreshold, cfg.numPlanes, cfg.numTables)
+    val g4 = graft.llm.TextAnalysis.knGateBatch(spark, cfg.lmPath, g3,
+      idCol, textCol)
+    g4.join(
+      graft.llm.Curation.clfGateBatch(spark, cfg.clfModelPath, g4,
+        idCol, textCol).select(col(idCol)),
+      Seq(idCol), "left_semi")
+  }
+
+  /** The FLAGSHIP streaming ingest sink: one `foreachBatch` DAG running
+    * [[ingestPipelineBatch]] per micro-batch, landing accepted rows in
+    * the batchId-named directory, growing all three membership indexes
+    * with the accepted rows (a document accepted in batch N rejects its
+    * verbatim/edited/paraphrased copies in batch N+1 — the
+    * [[startDedupGateSink]] growth contract, now for the whole family),
+    * and writing the drift monitor's nBins-row PSI report of the
+    * arriving batch's REDACTED text lengths against the frozen
+    * [[graft.ops.Checks.writeDriftReference]] artifact.
+    *
+    * Exactly-once on replay: the per-stage arguments transfer verbatim
+    * — the batch output directory overwrite is idempotent, a replayed
+    * batch's index self-matches are `cand_id == query_id` (excluded by
+    * every probe), double-appended index rows only re-confirm the same
+    * id-distinct hits, and the quality/classifier/drift stages are pure
+    * functions of (frozen artifact, batch).
+    */
+  def startIngestPipelineSink(df: DataFrame, cfg: IngestPipelineConfig,
+                              outPath: String, monitorPath: String,
+                              checkpoint: String, idCol: String,
+                              textCol: String, vecCol: String) =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        // Pin the decisions BEFORE the appends mutate the indexes a
+        // lazy plan would re-read.
+        val accepted = ingestPipelineBatch(spark, cfg, batch.toDF(),
+          idCol, textCol, vecCol).transform(Materialize.pin)
+        accepted.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        graft.llm.Dedup.appendToExactDupIndex(accepted, idCol, textCol,
+          cfg.nBucketsExact, cfg.exactIndexPath)
+        graft.llm.Dedup.appendToSimhashWideIndex(accepted, idCol, textCol,
+          cfg.maxHamming, cfg.nearDupIndexPath)
+        graft.llm.Similarity.appendToLshIndex(accepted, idCol, vecCol,
+          cfg.numPlanes, cfg.numTables, cfg.semIndexPath)
+        // Stage seven, the monitor: watches WHAT arrives (post-redact),
+        // not what survives — it must see the rows the gates reject.
+        graft.ops.Checks.psiAgainstReference(spark, cfg.driftRefPath,
+            graft.llm.TextAnalysis.redactPii(batch.toDF(), idCol, textCol)
+              .select(length(col("redacted")).cast("double").as("__len")),
+            "__len")
+          .write.mode("overwrite").parquet(s"$monitorPath/batch_id=$batchId")
+      }
+      .start()
 }
