@@ -242,6 +242,265 @@ object LlmQueries {
     fix
   }
 
+  /** The mixed arriving batch of the composed-ingest e2e row: one
+    * fixture class per pipeline stage, keyed by `doc_id % 11` and
+    * id-shifted out of corpus range (distinct offsets per class, ≥50k
+    * apart so no collisions at any SF). Texts derive from `documents`,
+    * vectors from `embeddings` (doc_id == vec_id by construction);
+    * "neg" vectors (novel direction — passes the semantic gate) carry
+    * rows to the lexical stages, scaled vectors target it.
+    */
+  private def ingestE2eArriving(s: org.apache.spark.sql.SparkSession,
+                                dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val base = docs
+      .join(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"))
+      .select("doc_id", "text", "embedding")
+    val neg = transform(col("embedding"), x => -x).as("embedding")
+    def sfx(tag: String) = concat(col("text"), lit(" " + tag),
+      col("doc_id").cast("string"))
+    def cls(r: Int) = base.filter(col("doc_id") % 11 === r)
+    def half(t: org.apache.spark.sql.Column) =
+      concat_ws(" ", slice(TextOps.tokens(t), lit(1),
+        greatest(floor(size(TextOps.tokens(t)) / 2).cast("int"), lit(1))))
+    // r5b: the NEXT doc's text under the base row's negated vector — a
+    // semantic twin of r5a whose token bag shares nothing with it.
+    val r5b = cls(5).join(
+      docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("next_text")), Seq("doc_id"))
+    cls(0).select((col("doc_id") + 2000000L).as("doc_id"),
+        upper(concat(lit(" "), regexp_replace(col("text"), " ", "   "),
+          lit("  "))).as("text"), neg)
+      .unionByName(cls(1).select((col("doc_id") + 2110000L).as("doc_id"),
+        sfx("zq").as("text"), neg))
+      .unionByName(cls(1).select((col("doc_id") + 2160000L).as("doc_id"),
+        sfx("zq").as("text"), neg))
+      .unionByName(cls(2).select((col("doc_id") + 2200000L).as("doc_id"),
+        concat_ws(" ", reverse(split(col("text"), " "))).as("text"), neg))
+      .unionByName(cls(3).select((col("doc_id") + 2310000L).as("doc_id"),
+        sfx("zr").as("text"), neg))
+      .unionByName(cls(3).select((col("doc_id") + 2360000L).as("doc_id"),
+        concat_ws(" ", reverse(split(sfx("zr"), " "))).as("text"), neg))
+      .unionByName(cls(4).select((col("doc_id") + 2400000L).as("doc_id"),
+        sfx("zs").as("text"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+      .unionByName(cls(5).select((col("doc_id") + 2510000L).as("doc_id"),
+        sfx("zt").as("text"), neg))
+      .unionByName(r5b.select((col("doc_id") + 2560000L).as("doc_id"),
+        concat(col("next_text"), lit(" zu"),
+          col("doc_id").cast("string")).as("text"), neg))
+      .unionByName(cls(6).select((col("doc_id") + 2600000L).as("doc_id"),
+        half(col("text")).as("text"), neg))
+      .unionByName(cls(7).select((col("doc_id") + 2700000L).as("doc_id"),
+        concat(half(col("text")), lit(" contact u"),
+          col("doc_id").cast("string"), lit("@example.com")).as("text"), neg))
+  }
+
+  /** Full-replay DuckDB oracle of the composed ingest pipeline trace:
+    * every stage recomputed in SQL from the base tables — the clf
+    * weight table and KN-LM threshold retrained via the shared
+    * MATERIALIZED CTE chains, wide-simhash membership via the lossless
+    * 8-band join, LSH membership via the literal-weight projections.
+    */
+  private lazy val ingestE2eOracleSql: String = {
+    val names = TextAnalysis.piiPatterns.map { case (n, _, _) => s"n_$n" }
+    val redactSteps = TextAnalysis.piiPatterns.zipWithIndex.map {
+      case ((name, pattern, replacement), i) =>
+        s"""ps${i + 1} AS (SELECT doc_id, vv, ${
+          (0 until i).map(j => s"n_${TextAnalysis.piiPatterns(j)._1}, ").mkString
+        }CAST(len(regexp_extract_all(t, '$pattern')) AS BIGINT) AS n_$name,
+           |  regexp_replace(t, '$pattern', '$replacement', 'g') AS t FROM ps$i)""".stripMargin
+    }
+    val bucket = (v: String, t: Int) => (0 until 4).map(p =>
+      s"(CASE WHEN ${projSql(v, t * 4 + p)} >= 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString("(", " + ", ")::BIGINT")
+    val pcb = (0 until 4).map(t =>
+      s"SELECT vec_id, v, $t AS tbl, ${bucket("v", t)} AS bucket FROM pv")
+      .mkString("\nUNION ALL\n")
+    val pab = (0 until 4).map(t =>
+      s"SELECT doc_id, vv, $t AS tbl, ${bucket("vv", t)} AS bucket FROM pg4")
+      .mkString("\nUNION ALL\n")
+    val halfSql = "array_to_string(ws[1:greatest(len(ws)//2, 1)], ' ')"
+    s"""${CurationQueries.clfCteSql},
+       |norm AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents),
+       |bgc AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(ws)),
+       |      i -> ws[i] || ' ' || ws[i+1])) AS bg
+       |  FROM norm),
+       |bgw AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1,
+       |    split_part(bg, ' ', 2) AS w2 FROM bgc),
+       |c12 AS MATERIALIZED (SELECT bg, CAST(count(*) AS DOUBLE) AS c12
+       |  FROM bgw GROUP BY 1),
+       |c1s AS MATERIALIZED (SELECT w1, CAST(count(*) AS DOUBLE) AS c1,
+       |    CAST(count(DISTINCT w2) AS DOUBLE) AS nfw FROM bgw GROUP BY 1),
+       |cw AS MATERIALIZED (SELECT w2, CAST(count(DISTINCT w1) AS DOUBLE)
+       |    AS ncw FROM bgw GROUP BY 1),
+       |nb AS (SELECT CAST(count(*) AS DOUBLE) AS nbt FROM c12),
+       |tu AS (SELECT CAST(floor(-ln(
+       |      (greatest(c12 - 0.75, 0.0) + ((0.75 * nfw) * (ncw / nbt)))
+       |        / c1) * 1e6 + 0.5) AS BIGINT) AS u
+       |  FROM bgw JOIN c12 USING (bg) JOIN c1s USING (w1)
+       |  JOIN cw USING (w2) CROSS JOIN nb),
+       |thr AS (SELECT (CAST(sum(u) AS BIGINT) * 1000) // count(*) AS thr
+       |  FROM tu),
+       |${wideSigCte("documents", "pthc", "psimc")},
+       |pbandc AS MATERIALIZED (${wideBandsSql("psimc")}),
+       |pv AS (SELECT vec_id,
+       |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |pbase AS (SELECT d.doc_id, d.text, ${toksSql("d.text")} AS ws, pv.v
+       |  FROM documents d JOIN pv ON pv.vec_id = d.doc_id),
+       |parr AS (
+       |  SELECT doc_id + 2000000 AS doc_id,
+       |    upper(' ' || regexp_replace(text, ' ', '   ', 'g') || '  ') AS t,
+       |    list_transform(v, x -> -x) AS vv
+       |  FROM pbase WHERE doc_id % 11 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2110000, text || ' zq' || doc_id,
+       |    list_transform(v, x -> -x)
+       |  FROM pbase WHERE doc_id % 11 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 2160000, text || ' zq' || doc_id,
+       |    list_transform(v, x -> -x)
+       |  FROM pbase WHERE doc_id % 11 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 2200000,
+       |    array_to_string(list_reverse(string_split(text, ' ')), ' '),
+       |    list_transform(v, x -> -x)
+       |  FROM pbase WHERE doc_id % 11 = 2
+       |  UNION ALL
+       |  SELECT doc_id + 2310000, text || ' zr' || doc_id,
+       |    list_transform(v, x -> -x)
+       |  FROM pbase WHERE doc_id % 11 = 3
+       |  UNION ALL
+       |  SELECT doc_id + 2360000,
+       |    array_to_string(list_reverse(
+       |      string_split(text || ' zr' || doc_id, ' ')), ' '),
+       |    list_transform(v, x -> -x)
+       |  FROM pbase WHERE doc_id % 11 = 3
+       |  UNION ALL
+       |  SELECT doc_id + 2400000, text || ' zs' || doc_id,
+       |    list_transform(v, x -> x * 2)
+       |  FROM pbase WHERE doc_id % 11 = 4
+       |  UNION ALL
+       |  SELECT doc_id + 2510000, text || ' zt' || doc_id,
+       |    list_transform(v, x -> -x)
+       |  FROM pbase WHERE doc_id % 11 = 5
+       |  UNION ALL
+       |  SELECT d.doc_id + 2560000, n.text || ' zu' || d.doc_id,
+       |    list_transform(d.v, x -> -x)
+       |  FROM pbase d JOIN documents n ON n.doc_id = d.doc_id + 1
+       |  WHERE d.doc_id % 11 = 5
+       |  UNION ALL
+       |  SELECT doc_id + 2600000, $halfSql,
+       |    list_transform(v, x -> -x)
+       |  FROM pbase WHERE doc_id % 11 = 6
+       |  UNION ALL
+       |  SELECT doc_id + 2700000,
+       |    $halfSql || ' contact u' || doc_id || '@example.com',
+       |    list_transform(v, x -> -x)
+       |  FROM pbase WHERE doc_id % 11 = 7),
+       |ps0 AS (SELECT doc_id, t, vv FROM parr),
+       |${redactSteps.mkString(",\n")},
+       |pg0 AS MATERIALIZED (SELECT doc_id, t, vv,
+       |  ${names.mkString(" + ")} AS n_pii
+       |  FROM ps${TextAnalysis.piiPatterns.size}),
+       |px1 AS MATERIALIZED (SELECT g.doc_id FROM pg0 g
+       |  WHERE EXISTS (SELECT 1 FROM documents c
+       |    WHERE ${normSql("c.text")} = ${normSql("g.t")})),
+       |pg1 AS MATERIALIZED (SELECT * FROM pg0
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM px1)),
+       |px2 AS MATERIALIZED (SELECT doc_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY ${normSql("t")})
+       |      AS mn FROM pg1)
+       |  WHERE doc_id > mn),
+       |pg2 AS MATERIALIZED (SELECT * FROM pg1
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM px2)),
+       |pg2t AS (SELECT doc_id, t AS text FROM pg2),
+       |${wideSigCte("pg2t", "ptha", "psima")},
+       |pbanda AS MATERIALIZED (${wideBandsSql("psima")}),
+       |px3 AS MATERIALIZED (SELECT DISTINCT a.doc_id
+       |  FROM pbanda a JOIN pbandc c ON a.band = c.band AND a.key = c.key
+       |  WHERE bit_count(xor(a.sh_lo, c.sh_lo))
+       |    + bit_count(xor(a.sh_hi, c.sh_hi)) <= 7),
+       |pg3 AS MATERIALIZED (SELECT * FROM pg2
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM px3)),
+       |px4 AS MATERIALIZED (SELECT DISTINCT b.doc_id
+       |  FROM pbanda a JOIN pbanda b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |  WHERE a.doc_id IN (SELECT doc_id FROM pg3)
+       |    AND b.doc_id IN (SELECT doc_id FROM pg3)
+       |    AND bit_count(xor(a.sh_lo, b.sh_lo))
+       |      + bit_count(xor(a.sh_hi, b.sh_hi)) <= 7),
+       |pg4 AS MATERIALIZED (SELECT * FROM pg3
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM px4)),
+       |pcb AS MATERIALIZED ($pcb),
+       |pab AS MATERIALIZED ($pab),
+       |px5 AS MATERIALIZED (SELECT DISTINCT ab.doc_id
+       |  FROM pab ab JOIN pcb cb
+       |    ON ab.tbl = cb.tbl AND ab.bucket = cb.bucket
+       |  WHERE ${cosSql("ab.vv", "cb.v")} >= 0.95),
+       |pg5 AS MATERIALIZED (SELECT * FROM pg4
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM px5)),
+       |px6 AS MATERIALIZED (SELECT DISTINCT b.doc_id
+       |  FROM pab a JOIN pab b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  WHERE a.doc_id IN (SELECT doc_id FROM pg5)
+       |    AND b.doc_id IN (SELECT doc_id FROM pg5)
+       |    AND ${cosSql("a.vv", "b.vv")} >= 0.95),
+       |pg6 AS MATERIALIZED (SELECT * FROM pg5
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM px6)),
+       |pknb AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(ws)),
+       |      i -> ws[i] || ' ' || ws[i+1])) AS bg
+       |  FROM (SELECT doc_id, ${toksSql("t")} AS ws FROM pg6)),
+       |pknw AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1,
+       |    split_part(bg, ' ', 2) AS w2 FROM pknb),
+       |pksc AS MATERIALIZED (SELECT doc_id,
+       |    sum(CASE WHEN c12 IS NULL THEN 1 ELSE 0 END) AS n_unseen,
+       |    sum(CASE WHEN c12 IS NOT NULL THEN CAST(floor(-ln(
+       |      (greatest(c12 - 0.75, 0.0) + ((0.75 * nfw) * (ncw / nbt)))
+       |        / c1) * 1e6 + 0.5) AS BIGINT) END) AS su,
+       |    count(*) AS nb
+       |  FROM pknw LEFT JOIN c12 USING (bg) LEFT JOIN c1s USING (w1)
+       |  LEFT JOIN cw USING (w2) CROSS JOIN nb
+       |  GROUP BY 1),
+       |pkpass AS MATERIALIZED (SELECT pksc.doc_id FROM pksc CROSS JOIN thr
+       |  WHERE n_unseen = 0 AND su * 1000 <= thr * nb),
+       |px7 AS (SELECT doc_id FROM pg6
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM pkpass)),
+       |pg7 AS MATERIALIZED (SELECT * FROM pg6
+       |  WHERE doc_id IN (SELECT doc_id FROM pkpass)),
+       |pcg0 AS (SELECT doc_id, unnest(list_concat(ws,
+       |    list_transform(range(1, len(ws)),
+       |      i -> ws[i] || ' ' || ws[i+1]))) AS g
+       |  FROM (SELECT doc_id, ${toksSql("t")} AS ws FROM pg7)),
+       |pcgb AS (SELECT DISTINCT doc_id, ${h60("g")} % 1024 AS b
+       |  FROM pcg0 WHERE g <> ''),
+       |pcfeat AS (SELECT doc_id, b FROM pcgb
+       |  UNION ALL SELECT doc_id, CAST(-1 AS BIGINT) FROM pg7),
+       |pcz AS (SELECT f.doc_id, CAST(COALESCE(sum(u), 0) AS BIGINT) AS z
+       |  FROM pcfeat f LEFT JOIN w${CurationQueries.ClfIters} USING (b)
+       |  GROUP BY f.doc_id),
+       |pclfpass AS MATERIALIZED (SELECT doc_id FROM pcz WHERE z > 0),
+       |px8 AS (SELECT doc_id FROM pg7
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM pclfpass)),
+       |pg8 AS (SELECT doc_id FROM pg7
+       |  WHERE doc_id IN (SELECT doc_id FROM pclfpass))
+       |SELECT u.doc_id, u.rejected_by, g.n_pii
+       |FROM (
+       |  SELECT doc_id, 'exact' AS rejected_by FROM px1
+       |  UNION ALL SELECT doc_id, 'exact_intra' FROM px2
+       |  UNION ALL SELECT doc_id, 'near' FROM px3
+       |  UNION ALL SELECT doc_id, 'near_intra' FROM px4
+       |  UNION ALL SELECT doc_id, 'semantic' FROM px5
+       |  UNION ALL SELECT doc_id, 'semantic_intra' FROM px6
+       |  UNION ALL SELECT doc_id, 'kn' FROM px7
+       |  UNION ALL SELECT doc_id, 'clf' FROM px8
+       |  UNION ALL SELECT doc_id, 'accepted' FROM pg8
+       |) u JOIN pg0 g USING (doc_id)""".stripMargin
+  }
+
   /** The perturbed-delta probe batch the exact-dup maintenance queries
     * share: every 7th doc, whitespace-doubled and upper-cased, id-shifted
     * out of the corpus range.
@@ -1203,6 +1462,45 @@ object LlmQueries {
            |  WHERE ab.vec_id = a.vec_id
            |    AND ${cosSql("ab.v", "cb.v")} >= 0.95)""".stripMargin
       }),
+
+    // COMPOSED streaming ingest pipeline, end-to-end batch parity: the
+    // full seven-stage decision body of
+    // [[graft.streaming.Streams.startIngestPipelineSink]] — redact ->
+    // exact gate -> exact intra-batch self-dedup -> near-dup gate ->
+    // near-dup intra pairs -> semantic gate -> semantic intra pairs ->
+    // KN quality gate -> classifier gate — over ONE mixed arriving
+    // batch, reported as the per-row rejection audit
+    // (ingestPipelineTrace: doc_id, first rejecting stage, PII count).
+    // The fixture plants one class per stage (doc_id % 11): perturbed
+    // corpus copies (exact), same-normalized-text twins (exact_intra),
+    // token-reversed corpus docs (near), same-bag twin pairs
+    // (near_intra), direction-identical scaled vectors (semantic),
+    // same-negated-vector pairs under different texts (semantic_intra),
+    // suffixed-novel-token docs (kn), and truncated corpus halves whose
+    // bigrams are all LM-seen (the only class that can reach clf /
+    // accepted; a PII-suffixed twin proves redaction feeds the gates).
+    // The oracle is a FULL replay of every stage: the redaction regex
+    // chain, normalized-text corpus membership, the wide-simhash band
+    // join (lossless at maxHamming=7 with 8 bands), LSH bucket-mate
+    // cosine membership, the retrained KN-LM threshold decision, and
+    // the retrained classifier logit — nothing contract-flagged.
+    // StreamsSpec drives the same composition through MemoryStream
+    // incl. cross-batch index growth and checkpoint restart.
+    "llm_stream_ingest_e2e" -> Q(
+      (s, dir) => {
+        val cfg = graft.streaming.Streams.IngestPipelineConfig(
+          exactIndexPath = ensureExactDupIndex(s, dir),
+          nearDupIndexPath = ensureSimhashWideIndex(s, dir),
+          semIndexPath = ensureLshIndex(s, dir),
+          lmPath = ensureKnLm(s, dir),
+          clfModelPath = CurationQueries.ensureClfModel(s, dir),
+          driftRefPath = ensureDriftRef(s, dir),
+          nBucketsExact = 64, maxHamming = 7, semThreshold = 0.95,
+          numPlanes = 4, numTables = 4)
+        graft.streaming.Streams.ingestPipelineTrace(s, cfg,
+          ingestE2eArriving(s, dir), "doc_id", "text", "embedding")
+      },
+      Some(ingestE2eOracleSql)),
 
     // Near-dup CLUSTERS: MinHash-LSH pairs -> connected components -> one
     // cluster id (min member) per involved doc. The oracle replicates the

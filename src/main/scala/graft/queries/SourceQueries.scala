@@ -502,19 +502,19 @@ object SourceQueries {
           .withColumn("k", get_json_object(col("props"), "$.k").cast("int")),
         "event_type", "k", "value"),
       Some("""WITH a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-             |  sum(CAST(CAST(json_extract_string(props, '$.k') AS INT)
+             |  sum(CAST(TRY_CAST(json_extract_string(props, '$.k') AS INT)
              |      AS DECIMAL(18,2))) AS sx,
              |  sum(CAST(value AS DECIMAL(18,2))) AS sy,
-             |  sum(CAST(CAST(json_extract_string(props, '$.k') AS INT)
+             |  sum(CAST(TRY_CAST(json_extract_string(props, '$.k') AS INT)
              |      AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sxy,
-             |  sum(CAST(CAST(json_extract_string(props, '$.k') AS INT)
+             |  sum(CAST(TRY_CAST(json_extract_string(props, '$.k') AS INT)
              |      AS DECIMAL(18,2))
-             |    * CAST(CAST(json_extract_string(props, '$.k') AS INT)
+             |    * CAST(TRY_CAST(json_extract_string(props, '$.k') AS INT)
              |      AS DECIMAL(18,2))) AS sx2,
              |  sum(CAST(value AS DECIMAL(18,2))
              |    * CAST(value AS DECIMAL(18,2))) AS sy2
              |  FROM events
-             |  WHERE CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
+             |  WHERE TRY_CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
              |    AND value IS NOT NULL
              |  GROUP BY 1)
              |SELECT event_type, n,
@@ -871,8 +871,8 @@ object SourceQueries {
         .agg(sum(col("k").cast("long")).as("sum_k"), max(col("k")).as("max_k"),
           count(lit(1)).as("n")),
       Some("""SELECT event_type,
-             |CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-             |max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+             |CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+             |max(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
              |CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1""".stripMargin)),
 
     // F9 upgrade - schema'd single-pass JSON parse (from_json beats
@@ -887,9 +887,9 @@ object SourceQueries {
           .agg(count(lit(1)).as("n"), max(col("p.k")).as("max_k"))
       },
       Some("""SELECT event_type,
-             |CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+             |TRY_CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
              |CAST(count(*) AS BIGINT) AS n,
-             |max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+             |max(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
     // st3 - sliding-window batch parity: 30-min windows sliding every
@@ -1790,14 +1790,14 @@ object SourceQueries {
       },
       Some("""WITH a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              |  sum(CAST(value AS DECIMAL(18,2))) AS sx,
-             |  sum(CAST(CAST(json_extract_string(props, '$.k') AS INT)
+             |  sum(CAST(TRY_CAST(json_extract_string(props, '$.k') AS INT)
              |      AS DECIMAL(18,2))) AS sy,
              |  sum(CAST(value AS DECIMAL(18,2))
-             |    * CAST(CAST(json_extract_string(props, '$.k') AS INT)
+             |    * CAST(TRY_CAST(json_extract_string(props, '$.k') AS INT)
              |        AS DECIMAL(18,2))) AS sxy,
              |  sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sx2,
-             |  sum(CAST(CAST(json_extract_string(props, '$.k') AS INT) AS DECIMAL(18,2))
-             |    * CAST(CAST(json_extract_string(props, '$.k') AS INT)
+             |  sum(CAST(TRY_CAST(json_extract_string(props, '$.k') AS INT) AS DECIMAL(18,2))
+             |    * CAST(TRY_CAST(json_extract_string(props, '$.k') AS INT)
              |        AS DECIMAL(18,2))) AS sy2
              |  FROM events GROUP BY 1)
              |SELECT event_type, n,

@@ -499,6 +499,36 @@ object Streams {
     batch.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** Intra-batch semantic clone detection: bucket-mate pairs WITHIN
+    * `df` (any shared LSH table bucket, exact cosine >= threshold)
+    * yield the LARGER id of each pair — dropping the returned ids
+    * keeps the lowest id of each intra-batch semantic-dup group,
+    * deterministic and replay-stable (a pure function of the batch).
+    * Batch-sized work: candidates form only inside shared buckets,
+    * never all-pairs. Shared by [[startSemanticGateSink]] and the
+    * composed [[ingestPipelineBatch]].
+    */
+  def semanticIntraBatchDups(df: DataFrame, idCol: String, vecCol: String,
+                             threshold: Double, numPlanes: Int,
+                             numTables: Int): DataFrame = {
+    val b = df.select(col(idCol).as("id"),
+      posexplode(array((0 until numTables).map(t =>
+        graft.llm.Similarity.hyperplaneBucket(
+          transform(col(vecCol), x => x.cast("double")), numPlanes, t)): _*))
+        .as(Seq("tbl", "bucket")))
+    val mates = b.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+      .join(b.select(col("tbl"), col("bucket"), col("id").as("id_b")),
+        Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val vecs = df.select(col(idCol), col(vecCol))
+    mates
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), Seq("id_a"))
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), Seq("id_b"))
+      .filter(graft.llm.Similarity.cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+  }
+
   /** Streaming SEMANTIC ingest gate: [[startDedupGateSink]] with
     * [[semanticGateBatch]] as the decision and the LSH hyperplane index
     * as the growing membership state — accepted rows append their
@@ -526,26 +556,9 @@ object Streams {
         val corpusOk = semanticGateBatch(spark, indexPath, batch.toDF(),
           idCol, vecCol, threshold, numPlanes, numTables)
           .transform(Materialize.pin)
-        // Intra-batch: bucket-mates in any LSH table among the
-        // corpus-accepted rows, exact-cosine verified; id_a < id_b so
-        // dropping id_b keeps the lowest id of each group.
-        val b = corpusOk.select(col(idCol).as("id"),
-          posexplode(array((0 until numTables).map(t =>
-            graft.llm.Similarity.hyperplaneBucket(
-              transform(col(vecCol), x => x.cast("double")), numPlanes, t)): _*))
-            .as(Seq("tbl", "bucket")))
-        val mates = b.select(col("tbl"), col("bucket"), col("id").as("id_a"))
-          .join(b.select(col("tbl"), col("bucket"), col("id").as("id_b")),
-            Seq("tbl", "bucket"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
-        val vecs = corpusOk.select(col(idCol), col(vecCol))
-        val intraDups = mates
-          .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), Seq("id_a"))
-          .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), Seq("id_b"))
-          .filter(graft.llm.Similarity.cosine(col("__va"), col("__vb")) >= threshold)
-          .select(col("id_b").as(idCol)).distinct()
-        val accepted = corpusOk.join(intraDups, Seq(idCol), "left_anti")
+        val accepted = corpusOk
+          .join(semanticIntraBatchDups(corpusOk, idCol, vecCol, threshold,
+            numPlanes, numTables), Seq(idCol), "left_anti")
           .transform(Materialize.pin)
         accepted.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         graft.llm.Similarity.appendToLshIndex(accepted, idCol, vecCol,
@@ -730,10 +743,16 @@ object Streams {
     * The order is load-bearing twice: redaction before everything (the
     * contract above), and the membership gates cheapest-first (an exact
     * hash probe rejects for free what the LSH probe would pay buckets
-    * for). Each stage is the already-verified per-batch body, so the
-    * composition adds NO new decision logic — only the wiring — and the
-    * whole chain stays batch-sized at any corpus scale (every probe is
-    * a DPP-pruned index read keyed by the batch's own hashes).
+    * for). After each MEMBERSHIP gate, the matching INTRA-batch
+    * self-check of the component sink runs — keep-lowest-id exact
+    * normalized-hash self-dedup, [[graft.llm.Dedup.simhashWidePairs]],
+    * and [[semanticIntraBatchDups]] — so mutually-duplicate rows
+    * arriving in ONE micro-batch (which no corpus probe can see) are
+    * gated exactly as the component sinks gate them: the composition
+    * is decision-equivalent to chaining the six sinks, not weaker.
+    * Every stage stays batch-sized at any corpus scale (corpus probes
+    * are DPP-pruned index reads keyed by the batch's own hashes;
+    * intra-batch candidates form only inside shared buckets/bands).
     *
     * Returns the accepted rows as (idCol, textCol = REDACTED text,
     * vecCol). The drift MONITOR (stage seven) never drops rows and so
@@ -743,22 +762,101 @@ object Streams {
   def ingestPipelineBatch(spark: org.apache.spark.sql.SparkSession,
                           cfg: IngestPipelineConfig, batch: DataFrame,
                           idCol: String, textCol: String,
-                          vecCol: String): DataFrame = {
-    val redacted = graft.llm.TextAnalysis.redactPii(batch, idCol, textCol)
+                          vecCol: String): DataFrame =
+    ingestStages(spark, cfg, idCol, textCol, vecCol)
+      .foldLeft(redactKeepVec(batch, idCol, textCol, vecCol)) {
+        case (df, (_, stage)) => stage(df)
+      }
+
+  /** Redact `textCol` in place, carrying `vecCol` through — the frame
+    * every decision stage of the composed pipeline operates on.
+    */
+  private def redactKeepVec(batch: DataFrame, idCol: String,
+                            textCol: String, vecCol: String): DataFrame =
+    graft.llm.TextAnalysis.redactPii(batch, idCol, textCol)
       .select(col(idCol), col("redacted").as(textCol))
       .join(batch.select(col(idCol), col(vecCol)), Seq(idCol))
-    val g1 = dedupGateBatch(spark, cfg.exactIndexPath, redacted,
-      idCol, textCol, cfg.nBucketsExact)
-    val g2 = nearDupGateBatch(spark, cfg.nearDupIndexPath, g1,
-      idCol, textCol, cfg.maxHamming)
-    val g3 = semanticGateBatch(spark, cfg.semIndexPath, g2, idCol, vecCol,
-      cfg.semThreshold, cfg.numPlanes, cfg.numTables)
-    val g4 = graft.llm.TextAnalysis.knGateBatch(spark, cfg.lmPath, g3,
-      idCol, textCol)
-    g4.join(
-      graft.llm.Curation.clfGateBatch(spark, cfg.clfModelPath, g4,
+
+  /** The named decision stages of the composed ingest pipeline, each a
+    * survivors->survivors function over the redacted
+    * (idCol, textCol, vecCol) frame — one definition shared by
+    * [[ingestPipelineBatch]] (fold to the accepted set) and
+    * [[ingestPipelineTrace]] (per-stage rejection audit). Membership
+    * gates alternate with their intra-batch self-checks; `kn`/`clf`
+    * are stateless per-row and need none.
+    */
+  private def ingestStages(spark: org.apache.spark.sql.SparkSession,
+                           cfg: IngestPipelineConfig, idCol: String,
+                           textCol: String, vecCol: String)
+      : Seq[(String, DataFrame => DataFrame)] = Seq(
+    "exact" -> ((df: DataFrame) => dedupGateBatch(spark, cfg.exactIndexPath,
+      df, idCol, textCol, cfg.nBucketsExact)),
+    // Keep-lowest-id per normalized text hash WITHIN the batch — the
+    // upstream-dedup job startDedupGateSink documents, done here so the
+    // composition is self-contained.
+    "exact_intra" -> ((df: DataFrame) => df.join(
+      df.select(col(idCol),
+          md5(graft.llm.TextOps.normalize(col(textCol))).as("__h"))
+        .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
+        .select(col(idCol)),
+      Seq(idCol), "left_semi")),
+    "near" -> ((df: DataFrame) => nearDupGateBatch(spark,
+      cfg.nearDupIndexPath, df, idCol, textCol, cfg.maxHamming)),
+    // simhashWidePairs emits id_a < id_b; dropping every id_b keeps the
+    // lowest id of each intra-batch near-dup group.
+    "near_intra" -> ((df: DataFrame) => df.join(
+      graft.llm.Dedup.simhashWidePairs(df, idCol, textCol, cfg.maxHamming)
+        .select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")),
+    "semantic" -> ((df: DataFrame) => semanticGateBatch(spark,
+      cfg.semIndexPath, df, idCol, vecCol, cfg.semThreshold, cfg.numPlanes,
+      cfg.numTables)),
+    "semantic_intra" -> ((df: DataFrame) => df.join(
+      semanticIntraBatchDups(df, idCol, vecCol, cfg.semThreshold,
+        cfg.numPlanes, cfg.numTables),
+      Seq(idCol), "left_anti")),
+    "kn" -> ((df: DataFrame) => graft.llm.TextAnalysis.knGateBatch(spark,
+      cfg.lmPath, df, idCol, textCol)),
+    "clf" -> ((df: DataFrame) => df.join(
+      graft.llm.Curation.clfGateBatch(spark, cfg.clfModelPath, df,
         idCol, textCol).select(col(idCol)),
-      Seq(idCol), "left_semi")
+      Seq(idCol), "left_semi")))
+
+  /** Per-row audit of the composed pipeline: every arriving row labeled
+    * with the FIRST stage that rejected it (`exact`, `exact_intra`,
+    * `near`, `near_intra`, `semantic`, `semantic_intra`, `kn`, `clf`)
+    * or `accepted`, plus the row's total PII redaction count — the
+    * "which gate is eating my data" observability view a production
+    * ingest needs, and the full-replay surface the e2e oracle checks.
+    * Decision-identical to [[ingestPipelineBatch]] by construction
+    * (same [[ingestStages]] fold); each stage's survivor frame is
+    * pinned so the audit's anti-joins don't replan the whole chain
+    * per stage.
+    */
+  def ingestPipelineTrace(spark: org.apache.spark.sql.SparkSession,
+                          cfg: IngestPipelineConfig, batch: DataFrame,
+                          idCol: String, textCol: String,
+                          vecCol: String): DataFrame = {
+    val red = graft.llm.TextAnalysis.redactPii(batch, idCol, textCol)
+    val nPii = red.select(col(idCol),
+      graft.llm.TextAnalysis.piiPatterns
+        .map { case (n, _, _) => col(s"n_$n") }
+        .reduce(_ + _).as("n_pii"))
+    var cur = red.select(col(idCol), col("redacted").as(textCol))
+      .join(batch.select(col(idCol), col(vecCol)), Seq(idCol))
+      .transform(Materialize.pin)
+    val rejected = ingestStages(spark, cfg, idCol, textCol, vecCol)
+      .map { case (name, stage) =>
+        val next = stage(cur).transform(Materialize.pin)
+        val rej = cur.select(col(idCol))
+          .join(next.select(col(idCol)), Seq(idCol), "left_anti")
+          .select(col(idCol), lit(name).as("rejected_by"))
+        cur = next
+        rej
+      }
+    (rejected :+ cur.select(col(idCol), lit("accepted").as("rejected_by")))
+      .reduce(_ unionByName _)
+      .join(nPii, Seq(idCol))
   }
 
   /** The FLAGSHIP streaming ingest sink: one `foreachBatch` DAG running
@@ -787,10 +885,16 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
+        // Redact ONCE and pin: the gate chain and the drift monitor
+        // both consume this frame — redaction is the most expensive
+        // per-row text transform in the pipeline.
+        val redacted = redactKeepVec(batch.toDF(), idCol, textCol, vecCol)
+          .transform(Materialize.pin)
         // Pin the decisions BEFORE the appends mutate the indexes a
         // lazy plan would re-read.
-        val accepted = ingestPipelineBatch(spark, cfg, batch.toDF(),
-          idCol, textCol, vecCol).transform(Materialize.pin)
+        val accepted = ingestStages(spark, cfg, idCol, textCol, vecCol)
+          .foldLeft(redacted) { case (df, (_, stage)) => stage(df) }
+          .transform(Materialize.pin)
         accepted.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         graft.llm.Dedup.appendToExactDupIndex(accepted, idCol, textCol,
           cfg.nBucketsExact, cfg.exactIndexPath)
@@ -801,8 +905,7 @@ object Streams {
         // Stage seven, the monitor: watches WHAT arrives (post-redact),
         // not what survives — it must see the rows the gates reject.
         graft.ops.Checks.psiAgainstReference(spark, cfg.driftRefPath,
-            graft.llm.TextAnalysis.redactPii(batch.toDF(), idCol, textCol)
-              .select(length(col("redacted")).cast("double").as("__len")),
+            redacted.select(length(col(textCol)).cast("double").as("__len")),
             "__len")
           .write.mode("overwrite").parquet(s"$monitorPath/batch_id=$batchId")
       }

@@ -22,6 +22,8 @@ case class Doc(doc_id: Long, text: String)
 
 case class Vec(vec_id: Long, embedding: Array[Float])
 
+case class DocVec(doc_id: Long, text: String, embedding: Array[Float])
+
 /** Streaming semantics: replay the same rows through MemoryStream and
   * assert the incremental result equals the batch result of the SAME
   * transform — the unified-model contract the driver's batch-parity
@@ -759,5 +761,128 @@ class StreamsSpec extends SparkSpec {
     val covering = out.filter($"event_type" === "click" &&
       $"window_start" <= ts(16) && $"window_end" > ts(16))
     assert(covering.count() === 2)
+  }
+
+  test("composed ingest pipeline sink: all stages gate one stream, " +
+    "redaction lands (not raw PII), indexes grow cross-batch, intra-batch " +
+    "clones drop, state survives checkpoint restart, monitor reports") {
+    implicit val sqlCtx = spark.sqlContext
+    def e(i: Int, scale: Float = 1.0f): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(i) = scale; a
+    }
+    // Four disjoint-vocabulary corpus docs x10 copies each: every bigram
+    // has identical KN statistics (c12 = c1 = 10, single continuation),
+    // so the stored threshold equals the uniform per-bigram surprisal
+    // and EVERY all-seen-bigram document passes the KN gate — the gate
+    // rejects exactly the unseen-bigram rows, keeping this spec about
+    // the COMPOSITION, not the LM boundary (QualityGate spec owns that).
+    // C deliberately contains the '<EMAIL>' placeholder so an arriving
+    // PII row is acceptable ONLY through redaction. y: B-words negative.
+    val A = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val B = "quark lepton boson hadron meson photon gluon tachyon axion " +
+      "neutrino positron muon pion kaon baryon fermion scalar spinor " +
+      "vector tensor"
+    val C = "contact <EMAIL> for access codes one two three four five " +
+      "six seven"
+    val D = "robin sparrow falcon heron crane swan goose duck owl lark " +
+      "wren kite hawk eagle tern dove finch jay crow ibis"
+    val texts = Seq(A, B, C, D)
+    val corpus = (0 until 40).map(i => DocVec(i.toLong, texts(i % 4),
+      e(i % 40))).toDF()
+    val root = java.nio.file.Files.createTempDirectory("ingest_e2e").toString
+    val cfg = graft.streaming.Streams.IngestPipelineConfig(
+      exactIndexPath = s"$root/exact", nearDupIndexPath = s"$root/near",
+      semIndexPath = s"$root/sem", lmPath = s"$root/lm",
+      clfModelPath = s"$root/clf", driftRefPath = s"$root/drift",
+      nBucketsExact = 8, maxHamming = 7, semThreshold = 0.95,
+      numPlanes = 4, numTables = 4)
+    val (out, mon, ckpt) = (s"$root/out", s"$root/mon", s"$root/ckpt")
+    try {
+      graft.llm.Dedup.writeExactDupIndex(corpus, "doc_id", "text", 8,
+        cfg.exactIndexPath)
+      graft.llm.Dedup.writeSimhashWideIndex(corpus, "doc_id", "text",
+        maxHamming = 7, nBuckets = 8, path = cfg.nearDupIndexPath)
+      graft.llm.Similarity.writeLshIndex(corpus, "doc_id", "embedding",
+        numPlanes = 4, numTables = 4, path = cfg.semIndexPath)
+      graft.llm.TextAnalysis.writeKnLm(corpus, "doc_id", "text", cfg.lmPath)
+      graft.llm.Curation.writeQualityClassifier(
+        corpus.withColumn("y", (col("doc_id") % 4 =!= 1).cast("int")),
+        "doc_id", "text", "y", cfg.clfModelPath)
+      graft.ops.Checks.writeDriftReference(
+        corpus.select(length(col("text")).cast("double").as("len")),
+        "len", nBins = 10, path = cfg.driftRefPath)
+
+      val mem = MemoryStream[DocVec]
+      def start() = Streams.startIngestPipelineSink(mem.toDF(), cfg, out,
+        mon, ckpt, "doc_id", "text", "embedding")
+      val q = start()
+      try {
+        mem.addData(
+          // accept: novel A-prefix, all bigrams seen, positive class
+          DocVec(100L, "alpha beta gamma delta epsilon", e(50)),
+          // exact: case/space-noised verbatim corpus copy
+          DocVec(101L, "  ALPHA beta   GAMMA delta epsilon zeta eta theta " +
+            "iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon ",
+            e(51)),
+          // accept THROUGH redaction: lands as the C-prefix placeholder
+          // text; unredacted 'dave@corp.io' would be an unseen bigram
+          DocVec(102L, "contact dave@corp.io for access codes", e(52)),
+          // exact_intra: same normalized text as 100, larger id
+          DocVec(103L, "alpha beta gamma delta epsilon", e(53)),
+          // semantic_intra: novel text but 100's direction scaled
+          DocVec(105L, "robin sparrow falcon heron crane", e(50, 2.0f)),
+          // clf: negative-class (B-word) prefix
+          DocVec(106L, "quark lepton boson hadron meson", e(54)),
+          // kn: every-other-A tokens — unseen bigrams
+          DocVec(107L, "alpha gamma epsilon eta iota", e(57)))
+        q.processAllAvailable()
+        mem.addData(
+          // exact via the GROWN index: verbatim copy of accepted 100
+          DocVec(110L, "alpha beta gamma delta epsilon", e(55)),
+          // near via the GROWN index: bag-reordered copy of 102's
+          // REDACTED landed text (also proves redact-before-probe)
+          DocVec(111L, "access for dave@corp.io codes contact", e(58)),
+          // semantic via the GROWN index: 100's direction again
+          DocVec(112L, "robin sparrow falcon heron crane swan goose",
+            e(50, 4.0f)),
+          // accept: contiguous D-substring, positive class
+          DocVec(113L, "lark wren kite hawk eagle", e(56)))
+        q.processAllAvailable()
+      } finally q.stop()
+      // Restart on the SAME checkpoint: offsets resume, the indexes keep
+      // the pre-restart growth, and a copy of a pre-restart accept is
+      // rejected while novel rows still land.
+      val q2 = start()
+      try {
+        mem.addData(
+          DocVec(120L, "lark wren kite hawk eagle", e(57)),
+          DocVec(121L, "tern dove finch jay crow", e(58)))
+        q2.processAllAvailable()
+      } finally q2.stop()
+
+      val landed = spark.read.parquet(out)
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      assert(landed.keySet === Set(100L, 102L, 113L, 121L))
+      // Raw PII never lands; the placeholder text does.
+      assert(landed(102L) === "contact <EMAIL> for access codes")
+      assert(!landed.values.exists(_.contains("dave@corp.io")))
+      // The monitor reported every micro-batch (nBins rows each),
+      // including after the restart.
+      for (b <- 0 to 2)
+        assert(spark.read.parquet(s"$mon/batch_id=$b").count() === 10L)
+      // Final-index replays: each family's gate now rejects a copy of an
+      // accepted row through the state grown across both processes.
+      assert(Streams.dedupGateBatch(spark, cfg.exactIndexPath,
+        Seq(DocVec(200L, "tern dove finch jay crow", e(60))).toDF(),
+        "doc_id", "text", 8).count() === 0L)
+      assert(Streams.nearDupGateBatch(spark, cfg.nearDupIndexPath,
+        Seq(DocVec(201L, "crow jay finch dove tern", e(60))).toDF(),
+        "doc_id", "text", 7).count() === 0L)
+      assert(Streams.semanticGateBatch(spark, cfg.semIndexPath,
+        Seq(DocVec(202L, "unrelated words entirely", e(56, 9.0f))).toDF(),
+        "doc_id", "embedding", 0.95, 4, 4).count() === 0L)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
   }
 }
