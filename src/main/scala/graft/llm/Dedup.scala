@@ -489,6 +489,31 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))
 
+  /** [[probeHammingIndex]] lifted to signature SETS — the write-time
+    * twin of [[hammingNearDupPairsSet]]: the index stores one row per
+    * member signature (e.g. every strided frame hash of a video,
+    * [[writeHammingIndex]] unchanged — it never assumed one row per
+    * id), the delta probes with its own member set, and entity pairs
+    * report the MIN member-pair distance. Any in-budget member pair
+    * makes the entities candidates (per-member pigeonhole recall), so
+    * the index path closes the same first-member evasion the pairs
+    * query does — a re-encode that replaces a video's opening frame
+    * still collides on the shared later frames. Cost shape: k× banded
+    * probe rows (k = member-set size, caller-bounded), one grouped min
+    * on the verified pair frame.
+    *
+    * @return (query_id, cand_id, hamming = min member-pair distance),
+    *   cand ≠ query, hamming ≤ maxHamming.
+    */
+  def probeHammingIndexSet(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, sigs: DataFrame,
+                           idCol: String, hashCol: String, nBits: Int,
+                           maxHamming: Int, nBuckets: Int): DataFrame =
+    probeHammingIndex(spark, indexPath, sigs, idCol, hashCol, nBits,
+      maxHamming, nBuckets)
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(min(col("hamming")).as("hamming"))
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 60,

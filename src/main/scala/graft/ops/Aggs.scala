@@ -305,6 +305,16 @@ object Aggs {
         ((cov * cov) / nullif(varX * varY, lit(0.0))).as("r2"))
   }
 
+  /** Broadcast hint for a one-row-per-group frame, guarded by measured
+    * cardinality (the [[graft.llm.Dedup]] `maxBroadcastRight` idiom):
+    * small frames keep the hint, larger ones fall back to plain joins
+    * and let AQE decide at runtime. One count job; med and mad frames
+    * share a group count, so callers count once and reuse the hint.
+    */
+  private def groupFrameHint(groups: DataFrame,
+                             maxRows: Long): DataFrame => DataFrame =
+    if (groups.count() <= maxRows) broadcast _ else identity
+
   /** Per-group robust outlier screen via MEDIAN / MAD (median absolute
     * deviation) — the heavy-tail-safe companion to the z-score screen
     * (one wild value drags a mean/stddev enough to mask itself; it
@@ -331,20 +341,30 @@ object Aggs {
     * the output, which reports mad per group exactly so the choice
     * stays with the caller.
     *
+    * Group-cardinality regime: the med/mad frames are one row per
+    * GROUP, so the broadcast hint is correct for the few-groups /
+    * huge-groups shape this screen exists for. A million-group call
+    * would broadcast a million-row frame to every executor —
+    * `maxBroadcastGroups` guards that: above it the hint is dropped
+    * and the joins fall back to plain shuffle joins (AQE still
+    * broadcasts at runtime if the frame turns out small). The guard
+    * costs one count of the first grouped aggregate.
+    *
     * @return one row per group: (group, med, mad, n, n_outliers)
     */
   def madOutliers(df: DataFrame, group: String, valueCol: String,
-                  k: Double): DataFrame = {
+                  k: Double, maxBroadcastGroups: Long = 100000L): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val base = df.select(col(group), col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull)
     val med = base.groupBy(col(group))
       .agg(expr(s"percentile(__v, 0.5)").as("med"))
-    val dev = base.join(broadcast(med), Seq(group))
+    val hint = groupFrameHint(med, maxBroadcastGroups)
+    val dev = base.join(hint(med), Seq(group))
       .withColumn("__dev", abs(col("__v") - col("med")))
     val mad = dev.groupBy(col(group))
       .agg(expr("percentile(__dev, 0.5)").as("mad"))
-    dev.join(broadcast(mad), Seq(group))
+    dev.join(hint(mad), Seq(group))
       .groupBy(col(group))
       .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
         count(lit(1)).as("n"),
@@ -370,13 +390,19 @@ object Aggs {
     * cross-engine oracle should project (group, n, med_rank_ok,
     * mad_rank_ok).
     *
-    * The MAD = 0 degenerate case of the exact twin applies unchanged.
+    * The MAD = 0 degenerate case of the exact twin applies unchanged,
+    * as does its group-cardinality guard: `maxBroadcastGroups` drops
+    * the broadcast hint on the per-group med/mad frames when the group
+    * count exceeds it (plain shuffle joins; AQE re-broadcasts at
+    * runtime if actually small), so a million-group call cannot ship a
+    * million-row frame to every executor.
     *
     * @return one row per group:
     *         (group, n, med, mad, n_outliers, med_rank_ok, mad_rank_ok)
     */
   def madOutliersApprox(df: DataFrame, group: String, valueCol: String,
-                        k: Double, accuracy: Int = 1000): DataFrame = {
+                        k: Double, accuracy: Int = 1000,
+                        maxBroadcastGroups: Long = 100000L): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(accuracy > 0, s"accuracy must be positive, got $accuracy")
     val base = df.select(col(group), col(valueCol).cast("double").as("__v"))
@@ -384,7 +410,8 @@ object Aggs {
     val med = base.groupBy(col(group))
       .agg(percentile_approx(col("__v"), lit(0.5), lit(accuracy)).as("med"),
         count(lit(1)).as("n"))
-    val dev = base.join(broadcast(med), Seq(group))
+    val hint = groupFrameHint(med, maxBroadcastGroups)
+    val dev = base.join(hint(med), Seq(group))
       .withColumn("__dev", abs(col("__v") - col("med")))
     val mad = dev.groupBy(col(group))
       .agg(percentile_approx(col("__dev"), lit(0.5), lit(accuracy)).as("mad"))
@@ -396,7 +423,7 @@ object Aggs {
       ((rhi.cast("double") >= n / 2 - slack) &&
         ((rlo + 1).cast("double") <= n / 2 + slack)).cast("int")
     }
-    dev.join(broadcast(mad), Seq(group))
+    dev.join(hint(mad), Seq(group))
       .groupBy(col(group))
       .agg(max(col("n")).as("n"), max(col("med")).as("med"),
         max(col("mad")).as("mad"),

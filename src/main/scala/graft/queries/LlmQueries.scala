@@ -651,6 +651,28 @@ object LlmQueries {
     fix
   }
 
+  /** Ensure the write-time STRIDED video-hash index for `dir`'s
+    * scrambled-first-frame video corpus exists; return its path. The
+    * same generic hamming family as [[ensureVideoHashIndex]], but the
+    * layout stores one row per (video, strided frame) — the signature
+    * SET — so probes via [[Dedup.probeHammingIndexSet]] match on ANY
+    * shared frame, closing the first-frame re-encode evasion at the
+    * index path too.
+    */
+  def ensureVideoStridedHashIndex(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): String = {
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    val fix = s"/tmp/graft_fixtures/videostrided_index_${fingerprintCached(s"$dir/documents.parquet")}"
+    if (!new java.io.File(s"$fix/_SUCCESS").exists())
+      Dedup.writeHammingIndex(
+        Multimodal.extractVideoFrameHashesStrided(
+          Multimodal.syntheticVideoGroupsStrided(
+            Tables.documents(s, dir), "doc_id"), k = 3).toDF(),
+        "media_id", "dhash", nBits = 56, maxHamming = 7, nBuckets = 64,
+        path = fix)
+    fix
+  }
+
   // ---- DuckDB SQL fragment generators (mirror graft.llm.TextOps) ----
 
   /** normalize(text) */
@@ -3345,6 +3367,42 @@ object LlmQueries {
          |SELECT id_a, id_b,
          |  CAST(min(bit_count(xor(ha, hb))) AS INT) AS hamming
          |FROM vscand WHERE bit_count(xor(ha, hb)) <= 7
+         |GROUP BY 1, 2""".stripMargin)),
+
+    // STRIDED video near-dup at CORPUS scale: the write-time generic
+    // hamming index holding the frame-hash SET (one row per strided
+    // frame — writeHammingIndex unchanged), probed with the first 50
+    // videos' own frame sets and reduced to the per-pair min
+    // (Dedup.probeHammingIndexSet). llm_video_index_probe's first-frame
+    // layout misses every scrambled-frame-0 group this fixture plants;
+    // the set layout recovers them through the shared later frames —
+    // the pairs query's evasion closure now holds on the index path a
+    // 100 TB corpus would actually use. The oracle replays the
+    // per-frame pixel hashes, the banded candidacy over all
+    // (video, frame) rows, and the per-pair min.
+    "llm_video_strided_index_probe" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        val fix = ensureVideoStridedHashIndex(s, dir)
+        val delta = Multimodal.extractVideoFrameHashesStrided(
+          Multimodal.syntheticVideoGroupsStrided(
+            Tables.documents(s, dir).filter(col("doc_id") < 50),
+            "doc_id"), k = 3).toDF()
+        Dedup.probeHammingIndexSet(s, fix, delta, "media_id", "dhash",
+          nBits = 56, maxHamming = 7, nBuckets = 64)
+      },
+      Some(s"""$videoStridedPhashCte,
+         |vsbanded AS (SELECT doc_id, dhash, b.b AS band,
+         |  (dhash >> (b.b * 7)) & 127 AS key
+         |  FROM vsph, (SELECT unnest(range(0, 8)) AS b) b),
+         |vscand AS (SELECT DISTINCT q.doc_id AS query_id,
+         |  c.doc_id AS cand_id, q.dhash AS qh, c.dhash AS ch
+         |  FROM vsbanded c JOIN vsbanded q
+         |  ON c.band = q.band AND c.key = q.key AND c.doc_id <> q.doc_id
+         |  WHERE q.doc_id < 50)
+         |SELECT query_id, cand_id,
+         |  CAST(min(bit_count(xor(qh, ch))) AS INT) AS hamming
+         |FROM vscand WHERE bit_count(xor(qh, ch)) <= 7
          |GROUP BY 1, 2""".stripMargin)),
 
     "llm_audio_resample" -> Q(

@@ -438,10 +438,13 @@ object Streams {
     * the batch). Chain caveat: in a path a~b~c with a !~ c, both b and
     * c are rejected (c matched b even though b itself was dropped) —
     * strictly more conservative than a sequential arrival, never less.
+    *
+    * `compactEvery` is the [[maybeCompactIndexes]] cadence.
     */
   def startNearDupGateSink(df: DataFrame, indexPath: String, outPath: String,
                            checkpoint: String, idCol: String, textCol: String,
-                           maxHamming: Int, nBuckets: Int) =
+                           maxHamming: Int, nBuckets: Int,
+                           compactEvery: Int = 0) =
     df.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -460,8 +463,28 @@ object Streams {
         accepted.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         graft.llm.Dedup.appendToSimhashWideIndex(accepted, idCol, textCol,
           maxHamming, nBuckets, indexPath)
+        maybeCompactIndexes(spark, Seq(indexPath), batchId, compactEvery)
       }
       .start()
+
+  /** Bounded-small-files maintenance for the growing gate indexes:
+    * every `every` micro-batches (after the batch's appends commit),
+    * rewrite each index to one file per partition directory via
+    * [[graft.llm.Dedup.compactIndex]] ([[graft.llm.BandedIndex
+    * .compactLayout]] — row set unchanged, sidecar preserved,
+    * rename-aside swap). Without a cadence, a long-running gate stream
+    * appends one delta file per (band, bkt) per batch and the probe's
+    * per-file open cost grows without bound — the small-files regime
+    * the round-10 nBuckets sweep measured. `every <= 0` disables
+    * (callers own compaction, e.g. an external nightly job). Replay-
+    * safe: compaction is a row-preserving rewrite, so re-running it
+    * after a crash-replay changes nothing the probes can observe.
+    */
+  private def maybeCompactIndexes(spark: org.apache.spark.sql.SparkSession,
+                                  indexPaths: Seq[String], batchId: Long,
+                                  every: Int): Unit =
+    if (every > 0 && (batchId + 1) % every == 0)
+      indexPaths.foreach(p => graft.llm.Dedup.compactIndex(spark, p))
 
   /** [[startNearDupGateSink]] with `nBuckets` resolved once from the
     * index's params sidecar at start — the gate against an auto-sized
@@ -547,7 +570,7 @@ object Streams {
   def startSemanticGateSink(df: DataFrame, indexPath: String, outPath: String,
                             checkpoint: String, idCol: String, vecCol: String,
                             threshold: Double, numPlanes: Int,
-                            numTables: Int) =
+                            numTables: Int, compactEvery: Int = 0) =
     df.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -563,6 +586,7 @@ object Streams {
         accepted.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         graft.llm.Similarity.appendToLshIndex(accepted, idCol, vecCol,
           numPlanes, numTables, indexPath)
+        maybeCompactIndexes(spark, Seq(indexPath), batchId, compactEvery)
       }
       .start()
 
@@ -592,7 +616,7 @@ object Streams {
     */
   def startDedupGateSink(df: DataFrame, indexPath: String, outPath: String,
                          checkpoint: String, idCol: String, textCol: String,
-                         nBuckets: Int) =
+                         nBuckets: Int, compactEvery: Int = 0) =
     df.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -605,6 +629,7 @@ object Streams {
         accepted.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         graft.llm.Dedup.appendToExactDupIndex(accepted, idCol, textCol,
           nBuckets, indexPath)
+        maybeCompactIndexes(spark, Seq(indexPath), batchId, compactEvery)
       }
       .start()
 
@@ -879,7 +904,8 @@ object Streams {
   def startIngestPipelineSink(df: DataFrame, cfg: IngestPipelineConfig,
                               outPath: String, monitorPath: String,
                               checkpoint: String, idCol: String,
-                              textCol: String, vecCol: String) =
+                              textCol: String, vecCol: String,
+                              compactEvery: Int = 0) =
     df.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -902,6 +928,8 @@ object Streams {
           cfg.maxHamming, cfg.nearDupIndexPath)
         graft.llm.Similarity.appendToLshIndex(accepted, idCol, vecCol,
           cfg.numPlanes, cfg.numTables, cfg.semIndexPath)
+        maybeCompactIndexes(spark, Seq(cfg.exactIndexPath,
+          cfg.nearDupIndexPath, cfg.semIndexPath), batchId, compactEvery)
         // Stage seven, the monitor: watches WHAT arrives (post-redact),
         // not what survives — it must see the rows the gates reject.
         graft.ops.Checks.psiAgainstReference(spark, cfg.driftRefPath,

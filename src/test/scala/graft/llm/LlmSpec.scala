@@ -538,6 +538,60 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("strided video-hash SET index: set probe equals the inline set " +
+    "pairs, recovers scrambled-first-frame groups the first-frame index " +
+    "misses, and grown equals rebuild") {
+    implicit val s = spark
+    val ids = (0L until 64L).toDF("doc_id")
+    // Scrambled-frame-0 fixture: first-frame hashing finds NO
+    // intra-group pairs; the strided frame SET recovers every group.
+    val strided = Multimodal.extractVideoFrameHashesStrided(
+      Multimodal.syntheticVideoGroupsStrided(ids, "doc_id"), k = 3).toDF()
+      .localCheckpoint(true)
+    val first = Multimodal.extractVideoFrameHashes(
+      Multimodal.syntheticVideoGroupsStrided(ids, "doc_id")).toDF()
+      .localCheckpoint(true)
+    val delta = strided.filter($"media_id" < 16)
+    val dir = java.nio.file.Files.createTempDirectory("vset_idx").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("vset_grown").toString
+    try {
+      Dedup.writeHammingIndex(strided, "media_id", "dhash", 56, 7, 16, dir)
+      val got = Dedup.probeHammingIndexSet(spark, dir, delta,
+        "media_id", "dhash", 56, 7, 16).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // Set probe == inline set pairs, symmetrized and delta-filtered.
+      val inline = Dedup.hammingNearDupPairsSet(strided, "media_id",
+        "dhash", 56, 7).collect().flatMap { r =>
+          val (a, b, h) = (r.getLong(0), r.getLong(1), r.getInt(2))
+          Seq((a, b, h), (b, a, h)).filter(_._1 < 16)
+        }.toSet
+      assert(inline.nonEmpty)
+      assert(got === inline)
+      // The evasion the set layout closes: first-frame hashes of the
+      // SAME fixture find none of the planted intra-group pairs (frame
+      // 0 is scrambled per member; any residual hit is a chance
+      // cross-group collision), while the set probe finds them.
+      val ff = Dedup.hammingNearDupPairs(first, "media_id", "dhash", 56, 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(!ff.exists { case (a, b) => a / 4 == b / 4 },
+        s"first-frame hashing should miss scrambled groups, found: ${ff.toSeq}")
+      assert(got.exists { case (a, b, _) => a / 4 == b / 4 },
+        "set probe must recover intra-group pairs")
+      // Grown (evens then odds appended) probes identically to rebuild.
+      Dedup.writeHammingIndex(strided.filter($"media_id" % 2 === 0),
+        "media_id", "dhash", 56, 7, 16, dir2)
+      Dedup.appendToHammingIndex(strided.filter($"media_id" % 2 === 1),
+        "media_id", "dhash", 56, 7, 16, dir2)
+      val grown = Dedup.probeHammingIndexSet(spark, dir2, delta,
+        "media_id", "dhash", 56, 7, 16).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(grown === got)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
+    }
+  }
+
   test("minhashLshPairs finds a one-word-edit near-dup and no false pairs") {
     val base = "the quick brown fox jumps over the lazy dog and keeps on " +
       "running through the quiet green field toward the distant hills"

@@ -849,6 +849,29 @@ class DriftSamplingSpec extends SparkSpec {
     assert(r.getInt(5) === 1 && r.getInt(6) === 1)  // rank contracts
   }
 
+  test("madOutliers / madOutliersApprox: over-threshold group counts " +
+    "drop the broadcast hint (shuffle-join fallback) with identical " +
+    "results, and the plan really loses the hint") {
+    val df = (0 until 40).flatMap(g =>
+      (1 to 9).map(i => (s"g$g", i.toDouble))).toDF("grp", "v")
+    def sortRows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("grp").collect().toSeq
+    // maxBroadcastGroups = 0 forces the fallback on BOTH joins.
+    assert(sortRows(Aggs.madOutliers(df, "grp", "v", k = 1.5,
+      maxBroadcastGroups = 0L)) ===
+      sortRows(Aggs.madOutliers(df, "grp", "v", k = 1.5)))
+    assert(sortRows(Aggs.madOutliersApprox(df, "grp", "v", k = 1.5,
+      maxBroadcastGroups = 0L)) ===
+      sortRows(Aggs.madOutliersApprox(df, "grp", "v", k = 1.5)))
+    // The guarded plan carries no broadcast-hint nodes.
+    def logical(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.analyzed.toString
+    assert(!logical(Aggs.madOutliers(df, "grp", "v", k = 1.5,
+      maxBroadcastGroups = 0L)).contains("UnresolvedHint"))
+    assert(logical(Aggs.madOutliers(df, "grp", "v", k = 1.5))
+      .contains("ResolvedHint"))
+  }
+
   test("writeDriftReference refuses to freeze an empty or all-NULL " +
     "reference (typed in-plan failure, not a downstream NPE)") {
     val dir = java.nio.file.Files.createTempDirectory("drift_ref").toString

@@ -763,6 +763,54 @@ class StreamsSpec extends SparkSpec {
     assert(covering.count() === 2)
   }
 
+  test("gate sink compactEvery bounds the index file count: appends " +
+    "accumulate delta files, the cadence rewrites to one per directory, " +
+    "decisions unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(Doc(1L, "alpha beta gamma")).toDF()
+    val root = java.nio.file.Files.createTempDirectory("cgate").toString
+    val (idx, out, ckpt) = (s"$root/idx", s"$root/out", s"$root/ckpt")
+    def dataFiles(): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(p =>
+          java.nio.file.Files.isRegularFile(p) &&
+            !p.getFileName.toString.startsWith("_") &&
+            !p.getFileName.toString.startsWith(".")).toList
+      } finally s.close()
+    }
+    try {
+      graft.llm.Dedup.writeExactDupIndex(corpus, "doc_id", "text", 2, idx)
+      val mem = MemoryStream[Doc]
+      // Compact every 2 micro-batches.
+      val q = Streams.startDedupGateSink(mem.toDF(), idx, out, ckpt,
+        "doc_id", "text", nBuckets = 2, compactEvery = 2)
+      try {
+        for (b <- 0 until 4) {
+          mem.addData(Doc(10L + b, s"novel doc number $b"),
+            Doc(20L + b, s"other text variant $b"))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      // Batch 3 (the 4th) triggered the last compaction with nothing
+      // appended after it: exactly one data file per partition
+      // directory — the bound a long-running stream keeps forever.
+      val files = dataFiles()
+      val dirs = files.map(_.getParent).distinct
+      assert(files.size === dirs.size,
+        s"expected one file per directory, got ${files.size} files in " +
+          s"${dirs.size} dirs")
+      // All 8 novel rows were accepted and still reject their copies.
+      assert(spark.read.parquet(out).count() === 8L)
+      assert(Streams.dedupGateBatch(spark, idx,
+        Seq(Doc(90L, "novel doc number 2"), Doc(91L, "brand new")).toDF(),
+        "doc_id", "text", 2)
+        .select("doc_id").as[Long].collect().toSeq === Seq(91L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("composed ingest pipeline sink: all stages gate one stream, " +
     "redaction lands (not raw PII), indexes grow cross-batch, intra-batch " +
     "clones drop, state survives checkpoint restart, monitor reports") {
