@@ -15,6 +15,32 @@ package graft
 object BenchBaseline {
   val sfDir = "/root/testdata/sf0.1"
   val minima: Map[String, Double] = Map(
+    // Round-15 closure of the uncovered set (r13 verdict #1, r14 #2):
+    // min across two calm-window isolated runs (reps=2 each) of the 23
+    // previously-baselined-nowhere queries, sf0.1 local[32].
+    "a2_cms_topk" -> 1.733, // r15 calm-window
+    "analyst_trend" -> 0.308, // r15 calm-window
+    "dividend_asof" -> 0.231, // r15 calm-window
+    "dq_chi2_drift" -> 0.360, // r15 calm-window
+    "dq_ks_drift" -> 0.955, // r15 calm-window
+    "dq_mad_outliers_approx" -> 0.853, // r15 calm-window
+    "dq_psi_drift" -> 0.439, // r15 calm-window
+    "events_anomaly_mad" -> 0.691, // r15 calm-window
+    "events_ols_trend" -> 0.725, // r15 calm-window
+    "graph_labelprop" -> 2.509, // r15 calm-window
+    "llm_sim_range" -> 0.259, // r15 calm-window
+    "llm_sim_range_ivf" -> 1.183, // r15 calm-window
+    "llm_sim_range_ivf_grown" -> 1.139, // r15 calm-window
+    "llm_stream_drift_monitor" -> 0.317, // r15 calm-window
+    "llm_stream_ingest_e2e" -> 7.615, // r15 calm-window
+    "llm_stream_pii_redact" -> 0.198, // r15 calm-window
+    "llm_video_dedup_clusters" -> 7.572, // r15 calm-window
+    "llm_video_index_probe" -> 1.438, // r15 calm-window
+    "llm_video_neardup" -> 0.381, // r15 calm-window
+    "llm_video_phash" -> 0.131, // r15 calm-window
+    "llm_video_strided_index_probe" -> 1.478, // r15 calm-window
+    "llm_video_strided_neardup" -> 2.108, // r15 calm-window
+    "llm_weighted_sample" -> 0.091, // r15 calm-window
     "a1_yearly_rollup" -> 0.495,
     "a2_approx_distinct" -> 0.523,
     "a2_approx_percentile" -> 0.806,

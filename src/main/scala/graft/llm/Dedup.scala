@@ -450,6 +450,23 @@ object Dedup {
     * hamming-space dedup core shared by [[simhashPairs]] (60-bit text
     * simhash) and the image dHash pairs (56-bit perceptual hash):
     * bucket-key shuffle on (band, key), never all-pairs.
+    *
+    * CORPUS-SCALE REGIME (round-15 measurement): band keys carry
+    * `nBits / (maxHamming + 1)` bits, so the candidate mass is
+    * Θ(n² · (maxHamming+1) / 2^(nBits/(maxHamming+1))) once
+    * n ≫ 2^keyBits — for the 56-bit / maxHamming=7 family (7-bit keys,
+    * 128 values) the mass was measured EXACTLY quadratic across three
+    * decades (1.96M → 192M → 19.1B candidates at 5k → 50k → 500k
+    * videos), driving `llm_video_dedup_clusters` to 50× wall for 10×
+    * data at the third decade. This is inherent to narrow signatures,
+    * not a plan defect: the text family escaped it by WIDENING the
+    * signature ([[simhashWidePairs]], 120 bits → 15-bit keys). For
+    * all-corpus pairs/clusters jobs over 56-bit perceptual hashes,
+    * either shrink the radius (maxHamming=3 → 14-bit keys, 4096× fewer
+    * candidates per the formula) or treat the job as the one-time batch
+    * it is; the INGEST path is unaffected — the write-time index probes
+    * ([[probeHammingIndex]]) are delta-bounded and measured ~1.0× per
+    * corpus decade at fixed delta.
     */
   def hammingNearDupPairs(sigs: DataFrame, idCol: String, hashCol: String,
                           nBits: Int, maxHamming: Int): DataFrame = {
