@@ -41,6 +41,8 @@ object BenchBaseline {
     "llm_video_strided_index_probe" -> 1.478, // r15 calm-window
     "llm_video_strided_neardup" -> 2.108, // r15 calm-window
     "llm_weighted_sample" -> 0.091, // r15 calm-window
+    "llm_image_neardup_wide" -> 1.586, // r15 calm-window
+    "llm_video_dedup_clusters_wide" -> 1.697, // r15 calm-window
     "a1_yearly_rollup" -> 0.495,
     "a2_approx_distinct" -> 0.523,
     "a2_approx_percentile" -> 0.806,

@@ -739,26 +739,41 @@ object Dedup {
     * Needs `maxHamming >= 1` so both words contribute a band (for
     * hamming-0 use the exact-dup family).
     */
-  private def hammingBandsWide(sigs: DataFrame, maxHamming: Int): DataFrame = {
+  private def hammingBandsWide(sigs: DataFrame, maxHamming: Int): DataFrame =
+    hammingBandsWide(sigs, 60, 60, maxHamming)
+
+  /** Band slices of a TWO-WORD signature (`sh_lo` carrying `nLoBits`,
+    * `sh_hi` carrying `nHiBits`): `maxHamming + 1` bands split between
+    * the words in proportion to their bit shares, each word's bands a
+    * balanced disjoint cover of its bits — pigeonhole recall holds for
+    * any disjoint full cover of the `nLoBits + nHiBits` total. The text
+    * family uses 60 + 60 (120-bit wide simhash); the wide perceptual
+    * family 56 + 54 (horizontal + vertical dHash).
+    */
+  private def hammingBandsWide(sigs: DataFrame, nLoBits: Int, nHiBits: Int,
+                               maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
-    val nLo = (nBands + 1) / 2
+    // Split bands proportionally to bit shares (60+60 keeps the
+    // historical (nBands+1)/2 lo share exactly, so existing written
+    // text-wide indexes keep matching their probes).
+    val nLo = math.max(1, math.min(nBands - 1,
+      (nBands * nLoBits + (nLoBits + nHiBits) / 2) / (nLoBits + nHiBits)))
     val nHi = nBands - nLo
     require(nHi >= 1,
-      s"wide simhash needs maxHamming >= 1 (got $maxHamming); " +
+      s"wide banding needs maxHamming >= 1 (got $maxHamming); " +
         "use the exact-dup family for hamming 0")
-    // Balanced slices: the first (60 % nW) bands get floor(60/nW)+1 bits,
-    // the rest floor(60/nW) — every band non-empty for any nW in [1, 60],
-    // so the whole documented maxHamming domain [1, 120) is accepted (a
-    // uniform ceil width used to leave trailing bands empty for e.g.
-    // nW=11). Pigeonhole recall holds for any disjoint full cover of the
-    // 60 bits. Layout note: for nW dividing 60 (incl. the in-repo
-    // maxHamming=7 -> 4+4 bands) this is bit-identical to the previous
-    // slicing, so existing written indexes keep matching their probes.
-    def slices(c: Column, nW: Int, offset: Int): Seq[(Int, Column)] = {
-      require(nW >= 1 && nW <= 60,
-        s"$nW bands over 60 bits leaves an empty band")
-      val base = 60 / nW
-      val extra = 60 % nW
+    // Balanced slices: the first (nBits % nW) bands get floor(nBits/nW)+1
+    // bits, the rest floor(nBits/nW) — every band non-empty for any
+    // nW in [1, nBits]. Pigeonhole recall holds for any disjoint full
+    // cover of the bits. Layout note: for nW dividing nBits (incl. the
+    // in-repo text maxHamming=7 -> 4+4 bands over 60+60) this is
+    // bit-identical to the previous slicing, so existing written
+    // indexes keep matching their probes.
+    def slices(c: Column, nBits: Int, nW: Int, offset: Int): Seq[(Int, Column)] = {
+      require(nW >= 1 && nW <= nBits,
+        s"$nW bands over $nBits bits leaves an empty band")
+      val base = nBits / nW
+      val extra = nBits % nW
       val starts = (0 until nW).scanLeft(0)((s, b) =>
         s + base + (if (b < extra) 1 else 0))
       (0 until nW).map { b =>
@@ -766,7 +781,8 @@ object Dedup {
         (offset + b, shiftright(c, starts(b)).bitwiseAND((1L << w) - 1))
       }
     }
-    val all = slices(col("sh_lo"), nLo, 0) ++ slices(col("sh_hi"), nHi, nLo)
+    val all = slices(col("sh_lo"), nLoBits, nLo, 0) ++
+      slices(col("sh_hi"), nHiBits, nHi, nLo)
     sigs.select(col("id"), col("sh_lo"), col("sh_hi"),
       explode(array(all.map { case (b, k) =>
         struct(lit(b).as("band"), k.as("key"))
@@ -775,20 +791,29 @@ object Dedup {
         col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** Near-duplicate pairs under the 120-bit simhash: banded candidate
-    * generation on the wide slices (bucket-key shuffle, never
-    * all-pairs) + exact two-word `bit_count(xor)` verify.
+  /** Near-duplicate pairs of ANY two-word (id, lo, hi) bit-signature
+    * frame under hamming distance — [[hammingNearDupPairs]] lifted to
+    * wide signatures: banded candidates over the proportional two-word
+    * slices, exact two-word `bit_count(xor)` verify. THE corpus-scale
+    * escape from narrow-signature band-key saturation: at maxHamming=7
+    * a 110-bit signature (56 + 54) carries 13–14-bit band keys
+    * (8192–16384 values) where the 56-bit family carries 7-bit keys
+    * (128) — candidate mass drops by ~2^7 at the same recall
+    * guarantee, the exact move the text family made with the 120-bit
+    * wide simhash.
     *
     * @return (id_a, id_b, hamming), id_a < id_b, hamming ≤ maxHamming.
     */
-  def simhashWidePairs(df: DataFrame, idCol: String, textCol: String,
-                       maxHamming: Int): DataFrame = {
-    require(maxHamming >= 1 && maxHamming < 120,
-      s"maxHamming must be in [1, 120), got $maxHamming")
+  def hammingNearDupPairsWide(sigs: DataFrame, idCol: String, loCol: String,
+                              hiCol: String, nLoBits: Int, nHiBits: Int,
+                              maxHamming: Int): DataFrame = {
+    require(nLoBits >= 1 && nLoBits <= 63 && nHiBits >= 1 && nHiBits <= 63,
+      s"word widths must be in [1, 63], got ($nLoBits, $nHiBits)")
+    require(maxHamming >= 1 && maxHamming < nLoBits + nHiBits,
+      s"maxHamming must be in [1, ${nLoBits + nHiBits}), got $maxHamming")
     val banded = hammingBandsWide(
-      simhashWideFrame(df, idCol, textCol)
-        .select(col(idCol).as("id"), col("simhash_lo").as("sh_lo"),
-          col("simhash_hi").as("sh_hi")), maxHamming)
+      sigs.select(col(idCol).as("id"), col(loCol).as("sh_lo"),
+        col(hiCol).as("sh_hi")), nLoBits, nHiBits, maxHamming)
     val a = banded.select(col("band"), col("key"), col("id").as("id_a"),
       col("sh_lo").as("lo_a"), col("sh_hi").as("hi_a"))
     val b = banded.select(col("band"), col("key"), col("id").as("id_b"),
@@ -801,6 +826,21 @@ object Dedup {
           bit_count(col("hi_a").bitwiseXOR(col("hi_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** Near-duplicate pairs under the 120-bit simhash: banded candidate
+    * generation on the wide slices (bucket-key shuffle, never
+    * all-pairs) + exact two-word `bit_count(xor)` verify.
+    *
+    * @return (id_a, id_b, hamming), id_a < id_b, hamming ≤ maxHamming.
+    */
+  def simhashWidePairs(df: DataFrame, idCol: String, textCol: String,
+                       maxHamming: Int): DataFrame = {
+    require(maxHamming >= 1 && maxHamming < 120,
+      s"maxHamming must be in [1, 120), got $maxHamming")
+    hammingNearDupPairsWide(
+      simhashWideFrame(df, idCol, textCol),
+      idCol, "simhash_lo", "simhash_hi", 60, 60, maxHamming)
   }
 
   /** Sidecar params of a wide-simhash layout (see [[nearDupParams]]). */

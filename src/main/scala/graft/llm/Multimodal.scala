@@ -158,7 +158,15 @@ object Multimodal {
     * exact end to end; shared by the image and video-frame hashers so
     * the two modalities carry ONE signature definition.
     */
-  private def dhash9x7(w: Int, h: Int)(lumaAt: (Int, Int) => Long): Long = {
+  private def dhash9x7(w: Int, h: Int)(lumaAt: (Int, Int) => Long): Long =
+    horizontalBits(cellAverages9x7(w, h)(lumaAt))
+
+  /** The 9 x 7 box-averaged luma cells (exact floor division per cell)
+    * shared by the narrow and wide hash kernels — computed ONCE per
+    * frame, both gradient directions derive from it.
+    */
+  private def cellAverages9x7(w: Int, h: Int)
+                             (lumaAt: (Int, Int) => Long): Array[Long] = {
     val sums = new Array[Long](7 * 9)
     val counts = new Array[Long](7 * 9)
     var y = 0
@@ -173,19 +181,63 @@ object Multimodal {
       }
       y += 1
     }
+    val avgs = new Array[Long](7 * 9)
+    var c = 0
+    while (c < 7 * 9) {
+      avgs(c) = sums(c) / counts(c)
+      c += 1
+    }
+    avgs
+  }
+
+  /** 56 horizontal-gradient bits: bit `cy*8+cx` set iff the right
+    * cell's average strictly exceeds the left's (the classic dHash).
+    */
+  private def horizontalBits(avgs: Array[Long]): Long = {
     var hash = 0L
     var cy = 0
     while (cy < 7) {
       var cx = 0
       while (cx < 8) {
-        val left = sums(cy * 9 + cx) / counts(cy * 9 + cx)
-        val right = sums(cy * 9 + cx + 1) / counts(cy * 9 + cx + 1)
-        if (right > left) hash |= 1L << (cy * 8 + cx)
+        if (avgs(cy * 9 + cx + 1) > avgs(cy * 9 + cx))
+          hash |= 1L << (cy * 8 + cx)
         cx += 1
       }
       cy += 1
     }
     hash
+  }
+
+  /** 54 VERTICAL-gradient bits over the same cells: bit `cx*6+cy` set
+    * iff the lower cell's average strictly exceeds the upper's — the
+    * public dHash variant orthogonal to [[horizontalBits]]. Together
+    * they form the 110-bit two-word wide perceptual signature whose
+    * 13–14-bit band keys keep banded candidate generation pruning at
+    * corpus scale (the 56-bit family's 7-bit keys saturate at
+    * n >> 128 — measured exactly quadratic across three decades).
+    */
+  private def verticalBits(avgs: Array[Long]): Long = {
+    var hash = 0L
+    var cx = 0
+    while (cx < 9) {
+      var cy = 0
+      while (cy < 6) {
+        if (avgs((cy + 1) * 9 + cx) > avgs(cy * 9 + cx))
+          hash |= 1L << (cx * 6 + cy)
+        cy += 1
+      }
+      cx += 1
+    }
+    hash
+  }
+
+  /** The wide two-word kernel: (horizontal 56-bit, vertical 54-bit)
+    * from one cell-average pass.
+    */
+  private def dhashWide9x7(w: Int, h: Int)
+                          (lumaAt: (Int, Int) => Long): (Long, Long) = {
+    val avgs = cellAverages9x7(w, h)(lumaAt)
+    (horizontalBits(avgs), verticalBits(avgs))
   }
 
   /** Batched perceptual-hash extraction — the same iterator-of-batches
@@ -197,6 +249,42 @@ object Multimodal {
                          batchSize: Int = 64): Dataset[ImageHash] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(mapBatched(_, batchSize)(decodeImageHash))
+  }
+
+  /** WIDE two-word perceptual signature of an image: the 56-bit
+    * horizontal dHash plus the 54-bit vertical dHash from the SAME
+    * 9 x 7 cell averages — one decode, both gradient directions. The
+    * corpus-scale signature: under maxHamming=7 banding the 110 bits
+    * carry 13–14-bit band keys where [[ImageHash]]'s 56 bits carry
+    * 7-bit keys, so all-corpus pair generation keeps pruning at sizes
+    * where the narrow family is measured exactly quadratic.
+    */
+  final case class ImageHashWide(media_id: Long, width: Int, height: Int,
+                                 dhash: Long, vhash: Long)
+
+  /** [[decodeImageHash]]'s wide twin — same decode, same cells, the
+    * horizontal word bit-identical to the narrow family's `dhash`.
+    */
+  def decodeImageHashWide(r: MediaRecord): ImageHashWide = {
+    imageIoNoCache
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+    require(img != null, s"undecodable image payload for media_id=${r.media_id}")
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w >= 9 && h >= 7,
+      s"image ${w}x$h too small for the 9x7 dHash grid (media_id=${r.media_id})")
+    val (dh, vh) = dhashWide9x7(w, h) { (x, y) =>
+      val rgb = img.getRGB(x, y)
+      ((rgb >> 16) & 0xFF) * 299L +
+        ((rgb >> 8) & 0xFF) * 587L + (rgb & 0xFF) * 114L
+    }
+    ImageHashWide(r.media_id, w, h, dh, vh)
+  }
+
+  def extractImageHashesWide(ds: Dataset[MediaRecord],
+                             batchSize: Int = 64): Dataset[ImageHashWide] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(mapBatched(_, batchSize)(decodeImageHashWide))
   }
 
   /** Decoded audio properties — the audio twin of [[MediaFeatures]],
@@ -584,6 +672,26 @@ object Multimodal {
     VideoHash(r.media_id, g.w, g.h, hashDibFrame(r, g, g.frames.head))
   }
 
+  /** [[VideoHash]]'s wide twin — (horizontal, vertical) first-frame
+    * words; the corpus-scale video-dedup signature (see
+    * [[ImageHashWide]] for the band-key arithmetic).
+    */
+  final case class VideoHashWide(media_id: Long, width: Int, height: Int,
+                                 dhash: Long, vhash: Long)
+
+  def decodeVideoFrameHashWide(r: MediaRecord): VideoHashWide = {
+    val g = aviDibGeometry(r)
+    if (g.frames.isEmpty) videoFail(r, "no frame chunk in the movi list")
+    val (dh, vh) = hashDibFrameWide(r, g, g.frames.head)
+    VideoHashWide(r.media_id, g.w, g.h, dh, vh)
+  }
+
+  def extractVideoFrameHashesWide(ds: Dataset[MediaRecord],
+                                  batchSize: Int = 64): Dataset[VideoHashWide] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(mapBatched(_, batchSize)(decodeVideoFrameHashWide))
+  }
+
   /** Decoded AVI frame geometry + the bounds of every uncompressed
     * frame chunk — the shared RIFF-walk core of the first-frame and
     * strided hashers.
@@ -669,13 +777,28 @@ object Multimodal {
     * [[dhash9x7]] luma kernel over bottom-up (or top-down) BGR rows.
     */
   private def hashDibFrame(r: MediaRecord, g: AviDibGeometry,
-                           frame: (Long, Long)): Long = {
+                           frame: (Long, Long)): Long =
+    dhash9x7(g.w, g.h)(dibLumaAt(r, g, frame))
+
+  /** [[hashDibFrame]]'s wide twin: (horizontal, vertical) words from
+    * one cell pass over the same honestly-decoded DIB pixels.
+    */
+  private def hashDibFrameWide(r: MediaRecord, g: AviDibGeometry,
+                               frame: (Long, Long)): (Long, Long) =
+    dhashWide9x7(g.w, g.h)(dibLumaAt(r, g, frame))
+
+  /** Size-checked luma accessor over one uncompressed DIB frame —
+    * bottom-up (or top-down) rows, 4-byte stride, B-G-R channel order;
+    * the shared pixel contract of the narrow and wide video hashers.
+    */
+  private def dibLumaAt(r: MediaRecord, g: AviDibGeometry,
+                        frame: (Long, Long)): (Int, Int) => Long = {
     val b = r.payload
     if (frame._2 - frame._1 != g.stride.toLong * g.h)
       videoFail(r, s"frame chunk ${frame._2 - frame._1} bytes, expected " +
         s"stride(${g.stride}) x height(${g.h})")
     val base = frame._1.toInt
-    dhash9x7(g.w, g.h) { (x, y) =>
+    (x: Int, y: Int) => {
       val row = if (g.topDown) y else g.h - 1 - y
       val off = base + row * g.stride + x * 3
       // DIB pixel order is B, G, R.

@@ -885,6 +885,67 @@ object LlmQueries {
       |  (dhash >> (b.b * 7)) & 127 AS key
       |  FROM ph, (SELECT unnest(range(0, 8)) AS b) b)""".stripMargin
 
+  /** DuckDB twin of the WIDE two-word band slicing
+    * ([[Dedup.hammingNearDupPairsWide]]): bands split between the words
+    * proportionally to their bit shares, each word's bands a balanced
+    * disjoint cover — the same starts/widths arithmetic as the Scala
+    * side, generated from one definition so the layouts cannot drift.
+    * Emits `SELECT doc_id, <lo>, <hi>, band, key FROM <src>` unions.
+    */
+  private def wideBandSlicesSql(src: String, loCol: String, loBits: Int,
+                                hiCol: String, hiBits: Int,
+                                maxHamming: Int): String = {
+    val nBands = maxHamming + 1
+    val nLo = math.max(1, math.min(nBands - 1,
+      (nBands * loBits + (loBits + hiBits) / 2) / (loBits + hiBits)))
+    val nHi = nBands - nLo
+    def slices(c: String, nBits: Int, nW: Int, offset: Int): Seq[String] = {
+      val base = nBits / nW
+      val extra = nBits % nW
+      val starts = (0 until nW).scanLeft(0)((s, b) =>
+        s + base + (if (b < extra) 1 else 0))
+      (0 until nW).map { b =>
+        val w = base + (if (b < extra) 1 else 0)
+        s"SELECT doc_id, $loCol, $hiCol, ${offset + b} AS band, " +
+          s"($c >> ${starts(b)}) & ${(1L << w) - 1} AS key FROM $src"
+      }
+    }
+    (slices(loCol, loBits, nLo, 0) ++ slices(hiCol, hiBits, nHi, nLo))
+      .mkString("\nUNION ALL\n")
+  }
+
+  /** Extends [[phashCte]]'s `cells` with the VERTICAL 54-bit word:
+    * `phw(doc_id, w, h, dhash, vhash)` — bit `cx*6+cy` set iff the
+    * LOWER cell strictly exceeds the upper (the Multimodal
+    * verticalBits kernel in exact int64 SQL).
+    */
+  private lazy val phashWideCte: String =
+    """phv AS (SELECT a.doc_id,
+      |  CAST(coalesce(sum(CASE WHEN c.avg > a.avg
+      |    THEN (CAST(1 AS BIGINT) << (a.cx*6 + a.cy))
+      |    ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS vhash
+      |  FROM cells a JOIN cells c ON a.doc_id = c.doc_id
+      |    AND a.cx = c.cx AND c.cy = a.cy + 1
+      |  WHERE a.cy < 6
+      |  GROUP BY 1),
+      |phw AS (SELECT ph.doc_id, ph.w, ph.h, ph.dhash, phv.vhash
+      |  FROM ph JOIN phv USING (doc_id))""".stripMargin
+
+  /** The video twin of [[phashWideCte]] over [[videoPhashCte]]'s
+    * `vcells`: `vphw(doc_id, dhash, vhash)`.
+    */
+  private lazy val videoPhashWideCte: String =
+    """vphv AS (SELECT a.doc_id,
+      |  CAST(coalesce(sum(CASE WHEN c.avg > a.avg
+      |    THEN (CAST(1 AS BIGINT) << (a.cx*6 + a.cy))
+      |    ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS vhash
+      |  FROM vcells a JOIN vcells c ON a.doc_id = c.doc_id
+      |    AND a.cx = c.cx AND c.cy = a.cy + 1
+      |  WHERE a.cy < 6
+      |  GROUP BY 1),
+      |vphw AS (SELECT vph.doc_id, vph.dhash, vphv.vhash
+      |  FROM vph JOIN vphv USING (doc_id))""".stripMargin
+
   /** DuckDB twin of [[Multimodal.syntheticVideoGroups]] +
     * [[Multimodal.decodeVideoFrameHash]] ending in
     * `vph(doc_id, w, h, dhash)`: regenerate the id-arithmetic FRAME
@@ -3078,6 +3139,39 @@ object LlmQueries {
          |  CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
          |FROM cand WHERE bit_count(xor(ha, hb)) <= 7""".stripMargin)),
 
+    // Image NEAR-DUP pairs under the WIDE 110-bit signature — the
+    // corpus-scale escape from 56-bit band-key saturation: horizontal
+    // (56-bit) + vertical (54-bit) dHash words from ONE cell pass, so
+    // the maxHamming=7 banding carries 13-14-bit keys (8192-16384
+    // values) instead of 7-bit (128) — candidate mass drops ~2^7 at the
+    // same pigeonhole recall, the exact move the text family made with
+    // the 120-bit wide simhash. Pairs here satisfy total two-word
+    // hamming <= 7 (a strictly stronger match than the narrow row's);
+    // the oracle replays the vertical word, the proportional band
+    // slicing (generated from the same starts/widths arithmetic), and
+    // the two-word verify.
+    "llm_image_neardup_wide" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        val hashes = Multimodal.extractImageHashesWide(
+          Multimodal.syntheticImageGroups(
+            Tables.documents(s, dir), "doc_id")).toDF()
+        Dedup.hammingNearDupPairsWide(hashes, "media_id", "dhash", "vhash",
+          nLoBits = 56, nHiBits = 54, maxHamming = 7)
+      },
+      Some(s"""$phashCte,
+         |$phashWideCte,
+         |wbanded AS (${wideBandSlicesSql("phw", "dhash", 56, "vhash", 54, 7)}),
+         |wcand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |  a.dhash AS da, a.vhash AS va, c.dhash AS db, c.vhash AS vb
+         |  FROM wbanded a JOIN wbanded c
+         |  ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(da, db)) + bit_count(xor(va, vb)) AS INT)
+         |    AS hamming
+         |FROM wcand
+         |WHERE bit_count(xor(da, db)) + bit_count(xor(va, vb)) <= 7""".stripMargin)),
+
     // Image near-dup at CORPUS scale: the write-time hamming index —
     // the GENERIC BandedIndex family ([[Dedup.writeHammingIndex]],
     // nBits a layout parameter) over the 56-bit dHashes — probed with
@@ -3337,6 +3431,41 @@ object LlmQueries {
          |vcl AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
          |  FROM vreach GROUP BY s)
          |SELECT doc_id, cluster_id FROM vcl""".stripMargin)),
+
+    // Video dedup clusters under the WIDE 110-bit signature — the
+    // corpus-scale fix for the quadratic the narrow row measured at
+    // sf10 (50.6x for 10x data: 7-bit band keys saturate at 500k
+    // videos; BASELINE.md round-15). Horizontal + vertical first-frame
+    // words -> 13-14-bit band keys -> candidate mass / ~2^7 at the same
+    // pigeonhole recall; the cluster edge is the strictly-stronger
+    // two-word hamming <= 7. The oracle replays the vertical word, the
+    // proportional slicing, and the same recursive closure.
+    "llm_video_dedup_clusters_wide" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        val hashes = Multimodal.extractVideoFrameHashesWide(
+          Multimodal.syntheticVideoGroups(
+            Tables.documents(s, dir), "doc_id")).toDF()
+        Dedup.dedupClusters(Dedup.hammingNearDupPairsWide(hashes,
+          "media_id", "dhash", "vhash", nLoBits = 56, nHiBits = 54,
+          maxHamming = 7))
+      },
+      Some(s"""${videoPhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$videoPhashWideCte,
+         |vwbanded AS (${wideBandSlicesSql("vphw", "dhash", 56, "vhash", 54, 7)}),
+         |vwcand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |  a.dhash AS da, a.vhash AS va, c.dhash AS db, c.vhash AS vb
+         |  FROM vwbanded a JOIN vwbanded c
+         |  ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id),
+         |vwpairs AS (SELECT id_a, id_b FROM vwcand
+         |  WHERE bit_count(xor(da, db)) + bit_count(xor(va, vb)) <= 7),
+         |vwedges AS (SELECT id_a AS s, id_b AS d FROM vwpairs
+         |  UNION ALL SELECT id_b, id_a FROM vwpairs),
+         |vwreach AS (SELECT s, d FROM vwedges
+         |  UNION SELECT r.s, e.d FROM vwreach r JOIN vwedges e ON r.d = e.s),
+         |vwcl AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+         |  FROM vwreach GROUP BY s)
+         |SELECT doc_id, cluster_id FROM vwcl""".stripMargin)),
 
     // STRIDED video near-dup — the first-frame-evasion hardening: the
     // fixture's 4-frame AVIs scramble frame 0 per member (a re-encode

@@ -592,6 +592,43 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("wide two-word perceptual hash: horizontal word bit-identical to " +
+    "the narrow dHash, wide pairs are a subset of narrow pairs at the " +
+    "same budget, fixture groups still recovered") {
+    implicit val s = spark
+    val ids = (0L until 64L).toDF("doc_id")
+    val media = Multimodal.syntheticImageGroups(ids, "doc_id")
+    val narrow = Multimodal.extractImageHashes(media).toDF()
+      .localCheckpoint(true)
+    val wide = Multimodal.extractImageHashesWide(media).toDF()
+      .localCheckpoint(true)
+    // One cell pass, two words: the horizontal word must equal the
+    // narrow family's dhash exactly (shared kernel contract).
+    assert(narrow.select("media_id", "dhash")
+      .except(wide.select("media_id", "dhash")).count() === 0L)
+    // vhash is a genuine second word, not a copy.
+    assert(wide.filter($"dhash" === $"vhash").count() < 64L)
+    val narrowPairs = Dedup.hammingNearDupPairs(narrow, "media_id",
+      "dhash", 56, 7).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val widePairs = Dedup.hammingNearDupPairsWide(wide, "media_id",
+      "dhash", "vhash", 56, 54, 7).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Total two-word hamming <= 7 implies horizontal hamming <= 7.
+    assert(widePairs.subsetOf(narrowPairs))
+    // The brightness-nudged fixture groups survive the stricter match.
+    assert(widePairs.exists { case (a, b) => a / 4 == b / 4 },
+      "wide pairs must keep intra-group near-dups")
+    // The same-budget text-wide refactor: 60+60 banding unchanged —
+    // simhashWidePairs still finds a reordered (bag-equal) pair.
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "epsilon delta gamma beta alpha"),
+      (3L, "totally different words here now")).toDF("doc_id", "text")
+    val tp = Dedup.simhashWidePairs(docs, "doc_id", "text", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(tp.toSeq === Seq((1L, 2L, 0)))
+  }
+
   test("minhashLshPairs finds a one-word-edit near-dup and no false pairs") {
     val base = "the quick brown fox jumps over the lazy dog and keeps on " +
       "running through the quiet green field toward the distant hills"
