@@ -742,20 +742,29 @@ object Dedup {
   private def hammingBandsWide(sigs: DataFrame, maxHamming: Int): DataFrame =
     hammingBandsWide(sigs, 60, 60, maxHamming)
 
-  /** Band slices of a TWO-WORD signature (`sh_lo` carrying `nLoBits`,
-    * `sh_hi` carrying `nHiBits`): `maxHamming + 1` bands split between
-    * the words in proportion to their bit shares, each word's bands a
-    * balanced disjoint cover of its bits — pigeonhole recall holds for
-    * any disjoint full cover of the `nLoBits + nHiBits` total. The text
-    * family uses 60 + 60 (120-bit wide simhash); the wide perceptual
-    * family 56 + 54 (horizontal + vertical dHash).
+  /** One band slice of a two-word signature layout: which `band` index
+    * it is, which `word` it slices (0 = lo, 1 = hi), and the bit
+    * `start`/`width` within that word. THE single definition of the
+    * wide banding — the Scala slicing ([[hammingBandsWide]]) and the
+    * DuckDB oracle generator (`LlmQueries.wideBandSlicesSql`) both
+    * consume it, so the two layouts cannot drift.
     */
-  private def hammingBandsWide(sigs: DataFrame, nLoBits: Int, nHiBits: Int,
-                               maxHamming: Int): DataFrame = {
+  final case class WideBandSlice(band: Int, word: Int, start: Int, width: Int)
+
+  /** The proportional two-word band layout: `maxHamming + 1` bands
+    * split between the words in proportion to their bit shares, each
+    * word's bands a balanced disjoint cover of its bits — pigeonhole
+    * recall holds for any disjoint full cover of the
+    * `nLoBits + nHiBits` total. The text family uses 60 + 60 (120-bit
+    * wide simhash); the wide perceptual family 56 + 54 (horizontal +
+    * vertical dHash). Layout notes: 60+60 keeps the historical
+    * (nBands+1)/2 lo share exactly, and for band counts dividing the
+    * word width the slices are bit-identical to the pre-r15 slicing —
+    * existing written indexes keep matching their probes.
+    */
+  private[graft] def wideBandLayout(nLoBits: Int, nHiBits: Int,
+                                    maxHamming: Int): Seq[WideBandSlice] = {
     val nBands = maxHamming + 1
-    // Split bands proportionally to bit shares (60+60 keeps the
-    // historical (nBands+1)/2 lo share exactly, so existing written
-    // text-wide indexes keep matching their probes).
     val nLo = math.max(1, math.min(nBands - 1,
       (nBands * nLoBits + (nLoBits + nHiBits) / 2) / (nLoBits + nHiBits)))
     val nHi = nBands - nLo
@@ -764,12 +773,8 @@ object Dedup {
         "use the exact-dup family for hamming 0")
     // Balanced slices: the first (nBits % nW) bands get floor(nBits/nW)+1
     // bits, the rest floor(nBits/nW) — every band non-empty for any
-    // nW in [1, nBits]. Pigeonhole recall holds for any disjoint full
-    // cover of the bits. Layout note: for nW dividing nBits (incl. the
-    // in-repo text maxHamming=7 -> 4+4 bands over 60+60) this is
-    // bit-identical to the previous slicing, so existing written
-    // indexes keep matching their probes.
-    def slices(c: Column, nBits: Int, nW: Int, offset: Int): Seq[(Int, Column)] = {
+    // nW in [1, nBits].
+    def slices(word: Int, nBits: Int, nW: Int, offset: Int): Seq[WideBandSlice] = {
       require(nW >= 1 && nW <= nBits,
         s"$nW bands over $nBits bits leaves an empty band")
       val base = nBits / nW
@@ -777,12 +782,23 @@ object Dedup {
       val starts = (0 until nW).scanLeft(0)((s, b) =>
         s + base + (if (b < extra) 1 else 0))
       (0 until nW).map { b =>
-        val w = base + (if (b < extra) 1 else 0)
-        (offset + b, shiftright(c, starts(b)).bitwiseAND((1L << w) - 1))
+        WideBandSlice(offset + b, word, starts(b),
+          base + (if (b < extra) 1 else 0))
       }
     }
-    val all = slices(col("sh_lo"), nLoBits, nLo, 0) ++
-      slices(col("sh_hi"), nHiBits, nHi, nLo)
+    slices(0, nLoBits, nLo, 0) ++ slices(1, nHiBits, nHi, nLo)
+  }
+
+  /** Band slices of a TWO-WORD signature (`sh_lo` carrying `nLoBits`,
+    * `sh_hi` carrying `nHiBits`) per [[wideBandLayout]] — one row per
+    * (id, band) with the band's bit slice as `key`.
+    */
+  private def hammingBandsWide(sigs: DataFrame, nLoBits: Int, nHiBits: Int,
+                               maxHamming: Int): DataFrame = {
+    val all = wideBandLayout(nLoBits, nHiBits, maxHamming).map { s =>
+      val word = if (s.word == 0) col("sh_lo") else col("sh_hi")
+      (s.band, shiftright(word, s.start).bitwiseAND((1L << s.width) - 1))
+    }
     sigs.select(col("id"), col("sh_lo"), col("sh_hi"),
       explode(array(all.map { case (b, k) =>
         struct(lit(b).as("band"), k.as("key"))
@@ -807,10 +823,7 @@ object Dedup {
   def hammingNearDupPairsWide(sigs: DataFrame, idCol: String, loCol: String,
                               hiCol: String, nLoBits: Int, nHiBits: Int,
                               maxHamming: Int): DataFrame = {
-    require(nLoBits >= 1 && nLoBits <= 63 && nHiBits >= 1 && nHiBits <= 63,
-      s"word widths must be in [1, 63], got ($nLoBits, $nHiBits)")
-    require(maxHamming >= 1 && maxHamming < nLoBits + nHiBits,
-      s"maxHamming must be in [1, ${nLoBits + nHiBits}), got $maxHamming")
+    requireWideWidths(nLoBits, nHiBits, maxHamming)
     val banded = hammingBandsWide(
       sigs.select(col(idCol).as("id"), col(loCol).as("sh_lo"),
         col(hiCol).as("sh_hi")), nLoBits, nHiBits, maxHamming)
@@ -827,6 +840,143 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** [[hammingNearDupPairsSet]] lifted to WIDE signatures: entities
+    * carry a SET of two-word signatures (one row per member — e.g. the
+    * strided frame hash pairs of a video); two entities are near-dups
+    * when ANY cross member pair is within `maxHamming` total two-word
+    * distance, reported at the MIN such distance. Same per-member
+    * pigeonhole recall, same grouped-min reduction — with the wide
+    * family's 13–14-bit band keys instead of the narrow signature's
+    * saturating 7-bit keys.
+    */
+  def hammingNearDupPairsSetWide(sigs: DataFrame, idCol: String,
+                                 loCol: String, hiCol: String,
+                                 nLoBits: Int, nHiBits: Int,
+                                 maxHamming: Int): DataFrame =
+    hammingNearDupPairsWide(sigs, idCol, loCol, hiCol, nLoBits, nHiBits,
+      maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+
+  /** Sidecar params of a GENERIC WIDE hamming layout (see
+    * [[nearDupParams]]) — both word widths are layout parameters.
+    */
+  private def hammingWideIndexParams(nLoBits: Int, nHiBits: Int,
+                                     maxHamming: Int,
+                                     nBuckets: Int): Map[String, String] = Map(
+    "family" -> "hamming-sig-wide", "nLoBits" -> nLoBits.toString,
+    "nHiBits" -> nHiBits.toString, "maxHamming" -> maxHamming.toString,
+    "nBuckets" -> nBuckets.toString)
+
+  /** Materialize the write-time index of ANY two-word bit-signature
+    * frame under hamming distance — [[writeHammingIndex]]'s WIDE twin
+    * and the ingest-path fix for narrow-signature band-key saturation:
+    * at maxHamming=7 a 110-bit perceptual signature (56 + 54) bands
+    * into 13–14-bit keys (8192–16384 values), so the layout spreads
+    * over full-entropy directories where the 56-bit family's 7-bit
+    * keys cap it at 128 per band — each probe row's candidate set
+    * stays corpus-fraction-bounded instead of growing linearly on
+    * saturated keys. `sigs` must carry one row per member with `idCol`
+    * plus positive int64 `loCol`/`hiCol` words; band slices follow
+    * [[wideBandLayout]] (pigeonhole recall by construction). A
+    * signature-SET entity (strided video) simply contributes one row
+    * per member — the layout never assumes one row per id.
+    */
+  def writeHammingWideIndex(sigs: DataFrame, idCol: String, loCol: String,
+                            hiCol: String, nLoBits: Int, nHiBits: Int,
+                            maxHamming: Int, nBuckets: Int,
+                            path: String): Unit =
+    writeHammingWideLayout(sigs, idCol, loCol, hiCol, nLoBits, nHiBits,
+      maxHamming, nBuckets, path, org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** INCREMENTAL maintenance: append a delta's two-word signatures to an
+    * existing [[writeHammingWideIndex]] layout (per-member pure
+    * signatures — grown index probes identically to a rebuild;
+    * sidecar-validated).
+    */
+  def appendToHammingWideIndex(sigs: DataFrame, idCol: String, loCol: String,
+                               hiCol: String, nLoBits: Int, nHiBits: Int,
+                               maxHamming: Int, nBuckets: Int,
+                               path: String): Unit =
+    writeHammingWideLayout(sigs, idCol, loCol, hiCol, nLoBits, nHiBits,
+      maxHamming, nBuckets, path, org.apache.spark.sql.SaveMode.Append)
+
+  private def writeHammingWideLayout(sigs: DataFrame, idCol: String,
+                                     loCol: String, hiCol: String,
+                                     nLoBits: Int, nHiBits: Int,
+                                     maxHamming: Int, nBuckets: Int,
+                                     path: String,
+                                     mode: org.apache.spark.sql.SaveMode): Unit = {
+    requireWideWidths(nLoBits, nHiBits, maxHamming)
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val banded = hammingBandsWide(
+      sigs.select(col(idCol).as("id"), col(loCol).as("sh_lo"),
+        col(hiCol).as("sh_hi")), nLoBits, nHiBits, maxHamming)
+      .select(col("id").as("cand_id"), col("key"), col("sh_lo"),
+        col("sh_hi"), col("band"),
+        pmod(col("key"), lit(nBuckets.toLong)).cast("int").as("bkt"))
+    BandedIndex.writeLayout(banded, path, mode,
+      hammingWideIndexParams(nLoBits, nHiBits, maxHamming, nBuckets))
+  }
+
+  private def requireWideWidths(nLoBits: Int, nHiBits: Int,
+                                maxHamming: Int): Unit = {
+    require(nLoBits >= 1 && nLoBits <= 63 && nHiBits >= 1 && nHiBits <= 63,
+      s"word widths must be in [1, 63], got ($nLoBits, $nHiBits)")
+    require(maxHamming >= 1 && maxHamming < nLoBits + nHiBits,
+      s"maxHamming must be in [1, ${nLoBits + nHiBits}), got $maxHamming")
+  }
+
+  /** Probe a [[writeHammingWideIndex]] layout with a delta's two-word
+    * signatures: band slices join the index on the PARTITION columns
+    * (dynamic partition pruning), survivors verify the exact two-word
+    * `bit_count(xor)` sum — [[probeHammingIndex]]'s wide twin.
+    *
+    * @return (query_id, cand_id, hamming), cand ≠ query,
+    *   hamming ≤ maxHamming.
+    */
+  def probeHammingWideIndex(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, sigs: DataFrame,
+                            idCol: String, loCol: String, hiCol: String,
+                            nLoBits: Int, nHiBits: Int, maxHamming: Int,
+                            nBuckets: Int): DataFrame = {
+    requireWideWidths(nLoBits, nHiBits, maxHamming)
+    val qb = hammingBandsWide(
+      sigs.select(col(idCol).as("id"), col(loCol).as("sh_lo"),
+        col(hiCol).as("sh_hi")), nLoBits, nHiBits, maxHamming)
+      .select(col("id").as("query_id"), col("sh_lo").as("q_lo"),
+        col("sh_hi").as("q_hi"), col("band"), col("key"),
+        pmod(col("key"), lit(nBuckets.toLong)).cast("int").as("bkt"))
+    BandedIndex.probeJoin(spark, indexPath, qb, Seq("key"),
+      hammingWideIndexParams(nLoBits, nHiBits, maxHamming, nBuckets))
+      .withColumn("hamming",
+        bit_count(col("q_lo").bitwiseXOR(col("sh_lo"))) +
+          bit_count(col("q_hi").bitwiseXOR(col("sh_hi"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("query_id"), col("cand_id"), col("hamming")).distinct()
+  }
+
+  /** [[probeHammingWideIndex]] lifted to signature SETS — the wide twin
+    * of [[probeHammingIndexSet]]: the index stores one row per member
+    * signature pair, the delta probes with its own member set, entity
+    * pairs report the MIN member-pair distance (any in-budget member
+    * pair makes the entities candidates — per-member pigeonhole
+    * recall, so the strided-set first-frame-evasion closure holds on
+    * the wide ingest path too).
+    *
+    * @return (query_id, cand_id, hamming = min member-pair distance),
+    *   cand ≠ query, hamming ≤ maxHamming.
+    */
+  def probeHammingWideIndexSet(spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String, sigs: DataFrame,
+                               idCol: String, loCol: String, hiCol: String,
+                               nLoBits: Int, nHiBits: Int, maxHamming: Int,
+                               nBuckets: Int): DataFrame =
+    probeHammingWideIndex(spark, indexPath, sigs, idCol, loCol, hiCol,
+      nLoBits, nHiBits, maxHamming, nBuckets)
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(min(col("hamming")).as("hamming"))
 
   /** Near-duplicate pairs under the 120-bit simhash: banded candidate
     * generation on the wide slices (bucket-key shuffle, never

@@ -851,6 +851,45 @@ object Multimodal {
       .flatMap(_.flatMap(decodeVideoFrameHashesStrided(_, k))))
   }
 
+  /** [[VideoStrideHash]]'s WIDE twin: one strided frame's
+    * (horizontal, vertical) word pair — the member-signature shape the
+    * wide banded set machinery consumes.
+    */
+  final case class VideoStrideHashWide(media_id: Long, n_frames: Int,
+                                       frame_idx: Int, dhash: Long,
+                                       vhash: Long)
+
+  /** [[decodeVideoFrameHashesStrided]]'s wide twin: the same strided
+    * frame selection (indices ⌊i·n/k⌋), each frame hashed to the
+    * two-word 110-bit signature from ONE cell pass — the corpus-scale
+    * strided signature (13–14-bit band keys under maxHamming=7 where
+    * the narrow 56-bit family saturates at 128 key values).
+    */
+  def decodeVideoFrameHashesStridedWide(r: MediaRecord,
+                                        k: Int): Seq[VideoStrideHashWide] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val g = aviDibGeometry(r)
+    val n = g.frames.length
+    if (n == 0) videoFail(r, "no frame chunk in the movi list")
+    val kk = math.min(k, n)
+    (0 until kk).map { i =>
+      val idx = i * n / kk // strictly increasing for kk <= n: no dups
+      val (dh, vh) = hashDibFrameWide(r, g, g.frames(idx))
+      VideoStrideHashWide(r.media_id, n, idx, dh, vh)
+    }
+  }
+
+  /** Batched wide strided-hash extraction —
+    * [[extractVideoFrameHashesStrided]]'s two-word twin.
+    */
+  def extractVideoFrameHashesStridedWide(ds: Dataset[MediaRecord], k: Int,
+                                         batchSize: Int = 64)
+                                        : Dataset[VideoStrideHashWide] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize)
+      .flatMap(_.flatMap(decodeVideoFrameHashesStridedWide(_, k))))
+  }
+
   /** Batched first-frame-hash extraction — the [[extractImageHashes]]
     * kernel shape over [[decodeVideoFrameHash]]. Zero shuffles: frame
     * payloads never leave their scan partition; only the 8-byte hash +

@@ -886,33 +886,20 @@ object LlmQueries {
       |  FROM ph, (SELECT unnest(range(0, 8)) AS b) b)""".stripMargin
 
   /** DuckDB twin of the WIDE two-word band slicing
-    * ([[Dedup.hammingNearDupPairsWide]]): bands split between the words
-    * proportionally to their bit shares, each word's bands a balanced
-    * disjoint cover — the same starts/widths arithmetic as the Scala
-    * side, generated from one definition so the layouts cannot drift.
-    * Emits `SELECT doc_id, <lo>, <hi>, band, key FROM <src>` unions.
+    * ([[Dedup.hammingNearDupPairsWide]]): renders each slice of THE
+    * shared [[Dedup.wideBandLayout]] definition as SQL — the Scala
+    * banding and this generator consume the same (band, word, start,
+    * width) rows, so the layouts structurally cannot drift. Emits
+    * `SELECT doc_id, <lo>, <hi>, band, key FROM <src>` unions.
     */
   private def wideBandSlicesSql(src: String, loCol: String, loBits: Int,
                                 hiCol: String, hiBits: Int,
-                                maxHamming: Int): String = {
-    val nBands = maxHamming + 1
-    val nLo = math.max(1, math.min(nBands - 1,
-      (nBands * loBits + (loBits + hiBits) / 2) / (loBits + hiBits)))
-    val nHi = nBands - nLo
-    def slices(c: String, nBits: Int, nW: Int, offset: Int): Seq[String] = {
-      val base = nBits / nW
-      val extra = nBits % nW
-      val starts = (0 until nW).scanLeft(0)((s, b) =>
-        s + base + (if (b < extra) 1 else 0))
-      (0 until nW).map { b =>
-        val w = base + (if (b < extra) 1 else 0)
-        s"SELECT doc_id, $loCol, $hiCol, ${offset + b} AS band, " +
-          s"($c >> ${starts(b)}) & ${(1L << w) - 1} AS key FROM $src"
-      }
-    }
-    (slices(loCol, loBits, nLo, 0) ++ slices(hiCol, hiBits, nHi, nLo))
-      .mkString("\nUNION ALL\n")
-  }
+                                maxHamming: Int): String =
+    Dedup.wideBandLayout(loBits, hiBits, maxHamming).map { s =>
+      val c = if (s.word == 0) loCol else hiCol
+      s"SELECT doc_id, $loCol, $hiCol, ${s.band} AS band, " +
+        s"($c >> ${s.start}) & ${(1L << s.width) - 1} AS key FROM $src"
+    }.mkString("\nUNION ALL\n")
 
   /** Extends [[phashCte]]'s `cells` with the VERTICAL 54-bit word:
     * `phw(doc_id, w, h, dhash, vhash)` — bit `cx*6+cy` set iff the

@@ -592,6 +592,123 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("wide hamming index over two-word image hashes: probe equals " +
+    "inline wide pairs; grown equals rebuild; narrow layout rejected loud") {
+    implicit val s = spark
+    val ids = (0L until 64L).toDF("doc_id")
+    val hashes = Multimodal.extractImageHashesWide(
+      Multimodal.syntheticImageGroups(ids, "doc_id")).toDF()
+      .localCheckpoint(true)
+    val delta = hashes.filter($"media_id" < 16)
+    val dir = java.nio.file.Files.createTempDirectory("hamw_idx").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("hamw_grown").toString
+    try {
+      Dedup.writeHammingWideIndex(hashes, "media_id", "dhash", "vhash",
+        56, 54, 7, 16, dir)
+      val probed = Dedup.probeHammingWideIndex(spark, dir, delta,
+        "media_id", "dhash", "vhash", 56, 54, 7, 16)
+      val inline = Dedup.hammingNearDupPairsWide(hashes, "media_id",
+        "dhash", "vhash", 56, 54, 7).collect().flatMap { r =>
+          val (a, b, h) = (r.getLong(0), r.getLong(1), r.getInt(2))
+          Seq((a, b, h), (b, a, h)).filter(_._1 < 16)
+        }.toSet
+      assert(inline.nonEmpty) // fixture groups of 4 inside the delta
+      val got = probed.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === inline)
+      val plan = probed.queryExecution.executedPlan.toString()
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"no partition pruning on the wide hamming index scan:\n$plan")
+      Dedup.writeHammingWideIndex(hashes.filter($"media_id" % 2 === 0),
+        "media_id", "dhash", "vhash", 56, 54, 7, 16, dir2)
+      Dedup.appendToHammingWideIndex(hashes.filter($"media_id" % 2 === 1),
+        "media_id", "dhash", "vhash", 56, 54, 7, 16, dir2)
+      val grown = Dedup.probeHammingWideIndex(spark, dir2, delta,
+        "media_id", "dhash", "vhash", 56, 54, 7, 16).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(grown === got)
+      // A narrow 56-bit layout probed as wide must fail on the sidecar,
+      // not silently return wrong pairs.
+      val dir3 = java.nio.file.Files.createTempDirectory("hamw_bad").toString
+      try {
+        Dedup.writeHammingIndex(hashes, "media_id", "dhash", 56, 7, 16, dir3)
+        val e = intercept[IllegalArgumentException] {
+          Dedup.probeHammingWideIndex(spark, dir3, delta,
+            "media_id", "dhash", "vhash", 56, 54, 7, 16).collect()
+        }
+        assert(e.getMessage.contains("different parameters"))
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir3))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
+    }
+  }
+
+  test("wide strided video-hash SET index: set probe equals inline wide " +
+    "set pairs, recovers scrambled-first-frame groups, grown equals rebuild") {
+    implicit val s = spark
+    val ids = (0L until 64L).toDF("doc_id")
+    val strided = Multimodal.extractVideoFrameHashesStridedWide(
+      Multimodal.syntheticVideoGroupsStrided(ids, "doc_id"), k = 3).toDF()
+      .localCheckpoint(true)
+    val delta = strided.filter($"media_id" < 16)
+    val dir = java.nio.file.Files.createTempDirectory("vsetw_idx").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("vsetw_grown").toString
+    try {
+      Dedup.writeHammingWideIndex(strided, "media_id", "dhash", "vhash",
+        56, 54, 7, 16, dir)
+      val got = Dedup.probeHammingWideIndexSet(spark, dir, delta,
+        "media_id", "dhash", "vhash", 56, 54, 7, 16).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val inline = Dedup.hammingNearDupPairsSetWide(strided, "media_id",
+        "dhash", "vhash", 56, 54, 7).collect().flatMap { r =>
+          val (a, b, h) = (r.getLong(0), r.getLong(1), r.getInt(2))
+          Seq((a, b, h), (b, a, h)).filter(_._1 < 16)
+        }.toSet
+      assert(inline.nonEmpty)
+      assert(got === inline)
+      // The wide member-set still recovers the scrambled-frame-0 groups
+      // through the shared later frames.
+      assert(got.exists { case (a, b, _) => a / 4 == b / 4 },
+        "wide set probe must recover intra-group pairs")
+      Dedup.writeHammingWideIndex(strided.filter($"media_id" % 2 === 0),
+        "media_id", "dhash", "vhash", 56, 54, 7, 16, dir2)
+      Dedup.appendToHammingWideIndex(strided.filter($"media_id" % 2 === 1),
+        "media_id", "dhash", "vhash", 56, 54, 7, 16, dir2)
+      val grown = Dedup.probeHammingWideIndexSet(spark, dir2, delta,
+        "media_id", "dhash", "vhash", 56, 54, 7, 16).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(grown === got)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
+    }
+  }
+
+  test("wide strided hashes: per-frame words match the narrow strided " +
+    "dhash and the wide first-frame vhash kernel") {
+    implicit val s = spark
+    val ids = (0L until 16L).toDF("doc_id")
+    val fixture = Multimodal.syntheticVideoGroupsStrided(ids, "doc_id")
+    val narrow = Multimodal.extractVideoFrameHashesStrided(fixture, k = 3)
+      .collect().map(h => (h.media_id, h.frame_idx) -> h.dhash).toMap
+    val wide = Multimodal.extractVideoFrameHashesStridedWide(fixture, k = 3)
+      .collect()
+    assert(wide.nonEmpty)
+    wide.foreach { h =>
+      assert(narrow((h.media_id, h.frame_idx)) === h.dhash,
+        s"horizontal word drifted for (${h.media_id}, ${h.frame_idx})")
+    }
+    // Frame 0 of each video is the first frame: its wide words must
+    // equal the first-frame wide decoder's.
+    val ff = Multimodal.extractVideoFrameHashesWide(fixture).collect()
+      .map(h => h.media_id -> (h.dhash, h.vhash)).toMap
+    wide.filter(_.frame_idx == 0).foreach { h =>
+      assert(ff(h.media_id) === ((h.dhash, h.vhash)))
+    }
+  }
+
   test("wide two-word perceptual hash: horizontal word bit-identical to " +
     "the narrow dHash, wide pairs are a subset of narrow pairs at the " +
     "same budget, fixture groups still recovered") {
