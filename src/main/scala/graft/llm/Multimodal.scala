@@ -918,6 +918,9 @@ object Multimodal {
       .mapPartitions(_.map { id =>
         val g = id / groupSize
         val m = id % groupSize
+        // md5 group salt (see syntheticImageGroups): inter-group frames
+        // stay hash-uniform at any corpus size; oracle h60('vid:' || g).
+        val gs = TextOps.hash60Scala(s"vid:$g")
         val w = (12 + g % 20).toInt
         val h = (10 + g % 15).toInt
         val stride = ((w * 24 + 31) / 32) * 4
@@ -927,7 +930,7 @@ object Multimodal {
           val row = h - 1 - y // bottom-up DIB: file row 0 = image bottom
           var x = 0
           while (x < w) {
-            val v = g * 2654435761L + x * 48271L + y * 69621L
+            val v = gs + x * 48271L + y * 69621L
             val base = (v ^ (v >> 13)) & 0xFFFFFFL
             val off = row * stride + x * 3
             frame(off) = ((base + m * 3) & 0xFFL).toByte         // B
@@ -965,6 +968,8 @@ object Multimodal {
       .mapPartitions(_.map { id =>
         val g = id / groupSize
         val m = id % groupSize
+        // md5 group salt (see syntheticImageGroups): oracle h60('vids:' || g).
+        val gs = TextOps.hash60Scala(s"vids:$g")
         val w = (12 + g % 20).toInt
         val h = (10 + g % 15).toInt
         val stride = ((w * 24 + 31) / 32) * 4
@@ -976,7 +981,7 @@ object Multimodal {
             var x = 0
             while (x < w) {
               val mix = if (f == 0) m * 1000003L else 0L
-              val v = g * 2654435761L + x * 48271L + y * 69621L +
+              val v = gs + x * 48271L + y * 69621L +
                 f * 1299721L + mix
               val base = (v ^ (v >> 13)) & 0xFFFFFFL
               val off = row * stride + x * 3
@@ -1273,6 +1278,15 @@ object Multimodal {
         it.map { id =>
           val g = id / groupSize
           val m = id % groupSize
+          // Per-group 60-bit md5 salt, not a linear multiple of g: linear
+          // group mixes leave inter-group signatures correlated enough
+          // that hash entropy stops growing with the corpus (the sf10
+          // degeneracy BASELINE.md round-15 measured — structured
+          // near-collisions chained ~the whole corpus); an md5-derived
+          // salt keeps distinct groups ~uniform at any corpus size while
+          // intra-group near-dup structure is untouched. The oracle
+          // replays it as h60('img:' || g).
+          val gs = TextOps.hash60Scala(s"img:$g")
           val w = (12 + g % 20).toInt
           val h = (10 + g % 15).toInt
           val img = new java.awt.image.BufferedImage(
@@ -1281,7 +1295,7 @@ object Multimodal {
           while (y < h) {
             var x = 0
             while (x < w) {
-              val v = g * 2654435761L + x * 40503L + y * 70423L
+              val v = gs + x * 40503L + y * 70423L
               val base = (v ^ (v >> 13)) & 0xFFFFFFL
               val rgb = (base & 0xFFFF00L) | ((base + m * 3) & 0xFFL)
               img.setRGB(x, y, rgb.toInt)

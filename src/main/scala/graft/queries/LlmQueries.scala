@@ -850,12 +850,14 @@ object LlmQueries {
   private lazy val phashCte: String =
     """WITH img AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m,
       |  CAST(12 + (doc_id // 4) % 20 AS INT) AS w,
-      |  CAST(10 + (doc_id // 4) % 15 AS INT) AS h FROM documents),
-      |xs AS (SELECT doc_id, g, m, w, h, unnest(range(0, w)) AS x FROM img),
-      |pp AS (SELECT doc_id, g, m, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      |  CAST(10 + (doc_id // 4) % 15 AS INT) AS h,
+      |  CAST('0x' || substr(md5('img:' || CAST(doc_id // 4 AS VARCHAR)), 1, 15)
+      |    AS BIGINT) AS gs FROM documents),
+      |xs AS (SELECT doc_id, g, m, w, h, gs, unnest(range(0, w)) AS x FROM img),
+      |pp AS (SELECT doc_id, g, m, w, h, gs, x, unnest(range(0, h)) AS y FROM xs),
       |bb AS (SELECT doc_id, w, h, x, y, m,
-      |  xor(g*2654435761 + x*40503 + y*70423,
-      |      (g*2654435761 + x*40503 + y*70423) >> 13) & 16777215 AS base
+      |  xor(gs + x*40503 + y*70423,
+      |      (gs + x*40503 + y*70423) >> 13) & 16777215 AS base
       |  FROM pp),
       |pxv AS (SELECT doc_id, w, h, x, y,
       |  (base & 16776960) | ((base + m*3) & 255) AS rgb FROM bb),
@@ -945,12 +947,14 @@ object LlmQueries {
   private lazy val videoPhashCte: String =
     """WITH vimg AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m,
       |  CAST(12 + (doc_id // 4) % 20 AS INT) AS w,
-      |  CAST(10 + (doc_id // 4) % 15 AS INT) AS h FROM documents),
-      |vxs AS (SELECT doc_id, g, m, w, h, unnest(range(0, w)) AS x FROM vimg),
-      |vpp AS (SELECT doc_id, g, m, w, h, x, unnest(range(0, h)) AS y FROM vxs),
+      |  CAST(10 + (doc_id // 4) % 15 AS INT) AS h,
+      |  CAST('0x' || substr(md5('vid:' || CAST(doc_id // 4 AS VARCHAR)), 1, 15)
+      |    AS BIGINT) AS gs FROM documents),
+      |vxs AS (SELECT doc_id, g, m, w, h, gs, unnest(range(0, w)) AS x FROM vimg),
+      |vpp AS (SELECT doc_id, g, m, w, h, gs, x, unnest(range(0, h)) AS y FROM vxs),
       |vbb AS (SELECT doc_id, w, h, x, y, m,
-      |  xor(g*2654435761 + x*48271 + y*69621,
-      |      (g*2654435761 + x*48271 + y*69621) >> 13) & 16777215 AS base
+      |  xor(gs + x*48271 + y*69621,
+      |      (gs + x*48271 + y*69621) >> 13) & 16777215 AS base
       |  FROM vpp),
       |vlum AS (SELECT doc_id, w, h, (y*7)//h AS cy, (x*9)//w AS cx,
       |  ((base >> 16) & 255)*299 + ((base >> 8) & 255)*587
@@ -987,16 +991,18 @@ object LlmQueries {
   private lazy val videoStridedPhashCte: String =
     """WITH vsimg AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m,
       |  CAST(12 + (doc_id // 4) % 20 AS INT) AS w,
-      |  CAST(10 + (doc_id // 4) % 15 AS INT) AS h FROM documents),
-      |vsf AS (SELECT doc_id, g, m, w, h, unnest([0, 1, 2]) AS f FROM vsimg),
-      |vsxs AS (SELECT doc_id, g, m, w, h, f, unnest(range(0, w)) AS x
+      |  CAST(10 + (doc_id // 4) % 15 AS INT) AS h,
+      |  CAST('0x' || substr(md5('vids:' || CAST(doc_id // 4 AS VARCHAR)), 1, 15)
+      |    AS BIGINT) AS gs FROM documents),
+      |vsf AS (SELECT doc_id, g, m, w, h, gs, unnest([0, 1, 2]) AS f FROM vsimg),
+      |vsxs AS (SELECT doc_id, g, m, w, h, gs, f, unnest(range(0, w)) AS x
       |  FROM vsf),
-      |vspp AS (SELECT doc_id, g, m, w, h, f, x, unnest(range(0, h)) AS y
+      |vspp AS (SELECT doc_id, g, m, w, h, gs, f, x, unnest(range(0, h)) AS y
       |  FROM vsxs),
       |vsbb AS (SELECT doc_id, w, h, f, x, y, m,
-      |  xor(g*2654435761 + x*48271 + y*69621 + f*1299721
+      |  xor(gs + x*48271 + y*69621 + f*1299721
       |      + CASE WHEN f = 0 THEN m*1000003 ELSE 0 END,
-      |      (g*2654435761 + x*48271 + y*69621 + f*1299721
+      |      (gs + x*48271 + y*69621 + f*1299721
       |      + CASE WHEN f = 0 THEN m*1000003 ELSE 0 END) >> 13)
       |    & 16777215 AS base
       |  FROM vspp),
