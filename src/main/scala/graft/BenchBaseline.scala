@@ -34,11 +34,8 @@ object BenchBaseline {
     "llm_stream_drift_monitor" -> 0.317, // r15 calm-window
     "llm_stream_ingest_e2e" -> 7.615, // r15 calm-window
     "llm_stream_pii_redact" -> 0.198, // r15 calm-window
-    "llm_video_dedup_clusters" -> 7.572, // r15 calm-window
-    "llm_video_index_probe" -> 1.438, // r15 calm-window
     "llm_video_neardup" -> 0.381, // r15 calm-window
     "llm_video_phash" -> 0.131, // r15 calm-window
-    "llm_video_strided_index_probe" -> 1.478, // r15 calm-window
     "llm_video_strided_neardup" -> 2.108, // r15 calm-window
     "llm_weighted_sample" -> 0.091, // r15 calm-window
     "llm_image_neardup_wide" -> 1.586, // r15 calm-window
@@ -137,8 +134,6 @@ object BenchBaseline {
     "llm_dsir_weights" -> 1.056, // r11 second pass
     "llm_hard_negatives" -> 0.208,
     "llm_image_dedup_clusters" -> 4.626,
-    "llm_image_index_probe" -> 1.61,
-    "llm_image_neardup" -> 1.643,
     "llm_image_phash" -> 0.755,
     "llm_ivf_recall" -> 0.761,
     "llm_kn_surprisal" -> 1.416, // r11 second pass

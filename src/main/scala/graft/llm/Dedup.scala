@@ -457,8 +457,10 @@ object Dedup {
     * n ≫ 2^keyBits — for the 56-bit / maxHamming=7 family (7-bit keys,
     * 128 values) the mass was measured EXACTLY quadratic across three
     * decades (1.96M → 192M → 19.1B candidates at 5k → 50k → 500k
-    * videos), driving `llm_video_dedup_clusters` to 50× wall for 10×
-    * data at the third decade. This is inherent to narrow signatures,
+    * videos), driving the since-retired narrow video-clusters query to
+    * 50× wall for 10× data at the third decade — every registered
+    * perceptual query now runs the wide family below. This is
+    * inherent to narrow signatures,
     * not a plan defect: the text family escaped it by WIDENING the
     * signature ([[simhashWidePairs]], 120 bits → 15-bit keys). For
     * all-corpus pairs/clusters jobs over 56-bit perceptual hashes,

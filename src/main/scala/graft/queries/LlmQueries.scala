@@ -194,8 +194,9 @@ object LlmQueries {
     ensureCompactedExactDupIndex(s, dir)
     ensureCompactedIvfPqIndex(s, dir)
     ensureRebuiltIvfPqIndex(s, dir)
-    ensureImageHashIndex(s, dir)
-    ensureVideoHashIndex(s, dir)
+    ensureImageHashWideIndex(s, dir)
+    ensureVideoHashWideIndex(s, dir)
+    ensureVideoStridedHashWideIndex(s, dir)
     ensureKnLm(s, dir)
     CurationQueries.ensureClfModel(s, dir)
     CurationQueries.ensureBpeTokenizer(s, dir)
@@ -614,62 +615,65 @@ object LlmQueries {
     (fix, ref)
   }
 
-  /** Ensure the write-time IMAGE-dHASH index for `dir`'s synthetic image
-    * corpus exists; return its path (same contract as
-    * [[ensureLshIndex]]). The generic hamming family
-    * ([[Dedup.writeHammingIndex]]) over the 56-bit perceptual hashes —
-    * build decodes every image ONCE at write time; probes never touch
-    * corpus pixels again.
+  /** Ensure the write-time WIDE IMAGE perceptual index for `dir`'s
+    * synthetic image corpus exists; return its path (same contract as
+    * [[ensureLshIndex]]). The generic WIDE hamming family
+    * ([[Dedup.writeHammingWideIndex]]) over the 110-bit two-word
+    * dHashes — the ingest-path layout whose 13–14-bit band keys keep
+    * DPP pruning at corpus scale (the retired narrow 56-bit layout's
+    * 7-bit keys were measured exactly quadratic; BASELINE.md
+    * round-15). Build decodes every image ONCE at write time; probes
+    * never touch corpus pixels again.
     */
-  def ensureImageHashIndex(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+  def ensureImageHashWideIndex(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     implicit val sp: org.apache.spark.sql.SparkSession = s
-    val fix = s"/tmp/graft_fixtures/imagehash_index_${fingerprintCached(s"$dir/documents.parquet")}"
+    val fix = s"/tmp/graft_fixtures/imagehashw_index_${fingerprintCached(s"$dir/documents.parquet")}"
     if (!new java.io.File(s"$fix/_SUCCESS").exists())
-      Dedup.writeHammingIndex(
-        Multimodal.extractImageHashes(
+      Dedup.writeHammingWideIndex(
+        Multimodal.extractImageHashesWide(
           Multimodal.syntheticImageGroups(Tables.documents(s, dir), "doc_id")).toDF(),
-        "media_id", "dhash", nBits = 56, maxHamming = 7, nBuckets = 64,
-        path = fix)
+        "media_id", "dhash", "vhash", nLoBits = 56, nHiBits = 54,
+        maxHamming = 7, nBuckets = 64, path = fix)
     fix
   }
 
-  /** Ensure the write-time VIDEO first-frame-hash index for `dir`'s
+  /** Ensure the write-time WIDE VIDEO first-frame index for `dir`'s
     * synthetic video corpus exists; return its path
-    * ([[ensureImageHashIndex]]'s video twin over the same generic
-    * hamming family — build decodes every corpus frame ONCE at write
-    * time; probes never touch corpus pixels again).
+    * ([[ensureImageHashWideIndex]]'s video twin — build decodes every
+    * corpus frame ONCE at write time; probes never touch corpus pixels
+    * again).
     */
-  def ensureVideoHashIndex(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+  def ensureVideoHashWideIndex(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     implicit val sp: org.apache.spark.sql.SparkSession = s
-    val fix = s"/tmp/graft_fixtures/videohash_index_${fingerprintCached(s"$dir/documents.parquet")}"
+    val fix = s"/tmp/graft_fixtures/videohashw_index_${fingerprintCached(s"$dir/documents.parquet")}"
     if (!new java.io.File(s"$fix/_SUCCESS").exists())
-      Dedup.writeHammingIndex(
-        Multimodal.extractVideoFrameHashes(
+      Dedup.writeHammingWideIndex(
+        Multimodal.extractVideoFrameHashesWide(
           Multimodal.syntheticVideoGroups(Tables.documents(s, dir), "doc_id")).toDF(),
-        "media_id", "dhash", nBits = 56, maxHamming = 7, nBuckets = 64,
-        path = fix)
+        "media_id", "dhash", "vhash", nLoBits = 56, nHiBits = 54,
+        maxHamming = 7, nBuckets = 64, path = fix)
     fix
   }
 
-  /** Ensure the write-time STRIDED video-hash index for `dir`'s
+  /** Ensure the write-time WIDE STRIDED video index for `dir`'s
     * scrambled-first-frame video corpus exists; return its path. The
-    * same generic hamming family as [[ensureVideoHashIndex]], but the
+    * same wide hamming family as [[ensureVideoHashWideIndex]], but the
     * layout stores one row per (video, strided frame) — the signature
-    * SET — so probes via [[Dedup.probeHammingIndexSet]] match on ANY
-    * shared frame, closing the first-frame re-encode evasion at the
-    * index path too.
+    * SET — so probes via [[Dedup.probeHammingWideIndexSet]] match on
+    * ANY shared frame, closing the first-frame re-encode evasion on
+    * the corpus-scale index path.
     */
-  def ensureVideoStridedHashIndex(s: org.apache.spark.sql.SparkSession,
-                                  dir: String): String = {
+  def ensureVideoStridedHashWideIndex(s: org.apache.spark.sql.SparkSession,
+                                      dir: String): String = {
     implicit val sp: org.apache.spark.sql.SparkSession = s
-    val fix = s"/tmp/graft_fixtures/videostrided_index_${fingerprintCached(s"$dir/documents.parquet")}"
+    val fix = s"/tmp/graft_fixtures/videostridedw_index_${fingerprintCached(s"$dir/documents.parquet")}"
     if (!new java.io.File(s"$fix/_SUCCESS").exists())
-      Dedup.writeHammingIndex(
-        Multimodal.extractVideoFrameHashesStrided(
+      Dedup.writeHammingWideIndex(
+        Multimodal.extractVideoFrameHashesStridedWide(
           Multimodal.syntheticVideoGroupsStrided(
             Tables.documents(s, dir), "doc_id"), k = 3).toDF(),
-        "media_id", "dhash", nBits = 56, maxHamming = 7, nBuckets = 64,
-        path = fix)
+        "media_id", "dhash", "vhash", nLoBits = 56, nHiBits = 54,
+        maxHamming = 7, nBuckets = 64, path = fix)
     fix
   }
 
@@ -877,16 +881,6 @@ object LlmQueries {
       |  WHERE a.cx < 8
       |  GROUP BY 1, 2, 3)""".stripMargin
 
-  /** The 8 x 7-bit hamming band slices of `ph`'s 56-bit dHashes — the
-    * DuckDB twin of the maxHamming=7 [[Dedup.hammingNearDupPairs]]
-    * banding, shared by the inline-pairs, index-probe, and clusters
-    * image rows.
-    */
-  private lazy val phashBandedCte: String =
-    """banded AS (SELECT doc_id, dhash, b.b AS band,
-      |  (dhash >> (b.b * 7)) & 127 AS key
-      |  FROM ph, (SELECT unnest(range(0, 8)) AS b) b)""".stripMargin
-
   /** DuckDB twin of the WIDE two-word band slicing
     * ([[Dedup.hammingNearDupPairsWide]]): renders each slice of THE
     * shared [[Dedup.wideBandLayout]] definition as SQL — the Scala
@@ -972,14 +966,6 @@ object LlmQueries {
       |  WHERE a.cx < 8
       |  GROUP BY 1, 2, 3)""".stripMargin
 
-  /** The 8 x 7-bit band slices of `vph` — [[phashBandedCte]]'s video
-    * twin.
-    */
-  private lazy val videoPhashBandedCte: String =
-    """vbanded AS (SELECT doc_id, dhash, b.b AS band,
-      |  (dhash >> (b.b * 7)) & 127 AS key
-      |  FROM vph, (SELECT unnest(range(0, 8)) AS b) b)""".stripMargin
-
   /** DuckDB twin of [[Multimodal.syntheticVideoGroupsStrided]] (4
     * frames, member-scrambled frame 0) +
     * [[Multimodal.decodeVideoFrameHashesStrided]] at k = 3 (strided
@@ -1021,6 +1007,24 @@ object LlmQueries {
       |    AND a.cy = c.cy AND c.cx = a.cx + 1
       |  WHERE a.cx < 8
       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The PER-FRAME vertical 54-bit word over [[videoStridedPhashCte]]'s
+    * `vscells` — [[phashWideCte]]'s strided twin, ending in
+    * `vsphw(doc_id, f, dhash, vhash)`: one two-word signature row per
+    * (video, strided frame), the member shape the wide banded SET
+    * machinery consumes.
+    */
+  private lazy val videoStridedPhashWideCte: String =
+    """vsphv AS (SELECT a.doc_id, a.f,
+      |  CAST(coalesce(sum(CASE WHEN c.avg > a.avg
+      |    THEN (CAST(1 AS BIGINT) << (a.cx*6 + a.cy))
+      |    ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS vhash
+      |  FROM vscells a JOIN vscells c ON a.doc_id = c.doc_id AND a.f = c.f
+      |    AND a.cx = c.cx AND c.cy = a.cy + 1
+      |  WHERE a.cy < 6
+      |  GROUP BY 1, 2),
+      |vsphw AS (SELECT vsph.doc_id, vsph.f, vsph.dhash, vsphv.vhash
+      |  FROM vsph JOIN vsphv USING (doc_id, f))""".stripMargin
 
   /** DuckDB twin of the maxHamming=8 simhash band slices over `sim` —
     * the same 9 x 7-bit (last 4-bit) slices the Scala side derives.
@@ -3106,32 +3110,6 @@ object LlmQueries {
          |  CAST(dhash AS BIGINT) AS dhash
          |FROM ph""".stripMargin)),
 
-    // Image NEAR-DUP pairs — dedup extended to the multimodal corpus:
-    // banded hamming join over the 56-bit dHashes (8 bands x 7 bits,
-    // pigeonhole recall for maxHamming=7), exact bit_count(xor) verify.
-    // Fixture groups of 4 are brightness-nudged near-copies (dHash is
-    // shift-invariant, so they land within a few bits); the oracle
-    // replays the hashes AND the banded candidacy, so both the
-    // signature and the candidate generation are hash-checked.
-    "llm_image_neardup" -> Q(
-      (s, dir) => {
-        implicit val sp = s
-        val hashes = Multimodal.extractImageHashes(
-          Multimodal.syntheticImageGroups(
-            Tables.documents(s, dir), "doc_id")).toDF()
-        Dedup.hammingNearDupPairs(hashes, "media_id", "dhash",
-          nBits = 56, maxHamming = 7)
-      },
-      Some(s"""$phashCte,
-         |$phashBandedCte,
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
-         |  a.dhash AS ha, c.dhash AS hb
-         |  FROM banded a JOIN banded c
-         |  ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)
-         |SELECT id_a, id_b,
-         |  CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-         |FROM cand WHERE bit_count(xor(ha, hb)) <= 7""".stripMargin)),
-
     // Image NEAR-DUP pairs under the WIDE 110-bit signature — the
     // corpus-scale escape from 56-bit band-key saturation: horizontal
     // (56-bit) + vertical (54-bit) dHash words from ONE cell pass, so
@@ -3165,58 +3143,68 @@ object LlmQueries {
          |FROM wcand
          |WHERE bit_count(xor(da, db)) + bit_count(xor(va, vb)) <= 7""".stripMargin)),
 
-    // Image near-dup at CORPUS scale: the write-time hamming index —
-    // the GENERIC BandedIndex family ([[Dedup.writeHammingIndex]],
-    // nBits a layout parameter) over the 56-bit dHashes — probed with
-    // the first 50 images as the delta batch. Build decodes every
-    // corpus image once; the probe decodes ONLY the delta and joins the
-    // index on its partition columns (DPP-pruned read), hamming
-    // verified against the carried signatures. The oracle replays the
-    // pixel-exact hash chain AND the banded candidacy, delta-oriented.
-    "llm_image_index_probe" -> Q(
+    // Image near-dup at CORPUS scale: the write-time WIDE hamming index
+    // ([[Dedup.writeHammingWideIndex]] — 110-bit two-word layout,
+    // 13–14-bit band keys) probed with the first 50 images as the delta
+    // batch. Build decodes every corpus image once; the probe decodes
+    // ONLY the delta and joins the index on its partition columns
+    // (DPP-pruned read), the two-word hamming verified against the
+    // carried signatures. The retired narrow 56-bit layout's 7-bit band
+    // keys saturate at corpus scale (measured exactly quadratic,
+    // BASELINE.md round-15); this is the layout a 100 TB ingest
+    // actually uses. The oracle replays the pixel-exact hash chain,
+    // the vertical word, AND the wide banded candidacy, delta-oriented.
+    "llm_image_index_probe_wide" -> Q(
       (s, dir) => {
         implicit val sp = s
-        val fix = ensureImageHashIndex(s, dir)
-        val delta = Multimodal.extractImageHashes(
+        val fix = ensureImageHashWideIndex(s, dir)
+        val delta = Multimodal.extractImageHashesWide(
           Multimodal.syntheticImageGroups(
             Tables.documents(s, dir).filter(col("doc_id") < 50),
             "doc_id")).toDF()
-        Dedup.probeHammingIndex(s, fix, delta, "media_id", "dhash",
-          nBits = 56, maxHamming = 7, nBuckets = 64)
+        Dedup.probeHammingWideIndex(s, fix, delta, "media_id", "dhash",
+          "vhash", nLoBits = 56, nHiBits = 54, maxHamming = 7, nBuckets = 64)
       },
       Some(s"""$phashCte,
-         |$phashBandedCte,
-         |cand AS (SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS cand_id,
-         |  q.dhash AS qh, c.dhash AS ch
-         |  FROM banded c JOIN banded q
+         |$phashWideCte,
+         |wbanded AS (${wideBandSlicesSql("phw", "dhash", 56, "vhash", 54, 7)}),
+         |wcand AS (SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS cand_id,
+         |  q.dhash AS qd, q.vhash AS qv, c.dhash AS cd, c.vhash AS cv
+         |  FROM wbanded c JOIN wbanded q
          |  ON c.band = q.band AND c.key = q.key AND c.doc_id <> q.doc_id
          |  WHERE q.doc_id < 50)
          |SELECT query_id, cand_id,
-         |  CAST(bit_count(xor(qh, ch)) AS INT) AS hamming
-         |FROM cand WHERE bit_count(xor(qh, ch)) <= 7""".stripMargin)),
+         |  CAST(bit_count(xor(qd, cd)) + bit_count(xor(qv, cv)) AS INT)
+         |    AS hamming
+         |FROM wcand
+         |WHERE bit_count(xor(qd, cd)) + bit_count(xor(qv, cv)) <= 7""".stripMargin)),
 
-    // Image dedup CLUSTERS: dHash near-dup pairs -> connected
-    // components -> one canonical id (min member) per involved image —
-    // the [[Dedup.dedupClusters]] pointer-jump closure reused unchanged
-    // on a NON-TEXT pair source. The oracle replays the hash chain, the
-    // banded candidacy, and the transitive closure (recursive CTE).
+    // Image dedup CLUSTERS: WIDE near-dup pairs -> connected components
+    // -> one canonical id (min member) per involved image — the
+    // [[Dedup.dedupClusters]] pointer-jump closure on the corpus-scale
+    // 110-bit pair source (migrated off the narrow 56-bit banding whose
+    // candidate mass is quadratic at corpus size). The oracle replays
+    // the hash chain, the vertical word, the wide banded candidacy, and
+    // the transitive closure (recursive CTE).
     "llm_image_dedup_clusters" -> Q(
       (s, dir) => {
         implicit val sp = s
-        val hashes = Multimodal.extractImageHashes(
+        val hashes = Multimodal.extractImageHashesWide(
           Multimodal.syntheticImageGroups(
             Tables.documents(s, dir), "doc_id")).toDF()
-        Dedup.dedupClusters(Dedup.hammingNearDupPairs(hashes, "media_id",
-          "dhash", nBits = 56, maxHamming = 7))
+        Dedup.dedupClusters(Dedup.hammingNearDupPairsWide(hashes,
+          "media_id", "dhash", "vhash", nLoBits = 56, nHiBits = 54,
+          maxHamming = 7))
       },
       Some(s"""${phashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |$phashBandedCte,
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
-         |  a.dhash AS ha, c.dhash AS hb
-         |  FROM banded a JOIN banded c
+         |$phashWideCte,
+         |wbanded AS (${wideBandSlicesSql("phw", "dhash", 56, "vhash", 54, 7)}),
+         |wcand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |  a.dhash AS da, a.vhash AS va, c.dhash AS db, c.vhash AS vb
+         |  FROM wbanded a JOIN wbanded c
          |  ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id),
-         |pairs AS (SELECT id_a, id_b FROM cand
-         |  WHERE bit_count(xor(ha, hb)) <= 7),
+         |pairs AS (SELECT id_a, id_b FROM wcand
+         |  WHERE bit_count(xor(da, db)) + bit_count(xor(va, vb)) <= 7),
          |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
          |  UNION ALL SELECT id_b, id_a FROM pairs),
          |reach AS (SELECT s, d FROM edges
@@ -3341,89 +3329,67 @@ object LlmQueries {
          |  CAST(dhash AS BIGINT) AS dhash
          |FROM vph""".stripMargin)),
 
-    // Video NEAR-DUP pairs — the image near-dup machinery reused
-    // verbatim on the first-frame hashes: banded hamming join (8 bands
-    // x 7 bits, pigeonhole recall for maxHamming=7), exact
+    // Video NEAR-DUP pairs under the WIDE 110-bit first-frame signature
+    // — the image wide-pairs machinery on the video frame decode:
+    // proportional two-word banding (13–14-bit keys), exact two-word
     // bit_count(xor) verify. Fixture groups of 4 are blue-channel
-    // re-encode nudges (intra-group hamming <= 3 measured); the oracle
-    // replays the frame hashes AND the banded candidacy.
+    // re-encode nudges; the oracle replays the frame hashes, the
+    // vertical word, AND the wide banded candidacy. (Migrated off the
+    // narrow 56-bit banding — 7-bit band keys measured exactly
+    // quadratic at corpus scale, BASELINE.md round-15.)
     "llm_video_neardup" -> Q(
       (s, dir) => {
         implicit val sp = s
-        val hashes = Multimodal.extractVideoFrameHashes(
+        val hashes = Multimodal.extractVideoFrameHashesWide(
           Multimodal.syntheticVideoGroups(
             Tables.documents(s, dir), "doc_id")).toDF()
-        Dedup.hammingNearDupPairs(hashes, "media_id", "dhash",
-          nBits = 56, maxHamming = 7)
+        Dedup.hammingNearDupPairsWide(hashes, "media_id", "dhash", "vhash",
+          nLoBits = 56, nHiBits = 54, maxHamming = 7)
       },
       Some(s"""$videoPhashCte,
-         |$videoPhashBandedCte,
-         |vcand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
-         |  a.dhash AS ha, c.dhash AS hb
-         |  FROM vbanded a JOIN vbanded c
+         |$videoPhashWideCte,
+         |vwbanded AS (${wideBandSlicesSql("vphw", "dhash", 56, "vhash", 54, 7)}),
+         |vwcand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |  a.dhash AS da, a.vhash AS va, c.dhash AS db, c.vhash AS vb
+         |  FROM vwbanded a JOIN vwbanded c
          |  ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)
          |SELECT id_a, id_b,
-         |  CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-         |FROM vcand WHERE bit_count(xor(ha, hb)) <= 7""".stripMargin)),
+         |  CAST(bit_count(xor(da, db)) + bit_count(xor(va, vb)) AS INT)
+         |    AS hamming
+         |FROM vwcand
+         |WHERE bit_count(xor(da, db)) + bit_count(xor(va, vb)) <= 7""".stripMargin)),
 
-    // Video near-dup at CORPUS scale: the write-time GENERIC hamming
-    // index (Dedup.writeHammingIndex — the llm_image_index_probe
-    // family) over the first-frame hashes, probed with the first 50
+    // Video near-dup at CORPUS scale: the write-time WIDE hamming index
+    // over the 110-bit first-frame signatures, probed with the first 50
     // videos as the delta batch. Build decodes every corpus frame once
     // at write time; the probe decodes ONLY the delta and joins the
-    // index on its partition columns (DPP-pruned read).
-    "llm_video_index_probe" -> Q(
+    // index on its partition columns (DPP-pruned read). The oracle
+    // replays the frame-pixel hash chain, the vertical word, and the
+    // wide banded candidacy, delta-oriented.
+    "llm_video_index_probe_wide" -> Q(
       (s, dir) => {
         implicit val sp = s
-        val fix = ensureVideoHashIndex(s, dir)
-        val delta = Multimodal.extractVideoFrameHashes(
+        val fix = ensureVideoHashWideIndex(s, dir)
+        val delta = Multimodal.extractVideoFrameHashesWide(
           Multimodal.syntheticVideoGroups(
             Tables.documents(s, dir).filter(col("doc_id") < 50),
             "doc_id")).toDF()
-        Dedup.probeHammingIndex(s, fix, delta, "media_id", "dhash",
-          nBits = 56, maxHamming = 7, nBuckets = 64)
+        Dedup.probeHammingWideIndex(s, fix, delta, "media_id", "dhash",
+          "vhash", nLoBits = 56, nHiBits = 54, maxHamming = 7, nBuckets = 64)
       },
       Some(s"""$videoPhashCte,
-         |$videoPhashBandedCte,
-         |vcand AS (SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS cand_id,
-         |  q.dhash AS qh, c.dhash AS ch
-         |  FROM vbanded c JOIN vbanded q
+         |$videoPhashWideCte,
+         |vwbanded AS (${wideBandSlicesSql("vphw", "dhash", 56, "vhash", 54, 7)}),
+         |vwcand AS (SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS cand_id,
+         |  q.dhash AS qd, q.vhash AS qv, c.dhash AS cd, c.vhash AS cv
+         |  FROM vwbanded c JOIN vwbanded q
          |  ON c.band = q.band AND c.key = q.key AND c.doc_id <> q.doc_id
          |  WHERE q.doc_id < 50)
          |SELECT query_id, cand_id,
-         |  CAST(bit_count(xor(qh, ch)) AS INT) AS hamming
-         |FROM vcand WHERE bit_count(xor(qh, ch)) <= 7""".stripMargin)),
-
-    // Video dedup CLUSTERS: first-frame near-dup pairs -> connected
-    // components -> one canonical id per involved video — the
-    // llm_image_dedup_clusters composition on the video pair source
-    // (Dedup.dedupClusters reused unchanged a third time). The oracle
-    // replays the frame-pixel hash chain, the banded candidacy, and the
-    // transitive closure (recursive CTE).
-    "llm_video_dedup_clusters" -> Q(
-      (s, dir) => {
-        implicit val sp = s
-        val hashes = Multimodal.extractVideoFrameHashes(
-          Multimodal.syntheticVideoGroups(
-            Tables.documents(s, dir), "doc_id")).toDF()
-        Dedup.dedupClusters(Dedup.hammingNearDupPairs(hashes, "media_id",
-          "dhash", nBits = 56, maxHamming = 7))
-      },
-      Some(s"""${videoPhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |$videoPhashBandedCte,
-         |vcand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
-         |  a.dhash AS ha, c.dhash AS hb
-         |  FROM vbanded a JOIN vbanded c
-         |  ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id),
-         |vpairs AS (SELECT id_a, id_b FROM vcand
-         |  WHERE bit_count(xor(ha, hb)) <= 7),
-         |vedges AS (SELECT id_a AS s, id_b AS d FROM vpairs
-         |  UNION ALL SELECT id_b, id_a FROM vpairs),
-         |vreach AS (SELECT s, d FROM vedges
-         |  UNION SELECT r.s, e.d FROM vreach r JOIN vedges e ON r.d = e.s),
-         |vcl AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
-         |  FROM vreach GROUP BY s)
-         |SELECT doc_id, cluster_id FROM vcl""".stripMargin)),
+         |  CAST(bit_count(xor(qd, cd)) + bit_count(xor(qv, cv)) AS INT)
+         |    AS hamming
+         |FROM vwcand
+         |WHERE bit_count(xor(qd, cd)) + bit_count(xor(qv, cv)) <= 7""".stripMargin)),
 
     // Video dedup clusters under the WIDE 110-bit signature — the
     // corpus-scale fix for the quadratic the narrow row measured at
@@ -3463,68 +3429,74 @@ object LlmQueries {
     // STRIDED video near-dup — the first-frame-evasion hardening: the
     // fixture's 4-frame AVIs scramble frame 0 per member (a re-encode
     // that replaced the opening frame), so first-frame hashing finds
-    // NO intra-group pairs; hashing 3 evenly-strided frames and
-    // banding over the frame-hash SET (any in-budget frame pair makes
-    // the videos candidates, reported at the min distance) recovers
-    // every group through the shared later frames. The oracle replays
-    // the per-frame pixel hashes, the banded candidacy over all
-    // (video, frame) rows, and the per-pair min.
+    // NO intra-group pairs; hashing 3 evenly-strided frames and WIDE
+    // banding over the two-word frame-hash SET (any in-budget frame
+    // pair makes the videos candidates, reported at the min total
+    // distance) recovers every group through the shared later frames
+    // — at the corpus-scale 13–14-bit band keys. The oracle replays
+    // the per-frame pixel hashes, the per-frame vertical words, the
+    // wide banded candidacy over all (video, frame) rows, and the
+    // per-pair min.
     "llm_video_strided_neardup" -> Q(
       (s, dir) => {
         implicit val sp = s
-        val hashes = Multimodal.extractVideoFrameHashesStrided(
+        val hashes = Multimodal.extractVideoFrameHashesStridedWide(
           Multimodal.syntheticVideoGroupsStrided(
             Tables.documents(s, dir), "doc_id"), k = 3).toDF()
-        Dedup.hammingNearDupPairsSet(hashes, "media_id", "dhash",
-          nBits = 56, maxHamming = 7)
+        Dedup.hammingNearDupPairsSetWide(hashes, "media_id", "dhash",
+          "vhash", nLoBits = 56, nHiBits = 54, maxHamming = 7)
       },
       Some(s"""$videoStridedPhashCte,
-         |vsbanded AS (SELECT doc_id, dhash, b.b AS band,
-         |  (dhash >> (b.b * 7)) & 127 AS key
-         |  FROM vsph, (SELECT unnest(range(0, 8)) AS b) b),
-         |vscand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
-         |  a.dhash AS ha, c.dhash AS hb
-         |  FROM vsbanded a JOIN vsbanded c
+         |$videoStridedPhashWideCte,
+         |vswbanded AS (${wideBandSlicesSql("vsphw", "dhash", 56, "vhash", 54, 7)}),
+         |vswcand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |  a.dhash AS da, a.vhash AS va, c.dhash AS db, c.vhash AS vb
+         |  FROM vswbanded a JOIN vswbanded c
          |  ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)
          |SELECT id_a, id_b,
-         |  CAST(min(bit_count(xor(ha, hb))) AS INT) AS hamming
-         |FROM vscand WHERE bit_count(xor(ha, hb)) <= 7
+         |  CAST(min(bit_count(xor(da, db)) + bit_count(xor(va, vb))) AS INT)
+         |    AS hamming
+         |FROM vswcand
+         |WHERE bit_count(xor(da, db)) + bit_count(xor(va, vb)) <= 7
          |GROUP BY 1, 2""".stripMargin)),
 
-    // STRIDED video near-dup at CORPUS scale: the write-time generic
-    // hamming index holding the frame-hash SET (one row per strided
-    // frame — writeHammingIndex unchanged), probed with the first 50
-    // videos' own frame sets and reduced to the per-pair min
-    // (Dedup.probeHammingIndexSet). llm_video_index_probe's first-frame
-    // layout misses every scrambled-frame-0 group this fixture plants;
-    // the set layout recovers them through the shared later frames —
-    // the pairs query's evasion closure now holds on the index path a
-    // 100 TB corpus would actually use. The oracle replays the
-    // per-frame pixel hashes, the banded candidacy over all
+    // STRIDED video near-dup at CORPUS scale: the write-time WIDE
+    // hamming index holding the two-word frame-hash SET (one row per
+    // strided frame — writeHammingWideIndex unchanged, it never assumed
+    // one row per id), probed with the first 50 videos' own frame sets
+    // and reduced to the per-pair min (Dedup.probeHammingWideIndexSet).
+    // A first-frame layout misses every scrambled-frame-0 group this
+    // fixture plants; the set layout recovers them through the shared
+    // later frames — the pairs query's evasion closure on the index
+    // path a 100 TB corpus would actually use, at full-entropy band
+    // keys. The oracle replays the per-frame pixel hashes, the
+    // per-frame vertical words, the wide banded candidacy over all
     // (video, frame) rows, and the per-pair min.
-    "llm_video_strided_index_probe" -> Q(
+    "llm_video_strided_index_probe_wide" -> Q(
       (s, dir) => {
         implicit val sp = s
-        val fix = ensureVideoStridedHashIndex(s, dir)
-        val delta = Multimodal.extractVideoFrameHashesStrided(
+        val fix = ensureVideoStridedHashWideIndex(s, dir)
+        val delta = Multimodal.extractVideoFrameHashesStridedWide(
           Multimodal.syntheticVideoGroupsStrided(
             Tables.documents(s, dir).filter(col("doc_id") < 50),
             "doc_id"), k = 3).toDF()
-        Dedup.probeHammingIndexSet(s, fix, delta, "media_id", "dhash",
-          nBits = 56, maxHamming = 7, nBuckets = 64)
+        Dedup.probeHammingWideIndexSet(s, fix, delta, "media_id", "dhash",
+          "vhash", nLoBits = 56, nHiBits = 54, maxHamming = 7, nBuckets = 64)
       },
       Some(s"""$videoStridedPhashCte,
-         |vsbanded AS (SELECT doc_id, dhash, b.b AS band,
-         |  (dhash >> (b.b * 7)) & 127 AS key
-         |  FROM vsph, (SELECT unnest(range(0, 8)) AS b) b),
-         |vscand AS (SELECT DISTINCT q.doc_id AS query_id,
-         |  c.doc_id AS cand_id, q.dhash AS qh, c.dhash AS ch
-         |  FROM vsbanded c JOIN vsbanded q
+         |$videoStridedPhashWideCte,
+         |vswbanded AS (${wideBandSlicesSql("vsphw", "dhash", 56, "vhash", 54, 7)}),
+         |vswcand AS (SELECT DISTINCT q.doc_id AS query_id,
+         |  c.doc_id AS cand_id, q.dhash AS qd, q.vhash AS qv,
+         |  c.dhash AS cd, c.vhash AS cv
+         |  FROM vswbanded c JOIN vswbanded q
          |  ON c.band = q.band AND c.key = q.key AND c.doc_id <> q.doc_id
          |  WHERE q.doc_id < 50)
          |SELECT query_id, cand_id,
-         |  CAST(min(bit_count(xor(qh, ch))) AS INT) AS hamming
-         |FROM vscand WHERE bit_count(xor(qh, ch)) <= 7
+         |  CAST(min(bit_count(xor(qd, cd)) + bit_count(xor(qv, cv))) AS INT)
+         |    AS hamming
+         |FROM vswcand
+         |WHERE bit_count(xor(qd, cd)) + bit_count(xor(qv, cv)) <= 7
          |GROUP BY 1, 2""".stripMargin)),
 
     "llm_audio_resample" -> Q(
