@@ -692,12 +692,18 @@ object Multimodal {
     ds.mapPartitions(mapBatched(_, batchSize)(decodeVideoFrameHashWide))
   }
 
-  /** Decoded AVI frame geometry + the bounds of every uncompressed
-    * frame chunk — the shared RIFF-walk core of the first-frame and
-    * strided hashers.
+  /** The 'MJPG' biCompression fourcc (little-endian u32) — the AVI
+    * Motion-JPEG marker: each movi frame chunk is a standalone JPEG.
+    */
+  private val MjpgFourcc = 0x47504A4DL
+
+  /** Decoded AVI frame geometry + the bounds of every frame chunk —
+    * the shared RIFF-walk core of the first-frame and strided hashers.
+    * `compression` selects the frame-decode path: 0 = uncompressed
+    * BI_RGB 24bpp DIB, [[MjpgFourcc]] = Motion-JPEG.
     */
   private final case class AviDibGeometry(w: Int, h: Int, topDown: Boolean,
-                                          stride: Int,
+                                          stride: Int, compression: Long,
                                           frames: Vector[(Long, Long)])
 
   private def videoFail(r: MediaRecord, msg: String): Nothing =
@@ -756,8 +762,10 @@ object Multimodal {
     val h = math.abs(biH)
     val bitCount = (b(f0 + 14) & 0xFF) | ((b(f0 + 15) & 0xFF) << 8)
     val compression = le32(b, f0 + 16)
-    if (compression != 0L || bitCount != 24)
-      fail(s"frame format not BI_RGB 24bpp (compression=$compression, " +
+    val isDib = compression == 0L && bitCount == 24
+    val isMjpeg = compression == MjpgFourcc
+    if (!isDib && !isMjpeg)
+      fail(s"frame format not BI_RGB 24bpp or MJPG (compression=$compression, " +
         s"bitCount=$bitCount) - this decoder cannot honestly hash it")
     if (w < 9 || h < 7)
       fail(s"frame ${w}x$h too small for the 9x7 dHash grid")
@@ -769,23 +777,58 @@ object Multimodal {
         if id.endsWith("db") || id.endsWith("dc") => (f, t) }
       .toVector
     val stride = ((w.toLong * 24 + 31) / 32 * 4).toInt
-    AviDibGeometry(w, h, biH < 0, stride, frames)
+    AviDibGeometry(w, h, biH < 0, stride, compression, frames)
   }
 
-  /** dHash ONE uncompressed DIB frame given its chunk bounds — size
-    * check (stride x height, the format contract) + the shared
-    * [[dhash9x7]] luma kernel over bottom-up (or top-down) BGR rows.
+  /** dHash ONE frame given its chunk bounds — the shared [[dhash9x7]]
+    * luma kernel over the codec-appropriate pixel accessor
+    * ([[frameLumaAt]]: raw DIB rows or a genuine JPEG decode).
     */
   private def hashDibFrame(r: MediaRecord, g: AviDibGeometry,
                            frame: (Long, Long)): Long =
-    dhash9x7(g.w, g.h)(dibLumaAt(r, g, frame))
+    dhash9x7(g.w, g.h)(frameLumaAt(r, g, frame))
 
   /** [[hashDibFrame]]'s wide twin: (horizontal, vertical) words from
-    * one cell pass over the same honestly-decoded DIB pixels.
+    * one cell pass over the same honestly-decoded pixels.
     */
   private def hashDibFrameWide(r: MediaRecord, g: AviDibGeometry,
                                frame: (Long, Long)): (Long, Long) =
-    dhashWide9x7(g.w, g.h)(dibLumaAt(r, g, frame))
+    dhashWide9x7(g.w, g.h)(frameLumaAt(r, g, frame))
+
+  /** The codec dispatch of the frame hashers: one luma accessor per
+    * frame chunk — DIB reads the raw bytes in place; MJPEG decodes the
+    * chunk as a standalone JPEG ONCE (accessor construction), then
+    * serves pixels from the decoded image. Both end in the identical
+    * ITU-R 601 integer luma, so the dHash kernel sees one pixel
+    * contract across codecs.
+    */
+  private def frameLumaAt(r: MediaRecord, g: AviDibGeometry,
+                          frame: (Long, Long)): (Int, Int) => Long =
+    if (g.compression == MjpgFourcc) mjpegLumaAt(r, g, frame)
+    else dibLumaAt(r, g, frame)
+
+  /** Luma accessor over ONE Motion-JPEG frame chunk: a real
+    * `javax.imageio` JPEG decode of the chunk bytes (the image
+    * family's decoder reused on the video path), dimensions checked
+    * against the container's format contract. Fails loud on an
+    * undecodable chunk or a frame/header size disagreement — a corrupt
+    * frame in a 100 TB corpus must surface in the job.
+    */
+  private def mjpegLumaAt(r: MediaRecord, g: AviDibGeometry,
+                          frame: (Long, Long)): (Int, Int) => Long = {
+    imageIoNoCache
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      java.util.Arrays.copyOfRange(r.payload, frame._1.toInt, frame._2.toInt)))
+    if (img == null) videoFail(r, "undecodable MJPEG frame chunk")
+    if (img.getWidth != g.w || img.getHeight != g.h)
+      videoFail(r, s"MJPEG frame ${img.getWidth}x${img.getHeight} " +
+        s"disagrees with the container header ${g.w}x${g.h}")
+    (x: Int, y: Int) => {
+      val rgb = img.getRGB(x, y)
+      ((rgb >> 16) & 0xFF) * 299L +
+        ((rgb >> 8) & 0xFF) * 587L + (rgb & 0xFF) * 114L
+    }
+  }
 
   /** Size-checked luma accessor over one uncompressed DIB frame —
     * bottom-up (or top-down) rows, 4-byte stride, B-G-R channel order;
@@ -1056,11 +1099,107 @@ object Multimodal {
     u32(0); u32(0); u32(0); u32(0)                        // ppm x/y, clrUsed/Important
     tag("LIST"); u32(moviSz); tag("movi")
     frames.foreach { f =>
-      tag("00db"); u32(f.length)
+      // Uncompressed frames ship as '00db' (DIB) chunks, compressed
+      // ones (e.g. MJPEG) as '00dc' — the actual AVI chunk-id contract.
+      tag(if (compression == 0L) "00db" else "00dc"); u32(f.length)
       bos.write(f, 0, f.length)
       if ((f.length & 1) == 1) bos.write(0) // RIFF word alignment pad
     }
     bos.toByteArray
+  }
+
+  /** Deterministic JPEG encode at an explicit quality — the MJPEG
+    * fixture's frame encoder (and the documented knob a real corpus
+    * prep would use).
+    */
+  private def encodeJpeg(img: java.awt.image.BufferedImage,
+                         quality: Float): Array[Byte] = {
+    imageIoNoCache
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** MOTION-JPEG video near-dup fixture — the compressed-codec twin of
+    * [[syntheticVideoGroups]]: each id becomes a structurally-genuine
+    * AVI whose single `00dc` frame is a REAL JPEG (biCompression
+    * 'MJPG'), so only a decoder that routes compressed frame chunks
+    * through an actual JPEG decode recovers the pixels. JPEG is lossy,
+    * so unlike the DIB fixtures the pixel VALUES are not
+    * replay-exact; the hash bits are made deterministic by
+    * construction instead:
+    *
+    *  - 72 x 56 frames — each 9x7 dHash cell is exactly one 8x8 JPEG
+    *    block, filled with a UNIFORM gray value (only the DC
+    *    coefficient is nonzero, so decode error is bounded by DC
+    *    quantization: ~±3 at quality 0.95, and blocks cannot ring
+    *    into each other);
+    *  - the designed cell value is `40·q + 20·((cx+cy)%2) + 20 + m`
+    *    with `q = h60("mj:g:cx:cy") % 5` — ADJACENT cells always
+    *    differ by ≥ 20 (the parity term breaks q-ties), an order of
+    *    magnitude above the decode error, so every adjacent-cell
+    *    comparison (= every hash bit) survives the lossy round-trip
+    *    exactly;
+    *  - group members differ only by the uniform `+m` shift — a
+    *    re-encode whose perceptual hash is identical (the dHash
+    *    shift-invariance), so intra-group pairs sit at hamming 0.
+    *
+    * An engine replaying `q` symbolically (h60 = md5-prefix, the repo
+    * hash convention) reproduces every hash bit without decoding —
+    * which is exactly what the DuckDB oracle does, while the Spark
+    * side must genuinely parse the container AND decompress the JPEG.
+    */
+  def syntheticVideoGroupsMjpeg(df: DataFrame, idCol: String,
+                                groupSize: Int = 4)
+                               (implicit spark: SparkSession)
+                               : Dataset[MediaRecord] = {
+    require(groupSize >= 1, s"groupSize must be >= 1, got $groupSize")
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .mapPartitions { it =>
+        imageIoNoCache
+        it.map { id =>
+          val g = id / groupSize
+          val m = (id % groupSize).toInt
+          val w = 72
+          val h = 56
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var cy = 0
+          while (cy < 7) {
+            var cx = 0
+            while (cx < 9) {
+              val q = (TextOps.hash60Scala(s"mj:$g:$cx:$cy") % 5).toInt
+              val v = 40 * q + 20 * ((cx + cy) % 2) + 20 + m
+              val rgb = (v << 16) | (v << 8) | v
+              var y = cy * 8
+              while (y < cy * 8 + 8) {
+                var x = cx * 8
+                while (x < cx * 8 + 8) {
+                  img.setRGB(x, y, rgb)
+                  x += 1
+                }
+                y += 1
+              }
+              cx += 1
+            }
+            cy += 1
+          }
+          MediaRecord(id, "video",
+            syntheticAvi(w, h, fpsRate = 25, fpsScale = 1, nFrames = 1,
+              bitCount = 24, compression = MjpgFourcc,
+              frames = Seq(encodeJpeg(img, 0.95f))))
+        }
+      }
   }
 
   /** Video fixture generator over a plain id frame: every id becomes a

@@ -1008,6 +1008,48 @@ object LlmQueries {
       |  WHERE a.cx < 8
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** DuckDB twin of [[Multimodal.syntheticVideoGroupsMjpeg]] +
+    * the MJPEG frame decode, ending in `mphw(doc_id, dhash, vhash)`
+    * (no leading WITH — composes after other CTEs; `offset` shifts the
+    * fixture ids so a mixed-codec corpus can union disjoint id
+    * ranges). JPEG is lossy, so unlike the DIB twins this replays the
+    * DESIGNED cell values (h60-derived, ≥20 apart between adjacent
+    * cells — an order of magnitude above the bounded DC-quantization
+    * decode error), not the pixel bytes: every adjacent-cell
+    * comparison, and therefore every hash bit, is deterministic by
+    * construction while the Spark side must genuinely decompress the
+    * `00dc` JPEG chunks to reproduce it.
+    */
+  private def mjpegPhashCtes(offset: Long): String =
+    s"""mj AS (SELECT doc_id + $offset AS doc_id,
+       |  (doc_id + $offset) // 4 AS g, (doc_id + $offset) % 4 AS m
+       |  FROM documents),
+       |mcells AS (SELECT doc_id, cxs.cx AS cx, cys.cy AS cy,
+       |  40*(CAST('0x' || substr(md5('mj:' || CAST(g AS VARCHAR) || ':' ||
+       |      CAST(cxs.cx AS VARCHAR) || ':' || CAST(cys.cy AS VARCHAR)),
+       |      1, 15) AS BIGINT) % 5)
+       |    + 20*((cxs.cx + cys.cy) % 2) + 20 + m AS v
+       |  FROM mj, (SELECT unnest(range(0, 9)) AS cx) cxs,
+       |       (SELECT unnest(range(0, 7)) AS cy) cys),
+       |mph AS (SELECT a.doc_id,
+       |  CAST(coalesce(sum(CASE WHEN c.v > a.v
+       |    THEN (CAST(1 AS BIGINT) << (a.cy*8 + a.cx))
+       |    ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS dhash
+       |  FROM mcells a JOIN mcells c ON a.doc_id = c.doc_id
+       |    AND a.cy = c.cy AND c.cx = a.cx + 1
+       |  WHERE a.cx < 8
+       |  GROUP BY 1),
+       |mphv AS (SELECT a.doc_id,
+       |  CAST(coalesce(sum(CASE WHEN c.v > a.v
+       |    THEN (CAST(1 AS BIGINT) << (a.cx*6 + a.cy))
+       |    ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS vhash
+       |  FROM mcells a JOIN mcells c ON a.doc_id = c.doc_id
+       |    AND a.cx = c.cx AND c.cy = a.cy + 1
+       |  WHERE a.cy < 6
+       |  GROUP BY 1),
+       |mphw AS (SELECT mph.doc_id, mph.dhash, mphv.vhash
+       |  FROM mph JOIN mphv USING (doc_id))""".stripMargin
+
   /** The PER-FRAME vertical 54-bit word over [[videoStridedPhashCte]]'s
     * `vscells` — [[phashWideCte]]'s strided twin, ending in
     * `vsphw(doc_id, f, dhash, vhash)`: one two-word signature row per
@@ -3357,6 +3399,68 @@ object LlmQueries {
          |  CAST(bit_count(xor(da, db)) + bit_count(xor(va, vb)) AS INT)
          |    AS hamming
          |FROM vwcand
+         |WHERE bit_count(xor(da, db)) + bit_count(xor(va, vb)) <= 7""".stripMargin)),
+
+    // MOTION-JPEG first-frame perceptual hash: real AVI corpora carry
+    // compressed '00dc' frames, not raw DIBs — this row certifies the
+    // compressed path end to end: RIFF walk -> MJPG format contract ->
+    // genuine JPEG decompression of the frame chunk -> the SAME
+    // two-word dHash kernel as every other modality. JPEG is lossy, so
+    // the oracle replays the fixture's DESIGNED cell values (h60
+    // arithmetic, adjacent cells >= 20 apart vs a ~±3 bounded decode
+    // error) — every hash bit deterministic by construction, while the
+    // Spark side must actually decompress the pixels to reproduce it.
+    "llm_video_mjpeg_phash" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        Multimodal.extractVideoFrameHashesWide(
+          Multimodal.syntheticVideoGroupsMjpeg(
+            Tables.documents(s, dir), "doc_id")).toDF()
+      },
+      Some(s"""WITH ${mjpegPhashCtes(0L)}
+         |SELECT doc_id AS media_id, CAST(72 AS INT) AS width,
+         |  CAST(56 AS INT) AS height, dhash, vhash
+         |FROM mphw""".stripMargin)),
+
+    // MIXED-CODEC video near-dup: ONE wide banded pass over a corpus
+    // whose videos are uncompressed-DIB AND Motion-JPEG AVIs (disjoint
+    // id ranges) — the heterogeneous-codec shape a real 100 TB corpus
+    // has. Both codecs flow through the same frame-hash extraction and
+    // the same two-word banding; intra-MJPEG groups pair at hamming 0
+    // (uniform-brightness re-encodes), DIB groups at their nudged
+    // distances, and the decorrelated group salts keep cross-codec
+    // collisions to chance. The oracle replays the DIB pixel chain,
+    // the MJPEG designed-cell chain, the id-shifted union, and the
+    // wide banded candidacy.
+    "llm_video_mjpeg_neardup" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        val docs = Tables.documents(s, dir)
+        val dib = Multimodal.extractVideoFrameHashesWide(
+          Multimodal.syntheticVideoGroups(docs, "doc_id")).toDF()
+          .select(col("media_id"), col("dhash"), col("vhash"))
+        val mj = Multimodal.extractVideoFrameHashesWide(
+          Multimodal.syntheticVideoGroupsMjpeg(
+            docs.select((col("doc_id") + 10000000L).as("doc_id")),
+            "doc_id")).toDF()
+          .select(col("media_id"), col("dhash"), col("vhash"))
+        Dedup.hammingNearDupPairsWide(dib.unionByName(mj), "media_id",
+          "dhash", "vhash", nLoBits = 56, nHiBits = 54, maxHamming = 7)
+      },
+      Some(s"""$videoPhashCte,
+         |$videoPhashWideCte,
+         |${mjpegPhashCtes(10000000L)},
+         |uphw AS (SELECT doc_id, dhash, vhash FROM vphw
+         |  UNION ALL SELECT doc_id, dhash, vhash FROM mphw),
+         |uwbanded AS (${wideBandSlicesSql("uphw", "dhash", 56, "vhash", 54, 7)}),
+         |uwcand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |  a.dhash AS da, a.vhash AS va, c.dhash AS db, c.vhash AS vb
+         |  FROM uwbanded a JOIN uwbanded c
+         |  ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(da, db)) + bit_count(xor(va, vb)) AS INT)
+         |    AS hamming
+         |FROM uwcand
          |WHERE bit_count(xor(da, db)) + bit_count(xor(va, vb)) <= 7""".stripMargin)),
 
     // Video near-dup at CORPUS scale: the write-time WIDE hamming index

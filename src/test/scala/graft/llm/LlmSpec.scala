@@ -2123,6 +2123,56 @@ class MultimodalSpec extends SparkSpec {
       .getMessage.contains("BITMAPINFOHEADER needs 40"))
   }
 
+  test("MJPEG 00dc frames: a real JPEG decode reproduces every designed " +
+    "cell comparison; corrupt chunks and size disagreements fail loud") {
+    implicit val s = spark
+    val ids = (0L until 200L).toDF("doc_id")
+    val got = Multimodal.extractVideoFrameHashesWide(
+      Multimodal.syntheticVideoGroupsMjpeg(ids, "doc_id")).collect()
+    assert(got.length === 200)
+    got.foreach { vh =>
+      val g = vh.media_id / 4
+      def v(cx: Int, cy: Int): Int =
+        (TextOps.hash60Scala(s"mj:$g:$cx:$cy") % 5).toInt * 40 +
+          20 * ((cx + cy) % 2) + 20
+      var dh = 0L
+      var vv = 0L
+      for (cy <- 0 until 7; cx <- 0 until 8)
+        if (v(cx + 1, cy) > v(cx, cy)) dh |= 1L << (cy * 8 + cx)
+      for (cx <- 0 until 9; cy <- 0 until 6)
+        if (v(cx, cy + 1) > v(cx, cy)) vv |= 1L << (cx * 6 + cy)
+      assert(vh.width === 72 && vh.height === 56)
+      assert(vh.dhash === dh, s"horizontal drift for id=${vh.media_id}")
+      assert(vh.vhash === vv, s"vertical drift for id=${vh.media_id}")
+    }
+    // Group members are uniform-brightness re-encodes: identical hashes.
+    val byId = got.map(h => h.media_id -> ((h.dhash, h.vhash))).toMap
+    assert((0L until 200L).forall(id => byId(id) == byId(4 * (id / 4))))
+    // A corrupt (truncated) MJPEG frame chunk fails loud, as does a
+    // frame whose decoded dimensions disagree with the container header.
+    val ok = Multimodal.syntheticVideoGroupsMjpeg(
+      Seq(0L).toDF("doc_id"), "doc_id").collect()(0).payload
+    val dcAt = ok.indices.find(i => ok(i) == '0' && ok(i + 1) == '0' &&
+      ok(i + 2) == 'd' && ok(i + 3) == 'c').get
+    val corrupt = ok.clone()
+    // Zero out the JPEG payload after its header region: undecodable.
+    java.util.Arrays.fill(corrupt, dcAt + 8, corrupt.length, 0.toByte)
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.decodeVideoFrameHashWide(
+        Multimodal.MediaRecord(1L, "video", corrupt))
+    }.getMessage.contains("video payload"))
+    // Patch the container's header width: the decoded 72x56 JPEG now
+    // disagrees with the claimed geometry.
+    val lied = ok.clone()
+    val strfAt = lied.indices.find(i => lied(i) == 's' && lied(i + 1) == 't' &&
+      lied(i + 2) == 'r' && lied(i + 3) == 'f').get
+    lied(strfAt + 12) = 64 // biWidth LSB: 72 -> 64
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.decodeVideoFrameHashWide(
+        Multimodal.MediaRecord(1L, "video", lied))
+    }.getMessage.contains("disagrees"))
+  }
+
   test("syntheticVideoGroups: group members land within the near-dup " +
     "hamming budget, pairs join via the banded machinery") {
     implicit val s = spark
