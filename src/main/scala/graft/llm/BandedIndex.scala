@@ -203,20 +203,29 @@ private[llm] object BandedIndex {
     * [[graft.llm.Similarity.compactIvfIndex]] /
     * [[graft.llm.Similarity.compactIvfPqIndex]].
     *
-    * Row preservation is asserted INTERNALLY: the compacted copy is
+    * Row-SET preservation is asserted INTERNALLY: the compacted copy is
     * counted against the source before the swap, and a mismatch aborts
-    * with the original untouched.
+    * with the original untouched. EXACT-DUPLICATE rows are dropped
+    * during the rewrite: in a banded layout identical rows can only
+    * arise from a crash-REPLAYED append (the foreachBatch replay window
+    * — a micro-batch whose index append committed but whose checkpoint
+    * didn't re-appends the same signature rows), and every probe is
+    * multiplicity-invariant (candidates dedup on identical computed
+    * measures), so dropping them changes no probe result while the
+    * compaction cadence also REPAIRS the silent index growth replays
+    * cause.
     *
     * @return (dataFilesBefore, dataFilesAfter, rows) — callers assert
-    *   `dataFilesAfter <= dataFilesBefore` and carry `rows` into their
-    *   own row-preservation contract.
+    *   `dataFilesAfter <= dataFilesBefore` and carry `rows` (the
+    *   distinct row count) into their own row-preservation contract.
     */
   def compactLayout(spark: SparkSession, path: String): (Long, Long, Long) = {
     val sidecar = readSidecar(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"compactLayout: no $ParamsFile sidecar at $path - not a graft " +
           "banded index (or built before sidecars existed)"))
-    val out = compactPartitionedDir(spark, path, Seq("band", "bkt"))
+    val out = compactPartitionedDir(spark, path, Seq("band", "bkt"),
+      dropExactDuplicates = true)
     // The sidecar must have survived the copy - a layout without it
     // would refuse every future probe/append.
     if (readSidecar(spark, path).isEmpty || readSidecar(spark, path).get != sidecar)
@@ -230,10 +239,15 @@ private[llm] object BandedIndex {
     * task per directory → one file per directory), verify the copy's
     * row count against the source, then swap via rename-aside. Root
     * `_`-prefixed marker files (params sidecars, completion markers)
-    * are carried over verbatim.
+    * are carried over verbatim. With `dropExactDuplicates` the rewrite
+    * is `distinct()` and the gate compares against the source's
+    * DISTINCT count — see [[compactLayout]] for why that is the right
+    * contract for banded layouts (replay-append repair); the IVF
+    * compactors keep the strict row-identity rewrite.
     */
   private[llm] def compactPartitionedDir(spark: SparkSession, path: String,
-                                         partitionCols: Seq[String]): (Long, Long, Long) = {
+                                         partitionCols: Seq[String],
+                                         dropExactDuplicates: Boolean = false): (Long, Long, Long) = {
     val (fs, dir) = hadoopFs(spark, path)
     def dataFiles(p: org.apache.hadoop.fs.Path): Long = {
       val it = fs.listFiles(p, true)
@@ -246,7 +260,8 @@ private[llm] object BandedIndex {
       n
     }
     val before = dataFiles(dir)
-    val rows = spark.read.parquet(path)
+    val raw = spark.read.parquet(path)
+    val rows = if (dropExactDuplicates) raw.distinct() else raw
     val rowsBefore = rows.count()
     val tmp = new org.apache.hadoop.fs.Path(dir.getParent, dir.getName + "_COMPACTING")
     fs.delete(tmp, true)

@@ -357,7 +357,10 @@ object Dedup {
   /** Compact ANY flat banded-index layout (exact-dup / near-dup text /
     * simhash / wide-simhash / LSH / image-hamming) in place: rewrite to
     * one file per (band, bkt) directory, params sidecar and marker files
-    * preserved, row set unchanged — see [[BandedIndex.compactLayout]]
+    * preserved, row SET unchanged — exact-duplicate rows, which only a
+    * crash-replayed append can create and which no probe can observe
+    * (probes are multiplicity-invariant), are dropped, so the cadence
+    * also repairs replay-grown indexes. See [[BandedIndex.compactLayout]]
     * for the swap protocol and why a long-lived index needs this (the
     * appends-accumulate-small-files regime measured in the round-10
     * nBuckets sweep, BASELINE.md).

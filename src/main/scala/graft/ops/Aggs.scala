@@ -310,6 +310,10 @@ object Aggs {
     * small frames keep the hint, larger ones fall back to plain joins
     * and let AQE decide at runtime. One count job; med and mad frames
     * share a group count, so callers count once and reuse the hint.
+    * Callers MUST pass a [[Materialize.pin]]ned frame: the guard count
+    * then reads the pinned blocks and every downstream join reuses
+    * them, so the measurement costs one cheap job instead of
+    * re-running the grouped aggregate per consumer.
     */
   private def groupFrameHint(groups: DataFrame,
                              maxRows: Long): DataFrame => DataFrame =
@@ -357,8 +361,11 @@ object Aggs {
     require(k > 0, s"k must be positive, got $k")
     val base = df.select(col(group), col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull)
-    val med = base.groupBy(col(group))
-      .agg(expr(s"percentile(__v, 0.5)").as("med"))
+    // Pinned so the hint's guard count and the two downstream joins all
+    // read one materialization of the median aggregate instead of
+    // re-running it per consumer.
+    val med = Materialize.pin(base.groupBy(col(group))
+      .agg(expr(s"percentile(__v, 0.5)").as("med")))
     val hint = groupFrameHint(med, maxBroadcastGroups)
     val dev = base.join(hint(med), Seq(group))
       .withColumn("__dev", abs(col("__v") - col("med")))
@@ -407,9 +414,10 @@ object Aggs {
     require(accuracy > 0, s"accuracy must be positive, got $accuracy")
     val base = df.select(col(group), col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull)
-    val med = base.groupBy(col(group))
+    // Pinned for the same single-materialization reason as the exact twin.
+    val med = Materialize.pin(base.groupBy(col(group))
       .agg(percentile_approx(col("__v"), lit(0.5), lit(accuracy)).as("med"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n")))
     val hint = groupFrameHint(med, maxBroadcastGroups)
     val dev = base.join(hint(med), Seq(group))
       .withColumn("__dev", abs(col("__v") - col("med")))

@@ -477,8 +477,11 @@ object Streams {
     * per-file open cost grows without bound — the small-files regime
     * the round-10 nBuckets sweep measured. `every <= 0` disables
     * (callers own compaction, e.g. an external nightly job). Replay-
-    * safe: compaction is a row-preserving rewrite, so re-running it
-    * after a crash-replay changes nothing the probes can observe.
+    * safe AND replay-REPAIRING: compaction preserves the row SET while
+    * dropping exact-duplicate rows, which only a crash-replayed append
+    * (batch committed its appends but not its checkpoint) can create —
+    * gate decisions never see them (probes are multiplicity-invariant),
+    * and the cadence bounds the silent index growth they cause.
     */
   private def maybeCompactIndexes(spark: org.apache.spark.sql.SparkSession,
                                   indexPaths: Seq[String], batchId: Long,

@@ -189,6 +189,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("compactIndex repairs a crash-replayed append: duplicate rows " +
+    "dropped, row set equals the single-append layout, probe unchanged") {
+    val docs = spark.read.parquet(sf("documents")).select($"doc_id", $"text")
+    val evens = docs.filter($"doc_id" % 2 === 0)
+    val odds = docs.filter($"doc_id" % 2 === 1)
+    val delta = docs.filter($"doc_id" % 7 === 0).select(
+      ($"doc_id" + 1000000L).as("doc_id"),
+      upper(concat(lit(" "), regexp_replace($"text", " ", "  "))).as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("replay_idx").toString
+    val ref = java.nio.file.Files.createTempDirectory("replay_ref").toString
+    try {
+      // The crash-replay scenario: the odds batch's append committed,
+      // the checkpoint didn't, and the restarted stream re-appends it.
+      Dedup.writeExactDupIndex(evens, "doc_id", "text", 16, dir)
+      Dedup.appendToExactDupIndex(odds, "doc_id", "text", 16, dir)
+      Dedup.appendToExactDupIndex(odds, "doc_id", "text", 16, dir)
+      Dedup.writeExactDupIndex(docs, "doc_id", "text", 16, ref)
+      val refRows = spark.read.parquet(ref).count()
+      assert(spark.read.parquet(dir).count() > refRows,
+        "replayed append should have grown the layout")
+      val before = Dedup.probeExactDupIndex(spark, dir, delta,
+        "doc_id", "text", 16).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (_, _, rows) = Dedup.compactIndex(spark, dir)
+      // The compacted row SET is exactly what a never-crashed build has.
+      assert(rows === refRows,
+        s"compaction left $rows rows, single-append layout has $refRows")
+      assert(spark.read.parquet(dir).count() === refRows)
+      val after = Dedup.probeExactDupIndex(spark, dir, delta,
+        "doc_id", "text", 16).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after === before)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ref))
+    }
+  }
+
   test("semanticDedup decision core: transitive closure within a cell, " +
     "min-id representative, cell boundaries respected") {
     import spark.implicits._
