@@ -887,22 +887,42 @@ object Streams {
       .join(nPii, Seq(idCol))
   }
 
+  /** One stage's per-micro-batch operational metrics — the row shape of
+    * the sink's `<monitorPath>_stages/batch_id=N` report: which gate
+    * saw how many rows, kept how many, and how long it took. The
+    * "which gate is slow / eating my data" view a production 100 TB
+    * ingest needs, complementing [[ingestPipelineTrace]]'s per-ROW
+    * decision audit.
+    */
+  final case class IngestStageMetric(stage: String, stage_idx: Int,
+                                     rows_in: Long, rows_out: Long,
+                                     wall_ms: Long)
+
   /** The FLAGSHIP streaming ingest sink: one `foreachBatch` DAG running
-    * [[ingestPipelineBatch]] per micro-batch, landing accepted rows in
-    * the batchId-named directory, growing all three membership indexes
-    * with the accepted rows (a document accepted in batch N rejects its
-    * verbatim/edited/paraphrased copies in batch N+1 — the
+    * the [[ingestStages]] chain per micro-batch, landing accepted rows
+    * in the batchId-named directory, growing all three membership
+    * indexes with the accepted rows (a document accepted in batch N
+    * rejects its verbatim/edited/paraphrased copies in batch N+1 — the
     * [[startDedupGateSink]] growth contract, now for the whole family),
     * and writing the drift monitor's nBins-row PSI report of the
     * arriving batch's REDACTED text lengths against the frozen
     * [[graft.ops.Checks.writeDriftReference]] artifact.
     *
+    * OBSERVABILITY: every stage's survivors are pinned and counted, and
+    * a per-batch [[IngestStageMetric]] report (stage, rows in/out, wall)
+    * lands beside the PSI monitor at `<monitorPath>_stages/batch_id=N`.
+    * Decision-identical to the plain fold by construction (pins are
+    * semantics-preserving); the counts read the pinned blocks the next
+    * stage consumes anyway, so the report costs one cheap job per stage
+    * on batch-sized frames.
+    *
     * Exactly-once on replay: the per-stage arguments transfer verbatim
     * — the batch output directory overwrite is idempotent, a replayed
     * batch's index self-matches are `cand_id == query_id` (excluded by
     * every probe), double-appended index rows only re-confirm the same
-    * id-distinct hits, and the quality/classifier/drift stages are pure
-    * functions of (frozen artifact, batch).
+    * id-distinct hits (and the compaction cadence drops them —
+    * [[maybeCompactIndexes]]), and the quality/classifier/drift stages
+    * are pure functions of (frozen artifact, batch).
     */
   def startIngestPipelineSink(df: DataFrame, cfg: IngestPipelineConfig,
                               outPath: String, monitorPath: String,
@@ -917,13 +937,29 @@ object Streams {
         // Redact ONCE and pin: the gate chain and the drift monitor
         // both consume this frame — redaction is the most expensive
         // per-row text transform in the pipeline.
+        val t0 = System.nanoTime()
         val redacted = redactKeepVec(batch.toDF(), idCol, textCol, vecCol)
           .transform(Materialize.pin)
+        val nArrived = redacted.count()
+        val metrics = scala.collection.mutable.ArrayBuffer(
+          IngestStageMetric("redact", 0, nArrived, nArrived,
+            (System.nanoTime() - t0) / 1000000L))
         // Pin the decisions BEFORE the appends mutate the indexes a
-        // lazy plan would re-read.
-        val accepted = ingestStages(spark, cfg, idCol, textCol, vecCol)
-          .foldLeft(redacted) { case (df, (_, stage)) => stage(df) }
-          .transform(Materialize.pin)
+        // lazy plan would re-read — per stage, so each gate's survivor
+        // count and wall are observable.
+        var cur = redacted
+        var nCur = nArrived
+        ingestStages(spark, cfg, idCol, textCol, vecCol).zipWithIndex
+          .foreach { case ((name, stage), i) =>
+            val t = System.nanoTime()
+            val next = stage(cur).transform(Materialize.pin)
+            val nNext = next.count()
+            metrics += IngestStageMetric(name, i + 1, nCur, nNext,
+              (System.nanoTime() - t) / 1000000L)
+            cur = next
+            nCur = nNext
+          }
+        val accepted = cur
         accepted.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         graft.llm.Dedup.appendToExactDupIndex(accepted, idCol, textCol,
           cfg.nBucketsExact, cfg.exactIndexPath)
@@ -933,6 +969,11 @@ object Streams {
           cfg.numPlanes, cfg.numTables, cfg.semIndexPath)
         maybeCompactIndexes(spark, Seq(cfg.exactIndexPath,
           cfg.nearDupIndexPath, cfg.semIndexPath), batchId, compactEvery)
+        // The per-stage ops report, idempotent per batch like the
+        // landed output (overwrite of a batchId-named directory).
+        import spark.implicits._
+        metrics.toSeq.toDF().write.mode("overwrite")
+          .parquet(s"${monitorPath}_stages/batch_id=$batchId")
         // Stage seven, the monitor: watches WHAT arrives (post-redact),
         // not what survives — it must see the rows the gates reject.
         graft.ops.Checks.psiAgainstReference(spark, cfg.driftRefPath,

@@ -919,6 +919,32 @@ class StreamsSpec extends SparkSpec {
       // including after the restart.
       for (b <- 0 to 2)
         assert(spark.read.parquet(s"$mon/batch_id=$b").count() === 10L)
+      // The per-stage ops report landed beside it for every batch:
+      // stages in pipeline order, survivor counts chained (each stage's
+      // rows_in is its predecessor's rows_out, never growing), walls
+      // non-negative.
+      val stageNames = Seq("redact", "exact", "exact_intra", "near",
+        "near_intra", "semantic", "semantic_intra", "kn", "clf")
+      for (b <- 0 to 2) {
+        val m = spark.read.parquet(s"${mon}_stages/batch_id=$b")
+          .select("stage_idx", "stage", "rows_in", "rows_out", "wall_ms")
+          .as[(Int, String, Long, Long, Long)].collect().sortBy(_._1)
+        assert(m.map(_._2).toSeq === stageNames)
+        m.sliding(2).foreach {
+          case Array(prev, next) => assert(next._3 === prev._4,
+            s"batch $b: ${next._2} rows_in ${next._3} != " +
+              s"${prev._2} rows_out ${prev._4}")
+          case _ => ()
+        }
+        m.foreach(r => assert(r._4 <= r._3 && r._5 >= 0L))
+      }
+      // Batch 0: 7 arrived, 2 accepted — the report carries the
+      // decision totals the landed output implies.
+      val m0 = spark.read.parquet(s"${mon}_stages/batch_id=0")
+      assert(m0.filter($"stage" === "redact")
+        .head.getAs[Long]("rows_in") === 7L)
+      assert(m0.filter($"stage" === "clf")
+        .head.getAs[Long]("rows_out") === 2L)
       // Final-index replays: each family's gate now rejects a copy of an
       // accepted row through the state grown across both processes.
       assert(Streams.dedupGateBatch(spark, cfg.exactIndexPath,
