@@ -494,6 +494,99 @@ object Multimodal {
     ds.mapPartitions(mapBatched(_, batchSize)(decodeAudioContent))
   }
 
+  /** Number of time segments in the audio perceptual fingerprint —
+    * chosen so the envelope word carries 56 comparison bits, matching
+    * the image family's 9x7 horizontal word width (the two modalities
+    * then share one (56, 54, maxHamming) wide banding layout).
+    */
+  val AudioFpSegments: Int = 57
+
+  /** 110-bit audio perceptual fingerprint — the audio member of the
+    * WIDE two-word hamming family ([[ImageHashWide]] /
+    * [[VideoHashWide]]): `ehash` is the 56-bit ENERGY-ENVELOPE word
+    * (segment-loudness dHash — bit t set iff segment t+1 is strictly
+    * louder than segment t), `rhash` the 54-bit FLUX-RATIO word (bit t
+    * set iff the mean-normalized adjacent-sample flux of segment t+1
+    * strictly exceeds segment t's — a zero-crossing-rate/brightness
+    * axis that is invariant to per-segment gain, so the two words
+    * measure independent signal properties). Both words are exact
+    * integer functions of the decoded PCM16 samples: an engine that
+    * replays the sample arithmetic reproduces them bit-for-bit.
+    */
+  final case class AudioHashWide(media_id: Long, sample_rate: Int,
+                                 n_frames: Long, ehash: Long, rhash: Long)
+
+  /** REAL audio perceptual hash: decode the full PCM16 data section
+    * ([[readPcm16]]'s fail-loud truncation/encoding guards), split the
+    * interleaved sample stream into [[AudioFpSegments]] proportional
+    * segments, and fold two exact integer features per segment —
+    * E[t] = Σ|s_i| (loudness) and D[t] = Σ|s_{i+1} − s_i| over pairs
+    * fully inside the segment (un-normalized flux). The envelope word
+    * compares E[t+1] > E[t]; the flux-ratio word compares
+    * D[t+1]/E[t+1] > D[t]/E[t] cross-multiplied (D[t+1]·E[t] >
+    * D[t]·E[t+1]) in BigInt — each factor can reach ~2^41 for
+    * hour-scale audio, so the product would overflow int64; the 54
+    * comparisons per file are nowhere near the sample loop's cost.
+    * The gain-invariance of the ratio axis is what makes `rhash`
+    * informative on volume-normalized near-copies where `ehash` alone
+    * would see identical envelopes.
+    */
+  def decodeAudioHashWide(r: MediaRecord): AudioHashWide = {
+    val (fmt, nFrames, bytes) = readPcm16(r.payload, r.media_id)
+    val big = fmt.isBigEndian
+    val T = AudioFpSegments
+    val nL = nFrames * fmt.getChannels
+    require(nL <= Int.MaxValue,
+      s"audio media_id=${r.media_id} has $nL interleaved samples — " +
+        "exceeds the in-memory fingerprint kernel's addressable range")
+    val n = nL.toInt
+    require(n >= 2 * T,
+      s"audio media_id=${r.media_id} has only $n samples — the " +
+        s"$T-segment fingerprint needs at least ${2 * T}")
+    val e = new Array[Long](T)
+    val d = new Array[Long](T)
+    var t = 0
+    while (t < T) {
+      val lo = (t.toLong * n / T).toInt
+      val hi = ((t + 1).toLong * n / T).toInt
+      var i = lo
+      var prev = 0
+      while (i < hi) {
+        val s = pcm16At(bytes, i, big)
+        e(t) += (if (s < 0) -s else s).toLong
+        if (i > lo) { val df = s - prev; d(t) += (if (df < 0) -df else df).toLong }
+        prev = s
+        i += 1
+      }
+      t += 1
+    }
+    var eh = 0L
+    t = 0
+    while (t < T - 1) { if (e(t + 1) > e(t)) eh |= 1L << t; t += 1 }
+    var rh = 0L
+    t = 0
+    while (t < T - 3) {
+      if (BigInt(d(t + 1)) * BigInt(e(t)) > BigInt(d(t)) * BigInt(e(t + 1)))
+        rh |= 1L << t
+      t += 1
+    }
+    AudioHashWide(r.media_id, fmt.getSampleRate.toInt, nFrames, eh, rh)
+  }
+
+  /** Batched audio fingerprint extraction — the [[extractAudioFeatures]]
+    * kernel shape over [[decodeAudioHashWide]]. The output feeds the
+    * generic WIDE hamming machinery unchanged:
+    * [[graft.llm.Dedup.hammingNearDupPairsWide]] /
+    * [[graft.llm.Dedup.writeHammingWideIndex]] with
+    * (nLoBits=56, nHiBits=54) — the same corpus-scale 13–14-bit band
+    * keys as the image/video families.
+    */
+  def extractAudioHashesWide(ds: Dataset[MediaRecord],
+                             batchSize: Int = 64): Dataset[AudioHashWide] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(mapBatched(_, batchSize)(decodeAudioHashWide))
+  }
+
   /** Video container metadata — the video twin of [[AudioFeatures]].
     * `fps_rate`/`fps_scale` carry the AVI stream-header rational
     * (frames per second = rate/scale) exactly as stored, so no float
@@ -1371,6 +1464,71 @@ object Multimodal {
             sampleRate = (8000 * (1 + id % 3)).toInt,
             channels = (1 + id % 2).toInt,
             nFrames = (200 + id % 300).toInt))
+      })
+  }
+
+  /** Near-duplicate AUDIO fixture generator — the audio twin of
+    * [[syntheticImageGroups]], with EXACTLY designed fingerprint bits:
+    * consecutive `groupSize` ids share one base signal (mono PCM16 WAV,
+    * [[AudioFpSegments]] segments of 64 frames each), whose per-segment
+    * square-wave amplitude follows a ±64-step path directed by the
+    * md5-derived group salt `h60('aud:' || g)` — so the envelope word's
+    * bit t IS salt bit t — and whose per-segment period (2 or 4
+    * samples) follows a second salt `h60('audp:' || g)` — so the
+    * flux-ratio word's bit t is `pbit(t+1) && !pbit(t)` exactly
+    * (D/E = 2·(2L/p − 1)/L depends only on the period, decoupled from
+    * the amplitude path by construction). Member m inverts the
+    * amplitude step at positions {13, 30, 47}[0 until min(m,3)];
+    * amplitude-path comparisons are local to their step, so member
+    * pairs (m, m') land at envelope hamming |min(m,3) − min(m',3)| and
+    * flux hamming 0 — designed intra-group near-dups at distance ≤ 3,
+    * while distinct groups hash ~uniformly at any corpus size (the
+    * md5-salt lesson of the round-15 degeneracy fix). Every sample is
+    * a pure integer function of (id), so an engine that replays the
+    * arithmetic reproduces E[t] = 64·A[t] and D[t] = 2·A[t]·(2·64/p[t]
+    * − 1) exactly — but only through a real WAV decode on the Spark
+    * side, since the values live in the PCM data section. The sample
+    * rate varies by group (8000·(1 + g % 3)) to exercise the container
+    * parse; the fingerprint is rate-independent by design.
+    */
+  def syntheticAudioGroups(df: DataFrame, idCol: String, groupSize: Int = 4)
+                          (implicit spark: SparkSession): Dataset[MediaRecord] = {
+    require(groupSize >= 1, s"groupSize must be >= 1, got $groupSize")
+    import spark.implicits._
+    val T = AudioFpSegments
+    val L = 64
+    df.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id / groupSize
+        val m = (id % groupSize).toInt
+        val gs = TextOps.hash60Scala(s"aud:$g")
+        val gs2 = TextOps.hash60Scala(s"audp:$g")
+        val amp = new Array[Int](T)
+        amp(0) = 4096
+        var t = 0
+        while (t < T - 1) {
+          val bit = ((gs >> t) & 1L) == 1L
+          val flip = (t == 13 || t == 30 || t == 47) &&
+            (t - 13) / 17 < math.min(m, 3)
+          amp(t + 1) = amp(t) + (if (bit ^ flip) 64 else -64)
+          t += 1
+        }
+        val data = new Array[Byte](T * L * 2)
+        t = 0
+        while (t < T) {
+          val p = if (((gs2 >> t) & 1L) == 1L) 2 else 4
+          var i = 0
+          while (i < L) {
+            val s = if (i % p < p / 2) amp(t) else -amp(t)
+            val off = (t * L + i) * 2
+            data(off) = (s & 0xFF).toByte
+            data(off + 1) = ((s >> 8) & 0xFF).toByte
+            i += 1
+          }
+          t += 1
+        }
+        MediaRecord(id, "audio",
+          encodeWav(data, (8000 * (1 + g % 3)).toInt, 1, (T * L).toLong))
       })
   }
 

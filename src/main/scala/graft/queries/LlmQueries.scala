@@ -677,6 +677,26 @@ object LlmQueries {
     fix
   }
 
+  /** Ensure the write-time WIDE AUDIO fingerprint index for `dir`'s
+    * synthetic audio corpus exists; return its path
+    * ([[ensureImageHashWideIndex]]'s audio twin — build decodes every
+    * corpus WAV ONCE at write time; probes never touch corpus samples
+    * again). Same generic (56, 54, 7) wide hamming layout as the
+    * image family: the two modalities share banding arithmetic, DPP
+    * pruning, and compaction machinery end to end.
+    */
+  def ensureAudioHashWideIndex(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    val fix = s"/tmp/graft_fixtures/audiohashw_index_${fingerprintCached(s"$dir/documents.parquet")}"
+    if (!new java.io.File(s"$fix/_SUCCESS").exists())
+      Dedup.writeHammingWideIndex(
+        Multimodal.extractAudioHashesWide(
+          Multimodal.syntheticAudioGroups(Tables.documents(s, dir), "doc_id")).toDF(),
+        "media_id", "ehash", "rhash", nLoBits = 56, nHiBits = 54,
+        maxHamming = 7, nBuckets = 64, path = fix)
+    fix
+  }
+
   // ---- DuckDB SQL fragment generators (mirror graft.llm.TextOps) ----
 
   /** normalize(text) */
@@ -852,31 +872,41 @@ object LlmQueries {
     * near-dup pair row.
     */
   private lazy val phashCte: String =
-    """WITH img AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m,
+    "WITH " + phashChainSql("", "SELECT doc_id FROM documents")
+
+  /** The PNG-fixture pixel→hash replay chain, parameterized by a CTE
+    * name prefix and an id-domain source (any SELECT producing
+    * `doc_id`): the ONE definition behind [[phashCte]] and the
+    * shifted-id arriving chains of the streaming image-gate oracle —
+    * the two renderings consume the same text, so they structurally
+    * cannot drift (the wideBandSlicesSql lesson).
+    */
+  private def phashChainSql(p: String, srcSql: String): String =
+    s"""${p}img AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m,
       |  CAST(12 + (doc_id // 4) % 20 AS INT) AS w,
       |  CAST(10 + (doc_id // 4) % 15 AS INT) AS h,
       |  CAST('0x' || substr(md5('img:' || CAST(doc_id // 4 AS VARCHAR)), 1, 15)
-      |    AS BIGINT) AS gs FROM documents),
-      |xs AS (SELECT doc_id, g, m, w, h, gs, unnest(range(0, w)) AS x FROM img),
-      |pp AS (SELECT doc_id, g, m, w, h, gs, x, unnest(range(0, h)) AS y FROM xs),
-      |bb AS (SELECT doc_id, w, h, x, y, m,
+      |    AS BIGINT) AS gs FROM ($srcSql)),
+      |${p}xs AS (SELECT doc_id, g, m, w, h, gs, unnest(range(0, w)) AS x FROM ${p}img),
+      |${p}pp AS (SELECT doc_id, g, m, w, h, gs, x, unnest(range(0, h)) AS y FROM ${p}xs),
+      |${p}bb AS (SELECT doc_id, w, h, x, y, m,
       |  xor(gs + x*40503 + y*70423,
       |      (gs + x*40503 + y*70423) >> 13) & 16777215 AS base
-      |  FROM pp),
-      |pxv AS (SELECT doc_id, w, h, x, y,
-      |  (base & 16776960) | ((base + m*3) & 255) AS rgb FROM bb),
-      |lum AS (SELECT doc_id, w, h, (y*7)//h AS cy, (x*9)//w AS cx,
+      |  FROM ${p}pp),
+      |${p}pxv AS (SELECT doc_id, w, h, x, y,
+      |  (base & 16776960) | ((base + m*3) & 255) AS rgb FROM ${p}bb),
+      |${p}lum AS (SELECT doc_id, w, h, (y*7)//h AS cy, (x*9)//w AS cx,
       |  ((rgb >> 16) & 255)*299 + ((rgb >> 8) & 255)*587
       |    + (rgb & 255)*114 AS luma
-      |  FROM pxv),
-      |cells AS (SELECT doc_id, w, h, cy, cx,
+      |  FROM ${p}pxv),
+      |${p}cells AS (SELECT doc_id, w, h, cy, cx,
       |  CAST(sum(luma) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg
-      |  FROM lum GROUP BY 1, 2, 3, 4, 5),
-      |ph AS (SELECT a.doc_id, a.w, a.h,
+      |  FROM ${p}lum GROUP BY 1, 2, 3, 4, 5),
+      |${p}ph AS (SELECT a.doc_id, a.w, a.h,
       |  CAST(coalesce(sum(CASE WHEN c.avg > a.avg
       |    THEN (CAST(1 AS BIGINT) << (a.cy*8 + a.cx))
       |    ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS dhash
-      |  FROM cells a JOIN cells c ON a.doc_id = c.doc_id
+      |  FROM ${p}cells a JOIN ${p}cells c ON a.doc_id = c.doc_id
       |    AND a.cy = c.cy AND c.cx = a.cx + 1
       |  WHERE a.cx < 8
       |  GROUP BY 1, 2, 3)""".stripMargin
@@ -902,17 +932,66 @@ object LlmQueries {
     * LOWER cell strictly exceeds the upper (the Multimodal
     * verticalBits kernel in exact int64 SQL).
     */
-  private lazy val phashWideCte: String =
-    """phv AS (SELECT a.doc_id,
+  private lazy val phashWideCte: String = phashWideExtSql("")
+
+  /** The vertical-word extension of [[phashChainSql]] for the same
+    * prefix — `<p>phv`, `<p>phw` over `<p>cells`/`<p>ph`.
+    */
+  private def phashWideExtSql(p: String): String =
+    s"""${p}phv AS (SELECT a.doc_id,
       |  CAST(coalesce(sum(CASE WHEN c.avg > a.avg
       |    THEN (CAST(1 AS BIGINT) << (a.cx*6 + a.cy))
       |    ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS vhash
-      |  FROM cells a JOIN cells c ON a.doc_id = c.doc_id
+      |  FROM ${p}cells a JOIN ${p}cells c ON a.doc_id = c.doc_id
       |    AND a.cx = c.cx AND c.cy = a.cy + 1
       |  WHERE a.cy < 6
       |  GROUP BY 1),
-      |phw AS (SELECT ph.doc_id, ph.w, ph.h, ph.dhash, phv.vhash
-      |  FROM ph JOIN phv USING (doc_id))""".stripMargin
+      |${p}phw AS (SELECT ${p}ph.doc_id, ${p}ph.w, ${p}ph.h, ${p}ph.dhash,
+      |  ${p}phv.vhash
+      |  FROM ${p}ph JOIN ${p}phv USING (doc_id))""".stripMargin
+
+  /** DuckDB twin of [[Multimodal.syntheticAudioGroups]] +
+    * [[Multimodal.decodeAudioHashWide]] ending in
+    * `afp(doc_id, ehash, rhash)`: regenerate the designed per-segment
+    * amplitude path (A[t] = 4096 + 64·(2·ones(t) − t), where ones(t)
+    * counts the member-flipped salt bits below t) and period choice,
+    * fold them to the EXACT segment features the kernel computes from
+    * decoded PCM — E[t] = 64·A[t], D[t] = 2·A[t]·(2·64/p[t] − 1) —
+    * then replay the envelope comparisons and the cross-multiplied
+    * flux-ratio comparisons bit-for-bit. The values live only in the
+    * WAV data section, so the Spark side can match iff it genuinely
+    * decoded the samples.
+    */
+  private lazy val audioFpCte: String =
+    """WITH aud AS (SELECT doc_id, doc_id % 4 AS m,
+      |  CAST('0x' || substr(md5('aud:' || CAST(doc_id // 4 AS VARCHAR)), 1, 15)
+      |    AS BIGINT) AS gs,
+      |  CAST('0x' || substr(md5('audp:' || CAST(doc_id // 4 AS VARCHAR)), 1, 15)
+      |    AS BIGINT) AS gs2 FROM documents),
+      |segt AS (SELECT doc_id, m, gs, gs2, unnest(range(0, 57)) AS t FROM aud),
+      |aamp AS (SELECT doc_id, gs2, t,
+      |  4096 + 64 * (2 * len(list_filter(range(0, t), u ->
+      |    xor((gs >> u) & 1,
+      |        CASE WHEN (u = 13 OR u = 30 OR u = 47)
+      |               AND (u - 13) // 17 < least(m, 3)
+      |             THEN 1 ELSE 0 END) = 1)) - t) AS a
+      |  FROM segt),
+      |aed AS (SELECT doc_id, t, CAST(64 * a AS BIGINT) AS e,
+      |  CAST(2 * a * (CASE WHEN ((gs2 >> t) & 1) = 1 THEN 63 ELSE 31 END)
+      |    AS BIGINT) AS d
+      |  FROM aamp),
+      |aeh AS (SELECT a.doc_id, CAST(coalesce(sum(CASE WHEN b.e > a.e
+      |    THEN (CAST(1 AS BIGINT) << a.t) ELSE CAST(0 AS BIGINT) END), 0)
+      |    AS BIGINT) AS ehash
+      |  FROM aed a JOIN aed b ON a.doc_id = b.doc_id AND b.t = a.t + 1
+      |  WHERE a.t < 56 GROUP BY 1),
+      |arh AS (SELECT a.doc_id, CAST(coalesce(sum(CASE WHEN b.d * a.e > a.d * b.e
+      |    THEN (CAST(1 AS BIGINT) << a.t) ELSE CAST(0 AS BIGINT) END), 0)
+      |    AS BIGINT) AS rhash
+      |  FROM aed a JOIN aed b ON a.doc_id = b.doc_id AND b.t = a.t + 1
+      |  WHERE a.t < 54 GROUP BY 1),
+      |afp AS (SELECT e.doc_id, e.ehash, r.rhash
+      |  FROM aeh e JOIN arh r USING (doc_id))""".stripMargin
 
   /** The video twin of [[phashWideCte]] over [[videoPhashCte]]'s
     * `vcells`: `vphw(doc_id, dhash, vhash)`.
@@ -1526,6 +1605,54 @@ object LlmQueries {
            |  WHERE bit_count(xor(a.sh_lo, c.sh_lo))
            |    + bit_count(xor(a.sh_hi, c.sh_hi)) <= 7)
            |SELECT a.doc_id, a.text FROM arrx a
+           |WHERE NOT EXISTS (SELECT 1 FROM hits h
+           |  WHERE h.doc_id = a.doc_id)""".stripMargin)),
+
+    // Streaming PERCEPTUAL IMAGE gate, batch parity: the multimodal
+    // member of the gate family over the write-time WIDE image-hash
+    // index. The arriving batch mixes RE-UPLOADS (corpus images under
+    // fresh ids — byte-identical payloads, so the probe sees hamming 0
+    // and must reject them; the exact case a 100 TB image ingest hits
+    // first) with NOVEL images (shifted-id groups whose md5 salts are
+    // unseen — accepted). The gate is the per-micro-batch corpus
+    // decision of [[graft.streaming.Streams.startImageGateSink]]: one
+    // delta decode, a DPP-pruned index probe, left-anti on the id.
+    // The oracle replays the full pixel→hash chain for BOTH id
+    // domains (one parameterized chain definition), the shared wide
+    // band slicing, and the NOT-EXISTS membership decision
+    // row-for-row. StreamsSpec drives the same dataflow through
+    // MemoryStream incl. the cross-batch append and intra-batch check.
+    "llm_stream_image_gate" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        val fix = ensureImageHashWideIndex(s, dir)
+        val docs = Tables.documents(s, dir)
+        val reup = Multimodal.syntheticImageGroups(
+            docs.filter(col("doc_id") % 7 === 0), "doc_id").toDF()
+          .withColumn("media_id", col("media_id") + 2000000L)
+        val novel = Multimodal.syntheticImageGroups(
+            docs.filter(col("doc_id") % 7 === 3)
+              .select((col("doc_id") + 9000000L).as("doc_id")), "doc_id")
+          .toDF()
+        graft.streaming.Streams.imageGateBatch(s, fix,
+            reup.unionByName(novel), maxHamming = 7, nBuckets = 64)
+          .select("media_id")
+      },
+      Some(s"""$phashCte,
+           |$phashWideCte,
+           |${phashChainSql("n",
+              "SELECT doc_id + 9000000 AS doc_id FROM documents WHERE doc_id % 7 = 3")},
+           |${phashWideExtSql("n")},
+           |arr AS (SELECT doc_id + 2000000 AS doc_id, dhash, vhash
+           |  FROM phw WHERE doc_id % 7 = 0
+           |  UNION ALL SELECT doc_id, dhash, vhash FROM nphw),
+           |bc AS (${wideBandSlicesSql("phw", "dhash", 56, "vhash", 54, 7)}),
+           |ba AS (${wideBandSlicesSql("arr", "dhash", 56, "vhash", 54, 7)}),
+           |hits AS (SELECT DISTINCT a.doc_id FROM ba a JOIN bc c
+           |  ON a.band = c.band AND a.key = c.key
+           |  WHERE bit_count(xor(a.dhash, c.dhash))
+           |    + bit_count(xor(a.vhash, c.vhash)) <= 7)
+           |SELECT a.doc_id AS media_id FROM arr a
            |WHERE NOT EXISTS (SELECT 1 FROM hits h
            |  WHERE h.doc_id = a.doc_id)""".stripMargin)),
 
@@ -3306,6 +3433,118 @@ object LlmQueries {
          |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
          |  CAST(max(abs(s)) AS INT) AS peak_abs
          |FROM s GROUP BY 1, 2, 3""".stripMargin)),
+
+    // Audio perceptual FINGERPRINT: the 110-bit wide family's audio
+    // member — 56-bit energy-envelope word + 54-bit gain-invariant
+    // flux-ratio word over 57 proportional PCM segments. The designed
+    // WAV fixture pins every bit: the envelope word IS the (member-
+    // flipped) amplitude salt, the flux word the period-salt
+    // comparisons — and the oracle replays the full E/D feature chain
+    // in exact integer SQL, so the row passes iff the Spark side
+    // genuinely decoded the PCM data section and folded the same
+    // segment features.
+    "llm_audio_fingerprint" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        Multimodal.extractAudioHashesWide(
+          Multimodal.syntheticAudioGroups(
+            Tables.documents(s, dir), "doc_id")).toDF()
+      },
+      Some(s"""$audioFpCte
+         |SELECT doc_id AS media_id,
+         |  CAST(8000 * (1 + (doc_id // 4) % 3) AS INT) AS sample_rate,
+         |  CAST(3648 AS BIGINT) AS n_frames, ehash, rhash FROM afp""".stripMargin)),
+
+    // Audio NEAR-DUP pairs under the wide 110-bit fingerprint — the
+    // audio modality joins the same corpus-scale banded machinery as
+    // image/video/text (13–14-bit band keys, pigeonhole recall, no
+    // all-pairs join anywhere). Intra-group pairs land at the DESIGNED
+    // hamming |min(m,3) − min(m',3)| ≤ 3 (amplitude-step flips are
+    // local to their comparison bit; the flux word is untouched by
+    // member perturbation); the oracle replays the fingerprint chain,
+    // the shared wideBandLayout slicing, and the two-word verify.
+    "llm_audio_neardup" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        val hashes = Multimodal.extractAudioHashesWide(
+          Multimodal.syntheticAudioGroups(
+            Tables.documents(s, dir), "doc_id")).toDF()
+        Dedup.hammingNearDupPairsWide(hashes, "media_id", "ehash", "rhash",
+          nLoBits = 56, nHiBits = 54, maxHamming = 7)
+      },
+      Some(s"""$audioFpCte,
+         |wbanded AS (${wideBandSlicesSql("afp", "ehash", 56, "rhash", 54, 7)}),
+         |wcand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |  a.ehash AS ea, a.rhash AS ra, c.ehash AS eb, c.rhash AS rb
+         |  FROM wbanded a JOIN wbanded c
+         |  ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(ea, eb)) + bit_count(xor(ra, rb)) AS INT)
+         |    AS hamming
+         |FROM wcand
+         |WHERE bit_count(xor(ea, eb)) + bit_count(xor(ra, rb)) <= 7""".stripMargin)),
+
+    // Audio near-dup at CORPUS scale: the write-time WIDE hamming
+    // index probed with the first 50 clips as the delta batch — build
+    // decodes every corpus WAV once, the probe decodes ONLY the delta
+    // and joins the index on its partition columns (DPP-pruned read).
+    // Identical layout/machinery to llm_image_index_probe_wide; only
+    // the signature kernel differs — the audio modality inherits the
+    // ingest path's scale posture for free.
+    "llm_audio_index_probe_wide" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        val fix = ensureAudioHashWideIndex(s, dir)
+        val delta = Multimodal.extractAudioHashesWide(
+          Multimodal.syntheticAudioGroups(
+            Tables.documents(s, dir).filter(col("doc_id") < 50),
+            "doc_id")).toDF()
+        Dedup.probeHammingWideIndex(s, fix, delta, "media_id", "ehash",
+          "rhash", nLoBits = 56, nHiBits = 54, maxHamming = 7, nBuckets = 64)
+      },
+      Some(s"""$audioFpCte,
+         |wbanded AS (${wideBandSlicesSql("afp", "ehash", 56, "rhash", 54, 7)}),
+         |wcand AS (SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS cand_id,
+         |  q.ehash AS qe, q.rhash AS qr, c.ehash AS ce, c.rhash AS cr
+         |  FROM wbanded c JOIN wbanded q
+         |  ON c.band = q.band AND c.key = q.key AND c.doc_id <> q.doc_id
+         |  WHERE q.doc_id < 50)
+         |SELECT query_id, cand_id,
+         |  CAST(bit_count(xor(qe, ce)) + bit_count(xor(qr, cr)) AS INT)
+         |    AS hamming
+         |FROM wcand
+         |WHERE bit_count(xor(qe, ce)) + bit_count(xor(qr, cr)) <= 7""".stripMargin)),
+
+    // Audio dedup CLUSTERS: wide near-dup pairs → connected components
+    // → one canonical id per involved clip ([[Dedup.dedupClusters]]'s
+    // pointer-jump closure — the same operator the image/video/text
+    // families use, now over the audio fingerprint). The oracle replays
+    // the full chain plus the transitive closure (recursive CTE).
+    "llm_audio_dedup_clusters" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        val hashes = Multimodal.extractAudioHashesWide(
+          Multimodal.syntheticAudioGroups(
+            Tables.documents(s, dir), "doc_id")).toDF()
+        Dedup.dedupClusters(Dedup.hammingNearDupPairsWide(hashes,
+          "media_id", "ehash", "rhash", nLoBits = 56, nHiBits = 54,
+          maxHamming = 7))
+      },
+      Some(s"""${audioFpCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |wbanded AS (${wideBandSlicesSql("afp", "ehash", 56, "rhash", 54, 7)}),
+         |wcand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |  a.ehash AS ea, a.rhash AS ra, c.ehash AS eb, c.rhash AS rb
+         |  FROM wbanded a JOIN wbanded c
+         |  ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id),
+         |pairs AS (SELECT id_a, id_b FROM wcand
+         |  WHERE bit_count(xor(ea, eb)) + bit_count(xor(ra, rb)) <= 7),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (SELECT s, d FROM edges
+         |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |cl AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+         |  FROM reach GROUP BY s)
+         |SELECT doc_id, cluster_id FROM cl""".stripMargin)),
 
     // REAL audio resample, end-to-end certified: decode PCM16 →
     // linear-interpolate onto a 12 kHz grid (exact integer arithmetic;

@@ -501,6 +501,85 @@ object Streams {
       maxHamming,
       graft.llm.Dedup.simhashWideIndexBuckets(df.sparkSession, indexPath))
 
+  /** One micro-batch of the streaming PERCEPTUAL IMAGE gate: keep only
+    * the batch rows (`media_id`, `modality`, `payload` — the
+    * [[graft.llm.Multimodal.MediaRecord]] shape) whose 110-bit wide
+    * image dHash is NOT within `maxHamming` of any corpus member in
+    * the write-time wide hamming index
+    * ([[graft.llm.Dedup.probeHammingWideIndex]] — a DPP-pruned read of
+    * the band directories the batch hashes into, exact two-word
+    * bit_count verify) + left-anti on the id. The multimodal member of
+    * the gate family: the exact/near/semantic gates cover text, this
+    * one catches the re-uploaded / recompressed / brightness-nudged
+    * image flood. Cost is the BATCH size (each delta image decoded
+    * once), never the corpus — corpus pixels were decoded once at
+    * index build time.
+    */
+  def imageGateBatch(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String, batch: DataFrame, maxHamming: Int,
+                     nBuckets: Int): DataFrame = {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val hashes = graft.llm.Multimodal.extractImageHashesWide(
+      graft.llm.Multimodal.asMediaDataset(batch)).toDF()
+    val hits = graft.llm.Dedup.probeHammingWideIndex(spark, indexPath,
+      hashes, "media_id", "dhash", "vhash", nLoBits = 56, nHiBits = 54,
+      maxHamming, nBuckets)
+      .select(col("query_id").as("media_id")).distinct()
+    batch.join(hits, Seq("media_id"), "left_anti")
+  }
+
+  /** Streaming PERCEPTUAL IMAGE ingest gate: [[startNearDupGateSink]]'s
+    * multimodal twin over the wide image-hash index. Each micro-batch
+    * decodes its payloads ONCE (the pinned wide-hash frame feeds the
+    * corpus probe, the intra-batch self-check, AND the index append —
+    * no re-decode anywhere), rejects rows whose hash is within
+    * `maxHamming` of the corpus, then rejects rows near-matching a
+    * SMALLER id in the same batch (deterministic keep-lowest-id — the
+    * same chain-conservative rule as the text gate), writes survivors
+    * batchId-idempotently, and appends their hashes so an image
+    * accepted in batch N rejects its near-copies in batch N+1. Replay
+    * safety transfers from the text gate verbatim: self-matches are
+    * excluded by id, duplicate index rows only re-confirm the same
+    * hits, and [[maybeCompactIndexes]] (`compactEvery`) repairs
+    * crash-replayed appends.
+    */
+  def startImageGateSink(df: DataFrame, indexPath: String, outPath: String,
+                         checkpoint: String, maxHamming: Int, nBuckets: Int,
+                         compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        implicit val sp: org.apache.spark.sql.SparkSession = spark
+        val hashes = Materialize.pin(
+          graft.llm.Multimodal.extractImageHashesWide(
+            graft.llm.Multimodal.asMediaDataset(batch.toDF())).toDF())
+        val corpusHits = graft.llm.Dedup.probeHammingWideIndex(spark,
+          indexPath, hashes, "media_id", "dhash", "vhash", nLoBits = 56,
+          nHiBits = 54, maxHamming, nBuckets)
+          .select(col("query_id").as("media_id")).distinct()
+        val corpusOk = hashes.join(corpusHits, Seq("media_id"), "left_anti")
+        // Wide pairs emit id_a < id_b: dropping every id_b keeps the
+        // lowest id of each intra-batch near-dup group.
+        val intraDups = graft.llm.Dedup.hammingNearDupPairsWide(corpusOk,
+          "media_id", "dhash", "vhash", nLoBits = 56, nHiBits = 54,
+          maxHamming)
+          .select(col("id_b").as("media_id")).distinct()
+        val acceptedHashes = corpusOk
+          .join(intraDups, Seq("media_id"), "left_anti")
+          .transform(Materialize.pin)
+        batch.toDF()
+          .join(acceptedHashes.select("media_id"), Seq("media_id"))
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        graft.llm.Dedup.appendToHammingWideIndex(acceptedHashes, "media_id",
+          "dhash", "vhash", nLoBits = 56, nHiBits = 54, maxHamming,
+          nBuckets, indexPath)
+        maybeCompactIndexes(spark, Seq(indexPath), batchId, compactEvery)
+      }
+      .start()
+
   /** One micro-batch of the streaming SEMANTIC ingest gate: keep only
     * the batch rows whose embedding has NO corpus bucket-mate with
     * cosine >= `threshold` in the write-time LSH index

@@ -1964,6 +1964,79 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("truncated audio payload"))
   }
 
+  test("decodeAudioHashWide reproduces every DESIGNED fingerprint bit") {
+    implicit val s = spark
+    val df = (0L until 200L).toDF("doc_id")
+    val got = Multimodal.extractAudioHashesWide(
+      Multimodal.syntheticAudioGroups(df, "doc_id")).collect()
+      .map(h => h.media_id -> h).toMap
+    for (id <- 0L until 200L) {
+      val g = id / 4
+      val m = (id % 4).toInt
+      val gs = TextOps.hash60Scala(s"aud:$g")
+      val gs2 = TextOps.hash60Scala(s"audp:$g")
+      // Envelope bit t IS the member-flipped amplitude salt bit; flux
+      // bit t is the designed period comparison p[t+1] < p[t].
+      var eh = 0L
+      for (t <- 0 until 56) {
+        val bit = ((gs >> t) & 1L) == 1L
+        val flip = (t == 13 || t == 30 || t == 47) &&
+          (t - 13) / 17 < math.min(m, 3)
+        if (bit ^ flip) eh |= 1L << t
+      }
+      var rh = 0L
+      for (t <- 0 until 54)
+        if (((gs2 >> (t + 1)) & 1L) == 1L && ((gs2 >> t) & 1L) == 0L)
+          rh |= 1L << t
+      val h = got(id)
+      assert(h.ehash === eh, s"ehash mismatch for id=$id")
+      assert(h.rhash === rh, s"rhash mismatch for id=$id")
+      assert(h.sample_rate === 8000 * (1 + g % 3).toInt)
+      assert(h.n_frames === 3648L)
+    }
+  }
+
+  test("audio fingerprint: designed intra-group hamming, flux word " +
+    "member-invariant, distinct groups far apart") {
+    implicit val s = spark
+    val df = (0L until 16L).toDF("doc_id")
+    val got = Multimodal.extractAudioHashesWide(
+      Multimodal.syntheticAudioGroups(df, "doc_id")).collect()
+      .map(h => h.media_id -> h).toMap
+    def ham(a: Multimodal.AudioHashWide, b: Multimodal.AudioHashWide) =
+      java.lang.Long.bitCount(a.ehash ^ b.ehash) +
+        java.lang.Long.bitCount(a.rhash ^ b.rhash)
+    // Members of group 0 (ids 0-3): EXACT designed distances — member m
+    // flips the first min(m,3) of the three designed step positions, and
+    // amplitude-step flips are local to their comparison bit.
+    for (a <- 0L to 3L; b <- 0L until a) {
+      assert(ham(got(a), got(b)) === (a - b).toInt,
+        s"pair ($b, $a) not at designed hamming ${a - b}")
+      assert(got(a).rhash === got(b).rhash,
+        "member perturbation must not touch the flux word")
+    }
+    // Distinct groups: independent md5 salts, ~uniform 110-bit words.
+    assert(ham(got(0L), got(4L)) > 7)
+    assert(ham(got(0L), got(8L)) > 7)
+  }
+
+  test("decodeAudioHashWide fails loud on truncated and too-short payloads") {
+    val wav = Multimodal.syntheticWav(3L, 8000, 1, 400)
+    val cut = java.util.Arrays.copyOf(wav, wav.length - 32)
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.decodeAudioHashWide(Multimodal.MediaRecord(3L, "audio", cut))
+    }
+    assert(e1.getMessage.contains("truncated audio payload"))
+    // 100 samples < 2 * 57: too short for the 57-segment fingerprint —
+    // a hash over near-empty segments would be all-zero noise, not a
+    // signature; refuse instead.
+    val short = Multimodal.syntheticWav(3L, 8000, 1, 100)
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.decodeAudioHashWide(Multimodal.MediaRecord(3L, "audio", short))
+    }
+    assert(e2.getMessage.contains("57-segment fingerprint"))
+  }
+
   test("resampleAudio linear-interpolates PCM onto the target grid exactly") {
     // id 9: rate 8000, 2ch, 209 frames. Upsample to 12000: the j-th
     // output frame samples source position j*8000/12000 = j*2/3 —
