@@ -963,35 +963,42 @@ object LlmQueries {
     * decoded the samples.
     */
   private lazy val audioFpCte: String =
-    """WITH aud AS (SELECT doc_id, doc_id % 4 AS m,
+    "WITH " + audioFpChainSql("", "SELECT doc_id FROM documents")
+
+  /** The one parameterized rendering behind [[audioFpCte]] and the
+    * shifted-id arriving chains of the streaming audio-gate oracle
+    * (same prefix/source convention as [[phashChainSql]]).
+    */
+  private def audioFpChainSql(p: String, srcSql: String): String =
+    s"""${p}aud AS (SELECT doc_id, doc_id % 4 AS m,
       |  CAST('0x' || substr(md5('aud:' || CAST(doc_id // 4 AS VARCHAR)), 1, 15)
       |    AS BIGINT) AS gs,
       |  CAST('0x' || substr(md5('audp:' || CAST(doc_id // 4 AS VARCHAR)), 1, 15)
-      |    AS BIGINT) AS gs2 FROM documents),
-      |segt AS (SELECT doc_id, m, gs, gs2, unnest(range(0, 57)) AS t FROM aud),
-      |aamp AS (SELECT doc_id, gs2, t,
+      |    AS BIGINT) AS gs2 FROM ($srcSql)),
+      |${p}segt AS (SELECT doc_id, m, gs, gs2, unnest(range(0, 57)) AS t FROM ${p}aud),
+      |${p}aamp AS (SELECT doc_id, gs2, t,
       |  4096 + 64 * (2 * len(list_filter(range(0, t), u ->
       |    xor((gs >> u) & 1,
       |        CASE WHEN (u = 13 OR u = 30 OR u = 47)
       |               AND (u - 13) // 17 < least(m, 3)
       |             THEN 1 ELSE 0 END) = 1)) - t) AS a
-      |  FROM segt),
-      |aed AS (SELECT doc_id, t, CAST(64 * a AS BIGINT) AS e,
+      |  FROM ${p}segt),
+      |${p}aed AS (SELECT doc_id, t, CAST(64 * a AS BIGINT) AS e,
       |  CAST(2 * a * (CASE WHEN ((gs2 >> t) & 1) = 1 THEN 63 ELSE 31 END)
       |    AS BIGINT) AS d
-      |  FROM aamp),
-      |aeh AS (SELECT a.doc_id, CAST(coalesce(sum(CASE WHEN b.e > a.e
+      |  FROM ${p}aamp),
+      |${p}aeh AS (SELECT a.doc_id, CAST(coalesce(sum(CASE WHEN b.e > a.e
       |    THEN (CAST(1 AS BIGINT) << a.t) ELSE CAST(0 AS BIGINT) END), 0)
       |    AS BIGINT) AS ehash
-      |  FROM aed a JOIN aed b ON a.doc_id = b.doc_id AND b.t = a.t + 1
+      |  FROM ${p}aed a JOIN ${p}aed b ON a.doc_id = b.doc_id AND b.t = a.t + 1
       |  WHERE a.t < 56 GROUP BY 1),
-      |arh AS (SELECT a.doc_id, CAST(coalesce(sum(CASE WHEN b.d * a.e > a.d * b.e
+      |${p}arh AS (SELECT a.doc_id, CAST(coalesce(sum(CASE WHEN b.d * a.e > a.d * b.e
       |    THEN (CAST(1 AS BIGINT) << a.t) ELSE CAST(0 AS BIGINT) END), 0)
       |    AS BIGINT) AS rhash
-      |  FROM aed a JOIN aed b ON a.doc_id = b.doc_id AND b.t = a.t + 1
+      |  FROM ${p}aed a JOIN ${p}aed b ON a.doc_id = b.doc_id AND b.t = a.t + 1
       |  WHERE a.t < 54 GROUP BY 1),
-      |afp AS (SELECT e.doc_id, e.ehash, r.rhash
-      |  FROM aeh e JOIN arh r USING (doc_id))""".stripMargin
+      |${p}afp AS (SELECT e.doc_id, e.ehash, r.rhash
+      |  FROM ${p}aeh e JOIN ${p}arh r USING (doc_id))""".stripMargin
 
   /** The video twin of [[phashWideCte]] over [[videoPhashCte]]'s
     * `vcells`: `vphw(doc_id, dhash, vhash)`.
@@ -1652,6 +1659,47 @@ object LlmQueries {
            |  ON a.band = c.band AND a.key = c.key
            |  WHERE bit_count(xor(a.dhash, c.dhash))
            |    + bit_count(xor(a.vhash, c.vhash)) <= 7)
+           |SELECT a.doc_id AS media_id FROM arr a
+           |WHERE NOT EXISTS (SELECT 1 FROM hits h
+           |  WHERE h.doc_id = a.doc_id)""".stripMargin)),
+
+    // Streaming PERCEPTUAL AUDIO gate, batch parity: the audio member
+    // of the gate family over the write-time WIDE audio-fingerprint
+    // index — same arriving-batch construction as the image gate
+    // (re-uploaded corpus clips under fresh ids rejected at hamming 0,
+    // novel shifted-id groups accepted), same shared sink body; only
+    // the signature kernel differs. The oracle replays the designed
+    // E/D fingerprint chain for BOTH id domains from the one
+    // parameterized definition, the shared band slicing, and the
+    // NOT-EXISTS membership decision row-for-row.
+    "llm_stream_audio_gate" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        val fix = ensureAudioHashWideIndex(s, dir)
+        val docs = Tables.documents(s, dir)
+        val reup = Multimodal.syntheticAudioGroups(
+            docs.filter(col("doc_id") % 7 === 0), "doc_id").toDF()
+          .withColumn("media_id", col("media_id") + 2000000L)
+        val novel = Multimodal.syntheticAudioGroups(
+            docs.filter(col("doc_id") % 7 === 3)
+              .select((col("doc_id") + 9000000L).as("doc_id")), "doc_id")
+          .toDF()
+        graft.streaming.Streams.audioGateBatch(s, fix,
+            reup.unionByName(novel), maxHamming = 7, nBuckets = 64)
+          .select("media_id")
+      },
+      Some(s"""$audioFpCte,
+           |${audioFpChainSql("n",
+              "SELECT doc_id + 9000000 AS doc_id FROM documents WHERE doc_id % 7 = 3")},
+           |arr AS (SELECT doc_id + 2000000 AS doc_id, ehash, rhash
+           |  FROM afp WHERE doc_id % 7 = 0
+           |  UNION ALL SELECT doc_id, ehash, rhash FROM nafp),
+           |bc AS (${wideBandSlicesSql("afp", "ehash", 56, "rhash", 54, 7)}),
+           |ba AS (${wideBandSlicesSql("arr", "ehash", 56, "rhash", 54, 7)}),
+           |hits AS (SELECT DISTINCT a.doc_id FROM ba a JOIN bc c
+           |  ON a.band = c.band AND a.key = c.key
+           |  WHERE bit_count(xor(a.ehash, c.ehash))
+           |    + bit_count(xor(a.rhash, c.rhash)) <= 7)
            |SELECT a.doc_id AS media_id FROM arr a
            |WHERE NOT EXISTS (SELECT 1 FROM hits h
            |  WHERE h.doc_id = a.doc_id)""".stripMargin)),

@@ -517,13 +517,58 @@ object Streams {
     */
   def imageGateBatch(spark: org.apache.spark.sql.SparkSession,
                      indexPath: String, batch: DataFrame, maxHamming: Int,
-                     nBuckets: Int): DataFrame = {
-    implicit val sp: org.apache.spark.sql.SparkSession = spark
-    val hashes = graft.llm.Multimodal.extractImageHashesWide(
-      graft.llm.Multimodal.asMediaDataset(batch)).toDF()
-    val hits = graft.llm.Dedup.probeHammingWideIndex(spark, indexPath,
-      hashes, "media_id", "dhash", "vhash", nLoBits = 56, nHiBits = 54,
+                     nBuckets: Int): DataFrame =
+    perceptualGateBatch(spark, indexPath, batch, imageHashKernel,
       maxHamming, nBuckets)
+
+  /** [[imageGateBatch]]'s AUDIO twin: membership is wide-hamming
+    * distance of the 110-bit audio fingerprint
+    * ([[graft.llm.Multimodal.decodeAudioHashWide]] — energy-envelope +
+    * gain-invariant flux-ratio words) against a
+    * [[graft.llm.Dedup.writeHammingWideIndex]] layout over the corpus
+    * clips. Catches re-uploaded and lightly-perturbed audio the same
+    * way the image gate catches recompressed images.
+    */
+  def audioGateBatch(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String, batch: DataFrame, maxHamming: Int,
+                     nBuckets: Int): DataFrame =
+    perceptualGateBatch(spark, indexPath, batch, audioHashKernel,
+      maxHamming, nBuckets)
+
+  /** The wide image-hash kernel as a (batch → two-word signature frame)
+    * function — `(media_id, lo, hi)` with the standard column names the
+    * shared gate body expects.
+    */
+  private def imageHashKernel(batch: DataFrame): DataFrame = {
+    implicit val sp: org.apache.spark.sql.SparkSession = batch.sparkSession
+    graft.llm.Multimodal.extractImageHashesWide(
+      graft.llm.Multimodal.asMediaDataset(batch)).toDF()
+      .select(col("media_id"), col("dhash").as("sig_lo"),
+        col("vhash").as("sig_hi"))
+  }
+
+  /** The wide audio-fingerprint kernel in the same shape. */
+  private def audioHashKernel(batch: DataFrame): DataFrame = {
+    implicit val sp: org.apache.spark.sql.SparkSession = batch.sparkSession
+    graft.llm.Multimodal.extractAudioHashesWide(
+      graft.llm.Multimodal.asMediaDataset(batch)).toDF()
+      .select(col("media_id"), col("ehash").as("sig_lo"),
+        col("rhash").as("sig_hi"))
+  }
+
+  /** One micro-batch of a perceptual gate, generic over the signature
+    * kernel: decode the batch ONCE, probe the wide index, keep the rows
+    * with no corpus member within `maxHamming`. All perceptual layouts
+    * share the (56, 54) two-word geometry, so one body serves every
+    * modality.
+    */
+  private def perceptualGateBatch(spark: org.apache.spark.sql.SparkSession,
+                                  indexPath: String, batch: DataFrame,
+                                  kernel: DataFrame => DataFrame,
+                                  maxHamming: Int, nBuckets: Int): DataFrame = {
+    val hits = graft.llm.Dedup.probeHammingWideIndex(spark, indexPath,
+      kernel(batch), "media_id", "sig_lo", "sig_hi", nLoBits = 56,
+      nHiBits = 54, maxHamming, nBuckets)
       .select(col("query_id").as("media_id")).distinct()
     batch.join(hits, Seq("media_id"), "left_anti")
   }
@@ -547,24 +592,43 @@ object Streams {
                          checkpoint: String, maxHamming: Int, nBuckets: Int,
                          compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    startPerceptualGateSink(df, indexPath, outPath, checkpoint,
+      imageHashKernel, maxHamming, nBuckets, compactEvery)
+
+  /** [[startImageGateSink]]'s AUDIO twin — the same decode-once /
+    * corpus-probe / intra-batch keep-lowest-id / append lifecycle over
+    * the wide audio-fingerprint index. One shared body serves both
+    * modalities ([[startPerceptualGateSink]]); only the signature
+    * kernel differs.
+    */
+  def startAudioGateSink(df: DataFrame, indexPath: String, outPath: String,
+                         checkpoint: String, maxHamming: Int, nBuckets: Int,
+                         compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    startPerceptualGateSink(df, indexPath, outPath, checkpoint,
+      audioHashKernel, maxHamming, nBuckets, compactEvery)
+
+  private def startPerceptualGateSink(df: DataFrame, indexPath: String,
+                                      outPath: String, checkpoint: String,
+                                      kernel: DataFrame => DataFrame,
+                                      maxHamming: Int, nBuckets: Int,
+                                      compactEvery: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        implicit val sp: org.apache.spark.sql.SparkSession = spark
-        val hashes = Materialize.pin(
-          graft.llm.Multimodal.extractImageHashesWide(
-            graft.llm.Multimodal.asMediaDataset(batch.toDF())).toDF())
+        val hashes = Materialize.pin(kernel(batch.toDF()))
         val corpusHits = graft.llm.Dedup.probeHammingWideIndex(spark,
-          indexPath, hashes, "media_id", "dhash", "vhash", nLoBits = 56,
+          indexPath, hashes, "media_id", "sig_lo", "sig_hi", nLoBits = 56,
           nHiBits = 54, maxHamming, nBuckets)
           .select(col("query_id").as("media_id")).distinct()
         val corpusOk = hashes.join(corpusHits, Seq("media_id"), "left_anti")
         // Wide pairs emit id_a < id_b: dropping every id_b keeps the
         // lowest id of each intra-batch near-dup group.
         val intraDups = graft.llm.Dedup.hammingNearDupPairsWide(corpusOk,
-          "media_id", "dhash", "vhash", nLoBits = 56, nHiBits = 54,
+          "media_id", "sig_lo", "sig_hi", nLoBits = 56, nHiBits = 54,
           maxHamming)
           .select(col("id_b").as("media_id")).distinct()
         val acceptedHashes = corpusOk
@@ -574,7 +638,7 @@ object Streams {
           .join(acceptedHashes.select("media_id"), Seq("media_id"))
           .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         graft.llm.Dedup.appendToHammingWideIndex(acceptedHashes, "media_id",
-          "dhash", "vhash", nLoBits = 56, nHiBits = 54, maxHamming,
+          "sig_lo", "sig_hi", nLoBits = 56, nHiBits = 54, maxHamming,
           nBuckets, indexPath)
         maybeCompactIndexes(spark, Seq(indexPath), batchId, compactEvery)
       }

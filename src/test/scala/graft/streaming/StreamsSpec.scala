@@ -630,6 +630,58 @@ class StreamsSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("streaming PERCEPTUAL audio gate rejects re-uploads, intra-batch " +
+    "group members, and cross-batch near-dups at the DESIGNED distances") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    // Designed WAV payloads: group 0 (ids 0-3) is the pre-indexed
+    // corpus; groups 10 (40-42), 11 (44), 12 (48) are novel. Member
+    // fingerprints sit at EXACT hamming |min(m,3) - min(m',3)| by
+    // construction, so every gate decision below is designed, not
+    // stochastic.
+    val mk = graft.llm.Multimodal.syntheticAudioGroups(
+      Seq(0L, 1L, 2L, 3L, 40L, 41L, 42L, 44L, 48L).toDF("doc_id"), "doc_id")
+      .collect().map(r => r.media_id -> r).toMap
+    val root = java.nio.file.Files.createTempDirectory("agate").toString
+    val (idx, out, ckpt) = (s"$root/idx", s"$root/out", s"$root/ckpt")
+    try {
+      graft.llm.Dedup.writeHammingWideIndex(
+        graft.llm.Multimodal.extractAudioHashesWide(
+          Seq(mk(0L), mk(1L), mk(2L), mk(3L)).toDS()).toDF(),
+        "media_id", "ehash", "rhash", nLoBits = 56, nHiBits = 54,
+        maxHamming = 7, nBuckets = 8, path = idx)
+      val mem = MemoryStream[graft.llm.Multimodal.MediaRecord]
+      val q = Streams.startAudioGateSink(mem.toDF(), idx, out, ckpt,
+        maxHamming = 7, nBuckets = 8)
+      try {
+        // Batch 0: a re-upload of corpus clip 1 under a fresh id
+        // (hamming 0 — reject); members 40/41 of novel group 10 in ONE
+        // batch (designed hamming 1 — intra check keeps 40); novel
+        // singleton 44 (accept).
+        mem.addData(mk(1L).copy(media_id = 10L), mk(40L), mk(41L), mk(44L))
+        q.processAllAvailable()
+        // Batch 1: group-10 member 42 is designed hamming 2 from
+        // ACCEPTED clip 40 via the grown index (reject); novel
+        // singleton 48 (accept).
+        mem.addData(mk(42L), mk(48L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val accepted = spark.read.parquet(out)
+        .select("media_id").as[Long].collect().sorted
+      assert(accepted === Array(40L, 44L, 48L))
+      // Gate body agrees with a direct probe of the final grown index:
+      // a same-group near-copy of accepted 48 rejected, a fresh group
+      // accepted.
+      val probeBatch = graft.llm.Multimodal.syntheticAudioGroups(
+        Seq(49L, 80L).toDF("doc_id"), "doc_id").toDF()
+      val replay = Streams.audioGateBatch(spark, idx, probeBatch,
+        maxHamming = 7, nBuckets = 8)
+        .select("media_id").as[Long].collect().sorted
+      assert(replay === Array(80L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("streaming SEMANTIC gate rejects scaled copies, cross-batch " +
     "paraphrases of accepted rows, and intra-batch clones via the LSH index") {
     implicit val sqlCtx = spark.sqlContext
