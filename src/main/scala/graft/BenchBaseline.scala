@@ -18,6 +18,21 @@ object BenchBaseline {
     // Round-15 closure of the uncovered set (r13 verdict #1, r14 #2):
     // min across two calm-window isolated runs (reps=2 each) of the 23
     // previously-baselined-nowhere queries, sf0.1 local[32].
+    // Round-16 additions (the 11 queries registered since r15: the wide
+    // index-probe/MJPEG family and the audio fingerprint + perceptual
+    // gate families): min across two calm-window isolated runs (reps=2
+    // each), sf0.1 local[32] (/tmp/bench_new_{1,2}.json).
+    "llm_audio_dedup_clusters" -> 3.484, // r16 calm-window
+    "llm_audio_fingerprint" -> 0.747, // r16 calm-window
+    "llm_audio_index_probe_wide" -> 1.364, // r16 calm-window
+    "llm_audio_neardup" -> 1.754, // r16 calm-window
+    "llm_image_index_probe_wide" -> 2.224, // r16 calm-window
+    "llm_stream_audio_gate" -> 1.963, // r16 calm-window
+    "llm_stream_image_gate" -> 2.567, // r16 calm-window
+    "llm_video_index_probe_wide" -> 1.950, // r16 calm-window
+    "llm_video_mjpeg_neardup" -> 8.455, // r16 calm-window
+    "llm_video_mjpeg_phash" -> 3.889, // r16 calm-window
+    "llm_video_strided_index_probe_wide" -> 3.069, // r16 calm-window
     "a2_cms_topk" -> 1.733, // r15 calm-window
     "analyst_trend" -> 0.308, // r15 calm-window
     "dividend_asof" -> 0.231, // r15 calm-window

@@ -1066,8 +1066,7 @@ object Multimodal {
           val row = h - 1 - y // bottom-up DIB: file row 0 = image bottom
           var x = 0
           while (x < w) {
-            val v = gs + x * 48271L + y * 69621L
-            val base = (v ^ (v >> 13)) & 0xFFFFFFL
+            val base = mix48(gs + x * 48271L + y * 69621L)
             val off = row * stride + x * 3
             frame(off) = ((base + m * 3) & 0xFFL).toByte         // B
             frame(off + 1) = ((base >> 8) & 0xFFL).toByte        // G
@@ -1116,10 +1115,9 @@ object Multimodal {
             val row = h - 1 - y // bottom-up DIB
             var x = 0
             while (x < w) {
-              val mix = if (f == 0) m * 1000003L else 0L
-              val v = gs + x * 48271L + y * 69621L +
-                f * 1299721L + mix
-              val base = (v ^ (v >> 13)) & 0xFFFFFFL
+              val scramble = if (f == 0) m * 1000003L else 0L
+              val base = mix48(gs + x * 48271L + y * 69621L +
+                f * 1299721L + scramble)
               val off = row * stride + x * 3
               frame(off) = ((base + m * 3) & 0xFFL).toByte       // B
               frame(off + 1) = ((base >> 8) & 0xFFL).toByte      // G
@@ -1554,6 +1552,32 @@ object Multimodal {
       })
   }
 
+  /** 48-bit avalanche mixer for the designed pixel fields — shifts,
+    * adds, and xors only, so the DuckDB oracle replays it in exact
+    * BIGINT arithmetic (no 64-bit wrap multiplies, which DuckDB
+    * rejects). A single `v ^ (v >> 13)` (the pre-round-16 mix) does
+    * NOT avalanche an ADDITIVE salt: cell AVERAGES over the linear
+    * (x, y) field largely cancel it, so two groups sharing a (w, h)
+    * class hashed into a ball around a class-center signature —
+    * measured at sf10 as 4.10M cross-group same-class near-dup pairs
+    * against 747k designed intra-group pairs (the
+    * llm_video_dedup_clusters_wide 25-round non-convergence). The
+    * shift-add stages are multiplies by 33 and 9 in disguise; composed
+    * with three xorshifts they spread the salt across all 24 output
+    * bits, decorrelating same-class groups (re-measured at sf10:
+    * cross-group pair mass gone). SQL twin: the `m1/m2/m3` stages in
+    * the LlmQueries pixel-chain CTEs — drift between the two renderings
+    * is caught by every perceptual oracle row.
+    */
+  @inline private[llm] def mix48(v0: Long): Long = {
+    val M = 0xFFFFFFFFFFFFL
+    val v1 = (v0 ^ (v0 >> 13)) & M
+    val v2 = (v1 + ((v1 << 5) & M)) & M
+    val v3 = v2 ^ (v2 >> 11)
+    val v4 = (v3 + ((v3 << 3) & M)) & M
+    (v4 ^ (v4 >> 17)) & 0xFFFFFFL
+  }
+
   /** Near-duplicate image fixture generator: consecutive `groupSize` ids
     * share one base image (dimensions and a xorshift-mixed pixel field
     * arithmetic in the GROUP id), and each member nudges the blue byte by
@@ -1592,8 +1616,7 @@ object Multimodal {
           while (y < h) {
             var x = 0
             while (x < w) {
-              val v = gs + x * 40503L + y * 70423L
-              val base = (v ^ (v >> 13)) & 0xFFFFFFL
+              val base = mix48(gs + x * 40503L + y * 70423L)
               val rgb = (base & 0xFFFF00L) | ((base + m * 3) & 0xFFL)
               img.setRGB(x, y, rgb.toInt)
               x += 1

@@ -874,6 +874,26 @@ object LlmQueries {
   private lazy val phashCte: String =
     "WITH " + phashChainSql("", "SELECT doc_id FROM documents")
 
+  /** DuckDB twin of [[Multimodal.mix48]] (the 48-bit avalanche pixel
+    * mixer — see its scaladoc for the sf10 class-center degeneracy it
+    * fixes), rendered as staged CTEs ending in `<p>bb(… base)`. ONE
+    * generator serves the image, video, and strided-video chains, so
+    * the three SQL renderings of the mixer cannot drift from each
+    * other; drift from the Scala kernel is caught by every perceptual
+    * oracle row.
+    */
+  private def mix48Sql(p: String, src: String, vExpr: String,
+                       keep: String): String = {
+    val M = "281474976710655" // 0xFFFFFFFFFFFF
+    s"""${p}v0 AS (SELECT $keep, ($vExpr) AS v0 FROM $src),
+       |${p}v1 AS (SELECT $keep, xor(v0, (v0 >> 13)) & $M AS v1 FROM ${p}v0),
+       |${p}v2 AS (SELECT $keep, (v1 + ((v1 << 5) & $M)) & $M AS v2 FROM ${p}v1),
+       |${p}v3 AS (SELECT $keep, xor(v2, (v2 >> 11)) AS v3 FROM ${p}v2),
+       |${p}v4 AS (SELECT $keep, (v3 + ((v3 << 3) & $M)) & $M AS v4 FROM ${p}v3),
+       |${p}bb AS (SELECT $keep, xor(v4, (v4 >> 17)) & 16777215 AS base
+       |  FROM ${p}v4)""".stripMargin
+  }
+
   /** The PNG-fixture pixel→hash replay chain, parameterized by a CTE
     * name prefix and an id-domain source (any SELECT producing
     * `doc_id`): the ONE definition behind [[phashCte]] and the
@@ -889,10 +909,8 @@ object LlmQueries {
       |    AS BIGINT) AS gs FROM ($srcSql)),
       |${p}xs AS (SELECT doc_id, g, m, w, h, gs, unnest(range(0, w)) AS x FROM ${p}img),
       |${p}pp AS (SELECT doc_id, g, m, w, h, gs, x, unnest(range(0, h)) AS y FROM ${p}xs),
-      |${p}bb AS (SELECT doc_id, w, h, x, y, m,
-      |  xor(gs + x*40503 + y*70423,
-      |      (gs + x*40503 + y*70423) >> 13) & 16777215 AS base
-      |  FROM ${p}pp),
+      |${mix48Sql(p, s"${p}pp", "gs + x*40503 + y*70423",
+                  "doc_id, w, h, x, y, m")},
       |${p}pxv AS (SELECT doc_id, w, h, x, y,
       |  (base & 16776960) | ((base + m*3) & 255) AS rgb FROM ${p}bb),
       |${p}lum AS (SELECT doc_id, w, h, (y*7)//h AS cy, (x*9)//w AS cx,
@@ -1025,17 +1043,15 @@ object LlmQueries {
     * fixture's, so a video pass cannot free-ride on the image oracle.
     */
   private lazy val videoPhashCte: String =
-    """WITH vimg AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m,
+    s"""WITH vimg AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m,
       |  CAST(12 + (doc_id // 4) % 20 AS INT) AS w,
       |  CAST(10 + (doc_id // 4) % 15 AS INT) AS h,
       |  CAST('0x' || substr(md5('vid:' || CAST(doc_id // 4 AS VARCHAR)), 1, 15)
       |    AS BIGINT) AS gs FROM documents),
       |vxs AS (SELECT doc_id, g, m, w, h, gs, unnest(range(0, w)) AS x FROM vimg),
       |vpp AS (SELECT doc_id, g, m, w, h, gs, x, unnest(range(0, h)) AS y FROM vxs),
-      |vbb AS (SELECT doc_id, w, h, x, y, m,
-      |  xor(gs + x*48271 + y*69621,
-      |      (gs + x*48271 + y*69621) >> 13) & 16777215 AS base
-      |  FROM vpp),
+      |${mix48Sql("v", "vpp", "gs + x*48271 + y*69621",
+                  "doc_id, w, h, x, y, m")},
       |vlum AS (SELECT doc_id, w, h, (y*7)//h AS cy, (x*9)//w AS cx,
       |  ((base >> 16) & 255)*299 + ((base >> 8) & 255)*587
       |    + ((base + m*3) & 255)*114 AS luma
@@ -1061,7 +1077,7 @@ object LlmQueries {
     * luma → 9x7 → adjacent-column dHash kernel in exact int64 math.
     */
   private lazy val videoStridedPhashCte: String =
-    """WITH vsimg AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m,
+    s"""WITH vsimg AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m,
       |  CAST(12 + (doc_id // 4) % 20 AS INT) AS w,
       |  CAST(10 + (doc_id // 4) % 15 AS INT) AS h,
       |  CAST('0x' || substr(md5('vids:' || CAST(doc_id // 4 AS VARCHAR)), 1, 15)
@@ -1071,13 +1087,10 @@ object LlmQueries {
       |  FROM vsf),
       |vspp AS (SELECT doc_id, g, m, w, h, gs, f, x, unnest(range(0, h)) AS y
       |  FROM vsxs),
-      |vsbb AS (SELECT doc_id, w, h, f, x, y, m,
-      |  xor(gs + x*48271 + y*69621 + f*1299721
-      |      + CASE WHEN f = 0 THEN m*1000003 ELSE 0 END,
-      |      (gs + x*48271 + y*69621 + f*1299721
-      |      + CASE WHEN f = 0 THEN m*1000003 ELSE 0 END) >> 13)
-      |    & 16777215 AS base
-      |  FROM vspp),
+      |${mix48Sql("vs", "vspp",
+                  "gs + x*48271 + y*69621 + f*1299721 " +
+                    "+ CASE WHEN f = 0 THEN m*1000003 ELSE 0 END",
+                  "doc_id, w, h, f, x, y, m")},
       |vslum AS (SELECT doc_id, f, (y*7)//h AS cy, (x*9)//w AS cx,
       |  ((base >> 16) & 255)*299 + ((base >> 8) & 255)*587
       |    + ((base + m*3) & 255)*114 AS luma
