@@ -307,18 +307,27 @@ private[llm] object BandedIndex {
     * Fails loud on a missing sidecar or a family mismatch.
     */
   def bucketsOf(spark: SparkSession, path: String, family: String): Int =
+    paramOf(spark, path, family, "nBuckets").toInt
+
+  /** Read ONE layout parameter from the params sidecar, validating the
+    * family first — the generic readback behind [[bucketsOf]] and the
+    * auto-sized LSH gate's plane resolution: callers of an auto-sized
+    * layout never thread build-time sizing through by hand (they'd
+    * drift from what was actually built; the sidecar is the truth).
+    */
+  def paramOf(spark: SparkSession, path: String, family: String,
+              key: String): String =
     readSidecar(spark, path) match {
       case None => throw new IllegalArgumentException(
-        s"bucketsOf: no $ParamsFile sidecar at $path - not a graft banded " +
+        s"paramOf: no $ParamsFile sidecar at $path - not a graft banded " +
           "index (or built before sidecars existed)")
       case Some(found) =>
         val kv = found.linesIterator.map(_.split("=", 2))
           .collect { case Array(k, v) => k -> v }.toMap
         if (!kv.get("family").contains(family))
           throw new IllegalArgumentException(
-            s"bucketsOf: index at $path is family '${kv.getOrElse("family", "?")}', expected '$family'")
-        kv.get("nBuckets").map(_.toInt).getOrElse(
-          throw new IllegalArgumentException(
-            s"bucketsOf: sidecar at $path has no nBuckets entry"))
+            s"paramOf: index at $path is family '${kv.getOrElse("family", "?")}', expected '$family'")
+        kv.getOrElse(key, throw new IllegalArgumentException(
+          s"paramOf: sidecar at $path has no $key entry"))
     }
 }

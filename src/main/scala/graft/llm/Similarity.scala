@@ -774,6 +774,61 @@ object Similarity {
     writeLshLayout(corpus, idCol, vecCol, numPlanes, numTables, path,
       SaveMode.Overwrite)
 
+  /** Plane count targeting a fixed LSH bucket WIDTH: the smallest p
+    * with 2^p ≥ n / targetWidth, clamped to [4, maxPlanes]. This is
+    * the parameter that decides whether a threshold gate scales: probe
+    * cost is batch × bucket-width × tables, so a FIXED plane count
+    * makes bucket width — and with it every probe row's verify set —
+    * grow linearly with the corpus (measured at sf10: the 4-plane
+    * semantic gate's corpus-sized probe took 460 s of a 497 s
+    * four-stage membership budget). Width-targeted planes pin the
+    * verify set at ~targetWidth per (table, bucket) instead.
+    *
+    * The price is per-table recall at the match threshold: a cosine-θ
+    * pair co-buckets with probability (1 − θ/π)^p per table, so more
+    * planes need more tables for the same recall (at cos ≥ 0.95,
+    * p=13/t=4 gives ~0.68 vs p=4/t=4's ~0.985; EXACT duplicates —
+    * scaled copies, cos = 1 — co-bucket at ANY p, so dedup-style
+    * rejections keep recall 1). Integer-only formula (bit length of
+    * ceil(n/targetWidth) − 1), so a SQL oracle replays it without
+    * float-log drift.
+    */
+  def lshPlanesAuto(n: Long, targetWidth: Long = 256,
+                    maxPlanes: Int = 16): Int = {
+    require(n >= 0 && targetWidth > 0 && maxPlanes >= 4,
+      s"bad lshPlanesAuto args: n=$n targetWidth=$targetWidth maxPlanes=$maxPlanes")
+    val m = (n + targetWidth - 1) / targetWidth
+    val ceilLog2 = if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.min(maxPlanes, math.max(4, ceilLog2)).toInt
+  }
+
+  /** [[writeLshIndex]] with the plane count AUTO-SIZED from the corpus
+    * via [[lshPlanesAuto]]; returns the chosen plane count (also
+    * persisted in the params sidecar — resolve it back with
+    * [[lshIndexPlanes]], never by re-deriving from a possibly-changed
+    * corpus).
+    */
+  def writeLshIndexAuto(corpus: DataFrame, idCol: String, vecCol: String,
+                        numTables: Int, path: String,
+                        targetWidth: Long = 256): Int = {
+    val planes = lshPlanesAuto(corpus.count(), targetWidth)
+    writeLshLayout(corpus, idCol, vecCol, planes, numTables, path,
+      SaveMode.Overwrite)
+    planes
+  }
+
+  /** The plane count an LSH layout was built with, from its params
+    * sidecar. */
+  def lshIndexPlanes(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Int =
+    BandedIndex.paramOf(spark, path, "lsh-hyperplane", "numPlanes").toInt
+
+  /** The table count an LSH layout was built with, from its params
+    * sidecar. */
+  def lshIndexTables(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Int =
+    BandedIndex.paramOf(spark, path, "lsh-hyperplane", "numTables").toInt
+
   /** INCREMENTAL index maintenance: append a delta batch to an existing
     * [[writeLshIndex]] layout. Bucket assignment is a pure per-row
     * function of the vector (deterministic hyperplanes), so appended

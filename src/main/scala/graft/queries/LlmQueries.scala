@@ -313,15 +313,12 @@ object LlmQueries {
         }CAST(len(regexp_extract_all(t, '$pattern')) AS BIGINT) AS n_$name,
            |  regexp_replace(t, '$pattern', '$replacement', 'g') AS t FROM ps$i)""".stripMargin
     }
-    val bucket = (v: String, t: Int) => (0 until 4).map(p =>
-      s"(CASE WHEN ${projSql(v, t * 4 + p)} >= 0 THEN ${1L << p} ELSE 0 END)")
-      .mkString("(", " + ", ")::BIGINT")
-    val pcb = (0 until 4).map(t =>
-      s"SELECT vec_id, v, $t AS tbl, ${bucket("v", t)} AS bucket FROM pv")
-      .mkString("\nUNION ALL\n")
-    val pab = (0 until 4).map(t =>
-      s"SELECT doc_id, vv, $t AS tbl, ${bucket("vv", t)} AS bucket FROM pg4")
-      .mkString("\nUNION ALL\n")
+    // Semantic stage buckets under the AUTO-SIZED layout: the shared
+    // dynamic-plane CTEs (lshAutoCtes/lshAutoBucketsSql) replace the
+    // static 4-plane unroll — same text at every SF, corpus-derived
+    // plane VALUE.
+    val pcb = lshAutoBucketsSql("pv", "vec_id", "v")
+    val pab = lshAutoBucketsSql("pg4", "doc_id", "vv")
     val halfSql = "array_to_string(ws[1:greatest(len(ws)//2, 1)], ' ')"
     s"""${CurationQueries.clfCteSql},
        |norm AS (SELECT doc_id, ${toksSql("text")} AS ws FROM documents),
@@ -435,6 +432,7 @@ object LlmQueries {
        |      + bit_count(xor(a.sh_hi, b.sh_hi)) <= 7),
        |pg4 AS MATERIALIZED (SELECT * FROM pg3
        |  WHERE doc_id NOT IN (SELECT doc_id FROM px4)),
+       |$lshAutoCtes,
        |pcb AS MATERIALIZED ($pcb),
        |pab AS MATERIALIZED ($pab),
        |px5 AS MATERIALIZED (SELECT DISTINCT ab.doc_id
@@ -677,6 +675,23 @@ object LlmQueries {
     fix
   }
 
+  /** Ensure the AUTO-SIZED LSH hyperplane index over `dir`'s
+    * embeddings exists; return its path. Width-targeted planes
+    * ([[Similarity.lshPlanesAuto]], 256/bucket) — the scale posture
+    * the fixed-4-plane layout lacks: at sf10 the 4-plane semantic
+    * gate's corpus-sized probe measured 460 s (bucket width grows
+    * linearly with the corpus on 16 buckets), vs ~width-bounded cost
+    * here. Callers resolve the chosen plane count from the sidecar
+    * ([[Similarity.lshIndexPlanes]]), never by re-deriving.
+    */
+  def ensureLshIndexAuto(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val fix = s"/tmp/graft_fixtures/lshauto_index_${fingerprintCached(s"$dir/embeddings.parquet")}"
+    if (!new java.io.File(s"$fix/_SUCCESS").exists())
+      Similarity.writeLshIndexAuto(Tables.embeddings(s, dir), "vec_id",
+        "embedding", numTables = 4, path = fix)
+    fix
+  }
+
   /** Ensure the write-time WIDE AUDIO fingerprint index for `dir`'s
     * synthetic audio corpus exists; return its path
     * ([[ensureImageHashWideIndex]]'s audio twin — build decodes every
@@ -736,6 +751,51 @@ object LlmQueries {
     val w = (0 until 64).map(i => Similarity.planeWeight(p, i)).mkString(", ")
     foldSum(s"list_transform(range(1, len($v) + 1), i -> ($v)[i] * ([$w]::DOUBLE[])[i])")
   }
+
+  /** DuckDB twin of the AUTO-SIZED LSH layout
+    * ([[Similarity.lshPlanesAuto]] at targetWidth 256 over
+    * `count(embeddings)` + the md5 `planeWeight` formula): `lpl(pl)`
+    * is the corpus-derived plane count (integer bit-length arithmetic,
+    * no float log), `lpw(idx, wl)` the weight list of every global
+    * plane index `table·pl + p` — at most 4·16 = 64 rows of 64
+    * weights, so the dynamic-index replay costs a tiny CTE instead of
+    * per-row hashing. The plane count is a VALUE in the static SQL
+    * text, which is what lets one oracle string hold at every SF while
+    * the layout scales with the corpus.
+    */
+  private lazy val lshAutoCtes: String =
+    """lpl AS (SELECT least(16, greatest(4,
+      |    CASE WHEN m <= 1 THEN 0 ELSE len(bin(m - 1)) END)) AS pl
+      |  FROM (SELECT ((SELECT count(*) FROM embeddings) + 255) // 256 AS m)),
+      |lpw AS (SELECT idx, list(wt ORDER BY i) AS wl FROM (
+      |    SELECT ti.idx, ii.i,
+      |      CAST(CAST('0x' || substr(md5('plane' || ti.idx || ':' || ii.i),
+      |          1, 15) AS BIGINT) % 2001 - 1000 AS DOUBLE) AS wt
+      |    FROM (SELECT unnest(range(0, 4 * (SELECT pl FROM lpl))) AS idx) ti,
+      |         (SELECT unnest(range(0, 64)) AS i) ii)
+      |  GROUP BY idx)""".stripMargin
+
+  /** All-tables bucket assignment of `src`(idCol, vCol) under the
+    * auto-sized layout ([[lshAutoCtes]] must be in scope): emits
+    * `SELECT idCol, vCol, tbl, bucket` — the dynamic-plane twin of the
+    * static `projSql`-unrolled bucket unions.
+    */
+  private def lshAutoBucketsSql(src: String, idCol: String,
+                                vCol: String): String =
+    s"""SELECT $idCol, $vCol, tbl,
+       |  CAST(sum(CASE WHEN proj >= 0
+       |    THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)
+       |    AS BIGINT) AS bucket
+       |FROM (
+       |  SELECT s.$idCol, s.$vCol, tt.tbl, pp.p,
+       |    ${foldSum(s"list_transform(range(1, len(s.$vCol) + 1), " +
+                      s"i -> (s.$vCol)[i] * (w.wl)[i])")} AS proj
+       |  FROM $src s,
+       |       (SELECT unnest(range(0, 4)) AS tbl) tt,
+       |       (SELECT unnest(range(0, (SELECT pl FROM lpl))) AS p) pp,
+       |       lpw w
+       |  WHERE w.idx = tt.tbl * (SELECT pl FROM lpl) + pp.p)
+       |GROUP BY 1, 2, 3""".stripMargin
 
   /** Spark side of the quality score: signals + the combined [0,1]
     * score, shared by llm_quality and llm_quality_sample so both rows
@@ -1733,7 +1793,16 @@ object LlmQueries {
     // MemoryStream incl. the cross-batch append and intra-batch check.
     "llm_stream_semantic_gate" -> Q(
       (s, dir) => {
-        val fix = ensureLshIndex(s, dir)
+        // AUTO-SIZED layout (round-16): planes target a ~256-wide
+        // bucket, resolved back from the sidecar — probe cost stays
+        // batch × targetWidth × tables at every corpus size instead of
+        // growing linearly with the corpus on 16 fixed buckets (the
+        // sf10 quadratic BASELINE.md round-16 attributes). The
+        // fixture's designed decisions are plane-count-invariant:
+        // scaled copies have cosine exactly 1, so they co-bucket in
+        // every table under ANY plane count.
+        val fix = ensureLshIndexAuto(s, dir)
+        val planes = Similarity.lshIndexPlanes(s, fix)
         val emb = Tables.embeddings(s, dir)
         val arriving = emb.filter(col("vec_id") % 5 === 0)
           .select((col("vec_id") + 20000L).as("vec_id"),
@@ -1742,19 +1811,10 @@ object LlmQueries {
             .select((col("vec_id") + 30000L).as("vec_id"),
               transform(col("embedding"), x => -x).as("embedding")))
         graft.streaming.Streams.semanticGateBatch(s, fix, arriving,
-          "vec_id", "embedding", threshold = 0.95, numPlanes = 4,
+          "vec_id", "embedding", threshold = 0.95, numPlanes = planes,
           numTables = 4).select("vec_id")
       },
       Some {
-        val bucket = (v: String, t: Int) => (0 until 4).map(p =>
-          s"(CASE WHEN ${projSql(v, t * 4 + p)} >= 0 THEN ${1L << p} ELSE 0 END)")
-          .mkString("(", " + ", ")::BIGINT")
-        val cb = (0 until 4).map(t =>
-          s"SELECT vec_id, v, $t AS tbl, ${bucket("v", t)} AS bucket FROM v")
-          .mkString("\nUNION ALL\n")
-        val ab = (0 until 4).map(t =>
-          s"SELECT vec_id, v, $t AS tbl, ${bucket("v", t)} AS bucket FROM arriving")
-          .mkString("\nUNION ALL\n")
         s"""$vecCte,
            |arriving AS (
            |  SELECT vec_id + 20000 AS vec_id,
@@ -1764,8 +1824,9 @@ object LlmQueries {
            |  SELECT vec_id + 30000 AS vec_id,
            |    list_transform(v, x -> -x) AS v
            |  FROM v WHERE vec_id % 5 = 2),
-           |cb AS ($cb),
-           |ab AS ($ab)
+           |$lshAutoCtes,
+           |cb AS (${lshAutoBucketsSql("v", "vec_id", "v")}),
+           |ab AS (${lshAutoBucketsSql("arriving", "vec_id", "v")})
            |SELECT a.vec_id FROM arriving a
            |WHERE NOT EXISTS (SELECT 1 FROM ab JOIN cb
            |  ON ab.tbl = cb.tbl AND ab.bucket = cb.bucket
@@ -1798,15 +1859,24 @@ object LlmQueries {
     // incl. cross-batch index growth and checkpoint restart.
     "llm_stream_ingest_e2e" -> Q(
       (s, dir) => {
+        // Semantic stage on the AUTO-SIZED LSH layout (round-16): the
+        // fixed-4-plane config made this row 85× for 10× data at sf10
+        // (460 s of the 497 s membership budget was the semantic
+        // probe's corpus-growing buckets); width-targeted planes pin
+        // probe cost at batch × targetWidth × tables. Designed
+        // semantic rejections (scaled copies, cos = 1) are
+        // plane-count-invariant, so the fixture's class decisions are
+        // unchanged at every SF.
+        val semFix = ensureLshIndexAuto(s, dir)
         val cfg = graft.streaming.Streams.IngestPipelineConfig(
           exactIndexPath = ensureExactDupIndex(s, dir),
           nearDupIndexPath = ensureSimhashWideIndex(s, dir),
-          semIndexPath = ensureLshIndex(s, dir),
+          semIndexPath = semFix,
           lmPath = ensureKnLm(s, dir),
           clfModelPath = CurationQueries.ensureClfModel(s, dir),
           driftRefPath = ensureDriftRef(s, dir),
           nBucketsExact = 64, maxHamming = 7, semThreshold = 0.95,
-          numPlanes = 4, numTables = 4)
+          numPlanes = Similarity.lshIndexPlanes(s, semFix), numTables = 4)
         graft.streaming.Streams.ingestPipelineTrace(s, cfg,
           ingestE2eArriving(s, dir), "doc_id", "text", "embedding")
       },

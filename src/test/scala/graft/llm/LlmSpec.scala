@@ -1414,6 +1414,47 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("lshPlanesAuto: width-targeted plane count, integer-exact, clamped") {
+    // ceil-log2 of ceil(n / targetWidth), clamped to [4, maxPlanes] —
+    // the values the SQL twin (len(bin(m - 1))) must reproduce.
+    assert(Similarity.lshPlanesAuto(0) === 4)
+    assert(Similarity.lshPlanesAuto(256) === 4)
+    assert(Similarity.lshPlanesAuto(2000) === 4)       // m=8 -> 3 -> clamp 4
+    assert(Similarity.lshPlanesAuto(20000) === 7)      // m=79 -> 7
+    assert(Similarity.lshPlanesAuto(100000) === 9)     // m=391 -> 9
+    assert(Similarity.lshPlanesAuto(2000000) === 13)   // m=7813 -> 13
+    assert(Similarity.lshPlanesAuto(1L << 40) === 16)  // maxPlanes clamp
+    assert(Similarity.lshPlanesAuto(200, targetWidth = 8) === 5) // m=25 -> 5
+  }
+
+  test("auto-sized LSH layout: sidecar roundtrip; threshold probe still " +
+    "rejects exact-direction copies at the scaled plane count") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val dir = java.nio.file.Files.createTempDirectory("lsh_auto").toString
+    try {
+      // targetWidth 8 forces MORE planes than the legacy 4 even on the
+      // small fixture, exercising the scaled posture end to end.
+      val planes = Similarity.writeLshIndexAuto(emb, "vec_id", "embedding",
+        numTables = 4, path = dir, targetWidth = 8)
+      assert(planes === Similarity.lshPlanesAuto(emb.count(), 8))
+      assert(planes > 4)
+      assert(Similarity.lshIndexPlanes(spark, dir) === planes)
+      assert(Similarity.lshIndexTables(spark, dir) === 4)
+      // Scaled copies point in EXACTLY the corpus direction: identical
+      // bucket in every table at ANY plane count, cosine exactly 1 —
+      // the membership hit is plane-count-invariant by construction.
+      val scaled = emb.filter($"vec_id" < 20)
+        .select(($"vec_id" + 90000L).as("vec_id"),
+          transform($"embedding", x => x * lit(3.0f)).as("embedding"))
+      val hits = Similarity.probeLshThreshold(spark, dir, scaled,
+        "vec_id", "embedding", 0.95, planes, 4)
+        .select("query_id").distinct().count()
+      assert(hits === 20L, s"scaled copies must all hit, got $hits")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("indexed LSH probe: identical rows to lshTopK, partition-pruned scan") {
     val emb = spark.read.parquet(sf("embeddings"))
     val q = emb.filter($"vec_id" < 5)
