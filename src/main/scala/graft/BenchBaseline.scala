@@ -22,17 +22,17 @@ object BenchBaseline {
     // index-probe/MJPEG family and the audio fingerprint + perceptual
     // gate families): min across two calm-window isolated runs (reps=2
     // each), sf0.1 local[32] (/tmp/bench_new_{1,2}.json).
-    "llm_audio_dedup_clusters" -> 3.484, // r16 calm-window
-    "llm_audio_fingerprint" -> 0.747, // r16 calm-window
+    "llm_audio_dedup_clusters" -> 2.513, // r16 calm-window
+    "llm_audio_fingerprint" -> 0.648, // r16 calm-window
     "llm_audio_index_probe_wide" -> 1.364, // r16 calm-window
-    "llm_audio_neardup" -> 1.754, // r16 calm-window
-    "llm_image_index_probe_wide" -> 2.224, // r16 calm-window
-    "llm_stream_audio_gate" -> 1.963, // r16 calm-window
-    "llm_stream_image_gate" -> 2.567, // r16 calm-window
-    "llm_video_index_probe_wide" -> 1.950, // r16 calm-window
-    "llm_video_mjpeg_neardup" -> 8.455, // r16 calm-window
-    "llm_video_mjpeg_phash" -> 3.889, // r16 calm-window
-    "llm_video_strided_index_probe_wide" -> 3.069, // r16 calm-window
+    "llm_audio_neardup" -> 1.366, // r16 calm-window
+    "llm_image_index_probe_wide" -> 1.865, // r16 calm-window
+    "llm_stream_audio_gate" -> 1.347, // r16 calm-window
+    "llm_stream_image_gate" -> 1.922, // r16 calm-window
+    "llm_video_index_probe_wide" -> 1.482, // r16 calm-window
+    "llm_video_mjpeg_neardup" -> 6.76, // r16 calm-window
+    "llm_video_mjpeg_phash" -> 3.805, // r16 calm-window
+    "llm_video_strided_index_probe_wide" -> 1.712, // r16 calm-window
     "a2_cms_topk" -> 1.733, // r15 calm-window
     "analyst_trend" -> 0.308, // r15 calm-window
     "dividend_asof" -> 0.231, // r15 calm-window
@@ -47,14 +47,14 @@ object BenchBaseline {
     "llm_sim_range_ivf" -> 1.183, // r15 calm-window
     "llm_sim_range_ivf_grown" -> 1.139, // r15 calm-window
     "llm_stream_drift_monitor" -> 0.317, // r15 calm-window
-    "llm_stream_ingest_e2e" -> 7.615, // r15 calm-window
+    "llm_stream_ingest_e2e" -> 7.053, // r16 calm-window
     "llm_stream_pii_redact" -> 0.198, // r15 calm-window
-    "llm_video_neardup" -> 0.381, // r15 calm-window
-    "llm_video_phash" -> 0.131, // r15 calm-window
-    "llm_video_strided_neardup" -> 2.108, // r15 calm-window
+    "llm_video_neardup" -> 0.381, // r16 calm-window
+    "llm_video_phash" -> 0.131, // r16 calm-window
+    "llm_video_strided_neardup" -> 0.764, // r16 calm-window
     "llm_weighted_sample" -> 0.091, // r15 calm-window
-    "llm_image_neardup_wide" -> 1.586, // r15 calm-window
-    "llm_video_dedup_clusters_wide" -> 1.697, // r15 calm-window
+    "llm_image_neardup_wide" -> 1.586, // r16 calm-window
+    "llm_video_dedup_clusters_wide" -> 1.356, // r16 calm-window
     "a1_yearly_rollup" -> 0.495,
     "a2_approx_distinct" -> 0.523,
     "a2_approx_percentile" -> 0.806,
@@ -141,15 +141,15 @@ object BenchBaseline {
     "llm_semantic_dedup" -> 5.709, // inline: k-means fit + closure + contract
     "llm_semantic_dedup_index" -> 4.135,
     "llm_stream_quality_gate" -> 1.159, // r11 second pass
-    "llm_stream_semantic_gate" -> 0.724,
+    "llm_stream_semantic_gate" -> 0.645, // r16 calm-window
     "llm_domain_mix" -> 0.065,
     "llm_exactdup_index_probe" -> 0.611,
     "llm_fingerprint" -> 0.260,
     "llm_dsir_resample" -> 1.316, // r11 second pass
     "llm_dsir_weights" -> 1.056, // r11 second pass
     "llm_hard_negatives" -> 0.208,
-    "llm_image_dedup_clusters" -> 4.626,
-    "llm_image_phash" -> 0.755,
+    "llm_image_dedup_clusters" -> 2.951, // r16 calm-window
+    "llm_image_phash" -> 0.692, // r16 calm-window
     "llm_ivf_recall" -> 0.761,
     "llm_kn_surprisal" -> 1.416, // r11 second pass
     "llm_langid" -> 0.197,
