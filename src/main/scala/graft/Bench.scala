@@ -40,7 +40,28 @@ object Bench {
     java.lang.Long.highestOneBit(math.max(want * 2 - 1, 1L)).toInt
   }
 
+  /** Machine-readable window-contention evidence (round-17): the r16
+    * driver window needed BASELINE.md lore to adjudicate 24 reprobes —
+    * now the artifact carries the host 1-minute load average at begin
+    * and end plus the wall/timed ratio, so a contended window is
+    * readable from the JSON alone (calm windows here historically run
+    * wall/timed ≈ 2.3×; the contended r16 window ran 3.9×). Load -1
+    * means the JVM couldn't read it (platform-dependent) — explicitly
+    * visible rather than omitted.
+    */
+  def contentionJson(loadBegin: Double, loadEnd: Double,
+                     wallSec: Double, timedSec: Double): String = {
+    val ratio = if (timedSec > 0) wallSec / timedSec else -1.0
+    f""""load_begin":$loadBegin%.2f,"load_end":$loadEnd%.2f,""" +
+      f""""wall_timed_ratio":$ratio%.2f"""
+  }
+
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
+    val loadBegin = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -214,8 +235,9 @@ object Bench {
     val failedJson = failures.keys.toSeq.sorted
       .map(n => s"""{"name":"$n","error":"${failures(n)}"}""")
       .mkString("[", ",", "]")
+    val contention = contentionJson(loadBegin, loadAvg(), wall, total)
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"wall_sec":$wall%.3f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"wall_sec":$wall%.3f,$contention,"sf":"$sfDir"}"""
     spark.stop()
     // Printed AFTER stop so executor/shutdown logging cannot trail the
     // JSON: the artifact's last line is always the parseable result.
@@ -235,7 +257,7 @@ object Bench {
       .map { case (n, s, p) => f"""["$n",$s%.3f,$p%.3f]""" }
       .mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"n_failed":${failures.size},"reps":$reps,"wall_sec":$wall%.3f,"top5":$top5,"reprobed":$reprobedJson,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"n_failed":${failures.size},"reps":$reps,"wall_sec":$wall%.3f,$contention,"top5":$top5,"reprobed":$reprobedJson,"sf":"$sfDir"}""")
   }
 
   /** Escape a string for embedding in a JSON literal (one line, no

@@ -1,0 +1,72 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CROSS-MODAL paired-data integrity — the operator family for
+  * (caption, image) style training pairs, where each modality's dedup
+  * alone is blind to the defect that actually poisons contrastive /
+  * captioning training sets: two pairs sharing (near-)identical IMAGES
+  * under DIFFERENT captions teach the model contradictory targets for
+  * the same input (and vice versa for boilerplate captions over
+  * unrelated images). The reference has no multimodal surface at all
+  * (SURVEY.md §2.4); this is the north-star "multimodal columns" brief
+  * composed with the dedup layer: inputs are the OUTPUTS of the
+  * existing per-modality machinery (perceptual near-dup pairs from the
+  * wide banded family, caption keys from text near-dup clusters), so
+  * the candidate generation is always bucketed/banded — this layer
+  * adds only id-keyed joins, never an all-pairs pass.
+  */
+object CrossModal {
+
+  /** Training-pair CONTAMINATION: the image near-dup pairs whose
+    * caption keys DISAGREE — pair (a, b) has images within the
+    * perceptual budget (`imagePairs`, e.g.
+    * [[Dedup.hammingNearDupPairsWide]] output `(id_a, id_b, hamming)`)
+    * but captions in different equivalence classes (`captionKeys`:
+    * one `(idCol, keyCol)` row per pair-id; use text near-dup CLUSTER
+    * ids — [[Dedup.dedupClusters]] with singleton fallback to the own
+    * id — so lightly-edited captions still count as agreeing). The
+    * complement (same image, same caption class) is ordinary
+    * duplication, handled by dedup; THESE rows are the contradictory
+    * supervision a contrastive batch must not contain.
+    *
+    * 100 TB shape: `imagePairs` is already banded candidate output
+    * (edge-sized, never corpus²); the two joins here are id-keyed
+    * shuffles of (id, key) scalars against it. No collect, no
+    * cross join, no width beyond two longs per side.
+    *
+    * @return (id_a, id_b, hamming, key_a, key_b), key_a ≠ key_b —
+    *   one row per contaminated image-mate pair.
+    */
+  def pairContamination(imagePairs: DataFrame, captionKeys: DataFrame,
+                        idCol: String, keyCol: String): DataFrame =
+    imagePairs
+      .join(captionKeys.select(col(idCol).as("id_a"), col(keyCol).as("key_a")),
+        Seq("id_a"))
+      .join(captionKeys.select(col(idCol).as("id_b"), col(keyCol).as("key_b")),
+        Seq("id_b"))
+      .filter(col("key_a") =!= col("key_b"))
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        col("key_a"), col("key_b"))
+
+  /** Caption equivalence keys from text near-dup clusters: every
+    * pair-id keyed by its caption's cluster id, singletons by the
+    * caption id itself — the standard `coalesce(cluster, own)` keying
+    * ([[graft.llm.Curation.clusterSplit]] uses the same rule for
+    * leakage-safe splits). `captionOf` maps pair-id → caption-doc id
+    * (pairs may SHARE a caption row, e.g. an alt-text reused across
+    * crops — that is exactly when ids must share a key).
+    *
+    * @param captionOf (idCol, captionCol) — pair id → caption doc id
+    * @param clusters  (captionCol, clusterCol) — text near-dup clusters
+    * @return (idCol, key)
+    */
+  def captionKeysFromClusters(captionOf: DataFrame, clusters: DataFrame,
+                              idCol: String, captionCol: String,
+                              clusterCol: String): DataFrame =
+    captionOf
+      .join(clusters, Seq(captionCol), "left")
+      .select(col(idCol),
+        coalesce(col(clusterCol), col(captionCol)).as("key"))
+}

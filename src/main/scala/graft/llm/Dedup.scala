@@ -895,6 +895,40 @@ object Dedup {
     writeHammingWideLayout(sigs, idCol, loCol, hiCol, nLoBits, nHiBits,
       maxHamming, nBuckets, path, org.apache.spark.sql.SaveMode.Overwrite)
 
+  /** AUTO-SIZED [[writeHammingWideIndex]]: `nBuckets` derived from the
+    * signature-row cardinality ([[BandedIndex.autoBuckets]] — the same
+    * sizing the wide-simhash text family uses), so a fixture corpus
+    * gets a narrow directory layout and a corpus-scale build a wide
+    * one from the same call, and probe-time DPP pruning keeps biting
+    * as the corpus grows (a FIXED 64 directories saturate — every
+    * probe eventually touches every directory). Returns the chosen
+    * `nBuckets`, also recorded in the params sidecar — consumers
+    * resolve it back with [[hammingWideIndexBuckets]], never by
+    * re-deriving. `rowsHint` (when ≥ 0) supplies the cardinality
+    * without a count job — pass the driving table's row count when
+    * `sigs` is an EXPENSIVE frame (a media decode) that a count()
+    * would otherwise evaluate twice.
+    */
+  def writeHammingWideIndexAuto(sigs: DataFrame, idCol: String, loCol: String,
+                                hiCol: String, nLoBits: Int, nHiBits: Int,
+                                maxHamming: Int, path: String,
+                                rowsHint: Long = -1L): Int = {
+    val rows = if (rowsHint >= 0L) rowsHint else sigs.count()
+    val nBuckets = BandedIndex.autoBuckets(rows)
+    writeHammingWideLayout(sigs, idCol, loCol, hiCol, nLoBits, nHiBits,
+      maxHamming, nBuckets, path, org.apache.spark.sql.SaveMode.Overwrite)
+    nBuckets
+  }
+
+  /** The `nBuckets` a generic wide hamming layout was written with,
+    * from its params sidecar ([[simhashWideIndexBuckets]]'s twin for
+    * the `hamming-sig-wide` family — the perceptual image/audio/video
+    * indexes).
+    */
+  def hammingWideIndexBuckets(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String): Int =
+    BandedIndex.bucketsOf(spark, indexPath, "hamming-sig-wide")
+
   /** INCREMENTAL maintenance: append a delta's two-word signatures to an
     * existing [[writeHammingWideIndex]] layout (per-member pure
     * signatures — grown index probes identically to a rebuild;

@@ -520,9 +520,14 @@ object Multimodal {
     * ([[readPcm16]]'s fail-loud truncation/encoding guards), split the
     * interleaved sample stream into [[AudioFpSegments]] proportional
     * segments, and fold two exact integer features per segment —
-    * E[t] = Σ|s_i| (loudness) and D[t] = Σ|s_{i+1} − s_i| over pairs
-    * fully inside the segment (un-normalized flux). The envelope word
-    * compares E[t+1] > E[t]; the flux-ratio word compares
+    * E[t] = Σ|s_i| (loudness) and D[t] = Σ|s_{i+ch} − s_i| over
+    * PER-CHANNEL sample pairs fully inside the segment (un-normalized
+    * temporal flux; ch = channel count, so each sample diffs against
+    * the previous sample of its OWN channel — for multi-channel audio
+    * the raw interleaved diff would measure inter-channel jumps, not
+    * flux, silently breaking the brightness semantics; mono is the
+    * ch=1 special case, bit-identical to the historical kernel). The
+    * envelope word compares E[t+1] > E[t]; the flux-ratio word compares
     * D[t+1]/E[t+1] > D[t]/E[t] cross-multiplied (D[t+1]·E[t] >
     * D[t]·E[t+1]) in BigInt — each factor can reach ~2^41 for
     * hour-scale audio, so the product would overflow int64; the 54
@@ -545,17 +550,26 @@ object Multimodal {
         s"$T-segment fingerprint needs at least ${2 * T}")
     val e = new Array[Long](T)
     val d = new Array[Long](T)
+    val ch = fmt.getChannels
+    // Per-channel previous-sample ring: interleaved index i belongs to
+    // channel i % ch, so slot i % ch always holds that channel's last
+    // sample. The first `ch` samples of a segment have no same-channel
+    // predecessor inside it and contribute no flux pair — exactly the
+    // mono kernel's "pairs fully inside the segment" rule at ch = 1.
+    val prevC = new Array[Int](ch)
     var t = 0
     while (t < T) {
       val lo = (t.toLong * n / T).toInt
       val hi = ((t + 1).toLong * n / T).toInt
       var i = lo
-      var prev = 0
       while (i < hi) {
         val s = pcm16At(bytes, i, big)
         e(t) += (if (s < 0) -s else s).toLong
-        if (i > lo) { val df = s - prev; d(t) += (if (df < 0) -df else df).toLong }
-        prev = s
+        if (i - lo >= ch) {
+          val df = s - prevC(i % ch)
+          d(t) += (if (df < 0) -df else df).toLong
+        }
+        prevC(i % ch) = s
         i += 1
       }
       t += 1

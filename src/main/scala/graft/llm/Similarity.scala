@@ -789,7 +789,10 @@ object Similarity {
     * planes need more tables for the same recall (at cos ≥ 0.95,
     * p=13/t=4 gives ~0.68 vs p=4/t=4's ~0.985; EXACT duplicates —
     * scaled copies, cos = 1 — co-bucket at ANY p, so dedup-style
-    * rejections keep recall 1). Integer-only formula (bit length of
+    * rejections keep recall 1). [[lshTablesAuto]] pays that price
+    * explicitly: the auto-sized layouts scale tables with the chosen
+    * plane count to hold R ≥ 0.95 at cos 0.95, measured per decade by
+    * the llm_lsh_recall_auto contract row. Integer-only formula (bit length of
     * ceil(n/targetWidth) − 1), so a SQL oracle replays it without
     * float-log drift.
     */
@@ -802,17 +805,57 @@ object Similarity {
     math.min(maxPlanes, math.max(4, ceilLog2)).toInt
   }
 
+  /** RECALL-COMPENSATED table count for a width-targeted plane count:
+    * the fixed planes→tables lookup that holds near-duplicate recall at
+    * the gate threshold as [[lshPlanesAuto]] grows planes with the
+    * corpus. A cosine-θ pair co-buckets per table with probability
+    * q = (1 − θ/π)^p, so t tables recall 1 − (1 − q)^t; holding
+    * R ≥ 0.95 at cos 0.95 (θ = acos 0.95, the semantic gate's
+    * threshold) needs t = ⌈ln(1−R)/ln(1−q)⌉. Without this, auto-grown
+    * planes under a FIXED t=4 silently decay threshold-match recall to
+    * ~0.55 at the p=16 clamp — rows that should be rejected get
+    * accepted, invisibly to any parity oracle (both sides share the
+    * buckets). The values are a HARD-CODED integer table, not a
+    * runtime float derivation: p=6's raw value is 3.994 — one ulp of
+    * libm drift across JVMs would flip a ceil, and the SQL twins
+    * splice these exact integers ([[lshTablesAuto]] is their single
+    * source). Floored at 4 so no layout ever gets FEWER tables than
+    * the legacy fixed-4 posture (p ≤ 6 keeps the historical layout
+    * bit-for-bit). LlmSpec cross-checks the table against the float
+    * formula with an interval guard.
+    *
+    * Cost honesty: tables multiply both index size and probe width
+    * (batch × targetWidth × t), so the compensated gate pays ~2×
+    * at p=10 and ~3.75× at p=16 over fixed-4 — growing O(log n),
+    * versus the LINEAR per-probe growth the fixed-plane layout had
+    * before round 16, and versus silently-lost recall after it.
+    */
+  val lshTablesByPlanes: Map[Int, Int] = Map(
+    4 -> 4, 5 -> 4, 6 -> 4, 7 -> 5, 8 -> 6, 9 -> 7, 10 -> 8,
+    11 -> 9, 12 -> 10, 13 -> 11, 14 -> 12, 15 -> 14, 16 -> 15)
+
+  /** The table count for `planes` under the R=0.95 @ cos 0.95 contract
+    * ([[lshTablesByPlanes]]). */
+  def lshTablesAuto(planes: Int): Int = {
+    require(planes >= 4 && planes <= 16, s"bad plane count: $planes")
+    lshTablesByPlanes(planes)
+  }
+
   /** [[writeLshIndex]] with the plane count AUTO-SIZED from the corpus
-    * via [[lshPlanesAuto]]; returns the chosen plane count (also
-    * persisted in the params sidecar — resolve it back with
-    * [[lshIndexPlanes]], never by re-deriving from a possibly-changed
-    * corpus).
+    * via [[lshPlanesAuto]] and, when `numTables` is left at the 0
+    * sentinel, the table count RECALL-COMPENSATED via [[lshTablesAuto]]
+    * (the round-17 default — fixed tables under auto planes decay
+    * threshold recall, see [[lshTablesByPlanes]]). Returns the chosen
+    * plane count; BOTH layout params persist in the sidecar — resolve
+    * them back with [[lshIndexPlanes]]/[[lshIndexTables]], never by
+    * re-deriving from a possibly-changed corpus.
     */
   def writeLshIndexAuto(corpus: DataFrame, idCol: String, vecCol: String,
-                        numTables: Int, path: String,
+                        path: String, numTables: Int = 0,
                         targetWidth: Long = 256): Int = {
     val planes = lshPlanesAuto(corpus.count(), targetWidth)
-    writeLshLayout(corpus, idCol, vecCol, planes, numTables, path,
+    val tables = if (numTables == 0) lshTablesAuto(planes) else numTables
+    writeLshLayout(corpus, idCol, vecCol, planes, tables, path,
       SaveMode.Overwrite)
     planes
   }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{CrossModal, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.llm.TextOps
 import graft.model.Tables
 import graft.ops.Materialize
@@ -681,14 +681,21 @@ object LlmQueries {
     * the fixed-4-plane layout lacks: at sf10 the 4-plane semantic
     * gate's corpus-sized probe measured 460 s (bucket width grows
     * linearly with the corpus on 16 buckets), vs ~width-bounded cost
-    * here. Callers resolve the chosen plane count from the sidecar
-    * ([[Similarity.lshIndexPlanes]]), never by re-deriving.
+    * here. Tables are RECALL-COMPENSATED ([[Similarity.lshTablesAuto]],
+    * round-17): fixed t=4 under auto-grown planes decays threshold
+    * recall toward ~0.55 at the p=16 clamp. Callers resolve BOTH layout
+    * params from the sidecar ([[Similarity.lshIndexPlanes]] /
+    * [[Similarity.lshIndexTables]]), never by re-deriving. The cache
+    * key carries the layout params (w256/r95) alongside the corpus
+    * fingerprint, so a layout-policy change can never serve a stale
+    * index built under older defaults to a query whose oracle derives
+    * the new ones.
     */
   def ensureLshIndexAuto(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val fix = s"/tmp/graft_fixtures/lshauto_index_${fingerprintCached(s"$dir/embeddings.parquet")}"
+    val fix = s"/tmp/graft_fixtures/lshauto_index_w256r95_${fingerprintCached(s"$dir/embeddings.parquet")}"
     if (!new java.io.File(s"$fix/_SUCCESS").exists())
       Similarity.writeLshIndexAuto(Tables.embeddings(s, dir), "vec_id",
-        "embedding", numTables = 4, path = fix)
+        "embedding", path = fix)
     fix
   }
 
@@ -702,13 +709,24 @@ object LlmQueries {
     */
   def ensureAudioHashWideIndex(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     implicit val sp: org.apache.spark.sql.SparkSession = s
-    val fix = s"/tmp/graft_fixtures/audiohashw_index_${fingerprintCached(s"$dir/documents.parquet")}"
-    if (!new java.io.File(s"$fix/_SUCCESS").exists())
-      Dedup.writeHammingWideIndex(
+    // AUTO bucket width (round-17): nBuckets from the corpus
+    // cardinality (BandedIndex.autoBuckets via the wide-auto writer —
+    // rowsHint is the cheap parquet count, so the WAV decode still
+    // runs exactly once), recorded in the sidecar; consumers resolve
+    // it back (Dedup.hammingWideIndexBuckets) instead of assuming 64.
+    // A fixed 64 saturates DPP pruning at corpus scale — the same
+    // measured effect the text family's auto sizing fixed in round 12.
+    // The cache key carries the policy tag so an old fixed-64 cached
+    // layout is never half-adopted.
+    val fix = s"/tmp/graft_fixtures/audiohashw_index_auto_${fingerprintCached(s"$dir/documents.parquet")}"
+    if (!new java.io.File(s"$fix/_SUCCESS").exists()) {
+      val docs = Tables.documents(s, dir)
+      Dedup.writeHammingWideIndexAuto(
         Multimodal.extractAudioHashesWide(
-          Multimodal.syntheticAudioGroups(Tables.documents(s, dir), "doc_id")).toDF(),
+          Multimodal.syntheticAudioGroups(docs, "doc_id")).toDF(),
         "media_id", "ehash", "rhash", nLoBits = 56, nHiBits = 54,
-        maxHamming = 7, nBuckets = 64, path = fix)
+        maxHamming = 7, path = fix, rowsHint = docs.count())
+    }
     fix
   }
 
@@ -744,6 +762,17 @@ object LlmQueries {
   private def cosSql(a: String, b: String) =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
+  /** The llm_lsh_recall_auto rotation, as STRING literals so the Spark
+    * side (`lit(LshRotCos.toDouble)`) and the SQL twin (spliced text)
+    * parse the IDENTICAL decimal — the (7,24,25)/25 exact pair:
+    * cos² + sin² = 0.9216 + 0.0784 = 1, so the pairwise plane rotation
+    * is an isometry and every planted pair's cosine is 0.96 by
+    * construction (float-safe margins to both the 0.95 gate band and
+    * the 0.9 truth threshold).
+    */
+  private val LshRotCos = "0.96"
+  private val LshRotSin = "0.28"
+
   /** deterministic hyperplane projection of double-list v onto plane p:
     * the same plan-time literal weights as Similarity.planeWeight
     */
@@ -756,24 +785,36 @@ object LlmQueries {
     * ([[Similarity.lshPlanesAuto]] at targetWidth 256 over
     * `count(embeddings)` + the md5 `planeWeight` formula): `lpl(pl)`
     * is the corpus-derived plane count (integer bit-length arithmetic,
-    * no float log), `lpw(idx, wl)` the weight list of every global
-    * plane index `table·pl + p` — at most 4·16 = 64 rows of 64
-    * weights, so the dynamic-index replay costs a tiny CTE instead of
-    * per-row hashing. The plane count is a VALUE in the static SQL
-    * text, which is what lets one oracle string hold at every SF while
-    * the layout scales with the corpus.
+    * no float log), `ltb(tb)` the RECALL-COMPENSATED table count
+    * (spliced from [[Similarity.lshTablesByPlanes]] — the round-17
+    * fix for fixed-4-table recall decay), `lpw(idx, wl)` the weight
+    * list of every global plane index `table·pl + p` — at most
+    * 15·16 = 240 rows of 64 weights, so the dynamic-index replay
+    * costs a tiny CTE instead of per-row hashing. Both layout params
+    * are VALUES in the static SQL text, which is what lets one oracle
+    * string hold at every SF while the layout scales with the corpus.
     */
-  private lazy val lshAutoCtes: String =
-    """lpl AS (SELECT least(16, greatest(4,
+  private lazy val lshAutoCtes: String = {
+    // Planes→tables spliced from the ONE Scala lookup
+    // (Similarity.lshTablesByPlanes) — hard-coded integers, so no
+    // float-log replay and no drift between the layout builder and
+    // this twin.
+    val tbCase = (4 to 16)
+      .map(p => s"WHEN $p THEN ${Similarity.lshTablesAuto(p)}")
+      .mkString(" ")
+    s"""lpl AS (SELECT least(16, greatest(4,
       |    CASE WHEN m <= 1 THEN 0 ELSE len(bin(m - 1)) END)) AS pl
       |  FROM (SELECT ((SELECT count(*) FROM embeddings) + 255) // 256 AS m)),
+      |ltb AS (SELECT CASE (SELECT pl FROM lpl) $tbCase END AS tb),
       |lpw AS (SELECT idx, list(wt ORDER BY i) AS wl FROM (
       |    SELECT ti.idx, ii.i,
       |      CAST(CAST('0x' || substr(md5('plane' || ti.idx || ':' || ii.i),
       |          1, 15) AS BIGINT) % 2001 - 1000 AS DOUBLE) AS wt
-      |    FROM (SELECT unnest(range(0, 4 * (SELECT pl FROM lpl))) AS idx) ti,
+      |    FROM (SELECT unnest(range(0, (SELECT tb FROM ltb)
+      |        * (SELECT pl FROM lpl))) AS idx) ti,
       |         (SELECT unnest(range(0, 64)) AS i) ii)
       |  GROUP BY idx)""".stripMargin
+  }
 
   /** All-tables bucket assignment of `src`(idCol, vCol) under the
     * auto-sized layout ([[lshAutoCtes]] must be in scope): emits
@@ -791,7 +832,7 @@ object LlmQueries {
        |    ${foldSum(s"list_transform(range(1, len(s.$vCol) + 1), " +
                       s"i -> (s.$vCol)[i] * (w.wl)[i])")} AS proj
        |  FROM $src s,
-       |       (SELECT unnest(range(0, 4)) AS tbl) tt,
+       |       (SELECT unnest(range(0, (SELECT tb FROM ltb))) AS tbl) tt,
        |       (SELECT unnest(range(0, (SELECT pl FROM lpl))) AS p) pp,
        |       lpw w
        |  WHERE w.idx = tt.tbl * (SELECT pl FROM lpl) + pp.p)
@@ -1137,33 +1178,42 @@ object LlmQueries {
     * luma → 9x7 → adjacent-column dHash kernel in exact int64 math.
     */
   private lazy val videoStridedPhashCte: String =
-    s"""WITH vsimg AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m,
+    "WITH " + videoStridedChainSql("", "SELECT doc_id FROM documents")
+
+  /** The one parameterized rendering behind [[videoStridedPhashCte]]
+    * and the shifted-id arriving chains of the streaming video-gate
+    * oracle (same prefix/source convention as [[phashChainSql]]):
+    * CTEs `<p>vsimg .. <p>vsph`.
+    */
+  private def videoStridedChainSql(p: String, srcSql: String): String =
+    s"""${p}vsimg AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m,
       |  CAST(12 + (doc_id // 4) % 20 AS INT) AS w,
       |  CAST(10 + (doc_id // 4) % 15 AS INT) AS h,
       |  CAST('0x' || substr(md5('vids:' || CAST(doc_id // 4 AS VARCHAR)), 1, 15)
-      |    AS BIGINT) AS gs FROM documents),
-      |vsf AS (SELECT doc_id, g, m, w, h, gs, unnest([0, 1, 2]) AS f FROM vsimg),
-      |vsxs AS (SELECT doc_id, g, m, w, h, gs, f, unnest(range(0, w)) AS x
-      |  FROM vsf),
-      |vspp AS (SELECT doc_id, g, m, w, h, gs, f, x, unnest(range(0, h)) AS y
-      |  FROM vsxs),
-      |${mix48Sql("vs", "vspp",
+      |    AS BIGINT) AS gs FROM ($srcSql)),
+      |${p}vsf AS (SELECT doc_id, g, m, w, h, gs, unnest([0, 1, 2]) AS f
+      |  FROM ${p}vsimg),
+      |${p}vsxs AS (SELECT doc_id, g, m, w, h, gs, f, unnest(range(0, w)) AS x
+      |  FROM ${p}vsf),
+      |${p}vspp AS (SELECT doc_id, g, m, w, h, gs, f, x, unnest(range(0, h)) AS y
+      |  FROM ${p}vsxs),
+      |${mix48Sql(s"${p}vs", s"${p}vspp",
                   "gs + x*48271 + y*69621 + f*1299721 " +
                     "+ CASE WHEN f = 0 THEN m*1000003 ELSE 0 END",
                   "doc_id, w, h, f, x, y, m")},
-      |vslum AS (SELECT doc_id, f, (y*7)//h AS cy, (x*9)//w AS cx,
+      |${p}vslum AS (SELECT doc_id, f, (y*7)//h AS cy, (x*9)//w AS cx,
       |  ((base >> 16) & 255)*299 + ((base >> 8) & 255)*587
       |    + ((base + m*3) & 255)*114 AS luma
-      |  FROM vsbb),
-      |vscells AS (SELECT doc_id, f, cy, cx,
+      |  FROM ${p}vsbb),
+      |${p}vscells AS (SELECT doc_id, f, cy, cx,
       |  CAST(sum(luma) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg
-      |  FROM vslum GROUP BY 1, 2, 3, 4),
-      |vsph AS (SELECT a.doc_id, a.f,
+      |  FROM ${p}vslum GROUP BY 1, 2, 3, 4),
+      |${p}vsph AS (SELECT a.doc_id, a.f,
       |  CAST(coalesce(sum(CASE WHEN c.avg > a.avg
       |    THEN (CAST(1 AS BIGINT) << (a.cy*8 + a.cx))
       |    ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS dhash
-      |  FROM vscells a JOIN vscells c ON a.doc_id = c.doc_id AND a.f = c.f
-      |    AND a.cy = c.cy AND c.cx = a.cx + 1
+      |  FROM ${p}vscells a JOIN ${p}vscells c ON a.doc_id = c.doc_id
+      |    AND a.f = c.f AND a.cy = c.cy AND c.cx = a.cx + 1
       |  WHERE a.cx < 8
       |  GROUP BY 1, 2)""".stripMargin
 
@@ -1216,16 +1266,24 @@ object LlmQueries {
     * machinery consumes.
     */
   private lazy val videoStridedPhashWideCte: String =
-    """vsphv AS (SELECT a.doc_id, a.f,
+    videoStridedWideExtSql("")
+
+  /** The per-frame vertical-word extension of [[videoStridedChainSql]]
+    * for the same prefix — `<p>vsphv`, `<p>vsphw` over
+    * `<p>vscells`/`<p>vsph` (the strided twin of [[phashWideExtSql]]).
+    */
+  private def videoStridedWideExtSql(p: String): String =
+    s"""${p}vsphv AS (SELECT a.doc_id, a.f,
       |  CAST(coalesce(sum(CASE WHEN c.avg > a.avg
       |    THEN (CAST(1 AS BIGINT) << (a.cx*6 + a.cy))
       |    ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS vhash
-      |  FROM vscells a JOIN vscells c ON a.doc_id = c.doc_id AND a.f = c.f
-      |    AND a.cx = c.cx AND c.cy = a.cy + 1
+      |  FROM ${p}vscells a JOIN ${p}vscells c ON a.doc_id = c.doc_id
+      |    AND a.f = c.f AND a.cx = c.cx AND c.cy = a.cy + 1
       |  WHERE a.cy < 6
       |  GROUP BY 1, 2),
-      |vsphw AS (SELECT vsph.doc_id, vsph.f, vsph.dhash, vsphv.vhash
-      |  FROM vsph JOIN vsphv USING (doc_id, f))""".stripMargin
+      |${p}vsphw AS (SELECT ${p}vsph.doc_id, ${p}vsph.f, ${p}vsph.dhash,
+      |  ${p}vsphv.vhash
+      |  FROM ${p}vsph JOIN ${p}vsphv USING (doc_id, f))""".stripMargin
 
   /** DuckDB twin of the maxHamming=8 simhash band slices over `sim` —
     * the same 9 x 7-bit (last 4-bit) slices the Scala side derives.
@@ -1758,7 +1816,8 @@ object LlmQueries {
               .select((col("doc_id") + 9000000L).as("doc_id")), "doc_id")
           .toDF()
         graft.streaming.Streams.audioGateBatch(s, fix,
-            reup.unionByName(novel), maxHamming = 7, nBuckets = 64)
+            reup.unionByName(novel), maxHamming = 7,
+            nBuckets = Dedup.hammingWideIndexBuckets(s, fix))
           .select("media_id")
       },
       Some(s"""$audioFpCte,
@@ -1774,6 +1833,59 @@ object LlmQueries {
            |  WHERE bit_count(xor(a.ehash, c.ehash))
            |    + bit_count(xor(a.rhash, c.rhash)) <= 7)
            |SELECT a.doc_id AS media_id FROM arr a
+           |WHERE NOT EXISTS (SELECT 1 FROM hits h
+           |  WHERE h.doc_id = a.doc_id)""".stripMargin)),
+
+    // Streaming PERCEPTUAL VIDEO gate, batch parity (round-17 — closes
+    // the modality matrix: text/image/audio/video each now have a
+    // streaming ingest gate). Membership is the strided frame-SET
+    // decision over the write-time wide strided index: an arriving AVI
+    // decodes to its k=3 strided frame signatures and is rejected when
+    // ANY frame is within maxHamming of ANY corpus frame row — the
+    // EXISTS reduction of Dedup.probeHammingWideIndexSet, so the
+    // scrambled-first-frame re-encode evasion stays closed on the
+    // ingest path (StreamsSpec drives exactly that scenario cross-batch
+    // through MemoryStream: a member-scrambled duplicate of a video
+    // accepted in the PREVIOUS batch is rejected through the appended
+    // frame set). The arriving batch mixes RE-UPLOADS (corpus AVIs
+    // under fresh ids — byte-identical payloads, all three strided
+    // frames at hamming 0) with NOVEL videos (shifted-id groups whose
+    // md5 salts are unseen — accepted). The oracle replays the
+    // per-frame pixel→hash chain for BOTH id domains from the ONE
+    // parameterized chain definition, the per-frame vertical words,
+    // the shared wide band slicing over all (video, frame) rows, and
+    // the NOT-EXISTS membership decision row-for-row.
+    "llm_stream_video_gate" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        val fix = ensureVideoStridedHashWideIndex(s, dir)
+        val docs = Tables.documents(s, dir)
+        val reup = Multimodal.syntheticVideoGroupsStrided(
+            docs.filter(col("doc_id") % 7 === 0), "doc_id").toDF()
+          .withColumn("media_id", col("media_id") + 2000000L)
+        val novel = Multimodal.syntheticVideoGroupsStrided(
+            docs.filter(col("doc_id") % 7 === 3)
+              .select((col("doc_id") + 9000000L).as("doc_id")), "doc_id")
+          .toDF()
+        graft.streaming.Streams.videoGateBatch(s, fix,
+            reup.unionByName(novel), maxHamming = 7, nBuckets = 64)
+          .select("media_id")
+      },
+      Some(s"""$videoStridedPhashCte,
+           |$videoStridedPhashWideCte,
+           |${videoStridedChainSql("n",
+              "SELECT doc_id + 9000000 AS doc_id FROM documents WHERE doc_id % 7 = 3")},
+           |${videoStridedWideExtSql("n")},
+           |arr AS (SELECT doc_id + 2000000 AS doc_id, f, dhash, vhash
+           |  FROM vsphw WHERE doc_id % 7 = 0
+           |  UNION ALL SELECT doc_id, f, dhash, vhash FROM nvsphw),
+           |bc AS (${wideBandSlicesSql("vsphw", "dhash", 56, "vhash", 54, 7)}),
+           |ba AS (${wideBandSlicesSql("arr", "dhash", 56, "vhash", 54, 7)}),
+           |hits AS (SELECT DISTINCT a.doc_id FROM ba a JOIN bc c
+           |  ON a.band = c.band AND a.key = c.key
+           |  WHERE bit_count(xor(a.dhash, c.dhash))
+           |    + bit_count(xor(a.vhash, c.vhash)) <= 7)
+           |SELECT DISTINCT a.doc_id AS media_id FROM arr a
            |WHERE NOT EXISTS (SELECT 1 FROM hits h
            |  WHERE h.doc_id = a.doc_id)""".stripMargin)),
 
@@ -1803,6 +1915,7 @@ object LlmQueries {
         // every table under ANY plane count.
         val fix = ensureLshIndexAuto(s, dir)
         val planes = Similarity.lshIndexPlanes(s, fix)
+        val tables = Similarity.lshIndexTables(s, fix)
         val emb = Tables.embeddings(s, dir)
         val arriving = emb.filter(col("vec_id") % 5 === 0)
           .select((col("vec_id") + 20000L).as("vec_id"),
@@ -1812,7 +1925,7 @@ object LlmQueries {
               transform(col("embedding"), x => -x).as("embedding")))
         graft.streaming.Streams.semanticGateBatch(s, fix, arriving,
           "vec_id", "embedding", threshold = 0.95, numPlanes = planes,
-          numTables = 4).select("vec_id")
+          numTables = tables).select("vec_id")
       },
       Some {
         s"""$vecCte,
@@ -1832,6 +1945,106 @@ object LlmQueries {
            |  ON ab.tbl = cb.tbl AND ab.bucket = cb.bucket
            |  WHERE ab.vec_id = a.vec_id
            |    AND ${cosSql("ab.v", "cb.v")} >= 0.95)""".stripMargin
+      }),
+
+    // RECALL CONTRACT for the auto-sized LSH gate (round-17): the
+    // measured near-duplicate recall of the threshold probe against
+    // BRUTE-FORCE ground truth, at the corpus-derived (planes, tables)
+    // layout. The arriving set is every 3rd corpus vector ROTATED by
+    // exactly acos(0.96) (the (7,24,25)/25 pair: qv = 0.96·v ⊕ 0.28·v⊥
+    // in 32 coordinate planes — a true isometry, so cos(v, qv) = 0.96
+    // for EVERY planted pair, safely inside the [0.95, 1) gate band
+    // where recall genuinely depends on bucket collisions; scaled
+    // cos=1 copies would trivially recall 1 at any layout). Ground
+    // truth is the full brute cosine scan at 0.9; the probe is the
+    // DPP-pruned index path the streaming gate runs
+    // (Similarity.probeLshThreshold). recall_gate counts pairs at the
+    // calibration threshold (cos ≥ 0.95), where lshTablesAuto's
+    // planes→tables lookup analytically holds R ≥ 0.95 per decade —
+    // under the round-16 fixed t=4 this number decays toward ~0.55 at
+    // the p=16 clamp, which is exactly the silent-accept regression
+    // this row makes LOUD (recall_ok flips to 0). The oracle replays
+    // the rotation, the brute scan, the dynamic (planes, tables)
+    // bucket assignment, and the membership cosine row-for-row.
+    // Queries are capped at vec_id < 20000 so the brute truth stays
+    // ~corpus × 6.7k pairs at every decade (covers ALL vectors at
+    // fixture SFs — identical results there).
+    "llm_lsh_recall_auto" -> Q(
+      (s, dir) => {
+        val fix = ensureLshIndexAuto(s, dir)
+        val planes = Similarity.lshIndexPlanes(s, fix)
+        val tables = Similarity.lshIndexTables(s, fix)
+        val emb = Tables.embeddings(s, dir)
+        val rc = lit(LshRotCos.toDouble)
+        val rs = lit(LshRotSin.toDouble)
+        val arriving = emb
+          .filter(col("vec_id") % 3 === 1 && col("vec_id") < 20000L)
+          .select((col("vec_id") + 50000L).as("vec_id"),
+            col("embedding"))
+          .withColumn("vd", transform(col("embedding"), x => x.cast("double")))
+          .withColumn("embedding", transform(col("vd"), (x, i) =>
+            when(i % 2 === 0,
+              x * rc - element_at(col("vd"), i + lit(2)) * rs)
+            .otherwise(
+              element_at(col("vd"), i) * rs + x * rc)))
+          .select("vec_id", "embedding")
+        val truth = Similarity.rangeSearch(emb, arriving,
+          "vec_id", "embedding", minCos = 0.9)
+        val hits = Similarity.probeLshThreshold(s, fix, arriving,
+          "vec_id", "embedding", threshold = 0.9, numPlanes = planes,
+          numTables = tables)
+          .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+        val gate = col("cos") >= 0.95
+        truth.join(hits, Seq("query_id", "cand_id"), "left")
+          .select(col("cos"), coalesce(col("hit"), lit(0)).as("hit"))
+          .agg(
+            count(lit(1)).as("n_truth"),
+            sum(col("hit")).cast("long").as("n_hit"),
+            sum(when(gate, 1).otherwise(0)).cast("long").as("n_truth_gate"),
+            sum(when(gate, col("hit")).otherwise(0)).cast("long")
+              .as("n_hit_gate"))
+          .withColumn("recall_gate",
+            col("n_hit_gate").cast("double") / col("n_truth_gate").cast("double"))
+          .withColumn("recall_ok", (col("recall_gate") >= 0.9).cast("int"))
+      },
+      Some {
+        s"""$vecCte,
+           |$lshAutoCtes,
+           |qr AS (SELECT vec_id + 50000 AS vec_id,
+           |    list_transform(range(1, len(v) + 1), i ->
+           |      CASE WHEN i % 2 = 1
+           |        THEN v[i] * $LshRotCos - v[i + 1] * $LshRotSin
+           |        ELSE v[i - 1] * $LshRotSin + v[i] * $LshRotCos END) AS v
+           |  FROM v WHERE vec_id % 3 = 1 AND vec_id < 20000),
+           |truth AS (SELECT * FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           |      ${cosSql("q.v", "c.v")} AS cos
+           |    FROM v c CROSS JOIN qr q)
+           |  WHERE cos >= 0.9),
+           |cb AS (${lshAutoBucketsSql("v", "vec_id", "v")}),
+           |ab AS (${lshAutoBucketsSql("qr", "vec_id", "v")}),
+           |hits AS (SELECT DISTINCT ab.vec_id AS query_id,
+           |    cb.vec_id AS cand_id
+           |  FROM ab JOIN cb ON ab.tbl = cb.tbl AND ab.bucket = cb.bucket
+           |  WHERE ${cosSql("ab.v", "cb.v")} >= 0.9),
+           |j AS (SELECT t.cos,
+           |    CASE WHEN h.query_id IS NULL THEN 0 ELSE 1 END AS hit
+           |  FROM truth t LEFT JOIN hits h
+           |    ON t.query_id = h.query_id AND t.cand_id = h.cand_id),
+           |agg AS (SELECT
+           |    CAST(count(*) AS BIGINT) AS n_truth,
+           |    CAST(sum(hit) AS BIGINT) AS n_hit,
+           |    CAST(sum(CASE WHEN cos >= 0.95 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_truth_gate,
+           |    CAST(sum(CASE WHEN cos >= 0.95 THEN hit ELSE 0 END) AS BIGINT)
+           |      AS n_hit_gate
+           |  FROM j)
+           |SELECT n_truth, n_hit, n_truth_gate, n_hit_gate,
+           |  CAST(n_hit_gate AS DOUBLE) / CAST(n_truth_gate AS DOUBLE)
+           |    AS recall_gate,
+           |  CAST(CAST(n_hit_gate AS DOUBLE) / CAST(n_truth_gate AS DOUBLE)
+           |    >= 0.9 AS INT) AS recall_ok
+           |FROM agg""".stripMargin
       }),
 
     // COMPOSED streaming ingest pipeline, end-to-end batch parity: the
@@ -1876,7 +2089,8 @@ object LlmQueries {
           clfModelPath = CurationQueries.ensureClfModel(s, dir),
           driftRefPath = ensureDriftRef(s, dir),
           nBucketsExact = 64, maxHamming = 7, semThreshold = 0.95,
-          numPlanes = Similarity.lshIndexPlanes(s, semFix), numTables = 4)
+          numPlanes = Similarity.lshIndexPlanes(s, semFix),
+          numTables = Similarity.lshIndexTables(s, semFix))
         graft.streaming.Streams.ingestPipelineTrace(s, cfg,
           ingestE2eArriving(s, dir), "doc_id", "text", "embedding")
       },
@@ -3443,6 +3657,66 @@ object LlmQueries {
          |FROM wcand
          |WHERE bit_count(xor(da, db)) + bit_count(xor(va, vb)) <= 7""".stripMargin)),
 
+    // CROSS-MODAL pair integrity (round-17): caption–image TRAINING-PAIR
+    // CONTAMINATION — image near-dup mates whose captions sit in
+    // DIFFERENT text near-dup clusters, i.e. the same visual input
+    // supervised with contradictory targets. Composes three existing
+    // layers without any new candidate generation: wide banded image
+    // pairs (never all-pairs) × text minhash-LSH clusters (pointer-jump
+    // closure) × id-keyed caption assignment. The designed fixture
+    // makes every decision class present: within each 4-member image
+    // group, members 0-1 SHARE the group-leader caption (same caption
+    // key — image dup, benign), members 2-3 carry their OWN captions
+    // (different keys — contaminated); natural text near-dups that pull
+    // two captions into one cluster de-flag the pair identically in
+    // both engines. The oracle replays the pixel→hash chain, the wide
+    // banded candidacy, the recursive text-cluster closure, and the
+    // caption keying row-for-row.
+    "llm_pair_contamination" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        val docs = Tables.documents(s, dir)
+        val hashes = Multimodal.extractImageHashesWide(
+          Multimodal.syntheticImageGroups(docs, "doc_id")).toDF()
+        val imgPairs = Dedup.hammingNearDupPairsWide(hashes, "media_id",
+          "dhash", "vhash", nLoBits = 56, nHiBits = 54, maxHamming = 7)
+        val captionOf = docs.select(col("doc_id"),
+          when(col("doc_id") % 4 < 2, col("doc_id") - (col("doc_id") % 4))
+            .otherwise(col("doc_id")).as("caption_doc"))
+        val clusters = Dedup.dedupClusters(Dedup.minhashLshPairs(docs,
+            "doc_id", "text", shingleK = 3, bands = 8, rowsPerBand = 2,
+            threshold = 0.5))
+          .withColumnRenamed("doc_id", "caption_doc")
+        val keys = CrossModal.captionKeysFromClusters(captionOf, clusters,
+          "doc_id", "caption_doc", "cluster_id")
+        CrossModal.pairContamination(imgPairs, keys, "doc_id", "key")
+      },
+      Some(s"""$clustersCteSql,
+         |${phashChainSql("", "SELECT doc_id FROM documents")},
+         |${phashWideExtSql("")},
+         |wbanded AS (${wideBandSlicesSql("phw", "dhash", 56, "vhash", 54, 7)}),
+         |wcand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |  a.dhash AS da, a.vhash AS va, c.dhash AS db, c.vhash AS vb
+         |  FROM wbanded a JOIN wbanded c
+         |  ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id),
+         |ip AS (SELECT id_a, id_b,
+         |  CAST(bit_count(xor(da, db)) + bit_count(xor(va, vb)) AS INT)
+         |    AS hamming
+         |  FROM wcand
+         |  WHERE bit_count(xor(da, db)) + bit_count(xor(va, vb)) <= 7),
+         |cap AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 4 < 2 THEN doc_id - (doc_id % 4)
+         |       ELSE doc_id END AS caption_doc
+         |  FROM documents),
+         |ck AS (SELECT cap.doc_id, coalesce(cl.cluster_id, cap.caption_doc)
+         |    AS key
+         |  FROM cap LEFT JOIN cl ON cl.doc_id = cap.caption_doc)
+         |SELECT ip.id_a, ip.id_b, ip.hamming,
+         |  a.key AS key_a, b.key AS key_b
+         |FROM ip JOIN ck a ON a.doc_id = ip.id_a
+         |  JOIN ck b ON b.doc_id = ip.id_b
+         |WHERE a.key <> b.key""".stripMargin)),
+
     // Image near-dup at CORPUS scale: the write-time WIDE hamming index
     // ([[Dedup.writeHammingWideIndex]] — 110-bit two-word layout,
     // 13–14-bit band keys) probed with the first 50 images as the delta
@@ -3631,7 +3905,8 @@ object LlmQueries {
             Tables.documents(s, dir).filter(col("doc_id") < 50),
             "doc_id")).toDF()
         Dedup.probeHammingWideIndex(s, fix, delta, "media_id", "ehash",
-          "rhash", nLoBits = 56, nHiBits = 54, maxHamming = 7, nBuckets = 64)
+          "rhash", nLoBits = 56, nHiBits = 54, maxHamming = 7,
+          nBuckets = Dedup.hammingWideIndexBuckets(s, fix))
       },
       Some(s"""$audioFpCte,
          |wbanded AS (${wideBandSlicesSql("afp", "ehash", 56, "rhash", 54, 7)}),

@@ -535,6 +535,26 @@ object Streams {
     perceptualGateBatch(spark, indexPath, batch, audioHashKernel,
       maxHamming, nBuckets)
 
+  /** [[imageGateBatch]]'s VIDEO twin — the strided-SET member of the
+    * perceptual gate family: each arriving AVI decodes to its k=3
+    * strided frame signatures ([[graft.llm.Multimodal
+    * .extractVideoFrameHashesStridedWide]] — MULTIPLE rows per
+    * media_id), and the video is rejected when ANY of its frames is
+    * within `maxHamming` of ANY corpus frame row in the write-time
+    * strided index (the `EXISTS` reduction of
+    * [[graft.llm.Dedup.probeHammingWideIndexSet]] — the same hits, the
+    * per-pair min is simply not needed for a membership decision).
+    * Closes the first-frame re-encode evasion on the INGEST path: a
+    * re-upload whose opening frame was scrambled still shares its
+    * later strided frames with the corpus copy, so the set probe
+    * catches what first-frame hashing misses.
+    */
+  def videoGateBatch(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String, batch: DataFrame, maxHamming: Int,
+                     nBuckets: Int): DataFrame =
+    perceptualGateBatch(spark, indexPath, batch, videoHashKernel,
+      maxHamming, nBuckets)
+
   /** The wide image-hash kernel as a (batch → two-word signature frame)
     * function — `(media_id, lo, hi)` with the standard column names the
     * shared gate body expects.
@@ -554,6 +574,24 @@ object Streams {
       graft.llm.Multimodal.asMediaDataset(batch)).toDF()
       .select(col("media_id"), col("ehash").as("sig_lo"),
         col("rhash").as("sig_hi"))
+  }
+
+  /** The wide STRIDED video kernel: k=3 evenly-strided frame
+    * signatures — deliberately MULTIPLE rows per media_id (the frame
+    * SET). The shared gate body is already set-shaped end to end: the
+    * probe rejects on any in-budget row, the intra-batch pair scan
+    * pairs any two frames of distinct videos, and the append persists
+    * every accepted frame row (exactly the
+    * [[graft.llm.Dedup.writeHammingWideIndex]] strided-set layout
+    * [[graft.queries.LlmQueries.ensureVideoStridedHashWideIndex]]
+    * builds).
+    */
+  private def videoHashKernel(batch: DataFrame): DataFrame = {
+    implicit val sp: org.apache.spark.sql.SparkSession = batch.sparkSession
+    graft.llm.Multimodal.extractVideoFrameHashesStridedWide(
+      graft.llm.Multimodal.asMediaDataset(batch), k = 3).toDF()
+      .select(col("media_id"), col("dhash").as("sig_lo"),
+        col("vhash").as("sig_hi"))
   }
 
   /** One micro-batch of a perceptual gate, generic over the signature
@@ -607,6 +645,25 @@ object Streams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     startPerceptualGateSink(df, indexPath, outPath, checkpoint,
       audioHashKernel, maxHamming, nBuckets, compactEvery)
+
+  /** [[startImageGateSink]]'s VIDEO twin — [[videoGateBatch]] as the
+    * corpus decision over the wide STRIDED frame-set index, on the
+    * shared perceptual sink body: decode once per micro-batch, probe
+    * (any in-budget frame pair rejects), intra-batch keep-lowest-id
+    * over the frame sets (two videos sharing ANY near-identical frame
+    * are batch-mates), batchId-idempotent write, then append the
+    * ACCEPTED videos' full frame sets so a video accepted in batch N
+    * rejects its re-uploads — including scrambled-first-frame
+    * re-encodes — in batch N+1. Closes the modality matrix: text,
+    * image, audio, and video each have hashes, a write-time index,
+    * clusters, probes, AND a streaming ingest gate.
+    */
+  def startVideoGateSink(df: DataFrame, indexPath: String, outPath: String,
+                         checkpoint: String, maxHamming: Int, nBuckets: Int,
+                         compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    startPerceptualGateSink(df, indexPath, outPath, checkpoint,
+      videoHashKernel, maxHamming, nBuckets, compactEvery)
 
   private def startPerceptualGateSink(df: DataFrame, indexPath: String,
                                       outPath: String, checkpoint: String,

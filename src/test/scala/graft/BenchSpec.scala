@@ -49,4 +49,19 @@ class BenchSpec extends AnyFunSuite {
     f.deleteOnExit()
     assert(Bench.derivePreCoalesce(dir.getAbsolutePath, "64m", 32) === 1024)
   }
+
+  test("contentionJson: load begin/end and wall/timed ratio as JSON fields, " +
+    "degenerate timed total flagged with the -1 sentinel") {
+    assert(Bench.contentionJson(1.5, 32.25, 400.0, 100.0) ===
+      """"load_begin":1.50,"load_end":32.25,"wall_timed_ratio":4.00""")
+    // Unavailable load (JVM reports -1) stays visible, not omitted.
+    assert(Bench.contentionJson(-1.0, -1.0, 10.0, 4.0) ===
+      """"load_begin":-1.00,"load_end":-1.00,"wall_timed_ratio":2.50""")
+    // A zero timed total (all queries failed) can't divide: -1 sentinel.
+    assert(Bench.contentionJson(0.5, 0.5, 10.0, 0.0)
+      .endsWith(""""wall_timed_ratio":-1.00"""))
+    // The fragment embeds into a JSON object parseably.
+    val obj = s"""{${Bench.contentionJson(2.0, 3.0, 9.0, 3.0)}}"""
+    assert(obj === """{"load_begin":2.00,"load_end":3.00,"wall_timed_ratio":3.00}""")
+  }
 }

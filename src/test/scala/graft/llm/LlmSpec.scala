@@ -1427,6 +1427,88 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.lshPlanesAuto(200, targetWidth = 8) === 5) // m=25 -> 5
   }
 
+  test("lshTablesAuto: hard-coded lookup matches the recall model, " +
+    "floored at the legacy 4, recall >= 0.95 at cos 0.95 everywhere") {
+    // t = ceil(ln(1-R)/ln(1-q)), q = (1 - acos(0.95)/pi)^p, R = 0.95.
+    // The lookup is hard-coded (p=6's raw value is 3.994 — a libm ulp
+    // could flip a runtime ceil); this guard re-derives it with an
+    // interval check so the frozen integers can never silently drift
+    // from the model they claim to implement.
+    val r = 1.0 - math.acos(0.95) / math.Pi
+    (4 to 16).foreach { p =>
+      val q = math.pow(r, p)
+      val raw = math.log(1 - 0.95) / math.log(1 - q)
+      val expect = math.max(4, math.ceil(raw - 1e-6).toInt)
+      assert(Similarity.lshTablesAuto(p) === expect,
+        s"p=$p raw=$raw")
+      val recall = 1 - math.pow(1 - q, Similarity.lshTablesAuto(p))
+      assert(recall >= 0.95 - 1e-3, s"p=$p recall=$recall")
+    }
+    assert(Similarity.lshTablesAuto(4) === 4)
+    assert(Similarity.lshTablesAuto(10) === 8)
+    assert(Similarity.lshTablesAuto(16) === 15)
+    assertThrows[IllegalArgumentException](Similarity.lshTablesAuto(3))
+  }
+
+  test("writeHammingWideIndexAuto: corpus-derived nBuckets recorded in the " +
+    "sidecar, resolved back by consumers, probe hits designed twins") {
+    val mask56 = (1L << 56) - 1
+    val mask54 = (1L << 54) - 1
+    def sig(i: Long) = ((i * 2654435761L) & mask56, (i * 40503L + 7L) & mask54)
+    val corpus = (0L until 600L).map { i =>
+      val (lo, hi) = sig(i); (i, lo, hi)
+    }.toDF("media_id", "lo", "hi")
+    // Delta: fresh ids carrying the signatures of corpus 0-9 — each
+    // must hit its original at hamming 0 through the auto-width layout.
+    val delta = (0L until 10L).map { i =>
+      val (lo, hi) = sig(i); (1000L + i, lo, hi)
+    }.toDF("media_id", "lo", "hi")
+    val dir = java.nio.file.Files.createTempDirectory("hwauto").toString
+    try {
+      val nb = Dedup.writeHammingWideIndexAuto(corpus, "media_id", "lo", "hi",
+        nLoBits = 56, nHiBits = 54, maxHamming = 7, path = dir)
+      assert(nb === BandedIndex.autoBuckets(600L))
+      assert(Dedup.hammingWideIndexBuckets(spark, dir) === nb)
+      val hits = Dedup.probeHammingWideIndex(spark, dir, delta,
+        "media_id", "lo", "hi", nLoBits = 56, nHiBits = 54, maxHamming = 7,
+        nBuckets = nb)
+      assert(hits.filter(col("hamming") === 0).count() === 10L)
+      // rowsHint: same layout decision without evaluating the frame.
+      val dir2 = java.nio.file.Files.createTempDirectory("hwauto2").toString
+      try {
+        val nb2 = Dedup.writeHammingWideIndexAuto(corpus, "media_id", "lo",
+          "hi", nLoBits = 56, nHiBits = 54, maxHamming = 7, path = dir2,
+          rowsHint = 600L)
+        assert(nb2 === nb)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir2))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
+
+  test("CrossModal: image mates with disagreeing caption keys flagged; " +
+    "text-cluster keying de-flags clustered captions, singletons self-key") {
+    val imgPairs = Seq((1L, 2L, 0), (1L, 3L, 2), (5L, 6L, 1))
+      .toDF("id_a", "id_b", "hamming")
+    val capOf = Seq((1L, 10L), (2L, 10L), (3L, 30L), (5L, 50L), (6L, 60L))
+      .toDF("doc_id", "caption_doc")
+    // Captions 50/60 are text near-dups (same cluster 7): pair (5,6)
+    // must NOT be flagged even though the caption DOC ids differ.
+    val clusters = Seq((50L, 7L), (60L, 7L)).toDF("caption_doc", "cluster_id")
+    val keys = CrossModal.captionKeysFromClusters(capOf, clusters,
+      "doc_id", "caption_doc", "cluster_id")
+    assert(keys.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      === Array((1L, 10L), (2L, 10L), (3L, 30L), (5L, 7L), (6L, 7L)))
+    val out = CrossModal.pairContamination(imgPairs, keys, "doc_id", "key")
+      .collect()
+    // (1,2) same caption doc — benign; (5,6) clustered captions — benign;
+    // (1,3) keys 10 vs 30 — the contaminated pair, carrying its hamming
+    // and both keys for triage.
+    assert(out.length === 1)
+    assert((out(0).getLong(0), out(0).getLong(1), out(0).getInt(2),
+      out(0).getLong(3), out(0).getLong(4)) === ((1L, 3L, 2, 10L, 30L)))
+  }
+
   test("auto-sized LSH layout: sidecar roundtrip; threshold probe still " +
     "rejects exact-direction copies at the scaled plane count") {
     val emb = spark.read.parquet(sf("embeddings"))
@@ -1435,11 +1517,14 @@ class SimilaritySpec extends SparkSpec {
       // targetWidth 8 forces MORE planes than the legacy 4 even on the
       // small fixture, exercising the scaled posture end to end.
       val planes = Similarity.writeLshIndexAuto(emb, "vec_id", "embedding",
-        numTables = 4, path = dir, targetWidth = 8)
+        path = dir, targetWidth = 8)
       assert(planes === Similarity.lshPlanesAuto(emb.count(), 8))
       assert(planes > 4)
       assert(Similarity.lshIndexPlanes(spark, dir) === planes)
-      assert(Similarity.lshIndexTables(spark, dir) === 4)
+      // Default tables = the recall-compensated lookup for the chosen
+      // plane count (round-17), persisted in the sidecar.
+      assert(Similarity.lshIndexTables(spark, dir) ===
+        Similarity.lshTablesAuto(planes))
       // Scaled copies point in EXACTLY the corpus direction: identical
       // bucket in every table at ANY plane count, cosine exactly 1 —
       // the membership hit is plane-count-invariant by construction.
@@ -1447,7 +1532,8 @@ class SimilaritySpec extends SparkSpec {
         .select(($"vec_id" + 90000L).as("vec_id"),
           transform($"embedding", x => x * lit(3.0f)).as("embedding"))
       val hits = Similarity.probeLshThreshold(spark, dir, scaled,
-        "vec_id", "embedding", 0.95, planes, 4)
+        "vec_id", "embedding", 0.95, planes,
+        Similarity.lshIndexTables(spark, dir))
         .select("query_id").distinct().count()
       assert(hits === 20L, s"scaled copies must all hit, got $hits")
     } finally {
@@ -2076,6 +2162,72 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeAudioHashWide(Multimodal.MediaRecord(3L, "audio", short))
     }
     assert(e2.getMessage.contains("57-segment fingerprint"))
+  }
+
+  test("decodeAudioHashWide: PER-CHANNEL temporal flux — a phase-inverted " +
+    "stereo channel cannot change the fingerprint; mono kernel unchanged") {
+    // Encode raw PCM16 LE stereo: frame f carries (L, R) = (x_f, sign·x_f)
+    // with x_f a segment-varying designed ramp. Per-channel flux folds
+    // |x_{f+1} − x_f| identically for both channels under either sign
+    // (|−a − (−b)| = |a − b|), and |±x| keeps E identical too — so the
+    // phase-inverted clip MUST fingerprint identically to the in-phase
+    // one. The pre-fix interleaved diff saw |R_f − L_f| = 2|x_f| jumps
+    // in the inverted clip and 0 in the in-phase one: different D,
+    // different rhash — the ADVICE-flagged channel-interleave defect.
+    def stereo(sign: Int): Multimodal.MediaRecord = {
+      val nFrames = 400
+      val data = new Array[Byte](nFrames * 2 * 2)
+      var f = 0
+      while (f < nFrames) {
+        // Varying amplitude path (period-7 sawtooth scaled by a slow
+        // ramp) so E and per-channel D genuinely differ across the 57
+        // segments — a constant signal would make both hashes 0 and
+        // the test vacuous.
+        val x = ((f % 7) * (100 + f)) % 4000
+        val l = x.toShort
+        val r = (sign * x).toShort
+        data(f * 4) = (l & 0xFF).toByte
+        data(f * 4 + 1) = ((l >> 8) & 0xFF).toByte
+        data(f * 4 + 2) = (r & 0xFF).toByte
+        data(f * 4 + 3) = ((r >> 8) & 0xFF).toByte
+        f += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      Multimodal.MediaRecord(1L, "audio", bos.toByteArray)
+    }
+    val inPhase = Multimodal.decodeAudioHashWide(stereo(1))
+    val inverted = Multimodal.decodeAudioHashWide(stereo(-1))
+    assert(inPhase.ehash !== 0L) // non-degenerate fixture
+    assert(inverted.ehash === inPhase.ehash)
+    assert(inverted.rhash === inPhase.rhash)
+    // Mono parity guard: the ch=1 path must stay bit-identical to the
+    // HISTORICAL kernel (the designed E/D-chain SQL oracles replay it)
+    // — recompute the legacy prev-sample walk symbolically from
+    // syntheticWav's sample formula and compare hash words.
+    val mono = Multimodal.decodeAudioHashWide(
+      Multimodal.MediaRecord(5L, "audio", Multimodal.syntheticWav(5L, 8000, 1, 400)))
+    def srcS(f: Int) = ((5L * 31 + f * 7) % 65536 - 32768).toInt
+    val T = Multimodal.AudioFpSegments
+    val eRef = new Array[Long](T); val dRef = new Array[Long](T)
+    for (t <- 0 until T) {
+      val lo = (t.toLong * 400 / T).toInt; val hi = ((t + 1).toLong * 400 / T).toInt
+      for (i <- lo until hi) {
+        eRef(t) += math.abs(srcS(i)).toLong
+        if (i > lo) dRef(t) += math.abs(srcS(i) - srcS(i - 1)).toLong
+      }
+    }
+    var ehRef = 0L
+    for (t <- 0 until T - 1) if (eRef(t + 1) > eRef(t)) ehRef |= 1L << t
+    var rhRef = 0L
+    for (t <- 0 until T - 3)
+      if (BigInt(dRef(t + 1)) * BigInt(eRef(t)) >
+          BigInt(dRef(t)) * BigInt(eRef(t + 1))) rhRef |= 1L << t
+    assert(mono.ehash === ehRef && mono.rhash === rhRef)
   }
 
   test("resampleAudio linear-interpolates PCM onto the target grid exactly") {

@@ -682,6 +682,63 @@ class StreamsSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("streaming PERCEPTUAL video gate rejects re-uploads and " +
+    "SCRAMBLED-FIRST-FRAME duplicates of accepted videos (strided set)") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    // 4-frame AVIs from the strided fixture: group members scramble
+    // frame 0 PER MEMBER (a re-encode that replaced the opening frame)
+    // and share frames 1.. within the blue-channel nudge — so a
+    // same-group member under a fresh arrival IS the first-frame
+    // evasion scenario, and only the frame-SET index catches it.
+    // Group 0 (ids 0-3) is the pre-indexed corpus; groups 10 (40-42),
+    // 11 (44), 12 (48-49) and 20 (80) are novel.
+    val mk = graft.llm.Multimodal.syntheticVideoGroupsStrided(
+      Seq(0L, 1L, 2L, 3L, 40L, 41L, 42L, 44L, 48L).toDF("doc_id"), "doc_id")
+      .collect().map(r => r.media_id -> r).toMap
+    val root = java.nio.file.Files.createTempDirectory("vgate").toString
+    val (idx, out, ckpt) = (s"$root/idx", s"$root/out", s"$root/ckpt")
+    try {
+      graft.llm.Dedup.writeHammingWideIndex(
+        graft.llm.Multimodal.extractVideoFrameHashesStridedWide(
+          Seq(mk(0L), mk(1L), mk(2L), mk(3L)).toDS(), k = 3).toDF(),
+        "media_id", "dhash", "vhash", nLoBits = 56, nHiBits = 54,
+        maxHamming = 7, nBuckets = 8, path = idx)
+      val mem = MemoryStream[graft.llm.Multimodal.MediaRecord]
+      val q = Streams.startVideoGateSink(mem.toDF(), idx, out, ckpt,
+        maxHamming = 7, nBuckets = 8)
+      try {
+        // Batch 0: a RE-UPLOAD of corpus video 1 under a fresh id
+        // (byte-identical — every strided frame at hamming 0, reject);
+        // members 40/41 of novel group 10 in ONE batch — their frame
+        // 0s are scrambled apart, but frames 1-2 near-match, so the
+        // intra-batch frame-set check keeps lowest id 40; novel
+        // singleton 44 (accept).
+        mem.addData(mk(1L).copy(media_id = 10L), mk(40L), mk(41L), mk(44L))
+        q.processAllAvailable()
+        // Batch 1: member 42 is a SCRAMBLED-FIRST-FRAME duplicate of
+        // ACCEPTED video 40 — frame 0 shares nothing, frames 1-2 do;
+        // the grown index (batch 0 appended 40's full frame set) must
+        // reject it. Novel singleton 48 accepted.
+        mem.addData(mk(42L), mk(48L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val accepted = spark.read.parquet(out)
+        .select("media_id").as[Long].collect().sorted
+      assert(accepted === Array(40L, 44L, 48L))
+      // Gate body agrees with a direct probe of the final grown index:
+      // 49 is a same-group (frame-0-scrambled) near-copy of accepted
+      // 48 — rejected; fresh group 20 (id 80) accepted.
+      val probeBatch = graft.llm.Multimodal.syntheticVideoGroupsStrided(
+        Seq(49L, 80L).toDF("doc_id"), "doc_id").toDF()
+      val replay = Streams.videoGateBatch(spark, idx, probeBatch,
+        maxHamming = 7, nBuckets = 8)
+        .select("media_id").as[Long].collect().sorted
+      assert(replay === Array(80L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("streaming SEMANTIC gate rejects scaled copies, cross-batch " +
     "paraphrases of accepted rows, and intra-batch clones via the LSH index") {
     implicit val sqlCtx = spark.sqlContext
