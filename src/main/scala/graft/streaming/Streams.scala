@@ -691,8 +691,11 @@ object Streams {
         val acceptedHashes = corpusOk
           .join(intraDups, Seq("media_id"), "left_anti")
           .transform(Materialize.pin)
+        // distinct: a signature-SET kernel (strided video) carries one
+        // hash row per FRAME, and joining the raw id column would write
+        // each accepted video once per frame.
         batch.toDF()
-          .join(acceptedHashes.select("media_id"), Seq("media_id"))
+          .join(acceptedHashes.select("media_id").distinct(), Seq("media_id"))
           .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         graft.llm.Dedup.appendToHammingWideIndex(acceptedHashes, "media_id",
           "sig_lo", "sig_hi", nLoBits = 56, nHiBits = 54, maxHamming,
