@@ -69,4 +69,35 @@ object CrossModal {
       .join(clusters, Seq(captionCol), "left")
       .select(col(idCol),
         coalesce(col(clusterCol), col(captionCol)).as("key"))
+
+  /** The INVERSE defect of [[pairContamination]]: BOILERPLATE captions —
+    * caption near-dup mates (`captionPairs`: text near-dup pair output,
+    * `(id_a, id_b)` + any extra columns, banded candidates by
+    * construction) whose IMAGES are NOT perceptual near-dups. A scraped
+    * alt-text template ("stock photo", "image may contain…") repeated
+    * across unrelated images teaches a captioner to emit the template
+    * regardless of input; per-modality dedup never sees it because
+    * neither side alone is a duplicate PAIR problem. Image distance is
+    * recomputed directly on the pair ids from the two-word signatures
+    * (`imageHashes`: one `(idCol, loCol, hiCol)` row per pair-id) —
+    * id-keyed joins against an edge-sized pair set, never all-pairs;
+    * kept rows have total two-word hamming > `maxHamming` (the same
+    * budget under which the pair WOULD have been an ordinary dup).
+    *
+    * @return (id_a, id_b, img_hamming), img_hamming > maxHamming
+    */
+  def captionBoilerplate(captionPairs: DataFrame, imageHashes: DataFrame,
+                         idCol: String, loCol: String, hiCol: String,
+                         maxHamming: Int): DataFrame = {
+    val h = (side: String) => imageHashes.select(
+      col(idCol).as(s"id_$side"), col(loCol).as(s"lo_$side"),
+      col(hiCol).as(s"hi_$side"))
+    captionPairs.select("id_a", "id_b")
+      .join(h("a"), Seq("id_a")).join(h("b"), Seq("id_b"))
+      .withColumn("img_hamming",
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("int"))
+      .filter(col("img_hamming") > maxHamming)
+      .select(col("id_a"), col("id_b"), col("img_hamming"))
+  }
 }

@@ -1011,6 +1011,57 @@ object Similarity {
       .select("query_id", "cand_id", "cos").distinct()
   }
 
+  /** MULTI-PROBE [[probeLshThreshold]]: each query probes, in each of
+    * the FIRST `probeTables` tables of the layout, its own bucket PLUS
+    * every Hamming-1 neighbor (one plane-sign flip — `numPlanes` extra
+    * buckets/table). This is the STORAGE-FREE recall knob, the
+    * complement of [[lshTablesAuto]]'s table growth: a θ-pair lands
+    * within Hamming 1 of the query's signature with per-table
+    * probability q^p + p·q^(p−1)(1−q) (q = 1 − θ/π), so at the p=16
+    * clamp four multi-probed tables hold ~0.94 recall at cos 0.95
+    * where four exact-bucket tables decay to ~0.55 — without the
+    * 15-table index the compensated layout writes. The trade: probe
+    * WIDTH is ×(p+1) (reads stay DPP-pruned directory lookups — more
+    * directories, same per-directory cost) while index STORAGE stays
+    * at `probeTables` copies. At 100 TB, storage is the expensive
+    * axis (the index is corpus-sized; probes are batch-sized), so
+    * multi-probe is the default posture to prefer when write
+    * amplification matters more than probe latency; the measured
+    * recall contract for both paths is the `llm_lsh_recall_auto` /
+    * `llm_lsh_multiprobe_recall` query pair. Probing a PREFIX of the
+    * layout's tables is sound — tables are independent hash functions;
+    * `probeTables` ≤ the layout's table count (sidecar-validated via
+    * the full layout params).
+    */
+  def probeLshThresholdMultiProbe(spark: org.apache.spark.sql.SparkSession,
+                                  indexPath: String, delta: DataFrame,
+                                  idCol: String, vecCol: String,
+                                  threshold: Double, numPlanes: Int,
+                                  numTables: Int, probeTables: Int)
+      : DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    require(probeTables >= 1 && probeTables <= numTables,
+      s"probeTables must be in [1, $numTables], got $probeTables")
+    val q = delta.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
+    val base = q.select(col("query_id"), col("qv"), col("qnorm"),
+      posexplode(array((0 until probeTables).map(t =>
+        hyperplaneBucket(col("qv"), numPlanes, t)): _*)).as(Seq("band", "bkt0")))
+    // The probe set per (query, table): the exact bucket + one bucket
+    // per flipped plane bit — (p+1) DISTINCT values by construction,
+    // so no dedup is needed before the partition-pruned join.
+    val qb = base.select(col("query_id"), col("qv"), col("qnorm"), col("band"),
+      explode(array(Seq(col("bkt0")) ++ (0 until numPlanes).map(j =>
+        col("bkt0").bitwiseXOR(lit(1L << j))): _*)).as("bkt"))
+      .withColumn("bkt", col("bkt").cast("int"))
+    BandedIndex.probeJoin(spark, indexPath, qb, Nil,
+        lshParams(numPlanes, numTables))
+      .withColumn("cos",
+        dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
+      .filter(col("cos") >= threshold)
+      .select("query_id", "cand_id", "cos").distinct()
+  }
+
   /** DIAGNOSTIC for the hot-bucket cap: every (band, bkt) group wider
     * than `maxBucketWidth`, with its width — exactly the buckets
     * [[lshTopK]] and [[lshTopKFromIndex]] exclude from candidate

@@ -838,6 +838,96 @@ object LlmQueries {
        |  WHERE w.idx = tt.tbl * (SELECT pl FROM lpl) + pp.p)
        |GROUP BY 1, 2, 3""".stripMargin
 
+  /** The shared RECALL-CONTRACT dataflow of the two LSH recall rows
+    * (`llm_lsh_recall_auto` / `llm_lsh_multiprobe_recall`): rotate
+    * every 3rd corpus vector by exactly acos(0.96) (the (7,24,25)/25
+    * isometry — see [[LshRotCos]]), take the brute-force cosine scan
+    * at 0.9 as ground truth, join the given probe path's hits, and
+    * aggregate recall at the 0.95 gate band. The two rows differ ONLY
+    * in `probe` — exact-bucket over the recall-compensated table count
+    * vs Hamming-1 multi-probe over a fixed 4-table prefix — so their
+    * recall numbers are directly comparable decade by decade.
+    */
+  private def lshRecallContract(s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      probe: (String, Int, Int, org.apache.spark.sql.DataFrame) =>
+        org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val fix = ensureLshIndexAuto(s, dir)
+    val planes = Similarity.lshIndexPlanes(s, fix)
+    val tables = Similarity.lshIndexTables(s, fix)
+    val emb = Tables.embeddings(s, dir)
+    val rc = lit(LshRotCos.toDouble)
+    val rs = lit(LshRotSin.toDouble)
+    val arriving = emb
+      .filter(col("vec_id") % 3 === 1 && col("vec_id") < 20000L)
+      .select((col("vec_id") + 50000L).as("vec_id"),
+        col("embedding"))
+      .withColumn("vd", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("embedding", transform(col("vd"), (x, i) =>
+        when(i % 2 === 0,
+          x * rc - element_at(col("vd"), i + lit(2)) * rs)
+        .otherwise(
+          element_at(col("vd"), i) * rs + x * rc)))
+      .select("vec_id", "embedding")
+    val truth = Similarity.rangeSearch(emb, arriving,
+      "vec_id", "embedding", minCos = 0.9)
+    val hits = probe(fix, planes, tables, arriving)
+      .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+    val gate = col("cos") >= 0.95
+    truth.join(hits, Seq("query_id", "cand_id"), "left")
+      .select(col("cos"), coalesce(col("hit"), lit(0)).as("hit"))
+      .agg(
+        count(lit(1)).as("n_truth"),
+        sum(col("hit")).cast("long").as("n_hit"),
+        sum(when(gate, 1).otherwise(0)).cast("long").as("n_truth_gate"),
+        sum(when(gate, col("hit")).otherwise(0)).cast("long")
+          .as("n_hit_gate"))
+      .withColumn("recall_gate",
+        col("n_hit_gate").cast("double") / col("n_truth_gate").cast("double"))
+      .withColumn("recall_ok", (col("recall_gate") >= 0.9).cast("int"))
+  }
+
+  /** DuckDB twin of [[lshRecallContract]], parameterized by the `hits`
+    * CTE body (which sees `cb`/`ab` — corpus/query bucket assignments
+    * under the auto layout — in scope). One SQL skeleton for both
+    * recall rows; only the probe expansion differs.
+    */
+  private def lshRecallOracleSql(hitsCte: String): String =
+    s"""$vecCte,
+       |$lshAutoCtes,
+       |qr AS (SELECT vec_id + 50000 AS vec_id,
+       |    list_transform(range(1, len(v) + 1), i ->
+       |      CASE WHEN i % 2 = 1
+       |        THEN v[i] * $LshRotCos - v[i + 1] * $LshRotSin
+       |        ELSE v[i - 1] * $LshRotSin + v[i] * $LshRotCos END) AS v
+       |  FROM v WHERE vec_id % 3 = 1 AND vec_id < 20000),
+       |truth AS (SELECT * FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |      ${cosSql("q.v", "c.v")} AS cos
+       |    FROM v c CROSS JOIN qr q)
+       |  WHERE cos >= 0.9),
+       |cb AS (${lshAutoBucketsSql("v", "vec_id", "v")}),
+       |ab AS (${lshAutoBucketsSql("qr", "vec_id", "v")}),
+       |$hitsCte,
+       |j AS (SELECT t.cos,
+       |    CASE WHEN h.query_id IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM truth t LEFT JOIN hits h
+       |    ON t.query_id = h.query_id AND t.cand_id = h.cand_id),
+       |agg AS (SELECT
+       |    CAST(count(*) AS BIGINT) AS n_truth,
+       |    CAST(sum(hit) AS BIGINT) AS n_hit,
+       |    CAST(sum(CASE WHEN cos >= 0.95 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_truth_gate,
+       |    CAST(sum(CASE WHEN cos >= 0.95 THEN hit ELSE 0 END) AS BIGINT)
+       |      AS n_hit_gate
+       |  FROM j)
+       |SELECT n_truth, n_hit, n_truth_gate, n_hit_gate,
+       |  CAST(n_hit_gate AS DOUBLE) / CAST(n_truth_gate AS DOUBLE)
+       |    AS recall_gate,
+       |  CAST(CAST(n_hit_gate AS DOUBLE) / CAST(n_truth_gate AS DOUBLE)
+       |    >= 0.9 AS INT) AS recall_ok
+       |FROM agg""".stripMargin
+
   /** Spark side of the quality score: signals + the combined [0,1]
     * score, shared by llm_quality and llm_quality_sample so both rows
     * are guaranteed the same projection.
@@ -1970,82 +2060,45 @@ object LlmQueries {
     // ~corpus × 6.7k pairs at every decade (covers ALL vectors at
     // fixture SFs — identical results there).
     "llm_lsh_recall_auto" -> Q(
-      (s, dir) => {
-        val fix = ensureLshIndexAuto(s, dir)
-        val planes = Similarity.lshIndexPlanes(s, fix)
-        val tables = Similarity.lshIndexTables(s, fix)
-        val emb = Tables.embeddings(s, dir)
-        val rc = lit(LshRotCos.toDouble)
-        val rs = lit(LshRotSin.toDouble)
-        val arriving = emb
-          .filter(col("vec_id") % 3 === 1 && col("vec_id") < 20000L)
-          .select((col("vec_id") + 50000L).as("vec_id"),
-            col("embedding"))
-          .withColumn("vd", transform(col("embedding"), x => x.cast("double")))
-          .withColumn("embedding", transform(col("vd"), (x, i) =>
-            when(i % 2 === 0,
-              x * rc - element_at(col("vd"), i + lit(2)) * rs)
-            .otherwise(
-              element_at(col("vd"), i) * rs + x * rc)))
-          .select("vec_id", "embedding")
-        val truth = Similarity.rangeSearch(emb, arriving,
-          "vec_id", "embedding", minCos = 0.9)
-        val hits = Similarity.probeLshThreshold(s, fix, arriving,
+      (s, dir) => lshRecallContract(s, dir, (fix, planes, tables, arriving) =>
+        Similarity.probeLshThreshold(s, fix, arriving,
           "vec_id", "embedding", threshold = 0.9, numPlanes = planes,
-          numTables = tables)
-          .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
-        val gate = col("cos") >= 0.95
-        truth.join(hits, Seq("query_id", "cand_id"), "left")
-          .select(col("cos"), coalesce(col("hit"), lit(0)).as("hit"))
-          .agg(
-            count(lit(1)).as("n_truth"),
-            sum(col("hit")).cast("long").as("n_hit"),
-            sum(when(gate, 1).otherwise(0)).cast("long").as("n_truth_gate"),
-            sum(when(gate, col("hit")).otherwise(0)).cast("long")
-              .as("n_hit_gate"))
-          .withColumn("recall_gate",
-            col("n_hit_gate").cast("double") / col("n_truth_gate").cast("double"))
-          .withColumn("recall_ok", (col("recall_gate") >= 0.9).cast("int"))
-      },
-      Some {
-        s"""$vecCte,
-           |$lshAutoCtes,
-           |qr AS (SELECT vec_id + 50000 AS vec_id,
-           |    list_transform(range(1, len(v) + 1), i ->
-           |      CASE WHEN i % 2 = 1
-           |        THEN v[i] * $LshRotCos - v[i + 1] * $LshRotSin
-           |        ELSE v[i - 1] * $LshRotSin + v[i] * $LshRotCos END) AS v
-           |  FROM v WHERE vec_id % 3 = 1 AND vec_id < 20000),
-           |truth AS (SELECT * FROM (
-           |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-           |      ${cosSql("q.v", "c.v")} AS cos
-           |    FROM v c CROSS JOIN qr q)
-           |  WHERE cos >= 0.9),
-           |cb AS (${lshAutoBucketsSql("v", "vec_id", "v")}),
-           |ab AS (${lshAutoBucketsSql("qr", "vec_id", "v")}),
-           |hits AS (SELECT DISTINCT ab.vec_id AS query_id,
+          numTables = tables)),
+      Some(lshRecallOracleSql(
+        s"""hits AS (SELECT DISTINCT ab.vec_id AS query_id,
            |    cb.vec_id AS cand_id
            |  FROM ab JOIN cb ON ab.tbl = cb.tbl AND ab.bucket = cb.bucket
-           |  WHERE ${cosSql("ab.v", "cb.v")} >= 0.9),
-           |j AS (SELECT t.cos,
-           |    CASE WHEN h.query_id IS NULL THEN 0 ELSE 1 END AS hit
-           |  FROM truth t LEFT JOIN hits h
-           |    ON t.query_id = h.query_id AND t.cand_id = h.cand_id),
-           |agg AS (SELECT
-           |    CAST(count(*) AS BIGINT) AS n_truth,
-           |    CAST(sum(hit) AS BIGINT) AS n_hit,
-           |    CAST(sum(CASE WHEN cos >= 0.95 THEN 1 ELSE 0 END) AS BIGINT)
-           |      AS n_truth_gate,
-           |    CAST(sum(CASE WHEN cos >= 0.95 THEN hit ELSE 0 END) AS BIGINT)
-           |      AS n_hit_gate
-           |  FROM j)
-           |SELECT n_truth, n_hit, n_truth_gate, n_hit_gate,
-           |  CAST(n_hit_gate AS DOUBLE) / CAST(n_truth_gate AS DOUBLE)
-           |    AS recall_gate,
-           |  CAST(CAST(n_hit_gate AS DOUBLE) / CAST(n_truth_gate AS DOUBLE)
-           |    >= 0.9 AS INT) AS recall_ok
-           |FROM agg""".stripMargin
-      }),
+           |  WHERE ${cosSql("ab.v", "cb.v")} >= 0.9)""".stripMargin))),
+
+    // MULTI-PROBE recall contract (round-17): the same rotated-pair /
+    // brute-truth harness as llm_lsh_recall_auto, probing with
+    // [[Similarity.probeLshThresholdMultiProbe]] — each query reads
+    // its exact bucket PLUS every Hamming-1 neighbor in only the FIRST
+    // FOUR tables of the auto layout. This is the storage-free half of
+    // the recall story: at the p=16 clamp four exact-bucket tables
+    // decay to ~0.55 recall at cos 0.95, the compensated layout holds
+    // ≥0.95 by writing 15 tables (index ×3.75), and multi-probe holds
+    // ~0.94 from the SAME four tables by widening each probe ×(p+1) —
+    // probe latency traded for write amplification, both measured
+    // decade-by-decade against identical brute-force truth. The oracle
+    // replays the neighbor-bucket expansion (one plane-bit flip per
+    // probe variant) inside the same static SQL skeleton.
+    "llm_lsh_multiprobe_recall" -> Q(
+      (s, dir) => lshRecallContract(s, dir, (fix, planes, tables, arriving) =>
+        Similarity.probeLshThresholdMultiProbe(s, fix, arriving,
+          "vec_id", "embedding", threshold = 0.9, numPlanes = planes,
+          numTables = tables, probeTables = 4)),
+      Some(lshRecallOracleSql(
+        s"""abm AS (SELECT vec_id, v, tbl,
+           |    CASE WHEN j = 0 THEN bucket
+           |      ELSE xor(bucket, (CAST(1 AS BIGINT) << (j - 1))) END AS bucket
+           |  FROM ab, (SELECT unnest(range(0,
+           |      (SELECT pl FROM lpl) + 1)) AS j) jj
+           |  WHERE tbl < 4),
+           |hits AS (SELECT DISTINCT abm.vec_id AS query_id,
+           |    cb.vec_id AS cand_id
+           |  FROM abm JOIN cb ON abm.tbl = cb.tbl AND abm.bucket = cb.bucket
+           |  WHERE ${cosSql("abm.v", "cb.v")} >= 0.9)""".stripMargin))),
 
     // COMPOSED streaming ingest pipeline, end-to-end batch parity: the
     // full seven-stage decision body of
@@ -3716,6 +3769,38 @@ object LlmQueries {
          |FROM ip JOIN ck a ON a.doc_id = ip.id_a
          |  JOIN ck b ON b.doc_id = ip.id_b
          |WHERE a.key <> b.key""".stripMargin)),
+
+    // CROSS-MODAL pair integrity, the INVERSE defect (round-17):
+    // BOILERPLATE captions — text near-dup mates (the minhash-LSH pair
+    // output, banded candidates by construction) whose paired IMAGES
+    // are NOT perceptual near-dups: a repeated alt-text template over
+    // unrelated pictures, the contamination that teaches a captioner
+    // to ignore its input. Image distance is recomputed id-keyed from
+    // the wide two-word signatures on the edge-sized pair set — no new
+    // candidate generation, no all-pairs. The oracle replays the
+    // minhash banding + jaccard verify, the pixel→hash chain, and the
+    // two-word hamming row-for-row.
+    "llm_caption_boilerplate" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        val docs = Tables.documents(s, dir)
+        val capPairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          shingleK = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
+        val hashes = Multimodal.extractImageHashesWide(
+          Multimodal.syntheticImageGroups(docs, "doc_id")).toDF()
+        CrossModal.captionBoilerplate(capPairs, hashes, "media_id",
+          "dhash", "vhash", maxHamming = 7)
+      },
+      Some(s"""$clustersCteSql,
+         |${phashChainSql("", "SELECT doc_id FROM documents")},
+         |${phashWideExtSql("")}
+         |SELECT p.id_a, p.id_b,
+         |  CAST(bit_count(xor(a.dhash, b.dhash))
+         |    + bit_count(xor(a.vhash, b.vhash)) AS INT) AS img_hamming
+         |FROM pairs p JOIN phw a ON a.doc_id = p.id_a
+         |  JOIN phw b ON b.doc_id = p.id_b
+         |WHERE bit_count(xor(a.dhash, b.dhash))
+         |  + bit_count(xor(a.vhash, b.vhash)) > 7""".stripMargin)),
 
     // Image near-dup at CORPUS scale: the write-time WIDE hamming index
     // ([[Dedup.writeHammingWideIndex]] — 110-bit two-word layout,

@@ -1509,6 +1509,62 @@ class SimilaritySpec extends SparkSpec {
       out(0).getLong(3), out(0).getLong(4)) === ((1L, 3L, 2, 10L, 30L)))
   }
 
+  test("CrossModal.captionBoilerplate: caption mates over UNRELATED images " +
+    "flagged; near-identical images stay benign") {
+    val capPairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    // Image 2 is hamming 2 from image 1 (ordinary dup pair — benign);
+    // image 3 is hamming 16 away — the boilerplate-caption defect.
+    val hashes = Seq(
+      (1L, 0L, 0L), (2L, 3L, 0L), (3L, 65535L, 0L))
+      .toDF("media_id", "dhash", "vhash")
+    val out = CrossModal.captionBoilerplate(capPairs, hashes, "media_id",
+      "dhash", "vhash", maxHamming = 7).collect()
+    assert(out.length === 1)
+    assert((out(0).getLong(0), out(0).getLong(1), out(0).getInt(2))
+      === ((1L, 3L, 16)))
+  }
+
+  test("probeLshThresholdMultiProbe: strict superset-or-equal of the " +
+    "exact-bucket probe on the same table prefix; bad probeTables fails loud") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val dir = java.nio.file.Files.createTempDirectory("lsh_mp").toString
+    try {
+      // targetWidth 8 forces a scaled plane count even on the fixture,
+      // so Hamming-1 expansion exercises more than the trivial p=4.
+      val planes = Similarity.writeLshIndexAuto(emb, "vec_id", "embedding",
+        path = dir, targetWidth = 8)
+      val tables = Similarity.lshIndexTables(spark, dir)
+      // Perturbed re-uploads: scale ONE coordinate so cosine is high
+      // but below 1 — bucket signatures may differ by a few plane
+      // signs, exactly the regime multi-probe exists for.
+      val q = emb.filter($"vec_id" < 40)
+        .select(($"vec_id" + 70000L).as("vec_id"),
+          transform($"embedding", (x, i) =>
+            when(i === 0, x * lit(1.5f)).otherwise(x)).as("embedding"))
+      val exact4 = Similarity.probeLshThreshold(spark, dir, q,
+        "vec_id", "embedding", threshold = 0.9, numPlanes = planes,
+        numTables = tables)
+        .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+      val multi4 = Similarity.probeLshThresholdMultiProbe(spark, dir, q,
+        "vec_id", "embedding", threshold = 0.9, numPlanes = planes,
+        numTables = tables, probeTables = tables)
+        .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+      // Probing every exact bucket PLUS its neighbors can only add
+      // verified pairs — and every added pair passed the same cosine
+      // threshold.
+      assert(exact4.subsetOf(multi4),
+        s"multi-probe lost ${exact4.diff(multi4).size} exact-bucket pairs")
+      assert(multi4.size >= exact4.size)
+      assertThrows[IllegalArgumentException] {
+        Similarity.probeLshThresholdMultiProbe(spark, dir, q,
+          "vec_id", "embedding", threshold = 0.9, numPlanes = planes,
+          numTables = tables, probeTables = tables + 1)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("auto-sized LSH layout: sidecar roundtrip; threshold probe still " +
     "rejects exact-direction copies at the scaled plane count") {
     val emb = spark.read.parquet(sf("embeddings"))
