@@ -151,6 +151,38 @@ private[llm] object BandedIndex {
       .filter(col("cand_id") =!= col("query_id"))
   }
 
+  /** [[probeJoin]] with the probed (band, bkt) keys COLLECTED and pushed
+    * as a STATIC partition filter. Exists because DPP is a heuristic,
+    * not a guarantee: when `qb` derives from a localCheckpointed
+    * (pinned) frame — every streaming gate sink pins its decoded batch
+    * so probe/intra-check/append share one decode — the pinned plan
+    * reports unknown (maximum) size statistics, the optimizer's
+    * pruning-has-benefit check rejects, and the probe silently reads
+    * EVERY index directory (measured at sf10 on the audio layout:
+    * 4672/4672 files read pinned vs 632 unpinned). A static filter on
+    * the partition columns prunes at file-listing time, deterministic
+    * and stats-independent. The collect is bounded metadata — one
+    * (band, bkt) pair per probed directory, ≤ batch × bands rows —
+    * and costs one extra execution of `qb`'s key projection, which is
+    * why the gate sinks (pinned, re-scan ≈ free) use this and the
+    * inline query paths (DPP fires on parquet-derived deltas, a second
+    * kernel pass would re-decode the batch) keep [[probeJoin]].
+    */
+  def probeJoinStatic(spark: SparkSession, indexPath: String, qb: DataFrame,
+                      residual: Seq[String],
+                      params: Map[String, String]): DataFrame = {
+    validateParams(spark, indexPath, params, "probe banded index")
+    val keys = qb.select(col("band"), col("bkt")).distinct().collect()
+    val pred = keys.groupBy(_.get(0)).toSeq
+      .map { case (band, rows) =>
+        col("band") === band && col("bkt").isin(rows.map(_.get(1)): _*)
+      }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    spark.read.parquet(indexPath).where(pred)
+      .join(broadcast(qb), Seq("band", "bkt") ++ residual)
+      .filter(col("cand_id") =!= col("query_id"))
+  }
+
   /** Auto-size `nBuckets` from corpus cardinality: the next power of two
     * of `rows / targetRowsPerBucket`, clamped to `[minBuckets,
     * maxBuckets]`. Rationale (round-10 nBuckets sweep, BASELINE.md):

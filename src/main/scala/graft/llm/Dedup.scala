@@ -345,11 +345,12 @@ object Dedup {
   def probeExactDupIndex(spark: org.apache.spark.sql.SparkSession,
                          indexPath: String, delta: DataFrame,
                          idCol: String, textCol: String,
-                         nBuckets: Int): DataFrame = {
+                         nBuckets: Int, staticPrune: Boolean = false): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val qb = exactDupSignature(delta, idCol, textCol, "query_id", "q_h128", nBuckets)
-    BandedIndex.probeJoin(spark, indexPath, qb, Seq("key"),
-        exactDupParams(nBuckets))
+    val join = if (staticPrune) BandedIndex.probeJoinStatic _
+      else BandedIndex.probeJoin _
+    join(spark, indexPath, qb, Seq("key"), exactDupParams(nBuckets))
       .filter(col("h128") === col("q_h128"))
       .select(col("query_id"), col("cand_id"))
   }
@@ -979,7 +980,8 @@ object Dedup {
                             indexPath: String, sigs: DataFrame,
                             idCol: String, loCol: String, hiCol: String,
                             nLoBits: Int, nHiBits: Int, maxHamming: Int,
-                            nBuckets: Int): DataFrame = {
+                            nBuckets: Int,
+                            staticPrune: Boolean = false): DataFrame = {
     requireWideWidths(nLoBits, nHiBits, maxHamming)
     val qb = hammingBandsWide(
       sigs.select(col(idCol).as("id"), col(loCol).as("sh_lo"),
@@ -987,7 +989,9 @@ object Dedup {
       .select(col("id").as("query_id"), col("sh_lo").as("q_lo"),
         col("sh_hi").as("q_hi"), col("band"), col("key"),
         pmod(col("key"), lit(nBuckets.toLong)).cast("int").as("bkt"))
-    BandedIndex.probeJoin(spark, indexPath, qb, Seq("key"),
+    val join = if (staticPrune) BandedIndex.probeJoinStatic _
+      else BandedIndex.probeJoin _
+    join(spark, indexPath, qb, Seq("key"),
       hammingWideIndexParams(nLoBits, nHiBits, maxHamming, nBuckets))
       .withColumn("hamming",
         bit_count(col("q_lo").bitwiseXOR(col("sh_lo"))) +
@@ -1110,7 +1114,8 @@ object Dedup {
   def probeSimhashWideIndex(spark: org.apache.spark.sql.SparkSession,
                             indexPath: String, delta: DataFrame,
                             idCol: String, textCol: String,
-                            maxHamming: Int, nBuckets: Int): DataFrame = {
+                            maxHamming: Int, nBuckets: Int,
+                            staticPrune: Boolean = false): DataFrame = {
     val qb = hammingBandsWide(
       simhashWideFrame(delta, idCol, textCol)
         .select(col(idCol).as("id"), col("simhash_lo").as("sh_lo"),
@@ -1118,7 +1123,9 @@ object Dedup {
       .select(col("id").as("query_id"), col("sh_lo").as("q_lo"),
         col("sh_hi").as("q_hi"), col("band"), col("key"),
         pmod(col("key"), lit(nBuckets.toLong)).cast("int").as("bkt"))
-    BandedIndex.probeJoin(spark, indexPath, qb, Seq("key"),
+    val join = if (staticPrune) BandedIndex.probeJoinStatic _
+      else BandedIndex.probeJoin _
+    join(spark, indexPath, qb, Seq("key"),
       simhashWideParams(maxHamming, nBuckets))
       .withColumn("hamming",
         bit_count(col("q_lo").bitwiseXOR(col("sh_lo"))) +
@@ -1146,6 +1153,18 @@ object Dedup {
                             maxHamming: Int): DataFrame =
     probeSimhashWideIndex(spark, indexPath, delta, idCol, textCol, maxHamming,
       BandedIndex.bucketsOf(spark, indexPath, "simhash-wide"))
+
+  /** Sidecar-resolved [[probeSimhashWideIndex]] with the probe's
+    * partition-pruning strategy selectable — see
+    * [[BandedIndex.probeJoinStatic]] for when `staticPrune` matters
+    * (pinned delta frames defeat DPP's benefit heuristic).
+    */
+  def probeSimhashWideIndex(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, delta: DataFrame,
+                            idCol: String, textCol: String,
+                            maxHamming: Int, staticPrune: Boolean): DataFrame =
+    probeSimhashWideIndex(spark, indexPath, delta, idCol, textCol, maxHamming,
+      BandedIndex.bucketsOf(spark, indexPath, "simhash-wide"), staticPrune)
 
   /** Exact n-gram Jaccard similarity join: pairs with Jaccard ≥ `threshold`
     * over distinct word k-shingles — the count-based set-similarity join.

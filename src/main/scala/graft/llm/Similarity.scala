@@ -995,7 +995,8 @@ object Similarity {
   def probeLshThreshold(spark: org.apache.spark.sql.SparkSession,
                         indexPath: String, delta: DataFrame, idCol: String,
                         vecCol: String, threshold: Double, numPlanes: Int,
-                        numTables: Int = 4): DataFrame = {
+                        numTables: Int = 4,
+                        staticPrune: Boolean = false): DataFrame = {
     import graft.functions.VectorFunctions.dot
     val q = delta.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
@@ -1003,8 +1004,9 @@ object Similarity {
       posexplode(array((0 until numTables).map(t =>
         hyperplaneBucket(col("qv"), numPlanes, t)): _*)).as(Seq("band", "bkt")))
       .withColumn("bkt", col("bkt").cast("int"))
-    BandedIndex.probeJoin(spark, indexPath, qb, Nil,
-        lshParams(numPlanes, numTables))
+    val join = if (staticPrune) BandedIndex.probeJoinStatic _
+      else BandedIndex.probeJoin _
+    join(spark, indexPath, qb, Nil, lshParams(numPlanes, numTables))
       .withColumn("cos",
         dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
       .filter(col("cos") >= threshold)

@@ -380,9 +380,11 @@ object Streams {
     */
   def dedupGateBatch(spark: org.apache.spark.sql.SparkSession,
                      indexPath: String, batch: DataFrame, idCol: String,
-                     textCol: String, nBuckets: Int): DataFrame = {
+                     textCol: String, nBuckets: Int,
+                     staticPrune: Boolean = false): DataFrame = {
     val hits = graft.llm.Dedup
-      .probeExactDupIndex(spark, indexPath, batch, idCol, textCol, nBuckets)
+      .probeExactDupIndex(spark, indexPath, batch, idCol, textCol, nBuckets,
+        staticPrune)
       .select(col("query_id").as(idCol)).distinct()
     batch.join(hits, Seq(idCol), "left_anti")
   }
@@ -400,10 +402,10 @@ object Streams {
   def nearDupGateBatch(spark: org.apache.spark.sql.SparkSession,
                        indexPath: String, batch: DataFrame, idCol: String,
                        textCol: String, maxHamming: Int,
-                       nBuckets: Int): DataFrame = {
+                       nBuckets: Int, staticPrune: Boolean = false): DataFrame = {
     val hits = graft.llm.Dedup
       .probeSimhashWideIndex(spark, indexPath, batch, idCol, textCol,
-        maxHamming, nBuckets)
+        maxHamming, nBuckets, staticPrune)
       .select(col("query_id").as(idCol)).distinct()
     batch.join(hits, Seq(idCol), "left_anti")
   }
@@ -451,7 +453,7 @@ object Streams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val corpusOk = nearDupGateBatch(spark, indexPath, batch.toDF(),
-          idCol, textCol, maxHamming, nBuckets)
+          idCol, textCol, maxHamming, nBuckets, staticPrune = true)
         // simhashWidePairs emits id_a < id_b, so id_b is always the
         // larger member: dropping every id_b keeps the lowest id of
         // each intra-batch near-dup group.
@@ -677,9 +679,14 @@ object Streams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val hashes = Materialize.pin(kernel(batch.toDF()))
+        // staticPrune: the pinned hash frame defeats DPP's benefit
+        // heuristic (unknown size stats), so without it this probe
+        // reads the WHOLE index every micro-batch — see
+        // BandedIndex.probeJoinStatic. The pin makes the key-collect's
+        // re-scan of the batch ~free.
         val corpusHits = graft.llm.Dedup.probeHammingWideIndex(spark,
           indexPath, hashes, "media_id", "sig_lo", "sig_hi", nLoBits = 56,
-          nHiBits = 54, maxHamming, nBuckets)
+          nHiBits = 54, maxHamming, nBuckets, staticPrune = true)
           .select(col("query_id").as("media_id")).distinct()
         val corpusOk = hashes.join(corpusHits, Seq("media_id"), "left_anti")
         // Wide pairs emit id_a < id_b: dropping every id_b keeps the
@@ -720,10 +727,11 @@ object Streams {
   def semanticGateBatch(spark: org.apache.spark.sql.SparkSession,
                         indexPath: String, batch: DataFrame, idCol: String,
                         vecCol: String, threshold: Double, numPlanes: Int,
-                        numTables: Int): DataFrame = {
+                        numTables: Int,
+                        staticPrune: Boolean = false): DataFrame = {
     val hits = graft.llm.Similarity
       .probeLshThreshold(spark, indexPath, batch, idCol, vecCol, threshold,
-        numPlanes, numTables)
+        numPlanes, numTables, staticPrune = staticPrune)
       .select(col("query_id").as(idCol)).distinct()
     batch.join(hits, Seq(idCol), "left_anti")
   }
@@ -783,7 +791,7 @@ object Streams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val corpusOk = semanticGateBatch(spark, indexPath, batch.toDF(),
-          idCol, vecCol, threshold, numPlanes, numTables)
+          idCol, vecCol, threshold, numPlanes, numTables, staticPrune = true)
           .transform(Materialize.pin)
         val accepted = corpusOk
           .join(semanticIntraBatchDups(corpusOk, idCol, vecCol, threshold,
@@ -829,9 +837,13 @@ object Streams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         // Pin the gate decision BEFORE the append mutates the index a
-        // lazy plan would re-read.
+        // lazy plan would re-read. staticPrune: a streaming batch frame
+        // reports unknown size stats, so DPP's benefit heuristic would
+        // reject and the probe would read the whole index (see
+        // BandedIndex.probeJoinStatic).
         val accepted = dedupGateBatch(spark, indexPath, batch.toDF(),
-          idCol, textCol, nBuckets).transform(Materialize.pin)
+          idCol, textCol, nBuckets, staticPrune = true)
+          .transform(Materialize.pin)
         accepted.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         graft.llm.Dedup.appendToExactDupIndex(accepted, idCol, textCol,
           nBuckets, indexPath)
@@ -1020,8 +1032,11 @@ object Streams {
                            cfg: IngestPipelineConfig, idCol: String,
                            textCol: String, vecCol: String)
       : Seq[(String, DataFrame => DataFrame)] = Seq(
+    // staticPrune on every membership stage: stage inputs are PINNED
+    // survivor frames (unknown size stats), which silently disables
+    // DPP on the index probes — see BandedIndex.probeJoinStatic.
     "exact" -> ((df: DataFrame) => dedupGateBatch(spark, cfg.exactIndexPath,
-      df, idCol, textCol, cfg.nBucketsExact)),
+      df, idCol, textCol, cfg.nBucketsExact, staticPrune = true)),
     // Keep-lowest-id per normalized text hash WITHIN the batch — the
     // upstream-dedup job startDedupGateSink documents, done here so the
     // composition is self-contained.
@@ -1032,7 +1047,9 @@ object Streams {
         .select(col(idCol)),
       Seq(idCol), "left_semi")),
     "near" -> ((df: DataFrame) => nearDupGateBatch(spark,
-      cfg.nearDupIndexPath, df, idCol, textCol, cfg.maxHamming)),
+      cfg.nearDupIndexPath, df, idCol, textCol, cfg.maxHamming,
+      nBuckets = graft.llm.Dedup.simhashWideIndexBuckets(spark,
+        cfg.nearDupIndexPath), staticPrune = true)),
     // simhashWidePairs emits id_a < id_b; dropping every id_b keeps the
     // lowest id of each intra-batch near-dup group.
     "near_intra" -> ((df: DataFrame) => df.join(
@@ -1041,7 +1058,7 @@ object Streams {
       Seq(idCol), "left_anti")),
     "semantic" -> ((df: DataFrame) => semanticGateBatch(spark,
       cfg.semIndexPath, df, idCol, vecCol, cfg.semThreshold, cfg.numPlanes,
-      cfg.numTables)),
+      cfg.numTables, staticPrune = true)),
     "semantic_intra" -> ((df: DataFrame) => df.join(
       semanticIntraBatchDups(df, idCol, vecCol, cfg.semThreshold,
         cfg.numPlanes, cfg.numTables),

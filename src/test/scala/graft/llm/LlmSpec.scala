@@ -1000,6 +1000,53 @@ class DedupSpec extends SparkSpec {
     // "p q r" -> two single-gram spans [0,2] and [6,8].
     assert(out === Array((0, 2, 1L), (6, 8, 1L)))
   }
+
+  test("probeHammingWideIndex staticPrune: a PINNED delta probes " +
+    "row-identically to the DPP path and reads only the probed directories") {
+    // Synthetic two-word signatures: positive, inside the (56, 54)
+    // widths, spread across band keys.
+    val sigs = (0L until 200L).map { i =>
+      (i, (i * 2654435761L) & ((1L << 56) - 1),
+        (i * 1099511628211L) & ((1L << 54) - 1))
+    }.toDF("id", "lo", "hi")
+    val dir = java.nio.file.Files.createTempDirectory("wide_sp").toString
+    try {
+      Dedup.writeHammingWideIndex(sigs, "id", "lo", "hi", nLoBits = 56,
+        nHiBits = 54, maxHamming = 7, nBuckets = 16, path = dir)
+      // The delta re-uploads 3 corpus signatures under fresh ids
+      // (hamming 0 — designed hits).
+      def delta = sigs.filter($"id" < 3)
+        .select(($"id" + 1000L).as("id"), $"lo", $"hi")
+      val viaDpp = Dedup.probeHammingWideIndex(spark, dir, delta,
+        "id", "lo", "hi", 56, 54, maxHamming = 7, nBuckets = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // The STREAMING-SINK shape: the delta is pinned (localCheckpoint),
+      // which hides its size stats and silently disables DPP — the
+      // static path must return the identical rows from a pruned read.
+      val pinned = graft.ops.Materialize.pin(delta)
+      val viaStatic = Dedup.probeHammingWideIndex(spark, dir, pinned,
+        "id", "lo", "hi", 56, 54, maxHamming = 7, nBuckets = 16,
+        staticPrune = true)
+      val (rows, scanned) = {
+        val plan = viaStatic.queryExecution.executedPlan
+        val n = plan.execute().count()
+        val parts = plan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(
+              _.toString.contains("wide_sp")) => f
+        }.map(_.metrics.get("numPartitions").map(_.value).getOrElse(-1L))
+        (n, parts.sum)
+      }
+      assert(rows === viaDpp.size)
+      assert(viaStatic.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet === viaDpp)
+      assert(viaDpp.exists(_._3 == 0), "designed hamming-0 hits missing")
+      // 3 delta signatures × 8 bands = at most 24 probed directories of
+      // the 8 × 16 layout — a full read would be ~128.
+      assert(scanned <= 24, s"static prune read $scanned directories")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
