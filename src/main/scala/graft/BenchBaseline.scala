@@ -48,6 +48,14 @@ object BenchBaseline {
     "llm_sim_range_ivf_grown" -> 1.139, // r15 calm-window
     "llm_stream_drift_monitor" -> 0.317, // r15 calm-window
     "llm_stream_ingest_e2e" -> 7.053, // r16 calm-window
+    // Round-17 additions (recall contracts, cross-modal pair checks,
+    // video ingest gate): min across two full calm-window runs
+    // (/tmp/bench_full_r17{a,b}.raw), sf0.1 local[32], reps=2.
+    "llm_lsh_recall_auto" -> 1.082, // r17
+    "llm_lsh_multiprobe_recall" -> 1.295, // r17
+    "llm_caption_boilerplate" -> 1.102, // r17
+    "llm_pair_contamination" -> 2.668, // r17
+    "llm_stream_video_gate" -> 1.702, // r17
     "llm_stream_pii_redact" -> 0.198, // r15 calm-window
     "llm_video_neardup" -> 0.381, // r16 calm-window
     "llm_video_phash" -> 0.131, // r16 calm-window
@@ -127,7 +135,9 @@ object BenchBaseline {
     // appends + compaction + 2 probes) rebuilt per rep by design
     "llm_ivfpq_rebuild" -> 14.558, // r12: drift fixture + retrain + swap
     "j8_entity_resolution" -> 3.470, // r12: fuzzy join + closure rounds
-    "llm_quality_clf_train" -> 4.146, // r12: 10 GD rounds = 20 jobs
+    "llm_quality_clf_train" -> 3.870, // r17 calm (was 4.146 r12); the
+    // r16 8.5-8.8 s driver readings adjudicated as window drift by an
+    // isolated fresh-JVM probe (5.05 s) + two calm full runs (4.07/3.87)
     "llm_quality_clf_score" -> 5.158, // r12: train + broadcast score
     "llm_clf_auc" -> 5.460, // r12: train + score + rank statistic
     "llm_epoch_mix" -> 0.904, // r12
@@ -139,7 +149,8 @@ object BenchBaseline {
     "dq_benford" -> 0.601, // r12
     "events_drawdown" -> 0.726, // r12
     "llm_semantic_dedup" -> 5.709, // inline: k-means fit + closure + contract
-    "llm_semantic_dedup_index" -> 4.135,
+    "llm_semantic_dedup_index" -> 3.109, // r17 calm (was 4.135); the r16
+    // 7.5 s calm reading adjudicated as drift (isolated probe 3.91 s)
     "llm_stream_quality_gate" -> 1.159, // r11 second pass
     "llm_stream_semantic_gate" -> 0.645, // r16 calm-window
     "llm_domain_mix" -> 0.065,
