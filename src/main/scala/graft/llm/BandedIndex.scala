@@ -161,27 +161,75 @@ private[llm] object BandedIndex {
     * EVERY index directory (measured at sf10 on the audio layout:
     * 4672/4672 files read pinned vs 632 unpinned). A static filter on
     * the partition columns prunes at file-listing time, deterministic
-    * and stats-independent. The collect is bounded metadata — one
-    * (band, bkt) pair per probed directory, ≤ batch × bands rows —
-    * and costs one extra execution of `qb`'s key projection, which is
-    * why the gate sinks (pinned, re-scan ≈ free) use this and the
-    * inline query paths (DPP fires on parquet-derived deltas, a second
-    * kernel pass would re-decode the batch) keep [[probeJoin]].
+    * and stats-independent.
+    *
+    * `qb` is PINNED here before anything reads it, so its upstream
+    * plan (a signature kernel, an LSH projection) executes exactly
+    * once no matter how the caller built it — the key collect and the
+    * probe join both read the pinned blocks (round-18: the text and
+    * semantic gate sinks used to pay the projection twice because
+    * only the perceptual sink pre-pinned its kernel output).
+    *
+    * The collect is bounded metadata — one (band, bkt) pair per probed
+    * directory, ≤ batch × bands rows — but a corpus-sized batch over a
+    * wide layout (the composed-ingest e2e deliberately feeds one) can
+    * approach tables × 2^16 pairs, so the key set is CAPPED at
+    * `MaxStaticPruneKeys`: beyond it the probe logs the fallback and
+    * reads the index UNFILTERED (exactly [[probeJoin]]'s plan when DPP
+    * declines — at that many probed directories a full read is the
+    * right plan anyway: the batch touches most of the index). No
+    * silent caps: the fallback is WARN-logged with both counts and
+    * recorded in [[lastStaticPruneFallback]].
     */
   def probeJoinStatic(spark: SparkSession, indexPath: String, qb: DataFrame,
-                      residual: Seq[String],
-                      params: Map[String, String]): DataFrame = {
+                      residual: Seq[String], params: Map[String, String],
+                      maxKeys: Int = MaxStaticPruneKeys): DataFrame = {
     validateParams(spark, indexPath, params, "probe banded index")
-    val keys = qb.select(col("band"), col("bkt")).distinct().collect()
-    val pred = keys.groupBy(_.get(0)).toSeq
-      .map { case (band, rows) =>
-        col("band") === band && col("bkt").isin(rows.map(_.get(1)): _*)
+    val pinned = graft.ops.Materialize.pin(qb)
+    val keys = pinned.select(col("band"), col("bkt")).distinct()
+      .limit(maxKeys + 1).collect()
+    val index = spark.read.parquet(indexPath)
+    val pruned =
+      if (keys.length > maxKeys) {
+        lastStaticPruneFallback.set(keys.length.toLong)
+        log.warn(s"probeJoinStatic: > $maxKeys distinct " +
+          s"(band, bkt) keys probed at $indexPath - falling back to an " +
+          "unfiltered index read (a batch touching that many directories " +
+          "reads most of the layout either way)")
+        index
+      } else {
+        lastStaticPruneFallback.set(0L)
+        val pred = keys.groupBy(_.get(0)).toSeq
+          .map { case (band, rows) =>
+            col("band") === band && col("bkt").isin(rows.map(_.get(1)): _*)
+          }
+          .reduceOption(_ || _).getOrElse(lit(false))
+        index.where(pred)
       }
-      .reduceOption(_ || _).getOrElse(lit(false))
-    spark.read.parquet(indexPath).where(pred)
-      .join(broadcast(qb), Seq("band", "bkt") ++ residual)
+    pruned
+      .join(broadcast(pinned), Seq("band", "bkt") ++ residual)
       .filter(col("cand_id") =!= col("query_id"))
   }
+
+  /** Static-prune key-count cap: above this many probed (band, bkt)
+    * directories the listing-time `isin` predicate would carry ~1M
+    * literals through the plan for a read that touches most of the
+    * index anyway — [[probeJoinStatic]] falls back to an unfiltered
+    * read (and says so). Generous for real micro-batches: a 10k-row
+    * batch over a 15-table layout probes ≤ 150k keys only if every
+    * row lands in a distinct directory.
+    */
+  val MaxStaticPruneKeys: Int = 65536
+
+  /** Diagnostic twin of [[graft.llm.Similarity.lastCapExclusions]]: the
+    * (limit-truncated, i.e. ≥ maxKeys + 1) probed-key count of the most
+    * recent [[probeJoinStatic]] fallback, 0 when the last probe pruned
+    * normally.
+    */
+  val lastStaticPruneFallback =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.llm.BandedIndex")
 
   /** Auto-size `nBuckets` from corpus cardinality: the next power of two
     * of `rows / targetRowsPerBucket`, clamped to `[minBuckets,

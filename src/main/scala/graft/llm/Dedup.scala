@@ -348,8 +348,10 @@ object Dedup {
                          nBuckets: Int, staticPrune: Boolean = false): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val qb = exactDupSignature(delta, idCol, textCol, "query_id", "q_h128", nBuckets)
-    val join = if (staticPrune) BandedIndex.probeJoinStatic _
-      else BandedIndex.probeJoin _
+    val join: (org.apache.spark.sql.SparkSession, String, DataFrame,
+      Seq[String], Map[String, String]) => DataFrame =
+      if (staticPrune) BandedIndex.probeJoinStatic(_, _, _, _, _)
+      else BandedIndex.probeJoin
     join(spark, indexPath, qb, Seq("key"), exactDupParams(nBuckets))
       .filter(col("h128") === col("q_h128"))
       .select(col("query_id"), col("cand_id"))
@@ -989,8 +991,10 @@ object Dedup {
       .select(col("id").as("query_id"), col("sh_lo").as("q_lo"),
         col("sh_hi").as("q_hi"), col("band"), col("key"),
         pmod(col("key"), lit(nBuckets.toLong)).cast("int").as("bkt"))
-    val join = if (staticPrune) BandedIndex.probeJoinStatic _
-      else BandedIndex.probeJoin _
+    val join: (org.apache.spark.sql.SparkSession, String, DataFrame,
+      Seq[String], Map[String, String]) => DataFrame =
+      if (staticPrune) BandedIndex.probeJoinStatic(_, _, _, _, _)
+      else BandedIndex.probeJoin
     join(spark, indexPath, qb, Seq("key"),
       hammingWideIndexParams(nLoBits, nHiBits, maxHamming, nBuckets))
       .withColumn("hamming",
@@ -1123,8 +1127,10 @@ object Dedup {
       .select(col("id").as("query_id"), col("sh_lo").as("q_lo"),
         col("sh_hi").as("q_hi"), col("band"), col("key"),
         pmod(col("key"), lit(nBuckets.toLong)).cast("int").as("bkt"))
-    val join = if (staticPrune) BandedIndex.probeJoinStatic _
-      else BandedIndex.probeJoin _
+    val join: (org.apache.spark.sql.SparkSession, String, DataFrame,
+      Seq[String], Map[String, String]) => DataFrame =
+      if (staticPrune) BandedIndex.probeJoinStatic(_, _, _, _, _)
+      else BandedIndex.probeJoin
     join(spark, indexPath, qb, Seq("key"),
       simhashWideParams(maxHamming, nBuckets))
       .withColumn("hamming",

@@ -1004,8 +1004,10 @@ object Similarity {
       posexplode(array((0 until numTables).map(t =>
         hyperplaneBucket(col("qv"), numPlanes, t)): _*)).as(Seq("band", "bkt")))
       .withColumn("bkt", col("bkt").cast("int"))
-    val join = if (staticPrune) BandedIndex.probeJoinStatic _
-      else BandedIndex.probeJoin _
+    val join: (org.apache.spark.sql.SparkSession, String, DataFrame,
+      Seq[String], Map[String, String]) => DataFrame =
+      if (staticPrune) BandedIndex.probeJoinStatic(_, _, _, _, _)
+      else BandedIndex.probeJoin
     join(spark, indexPath, qb, Nil, lshParams(numPlanes, numTables))
       .withColumn("cos",
         dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
@@ -1028,41 +1030,67 @@ object Similarity {
     * at `probeTables` copies. At 100 TB, storage is the expensive
     * axis (the index is corpus-sized; probes are batch-sized), so
     * multi-probe is the default posture to prefer when write
-    * amplification matters more than probe latency; the measured
-    * recall contract for both paths is the `llm_lsh_recall_auto` /
-    * `llm_lsh_multiprobe_recall` query pair. Probing a PREFIX of the
-    * layout's tables is sound — tables are independent hash functions;
-    * `probeTables` ≤ the layout's table count (sidecar-validated via
-    * the full layout params).
+    * amplification matters more than probe latency — the streaming
+    * SEMANTIC GATE writes its membership layout at
+    * [[MultiProbeTables]] tables and probes through here (round-18);
+    * the measured recall contract for both paths is the
+    * `llm_lsh_recall_auto` / `llm_lsh_multiprobe_recall` query pair.
+    * Probing a PREFIX of the layout's tables is sound — tables are
+    * independent hash functions; `probeTables` ≤ the layout's table
+    * count (sidecar-validated via the full layout params).
+    *
+    * The broadcast carries only (query_id, band, bkt) through the two
+    * explodes — (p+1) × probeTables rows of three scalars per query —
+    * and qv/qnorm re-attach by query_id from the batch-sized base
+    * frame before the cosine verify (the [[lshTopK]] two-bounded-
+    * broadcasts pattern; carrying the 64-double vector through the
+    * expansion would duplicate it ~68× at the p=16 clamp).
+    * `staticPrune` swaps in [[BandedIndex.probeJoinStatic]] for pinned
+    * (stats-less) batch frames — the streaming-gate posture.
     */
   def probeLshThresholdMultiProbe(spark: org.apache.spark.sql.SparkSession,
                                   indexPath: String, delta: DataFrame,
                                   idCol: String, vecCol: String,
                                   threshold: Double, numPlanes: Int,
-                                  numTables: Int, probeTables: Int)
+                                  numTables: Int, probeTables: Int,
+                                  staticPrune: Boolean = false)
       : DataFrame = {
     import graft.functions.VectorFunctions.dot
     require(probeTables >= 1 && probeTables <= numTables,
       s"probeTables must be in [1, $numTables], got $probeTables")
     val q = delta.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
-    val base = q.select(col("query_id"), col("qv"), col("qnorm"),
+    val base = q.select(col("query_id"),
       posexplode(array((0 until probeTables).map(t =>
         hyperplaneBucket(col("qv"), numPlanes, t)): _*)).as(Seq("band", "bkt0")))
     // The probe set per (query, table): the exact bucket + one bucket
     // per flipped plane bit — (p+1) DISTINCT values by construction,
     // so no dedup is needed before the partition-pruned join.
-    val qb = base.select(col("query_id"), col("qv"), col("qnorm"), col("band"),
+    val qb = base.select(col("query_id"), col("band"),
       explode(array(Seq(col("bkt0")) ++ (0 until numPlanes).map(j =>
         col("bkt0").bitwiseXOR(lit(1L << j))): _*)).as("bkt"))
       .withColumn("bkt", col("bkt").cast("int"))
-    BandedIndex.probeJoin(spark, indexPath, qb, Nil,
-        lshParams(numPlanes, numTables))
+    val join: (org.apache.spark.sql.SparkSession, String, DataFrame,
+      Seq[String], Map[String, String]) => DataFrame =
+      if (staticPrune) BandedIndex.probeJoinStatic(_, _, _, _, _)
+      else BandedIndex.probeJoin
+    join(spark, indexPath, qb, Nil, lshParams(numPlanes, numTables))
+      .join(broadcast(q), Seq("query_id"))
       .withColumn("cos",
         dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
       .filter(col("cos") >= threshold)
       .select("query_id", "cand_id", "cos").distinct()
   }
+
+  /** The multi-probe posture's table count: gate-written LSH layouts
+    * store this many tables (index storage ×1 vs the compensated
+    * layout's t(p)) and probe all of them with the Hamming-1 expansion.
+    * Four is the measured sweet spot: the `llm_lsh_multiprobe_recall`
+    * contract holds 1.0 / 1.0 / 0.9955 recall across sf0.1/1/10 on a
+    * 4-table prefix, and analytically ~0.94 at the p=16 clamp where
+    * exact-bucket t=4 decays to ~0.55.
+    */
+  val MultiProbeTables: Int = 4
 
   /** DIAGNOSTIC for the hot-bucket cap: every (band, bkt) group wider
     * than `maxBucketWidth`, with its width — exactly the buckets

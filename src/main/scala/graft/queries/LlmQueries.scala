@@ -432,17 +432,18 @@ object LlmQueries {
        |      + bit_count(xor(a.sh_hi, b.sh_hi)) <= 7),
        |pg4 AS MATERIALIZED (SELECT * FROM pg3
        |  WHERE doc_id NOT IN (SELECT doc_id FROM px4)),
-       |$lshAutoCtes,
+       |$lshAutoCtesMp,
        |pcb AS MATERIALIZED ($pcb),
        |pab AS MATERIALIZED ($pab),
+       |pabm AS MATERIALIZED (${lshMultiProbeSql("pab", "doc_id", "vv")}),
        |px5 AS MATERIALIZED (SELECT DISTINCT ab.doc_id
-       |  FROM pab ab JOIN pcb cb
+       |  FROM pabm ab JOIN pcb cb
        |    ON ab.tbl = cb.tbl AND ab.bucket = cb.bucket
        |  WHERE ${cosSql("ab.vv", "cb.v")} >= 0.95),
        |pg5 AS MATERIALIZED (SELECT * FROM pg4
        |  WHERE doc_id NOT IN (SELECT doc_id FROM px5)),
        |px6 AS MATERIALIZED (SELECT DISTINCT b.doc_id
-       |  FROM pab a JOIN pab b
+       |  FROM pabm a JOIN pab b
        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.doc_id < b.doc_id
        |  WHERE a.doc_id IN (SELECT doc_id FROM pg5)
        |    AND b.doc_id IN (SELECT doc_id FROM pg5)
@@ -625,13 +626,61 @@ object LlmQueries {
     */
   def ensureImageHashWideIndex(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     implicit val sp: org.apache.spark.sql.SparkSession = s
-    val fix = s"/tmp/graft_fixtures/imagehashw_index_${fingerprintCached(s"$dir/documents.parquet")}"
-    if (!new java.io.File(s"$fix/_SUCCESS").exists())
-      Dedup.writeHammingWideIndex(
+    // AUTO bucket width (round-18, the audio family's round-17 fix
+    // extended): nBuckets from the corpus cardinality via the wide-auto
+    // writer — rowsHint is the cheap parquet count (one signature row
+    // per image), so the pixel decode still runs exactly once. A fixed
+    // 64 saturates DPP/static pruning at corpus scale (measured on the
+    // audio layout: 75% of files touched by a 50-item probe at sf10 vs
+    // 13.5% auto). Consumers resolve the width from the sidecar
+    // (Dedup.hammingWideIndexBuckets); the cache key carries the
+    // policy tag so a stale fixed-64 layout is never half-adopted.
+    val fix = s"/tmp/graft_fixtures/imagehashw_index_auto_${fingerprintCached(s"$dir/documents.parquet")}"
+    if (!new java.io.File(s"$fix/_SUCCESS").exists()) {
+      val docs = Tables.documents(s, dir)
+      Dedup.writeHammingWideIndexAuto(
         Multimodal.extractImageHashesWide(
-          Multimodal.syntheticImageGroups(Tables.documents(s, dir), "doc_id")).toDF(),
+          Multimodal.syntheticImageGroups(docs, "doc_id")).toDF(),
         "media_id", "dhash", "vhash", nLoBits = 56, nHiBits = 54,
-        maxHamming = 7, nBuckets = 64, path = fix)
+        maxHamming = 7, path = fix, rowsHint = docs.count())
+    }
+    fix
+  }
+
+  /** Ensure the PAIR-CORPUS image index for the cross-modal pair gate:
+    * the wide image-hash layout over the PAIR corpus — every 4th
+    * document, so each corpus pair's image is the single member of its
+    * pixel group ([[Multimodal.syntheticImageGroups]] groups
+    * consecutive ids in fours) and the designed gate decisions are
+    * about the ARRIVING pair, not corpus-internal group mates. Same
+    * auto-width generic layout as [[ensureImageHashWideIndex]].
+    */
+  def ensurePairImageIndex(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    val fix = s"/tmp/graft_fixtures/pairimg_index_auto_${fingerprintCached(s"$dir/documents.parquet")}"
+    if (!new java.io.File(s"$fix/_SUCCESS").exists()) {
+      val corp = Tables.documents(s, dir).filter(col("doc_id") % 4 === 0)
+      Dedup.writeHammingWideIndexAuto(
+        Multimodal.extractImageHashesWide(
+          Multimodal.syntheticImageGroups(corp, "doc_id")).toDF(),
+        "media_id", "dhash", "vhash", nLoBits = 56, nHiBits = 54,
+        maxHamming = 7, path = fix, rowsHint = corp.count())
+    }
+    fix
+  }
+
+  /** The caption side of the pair corpus: the auto-width wide-simhash
+    * text index over the SAME every-4th-document subset — pair i =
+    * (image of doc i, caption = doc i's text), one id domain for both
+    * indexes so the gate's per-(query, cand) anti-join needs no key
+    * mapping.
+    */
+  def ensurePairCaptionIndex(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val fix = s"/tmp/graft_fixtures/paircap_index_auto_${fingerprintCached(s"$dir/documents.parquet")}"
+    if (!new java.io.File(s"$fix/_SUCCESS").exists())
+      Dedup.writeSimhashWideIndexAuto(
+        Tables.documents(s, dir).filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", maxHamming = 7, path = fix)
     fix
   }
 
@@ -643,13 +692,18 @@ object LlmQueries {
     */
   def ensureVideoHashWideIndex(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     implicit val sp: org.apache.spark.sql.SparkSession = s
-    val fix = s"/tmp/graft_fixtures/videohashw_index_${fingerprintCached(s"$dir/documents.parquet")}"
-    if (!new java.io.File(s"$fix/_SUCCESS").exists())
-      Dedup.writeHammingWideIndex(
+    // AUTO width like the image/audio families (round-18) — one
+    // first-frame signature row per video, so rowsHint is the corpus
+    // count and the frame decode stays single-pass.
+    val fix = s"/tmp/graft_fixtures/videohashw_index_auto_${fingerprintCached(s"$dir/documents.parquet")}"
+    if (!new java.io.File(s"$fix/_SUCCESS").exists()) {
+      val docs = Tables.documents(s, dir)
+      Dedup.writeHammingWideIndexAuto(
         Multimodal.extractVideoFrameHashesWide(
-          Multimodal.syntheticVideoGroups(Tables.documents(s, dir), "doc_id")).toDF(),
+          Multimodal.syntheticVideoGroups(docs, "doc_id")).toDF(),
         "media_id", "dhash", "vhash", nLoBits = 56, nHiBits = 54,
-        maxHamming = 7, nBuckets = 64, path = fix)
+        maxHamming = 7, path = fix, rowsHint = docs.count())
+    }
     fix
   }
 
@@ -664,14 +718,21 @@ object LlmQueries {
   def ensureVideoStridedHashWideIndex(s: org.apache.spark.sql.SparkSession,
                                       dir: String): String = {
     implicit val sp: org.apache.spark.sql.SparkSession = s
-    val fix = s"/tmp/graft_fixtures/videostridedw_index_${fingerprintCached(s"$dir/documents.parquet")}"
-    if (!new java.io.File(s"$fix/_SUCCESS").exists())
-      Dedup.writeHammingWideIndex(
+    // AUTO width (round-18). The strided layout stores k=3 signature
+    // rows per video, and autoBuckets sizes by SIGNATURE-ROW
+    // cardinality (bucket width is what probes pay per directory), so
+    // rowsHint is 3× the corpus count — still a metadata-only derivation,
+    // the AVI decode stays single-pass.
+    val fix = s"/tmp/graft_fixtures/videostridedw_index_auto_${fingerprintCached(s"$dir/documents.parquet")}"
+    if (!new java.io.File(s"$fix/_SUCCESS").exists()) {
+      val docs = Tables.documents(s, dir)
+      Dedup.writeHammingWideIndexAuto(
         Multimodal.extractVideoFrameHashesStridedWide(
-          Multimodal.syntheticVideoGroupsStrided(
-            Tables.documents(s, dir), "doc_id"), k = 3).toDF(),
+          Multimodal.syntheticVideoGroupsStrided(docs, "doc_id"),
+          k = 3).toDF(),
         "media_id", "dhash", "vhash", nLoBits = 56, nHiBits = 54,
-        maxHamming = 7, nBuckets = 64, path = fix)
+        maxHamming = 7, path = fix, rowsHint = 3L * docs.count())
+    }
     fix
   }
 
@@ -696,6 +757,33 @@ object LlmQueries {
     if (!new java.io.File(s"$fix/_SUCCESS").exists())
       Similarity.writeLshIndexAuto(Tables.embeddings(s, dir), "vec_id",
         "embedding", path = fix)
+    fix
+  }
+
+  /** Ensure the MULTI-PROBE-POSTURE LSH layout over `dir`'s embeddings
+    * exists; return its path. Auto-sized planes like
+    * [[ensureLshIndexAuto]], but a FIXED
+    * [[Similarity.MultiProbeTables]]-table layout (index storage ×1)
+    * probed with the Hamming-1 expansion — the round-18 posture of the
+    * streaming SEMANTIC GATE and the composed ingest pipeline: the
+    * gate's membership index grows with the corpus (every accepted row
+    * appends its bucket rows), so at 100 TB write amplification — not
+    * the batch-sized probe width — is the binding cost, and the
+    * measured recall contract (`llm_lsh_multiprobe_recall`:
+    * 1.0/1.0/0.9955 across sf0.1/1/10, FASTER than exact-bucket at
+    * sf1/sf10) holds from 4 tables. The compensated t(p)-table layout
+    * ([[ensureLshIndexAuto]]) remains the posture for probe-heavy
+    * BATCH analytics where the layout is built once and probe latency
+    * dominates. Tables are independent hash functions keyed by the
+    * global plane index, so this layout's buckets are bit-identical
+    * to the first 4 tables of the compensated layout — the recall
+    * contract's 4-table-prefix measurements transfer exactly.
+    */
+  def ensureLshIndexMp(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val fix = s"/tmp/graft_fixtures/lshmp_index_w256t4_${fingerprintCached(s"$dir/embeddings.parquet")}"
+    if (!new java.io.File(s"$fix/_SUCCESS").exists())
+      Similarity.writeLshIndexAuto(Tables.embeddings(s, dir), "vec_id",
+        "embedding", path = fix, numTables = Similarity.MultiProbeTables)
     fix
   }
 
@@ -794,18 +882,11 @@ object LlmQueries {
     * are VALUES in the static SQL text, which is what lets one oracle
     * string hold at every SF while the layout scales with the corpus.
     */
-  private lazy val lshAutoCtes: String = {
-    // Planes→tables spliced from the ONE Scala lookup
-    // (Similarity.lshTablesByPlanes) — hard-coded integers, so no
-    // float-log replay and no drift between the layout builder and
-    // this twin.
-    val tbCase = (4 to 16)
-      .map(p => s"WHEN $p THEN ${Similarity.lshTablesAuto(p)}")
-      .mkString(" ")
+  private def lshAutoCtesWith(tbBody: String): String =
     s"""lpl AS (SELECT least(16, greatest(4,
       |    CASE WHEN m <= 1 THEN 0 ELSE len(bin(m - 1)) END)) AS pl
       |  FROM (SELECT ((SELECT count(*) FROM embeddings) + 255) // 256 AS m)),
-      |ltb AS (SELECT CASE (SELECT pl FROM lpl) $tbCase END AS tb),
+      |ltb AS (SELECT $tbBody AS tb),
       |lpw AS (SELECT idx, list(wt ORDER BY i) AS wl FROM (
       |    SELECT ti.idx, ii.i,
       |      CAST(CAST('0x' || substr(md5('plane' || ti.idx || ':' || ii.i),
@@ -814,7 +895,39 @@ object LlmQueries {
       |        * (SELECT pl FROM lpl))) AS idx) ti,
       |         (SELECT unnest(range(0, 64)) AS i) ii)
       |  GROUP BY idx)""".stripMargin
+
+  private lazy val lshAutoCtes: String = {
+    // Planes→tables spliced from the ONE Scala lookup
+    // (Similarity.lshTablesByPlanes) — hard-coded integers, so no
+    // float-log replay and no drift between the layout builder and
+    // this twin.
+    val tbCase = (4 to 16)
+      .map(p => s"WHEN $p THEN ${Similarity.lshTablesAuto(p)}")
+      .mkString(" ")
+    lshAutoCtesWith(s"CASE (SELECT pl FROM lpl) $tbCase END")
   }
+
+  /** [[lshAutoCtes]] for the MULTI-PROBE-POSTURE layout
+    * ([[ensureLshIndexMp]]): auto planes, a FIXED
+    * [[Similarity.MultiProbeTables]]-table layout — `tb` is the
+    * literal table count instead of the compensated lookup.
+    */
+  private lazy val lshAutoCtesMp: String =
+    lshAutoCtesWith(Similarity.MultiProbeTables.toString)
+
+  /** The Hamming-1 MULTI-PROBE bucket expansion of a bucket-assignment
+    * CTE `src`(idCol, vCol, tbl, bucket): one row per probe variant —
+    * j = 0 the exact bucket, j = 1..pl one plane-bit flip each — the
+    * SQL twin of [[Similarity.probeLshThresholdMultiProbe]]'s probe
+    * set.
+    */
+  private def lshMultiProbeSql(src: String, idCol: String,
+                               vCol: String): String =
+    s"""SELECT $idCol, $vCol, tbl,
+       |  CASE WHEN j = 0 THEN bucket
+       |    ELSE xor(bucket, (CAST(1 AS BIGINT) << (j - 1))) END AS bucket
+       |FROM $src, (SELECT unnest(range(0,
+       |    (SELECT pl FROM lpl) + 1)) AS j) jj""".stripMargin
 
   /** All-tables bucket assignment of `src`(idCol, vCol) under the
     * auto-sized layout ([[lshAutoCtes]] must be in scope): emits
@@ -1863,7 +1976,8 @@ object LlmQueries {
               .select((col("doc_id") + 9000000L).as("doc_id")), "doc_id")
           .toDF()
         graft.streaming.Streams.imageGateBatch(s, fix,
-            reup.unionByName(novel), maxHamming = 7, nBuckets = 64)
+            reup.unionByName(novel), maxHamming = 7,
+            nBuckets = Dedup.hammingWideIndexBuckets(s, fix))
           .select("media_id")
       },
       Some(s"""$phashCte,
@@ -1958,7 +2072,8 @@ object LlmQueries {
               .select((col("doc_id") + 9000000L).as("doc_id")), "doc_id")
           .toDF()
         graft.streaming.Streams.videoGateBatch(s, fix,
-            reup.unionByName(novel), maxHamming = 7, nBuckets = 64)
+            reup.unionByName(novel), maxHamming = 7,
+            nBuckets = Dedup.hammingWideIndexBuckets(s, fix))
           .select("media_id")
       },
       Some(s"""$videoStridedPhashCte,
@@ -1993,17 +2108,122 @@ object LlmQueries {
     // double fold — so acceptance is recomputed row-for-row, not
     // contract-flagged. StreamsSpec drives the same dataflow through
     // MemoryStream incl. the cross-batch append and intra-batch check.
+    // Streaming CROSS-MODAL PAIR gate, batch parity (round-18 — the
+    // ingest-time form of llm_pair_contamination): an arriving
+    // (caption, image) pair is rejected when its image perceptually
+    // matches a corpus pair's image through the write-time wide image
+    // index while its caption does NOT near-match that same pair's
+    // caption through the write-time wide-simhash caption index —
+    // contradictory supervision caught at the door instead of at
+    // corpus-rebuild time. The pair corpus is every 4th document
+    // (image group singletons, so decisions are about the arrival);
+    // the arriving batch mixes CONTAMINATED re-uploads (corpus image
+    // under the NEXT doc's caption — image hamming 0, captions
+    // disagree: rejected), CONSISTENT re-uploads (corpus image under
+    // its own caption — caption hamming 0 on the matched pair:
+    // accepted; ordinary duplication is the dedup gates' job, not a
+    // pair defect), and NOVEL pairs (unseen image group salts — no
+    // image hit: accepted whatever the caption). Both membership
+    // checks are the existing banded probes; the gate adds only the
+    // per-(query, cand) anti-join. The oracle replays the full pixel
+    // chain for corpus + both arriving image domains, BOTH wide-hash
+    // chains (image dHash + caption simhash), the band candidacy
+    // joins, and the anti-join decision row-for-row. StreamsSpec
+    // drives the same dataflow through MemoryStream incl. cross-batch
+    // index growth and the intra-batch keep-lowest-id check.
+    "llm_stream_pair_gate" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        val fixI = ensurePairImageIndex(s, dir)
+        val fixC = ensurePairCaptionIndex(s, dir)
+        val docs = Tables.documents(s, dir)
+        val corp = docs.filter(col("doc_id") % 4 === 0)
+        val contaminated = Multimodal.syntheticImageGroups(
+            corp.filter(col("doc_id") % 7 === 0), "doc_id").toDF()
+          .withColumn("media_id", col("media_id") + 2000000L)
+          .join(docs.select((col("doc_id") - 1 + 2000000L).as("media_id"),
+            col("text").as("caption")), Seq("media_id"))
+        val consistent = Multimodal.syntheticImageGroups(
+            corp.filter(col("doc_id") % 7 === 5), "doc_id").toDF()
+          .withColumn("media_id", col("media_id") + 3000000L)
+          .join(docs.select((col("doc_id") + 3000000L).as("media_id"),
+            col("text").as("caption")), Seq("media_id"))
+        val novel = Multimodal.syntheticImageGroups(
+            corp.filter(col("doc_id") % 7 === 3)
+              .select((col("doc_id") + 9000000L).as("doc_id")), "doc_id")
+          .toDF()
+          .join(docs.select((col("doc_id") + 9000000L).as("media_id"),
+            col("text").as("caption")), Seq("media_id"))
+        graft.streaming.Streams.pairGateBatch(s, fixI, fixC,
+            contaminated.unionByName(consistent).unionByName(novel),
+            "caption", maxHamming = 7, capMaxHamming = 7,
+            nBuckets = Dedup.hammingWideIndexBuckets(s, fixI),
+            capBuckets = Dedup.simhashWideIndexBuckets(s, fixC))
+          .select("media_id")
+      },
+      Some(s"""WITH ${phashChainSql("gc",
+              "SELECT doc_id FROM documents WHERE doc_id % 4 = 0")},
+           |${phashWideExtSql("gc")},
+           |${phashChainSql("gn",
+              "SELECT doc_id + 9000000 AS doc_id FROM documents " +
+                "WHERE doc_id % 4 = 0 AND doc_id % 7 = 3")},
+           |${phashWideExtSql("gn")},
+           |arrimg AS (
+           |  SELECT doc_id + 2000000 AS doc_id, dhash, vhash FROM gcphw
+           |    WHERE doc_id % 7 = 0
+           |  UNION ALL SELECT doc_id + 3000000, dhash, vhash FROM gcphw
+           |    WHERE doc_id % 7 = 5
+           |  UNION ALL SELECT doc_id, dhash, vhash FROM gnphw),
+           |arrcap AS (
+           |  SELECT c.doc_id + 2000000 AS doc_id, d.text
+           |  FROM documents c JOIN documents d ON d.doc_id = c.doc_id + 1
+           |  WHERE c.doc_id % 4 = 0 AND c.doc_id % 7 = 0
+           |  UNION ALL SELECT doc_id + 3000000, text FROM documents
+           |    WHERE doc_id % 4 = 0 AND doc_id % 7 = 5
+           |  UNION ALL SELECT doc_id + 9000000, text FROM documents
+           |    WHERE doc_id % 4 = 0 AND doc_id % 7 = 3),
+           |arr AS (SELECT i.doc_id, i.dhash, i.vhash, c.text
+           |  FROM arrimg i JOIN arrcap c USING (doc_id)),
+           |pcorpcap AS (SELECT doc_id, text FROM documents
+           |  WHERE doc_id % 4 = 0),
+           |${wideSigCte("pcorpcap", "gcth", "gcsim")},
+           |${wideSigCte("arr", "gath", "gasim")},
+           |bic AS (${wideBandSlicesSql("gcphw", "dhash", 56, "vhash", 54, 7)}),
+           |bia AS (${wideBandSlicesSql("arr", "dhash", 56, "vhash", 54, 7)}),
+           |imghits AS (SELECT DISTINCT a.doc_id AS query_id,
+           |    c.doc_id AS cand_id
+           |  FROM bia a JOIN bic c ON a.band = c.band AND a.key = c.key
+           |  WHERE bit_count(xor(a.dhash, c.dhash))
+           |    + bit_count(xor(a.vhash, c.vhash)) <= 7),
+           |bcc AS (${wideBandsSql("gcsim")}),
+           |bca AS (${wideBandsSql("gasim")}),
+           |caphits AS (SELECT DISTINCT a.doc_id AS query_id,
+           |    c.doc_id AS cand_id
+           |  FROM bca a JOIN bcc c ON a.band = c.band AND a.key = c.key
+           |  WHERE bit_count(xor(a.sh_lo, c.sh_lo))
+           |    + bit_count(xor(a.sh_hi, c.sh_hi)) <= 7),
+           |flagged AS (SELECT DISTINCT i.query_id FROM imghits i
+           |  WHERE NOT EXISTS (SELECT 1 FROM caphits h
+           |    WHERE h.query_id = i.query_id AND h.cand_id = i.cand_id))
+           |SELECT a.doc_id AS media_id FROM arr a
+           |WHERE NOT EXISTS (SELECT 1 FROM flagged f
+           |  WHERE f.query_id = a.doc_id)""".stripMargin)),
+
     "llm_stream_semantic_gate" -> Q(
       (s, dir) => {
-        // AUTO-SIZED layout (round-16): planes target a ~256-wide
-        // bucket, resolved back from the sidecar — probe cost stays
-        // batch × targetWidth × tables at every corpus size instead of
-        // growing linearly with the corpus on 16 fixed buckets (the
-        // sf10 quadratic BASELINE.md round-16 attributes). The
-        // fixture's designed decisions are plane-count-invariant:
-        // scaled copies have cosine exactly 1, so they co-bucket in
-        // every table under ANY plane count.
-        val fix = ensureLshIndexAuto(s, dir)
+        // MULTI-PROBE POSTURE (round-18): the gate's membership layout
+        // is the FIXED 4-table auto-plane index (ensureLshIndexMp —
+        // index storage ×1, the write-amplification-safe end of the
+        // recall trade at a corpus-sized growing index), probed with
+        // the Hamming-1 expansion (probeTables = MultiProbeTables).
+        // Width-targeted planes keep probe cost batch × targetWidth ×
+        // tables × (p+1) at every corpus size (the round-16 fix); the
+        // recall contract on this path is llm_lsh_multiprobe_recall
+        // (1.0/1.0/0.9955 across three decades). The fixture's
+        // designed decisions are posture-invariant: scaled copies have
+        // cosine exactly 1, so they co-bucket in every table under ANY
+        // plane count and any probe expansion.
+        val fix = ensureLshIndexMp(s, dir)
         val planes = Similarity.lshIndexPlanes(s, fix)
         val tables = Similarity.lshIndexTables(s, fix)
         val emb = Tables.embeddings(s, dir)
@@ -2015,7 +2235,8 @@ object LlmQueries {
               transform(col("embedding"), x => -x).as("embedding")))
         graft.streaming.Streams.semanticGateBatch(s, fix, arriving,
           "vec_id", "embedding", threshold = 0.95, numPlanes = planes,
-          numTables = tables).select("vec_id")
+          numTables = tables,
+          probeTables = Similarity.MultiProbeTables).select("vec_id")
       },
       Some {
         s"""$vecCte,
@@ -2027,14 +2248,15 @@ object LlmQueries {
            |  SELECT vec_id + 30000 AS vec_id,
            |    list_transform(v, x -> -x) AS v
            |  FROM v WHERE vec_id % 5 = 2),
-           |$lshAutoCtes,
+           |$lshAutoCtesMp,
            |cb AS (${lshAutoBucketsSql("v", "vec_id", "v")}),
-           |ab AS (${lshAutoBucketsSql("arriving", "vec_id", "v")})
+           |ab AS (${lshAutoBucketsSql("arriving", "vec_id", "v")}),
+           |abm AS (${lshMultiProbeSql("ab", "vec_id", "v")})
            |SELECT a.vec_id FROM arriving a
-           |WHERE NOT EXISTS (SELECT 1 FROM ab JOIN cb
-           |  ON ab.tbl = cb.tbl AND ab.bucket = cb.bucket
-           |  WHERE ab.vec_id = a.vec_id
-           |    AND ${cosSql("ab.v", "cb.v")} >= 0.95)""".stripMargin
+           |WHERE NOT EXISTS (SELECT 1 FROM abm JOIN cb
+           |  ON abm.tbl = cb.tbl AND abm.bucket = cb.bucket
+           |  WHERE abm.vec_id = a.vec_id
+           |    AND ${cosSql("abm.v", "cb.v")} >= 0.95)""".stripMargin
       }),
 
     // RECALL CONTRACT for the auto-sized LSH gate (round-17): the
@@ -2125,15 +2347,18 @@ object LlmQueries {
     // incl. cross-batch index growth and checkpoint restart.
     "llm_stream_ingest_e2e" -> Q(
       (s, dir) => {
-        // Semantic stage on the AUTO-SIZED LSH layout (round-16): the
-        // fixed-4-plane config made this row 85× for 10× data at sf10
-        // (460 s of the 497 s membership budget was the semantic
-        // probe's corpus-growing buckets); width-targeted planes pin
-        // probe cost at batch × targetWidth × tables. Designed
-        // semantic rejections (scaled copies, cos = 1) are
-        // plane-count-invariant, so the fixture's class decisions are
+        // Semantic stage on the MULTI-PROBE-POSTURE layout (round-18):
+        // auto-sized planes (the round-16 fix for the fixed-4-plane
+        // 85×-at-sf10 quadratic) over a FIXED 4-table layout probed
+        // with the Hamming-1 expansion — the ingest path's membership
+        // index GROWS with every accepted batch, so index storage ×1
+        // (not the compensated t(p) tables) is the 100 TB posture;
+        // recall is held by probe width instead
+        // (llm_lsh_multiprobe_recall: 1.0/1.0/0.9955 per decade).
+        // Designed semantic rejections (scaled copies, cos = 1) are
+        // posture-invariant, so the fixture's class decisions are
         // unchanged at every SF.
-        val semFix = ensureLshIndexAuto(s, dir)
+        val semFix = ensureLshIndexMp(s, dir)
         val cfg = graft.streaming.Streams.IngestPipelineConfig(
           exactIndexPath = ensureExactDupIndex(s, dir),
           nearDupIndexPath = ensureSimhashWideIndex(s, dir),
@@ -2143,7 +2368,8 @@ object LlmQueries {
           driftRefPath = ensureDriftRef(s, dir),
           nBucketsExact = 64, maxHamming = 7, semThreshold = 0.95,
           numPlanes = Similarity.lshIndexPlanes(s, semFix),
-          numTables = Similarity.lshIndexTables(s, semFix))
+          numTables = Similarity.lshIndexTables(s, semFix),
+          semProbeTables = Similarity.MultiProbeTables)
         graft.streaming.Streams.ingestPipelineTrace(s, cfg,
           ingestE2eArriving(s, dir), "doc_id", "text", "embedding")
       },
@@ -3822,7 +4048,8 @@ object LlmQueries {
             Tables.documents(s, dir).filter(col("doc_id") < 50),
             "doc_id")).toDF()
         Dedup.probeHammingWideIndex(s, fix, delta, "media_id", "dhash",
-          "vhash", nLoBits = 56, nHiBits = 54, maxHamming = 7, nBuckets = 64)
+          "vhash", nLoBits = 56, nHiBits = 54, maxHamming = 7,
+          nBuckets = Dedup.hammingWideIndexBuckets(s, fix))
       },
       Some(s"""$phashCte,
          |$phashWideCte,
@@ -4209,7 +4436,8 @@ object LlmQueries {
             Tables.documents(s, dir).filter(col("doc_id") < 50),
             "doc_id")).toDF()
         Dedup.probeHammingWideIndex(s, fix, delta, "media_id", "dhash",
-          "vhash", nLoBits = 56, nHiBits = 54, maxHamming = 7, nBuckets = 64)
+          "vhash", nLoBits = 56, nHiBits = 54, maxHamming = 7,
+          nBuckets = Dedup.hammingWideIndexBuckets(s, fix))
       },
       Some(s"""$videoPhashCte,
          |$videoPhashWideCte,
@@ -4315,7 +4543,8 @@ object LlmQueries {
             Tables.documents(s, dir).filter(col("doc_id") < 50),
             "doc_id"), k = 3).toDF()
         Dedup.probeHammingWideIndexSet(s, fix, delta, "media_id", "dhash",
-          "vhash", nLoBits = 56, nHiBits = 54, maxHamming = 7, nBuckets = 64)
+          "vhash", nLoBits = 56, nHiBits = 54, maxHamming = 7,
+          nBuckets = Dedup.hammingWideIndexBuckets(s, fix))
       },
       Some(s"""$videoStridedPhashCte,
          |$videoStridedPhashWideCte,

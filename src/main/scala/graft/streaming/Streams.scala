@@ -711,6 +711,141 @@ object Streams {
       }
       .start()
 
+  /** One micro-batch of the streaming CROSS-MODAL PAIR gate — the
+    * ingest-time form of [[graft.llm.CrossModal.pairContamination]]:
+    * an arriving (caption, image) training pair is REJECTED when its
+    * image perceptually matches a corpus pair's image (wide-hamming ≤
+    * `maxHamming` through the write-time image index) while its
+    * caption does NOT near-match that same corpus pair's caption
+    * (wide-simhash > `capMaxHamming` through the write-time caption
+    * index) — accepting it would plant contradictory supervision
+    * against the corpus: two near-identical inputs with disagreeing
+    * targets. A CONSISTENT re-upload (image matches, caption also
+    * near-matches) passes this gate — it is ordinary duplication, the
+    * perceptual/text dedup gates' job, not a pair-integrity defect.
+    *
+    * Both membership checks are the EXISTING banded index probes
+    * (batch-sized DPP/static-pruned reads); this gate adds only the
+    * per-(query, cand) anti-join between their hit sets — no new
+    * candidate generation, nothing wider than two ids per row. `batch`
+    * carries the [[graft.llm.Multimodal.MediaRecord]] columns plus
+    * `captionCol`.
+    */
+  def pairGateBatch(spark: org.apache.spark.sql.SparkSession,
+                    imageIndexPath: String, captionIndexPath: String,
+                    batch: DataFrame, captionCol: String, maxHamming: Int,
+                    capMaxHamming: Int, nBuckets: Int, capBuckets: Int,
+                    staticPrune: Boolean = false): DataFrame =
+    pairGateFromHashes(spark, imageIndexPath, captionIndexPath, batch,
+      imageHashKernel(batch), captionCol, maxHamming, capMaxHamming,
+      nBuckets, capBuckets, staticPrune)
+
+  /** [[pairGateBatch]] with the image signatures supplied (the sink's
+    * decode-once path): image mates without a caption mate on the SAME
+    * corpus pair flag the arrival.
+    */
+  private def pairGateFromHashes(spark: org.apache.spark.sql.SparkSession,
+                                 imageIndexPath: String,
+                                 captionIndexPath: String, batch: DataFrame,
+                                 hashes: DataFrame, captionCol: String,
+                                 maxHamming: Int, capMaxHamming: Int,
+                                 nBuckets: Int, capBuckets: Int,
+                                 staticPrune: Boolean): DataFrame = {
+    val imgHits = graft.llm.Dedup.probeHammingWideIndex(spark,
+      imageIndexPath, hashes, "media_id", "sig_lo", "sig_hi", nLoBits = 56,
+      nHiBits = 54, maxHamming, nBuckets, staticPrune = staticPrune)
+      .select(col("query_id"), col("cand_id"))
+    val capHits = graft.llm.Dedup.probeSimhashWideIndex(spark,
+      captionIndexPath, batch, "media_id", captionCol, capMaxHamming,
+      capBuckets, staticPrune = staticPrune)
+      .select(col("query_id"), col("cand_id"))
+    val flagged = imgHits.join(capHits, Seq("query_id", "cand_id"),
+        "left_anti")
+      .select(col("query_id").as("media_id")).distinct()
+    batch.join(flagged, Seq("media_id"), "left_anti")
+  }
+
+  /** Streaming CROSS-MODAL PAIR ingest gate: [[pairGateBatch]] as the
+    * corpus decision, both membership indexes growing with the
+    * accepted pairs — a pair accepted in batch N flags a contaminated
+    * re-upload of its image (same pixels, different caption) in batch
+    * N+1, including through the image's near-dup neighborhood.
+    *
+    * Per micro-batch: decode the images ONCE (pinned wide-hash frame
+    * feeds the corpus probe, the intra-batch check, AND the index
+    * append), reject rows whose image matches a corpus pair under a
+    * disagreeing caption, then reject rows whose image near-matches a
+    * SMALLER id in the same batch under a disagreeing caption
+    * (keep-lowest-id — the intra-batch form of the same defect, which
+    * no corpus probe can see), write survivors batchId-idempotently,
+    * and append their caption band rows THEN their image hashes.
+    *
+    * That append ORDER is load-bearing for replay: a crash between the
+    * two appends leaves caption-only partials, which cannot create an
+    * image hit — so a replayed batch computes exactly the original
+    * decisions (its own rows' self-matches are `cand_id == query_id`,
+    * excluded by both probes). Appending images first would let a
+    * half-appended batch flag its own replay's neighbors through an
+    * image hit whose caption row never landed. Both probes run
+    * `staticPrune = true` (pinned batch frames defeat DPP — see
+    * [[graft.llm.BandedIndex.probeJoinStatic]]); both bucket widths
+    * resolve ONCE per stream from the index sidecars.
+    */
+  def startPairGateSink(df: DataFrame, imageIndexPath: String,
+                        captionIndexPath: String, outPath: String,
+                        checkpoint: String, captionCol: String,
+                        maxHamming: Int, capMaxHamming: Int,
+                        compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark0 = df.sparkSession
+    val nBuckets = graft.llm.Dedup.hammingWideIndexBuckets(spark0,
+      imageIndexPath)
+    val capBuckets = graft.llm.Dedup.simhashWideIndexBuckets(spark0,
+      captionIndexPath)
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = Materialize.pin(batch.toDF())
+        val hashes = Materialize.pin(imageHashKernel(b))
+        val corpusOk = pairGateFromHashes(spark, imageIndexPath,
+          captionIndexPath, b, hashes, captionCol, maxHamming,
+          capMaxHamming, nBuckets, capBuckets, staticPrune = true)
+        // Intra-batch contamination: image near-dup pairs WITHIN the
+        // survivors whose captions disagree — image pairs from the
+        // pinned hashes, caption pairs from the batch text, the same
+        // (id_a, id_b) anti-join as the corpus decision. Keep-lowest-id
+        // (wide pairs emit id_a < id_b).
+        val okIds = corpusOk.select("media_id")
+        val imgPairs = graft.llm.Dedup.hammingNearDupPairsWide(
+          hashes.join(okIds, Seq("media_id")), "media_id", "sig_lo",
+          "sig_hi", nLoBits = 56, nHiBits = 54, maxHamming)
+          .select("id_a", "id_b")
+        val capPairs = graft.llm.Dedup.simhashWidePairs(
+          corpusOk.select(col("media_id"), col(captionCol)), "media_id",
+          captionCol, capMaxHamming)
+          .select("id_a", "id_b")
+        val intraDups = imgPairs.join(capPairs, Seq("id_a", "id_b"),
+            "left_anti")
+          .select(col("id_b").as("media_id")).distinct()
+        val accepted = corpusOk.join(intraDups, Seq("media_id"), "left_anti")
+          .transform(Materialize.pin)
+        accepted.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        // Captions BEFORE images — see the replay argument above.
+        graft.llm.Dedup.appendToSimhashWideIndex(
+          accepted.select(col("media_id"), col(captionCol)), "media_id",
+          captionCol, capMaxHamming, capBuckets, captionIndexPath)
+        graft.llm.Dedup.appendToHammingWideIndex(
+          hashes.join(accepted.select("media_id"), Seq("media_id")),
+          "media_id", "sig_lo", "sig_hi", nLoBits = 56, nHiBits = 54,
+          maxHamming, nBuckets, imageIndexPath)
+        maybeCompactIndexes(spark, Seq(imageIndexPath, captionIndexPath),
+          batchId, compactEvery)
+      }
+      .start()
+  }
+
   /** One micro-batch of the streaming SEMANTIC ingest gate: keep only
     * the batch rows whose embedding has NO corpus bucket-mate with
     * cosine >= `threshold` in the write-time LSH index
@@ -723,16 +858,37 @@ object Streams {
     * still matches (the SemDeDup signal, applied at ingest time instead
     * of corpus-rebuild time). Same 100 TB property: cost is the BATCH
     * size times probed-bucket width, never the corpus.
+    *
+    * `probeTables` > 0 selects the MULTI-PROBE posture (round-18, the
+    * gate default at the sink level): membership is judged through
+    * [[graft.llm.Similarity.probeLshThresholdMultiProbe]] — each
+    * arriving vector probes its exact bucket plus every Hamming-1
+    * neighbor in the first `min(probeTables, numTables)` tables. The
+    * ingest path writes its membership layout at
+    * [[graft.llm.Similarity.MultiProbeTables]] tables (index storage
+    * ×1 — at 100 TB the index is corpus-sized, so write amplification,
+    * not probe width, is the expensive axis) and holds the recall
+    * contract by probe expansion instead of table count. 0 = the
+    * exact-bucket probe over all `numTables` tables (the compensated-
+    * layout posture — right when the layout already paid t(p) tables
+    * and probe latency dominates).
     */
   def semanticGateBatch(spark: org.apache.spark.sql.SparkSession,
                         indexPath: String, batch: DataFrame, idCol: String,
                         vecCol: String, threshold: Double, numPlanes: Int,
-                        numTables: Int,
-                        staticPrune: Boolean = false): DataFrame = {
-    val hits = graft.llm.Similarity
-      .probeLshThreshold(spark, indexPath, batch, idCol, vecCol, threshold,
-        numPlanes, numTables, staticPrune = staticPrune)
-      .select(col("query_id").as(idCol)).distinct()
+                        numTables: Int, staticPrune: Boolean = false,
+                        probeTables: Int = 0): DataFrame = {
+    val probe =
+      if (probeTables > 0)
+        graft.llm.Similarity.probeLshThresholdMultiProbe(spark, indexPath,
+          batch, idCol, vecCol, threshold, numPlanes, numTables,
+          probeTables = math.min(probeTables, numTables),
+          staticPrune = staticPrune)
+      else
+        graft.llm.Similarity.probeLshThreshold(spark, indexPath, batch,
+          idCol, vecCol, threshold, numPlanes, numTables,
+          staticPrune = staticPrune)
+    val hits = probe.select(col("query_id").as(idCol)).distinct()
     batch.join(hits, Seq(idCol), "left_anti")
   }
 
@@ -744,16 +900,35 @@ object Streams {
     * Batch-sized work: candidates form only inside shared buckets,
     * never all-pairs. Shared by [[startSemanticGateSink]] and the
     * composed [[ingestPipelineBatch]].
+    *
+    * `probeTables` > 0 mirrors the corpus probe's MULTI-PROBE posture
+    * on the intra check: one side's buckets expand to their Hamming-1
+    * neighbors over the first `min(probeTables, numTables)` tables
+    * (bucket distance is symmetric, so expanding one side of an
+    * `id_a < id_b` pair sees every pair the two-sided expansion
+    * would), holding the same recall math as the corpus decision on a
+    * [[graft.llm.Similarity.MultiProbeTables]]-table layout. 0 = the
+    * exact-bucket check over all tables.
     */
   def semanticIntraBatchDups(df: DataFrame, idCol: String, vecCol: String,
                              threshold: Double, numPlanes: Int,
-                             numTables: Int): DataFrame = {
+                             numTables: Int,
+                             probeTables: Int = 0): DataFrame = {
+    val nt = if (probeTables > 0) math.min(probeTables, numTables)
+      else numTables
     val b = df.select(col(idCol).as("id"),
-      posexplode(array((0 until numTables).map(t =>
+      posexplode(array((0 until nt).map(t =>
         graft.llm.Similarity.hyperplaneBucket(
           transform(col(vecCol), x => x.cast("double")), numPlanes, t)): _*))
         .as(Seq("tbl", "bucket")))
-    val mates = b.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+    val probeSide =
+      if (probeTables > 0)
+        b.select(col("id"), col("tbl"),
+          explode(array(Seq(col("bucket")) ++ (0 until numPlanes).map(j =>
+            col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+      else b
+    val mates = probeSide
+      .select(col("tbl"), col("bucket"), col("id").as("id_a"))
       .join(b.select(col("tbl"), col("bucket"), col("id").as("id_b")),
         Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
@@ -780,22 +955,42 @@ object Streams {
     * set (any shared table bucket, exact cosine >= threshold) reject
     * every row matching a smaller id — deterministic keep-lowest-id,
     * batch-sized, replay-stable. Same chain caveat as there.
+    *
+    * POSTURE (round-18): the gate defaults to MULTI-PROBE membership
+    * (`probeTables` = [[graft.llm.Similarity.MultiProbeTables]],
+    * clamped to the layout's table count) — the ingest path should
+    * write its LSH layout at [[graft.llm.Similarity.MultiProbeTables]]
+    * tables (`writeLshIndexAuto(..., numTables =
+    * Similarity.MultiProbeTables)`) and hold the recall contract by
+    * Hamming-1 probe expansion instead of t(p) table storage: the
+    * membership index GROWS with the corpus (every accepted row
+    * appends `numTables` rows), so at 100 TB its storage — not the
+    * batch-sized probe width — is the binding cost, and ×1 storage at
+    * probe width ×(p+1) beats ×t(p) storage at exact-bucket width
+    * (measured: `llm_lsh_multiprobe_recall` 1.0/1.0/0.9955 across
+    * three decades, FASTER than the exact-bucket probe at sf1/sf10).
+    * Pass `probeTables = 0` for the exact-bucket posture over a
+    * compensated t(p)-table layout.
     */
   def startSemanticGateSink(df: DataFrame, indexPath: String, outPath: String,
                             checkpoint: String, idCol: String, vecCol: String,
                             threshold: Double, numPlanes: Int,
-                            numTables: Int, compactEvery: Int = 0) =
+                            numTables: Int, compactEvery: Int = 0,
+                            probeTables: Int =
+                              graft.llm.Similarity.MultiProbeTables) =
     df.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val corpusOk = semanticGateBatch(spark, indexPath, batch.toDF(),
-          idCol, vecCol, threshold, numPlanes, numTables, staticPrune = true)
+          idCol, vecCol, threshold, numPlanes, numTables, staticPrune = true,
+          probeTables = probeTables)
           .transform(Materialize.pin)
         val accepted = corpusOk
           .join(semanticIntraBatchDups(corpusOk, idCol, vecCol, threshold,
-            numPlanes, numTables), Seq(idCol), "left_anti")
+            numPlanes, numTables, probeTables = probeTables),
+            Seq(idCol), "left_anti")
           .transform(Materialize.pin)
         accepted.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         graft.llm.Similarity.appendToLshIndex(accepted, idCol, vecCol,
@@ -962,7 +1157,13 @@ object Streams {
       exactIndexPath: String, nearDupIndexPath: String, semIndexPath: String,
       lmPath: String, clfModelPath: String, driftRefPath: String,
       nBucketsExact: Int, maxHamming: Int, semThreshold: Double,
-      numPlanes: Int, numTables: Int)
+      numPlanes: Int, numTables: Int,
+      // Semantic-stage posture (round-18): > 0 = MULTI-PROBE membership
+      // over the first min(semProbeTables, numTables) tables — the
+      // default, paired with a Similarity.MultiProbeTables-table layout
+      // (see startSemanticGateSink's posture note); 0 = exact-bucket
+      // over all numTables tables (the compensated-layout posture).
+      semProbeTables: Int = graft.llm.Similarity.MultiProbeTables)
 
   /** One micro-batch of the FULL ingest pipeline — the six decision
     * stages composed in their contract order over one arriving frame of
@@ -1006,10 +1207,20 @@ object Streams {
                           cfg: IngestPipelineConfig, batch: DataFrame,
                           idCol: String, textCol: String,
                           vecCol: String): DataFrame =
-    ingestStages(spark, cfg, idCol, textCol, vecCol)
+    ingestStages(spark, cfg, idCol, textCol, vecCol,
+      resolveNearBuckets(spark, cfg))
       .foldLeft(redactKeepVec(batch, idCol, textCol, vecCol)) {
         case (df, (_, stage)) => stage(df)
       }
+
+  /** The near-dup stage's bucket width, resolved ONCE from the index's
+    * params sidecar — callers thread the value into [[ingestStages]]
+    * so the per-stage lambdas never re-read the sidecar file (the
+    * streaming sink resolves it once per STREAM, not per micro-batch).
+    */
+  private def resolveNearBuckets(spark: org.apache.spark.sql.SparkSession,
+                                 cfg: IngestPipelineConfig): Int =
+    graft.llm.Dedup.simhashWideIndexBuckets(spark, cfg.nearDupIndexPath)
 
   /** Redact `textCol` in place, carrying `vecCol` through — the frame
     * every decision stage of the composed pipeline operates on.
@@ -1030,7 +1241,8 @@ object Streams {
     */
   private def ingestStages(spark: org.apache.spark.sql.SparkSession,
                            cfg: IngestPipelineConfig, idCol: String,
-                           textCol: String, vecCol: String)
+                           textCol: String, vecCol: String,
+                           nearBuckets: Int)
       : Seq[(String, DataFrame => DataFrame)] = Seq(
     // staticPrune on every membership stage: stage inputs are PINNED
     // survivor frames (unknown size stats), which silently disables
@@ -1048,8 +1260,7 @@ object Streams {
       Seq(idCol), "left_semi")),
     "near" -> ((df: DataFrame) => nearDupGateBatch(spark,
       cfg.nearDupIndexPath, df, idCol, textCol, cfg.maxHamming,
-      nBuckets = graft.llm.Dedup.simhashWideIndexBuckets(spark,
-        cfg.nearDupIndexPath), staticPrune = true)),
+      nBuckets = nearBuckets, staticPrune = true)),
     // simhashWidePairs emits id_a < id_b; dropping every id_b keeps the
     // lowest id of each intra-batch near-dup group.
     "near_intra" -> ((df: DataFrame) => df.join(
@@ -1058,10 +1269,11 @@ object Streams {
       Seq(idCol), "left_anti")),
     "semantic" -> ((df: DataFrame) => semanticGateBatch(spark,
       cfg.semIndexPath, df, idCol, vecCol, cfg.semThreshold, cfg.numPlanes,
-      cfg.numTables, staticPrune = true)),
+      cfg.numTables, staticPrune = true,
+      probeTables = cfg.semProbeTables)),
     "semantic_intra" -> ((df: DataFrame) => df.join(
       semanticIntraBatchDups(df, idCol, vecCol, cfg.semThreshold,
-        cfg.numPlanes, cfg.numTables),
+        cfg.numPlanes, cfg.numTables, probeTables = cfg.semProbeTables),
       Seq(idCol), "left_anti")),
     "kn" -> ((df: DataFrame) => graft.llm.TextAnalysis.knGateBatch(spark,
       cfg.lmPath, df, idCol, textCol)),
@@ -1093,7 +1305,8 @@ object Streams {
     var cur = red.select(col(idCol), col("redacted").as(textCol))
       .join(batch.select(col(idCol), col(vecCol)), Seq(idCol))
       .transform(Materialize.pin)
-    val rejected = ingestStages(spark, cfg, idCol, textCol, vecCol)
+    val rejected = ingestStages(spark, cfg, idCol, textCol, vecCol,
+        resolveNearBuckets(spark, cfg))
       .map { case (name, stage) =>
         val next = stage(cur).transform(Materialize.pin)
         val rej = cur.select(col(idCol))
@@ -1148,7 +1361,11 @@ object Streams {
                               outPath: String, monitorPath: String,
                               checkpoint: String, idCol: String,
                               textCol: String, vecCol: String,
-                              compactEvery: Int = 0) =
+                              compactEvery: Int = 0) = {
+    // Resolved ONCE per stream, not per micro-batch: the near stage's
+    // bucket width is a build-time layout constant — re-reading the
+    // params sidecar from the filesystem every batch bought nothing.
+    val nearBuckets = resolveNearBuckets(df.sparkSession, cfg)
     df.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -1169,7 +1386,8 @@ object Streams {
         // count and wall are observable.
         var cur = redacted
         var nCur = nArrived
-        ingestStages(spark, cfg, idCol, textCol, vecCol).zipWithIndex
+        ingestStages(spark, cfg, idCol, textCol, vecCol, nearBuckets)
+          .zipWithIndex
           .foreach { case ((name, stage), i) =>
             val t = System.nanoTime()
             val next = stage(cur).transform(Materialize.pin)
@@ -1202,4 +1420,5 @@ object Streams {
           .write.mode("overwrite").parquet(s"$monitorPath/batch_id=$batchId")
       }
       .start()
+  }
 }

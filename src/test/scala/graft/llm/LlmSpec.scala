@@ -1047,6 +1047,39 @@ class DedupSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(dir))
   }
+
+  test("probeJoinStatic key cap: over maxKeys the probe falls back to an " +
+    "unfiltered read with IDENTICAL rows, and records the fallback") {
+    val params = Map("family" -> "spec-cap")
+    val layout = (0L until 80L)
+      .map(i => (i, (i % 4).toInt, (i % 8).toInt, i * 31L))
+      .toDF("cand_id", "band", "bkt", "sig")
+    val dir = java.nio.file.Files.createTempDirectory("spcap").toString + "/ix"
+    try {
+      BandedIndex.writeLayout(layout, dir,
+        org.apache.spark.sql.SaveMode.Overwrite, params)
+      // 12 probed (band, bkt) keys; payload joins as a residual-free
+      // broadcast.
+      val qb = (0L until 12L)
+        .map(i => (i + 1000L, (i % 4).toInt, (i % 8).toInt))
+        .toDF("query_id", "band", "bkt")
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pruned = rows(BandedIndex.probeJoinStatic(spark, dir, qb, Nil,
+        params))
+      assert(BandedIndex.lastStaticPruneFallback.get() === 0L)
+      // Cap BELOW the probed key count: the predicate is dropped, the
+      // read is the full layout, the JOIN result is identical — and the
+      // fallback is loud (diagnostic counter carries the key count).
+      val capped = rows(BandedIndex.probeJoinStatic(spark, dir, qb, Nil,
+        params, maxKeys = 5))
+      assert(capped === pruned)
+      assert(BandedIndex.lastStaticPruneFallback.get() > 5L)
+      assert(pruned.nonEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir).getParentFile)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

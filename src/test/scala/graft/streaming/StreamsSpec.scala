@@ -24,6 +24,9 @@ case class Vec(vec_id: Long, embedding: Array[Float])
 
 case class DocVec(doc_id: Long, text: String, embedding: Array[Float])
 
+case class PairRec(media_id: Long, modality: String, payload: Array[Byte],
+                   caption: String)
+
 /** Streaming semantics: replay the same rows through MemoryStream and
   * assert the incremental result equals the batch result of the SAME
   * transform — the unified-model contract the driver's batch-parity
@@ -739,6 +742,88 @@ class StreamsSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("streaming CROSS-MODAL pair gate rejects contaminated re-uploads " +
+    "(same image, different caption), keeps consistent re-uploads and " +
+    "novel pairs, gates intra-batch, and grows both indexes cross-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import graft.llm.{Dedup, Multimodal}
+    // Corpus pairs: image-group SINGLETONS (ids 0, 4, 8 — one member
+    // per group at groupSize 4) under mutually-distant captions, so
+    // every decision below is about the ARRIVING pair, not
+    // corpus-internal image mates.
+    val mk = Multimodal.syntheticImageGroups(
+      Seq(0L, 4L, 8L, 40L, 41L, 44L, 45L, 60L).toDF("doc_id"), "doc_id")
+      .collect().map(r => r.media_id -> r).toMap
+    val cap = Map(
+      0L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      4L -> "quark lepton boson hadron meson photon gluon tachyon axion",
+      8L -> "robin sparrow falcon heron crane swan goose duck owl lark")
+    val capNovel = "maple birch cedar willow aspen poplar alder rowan elm"
+    val capOther = "anchor rudder keel mast bowsprit tiller winch cleat"
+    val root = java.nio.file.Files.createTempDirectory("pgate").toString
+    val (idx, cidx, out, ckpt) =
+      (s"$root/img", s"$root/cap", s"$root/out", s"$root/ckpt")
+    def pr(arrId: Long, pixelId: Long, caption: String): PairRec = {
+      val m = mk(pixelId)
+      PairRec(arrId, m.modality, m.payload, caption)
+    }
+    try {
+      Dedup.writeHammingWideIndex(
+        Multimodal.extractImageHashesWide(
+          Seq(mk(0L), mk(4L), mk(8L)).toDS()).toDF(),
+        "media_id", "dhash", "vhash", nLoBits = 56, nHiBits = 54,
+        maxHamming = 7, nBuckets = 8, path = idx)
+      Dedup.writeSimhashWideIndex(
+        cap.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+        maxHamming = 7, nBuckets = 8, path = cidx)
+      val mem = MemoryStream[PairRec]
+      val q = Streams.startPairGateSink(mem.toDF(), idx, cidx, out, ckpt,
+        "caption", maxHamming = 7, capMaxHamming = 7)
+      try {
+        // Batch 0: CONTAMINATED re-upload of pair 0 (byte-identical
+        // image, foreign caption — reject); CONSISTENT re-upload of
+        // pair 4 (own caption at simhash 0 on the matched pair —
+        // accept: that is ordinary duplication, not a pair defect);
+        // novel pair (group-10 image, novel caption — accept); an
+        // intra-batch contaminated pair: near-identical group-11
+        // images under DISAGREEING captions — keep lowest id 103.
+        mem.addData(
+          pr(100L, 0L, capOther),
+          pr(101L, 4L, cap(4L)),
+          pr(102L, 40L, capNovel),
+          pr(103L, 44L, cap(0L)),
+          pr(104L, 45L, capOther))
+        q.processAllAvailable()
+        // Batch 1: a near-copy (group mate 41) of ACCEPTED image 102
+        // under a DIFFERENT caption — rejected through the grown
+        // indexes; the same near-copy under 102's OWN caption —
+        // accepted (consistent); a contaminated re-upload of corpus
+        // pair 8 — rejected.
+        mem.addData(
+          pr(110L, 41L, capOther),
+          pr(111L, 41L, capNovel),
+          pr(112L, 8L, cap(0L)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val accepted = spark.read.parquet(out)
+        .select("media_id").as[Long].collect().sorted
+      assert(accepted === Array(101L, 102L, 103L, 111L))
+      // Raw batch parity against the final grown indexes: image of
+      // accepted pair 102 under yet another caption is rejected; a
+      // fresh image group is accepted regardless of caption.
+      val probe = Seq(pr(200L, 40L, capOther), pr(201L, 60L, capOther))
+        .toDF()
+      val replay = Streams.pairGateBatch(spark, idx, cidx, probe,
+        "caption", maxHamming = 7, capMaxHamming = 7,
+        nBuckets = Dedup.hammingWideIndexBuckets(spark, idx),
+        capBuckets = Dedup.simhashWideIndexBuckets(spark, cidx))
+        .select("media_id").as[Long].collect().sorted
+      assert(replay === Array(201L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("streaming SEMANTIC gate rejects scaled copies, cross-batch " +
     "paraphrases of accepted rows, and intra-batch clones via the LSH index") {
     implicit val sqlCtx = spark.sqlContext
@@ -776,10 +861,13 @@ class StreamsSpec extends SparkSpec {
       assert(accepted === Array(11L, 13L, 15L))
       // Gate body agrees with a direct probe of the final (grown) index:
       // the intra-batch survivor 13 was appended (20 rejected), 14 wasn't.
+      // probeTables mirrors the sink's wired MULTI-PROBE default, so
+      // this is decision parity with the gate, not just a weaker check.
       val replay = Streams.semanticGateBatch(spark, idx,
         Seq(Vec(20L, e(3, 7.0f)), Vec(21L, e(5))).toDF(),
         "vec_id", "embedding", threshold = 0.95, numPlanes = 4,
-        numTables = 4)
+        numTables = 4,
+        probeTables = graft.llm.Similarity.MultiProbeTables)
         .select("vec_id").as[Long].collect().sorted
       assert(replay === Array(21L))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
@@ -1114,7 +1202,8 @@ class StreamsSpec extends SparkSpec {
         "doc_id", "text", 7).count() === 0L)
       assert(Streams.semanticGateBatch(spark, cfg.semIndexPath,
         Seq(DocVec(202L, "unrelated words entirely", e(56, 9.0f))).toDF(),
-        "doc_id", "embedding", 0.95, 4, 4).count() === 0L)
+        "doc_id", "embedding", 0.95, 4, 4,
+        probeTables = cfg.semProbeTables).count() === 0L)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(root))
   }
