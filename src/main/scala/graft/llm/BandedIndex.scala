@@ -163,12 +163,18 @@ private[llm] object BandedIndex {
     * the partition columns prunes at file-listing time, deterministic
     * and stats-independent.
     *
-    * `qb` is PINNED here before anything reads it, so its upstream
-    * plan (a signature kernel, an LSH projection) executes exactly
-    * once no matter how the caller built it — the key collect and the
-    * probe join both read the pinned blocks (round-18: the text and
-    * semantic gate sinks used to pay the projection twice because
-    * only the perceptual sink pre-pinned its kernel output).
+    * The key collect evaluates only the COLUMN-PRUNED (band, bkt)
+    * projection of `qb`'s plan — query payload columns (a 64-double
+    * vector, a signature word) are never materialized for it — so the
+    * probe costs one extra pass of the batch scan + bucket folds, not
+    * a payload copy. Callers on the streaming path PIN THE BATCH
+    * before building `qb` (the gate sinks do), which makes that extra
+    * pass a read of pinned blocks. Round-18 measured the tempting
+    * alternative — pinning `qb` itself here — at ~3× the whole
+    * composed-ingest wall at sf10: a localCheckpoint of the exploded
+    * band frame materializes the query payload once per band row
+    * (1.6M × 64 doubles for a corpus-shaped semantic batch), far more
+    * IO than the pruned second pass it saves.
     *
     * The collect is bounded metadata — one (band, bkt) pair per probed
     * directory, ≤ batch × bands rows — but a corpus-sized batch over a
@@ -185,8 +191,7 @@ private[llm] object BandedIndex {
                       residual: Seq[String], params: Map[String, String],
                       maxKeys: Int = MaxStaticPruneKeys): DataFrame = {
     validateParams(spark, indexPath, params, "probe banded index")
-    val pinned = graft.ops.Materialize.pin(qb)
-    val keys = pinned.select(col("band"), col("bkt")).distinct()
+    val keys = qb.select(col("band"), col("bkt")).distinct()
       .limit(maxKeys + 1).collect()
     val index = spark.read.parquet(indexPath)
     val pruned =
@@ -207,7 +212,7 @@ private[llm] object BandedIndex {
         index.where(pred)
       }
     pruned
-      .join(broadcast(pinned), Seq("band", "bkt") ++ residual)
+      .join(broadcast(qb), Seq("band", "bkt") ++ residual)
       .filter(col("cand_id") =!= col("query_id"))
   }
 

@@ -197,6 +197,11 @@ object LlmQueries {
     ensureImageHashWideIndex(s, dir)
     ensureVideoHashWideIndex(s, dir)
     ensureVideoStridedHashWideIndex(s, dir)
+    ensureAudioHashWideIndex(s, dir)
+    ensureLshIndexAuto(s, dir)
+    ensureLshIndexMp(s, dir)
+    ensurePairImageIndex(s, dir)
+    ensurePairCaptionIndex(s, dir)
     ensureKnLm(s, dir)
     CurationQueries.ensureClfModel(s, dir)
     CurationQueries.ensureBpeTokenizer(s, dir)

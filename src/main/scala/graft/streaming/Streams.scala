@@ -452,7 +452,11 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val corpusOk = nearDupGateBatch(spark, indexPath, batch.toDF(),
+        // Pin the batch FIRST: the static-prune probe's key collect is
+        // a second (column-pruned) pass over the batch plan — against
+        // pinned blocks it costs a re-scan, not a source replay.
+        val b = Materialize.pin(batch.toDF())
+        val corpusOk = nearDupGateBatch(spark, indexPath, b,
           idCol, textCol, maxHamming, nBuckets, staticPrune = true)
         // simhashWidePairs emits id_a < id_b, so id_b is always the
         // larger member: dropping every id_b keeps the lowest id of
@@ -983,7 +987,9 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val corpusOk = semanticGateBatch(spark, indexPath, batch.toDF(),
+        // Batch pinned first — see startNearDupGateSink's note.
+        val corpusOk = semanticGateBatch(spark, indexPath,
+          Materialize.pin(batch.toDF()),
           idCol, vecCol, threshold, numPlanes, numTables, staticPrune = true,
           probeTables = probeTables)
           .transform(Materialize.pin)
@@ -1035,8 +1041,10 @@ object Streams {
         // lazy plan would re-read. staticPrune: a streaming batch frame
         // reports unknown size stats, so DPP's benefit heuristic would
         // reject and the probe would read the whole index (see
-        // BandedIndex.probeJoinStatic).
-        val accepted = dedupGateBatch(spark, indexPath, batch.toDF(),
+        // BandedIndex.probeJoinStatic). The batch itself is pinned too,
+        // so the probe's key-collect pass reads pinned blocks.
+        val accepted = dedupGateBatch(spark, indexPath,
+          Materialize.pin(batch.toDF()),
           idCol, textCol, nBuckets, staticPrune = true)
           .transform(Materialize.pin)
         accepted.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
