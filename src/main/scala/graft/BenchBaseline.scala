@@ -26,13 +26,17 @@ object BenchBaseline {
     "llm_audio_fingerprint" -> 0.648, // r16 calm-window
     "llm_audio_index_probe_wide" -> 1.364, // r16 calm-window
     "llm_audio_neardup" -> 1.366, // r16 calm-window
-    "llm_image_index_probe_wide" -> 1.865, // r16 calm-window
+    // Round-18 addition: the cross-modal pair gate (calm pinned:32
+    // reps=3 run, /tmp/r18_minima.log — image decode of three arriving
+    // classes dominates).
+    "llm_stream_pair_gate" -> 4.808, // r18 calm-window
+    "llm_image_index_probe_wide" -> 0.744, // r18: auto-width layout (sidecar-resolved nb), probe reads fewer saturated files
     "llm_stream_audio_gate" -> 1.347, // r16 calm-window
-    "llm_stream_image_gate" -> 1.922, // r16 calm-window
-    "llm_video_index_probe_wide" -> 1.482, // r16 calm-window
+    "llm_stream_image_gate" -> 0.798, // r18: auto-width layout
+    "llm_video_index_probe_wide" -> 0.659, // r18: auto-width layout
     "llm_video_mjpeg_neardup" -> 6.76, // r16 calm-window
     "llm_video_mjpeg_phash" -> 3.805, // r16 calm-window
-    "llm_video_strided_index_probe_wide" -> 1.712, // r16 calm-window
+    "llm_video_strided_index_probe_wide" -> 0.772, // r18: auto-width layout
     "a2_cms_topk" -> 1.733, // r15 calm-window
     "analyst_trend" -> 0.308, // r15 calm-window
     "dividend_asof" -> 0.231, // r15 calm-window
@@ -47,7 +51,7 @@ object BenchBaseline {
     "llm_sim_range_ivf" -> 1.183, // r15 calm-window
     "llm_sim_range_ivf_grown" -> 1.139, // r15 calm-window
     "llm_stream_drift_monitor" -> 0.317, // r15 calm-window
-    "llm_stream_ingest_e2e" -> 7.053, // r16 calm-window
+    "llm_stream_ingest_e2e" -> 11.673, // r18: DELIBERATE plan change - semantic stage on the multi-probe posture (index storage x1, probe width x(p+1)); 1.66x on the corpus-shaped fixture batch, priced in BASELINE.md round-18 posture row
     // Round-17 additions (recall contracts, cross-modal pair checks,
     // video ingest gate): min across two full calm-window runs
     // (/tmp/bench_full_r17{a,b}.raw), sf0.1 local[32], reps=2.
@@ -55,7 +59,7 @@ object BenchBaseline {
     "llm_lsh_multiprobe_recall" -> 1.295, // r17
     "llm_caption_boilerplate" -> 1.102, // r17
     "llm_pair_contamination" -> 2.668, // r17
-    "llm_stream_video_gate" -> 1.702, // r17
+    "llm_stream_video_gate" -> 0.993, // r18: auto-width layout
     "llm_stream_pii_redact" -> 0.198, // r15 calm-window
     "llm_video_neardup" -> 0.381, // r16 calm-window
     "llm_video_phash" -> 0.131, // r16 calm-window
@@ -152,7 +156,7 @@ object BenchBaseline {
     "llm_semantic_dedup_index" -> 3.109, // r17 calm (was 4.135); the r16
     // 7.5 s calm reading adjudicated as drift (isolated probe 3.91 s)
     "llm_stream_quality_gate" -> 1.159, // r11 second pass
-    "llm_stream_semantic_gate" -> 0.645, // r16 calm-window
+    "llm_stream_semantic_gate" -> 1.579, // r18: DELIBERATE plan change - multi-probe posture over the 4-table layout (see ingest_e2e note)
     "llm_domain_mix" -> 0.065,
     "llm_exactdup_index_probe" -> 0.611,
     "llm_fingerprint" -> 0.260,
