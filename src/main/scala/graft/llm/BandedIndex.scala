@@ -142,14 +142,51 @@ private[llm] object BandedIndex {
     * the residual columns, and whatever query payload the caller's
     * measure needs. Returns the joined frame; measure + threshold +
     * output dedup stay with the family.
+    *
+    * The broadcast hint is GUARDED, not assumed (round-19, the
+    * [[graft.llm.Dedup.minhashLshPairsAcross]] `maxBroadcastRight`
+    * idiom): `qb` is counted first — one column-pruned pass of the
+    * batch-side plan, no payload materialization — and past
+    * `maxBroadcastRows` rows the hint is DROPPED so the optimizer/AQE
+    * pick the join sides. For the documented contract (micro-batches ≪
+    * corpus) the broadcast always engages; the guard exists because a
+    * corpus-shaped batch fed through the same path (the sf100 e2e
+    * fixture drove one — ~16M exploded rows exact posture, ~88M
+    * multi-probe) otherwise builds a multi-GB driver hash relation and
+    * dies by GC, which no contract comment prevents. The fallback is
+    * WARN-logged with both counts and recorded per index path in
+    * [[probeBroadcastFallback]].
     */
   def probeJoin(spark: SparkSession, indexPath: String, qb: DataFrame,
-                residual: Seq[String], params: Map[String, String]): DataFrame = {
+                residual: Seq[String], params: Map[String, String],
+                maxBroadcastRows: Long = MaxProbeBroadcastRows): DataFrame = {
     validateParams(spark, indexPath, params, "probe banded index")
     spark.read.parquet(indexPath)
-      .join(broadcast(qb), Seq("band", "bkt") ++ residual)
+      .join(guardedQueryBroadcast(indexPath, qb, qb.count(), maxBroadcastRows),
+        Seq("band", "bkt") ++ residual)
       .filter(col("cand_id") =!= col("query_id"))
   }
+
+  /** Apply (or, past the cap, drop) the probe-side broadcast hint —
+    * the shared guard of [[probeJoin]] / [[probeJoinStatic]] and the
+    * multi-probe band frame. Records the decision per index path.
+    */
+  private[llm] def guardedQueryBroadcast(indexPath: String, qb: DataFrame,
+                                         qbRows: Long,
+                                         maxBroadcastRows: Long): DataFrame =
+    if (qbRows > maxBroadcastRows) {
+      probeBroadcastFallbacks.put(indexPath, qbRows)
+      val n = if (qbRows == Long.MaxValue) "an untotalled (key-cap-truncated) number of"
+        else qbRows.toString
+      log.warn(s"probe of $indexPath: query band frame has $n rows " +
+        s"(> $maxBroadcastRows) - dropping the broadcast hint and letting " +
+        "the optimizer/AQE pick join sides (a corpus-shaped batch must " +
+        "not become a driver-sized hash relation)")
+      qb
+    } else {
+      probeBroadcastFallbacks.put(indexPath, 0L)
+      broadcast(qb)
+    }
 
   /** [[probeJoin]] with the probed (band, bkt) keys COLLECTED and pushed
     * as a STATIC partition filter. Exists because DPP is a heuristic,
@@ -185,34 +222,49 @@ private[llm] object BandedIndex {
     * declines — at that many probed directories a full read is the
     * right plan anyway: the batch touches most of the index). No
     * silent caps: the fallback is WARN-logged with both counts and
-    * recorded in [[lastStaticPruneFallback]].
+    * recorded per index path in [[staticPruneFallback]].
+    *
+    * The broadcast hint on `qb` carries the SAME guard as [[probeJoin]]
+    * — at zero extra jobs here: the key collect is a (band, bkt)
+    * GROUP-COUNT, so the exploded frame's total row count falls out of
+    * the same aggregation that yields the prune keys. Past
+    * `maxBroadcastRows` rows (or when the key cap itself fires — a
+    * batch probing that many directories is corpus-shaped by
+    * definition) the hint is dropped and the optimizer/AQE pick sides;
+    * recorded in [[probeBroadcastFallback]].
     */
   def probeJoinStatic(spark: SparkSession, indexPath: String, qb: DataFrame,
                       residual: Seq[String], params: Map[String, String],
-                      maxKeys: Int = MaxStaticPruneKeys): DataFrame = {
+                      maxKeys: Int = MaxStaticPruneKeys,
+                      maxBroadcastRows: Long = MaxProbeBroadcastRows): DataFrame = {
     validateParams(spark, indexPath, params, "probe banded index")
-    val keys = qb.select(col("band"), col("bkt")).distinct()
+    val keys = qb.groupBy(col("band"), col("bkt"))
+      .agg(count(lit(1)).as("__qn"))
       .limit(maxKeys + 1).collect()
     val index = spark.read.parquet(indexPath)
-    val pruned =
+    val (pruned, qbRows) =
       if (keys.length > maxKeys) {
-        lastStaticPruneFallback.set(keys.length.toLong)
+        staticPruneFallbacks.put(indexPath, keys.length.toLong)
         log.warn(s"probeJoinStatic: > $maxKeys distinct " +
           s"(band, bkt) keys probed at $indexPath - falling back to an " +
           "unfiltered index read (a batch touching that many directories " +
           "reads most of the layout either way)")
-        index
+        // The truncated collect cannot total the frame; a batch probing
+        // > maxKeys directories is corpus-shaped, so the broadcast is
+        // force-dropped below.
+        (index, Long.MaxValue)
       } else {
-        lastStaticPruneFallback.set(0L)
+        staticPruneFallbacks.put(indexPath, 0L)
         val pred = keys.groupBy(_.get(0)).toSeq
           .map { case (band, rows) =>
             col("band") === band && col("bkt").isin(rows.map(_.get(1)): _*)
           }
           .reduceOption(_ || _).getOrElse(lit(false))
-        index.where(pred)
+        (index.where(pred), keys.iterator.map(_.getLong(2)).sum)
       }
     pruned
-      .join(broadcast(qb), Seq("band", "bkt") ++ residual)
+      .join(guardedQueryBroadcast(indexPath, qb, qbRows, maxBroadcastRows),
+        Seq("band", "bkt") ++ residual)
       .filter(col("cand_id") =!= col("query_id"))
   }
 
@@ -226,13 +278,50 @@ private[llm] object BandedIndex {
     */
   val MaxStaticPruneKeys: Int = 65536
 
-  /** Diagnostic twin of [[graft.llm.Similarity.lastCapExclusions]]: the
-    * (limit-truncated, i.e. ≥ maxKeys + 1) probed-key count of the most
-    * recent [[probeJoinStatic]] fallback, 0 when the last probe pruned
+  /** Probe-side broadcast row cap: past this many query band rows the
+    * probe paths DROP the broadcast hint (see [[probeJoin]]). Sized for
+    * the widest payload family — the semantic single-probe frame
+    * carries a 64-double query vector per band row (~550 B), so the
+    * cap bounds the driver hash relation at ~2 GB worst case; the
+    * narrow-payload families (wide-hamming signatures, exact hashes)
+    * stay far under it. A production micro-batch (≤ a few 100k rows ×
+    * ≤ 15 tables) never reaches it. Callers with a KNOWN-narrow frame
+    * (the multi-probe expansion: three scalars per row) pass
+    * [[MaxProbeBroadcastRowsNarrow]] instead.
+    */
+  val MaxProbeBroadcastRows: Long = 4000000L
+
+  /** [[MaxProbeBroadcastRows]] for three-scalar band frames (~30 B per
+    * row — the multi-probe (query_id, band, bkt) expansion): ~1 GB
+    * worst case. High enough that a 1M-row batch × 4 tables × 17
+    * probes still broadcasts; the sf100 corpus-shaped fixture's ~88M
+    * rows do not.
+    */
+  val MaxProbeBroadcastRowsNarrow: Long = 32000000L
+
+  /** Diagnostic twin of [[graft.llm.Similarity.lastCapExclusions]],
+    * scoped PER INDEX PATH (concurrent gate streams probe different
+    * layouts; a global cell would let one stream clobber another's
+    * reading): the (limit-truncated, i.e. ≥ maxKeys + 1) probed-key
+    * count of `indexPath`'s most recent [[probeJoinStatic]] fallback —
+    * 0 when its last probe pruned normally, 0 when never probed.
+    */
+  def staticPruneFallback(indexPath: String): Long =
+    Option(staticPruneFallbacks.get(indexPath)).fold(0L)(_.longValue)
+
+  private val staticPruneFallbacks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** The broadcast-guard twin of [[staticPruneFallback]]: the row count
+    * of `indexPath`'s most recent probe whose query frame exceeded the
+    * broadcast cap (hint dropped), 0 when its last probe broadcast
     * normally.
     */
-  val lastStaticPruneFallback =
-    new java.util.concurrent.atomic.AtomicLong(0L)
+  def probeBroadcastFallback(indexPath: String): Long =
+    Option(probeBroadcastFallbacks.get(indexPath)).fold(0L)(_.longValue)
+
+  private val probeBroadcastFallbacks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private val log = org.slf4j.LoggerFactory.getLogger("graft.llm.BandedIndex")
 

@@ -351,7 +351,7 @@ object Dedup {
     val join: (org.apache.spark.sql.SparkSession, String, DataFrame,
       Seq[String], Map[String, String]) => DataFrame =
       if (staticPrune) BandedIndex.probeJoinStatic(_, _, _, _, _)
-      else BandedIndex.probeJoin
+      else BandedIndex.probeJoin(_, _, _, _, _)
     join(spark, indexPath, qb, Seq("key"), exactDupParams(nBuckets))
       .filter(col("h128") === col("q_h128"))
       .select(col("query_id"), col("cand_id"))
@@ -994,7 +994,7 @@ object Dedup {
     val join: (org.apache.spark.sql.SparkSession, String, DataFrame,
       Seq[String], Map[String, String]) => DataFrame =
       if (staticPrune) BandedIndex.probeJoinStatic(_, _, _, _, _)
-      else BandedIndex.probeJoin
+      else BandedIndex.probeJoin(_, _, _, _, _)
     join(spark, indexPath, qb, Seq("key"),
       hammingWideIndexParams(nLoBits, nHiBits, maxHamming, nBuckets))
       .withColumn("hamming",
@@ -1130,7 +1130,7 @@ object Dedup {
     val join: (org.apache.spark.sql.SparkSession, String, DataFrame,
       Seq[String], Map[String, String]) => DataFrame =
       if (staticPrune) BandedIndex.probeJoinStatic(_, _, _, _, _)
-      else BandedIndex.probeJoin
+      else BandedIndex.probeJoin(_, _, _, _, _)
     join(spark, indexPath, qb, Seq("key"),
       simhashWideParams(maxHamming, nBuckets))
       .withColumn("hamming",

@@ -1007,7 +1007,7 @@ object Similarity {
     val join: (org.apache.spark.sql.SparkSession, String, DataFrame,
       Seq[String], Map[String, String]) => DataFrame =
       if (staticPrune) BandedIndex.probeJoinStatic(_, _, _, _, _)
-      else BandedIndex.probeJoin
+      else BandedIndex.probeJoin(_, _, _, _, _)
     join(spark, indexPath, qb, Nil, lshParams(numPlanes, numTables))
       .withColumn("cos",
         dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
@@ -1070,12 +1070,25 @@ object Similarity {
       explode(array(Seq(col("bkt0")) ++ (0 until numPlanes).map(j =>
         col("bkt0").bitwiseXOR(lit(1L << j))): _*)).as("bkt"))
       .withColumn("bkt", col("bkt").cast("int"))
+    // The exploded frame is three scalars per row, so its broadcast cap
+    // is the NARROW one; the batch-sized re-attach frame `q` carries
+    // the 64-double vector per row and gets the payload cap (round-19:
+    // both guarded — the sf100 corpus-shaped fixture batch reached
+    // ~88M band rows here and killed the driver on the unconditional
+    // hint).
     val join: (org.apache.spark.sql.SparkSession, String, DataFrame,
       Seq[String], Map[String, String]) => DataFrame =
-      if (staticPrune) BandedIndex.probeJoinStatic(_, _, _, _, _)
-      else BandedIndex.probeJoin
+      if (staticPrune)
+        BandedIndex.probeJoinStatic(_, _, _, _, _,
+          maxBroadcastRows = BandedIndex.MaxProbeBroadcastRowsNarrow)
+      else
+        BandedIndex.probeJoin(_, _, _, _, _,
+          maxBroadcastRows = BandedIndex.MaxProbeBroadcastRowsNarrow)
     join(spark, indexPath, qb, Nil, lshParams(numPlanes, numTables))
-      .join(broadcast(q), Seq("query_id"))
+      // Distinct diagnostic key: the band-frame guard above records
+      // under indexPath; this one must not clobber it.
+      .join(BandedIndex.guardedQueryBroadcast(s"$indexPath#reattach", q,
+        q.count(), BandedIndex.MaxProbeBroadcastRows), Seq("query_id"))
       .withColumn("cos",
         dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
       .filter(col("cos") >= threshold)

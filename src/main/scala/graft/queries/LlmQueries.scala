@@ -2214,6 +2214,115 @@ object LlmQueries {
            |WHERE NOT EXISTS (SELECT 1 FROM flagged f
            |  WHERE f.query_id = a.doc_id)""".stripMargin)),
 
+    // BOTH defect directions of the streaming pair gate (round-19 —
+    // pairGateBatch with rejectBoilerplate = true): contamination
+    // (image matches a corpus pair, caption disagrees) AND its inverse,
+    // caption BOILERPLATE (caption near-matches a corpus pair's
+    // caption while the image does NOT match that pair's image — the
+    // ingest-time CrossModal.captionBoilerplate: template alt-text
+    // repeated over unrelated images). The arriving batch mixes
+    // BOILERPLATE pairs (novel-salt image under a corpus pair's own
+    // caption — caption hamming 0 on the pair, no image hit: rejected),
+    // CONSISTENT re-uploads (corpus image under its own caption — the
+    // caption hit and image hit align on the SAME cand, so neither
+    // direction flags: accepted), and NOVEL pairs (unseen image salt
+    // under a NON-corpus caption — the %4==1 neighbor doc's text:
+    // accepted unless the oracle's recomputation finds an accidental
+    // near-match, which it replays row-for-row). The oracle replays
+    // the full pixel chain for corpus + both arriving salt domains,
+    // both wide-hash chains, the band candidacy joins, and the
+    // two-direction flag union. Decision function is pure in
+    // (corpus-before-batch, batch): the gate's batch-domain exclusion
+    // is invisible here (id domains disjoint) and is spec-tested in
+    // StreamsSpec instead.
+    "llm_stream_pair_gate_boilerplate" -> Q(
+      (s, dir) => {
+        implicit val sp = s
+        val fixI = ensurePairImageIndex(s, dir)
+        val fixC = ensurePairCaptionIndex(s, dir)
+        val docs = Tables.documents(s, dir)
+        val corp = docs.filter(col("doc_id") % 4 === 0)
+        val boiler = Multimodal.syntheticImageGroups(
+            corp.filter(col("doc_id") % 7 === 3)
+              .select((col("doc_id") + 9000000L).as("doc_id")), "doc_id")
+          .toDF()
+          .join(docs.select((col("doc_id") + 9000000L).as("media_id"),
+            col("text").as("caption")), Seq("media_id"))
+        val consistent = Multimodal.syntheticImageGroups(
+            corp.filter(col("doc_id") % 7 === 5), "doc_id").toDF()
+          .withColumn("media_id", col("media_id") + 3000000L)
+          .join(docs.select((col("doc_id") + 3000000L).as("media_id"),
+            col("text").as("caption")), Seq("media_id"))
+        val novel = Multimodal.syntheticImageGroups(
+            corp.filter(col("doc_id") % 7 === 0)
+              .select((col("doc_id") + 20000000L).as("doc_id")), "doc_id")
+          .toDF()
+          .join(docs.select((col("doc_id") - 1 + 20000000L).as("media_id"),
+            col("text").as("caption")), Seq("media_id"))
+        graft.streaming.Streams.pairGateBatch(s, fixI, fixC,
+            boiler.unionByName(consistent).unionByName(novel),
+            "caption", maxHamming = 7, capMaxHamming = 7,
+            nBuckets = Dedup.hammingWideIndexBuckets(s, fixI),
+            capBuckets = Dedup.simhashWideIndexBuckets(s, fixC),
+            rejectBoilerplate = true)
+          .select("media_id")
+      },
+      Some(s"""WITH ${phashChainSql("gc",
+              "SELECT doc_id FROM documents WHERE doc_id % 4 = 0")},
+           |${phashWideExtSql("gc")},
+           |${phashChainSql("gn",
+              "SELECT doc_id + 9000000 AS doc_id FROM documents " +
+                "WHERE doc_id % 4 = 0 AND doc_id % 7 = 3")},
+           |${phashWideExtSql("gn")},
+           |${phashChainSql("gv",
+              "SELECT doc_id + 20000000 AS doc_id FROM documents " +
+                "WHERE doc_id % 4 = 0 AND doc_id % 7 = 0")},
+           |${phashWideExtSql("gv")},
+           |arrimg AS (
+           |  SELECT doc_id, dhash, vhash FROM gnphw
+           |  UNION ALL SELECT doc_id + 3000000, dhash, vhash FROM gcphw
+           |    WHERE doc_id % 7 = 5
+           |  UNION ALL SELECT doc_id, dhash, vhash FROM gvphw),
+           |arrcap AS (
+           |  SELECT doc_id + 9000000 AS doc_id, text FROM documents
+           |    WHERE doc_id % 4 = 0 AND doc_id % 7 = 3
+           |  UNION ALL SELECT doc_id + 3000000, text FROM documents
+           |    WHERE doc_id % 4 = 0 AND doc_id % 7 = 5
+           |  UNION ALL SELECT c.doc_id + 20000000, d.text
+           |  FROM documents c JOIN documents d ON d.doc_id = c.doc_id + 1
+           |  WHERE c.doc_id % 4 = 0 AND c.doc_id % 7 = 0),
+           |arr AS (SELECT i.doc_id, i.dhash, i.vhash, c.text
+           |  FROM arrimg i JOIN arrcap c USING (doc_id)),
+           |pcorpcap AS (SELECT doc_id, text FROM documents
+           |  WHERE doc_id % 4 = 0),
+           |${wideSigCte("pcorpcap", "gcth", "gcsim")},
+           |${wideSigCte("arr", "gath", "gasim")},
+           |bic AS (${wideBandSlicesSql("gcphw", "dhash", 56, "vhash", 54, 7)}),
+           |bia AS (${wideBandSlicesSql("arr", "dhash", 56, "vhash", 54, 7)}),
+           |imghits AS (SELECT DISTINCT a.doc_id AS query_id,
+           |    c.doc_id AS cand_id
+           |  FROM bia a JOIN bic c ON a.band = c.band AND a.key = c.key
+           |  WHERE bit_count(xor(a.dhash, c.dhash))
+           |    + bit_count(xor(a.vhash, c.vhash)) <= 7),
+           |bcc AS (${wideBandsSql("gcsim")}),
+           |bca AS (${wideBandsSql("gasim")}),
+           |caphits AS (SELECT DISTINCT a.doc_id AS query_id,
+           |    c.doc_id AS cand_id
+           |  FROM bca a JOIN bcc c ON a.band = c.band AND a.key = c.key
+           |  WHERE bit_count(xor(a.sh_lo, c.sh_lo))
+           |    + bit_count(xor(a.sh_hi, c.sh_hi)) <= 7),
+           |flagged AS (
+           |  SELECT DISTINCT i.query_id FROM imghits i
+           |  WHERE NOT EXISTS (SELECT 1 FROM caphits h
+           |    WHERE h.query_id = i.query_id AND h.cand_id = i.cand_id)
+           |  UNION
+           |  SELECT DISTINCT h.query_id FROM caphits h
+           |  WHERE NOT EXISTS (SELECT 1 FROM imghits i
+           |    WHERE i.query_id = h.query_id AND i.cand_id = h.cand_id))
+           |SELECT a.doc_id AS media_id FROM arr a
+           |WHERE NOT EXISTS (SELECT 1 FROM flagged f
+           |  WHERE f.query_id = a.doc_id)""".stripMargin)),
+
     "llm_stream_semantic_gate" -> Q(
       (s, dir) => {
         // MULTI-PROBE POSTURE (round-18): the gate's membership layout

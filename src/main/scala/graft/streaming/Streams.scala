@@ -24,6 +24,8 @@ import graft.ops.Materialize
   */
 object Streams {
 
+  private val streamLog = org.slf4j.LoggerFactory.getLogger("graft.streaming.Streams")
+
   /** Tumbling-window event rollup: count + value sum per (window, type).
     * In streaming, `watermark` bounds lateness and evicts closed windows.
     * (`withWatermark` is a no-op in batch — same plan both ways.)
@@ -734,19 +736,55 @@ object Streams {
     * candidate generation, nothing wider than two ids per row. `batch`
     * carries the [[graft.llm.Multimodal.MediaRecord]] columns plus
     * `captionCol`.
+    *
+    * ID-DOMAIN CONTRACT: the two corpus indexes MUST be built over the
+    * SAME pair-id domain — pair i's image row and caption row carry
+    * the identical id (the fixture builders key both on the pair's
+    * doc id). The per-(query, cand) anti-join aligns hits BY THAT
+    * SHARED ID; indexes keyed in different domains (image media_ids vs
+    * caption doc_ids) would never align, silently flagging every
+    * image match as contamination.
+    *
+    * `rejectBoilerplate` adds the INVERSE defect direction (the
+    * ingest-time form of [[graft.llm.CrossModal.captionBoilerplate]]):
+    * a pair whose CAPTION near-matches a corpus pair's caption while
+    * its IMAGE does not perceptually match that same pair's image —
+    * template alt-text ("stock photo", "image may contain…") repeated
+    * over unrelated images, teaching a captioner to emit the template
+    * regardless of input. Symmetric semantics: contamination is
+    * ∃ corpus pair (image agrees ∧ caption disagrees); boilerplate is
+    * ∃ corpus pair (caption agrees ∧ image disagrees). A consistent
+    * re-upload (both agree on the SAME pair) passes both directions —
+    * ordinary duplication is the dedup gates' job. Both directions
+    * reuse the SAME two probe hit sets; the flag only adds the second
+    * anti-join, no new index reads.
     */
   def pairGateBatch(spark: org.apache.spark.sql.SparkSession,
                     imageIndexPath: String, captionIndexPath: String,
                     batch: DataFrame, captionCol: String, maxHamming: Int,
                     capMaxHamming: Int, nBuckets: Int, capBuckets: Int,
-                    staticPrune: Boolean = false): DataFrame =
+                    staticPrune: Boolean = false,
+                    rejectBoilerplate: Boolean = false): DataFrame =
     pairGateFromHashes(spark, imageIndexPath, captionIndexPath, batch,
       imageHashKernel(batch), captionCol, maxHamming, capMaxHamming,
-      nBuckets, capBuckets, staticPrune)
+      nBuckets, capBuckets, staticPrune, rejectBoilerplate)
 
   /** [[pairGateBatch]] with the image signatures supplied (the sink's
     * decode-once path): image mates without a caption mate on the SAME
-    * corpus pair flag the arrival.
+    * corpus pair flag the arrival (plus the inverse direction under
+    * `rejectBoilerplate`).
+    *
+    * Both hit sets are restricted to candidates OUTSIDE the arriving
+    * batch's own id domain before the anti-joins (round-19). Corpus
+    * probes already exclude `cand_id == query_id` self-matches; the
+    * batch-domain exclusion extends that to SIBLING rows of the same
+    * batch, which can only appear in an index through a crash-replayed
+    * half-append (captions landed, images didn't). With it, the gate
+    * decision is a pure function of (corpus state BEFORE the batch,
+    * batch) — exactly-once under replay for BOTH defect directions and
+    * ANY append order, instead of relying on caption-before-image
+    * ordering to keep one direction safe. Intra-batch pair defects are
+    * the sink's separate intra check, not the corpus decision's job.
     */
   private def pairGateFromHashes(spark: org.apache.spark.sql.SparkSession,
                                  imageIndexPath: String,
@@ -754,18 +792,27 @@ object Streams {
                                  hashes: DataFrame, captionCol: String,
                                  maxHamming: Int, capMaxHamming: Int,
                                  nBuckets: Int, capBuckets: Int,
-                                 staticPrune: Boolean): DataFrame = {
+                                 staticPrune: Boolean,
+                                 rejectBoilerplate: Boolean = false): DataFrame = {
+    val batchIds = batch.select(col("media_id").as("cand_id")).distinct()
     val imgHits = graft.llm.Dedup.probeHammingWideIndex(spark,
       imageIndexPath, hashes, "media_id", "sig_lo", "sig_hi", nLoBits = 56,
       nHiBits = 54, maxHamming, nBuckets, staticPrune = staticPrune)
       .select(col("query_id"), col("cand_id"))
+      .join(broadcast(batchIds), Seq("cand_id"), "left_anti")
     val capHits = graft.llm.Dedup.probeSimhashWideIndex(spark,
       captionIndexPath, batch, "media_id", captionCol, capMaxHamming,
       capBuckets, staticPrune = staticPrune)
       .select(col("query_id"), col("cand_id"))
-    val flagged = imgHits.join(capHits, Seq("query_id", "cand_id"),
-        "left_anti")
-      .select(col("query_id").as("media_id")).distinct()
+      .join(broadcast(batchIds), Seq("cand_id"), "left_anti")
+    val contaminated = imgHits.join(capHits, Seq("query_id", "cand_id"),
+      "left_anti")
+    val flagged =
+      (if (rejectBoilerplate)
+         contaminated.unionByName(
+           capHits.join(imgHits, Seq("query_id", "cand_id"), "left_anti"))
+       else contaminated)
+        .select(col("query_id").as("media_id")).distinct()
     batch.join(flagged, Seq("media_id"), "left_anti")
   }
 
@@ -784,22 +831,31 @@ object Streams {
     * no corpus probe can see), write survivors batchId-idempotently,
     * and append their caption band rows THEN their image hashes.
     *
-    * That append ORDER is load-bearing for replay: a crash between the
-    * two appends leaves caption-only partials, which cannot create an
-    * image hit — so a replayed batch computes exactly the original
-    * decisions (its own rows' self-matches are `cand_id == query_id`,
-    * excluded by both probes). Appending images first would let a
-    * half-appended batch flag its own replay's neighbors through an
-    * image hit whose caption row never landed. Both probes run
+    * Replay safety rests on the BATCH-DOMAIN EXCLUSION in the corpus
+    * decision (see [[pairGateFromHashes]]): hits whose candidate is a
+    * row of the arriving batch itself — only possible through a
+    * crash-replayed half-append — are dropped, so a replayed batch
+    * computes exactly the original decisions in both defect
+    * directions, under either append order. The caption-before-image
+    * order is kept as defense in depth (caption-only partials cannot
+    * create an image hit even without the exclusion). Both probes run
     * `staticPrune = true` (pinned batch frames defeat DPP — see
     * [[graft.llm.BandedIndex.probeJoinStatic]]); both bucket widths
-    * resolve ONCE per stream from the index sidecars.
+    * resolve ONCE per stream from the index sidecars. The two indexes
+    * must share one pair-id domain — [[pairGateBatch]]'s contract.
+    *
+    * `rejectBoilerplate` arms the inverse defect direction
+    * ([[pairGateBatch]]'s flag) on the corpus decision AND its
+    * intra-batch twin: caption near-dup mates WITHIN the survivors
+    * whose images are NOT near-dups reject the larger id — the same
+    * keep-lowest-id rule, anti-join reversed.
     */
   def startPairGateSink(df: DataFrame, imageIndexPath: String,
                         captionIndexPath: String, outPath: String,
                         checkpoint: String, captionCol: String,
                         maxHamming: Int, capMaxHamming: Int,
-                        compactEvery: Int = 0)
+                        compactEvery: Int = 0,
+                        rejectBoilerplate: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark0 = df.sparkSession
     val nBuckets = graft.llm.Dedup.hammingWideIndexBuckets(spark0,
@@ -815,7 +871,8 @@ object Streams {
         val hashes = Materialize.pin(imageHashKernel(b))
         val corpusOk = pairGateFromHashes(spark, imageIndexPath,
           captionIndexPath, b, hashes, captionCol, maxHamming,
-          capMaxHamming, nBuckets, capBuckets, staticPrune = true)
+          capMaxHamming, nBuckets, capBuckets, staticPrune = true,
+          rejectBoilerplate = rejectBoilerplate)
         // Intra-batch contamination: image near-dup pairs WITHIN the
         // survivors whose captions disagree — image pairs from the
         // pinned hashes, caption pairs from the batch text, the same
@@ -830,9 +887,14 @@ object Streams {
           corpusOk.select(col("media_id"), col(captionCol)), "media_id",
           captionCol, capMaxHamming)
           .select("id_a", "id_b")
-        val intraDups = imgPairs.join(capPairs, Seq("id_a", "id_b"),
-            "left_anti")
-          .select(col("id_b").as("media_id")).distinct()
+        val contaminatedIntra = imgPairs.join(capPairs, Seq("id_a", "id_b"),
+          "left_anti")
+        val intraDups =
+          (if (rejectBoilerplate)
+             contaminatedIntra.unionByName(
+               capPairs.join(imgPairs, Seq("id_a", "id_b"), "left_anti"))
+           else contaminatedIntra)
+            .select(col("id_b").as("media_id")).distinct()
         val accepted = corpusOk.join(intraDups, Seq("media_id"), "left_anti")
           .transform(Materialize.pin)
         accepted.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
@@ -981,7 +1043,35 @@ object Streams {
                             threshold: Double, numPlanes: Int,
                             numTables: Int, compactEvery: Int = 0,
                             probeTables: Int =
-                              graft.llm.Similarity.MultiProbeTables) =
+                              graft.llm.Similarity.MultiProbeTables) = {
+    // POSTURE GUARD (round-19, advisor): membership semantics are a
+    // (layout, probe) PAIR. A stream restarting from its checkpoint
+    // after a default change must not silently switch decision
+    // semantics, so the posture actually in effect is resolved against
+    // the layout's sidecar ONCE at sink start and logged; a multi-probe
+    // posture over a layout with MORE tables than the multi-probe
+    // write posture uses is loud — that layout shape is the
+    // compensated-t(p) one, written to be probed exact-bucket over ALL
+    // its tables, and prefix-probing it changes accept/reject
+    // decisions mid-stream.
+    val layoutTables = graft.llm.Similarity.lshIndexTables(df.sparkSession,
+      indexPath)
+    if (probeTables > 0) {
+      streamLog.info(s"semantic gate posture at $indexPath: MULTI-PROBE " +
+        s"over ${math.min(probeTables, numTables)} of $layoutTables " +
+        "layout tables (Hamming-1 bucket expansion)")
+      if (layoutTables > graft.llm.Similarity.MultiProbeTables)
+        streamLog.warn(s"semantic gate at $indexPath: multi-probe posture " +
+          s"(probeTables=$probeTables) over a $layoutTables-table layout - " +
+          "that width is the COMPENSATED layout's, built for the " +
+          "exact-bucket posture (probeTables = 0); a prefix probe of it " +
+          "holds recall but changes membership decisions vs the posture " +
+          "the layout was written for. Pass probeTables = 0 to keep the " +
+          "layout's own posture, or rebuild the layout at " +
+          s"${graft.llm.Similarity.MultiProbeTables} tables.")
+    } else
+      streamLog.info(s"semantic gate posture at $indexPath: EXACT-BUCKET " +
+        s"over all $layoutTables layout tables")
     df.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -1004,6 +1094,7 @@ object Streams {
         maybeCompactIndexes(spark, Seq(indexPath), batchId, compactEvery)
       }
       .start()
+  }
 
   /** Streaming ingest dedup gate: each micro-batch is gated through
     * [[dedupGateBatch]], accepted rows land in a batchId-named parquet

@@ -1068,15 +1068,31 @@ class DedupSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val pruned = rows(BandedIndex.probeJoinStatic(spark, dir, qb, Nil,
         params))
-      assert(BandedIndex.lastStaticPruneFallback.get() === 0L)
+      assert(BandedIndex.staticPruneFallback(dir) === 0L)
+      assert(BandedIndex.probeBroadcastFallback(dir) === 0L)
       // Cap BELOW the probed key count: the predicate is dropped, the
       // read is the full layout, the JOIN result is identical — and the
       // fallback is loud (diagnostic counter carries the key count).
       val capped = rows(BandedIndex.probeJoinStatic(spark, dir, qb, Nil,
         params, maxKeys = 5))
       assert(capped === pruned)
-      assert(BandedIndex.lastStaticPruneFallback.get() > 5L)
+      assert(BandedIndex.staticPruneFallback(dir) > 5L)
+      // The key-cap fallback is corpus-shaped by definition: the
+      // broadcast hint must have been dropped too (untotalled sentinel).
+      assert(BandedIndex.probeBroadcastFallback(dir) === Long.MaxValue)
       assert(pruned.nonEmpty)
+      // Broadcast-row cap alone (keys under their cap): rows identical,
+      // prune diagnostic clean, broadcast fallback carries the count.
+      val rowCapped = rows(BandedIndex.probeJoinStatic(spark, dir, qb, Nil,
+        params, maxBroadcastRows = 5L))
+      assert(rowCapped === pruned)
+      assert(BandedIndex.staticPruneFallback(dir) === 0L)
+      assert(BandedIndex.probeBroadcastFallback(dir) === 12L)
+      // And the DPP path's guard: same rows with the hint dropped.
+      val dppCapped = rows(BandedIndex.probeJoin(spark, dir, qb, Nil,
+        params, maxBroadcastRows = 5L))
+      assert(dppCapped === pruned)
+      assert(BandedIndex.probeBroadcastFallback(dir) === 12L)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(dir).getParentFile)
   }

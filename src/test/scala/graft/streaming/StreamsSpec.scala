@@ -824,6 +824,135 @@ class StreamsSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("pair gate BOILERPLATE direction: rejects template captions over " +
+    "unrelated images (corpus, cross-batch, and intra-batch), keeps " +
+    "consistent re-uploads, and contamination stays armed") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import graft.llm.{Dedup, Multimodal}
+    val mk = Multimodal.syntheticImageGroups(
+      Seq(0L, 4L, 8L, 40L, 44L, 45L, 60L, 80L).toDF("doc_id"), "doc_id")
+      .collect().map(r => r.media_id -> r).toMap
+    val cap = Map(
+      0L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      4L -> "quark lepton boson hadron meson photon gluon tachyon axion",
+      8L -> "robin sparrow falcon heron crane swan goose duck owl lark")
+    val capNovel = "maple birch cedar willow aspen poplar alder rowan elm"
+    val capNovel2 = "glacier fjord tundra moraine esker drumlin cirque col"
+    val capOther = "anchor rudder keel mast bowsprit tiller winch cleat"
+    val root = java.nio.file.Files.createTempDirectory("bgate").toString
+    val (idx, cidx, out, ckpt) =
+      (s"$root/img", s"$root/cap", s"$root/out", s"$root/ckpt")
+    def pr(arrId: Long, pixelId: Long, caption: String): PairRec = {
+      val m = mk(pixelId)
+      PairRec(arrId, m.modality, m.payload, caption)
+    }
+    try {
+      Dedup.writeHammingWideIndex(
+        Multimodal.extractImageHashesWide(
+          Seq(mk(0L), mk(4L), mk(8L)).toDS()).toDF(),
+        "media_id", "dhash", "vhash", nLoBits = 56, nHiBits = 54,
+        maxHamming = 7, nBuckets = 8, path = idx)
+      Dedup.writeSimhashWideIndex(
+        cap.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+        maxHamming = 7, nBuckets = 8, path = cidx)
+      val mem = MemoryStream[PairRec]
+      val q = Streams.startPairGateSink(mem.toDF(), idx, cidx, out, ckpt,
+        "caption", maxHamming = 7, capMaxHamming = 7,
+        rejectBoilerplate = true)
+      try {
+        // Batch 0: BOILERPLATE pair (novel group-10 image under corpus
+        // pair 0's caption — reject); CONSISTENT re-upload of pair 4
+        // (accept); novel pair 102 (accept); CONTAMINATED re-upload of
+        // pair 0 (reject — the original direction stays armed); 104
+        // shares 102's caption over an UNRELATED image — the
+        // intra-batch boilerplate pair, keep lowest id 102.
+        mem.addData(
+          pr(100L, 40L, cap(0L)),
+          pr(101L, 4L, cap(4L)),
+          pr(102L, 44L, capNovel),
+          pr(103L, 0L, capOther),
+          pr(104L, 60L, capNovel))
+        q.processAllAvailable()
+        // Batch 1: 110 reuses ACCEPTED pair 102's caption over an
+        // unrelated image — boilerplate through the GROWN caption
+        // index (104's caption was never appended: it was rejected);
+        // 111 is a group-mate of 102's image under a foreign caption —
+        // contamination through the grown image index; 112 novel both
+        // ways — accepted.
+        mem.addData(
+          pr(110L, 60L, capNovel),
+          pr(111L, 45L, capOther),
+          pr(112L, 80L, capNovel2))
+        q.processAllAvailable()
+      } finally q.stop()
+      val accepted = spark.read.parquet(out)
+        .select("media_id").as[Long].collect().sorted
+      assert(accepted === Array(101L, 102L, 112L))
+      // Raw batch parity on the final grown indexes: corpus pair 8's
+      // caption over a never-accepted image is boilerplate (reject);
+      // the consistent re-upload of pair 8 passes both directions.
+      val probe = Seq(pr(200L, 40L, cap(8L)), pr(201L, 8L, cap(8L))).toDF()
+      val replay = Streams.pairGateBatch(spark, idx, cidx, probe,
+        "caption", maxHamming = 7, capMaxHamming = 7,
+        nBuckets = Dedup.hammingWideIndexBuckets(spark, idx),
+        capBuckets = Dedup.simhashWideIndexBuckets(spark, cidx),
+        rejectBoilerplate = true)
+        .select("media_id").as[Long].collect().sorted
+      assert(replay === Array(201L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
+  test("pair gate batch-domain exclusion: a crash-replayed half-append " +
+    "(captions landed, images didn't) cannot flip the replay's own " +
+    "boilerplate decisions") {
+    implicit val s = spark
+    import graft.llm.{Dedup, Multimodal}
+    val mk = Multimodal.syntheticImageGroups(
+      Seq(0L, 40L, 44L).toDF("doc_id"), "doc_id")
+      .collect().map(r => r.media_id -> r).toMap
+    val capNovel = "maple birch cedar willow aspen poplar alder rowan elm"
+    val root = java.nio.file.Files.createTempDirectory("bexcl").toString
+    val (idx, cidx) = (s"$root/img", s"$root/cap")
+    def pr(arrId: Long, pixelId: Long, caption: String): PairRec = {
+      val m = mk(pixelId)
+      PairRec(arrId, m.modality, m.payload, caption)
+    }
+    try {
+      Dedup.writeHammingWideIndex(
+        Multimodal.extractImageHashesWide(Seq(mk(0L)).toDS()).toDF(),
+        "media_id", "dhash", "vhash", nLoBits = 56, nHiBits = 54,
+        maxHamming = 7, nBuckets = 8, path = idx)
+      Dedup.writeSimhashWideIndex(
+        Seq((0L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", maxHamming = 7, nBuckets = 8, path = cidx)
+      // Two arrivals SHARING a novel caption over unrelated images:
+      // both pass the corpus decision (no corpus caption mate).
+      val batch = Seq(pr(300L, 40L, capNovel), pr(301L, 44L, capNovel))
+        .toDF()
+      def decide() = Streams.pairGateBatch(spark, idx, cidx, batch,
+        "caption", maxHamming = 7, capMaxHamming = 7,
+        nBuckets = Dedup.hammingWideIndexBuckets(spark, idx),
+        capBuckets = Dedup.simhashWideIndexBuckets(spark, cidx),
+        rejectBoilerplate = true)
+        .select("media_id").as[Long].collect().sorted
+      assert(decide() === Array(300L, 301L))
+      // Simulate the crash window: the batch's CAPTION rows landed in
+      // the index, the image rows did not. On replay each row's
+      // caption now matches its BATCH SIBLING with no image hit —
+      // boilerplate-shaped, but purely a replay artifact. The
+      // batch-domain exclusion must keep the original decisions.
+      Dedup.appendToSimhashWideIndex(
+        Seq((300L, capNovel), (301L, capNovel)).toDF("media_id", "caption"),
+        "media_id", "caption", maxHamming = 7,
+        nBuckets = Dedup.simhashWideIndexBuckets(spark, cidx), path = cidx)
+      assert(decide() === Array(300L, 301L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("streaming SEMANTIC gate rejects scaled copies, cross-batch " +
     "paraphrases of accepted rows, and intra-batch clones via the LSH index") {
     implicit val sqlCtx = spark.sqlContext
