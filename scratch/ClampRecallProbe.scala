@@ -59,11 +59,27 @@ object ClampRecallProbe {
     // Deterministic hash-uniform corpus: component i of vector v is
     // murmur3(vec_id, i) scaled to [-1, 1] — float-cast like the real
     // embeddings column so downstream arithmetic matches the contract.
+    // MATERIALIZED to parquet before any bucket math (round-19 fix —
+    // the reason the r18 run never finished): left lazy, Catalyst's
+    // projection collapse inlines the 64-hash vector GENERATOR into
+    // every one of the 15 × 16 plane projections (~100k expression
+    // nodes per row), whole-stage codegen bails at that size, and the
+    // bucket stage drops to INTERPRETED eval — a single task was
+    // measured at ~15 min of CPU with the stage effectively unbounded.
+    // A parquet round-trip makes the embedding a plain column, exactly
+    // like the real embeddings table the contract rows read.
     def vecExpr = transform(sequence(lit(0), lit(63)),
       i => (pmod(hash(col("vec_id"), i), lit(2001)) - lit(1000))
         .cast("double") / lit(1000.0))
-    val corpus = spark.range(n).select(col("id").as("vec_id"))
-      .withColumn("embedding", vecExpr)
+    val corpusPath = s"/tmp/clamp_corpus_$n"
+    if (!new java.io.File(s"$corpusPath/_SUCCESS").exists()) {
+      val t0 = System.nanoTime()
+      spark.range(n).select(col("id").as("vec_id"))
+        .withColumn("embedding", vecExpr)
+        .write.mode("overwrite").parquet(corpusPath)
+      println(f"PROBE corpus_materialize_sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+    val corpus = spark.read.parquet(corpusPath)
 
     // The contract rotation: (0.96, 0.28) pairwise-plane isometry.
     val rc = lit(0.96); val rs = lit(0.28)

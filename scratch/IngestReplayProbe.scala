@@ -118,14 +118,16 @@ object IngestReplayProbe {
     val nArr = spark.read.parquet(s"$root/arriving").count()
     println(f"PROBE arriving rows=$nArr landed_sec=${(System.nanoTime() - t0) / 1e9}%.1f")
 
-    // ---- copy the three membership indexes (the sink grows them) ----
+    // ---- copy the three membership indexes (the sink grows them).
+    // Shell cp -r, not Hadoop FileUtil.copy: the banded layouts are
+    // ~100k small files (bands x buckets directories), and the
+    // per-file java copy measured ~500 MB / 10 min on them — probe
+    // plumbing, local FS only, excluded from every measurement. ----
     def copyIndex(src: String, name: String): String = {
       val dst = s"$root/$name"
-      val conf = spark.sparkContext.hadoopConfiguration
-      val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
-      org.apache.hadoop.fs.FileUtil.copy(fs,
-        new org.apache.hadoop.fs.Path(src), fs,
-        new org.apache.hadoop.fs.Path(dst), false, conf)
+      val rc = new ProcessBuilder("cp", "-r", src, dst)
+        .inheritIO().start().waitFor()
+      require(rc == 0, s"cp -r $src $dst failed rc=$rc")
       dst
     }
     val tCopy = System.nanoTime()
