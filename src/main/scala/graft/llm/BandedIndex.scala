@@ -203,15 +203,20 @@ private[llm] object BandedIndex {
     * The key collect evaluates only the COLUMN-PRUNED (band, bkt)
     * projection of `qb`'s plan — query payload columns (a 64-double
     * vector, a signature word) are never materialized for it — so the
-    * probe costs one extra pass of the batch scan + bucket folds, not
-    * a payload copy. Callers on the streaming path PIN THE BATCH
-    * before building `qb` (the gate sinks do), which makes that extra
-    * pass a read of pinned blocks. Round-18 measured the tempting
+    * probe costs one extra pass of `qb`'s plan, not a payload copy.
+    * Column pruning does NOT prune the per-row KERNEL that computes
+    * the band key (a simhash token pass, an md5 normalize, an LSH
+    * projection — the key derives from it), so the probe BUILDERS pin
+    * their POST-KERNEL pre-explode signature frame when static
+    * pruning is on (round-19; [[graft.ops.Materialize.pinIf]]): one
+    * narrow row per doc, and both passes read stored blocks instead
+    * of re-running the kernel. Round-18 measured the tempting
     * alternative — pinning `qb` itself here — at ~3× the whole
     * composed-ingest wall at sf10: a localCheckpoint of the exploded
     * band frame materializes the query payload once per band row
     * (1.6M × 64 doubles for a corpus-shaped semantic batch), far more
-    * IO than the pruned second pass it saves.
+    * IO than the kernel re-run it saves. Pin BEFORE the explode,
+    * never after.
     *
     * The collect is bounded metadata — one (band, bkt) pair per probed
     * directory, ≤ batch × bands rows — but a corpus-sized batch over a

@@ -347,7 +347,14 @@ object Dedup {
                          idCol: String, textCol: String,
                          nBuckets: Int, staticPrune: Boolean = false): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
-    val qb = exactDupSignature(delta, idCol, textCol, "query_id", "q_h128", nBuckets)
+    // Static pruning evaluates qb twice (key collect + join). The
+    // signature frame is one NARROW row per doc (no explode, no text),
+    // so pinning it post-kernel is safe under the standing rule — and
+    // the normalize + md5 pass over the batch text runs ONCE instead of
+    // twice per micro-batch (round-19; the perceptual sinks' decoded-
+    // hash pin, applied to the text family).
+    val qb = graft.ops.Materialize.pinIf(staticPrune,
+      exactDupSignature(delta, idCol, textCol, "query_id", "q_h128", nBuckets))
     val join: (org.apache.spark.sql.SparkSession, String, DataFrame,
       Seq[String], Map[String, String]) => DataFrame =
       if (staticPrune) BandedIndex.probeJoinStatic(_, _, _, _, _)
@@ -1120,10 +1127,22 @@ object Dedup {
                             idCol: String, textCol: String,
                             maxHamming: Int, nBuckets: Int,
                             staticPrune: Boolean = false): DataFrame = {
+    // Static pruning evaluates qb twice (key collect + join). Pin the
+    // PRE-EXPLODE signature frame — three scalars per doc; never the
+    // exploded band frame, whose payload a pruned re-run could
+    // re-project (the r18 regression) — so the token-pass simhash
+    // kernel over the batch text runs ONCE instead of twice per
+    // micro-batch. Measured NEUTRAL on the short-doc fixtures at sf10
+    // (the kernel is ~0.5 s / 200k docs there; the near stage's real
+    // cost is index-side verify mass) — kept because kernel cost
+    // scales with text BYTES while the pin costs 24 bytes/doc, so on
+    // real long-doc corpora the second kernel pass is the expensive
+    // one (round-19, BASELINE kernel-pin row).
     val qb = hammingBandsWide(
-      simhashWideFrame(delta, idCol, textCol)
-        .select(col(idCol).as("id"), col("simhash_lo").as("sh_lo"),
-          col("simhash_hi").as("sh_hi")), maxHamming)
+      graft.ops.Materialize.pinIf(staticPrune,
+        simhashWideFrame(delta, idCol, textCol)
+          .select(col(idCol).as("id"), col("simhash_lo").as("sh_lo"),
+            col("simhash_hi").as("sh_hi"))), maxHamming)
       .select(col("id").as("query_id"), col("sh_lo").as("q_lo"),
         col("sh_hi").as("q_hi"), col("band"), col("key"),
         pmod(col("key"), lit(nBuckets.toLong)).cast("int").as("bkt"))

@@ -998,8 +998,12 @@ object Similarity {
                         numTables: Int = 4,
                         staticPrune: Boolean = false): DataFrame = {
     import graft.functions.VectorFunctions.dot
-    val q = delta.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
+    // Static pruning evaluates qb twice (key collect + join); pin the
+    // batch-sized base frame (one row per query — NOT the exploded band
+    // frame) so the projection kernel runs once (round-19).
+    val q = graft.ops.Materialize.pinIf(staticPrune,
+      delta.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+        .withColumn("qnorm", sqrt(dot(col("qv"), col("qv")))))
     val qb = q.select(col("query_id"), col("qv"), col("qnorm"),
       posexplode(array((0 until numTables).map(t =>
         hyperplaneBucket(col("qv"), numPlanes, t)): _*)).as(Seq("band", "bkt")))
@@ -1058,8 +1062,13 @@ object Similarity {
     import graft.functions.VectorFunctions.dot
     require(probeTables >= 1 && probeTables <= numTables,
       s"probeTables must be in [1, $numTables], got $probeTables")
-    val q = delta.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
+    // The base frame is consumed FOUR times under static pruning (key
+    // collect, pruned join, q.count() for the re-attach guard, the
+    // re-attach itself); pin it post-kernel — one row per query, not
+    // the exploded band frame — so the projections run once (round-19).
+    val q = graft.ops.Materialize.pinIf(staticPrune,
+      delta.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+        .withColumn("qnorm", sqrt(dot(col("qv"), col("qv")))))
     val base = q.select(col("query_id"),
       posexplode(array((0 until probeTables).map(t =>
         hyperplaneBucket(col("qv"), numPlanes, t)): _*)).as(Seq("band", "bkt0")))

@@ -60,6 +60,16 @@ object Materialize {
     */
   def pin(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
 
+  /** [[pin]] behind a flag — the banded-index probes' static-prune
+    * posture: the probe plan evaluates its query frame twice (key
+    * collect + join), so when `cond` the POST-KERNEL narrow frame is
+    * pinned once and both passes read stored blocks; when not (the DPP
+    * query paths), the frame stays un-pinned so its stats survive for
+    * the pruning benefit check.
+    */
+  def pinIf(cond: Boolean, df: DataFrame): DataFrame =
+    if (cond) pin(df) else df
+
   /** Eager local checkpoint ([[pin]]): executor blocks, no lineage
     * fallback.
     */
