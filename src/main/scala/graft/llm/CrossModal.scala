@@ -40,15 +40,21 @@ object CrossModal {
     *   one row per contaminated image-mate pair.
     */
   def pairContamination(imagePairs: DataFrame, captionKeys: DataFrame,
-                        idCol: String, keyCol: String): DataFrame =
+                        idCol: String, keyCol: String): DataFrame = {
+    // captionKeys is consumed once per pair side; pin the narrow
+    // (id, key) frame so its upstream (typically a cluster-keying join
+    // over the text near-dup closure) runs once, not twice.
+    val keys = graft.ops.Materialize.pin(
+      captionKeys.select(col(idCol), col(keyCol)))
     imagePairs
-      .join(captionKeys.select(col(idCol).as("id_a"), col(keyCol).as("key_a")),
+      .join(keys.select(col(idCol).as("id_a"), col(keyCol).as("key_a")),
         Seq("id_a"))
-      .join(captionKeys.select(col(idCol).as("id_b"), col(keyCol).as("key_b")),
+      .join(keys.select(col(idCol).as("id_b"), col(keyCol).as("key_b")),
         Seq("id_b"))
       .filter(col("key_a") =!= col("key_b"))
       .select(col("id_a"), col("id_b"), col("hamming"),
         col("key_a"), col("key_b"))
+  }
 
   /** Caption equivalence keys from text near-dup clusters: every
     * pair-id keyed by its caption's cluster id, singletons by the
@@ -89,7 +95,12 @@ object CrossModal {
   def captionBoilerplate(captionPairs: DataFrame, imageHashes: DataFrame,
                          idCol: String, loCol: String, hiCol: String,
                          maxHamming: Int): DataFrame = {
-    val h = (side: String) => imageHashes.select(
+    // imageHashes is consumed once per pair side; pin the narrow
+    // (id, lo, hi) frame so the perceptual decode kernel behind it runs
+    // once, not twice (24 bytes/row, never the payload frame).
+    val hashes = graft.ops.Materialize.pin(
+      imageHashes.select(col(idCol), col(loCol), col(hiCol)))
+    val h = (side: String) => hashes.select(
       col(idCol).as(s"id_$side"), col(loCol).as(s"lo_$side"),
       col(hiCol).as(s"hi_$side"))
     captionPairs.select("id_a", "id_b")

@@ -489,8 +489,16 @@ object Dedup {
       s"maxHamming must be in [0, $nBits), got $maxHamming")
     require(nBits >= 1 && nBits <= 63,
       s"nBits must be in [1, 63] (positive int64 signatures), got $nBits")
+    // Pin the narrow (id, sh) frame BEFORE banding: the candidate join
+    // below consumes the banded frame on BOTH sides (build + stream —
+    // the broadcast side cannot be a ReusedExchange), so an un-pinned
+    // signature frame re-runs its upstream kernel (media decode,
+    // simhash token pass) once per side. The pin is 16 bytes/row; the
+    // exploded band frame itself stays un-pinned (the r18 payload-pin
+    // lesson).
     val banded = hammingBands(
-      sigs.select(col(idCol).as("id"), col(hashCol).as("sh")),
+      Materialize.pin(
+        sigs.select(col(idCol).as("id"), col(hashCol).as("sh"))),
       nBits, maxHamming)
     val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
@@ -839,9 +847,15 @@ object Dedup {
                               hiCol: String, nLoBits: Int, nHiBits: Int,
                               maxHamming: Int): DataFrame = {
     requireWideWidths(nLoBits, nHiBits, maxHamming)
+    // Pin the narrow (id, lo, hi) frame BEFORE banding — same reason as
+    // [[hammingNearDupPairs]]: the self-join evaluates the signature
+    // frame on both sides, so an expensive upstream kernel (per-frame
+    // JPEG decode, audio fingerprint, wide-simhash token pass) would run
+    // twice per query. 24 bytes/row; never the exploded band frame.
     val banded = hammingBandsWide(
-      sigs.select(col(idCol).as("id"), col(loCol).as("sh_lo"),
-        col(hiCol).as("sh_hi")), nLoBits, nHiBits, maxHamming)
+      Materialize.pin(
+        sigs.select(col(idCol).as("id"), col(loCol).as("sh_lo"),
+          col(hiCol).as("sh_hi"))), nLoBits, nHiBits, maxHamming)
     val a = banded.select(col("band"), col("key"), col("id").as("id_a"),
       col("sh_lo").as("lo_a"), col("sh_hi").as("hi_a"))
     val b = banded.select(col("band"), col("key"), col("id").as("id_b"),

@@ -612,11 +612,21 @@ object Streams {
                                   indexPath: String, batch: DataFrame,
                                   kernel: DataFrame => DataFrame,
                                   maxHamming: Int, nBuckets: Int): DataFrame = {
+    // Decode-once, the SINK posture (round-19): pin the payload batch
+    // (its source may be an expensive generator or a non-replayable
+    // frame), pin the signature kernel's narrow output, and probe with
+    // staticPrune — a pinned frame defeats DPP's benefit heuristic, so
+    // without the static key prune this probe would read the WHOLE
+    // index (see BandedIndex.probeJoinStatic). Before the pins this
+    // body evaluated the batch payload chain once per consumer (kernel,
+    // probe double-pass, final anti-join).
+    val b = Materialize.pin(batch)
+    val hashes = Materialize.pin(kernel(b))
     val hits = graft.llm.Dedup.probeHammingWideIndex(spark, indexPath,
-      kernel(batch), "media_id", "sig_lo", "sig_hi", nLoBits = 56,
-      nHiBits = 54, maxHamming, nBuckets)
+      hashes, "media_id", "sig_lo", "sig_hi", nLoBits = 56,
+      nHiBits = 54, maxHamming, nBuckets, staticPrune = true)
       .select(col("query_id").as("media_id")).distinct()
-    batch.join(hits, Seq("media_id"), "left_anti")
+    b.join(hits, Seq("media_id"), "left_anti")
   }
 
   /** Streaming PERCEPTUAL IMAGE ingest gate: [[startNearDupGateSink]]'s
@@ -763,11 +773,22 @@ object Streams {
                     imageIndexPath: String, captionIndexPath: String,
                     batch: DataFrame, captionCol: String, maxHamming: Int,
                     capMaxHamming: Int, nBuckets: Int, capBuckets: Int,
-                    staticPrune: Boolean = false,
-                    rejectBoilerplate: Boolean = false): DataFrame =
-    pairGateFromHashes(spark, imageIndexPath, captionIndexPath, batch,
-      imageHashKernel(batch), captionCol, maxHamming, capMaxHamming,
-      nBuckets, capBuckets, staticPrune, rejectBoilerplate)
+                    staticPrune: Boolean = true,
+                    rejectBoilerplate: Boolean = false): DataFrame = {
+    // Decode-once, the SINK posture (round-19): the body consumes the
+    // batch once per decision input (image kernel, caption probe —
+    // itself a two-pass plan, batch-id domain, final anti-join), so an
+    // un-pinned payload batch re-ran its source ~5x and the image
+    // decode once per probe pass. `staticPrune` now DEFAULTS true to
+    // match: the pinned frames defeat DPP's benefit heuristic, and
+    // without the static key prune both index probes read their whole
+    // layouts (see BandedIndex.probeJoinStatic). Decisions are
+    // plan-independent — same rows either way.
+    val b = Materialize.pin(batch)
+    pairGateFromHashes(spark, imageIndexPath, captionIndexPath, b,
+      Materialize.pin(imageHashKernel(b)), captionCol, maxHamming,
+      capMaxHamming, nBuckets, capBuckets, staticPrune, rejectBoilerplate)
+  }
 
   /** [[pairGateBatch]] with the image signatures supplied (the sink's
     * decode-once path): image mates without a caption mate on the SAME
