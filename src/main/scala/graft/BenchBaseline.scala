@@ -33,20 +33,20 @@ object BenchBaseline {
     "llm_audio_dedup_clusters" -> 1.604, // r19 calm-window (fresh machine)
     "llm_audio_fingerprint" -> 0.581, // r19 calm-window (fresh machine)
     "llm_audio_index_probe_wide" -> 0.361, // r19 calm-window (fresh machine)
-    "llm_audio_neardup" -> 1.102, // r19 calm-window (fresh machine)
+    "llm_audio_neardup" -> 0.793, // r19 wrap closing run; decode-once pin (narrow post-kernel signature frame): the media/text kernel runs once per query, not per join side
     // Round-18 addition: the cross-modal pair gate (calm pinned:32
     // reps=3 run, /tmp/r18_minima.log — image decode of three arriving
     // classes dominates).
-    "llm_stream_pair_gate" -> 2.859, // r19 calm-window (fresh machine)
+    "llm_stream_pair_gate" -> 1.372, // r19 wrap closing run; decode-once pin (narrow post-kernel signature frame): the media/text kernel runs once per query, not per join side
     // Round-19 addition: both defect directions armed — a THIRD image
     // chain (novel-salt domain) decodes in the arriving set, on top of
     // the existing row's two (best of r19 calm bench + isolated probe).
-    "llm_stream_pair_gate_boilerplate" -> 3.550, // r19 calm-window (fresh machine)
+    "llm_stream_pair_gate_boilerplate" -> 1.695, // r19 wrap closing run; decode-once pin (narrow post-kernel signature frame): the media/text kernel runs once per query, not per join side
     "llm_image_index_probe_wide" -> 0.369, // r19 calm; r18: auto-width layout (sidecar-resolved nb), probe reads fewer saturated files
     "llm_stream_audio_gate" -> 0.709, // r19 calm-window (fresh machine)
     "llm_stream_image_gate" -> 0.718, // r19 calm; r18: auto-width layout
     "llm_video_index_probe_wide" -> 0.310, // r19 calm; r18: auto-width layout
-    "llm_video_mjpeg_neardup" -> 5.189, // r19 calm-window (fresh machine)
+    "llm_video_mjpeg_neardup" -> 3.641, // r19 wrap closing run; decode-once pin (narrow post-kernel signature frame): the media/text kernel runs once per query, not per join side
     "llm_video_mjpeg_phash" -> 2.555, // r19 calm-window (fresh machine)
     "llm_video_strided_index_probe_wide" -> 0.394, // r19 calm; r18: auto-width layout
     "a2_cms_topk" -> 0.920, // r19 calm-window (fresh machine)
@@ -57,7 +57,7 @@ object BenchBaseline {
     "dq_mad_outliers_approx" -> 0.507, // r19 calm-window (fresh machine)
     "dq_psi_drift" -> 0.309, // r19 calm-window (fresh machine)
     "events_anomaly_mad" -> 0.535, // r19 calm-window (fresh machine)
-    "events_ols_trend" -> 0.725, // r15 calm-window
+    "events_ols_trend" -> 0.721, // r19 wrap closing run
     "graph_labelprop" -> 1.852, // r19 calm-window (fresh machine)
     "llm_sim_range" -> 0.143, // r19 calm-window (fresh machine)
     "llm_sim_range_ivf" -> 0.762, // r19 calm-window (fresh machine)
@@ -75,9 +75,9 @@ object BenchBaseline {
     "llm_stream_pii_redact" -> 0.183, // r19 calm-window (fresh machine)
     "llm_video_neardup" -> 0.324, // r19 calm-window (fresh machine)
     "llm_video_phash" -> 0.116, // r19 calm-window (fresh machine)
-    "llm_video_strided_neardup" -> 0.545, // r19 calm-window (fresh machine)
+    "llm_video_strided_neardup" -> 0.522, // r19 wrap closing run; decode-once pin (narrow post-kernel signature frame): the media/text kernel runs once per query, not per join side
     "llm_weighted_sample" -> 0.070, // r19 calm-window (fresh machine)
-    "llm_image_neardup_wide" -> 1.250, // r19 calm-window (fresh machine)
+    "llm_image_neardup_wide" -> 1.0, // r19 wrap closing run; decode-once pin (narrow post-kernel signature frame): the media/text kernel runs once per query, not per join side
     "llm_video_dedup_clusters_wide" -> 1.013, // r19 calm-window (fresh machine)
     "a1_yearly_rollup" -> 0.221, // r19 calm-window (fresh machine)
     "a2_approx_distinct" -> 0.339, // r19 calm-window (fresh machine)
@@ -91,7 +91,7 @@ object BenchBaseline {
     "api_options_chain" -> 0.206, // r19 calm-window (fresh machine)
     "asof_join_lookup" -> 0.404, // r19 calm-window (fresh machine)
     "d1_fault_isolation" -> 0.146, // r19 calm-window (fresh machine)
-    "d3_full_pipeline" -> 3.090,
+    "d3_full_pipeline" -> 3.077, // r19 wrap closing run
     "dq_duplicate_keys" -> 0.154, // r19 calm-window (fresh machine)
     "dq_referential" -> 0.528, // r19 calm-window (fresh machine)
     "dq_rule_violations" -> 0.142, // r19 calm-window (fresh machine)
@@ -163,7 +163,7 @@ object BenchBaseline {
     "dq_k_suppress" -> 0.145, // r19 calm; r12
     "dq_dp_noisy_count" -> 0.111, // r19 calm; r12
     "dq_benford" -> 0.199, // r19 calm; r12
-    "events_drawdown" -> 0.261, // r19 calm; r12
+    "events_drawdown" -> 0.256, // r19 wrap closing run
     "llm_semantic_dedup" -> 3.218, // r19 calm; inline: k-means fit + closure + contract
     "llm_semantic_dedup_index" -> 3.109, // r17 calm (was 4.135); the r16
     // 7.5 s calm reading adjudicated as drift (isolated probe 3.91 s)
@@ -223,7 +223,7 @@ object BenchBaseline {
     "llm_simhash" -> 0.202, // r19 calm-window (fresh machine)
     "llm_simhash_index_probe" -> 0.438, // r19 calm-window (fresh machine)
     "llm_simhash_wide_index_probe" -> 0.413, // r19 calm-window (fresh machine)
-    "llm_simhash_wide_pairs" -> 0.688, // r19 calm-window (fresh machine)
+    "llm_simhash_wide_pairs" -> 0.533, // r19 wrap closing run; decode-once pin (narrow post-kernel signature frame): the media/text kernel runs once per query, not per join side
     "llm_source_overlap" -> 0.705,
     "llm_split_hash" -> 0.063,
     "llm_sq8_recall" -> 0.516,
