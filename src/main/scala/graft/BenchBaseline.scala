@@ -33,15 +33,15 @@ object BenchBaseline {
     "llm_audio_dedup_clusters" -> 1.604, // r19 calm-window (fresh machine)
     "llm_audio_fingerprint" -> 0.581, // r19 calm-window (fresh machine)
     "llm_audio_index_probe_wide" -> 0.361, // r19 calm-window (fresh machine)
-    "llm_audio_neardup" -> 0.793, // r19 wrap closing run; decode-once pin (narrow post-kernel signature frame): the media/text kernel runs once per query, not per join side
+    "llm_audio_neardup" -> 1.102, // r19 final: function-level signature pin REVERTED (paired sf10 A/B measured it a scale loss for cheap kernels); floor restored to the pre-pin r19 calm best
     // Round-18 addition: the cross-modal pair gate (calm pinned:32
     // reps=3 run, /tmp/r18_minima.log — image decode of three arriving
     // classes dominates).
-    "llm_stream_pair_gate" -> 1.372, // r19 wrap closing run; decode-once pin (narrow post-kernel signature frame): the media/text kernel runs once per query, not per join side
+    "llm_stream_pair_gate" -> 1.067, // r19 wrap closing run 2; decode-once pin (narrow post-kernel signature frame)
     // Round-19 addition: both defect directions armed — a THIRD image
     // chain (novel-salt domain) decodes in the arriving set, on top of
     // the existing row's two (best of r19 calm bench + isolated probe).
-    "llm_stream_pair_gate_boilerplate" -> 1.695, // r19 wrap closing run; decode-once pin (narrow post-kernel signature frame): the media/text kernel runs once per query, not per join side
+    "llm_stream_pair_gate_boilerplate" -> 1.332, // r19 wrap closing run 2; decode-once pin (narrow post-kernel signature frame)
     "llm_image_index_probe_wide" -> 0.369, // r19 calm; r18: auto-width layout (sidecar-resolved nb), probe reads fewer saturated files
     "llm_stream_audio_gate" -> 0.709, // r19 calm-window (fresh machine)
     "llm_stream_image_gate" -> 0.718, // r19 calm; r18: auto-width layout
@@ -73,11 +73,11 @@ object BenchBaseline {
     "llm_pair_contamination" -> 2.306, // r19 calm; r17
     "llm_stream_video_gate" -> 0.622, // r19 calm; r18: auto-width layout
     "llm_stream_pii_redact" -> 0.183, // r19 calm-window (fresh machine)
-    "llm_video_neardup" -> 0.324, // r19 calm-window (fresh machine)
+    "llm_video_neardup" -> 0.324, // r19 final: function-level signature pin REVERTED (paired sf10 A/B measured it a scale loss for cheap kernels); floor restored to the pre-pin r19 calm best
     "llm_video_phash" -> 0.116, // r19 calm-window (fresh machine)
     "llm_video_strided_neardup" -> 0.522, // r19 wrap closing run; decode-once pin (narrow post-kernel signature frame): the media/text kernel runs once per query, not per join side
     "llm_weighted_sample" -> 0.070, // r19 calm-window (fresh machine)
-    "llm_image_neardup_wide" -> 1.0, // r19 wrap closing run; decode-once pin (narrow post-kernel signature frame): the media/text kernel runs once per query, not per join side
+    "llm_image_neardup_wide" -> 1.25, // r19 final: function-level signature pin REVERTED (paired sf10 A/B measured it a scale loss for cheap kernels); floor restored to the pre-pin r19 calm best
     "llm_video_dedup_clusters_wide" -> 1.013, // r19 calm-window (fresh machine)
     "a1_yearly_rollup" -> 0.221, // r19 calm-window (fresh machine)
     "a2_approx_distinct" -> 0.339, // r19 calm-window (fresh machine)
@@ -175,7 +175,7 @@ object BenchBaseline {
     "llm_dsir_resample" -> 1.114, // r19 calm; r11 second pass
     "llm_dsir_weights" -> 0.838, // r19 calm; r11 second pass
     "llm_hard_negatives" -> 0.208,
-    "llm_image_dedup_clusters" -> 1.968, // r19 calm-window (fresh machine)
+    "llm_image_dedup_clusters" -> 1.968, // r19 final: function-level signature pin REVERTED (paired sf10 A/B measured it a scale loss for cheap kernels); floor restored to the pre-pin r19 calm best
     "llm_image_phash" -> 0.578, // r19 calm-window (fresh machine)
     "llm_ivf_recall" -> 0.676, // r19 calm-window (fresh machine)
     "llm_kn_surprisal" -> 0.970, // r19 calm; r11 second pass
@@ -223,7 +223,7 @@ object BenchBaseline {
     "llm_simhash" -> 0.202, // r19 calm-window (fresh machine)
     "llm_simhash_index_probe" -> 0.438, // r19 calm-window (fresh machine)
     "llm_simhash_wide_index_probe" -> 0.413, // r19 calm-window (fresh machine)
-    "llm_simhash_wide_pairs" -> 0.533, // r19 wrap closing run; decode-once pin (narrow post-kernel signature frame): the media/text kernel runs once per query, not per join side
+    "llm_simhash_wide_pairs" -> 0.688, // r19 final: function-level signature pin REVERTED (paired sf10 A/B measured it a scale loss for cheap kernels); floor restored to the pre-pin r19 calm best
     "llm_source_overlap" -> 0.705,
     "llm_split_hash" -> 0.063,
     "llm_sq8_recall" -> 0.516,

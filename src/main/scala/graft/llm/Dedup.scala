@@ -489,16 +489,12 @@ object Dedup {
       s"maxHamming must be in [0, $nBits), got $maxHamming")
     require(nBits >= 1 && nBits <= 63,
       s"nBits must be in [1, 63] (positive int64 signatures), got $nBits")
-    // Pin the narrow (id, sh) frame BEFORE banding: the candidate join
-    // below consumes the banded frame on BOTH sides (build + stream —
-    // the broadcast side cannot be a ReusedExchange), so an un-pinned
-    // signature frame re-runs its upstream kernel (media decode,
-    // simhash token pass) once per side. The pin is 16 bytes/row; the
-    // exploded band frame itself stays un-pinned (the r18 payload-pin
-    // lesson).
+    // DELIBERATELY UN-PINNED — see [[hammingNearDupPairsWide]]: the
+    // round-19 paired sf10 A/B measured a function-level pin of the
+    // narrow signature frame as a scale loss for cheap kernels; callers
+    // with a dominant kernel pin their own input.
     val banded = hammingBands(
-      Materialize.pin(
-        sigs.select(col(idCol).as("id"), col(hashCol).as("sh"))),
+      sigs.select(col(idCol).as("id"), col(hashCol).as("sh")),
       nBits, maxHamming)
     val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
@@ -847,15 +843,19 @@ object Dedup {
                               hiCol: String, nLoBits: Int, nHiBits: Int,
                               maxHamming: Int): DataFrame = {
     requireWideWidths(nLoBits, nHiBits, maxHamming)
-    // Pin the narrow (id, lo, hi) frame BEFORE banding — same reason as
-    // [[hammingNearDupPairs]]: the self-join evaluates the signature
-    // frame on both sides, so an expensive upstream kernel (per-frame
-    // JPEG decode, audio fingerprint, wide-simhash token pass) would run
-    // twice per query. 24 bytes/row; never the exploded band frame.
+    // DELIBERATELY UN-PINNED (round-19 paired sf10 A/B, MatProbe): the
+    // self-join does evaluate `sigs` on both sides (a broadcast build
+    // cannot be a ReusedExchange), but pinning the narrow frame here
+    // measured a LOSS at scale for cheap-kernel callers (image-hash
+    // pairs: none 6.5 s median vs pin 10.3 s at sf10) and only a wash
+    // for the expensive-decode caller (MJPEG: pin 20.1 vs none 21.5).
+    // A caller whose kernel is genuinely dominant (per-frame JPEG
+    // decode; 10-100 KB documents) should pin ITS OWN narrow signature
+    // frame before calling — the mjpeg near-dup query does — so the
+    // cost model stays with the code that knows the kernel.
     val banded = hammingBandsWide(
-      Materialize.pin(
-        sigs.select(col(idCol).as("id"), col(loCol).as("sh_lo"),
-          col(hiCol).as("sh_hi"))), nLoBits, nHiBits, maxHamming)
+      sigs.select(col(idCol).as("id"), col(loCol).as("sh_lo"),
+        col(hiCol).as("sh_hi")), nLoBits, nHiBits, maxHamming)
     val a = banded.select(col("band"), col("key"), col("id").as("id_a"),
       col("sh_lo").as("lo_a"), col("sh_hi").as("hi_a"))
     val b = banded.select(col("band"), col("key"), col("id").as("id_b"),

@@ -4515,7 +4515,15 @@ object LlmQueries {
             docs.select((col("doc_id") + 10000000L).as("doc_id")),
             "doc_id")).toDF()
           .select(col("media_id"), col("dhash"), col("vhash"))
-        Dedup.hammingNearDupPairsWide(dib.unionByName(mj), "media_id",
+        // CALLER-SIDE pin (round-19 paired sf10 A/B): per-frame ImageIO
+        // JPEG decode is THE dominant kernel of this query, and the
+        // banded self-join evaluates its input twice — pinning the
+        // narrow post-decode frame here measured 3.06 vs 5.19 s at
+        // sf0.1 and 20.1 vs 21.5 s at sf10 (win/wash), where the SAME
+        // pin inside hammingNearDupPairsWide is a loss for the
+        // cheap-kernel callers (see its scaladoc).
+        Dedup.hammingNearDupPairsWide(
+          graft.ops.Materialize.pin(dib.unionByName(mj)), "media_id",
           "dhash", "vhash", nLoBits = 56, nHiBits = 54, maxHamming = 7)
       },
       Some(s"""$videoPhashCte,
