@@ -104,6 +104,12 @@ object CrossModal {
     // imageHashes is consumed once per pair side; pin the narrow
     // (id, lo, hi) frame so the perceptual decode kernel behind it runs
     // once, not twice (24 bytes/row, never the payload frame).
+    // Pin measured a WASH at sf10 (round-19 paired MatProbe A/B: by the
+    // converged round all three treatments read ~10.3 s; mins none
+    // 10.31 / pin 10.32 / share 11.53) — kept for the decode-once
+    // argument at sf0.1, where the image-hash kernel behind
+    // `imageHashes` is the query's dominant cost and is consumed once
+    // per pair side.
     val hashes = graft.ops.Materialize.pin(
       imageHashes.select(col(idCol), col(loCol), col(hiCol)))
     val h = (side: String) => hashes.select(
