@@ -19,7 +19,20 @@ import graft.SparkEntry
   * round-19 runs wired it into `Dedup.hammingNearDupPairsWide` (the
   * narrow signature frame) and `CrossModal.pairContamination` (the keys
   * frame); the switches were removed once the decision landed (the
-  * library keeps no runtime plan knobs). Measured verdicts are recorded
+  * library keeps no runtime plan knobs), so AS COMMITTED this harness
+  * times three identical plans. To reproduce a verdict, re-wire the
+  * materialization site under test to read the property, e.g. in
+  * `pairContamination`:
+  * {{{
+  *   val keys = sys.props.getOrElse("graft.probe.mat", "pin") match {
+  *     case "none"  => captionKeys.select(col(idCol), col(keyCol))
+  *     case "share" => captionKeys.select(col(idCol), col(keyCol)).persist()
+  *     case _       => graft.ops.Materialize.pin(
+  *                       captionKeys.select(col(idCol), col(keyCol)))
+  *   }
+  * }}}
+  * (the round-19 switches rode exactly this shape; they lived only in
+  * the working tree, never in a commit). Measured verdicts are recorded
   * in the operators' scaladocs and BASELINE.md.
   */
 object MatProbe {

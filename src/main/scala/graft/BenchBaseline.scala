@@ -75,7 +75,7 @@ object BenchBaseline {
     "llm_stream_pii_redact" -> 0.183, // r19 calm-window (fresh machine)
     "llm_video_neardup" -> 0.324, // r19 final: function-level signature pin REVERTED (paired sf10 A/B measured it a scale loss for cheap kernels); floor restored to the pre-pin r19 calm best
     "llm_video_phash" -> 0.116, // r19 calm-window (fresh machine)
-    "llm_video_strided_neardup" -> 0.522, // r19 wrap closing run; decode-once pin (narrow post-kernel signature frame): the media/text kernel runs once per query, not per join side
+    "llm_video_strided_neardup" -> 0.545, // r20: floor restored to the pre-pin calm best - the in-library pin this 0.522 was measured with was REVERTED in r19 (no caller-side pin exists; hashes flow un-pinned into hammingNearDupPairsSetWide), so the pin-era floor was unattainable
     "llm_weighted_sample" -> 0.070, // r19 calm-window (fresh machine)
     "llm_image_neardup_wide" -> 1.25, // r19 final: function-level signature pin REVERTED (paired sf10 A/B measured it a scale loss for cheap kernels); floor restored to the pre-pin r19 calm best
     "llm_video_dedup_clusters_wide" -> 1.013, // r19 calm-window (fresh machine)

@@ -145,24 +145,35 @@ private[llm] object BandedIndex {
     *
     * The broadcast hint is GUARDED, not assumed (round-19, the
     * [[graft.llm.Dedup.minhashLshPairsAcross]] `maxBroadcastRight`
-    * idiom): `qb` is counted first — one column-pruned pass of the
-    * batch-side plan, no payload materialization — and past
-    * `maxBroadcastRows` rows the hint is DROPPED so the optimizer/AQE
-    * pick the join sides. For the documented contract (micro-batches ≪
-    * corpus) the broadcast always engages; the guard exists because a
-    * corpus-shaped batch fed through the same path (the sf100 e2e
-    * fixture drove one — ~16M exploded rows exact posture, ~88M
-    * multi-probe) otherwise builds a multi-GB driver hash relation and
-    * dies by GC, which no contract comment prevents. The fallback is
-    * WARN-logged with both counts and recorded per index path in
-    * [[probeBroadcastFallback]].
+    * idiom): past `maxBroadcastRows` band rows the hint is DROPPED so
+    * the optimizer/AQE pick the join sides. For the documented contract
+    * (micro-batches ≪ corpus) the broadcast always engages; the guard
+    * exists because a corpus-shaped batch fed through the same path
+    * (the sf100 e2e fixture drove one — ~16M exploded rows exact
+    * posture, ~88M multi-probe) otherwise builds a multi-GB driver hash
+    * relation and dies by GC, which no contract comment prevents. The
+    * fallback is WARN-logged with both counts and recorded per index
+    * path in [[probeBroadcastFallback]].
+    *
+    * `qbRows` is the guard's row figure for `qb`. Every probe builder
+    * passes it EXACTLY — input-frame rows × the family's fixed band
+    * fan-out (the band explodes are constant-arity by construction), a
+    * column-pruned count of the UN-exploded input that never evaluates
+    * the signature kernel or the explode — because the round-19 shape
+    * (`qb.count()` here) paid one full extra evaluation of the
+    * band-exploded frame, kernel included, per probe (round-20; the
+    * r19 verdict's item 3). Negative means unknown and falls back to
+    * counting `qb` itself — the conservative path for external callers
+    * that cannot bound their frame.
     */
   def probeJoin(spark: SparkSession, indexPath: String, qb: DataFrame,
                 residual: Seq[String], params: Map[String, String],
-                maxBroadcastRows: Long = MaxProbeBroadcastRows): DataFrame = {
+                maxBroadcastRows: Long = MaxProbeBroadcastRows,
+                qbRows: Long = -1L): DataFrame = {
     validateParams(spark, indexPath, params, "probe banded index")
+    val rows = if (qbRows >= 0L) qbRows else qb.count()
     spark.read.parquet(indexPath)
-      .join(guardedQueryBroadcast(indexPath, qb, qb.count(), maxBroadcastRows),
+      .join(guardedQueryBroadcast(indexPath, qb, rows, maxBroadcastRows),
         Seq("band", "bkt") ++ residual)
       .filter(col("cand_id") =!= col("query_id"))
   }

@@ -41,13 +41,11 @@ object CrossModal {
     */
   def pairContamination(imagePairs: DataFrame, captionKeys: DataFrame,
                         idCol: String, keyCol: String): DataFrame = {
-    // captionKeys is consumed once per pair side; pin the narrow
-    // (id, key) frame so its upstream (typically a cluster-keying join
-    // over the text near-dup closure) runs once, not twice.
-    // keys is consumed once per pair side and its upstream (a
+    // captionKeys is consumed once per pair side and its upstream (a
     // cluster-keying join over the text near-dup closure) is expensive;
-    // the round-19 paired sf10 A/B (MatProbe, interleaved in one JVM)
-    // measured the pin a ~1.5x win (pin 26.6 s median vs un-pinned
+    // pin the narrow (id, key) frame so that upstream runs once, not
+    // twice. The round-19 paired sf10 A/B (MatProbe, interleaved in one
+    // JVM) measured the pin a ~1.5x win (pin 26.6 s median vs un-pinned
     // 41.1 at sf10) — unlike the cheap-kernel signature frames, where
     // the same pin is a loss (see Dedup.hammingNearDupPairsWide).
     val keys = graft.ops.Materialize.pin(

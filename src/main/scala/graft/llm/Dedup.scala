@@ -272,8 +272,12 @@ object Dedup {
       .join(qsets.select(col("id"), col("shingles").as("q_sh")), Seq("id"))
       .select(col("id").as("query_id"), col("q_sh"), col("band"), col("key"),
         pmod(hash60(col("key")), lit(nBuckets.toLong)).cast("int").as("bkt"))
+    // The guard bound: bandKeys emits exactly `bands` rows per doc with
+    // a non-empty shingle set, so (materialized) delta docs × bands
+    // bounds qb without evaluating the banded frame (round-20).
     BandedIndex.probeJoin(spark, indexPath, qb, Seq("key"),
-        nearDupParams(shingleK, bands, rowsPerBand, nBuckets))
+        nearDupParams(shingleK, bands, rowsPerBand, nBuckets),
+        qbRows = qsets.count() * bands)
       .withColumn("inter", size(array_intersect(col("q_sh"), col("shingles"))))
       .withColumn("jaccard",
         col("inter").cast("double") /
@@ -355,11 +359,17 @@ object Dedup {
     // hash pin, applied to the text family).
     val qb = graft.ops.Materialize.pinIf(staticPrune,
       exactDupSignature(delta, idCol, textCol, "query_id", "q_h128", nBuckets))
-    val join: (org.apache.spark.sql.SparkSession, String, DataFrame,
-      Seq[String], Map[String, String]) => DataFrame =
-      if (staticPrune) BandedIndex.probeJoinStatic(_, _, _, _, _)
-      else BandedIndex.probeJoin(_, _, _, _, _)
-    join(spark, indexPath, qb, Seq("key"), exactDupParams(nBuckets))
+    val joined =
+      if (staticPrune)
+        BandedIndex.probeJoinStatic(spark, indexPath, qb, Seq("key"),
+          exactDupParams(nBuckets))
+      else
+        // Degenerate single band: one qb row per delta doc, so the
+        // guard bound is a column-pruned count of the raw delta — the
+        // normalize + md5 kernel is never evaluated for it (round-20).
+        BandedIndex.probeJoin(spark, indexPath, qb, Seq("key"),
+          exactDupParams(nBuckets), qbRows = delta.count())
+    joined
       .filter(col("h128") === col("q_h128"))
       .select(col("query_id"), col("cand_id"))
   }
@@ -482,6 +492,12 @@ object Dedup {
     * it is; the INGEST path is unaffected — the write-time index probes
     * ([[probeHammingIndex]]) are delta-bounded and measured ~1.0× per
     * corpus decade at fixed delta.
+    *
+    * `sigs` must be DETERMINISTIC (or caller-pinned): the self-join
+    * evaluates it once per side, and a non-deterministic upstream
+    * (sampling, rand-derived ids/signatures) could produce different
+    * signatures on the two sides and emit wrong pairs — a failure the
+    * reverted in-library pin incidentally prevented.
     */
   def hammingNearDupPairs(sigs: DataFrame, idCol: String, hashCol: String,
                           nBits: Int, maxHamming: Int): DataFrame = {
@@ -688,7 +704,11 @@ object Dedup {
       .select(col("id").as("query_id"), col("sh").as("q_sh"),
         col("band"), col("key"),
         pmod(col("key"), lit(nBuckets.toLong)).cast("int").as("bkt"))
-    BandedIndex.probeJoin(spark, indexPath, qb, Seq("key"), params)
+    // Guard bound: hammingBands is a constant-arity explode — exactly
+    // maxHamming + 1 band rows per signature — so a column-pruned count
+    // of the un-exploded frame bounds qb without a kernel pass (r20).
+    BandedIndex.probeJoin(spark, indexPath, qb, Seq("key"), params,
+        qbRows = qsigs.count() * (maxHamming + 1L))
       .withColumn("hamming", bit_count(col("q_sh").bitwiseXOR(col("sh"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("query_id"), col("cand_id"), col("hamming")).distinct()
@@ -836,6 +856,12 @@ object Dedup {
     * (128) — candidate mass drops by ~2^7 at the same recall
     * guarantee, the exact move the text family made with the 120-bit
     * wide simhash.
+    *
+    * `sigs` must be DETERMINISTIC (or caller-pinned): the self-join
+    * evaluates it once per side, and a non-deterministic upstream
+    * (sampling, rand-derived ids/signatures) could produce different
+    * signatures on the two sides and emit wrong pairs — a failure the
+    * reverted in-library pin incidentally prevented.
     *
     * @return (id_a, id_b, hamming), id_a < id_b, hamming ≤ maxHamming.
     */
@@ -1012,12 +1038,17 @@ object Dedup {
       .select(col("id").as("query_id"), col("sh_lo").as("q_lo"),
         col("sh_hi").as("q_hi"), col("band"), col("key"),
         pmod(col("key"), lit(nBuckets.toLong)).cast("int").as("bkt"))
-    val join: (org.apache.spark.sql.SparkSession, String, DataFrame,
-      Seq[String], Map[String, String]) => DataFrame =
-      if (staticPrune) BandedIndex.probeJoinStatic(_, _, _, _, _)
-      else BandedIndex.probeJoin(_, _, _, _, _)
-    join(spark, indexPath, qb, Seq("key"),
-      hammingWideIndexParams(nLoBits, nHiBits, maxHamming, nBuckets))
+    val params = hammingWideIndexParams(nLoBits, nHiBits, maxHamming, nBuckets)
+    val joined =
+      if (staticPrune)
+        BandedIndex.probeJoinStatic(spark, indexPath, qb, Seq("key"), params)
+      else
+        // Guard bound: hammingBandsWide explodes exactly maxHamming + 1
+        // band slices per signature, so a column-pruned count of the
+        // un-exploded input bounds qb without a kernel pass (round-20).
+        BandedIndex.probeJoin(spark, indexPath, qb, Seq("key"), params,
+          qbRows = sigs.count() * (maxHamming + 1L))
+    joined
       .withColumn("hamming",
         bit_count(col("q_lo").bitwiseXOR(col("sh_lo"))) +
           bit_count(col("q_hi").bitwiseXOR(col("sh_hi"))))
@@ -1160,12 +1191,17 @@ object Dedup {
       .select(col("id").as("query_id"), col("sh_lo").as("q_lo"),
         col("sh_hi").as("q_hi"), col("band"), col("key"),
         pmod(col("key"), lit(nBuckets.toLong)).cast("int").as("bkt"))
-    val join: (org.apache.spark.sql.SparkSession, String, DataFrame,
-      Seq[String], Map[String, String]) => DataFrame =
-      if (staticPrune) BandedIndex.probeJoinStatic(_, _, _, _, _)
-      else BandedIndex.probeJoin(_, _, _, _, _)
-    join(spark, indexPath, qb, Seq("key"),
-      simhashWideParams(maxHamming, nBuckets))
+    val params = simhashWideParams(maxHamming, nBuckets)
+    val joined =
+      if (staticPrune)
+        BandedIndex.probeJoinStatic(spark, indexPath, qb, Seq("key"), params)
+      else
+        // Guard bound: a column-pruned count of the raw delta (one
+        // signature per doc, maxHamming + 1 slices each) — the simhash
+        // token-pass kernel is never evaluated for it (round-20).
+        BandedIndex.probeJoin(spark, indexPath, qb, Seq("key"), params,
+          qbRows = delta.count() * (maxHamming + 1L))
+    joined
       .withColumn("hamming",
         bit_count(col("q_lo").bitwiseXOR(col("sh_lo"))) +
           bit_count(col("q_hi").bitwiseXOR(col("sh_hi"))))

@@ -941,8 +941,12 @@ object Similarity {
       posexplode(array((0 until numTables).map(t =>
         hyperplaneBucket(col("qv"), numPlanes, t)): _*)).as(Seq("band", "bkt")))
       .withColumn("bkt", col("bkt").cast("int"))
+    // Guard bound: exactly numTables band rows per query — a
+    // column-pruned count of the raw queries frame, never the
+    // projection kernel or the explode (round-20).
     val joined = BandedIndex.probeJoin(spark, indexPath, qb, Nil,
-      lshParams(numPlanes, numTables))
+      lshParams(numPlanes, numTables),
+      qbRows = queries.count() * numTables)
     // No pin here (unlike inline lshTopK): a localCheckpoint would hide
     // the parquet scan — and its dynamic partition pruning — behind an
     // RDD barrier. The width pass reads the PROBED partitions only
@@ -1008,11 +1012,18 @@ object Similarity {
       posexplode(array((0 until numTables).map(t =>
         hyperplaneBucket(col("qv"), numPlanes, t)): _*)).as(Seq("band", "bkt")))
       .withColumn("bkt", col("bkt").cast("int"))
-    val join: (org.apache.spark.sql.SparkSession, String, DataFrame,
-      Seq[String], Map[String, String]) => DataFrame =
-      if (staticPrune) BandedIndex.probeJoinStatic(_, _, _, _, _)
-      else BandedIndex.probeJoin(_, _, _, _, _)
-    join(spark, indexPath, qb, Nil, lshParams(numPlanes, numTables))
+    val joined =
+      if (staticPrune)
+        BandedIndex.probeJoinStatic(spark, indexPath, qb, Nil,
+          lshParams(numPlanes, numTables))
+      else
+        // Guard bound: exactly numTables band rows per query — a
+        // column-pruned count of the raw delta, never the projection
+        // kernel or the explode (round-20).
+        BandedIndex.probeJoin(spark, indexPath, qb, Nil,
+          lshParams(numPlanes, numTables),
+          qbRows = delta.count() * numTables)
+    joined
       .withColumn("cos",
         dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
       .filter(col("cos") >= threshold)
@@ -1062,10 +1073,11 @@ object Similarity {
     import graft.functions.VectorFunctions.dot
     require(probeTables >= 1 && probeTables <= numTables,
       s"probeTables must be in [1, $numTables], got $probeTables")
-    // The base frame is consumed FOUR times under static pruning (key
-    // collect, pruned join, q.count() for the re-attach guard, the
-    // re-attach itself); pin it post-kernel — one row per query, not
-    // the exploded band frame — so the projections run once (round-19).
+    // The base frame is consumed THREE times under static pruning (key
+    // collect, pruned join, the re-attach; the guards read one shared
+    // column-pruned delta count below); pin it post-kernel — one row
+    // per query, not the exploded band frame — so the projections run
+    // once (round-19).
     val q = graft.ops.Materialize.pinIf(staticPrune,
       delta.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
         .withColumn("qnorm", sqrt(dot(col("qv"), col("qv")))))
@@ -1085,19 +1097,28 @@ object Similarity {
     // both guarded — the sf100 corpus-shaped fixture batch reached
     // ~88M band rows here and killed the driver on the unconditional
     // hint).
-    val join: (org.apache.spark.sql.SparkSession, String, DataFrame,
-      Seq[String], Map[String, String]) => DataFrame =
+    // ONE column-pruned count of the raw delta feeds both guards: the
+    // band-frame bound is exact ((p+1) × probeTables rows per query by
+    // construction — two constant-arity explodes), and the re-attach
+    // frame is one row per query. Replaces the round-19 q.count() +
+    // (non-static) qb.count() pair — the latter re-evaluated the
+    // double-exploded band frame per probe (round-20).
+    val deltaRows = delta.count()
+    val joined =
       if (staticPrune)
-        BandedIndex.probeJoinStatic(_, _, _, _, _,
+        BandedIndex.probeJoinStatic(spark, indexPath, qb, Nil,
+          lshParams(numPlanes, numTables),
           maxBroadcastRows = BandedIndex.MaxProbeBroadcastRowsNarrow)
       else
-        BandedIndex.probeJoin(_, _, _, _, _,
-          maxBroadcastRows = BandedIndex.MaxProbeBroadcastRowsNarrow)
-    join(spark, indexPath, qb, Nil, lshParams(numPlanes, numTables))
+        BandedIndex.probeJoin(spark, indexPath, qb, Nil,
+          lshParams(numPlanes, numTables),
+          maxBroadcastRows = BandedIndex.MaxProbeBroadcastRowsNarrow,
+          qbRows = deltaRows * probeTables * (numPlanes + 1L))
+    joined
       // Distinct diagnostic key: the band-frame guard above records
       // under indexPath; this one must not clobber it.
       .join(BandedIndex.guardedQueryBroadcast(s"$indexPath#reattach", q,
-        q.count(), BandedIndex.MaxProbeBroadcastRows), Seq("query_id"))
+        deltaRows, BandedIndex.MaxProbeBroadcastRows), Seq("query_id"))
       .withColumn("cos",
         dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
       .filter(col("cos") >= threshold)
