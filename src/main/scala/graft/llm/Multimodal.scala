@@ -40,6 +40,43 @@ object Multimodal {
   private lazy val imageIoNoCache: Unit =
     javax.imageio.ImageIO.setUseCache(false)
 
+  /** ITU-R 601 integer luma accessor over a decoded image — the one
+    * pixel contract of every dHash kernel. `BufferedImage.getRGB` is a
+    * per-call virtual ColorModel path that a 72x56 frame hits ~4k times
+    * per cell pass; round-20 measured it at 83 µs/frame, MORE than the
+    * 63 µs JPEG decode it follows. For the layout ImageIO's JPEG and
+    * PNG readers actually produce (`TYPE_3BYTE_BGR`: 8-bit B,G,R
+    * component bytes, no alpha, sRGB) the accessor reads the raster's
+    * backing byte array directly — 8 µs/frame, and BIT-EXACT by
+    * construction: `getRGB` on that type returns exactly the stored
+    * component bytes (verified pixel-for-pixel in the round-20 probe;
+    * any slip would also fail the pixel-replaying DuckDB oracle loud).
+    * Every other layout falls back to `getRGB`, identical by
+    * definition.
+    */
+  private def lumaAccessor(img: java.awt.image.BufferedImage): (Int, Int) => Long =
+    if (img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR) {
+      val sm = img.getRaster.getSampleModel
+        .asInstanceOf[java.awt.image.ComponentSampleModel]
+      val data = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferByte].getData
+      val scan = sm.getScanlineStride
+      val pix = sm.getPixelStride
+      val offs = sm.getBandOffsets // (R, G, B) byte offsets within a pixel
+      val (ro, go, bo) = (offs(0), offs(1), offs(2))
+      (x: Int, y: Int) => {
+        val i = y * scan + x * pix
+        (data(i + ro) & 0xFF) * 299L +
+          (data(i + go) & 0xFF) * 587L + (data(i + bo) & 0xFF) * 114L
+      }
+    } else {
+      (x: Int, y: Int) => {
+        val rgb = img.getRGB(x, y)
+        ((rgb >> 16) & 0xFF) * 299L +
+          ((rgb >> 8) & 0xFF) * 587L + (rgb & 0xFF) * 114L
+      }
+    }
+
   // Audio SPI providers cached ONCE per JVM: every AudioSystem
   // read/write dispatches through a synchronized static provider lookup
   // (JDK13Services.getProviders), which serializes a 32-thread decode
@@ -144,11 +181,7 @@ object Multimodal {
     val h = img.getHeight
     require(w >= 9 && h >= 7,
       s"image ${w}x$h too small for the 9x7 dHash grid (media_id=${r.media_id})")
-    ImageHash(r.media_id, w, h, dhash9x7(w, h) { (x, y) =>
-      val rgb = img.getRGB(x, y)
-      ((rgb >> 16) & 0xFF) * 299L +
-        ((rgb >> 8) & 0xFF) * 587L + (rgb & 0xFF) * 114L
-    })
+    ImageHash(r.media_id, w, h, dhash9x7(w, h)(lumaAccessor(img)))
   }
 
   /** The shared dHash kernel: box-average the per-pixel luma onto a
@@ -273,11 +306,7 @@ object Multimodal {
     val h = img.getHeight
     require(w >= 9 && h >= 7,
       s"image ${w}x$h too small for the 9x7 dHash grid (media_id=${r.media_id})")
-    val (dh, vh) = dhashWide9x7(w, h) { (x, y) =>
-      val rgb = img.getRGB(x, y)
-      ((rgb >> 16) & 0xFF) * 299L +
-        ((rgb >> 8) & 0xFF) * 587L + (rgb & 0xFF) * 114L
-    }
+    val (dh, vh) = dhashWide9x7(w, h)(lumaAccessor(img))
     ImageHashWide(r.media_id, w, h, dh, vh)
   }
 
@@ -930,11 +959,7 @@ object Multimodal {
     if (img.getWidth != g.w || img.getHeight != g.h)
       videoFail(r, s"MJPEG frame ${img.getWidth}x${img.getHeight} " +
         s"disagrees with the container header ${g.w}x${g.h}")
-    (x: Int, y: Int) => {
-      val rgb = img.getRGB(x, y)
-      ((rgb >> 16) & 0xFF) * 299L +
-        ((rgb >> 8) & 0xFF) * 587L + (rgb & 0xFF) * 114L
-    }
+    lumaAccessor(img)
   }
 
   /** Size-checked luma accessor over one uncompressed DIB frame —
@@ -1225,12 +1250,27 @@ object Multimodal {
     val p = writer.getDefaultWriteParam
     p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     p.setCompressionQuality(quality)
+    try encodeJpegWith(writer, p, img)
+    finally writer.dispose()
+  }
+
+  /** [[encodeJpeg]] against a CALLER-OWNED writer + param — the
+    * per-task reuse shape (round-20): a kernel encoding thousands of
+    * frames constructs the writer once per task instead of per frame
+    * (275 → 209 µs/frame, bytes identical — same plugin, same param;
+    * verified byte-for-byte in the JpegEncodeProbe). Writers are not
+    * thread-safe, but a task is one thread; dispose is the caller's
+    * concern (a leaked writer is plain heap, GC-collected).
+    */
+  private def encodeJpegWith(writer: javax.imageio.ImageWriter,
+                             p: javax.imageio.ImageWriteParam,
+                             img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     try {
       writer.setOutput(ios)
       writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
-    } finally { ios.close(); writer.dispose() }
+    } finally ios.close()
     bos.toByteArray
   }
 
@@ -1272,6 +1312,20 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("media_id")).as[Long]
       .mapPartitions { it =>
         imageIoNoCache
+        // Per-TASK encoder state (round-20, measured byte-identical in
+        // the JpegEncodeProbe): a fresh ImageIO writer per frame costs
+        // 275 µs against 209 reused (plugin scan + construction), and
+        // the 4k-pixel setRGB fill costs 83 µs against 17 via the
+        // TYPE_INT_RGB raster's backing int array (same stored values
+        // by construction — our pixels carry no alpha bits). Together
+        // ~130 µs off a ~500 µs per-video kernel; the designed-cell
+        // oracle replay pins the bytes' hash bits loud if either path
+        // ever drifted.
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("jpeg").next()
+        val param = writer.getDefaultWriteParam
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionQuality(0.95f)
         it.map { id =>
           val g = id / groupSize
           val m = (id % groupSize).toInt
@@ -1279,6 +1333,8 @@ object Multimodal {
           val h = 56
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val data = img.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferInt].getData
           var cy = 0
           while (cy < 7) {
             var cx = 0
@@ -1290,7 +1346,7 @@ object Multimodal {
               while (y < cy * 8 + 8) {
                 var x = cx * 8
                 while (x < cx * 8 + 8) {
-                  img.setRGB(x, y, rgb)
+                  data(y * w + x) = rgb
                   x += 1
                 }
                 y += 1
@@ -1302,7 +1358,7 @@ object Multimodal {
           MediaRecord(id, "video",
             syntheticAvi(w, h, fpsRate = 25, fpsScale = 1, nFrames = 1,
               bitCount = 24, compression = MjpgFourcc,
-              frames = Seq(encodeJpeg(img, 0.95f))))
+              frames = Seq(encodeJpegWith(writer, param, img))))
         }
       }
   }
@@ -1346,11 +1402,18 @@ object Multimodal {
     imageIoNoCache
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // Direct TYPE_INT_RGB raster fill (round-20): same stored pixel
+    // values as setRGB — our values carry no alpha bits — at ~1/5 the
+    // per-pixel cost. The PNG writer itself stays the stock
+    // ImageIO.write: writer reuse measured a wash for PNG (82 vs
+    // 81 µs — deflate dominates, not the plugin scan).
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
     var y = 0
     while (y < height) {
       var x = 0
       while (x < width) {
-        img.setRGB(x, y, ((id * 31 + x * 7 + y * 13) & 0xFFFFFF).toInt)
+        data(y * width + x) = ((id * 31 + x * 7 + y * 13) & 0xFFFFFF).toInt
         x += 1
       }
       y += 1
@@ -1626,13 +1689,17 @@ object Multimodal {
           val h = (10 + g % 15).toInt
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          // Direct raster fill — see syntheticPng: same stored values
+          // as setRGB (no alpha bits in these pixels), ~1/5 the cost.
+          val data = img.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferInt].getData
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
               val base = mix48(gs + x * 40503L + y * 70423L)
               val rgb = (base & 0xFFFF00L) | ((base + m * 3) & 0xFFL)
-              img.setRGB(x, y, rgb.toInt)
+              data(y * w + x) = rgb.toInt
               x += 1
             }
             y += 1
