@@ -73,6 +73,35 @@ private[llm] object BandedIndex {
     fs.delete(aside, true)
   }
 
+  /** Read a many-directory partitioned layout with the parallel
+    * partition-discovery TASK count capped at cluster parallelism —
+    * round-20's single biggest probe finding. Relation construction
+    * (`spark.read.parquet(indexPath)`) launches a listing job with up
+    * to `spark.sql.sources.parallelPartitionDiscovery.parallelism`
+    * (default 10,000) tasks, i.e. ~one task per (band, bkt) directory;
+    * each local-FS list is microseconds, so the job is pure scheduler
+    * overhead, paid on EVERY probe of every micro-batch and never
+    * amortized by the file-status cache. Measured on the sf10 wide
+    * near-dup layout (8,192 directories): construction 13.6–22.2 s at
+    * the default vs **1.6–2.4 s capped at cores** (interleaved reps —
+    * causal, not drift); at the sf100 layout (32,768 directories) the
+    * default costs ~70 s per probe, several probes per ingest batch.
+    * The cap is work-preserving (same listings, fewer/bigger tasks)
+    * and scale-adaptive — `defaultParallelism` is total cluster cores,
+    * so a real cluster still fans out; only the tasks-per-core ratio
+    * is bounded. The override is scoped set/restore; concurrent
+    * readers racing it in one session at worst construct at the old
+    * default (the round-19 behavior), never with a wrong value.
+    */
+  private[llm] def readLayout(spark: SparkSession, path: String*): org.apache.spark.sql.DataFrame = {
+    val key = "spark.sql.sources.parallelPartitionDiscovery.parallelism"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      math.max(spark.sparkContext.defaultParallelism, 1).toString)
+    try spark.read.parquet(path: _*)
+    finally old.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
   private def readSidecar(spark: SparkSession, path: String): Option[String] = {
     val (fs, dir) = hadoopFs(spark, path)
     val f = new org.apache.hadoop.fs.Path(dir, ParamsFile)
@@ -172,7 +201,7 @@ private[llm] object BandedIndex {
                 qbRows: Long = -1L): DataFrame = {
     validateParams(spark, indexPath, params, "probe banded index")
     val rows = if (qbRows >= 0L) qbRows else qb.count()
-    spark.read.parquet(indexPath)
+    readLayout(spark, indexPath)
       .join(guardedQueryBroadcast(indexPath, qb, rows, maxBroadcastRows),
         Seq("band", "bkt") ++ residual)
       .filter(col("cand_id") =!= col("query_id"))
@@ -257,7 +286,7 @@ private[llm] object BandedIndex {
     val keys = qb.groupBy(col("band"), col("bkt"))
       .agg(count(lit(1)).as("__qn"))
       .limit(maxKeys + 1).collect()
-    val index = spark.read.parquet(indexPath)
+    val index = readLayout(spark, indexPath)
     val (pruned, qbRows) =
       if (keys.length > maxKeys) {
         staticPruneFallbacks.put(indexPath, keys.length.toLong)
@@ -450,7 +479,7 @@ private[llm] object BandedIndex {
       n
     }
     val before = dataFiles(dir)
-    val raw = spark.read.parquet(path)
+    val raw = readLayout(spark, path)
     val rows = if (dropExactDuplicates) raw.distinct() else raw
     val rowsBefore = rows.count()
     val tmp = new org.apache.hadoop.fs.Path(dir.getParent, dir.getName + "_COMPACTING")

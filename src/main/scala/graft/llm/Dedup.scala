@@ -1569,7 +1569,7 @@ object Dedup {
                                 threshold: Double,
                                 maxCellSize: Int = DefaultMaxCellSize): DataFrame =
     semanticDedupWithCells(
-      spark.read.parquet(s"$indexPath/corpus")
+      BandedIndex.readLayout(spark, s"$indexPath/corpus")
         .select(col("cand_id").as("id"), col("cell"), col("cv")),
       threshold, maxCellSize)
 

@@ -959,7 +959,7 @@ object Similarity {
         // still reads the PROBED partitions only; the driver-side list
         // surfaces the cap when it fires and skips the anti-join when
         // it doesn't.
-        val over = spark.read.parquet(indexPath)
+        val over = BandedIndex.readLayout(spark, indexPath)
           .join(broadcast(qb.select(col("band"), col("bkt")).distinct()),
             Seq("band", "bkt"), "left_semi")
           .groupBy(col("band"), col("bkt"))
@@ -1454,7 +1454,7 @@ object Similarity {
                        queries: DataFrame, idCol: String, vecCol: String,
                        k: Int, nProbe: Int): DataFrame =
     ivfProbe(
-      spark.read.parquet(s"$indexPath/corpus"),
+      BandedIndex.readLayout(spark, s"$indexPath/corpus"),
       spark.read.parquet(s"$indexPath/centroids"),
       queries, idCol, vecCol, k, nProbe)
 
@@ -1472,7 +1472,7 @@ object Similarity {
                         vecCol: String, minCos: Double,
                         nProbe: Int): DataFrame = {
     import graft.functions.VectorFunctions.{dot => dotc}
-    val cells = spark.read.parquet(s"$indexPath/corpus")
+    val cells = BandedIndex.readLayout(spark, s"$indexPath/corpus")
     val centroids = spark.read.parquet(s"$indexPath/centroids")
     val q = queries.select(col(idCol).as("query_id"),
         asDouble(col(vecCol)).as("qv"))
@@ -1558,7 +1558,7 @@ object Similarity {
     */
   def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       indexPath: String, nCells: Int): Unit = {
-    val corpus = spark.read.parquet(s"$indexPath/corpus")
+    val corpus = BandedIndex.readLayout(spark, s"$indexPath/corpus")
       .select(col("cand_id"), col("cv"))
     val tmp = s"${indexPath}_REBUILDING"
     BandedIndex.hadoopFs(spark, tmp)._1
