@@ -104,9 +104,27 @@ object IngestReplayProbe {
       .unionByName(cls(7).select((col("doc_id") + 2700000L).as("doc_id"),
         concat(half(col("text")), lit(" contact u"),
           col("doc_id").cast("string"), lit("@example.com")).as("text"), neg))
+      // Round-20 GROWTH mode (r19 verdict item 2): the fixture
+      // embeddings carry ~2,000 distinct directions, so the semantic
+      // INTRA-batch check collapses every batch and accepted stays 0 —
+      // the r19 replay measured flat per-batch cost against STATIC
+      // corpus-sized indexes, never a growing one. With
+      // SPARK_GRAFT_REPLAY_RICH=1 the arriving embeddings are replaced
+      // by a deterministic per-doc hash direction (every doc its own
+      // direction, no rand() — replay-stable), so rows survive both
+      // semantic checks, the sink APPENDS them, and the per-batch wall
+      // measures probes against indexes that GROW across the replay.
+      .transform { arr =>
+        if (!sys.env.get("SPARK_GRAFT_REPLAY_RICH").contains("1")) arr
+        else arr.withColumn("embedding",
+          transform(sequence(lit(0), lit(63)), j =>
+            ((pmod(xxhash64(col("doc_id"), j), lit(2000003L)).cast("double")
+              / 1000001.0) - 1.0).cast("float")))
+      }
 
     val root = java.nio.file.Files.createTempDirectory("ingestreplay").toString
-    println(s"PROBE root=$root batches=$nBatches sf=$sfDir")
+    println(s"PROBE root=$root batches=$nBatches sf=$sfDir " +
+      s"rich=${sys.env.get("SPARK_GRAFT_REPLAY_RICH").contains("1")}")
 
     // ---- land the arriving set as nBatches files: the file source
     // with maxFilesPerTrigger=1 then replays it as nBatches

@@ -18,12 +18,33 @@ import org.apache.spark.sql.functions._
 object Reshape {
 
   /** Generic unpivot: wide `(idCols..., valueCols...)` to long
-    * `(idCols..., nameCol, valueCol)` via the built-in `unpivot`
-    * (Catalyst `Expand` - one pass, no shuffle, no UDF).
+    * `(idCols..., nameCol, valueCol)` — one pass, no shuffle, no UDF,
+    * null values retained (the built-in `unpivot`/melt semantics;
+    * asserted against it in ReshapeSpec).
+    *
+    * Implemented as `explode(array(struct(name, value)...))` — a
+    * Catalyst `Generate` — rather than the built-in `unpivot`'s
+    * `Expand`, for a partitioning-visibility reason (round-20, guide
+    * §2.4): `ExpandExec` reports `UnknownPartitioning` even though
+    * every projection leaves the id columns untouched, so an
+    * unpivot→pivot roundtrip over an id-partitioned frame re-shuffles
+    * the EXPLODED long frame twice (`r1_transpose_roundtrip`: 3
+    * Exchanges, and at sf100 the 1.8B-row long exchange is the suite's
+    * largest spill). `GenerateExec` preserves its child's partitioning,
+    * and hash(ids) satisfies the pivot aggregates' clustering on both
+    * (ids, name) and (ids), so the downstream pivot runs shuffle-free
+    * on the partitioning the upstream aggregate already established.
+    * The struct array coerces its value fields to the least common
+    * type, matching the built-in's cast rule.
     */
   def unpivot(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
-              nameCol: String, valueCol: String): DataFrame =
-    df.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray, nameCol, valueCol)
+              nameCol: String, valueCol: String): DataFrame = {
+    val entries = valueCols.map(c =>
+      struct(lit(c).as(nameCol), col(c).as(valueCol)))
+    df.select(idCols.map(col) :+ explode(array(entries: _*)).as("__e"): _*)
+      .select(idCols.map(col) :+ col(s"__e.$nameCol").as(nameCol) :+
+        col(s"__e.$valueCol").as(valueCol): _*)
+  }
 
   /** Inverse of [[unpivot]] on unique `idCols`: pivot the long form back to
     * one column per `names` entry. `first(valueCol)` is deterministic here

@@ -76,6 +76,39 @@ class ReshapeSpec extends SparkSpec {
       === Array((1L, 10.0, 0.1), (2L, 20.0, 0.2)))
   }
 
+  test("explode-based unpivot matches the built-in unpivot exactly " +
+    "(nulls retained, mixed types coerced, schema equal)") {
+    // Nulls in value columns AND a mixed int/double type pair — the two
+    // semantics the round-20 Generate-based rewrite must preserve
+    // against Dataset.unpivot (melt: nulls retained, least-common-type
+    // cast).
+    val base = Seq((1L, Some(10), Some(0.5)), (2L, None, Some(2.5)),
+      (3L, Some(30), None)).toDF("id", "m_i", "m_d")
+    val ours = Reshape.unpivot(base, Seq("id"), Seq("m_i", "m_d"),
+      "metric", "value")
+    val builtin = base.unpivot(Array(col("id")),
+      Array(col("m_i"), col("m_d")), "metric", "value")
+    assert(ours.schema === builtin.schema)
+    val key = (r: Row) => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) null else r.getDouble(2))
+    assert(ours.collect().map(key).sortBy(_.toString())
+      === builtin.collect().map(key).sortBy(_.toString()))
+  }
+
+  test("unpivot->pivot of an id-partitioned frame adds no exchange " +
+    "past the id partitioning (the Generate rewrite's reason to exist)") {
+    val base = Seq((1L, 10.0, 0.1), (2L, 20.0, 0.2)).toDF("id", "m_a", "m_b")
+      .repartition(col("id"))
+    val long = Reshape.unpivot(base, Seq("id"), Seq("m_a", "m_b"),
+      "metric", "value")
+    val wide = Reshape.pivot(long, Seq("id"), "metric", "value",
+      Seq("m_a", "m_b"))
+    val exchanges = wide.queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges === 1, "expected only the explicit repartition " +
+      s"exchange below the unpivot; plan:\n${wide.queryExecution.executedPlan}")
+  }
+
   test("firstRowAsHeader promotes the first physical row to column names") {
     val df = Seq(("date", "AAPL", "MSFT"), ("2024-01-01", "1.0", "2.0"),
       ("2024-01-02", "3.0", "4.0")).toDF("c0", "c1", "c2").coalesce(1)
